@@ -1,0 +1,582 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+import graft.sources.Tables
+
+/** The declared query inventory Q01–Q35 (SURVEY.md §2.2) — each entry is a
+  * Spark DataFrame program plus the equivalent DuckDB SQL oracle.
+  *
+  * Cross-engine determinism contract (SURVEY §2.2):
+  *  - every query ends in a total ORDER BY on a unique key;
+  *  - double aggregations go through `CAST(x AS DECIMAL(18,4))` so the sum is
+  *    exact (no float accumulation-order drift between engines), then one
+  *    double division/round at the end;
+  *  - float/double outputs wrapped in ROUND(x, 4);
+  *  - timestamps leave as formatted UTC strings (micro precision);
+  *  - integer-valued outputs aligned to BIGINT on both sides where the
+  *    engines' natural result types differ (year(), ceil(), rank(), ...).
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     oracle: Option[String],
+                     run: (SparkSession, String) => DataFrame)
+
+  // ---- shared determinism helpers ------------------------------------------
+
+  /** Exact decimal sum of a double column (no float accumulation drift). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+  /** Decimal-exact sum surfaced as double. */
+  private def dsumD(c: Column): Column = dsum(c).cast("double")
+  private def r4(c: Column): Column = round(c, 4)
+
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+  private def dsumSql(e: String): String = DSUM.format(e)
+
+  // ---- CDC fixture (Q27–Q30) ----------------------------------------------
+  // A deterministic DynamoDB-stream-envelope relation derived from the
+  // `events` table, so the reference's CDC semantics are checkable against a
+  // DuckDB oracle that derives the expected output from the same rows.
+  // Mapping: signup->INSERT, purchase/view->MODIFY, error->REMOVE,
+  // click->UNKNOWN (exercising the A14 error path). Keys are composite
+  // (id = user_id%20, name = 'n'||user_id%7) like the reference table's
+  // (partition, sort) pair; free attrs carry props / seq / etype.
+
+  private def cdcFixture(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val idC = (col("user_id") % 20).cast("string")
+    val nameC = concat(lit("n"), (col("user_id") % 7).cast("string"))
+    val image = map(
+      lit("id"), map(lit("S"), idC),
+      lit("name"), map(lit("S"), nameC),
+      lit("props"), map(lit("S"), col("props")),
+      lit("seq"), map(lit("N"), col("event_id").cast("string")),
+      lit("etype"), map(lit("S"), col("event_type")))
+    val eventName = when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type").isin("purchase", "view"), "MODIFY")
+      .when(col("event_type") === "error", "REMOVE")
+      .otherwise("UNKNOWN")
+    val keys = map(lit("id"), map(lit("S"), idC), lit("name"), map(lit("S"), nameC))
+    ev.select(
+      eventName.as("eventName"),
+      struct(
+        lit(null).cast("double").as("ApproximateCreationDateTime"),
+        keys.as("Keys"),
+        when(eventName.isin("INSERT", "MODIFY"), image).as("NewImage"),
+        when(eventName === "REMOVE", image).as("OldImage")
+      ).as("dynamodb"),
+      lit(null).cast("string").as("_corrupt_record"),
+      col("ts").as("_ingest_ts"))
+  }
+
+  /** Valid CDC rows flattened by the real operator pack (A7–A9). */
+  private def cdcFlattened(spark: SparkSession, dir: String): DataFrame = {
+    val (valid, _) = Cdc.split(cdcFixture(spark, dir))
+    Cdc.transform(valid, ingestionTs = Some(col("_ingest_ts")))
+      .select(
+        col("id"), col("name"),
+        col("attrs").getItem("props").as("props"),
+        col("attrs").getItem("seq").as("seq"),
+        col("attrs").getItem("etype").as("etype"),
+        col("Event").as("event"),
+        col("ingestion_timestamp"))
+  }
+
+  private val cdcOracleBase =
+    """SELECT CAST(user_id % 20 AS VARCHAR) AS id,
+      |       'n' || CAST(user_id % 7 AS VARCHAR) AS name,
+      |       props,
+      |       CAST(event_id AS VARCHAR) AS seq,
+      |       event_type AS etype,
+      |       CASE event_type WHEN 'signup' THEN 'INSERT'
+      |                       WHEN 'error' THEN 'REMOVE'
+      |                       ELSE 'MODIFY' END AS event,
+      |       ts, event_id
+      |FROM events WHERE event_type <> 'click'""".stripMargin
+
+  // ---- the inventory -------------------------------------------------------
+
+  def all: Seq[Q] = Seq(
+
+    Q("q01_scan_count",
+      Some("SELECT COUNT(*) AS cnt FROM lineitem"),
+      (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+
+    Q("q02_filter_project",
+      Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+             |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), r4(col("l_extendedprice")).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Q("q03_join_inner",
+      Some("""SELECT o_orderkey, c_name FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")),
+
+    Q("q04_join_left_outer",
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    Q("q05_join_semi",
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    Q("q06_join_anti",
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    Q("q07_join_broadcast",
+      Some("""SELECT r_name, COUNT(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      (s, d) => Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
+    Q("q08_join_multiway",
+      Some(s"""SELECT o_orderkey,
+              |       ROUND(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY o_orderkey
+              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
+    Q("q09_join_range",
+      Some("""SELECT p_brand, COUNT(*) AS cnt
+             |FROM part JOIN lineitem
+             |  ON l_partkey = p_partkey
+             | AND l_extendedprice BETWEEN p_retailprice * 0.9 AND p_retailprice * 1.1
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_extendedprice").between(col("p_retailprice") * 0.9, col("p_retailprice") * 1.1))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")),
+
+    Q("q10_agg_pricing_summary",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ROUND(${dsumSql("l_quantity")}, 4) AS sum_qty,
+              |       ROUND(${dsumSql("l_extendedprice")}, 4) AS sum_price,
+              |       ROUND(${dsumSql("l_discount")} / COUNT(*), 4) AS avg_disc,
+              |       COUNT(*) AS cnt
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(dsumD(col("l_quantity"))).as("sum_qty"),
+          r4(dsumD(col("l_extendedprice"))).as("sum_price"),
+          r4(dsumD(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    Q("q11_agg_distinct",
+      Some("""SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(countDistinct(col("l_partkey")).as("distinct_parts"))
+        .orderBy("l_suppkey")),
+
+    Q("q12_rollup",
+      Some("""SELECT COALESCE(n_name, '(all)') AS nation,
+             |       COALESCE(c_mktsegment, '(all)') AS segment,
+             |       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS g,
+             |       COUNT(*) AS cnt
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, c_mktsegment)
+             |ORDER BY g, nation, segment""".stripMargin),
+      (s, d) => {
+        // Spark SQL form: the DataFrame rollup+grouping() combination trips
+        // the ambiguous-self-join check in Spark 4.1 when the final select
+        // rewrites the grouping columns; SQL resolves them correctly.
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+        s.sql("""SELECT COALESCE(n_name, '(all)') AS nation,
+                |       COALESCE(c_mktsegment, '(all)') AS segment,
+                |       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS g,
+                |       COUNT(*) AS cnt
+                |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+                |GROUP BY ROLLUP(n_name, c_mktsegment)
+                |ORDER BY g, nation, segment""".stripMargin)
+      }),
+
+    Q("q13_agg_having",
+      Some(s"""SELECT n_name,
+              |       ROUND(${dsumSql("c_acctbal")} / COUNT(*), 4) AS avg_bal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name
+              |HAVING SUM(CAST(c_acctbal AS DECIMAL(18,4))) > 0
+              |ORDER BY n_name""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          r4(dsumD(col("c_acctbal")) / count(lit(1))).as("avg_bal"),
+          dsum(col("c_acctbal")).as("_sum"))
+        .filter(col("_sum") > 0)
+        .select("n_name", "avg_bal")
+        .orderBy("n_name")),
+
+    Q("q14_window_latest",
+      Some("""SELECT user_id, event_id,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
+             |FROM (SELECT *, ROW_NUMBER() OVER
+             |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"), col("event_type"))
+          .orderBy("user_id")
+      }),
+
+    Q("q15_window_rank",
+      Some("""SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey,
+             |       ROUND(o_totalprice, 4) AS price
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice, RANK() OVER
+             |        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |      FROM orders) t
+             |WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), r4(col("o_totalprice")).as("price"))
+          .orderBy("o_custkey", "rk", "o_orderkey")
+      }),
+
+    Q("q16_window_sliding",
+      Some("""SELECT user_id, event_id,
+             |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             |             / COUNT(*) OVER w, 4) AS sliding_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, 0)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            r4(sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+              / count(lit(1)).over(w)).as("sliding_avg"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q17_window_lag",
+      Some("""SELECT user_id, event_id,
+             |       ROUND(value - LAG(value, 1) OVER
+             |         (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+             |FROM events ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            r4(col("value") - lag(col("value"), 1).over(w)).as("delta"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q18_topk",
+      Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 20""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), r4(col("l_extendedprice")).as("price"))
+        .limit(20)),
+
+    Q("q19_union",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    Q("q20_intersect",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy("nationkey")),
+
+    Q("q21_except",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy("nationkey")),
+
+    Q("q22_string_funcs",
+      Some("""SELECT p_partkey,
+             |       UPPER(p_brand) AS brand_u, LOWER(p_brand) AS brand_l,
+             |       SUBSTR(p_name, 1, 5) AS name5,
+             |       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+             |       TRIM(p_name) AS name_t,
+             |       CONCAT(p_brand, '#', p_type) AS brand_type,
+             |       CAST(CASE WHEN p_type LIKE '%SM%' THEN 1 ELSE 0 END AS BIGINT) AS has_sm,
+             |       REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1) AS type_tail
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"), lower(col("p_brand")).as("brand_l"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          trim(col("p_name")).as("name_t"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          when(col("p_type").like("%SM%"), 1L).otherwise(0L).as("has_sm"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_tail"))
+        .orderBy("p_partkey")),
+
+    Q("q23_date_funcs",
+      Some("""SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS y,
+             |       CAST(MONTH(l_shipdate) AS BIGINT) AS m,
+             |       strftime(MIN(DATE_TRUNC('month', l_shipdate)), '%Y-%m-%d') AS month_start,
+             |       COUNT(*) AS cnt,
+             |       CAST(MIN(DATEDIFF('day', l_shipdate, TIMESTAMP '1998-12-01 00:00:00')) AS BIGINT) AS min_days,
+             |       CAST(MAX(DAY(l_shipdate)) AS BIGINT) AS max_dom
+             |FROM lineitem GROUP BY 1, 2 ORDER BY y, m""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(
+          year(col("l_shipdate")).cast("long").as("y"),
+          month(col("l_shipdate")).cast("long").as("m"))
+        .agg(
+          date_format(min(date_trunc("month", col("l_shipdate"))), "yyyy-MM-dd").as("month_start"),
+          count(lit(1)).as("cnt"),
+          min(datediff(expr("TIMESTAMP '1998-12-01 00:00:00'"), col("l_shipdate"))).cast("long").as("min_days"),
+          max(dayofmonth(col("l_shipdate"))).cast("long").as("max_dom"))
+        .orderBy("y", "m")),
+
+    Q("q24_math_funcs",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       ROUND(l_extendedprice, 4) AS price_r,
+             |       ROUND(ABS(l_discount - 0.05), 4) AS disc_dev,
+             |       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+             |       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+             |       ROUND(POWER(l_quantity, 2), 4) AS qty_sq,
+             |       l_orderkey % 7 AS key_mod,
+             |       ROUND(SQRT(l_quantity), 4) AS qty_sqrt
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("l_extendedprice")).as("price_r"),
+          r4(abs(col("l_discount") - 0.05)).as("disc_dev"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          r4(pow(col("l_quantity"), 2)).as("qty_sq"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          r4(sqrt(col("l_quantity"))).as("qty_sqrt"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Q("q25_array_funcs",
+      Some("""SELECT vec_id,
+             |       CAST(LEN(embedding) AS BIGINT) AS dim,
+             |       ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+             |       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          r4(graft.functions.VectorFunctions.norm(col("embedding"))).as("l2_norm"),
+          r4(element_at(col("embedding"), 1).cast("double")).as("first_elem"))
+        .orderBy("vec_id")),
+
+    Q("q26_json_funcs",
+      Some("""SELECT event_type,
+             |       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS total_k,
+             |       COUNT(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("total_k"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    Q("q27_cdc_transform",
+      Some(s"""SELECT id, name, props, seq, etype, event,
+              |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ingest_ts
+              |FROM ($cdcOracleBase) t
+              |ORDER BY event_id""".stripMargin),
+      (s, d) => cdcFlattened(s, d)
+        .select(col("id"), col("name"), col("props"), col("seq"), col("etype"), col("event"),
+          date_format(col("ingestion_timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ingest_ts"))
+        .orderBy(col("seq").cast("long"))),
+
+    Q("q28_cdc_snapshot",
+      Some(s"""SELECT id, name, props, seq, etype
+              |FROM (SELECT *, ROW_NUMBER() OVER
+              |        (PARTITION BY id, name ORDER BY ts DESC, event_id DESC) AS rn
+              |      FROM ($cdcOracleBase) t) r
+              |WHERE rn = 1 AND event <> 'REMOVE'
+              |ORDER BY CAST(id AS INT), name""".stripMargin),
+      (s, d) => {
+        val flat = cdcFlattened(s, d).withColumn("seq_l", col("seq").cast("long"))
+        Cdc.snapshot(flat, Seq("id", "name"), Seq("ingestion_timestamp", "seq_l"),
+            eventCol = "event")
+          .select("id", "name", "props", "seq", "etype")
+          .orderBy(col("id").cast("int"), col("name"))
+      }),
+
+    Q("q29_cdc_partitions",
+      Some(s"""SELECT CAST(YEAR(ts) AS BIGINT) AS year, CAST(MONTH(ts) AS BIGINT) AS month,
+              |       CAST(DAY(ts) AS BIGINT) AS day, CAST(HOUR(ts) AS BIGINT) AS hour,
+              |       COUNT(*) AS cnt
+              |FROM ($cdcOracleBase) t
+              |GROUP BY 1, 2, 3, 4 ORDER BY year, month, day, hour""".stripMargin),
+      (s, d) => Cdc.withPartitionColumns(cdcFlattened(s, d))
+        .groupBy(
+          col("year").cast("long").as("year"), col("month").cast("long").as("month"),
+          col("day").cast("long").as("day"), col("hour").cast("long").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("year", "month", "day", "hour")),
+
+    Q("q30_cdc_error_routing",
+      Some("""SELECT 'error' AS relation, 'unknown_event:UNKNOWN' AS reason, COUNT(*) AS cnt
+             |FROM events WHERE event_type = 'click'
+             |UNION ALL
+             |SELECT 'ok' AS relation, '' AS reason, COUNT(*) AS cnt
+             |FROM events WHERE event_type <> 'click'
+             |ORDER BY relation, reason""".stripMargin),
+      (s, d) => {
+        val (valid, errors) = Cdc.split(cdcFixture(s, d))
+        val okCnt = valid.agg(count(lit(1)).as("cnt"))
+          .select(lit("ok").as("relation"), lit("").as("reason"), col("cnt"))
+        val errCnt = errors.groupBy(col("error_reason").as("reason"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("error").as("relation"), col("reason"), col("cnt"))
+        errCnt.unionByName(okCnt).orderBy("relation", "reason")
+      }),
+
+    Q("q31_window_tumbling",
+      Some(s"""SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              |       event_type, COUNT(*) AS cnt,
+              |       ROUND(${dsumSql("value")}, 4) AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r4(dsumD(col("value"))).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("hour_start", "event_type")),
+
+    Q("q32_dedup_hash",
+      Some("""SELECT lang, COUNT(*) AS cnt,
+             |       COUNT(DISTINCT MD5(text)) AS distinct_docs,
+             |       COUNT(*) - COUNT(DISTINCT MD5(text)) AS dup_cnt
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(md5(col("text").cast("binary"))).as("distinct_docs"),
+          (count(lit(1)) - countDistinct(md5(col("text").cast("binary")))).as("dup_cnt"))
+        .orderBy("lang")),
+
+    Q("q33_tokenize_topk",
+      Some("""SELECT token, COUNT(*) AS cnt
+             |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
+             |WHERE token <> ''
+             |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    Q("q34_cosine_topk",
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |       ROUND(
+             |         LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+             |           i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+             |         / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+             |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |          * SQRT(LIST_AGGREGATE(LIST_TRANSFORM(qe,
+             |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS sim
+             |FROM embeddings, q
+             |WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            r4(graft.functions.VectorFunctions.cosine(col("embedding"), col("qe"))).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    Q("q35_asof_lag",
+      Some("""SELECT user_id, event_id,
+             |       ROUND(LAG(value, 1) OVER
+             |         (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            r4(lag(col("value"), 1).over(w)).as("prev_value"))
+          .orderBy("user_id", "event_id")
+      })
+  )
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
