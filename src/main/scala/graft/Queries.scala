@@ -574,9 +574,12 @@ object Queries {
       })
   )
 
+  /** Full declared inventory: Q01–Q35 plus the training-data ops. */
+  def inventory: Seq[Q] = all ++ TrainingQueries.all
+
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    inventory.map(q => q.name -> q.run).toMap
 
   def oracleMap: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    inventory.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

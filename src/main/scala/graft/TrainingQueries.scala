@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Queries.Q
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline query inventory (q36–q44): dedup, similarity
+  * search, and text analysis over `documents`/`embeddings` — first-class
+  * engine surface alongside Q01–Q35, each with a DuckDB oracle.
+  *
+  * Oracle strategy: all hashing is md5-derived (HashFunctions), all folds
+  * are left-to-right with explicit double casts, so DuckDB reproduces every
+  * value exactly. For MinHash+LSH (q37) the oracle is the *exact* Jaccard
+  * pair set: candidates are exact-verified (no false positives) and the
+  * banding (16 bands x 2 rows, threshold 0.8) has miss probability
+  * (1-j^2)^16 <= 4e-8 for any pair at the threshold — the LSH output equals
+  * the exact answer on any non-adversarial corpus, and q36 (the exact
+  * inverted-index algorithm) pins the same result independently.
+  */
+object TrainingQueries {
+
+  /** DuckDB SQL fragments mirroring TextAnalysis/HashFunctions. */
+  private val toksSql = "LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')"
+  private val h32Sql = "CAST('0x' || SUBSTR(MD5(%s), 1, 8) AS BIGINT)"
+
+  private val shingleRowsSql =
+    s"""SELECT doc_id, UNNEST(LIST_DISTINCT(CASE WHEN LEN(t) >= 3 THEN
+       |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+       |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |       ELSE [] END)) AS shingle
+       |FROM (SELECT doc_id, $toksSql AS t FROM documents) d""".stripMargin
+
+  /** Exact pairwise 3-gram Jaccard >= 0.8 — the oracle for q36 AND q37. */
+  private val jaccardPairsSql =
+    s"""WITH sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |       ROUND(i::DOUBLE / (ca.n_sh + cb.n_sh - i), 4) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = a_id
+       |JOIN cnt cb ON cb.doc_id = b_id
+       |WHERE ROUND(i::DOUBLE / (ca.n_sh + cb.n_sh - i), 4) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  private val cosSql =
+    """LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(%s)),
+      |           i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), 'sum')
+      |         / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM(%s,
+      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |          * SQRT(LIST_AGGREGATE(LIST_TRANSFORM(%s,
+      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+  private def cos(a: String, b: String): String = cosSql.format(a, a, b, a, b)
+
+  def all: Seq[Q] = Seq(
+
+    Q("q36_dedup_ngram_jaccard",
+      Some(jaccardPairsSql),
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
+    Q("q37_dedup_minhash_lsh",
+      Some(jaccardPairsSql),
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
+    Q("q38_dedup_simhash",
+      Some(s"""SELECT doc_id,
+              |       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->
+              |         CASE WHEN LIST_SUM(LIST_TRANSFORM(hs, h ->
+              |                CASE WHEN CAST(FLOOR(h / POWER(2, b)) AS BIGINT) % 2 = 1
+              |                     THEN 1 ELSE -1 END)) > 0
+              |              THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+              |FROM (SELECT doc_id,
+              |             LIST_TRANSFORM($toksSql, t -> ${h32Sql.format("t")}) AS hs
+              |      FROM documents) d
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")),
+
+    Q("q39_text_quality",
+      Some(s"""SELECT doc_id,
+              |       CAST(LEN(t) AS BIGINT) AS n_tokens,
+              |       CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS n_distinct,
+              |       CAST(LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop_cnt,
+              |       ROUND(LEAST(LEN(t) / 100.0, 1.0) *
+              |             (1.0 - LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / LEN(t)), 4) AS quality
+              |FROM (SELECT doc_id, $toksSql AS t FROM documents) d
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val t = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(t).cast("long").as("n_tokens"),
+            size(array_distinct(t)).cast("long").as("n_distinct"),
+            TextAnalysis.stopwordCount(t).cast("long").as("stop_cnt"),
+            round(TextAnalysis.qualityScore(t), 4).as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q40_text_langid",
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |         LEN(LIST_FILTER(t, x -> x IN ('the','of','and'))) AS s_en,
+             |         LEN(LIST_FILTER(t, x -> x IN ('el','la','de'))) AS s_es,
+             |         LEN(LIST_FILTER(t, x -> x IN ('der','die','das'))) AS s_de,
+             |         LEN(LIST_FILTER(t, x -> x IN ('le','et','ou'))) AS s_fr,
+             |         LEN(LIST_FILTER(t, x -> x IN ('de','le','he'))) AS s_zh
+             |  FROM (SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS t
+             |        FROM documents) d)
+             |SELECT doc_id,
+             |       CASE WHEN s_en >= GREATEST(s_es, s_de, s_fr, s_zh) THEN 'en'
+             |            WHEN s_es >= GREATEST(s_de, s_fr, s_zh) THEN 'es'
+             |            WHEN s_de >= GREATEST(s_fr, s_zh) THEN 'de'
+             |            WHEN s_fr >= s_zh THEN 'fr'
+             |            ELSE 'zh' END AS pred_lang,
+             |       CAST(CASE WHEN lang = (CASE WHEN s_en >= GREATEST(s_es, s_de, s_fr, s_zh) THEN 'en'
+             |            WHEN s_es >= GREATEST(s_de, s_fr, s_zh) THEN 'es'
+             |            WHEN s_de >= GREATEST(s_fr, s_zh) THEN 'de'
+             |            WHEN s_fr >= s_zh THEN 'fr'
+             |            ELSE 'zh' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
+             |FROM scored ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val t = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.predictedLang(t).as("pred_lang"), col("lang"))
+          .withColumn("is_match",
+            when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+          .select("doc_id", "pred_lang", "is_match")
+          .orderBy("doc_id")
+      }),
+
+    Q("q41_token_counts",
+      Some(s"""SELECT doc_id,
+              |       CAST(LEN($toksSql) AS BIGINT) AS ws_tokens,
+              |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+              |       CAST(LEN(LIST_DISTINCT($toksSql)) AS BIGINT) AS distinct_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val t = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(t).cast("long").as("ws_tokens"),
+            TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"),
+            size(array_distinct(t)).cast("long").as("distinct_tokens"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q42_text_fingerprint",
+      Some(s"""SELECT doc_id,
+              |       CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+              |         LIST_TRANSFORM($toksSql, t -> ${h32Sql.format("t")})),
+              |         (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")),
+
+    Q("q43_embedding_neardup",
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |       ROUND(${cos("a.embedding", "b.embedding")}, 4) AS sim
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ROUND(${cos("a.embedding", "b.embedding")}, 4) >= 0.45
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
+        .orderBy("a_id", "b_id")),
+
+    Q("q44_ann_ivf",
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+              |v AS (SELECT vec_id, embedding FROM embeddings),
+              |dots AS (SELECT v.vec_id, c.cid, ${cos("v.embedding", "c.ce")} AS s
+              |         FROM v CROSS JOIN c),
+              |assign AS (SELECT vec_id, cid FROM
+              |             (SELECT vec_id, cid,
+              |                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+              |              FROM dots) r WHERE rn = 1),
+              |qcell AS (SELECT cid FROM assign WHERE vec_id = 0),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT v.vec_id, ROUND(${cos("v.embedding", "qe")}, 4) AS sim
+              |FROM v JOIN assign USING (vec_id) JOIN qcell USING (cid) CROSS JOIN q
+              |WHERE v.vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val assigned = Similarity.assignToCentroids(emb, cents)
+        val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents, query, 10)
+      })
+  )
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (content hash), n-gram Jaccard (inverted index), MinHash+LSH,
+  * SimHash. Embedding-cosine near-dup lives in [[Similarity]].
+  *
+  * Scale design notes:
+  *  - Exact dedup is one hash-shuffle with map-side combine.
+  *  - The inverted-index Jaccard join only compares pairs sharing >=1
+  *    shingle (never the full n^2); `maxShingleDf` drops ubiquitous
+  *    shingles, the standard skew guard — a shingle occurring in k docs
+  *    contributes k^2 candidate pairs, so frequency-capping bounds the
+  *    worst key before the shuffle.
+  *  - MinHash signatures are computed entirely map-side via higher-order
+  *    functions (one md5 per shingle, then cheap permutation arithmetic);
+  *    the only shuffle is the LSH band-bucket self-join, whose keys are
+  *    32-bit pairs — tiny rows, well-distributed by construction.
+  *  - Everything is md5-based ([[graft.functions.HashFunctions]]) so the
+  *    DuckDB oracle reproduces results bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Output: one row per distinct
+    * content with cnt and the min id (the canonical survivor). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical_id"))
+
+  /** doc -> distinct shingle rows (the inverted index), with optional
+    * document-frequency cap on shingles (skew guard; 0 = no cap). */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
+    val idx = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+    if (maxShingleDf <= 0) idx
+    else {
+      val rare = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle")
+      idx.join(rare, "shingle")
+    }
+  }
+
+  /** Exact pairwise n-gram Jaccard >= threshold via the inverted index:
+    * join on shared shingle -> per-pair intersection count -> |A u B| from
+    * per-doc sizes. Only co-shingled pairs are materialized. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na.n_sh") + col("nb.n_sh") - col("inter"))
+    inter
+      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature column (array<long> of `numHashes` mins) from a
+    * distinct-shingle array column. One md5 per shingle, then the
+    * permutation family — all map-side. Empty shingle set -> P sentinels. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column = {
+    val hs = transform(shinglesCol, s => h32(s))
+    val sigs = (0 until numHashes).map { i =>
+      coalesce(array_min(transform(hs, h => permHash(i, h))), lit(P))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH candidate pairs from signatures banded `bands` x `rowsPerBand`.
+    * Self-join on (band index, band slice) equality; candidates only. */
+  def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand).as("key"))
+    }: _*)
+    val banded = sigs.select(col(idCol).as("doc_id"), explode(bandArr).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection with exact-Jaccard verification of the
+    * candidates (so output = exact pairs >= threshold whenever the banding
+    * recall covers the threshold; false positives are always filtered). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSh = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh"))
+    val sigs = withSh.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val cands = lshCandidates(sigs, "doc_id", "sig", bands, rowsPerBand)
+    val j = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cands
+      .join(withSh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(withSh.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over the (repeated) token stream: bit b is set iff the
+    * signed sum of token-hash bits at position b is strictly positive.
+    * Pure map-side HOF arithmetic in the floor-div form the oracle mirrors. */
+  def simhash32(toks: Column): Column = {
+    val hs = TextAnalysis.tokenHashes(toks)
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+      val bitSum = aggregate(hs, lit(0L),
+        (a, h) => a + when(bitAt(h, b) === 1L, 1L).otherwise(-1L))
+      acc + when(bitSum > 0L, pow(lit(2.0), b).cast("long")).otherwise(0L)
+    })
+  }
+
+  /** SimHash near-dup pairs: block by rotating bit-bands (any pair within
+    * hamming distance <= bands-1 shares at least one identical band —
+    * pigeonhole), verify with exact popcount. Avoids the n^2 cross join. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      simhash32(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val width = 32 / bands
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("sim"), b * width) % (1L << width)).as("key"))
+    }: _*)
+    val banded = sh.select(col("doc_id"), col("sim"), explode(bandArr).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

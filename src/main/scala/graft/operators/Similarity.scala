@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Three tiers, by scale:
+  *  1. [[bruteForceTopK]] — broadcast the query, one scan, TakeOrdered.
+  *     Exact; the baseline. O(N·d) per query, no shuffle beyond top-k.
+  *  2. [[ivfTopK]] — IVF-style: vectors pre-assigned to the nearest of K
+  *     centroids (one scan + small broadcast); a query probes only its
+  *     nearest centroid's partition -> ~1/K of the data scanned. Exact
+  *     within the probed cell; deterministic (ties by centroid id), so it
+  *     is oracle-checkable.
+  *  3. [[cosineNearDupPairs]] — all-pairs >= threshold. Exact via self-join;
+  *     at 100 TB one would first block by IVF cell / random-hyperplane
+  *     sign bucket, then verify (same verify-after-candidates shape as
+  *     [[Dedup.minhashNearDups]]).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against a single query vector (1-row frame
+    * broadcast; plan is scan -> project -> TakeOrderedAndProject). */
+  def bruteForceTopK(vectors: DataFrame, query: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryVecCol: String = "qe"): DataFrame =
+    vectors.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Assign each vector to its nearest centroid (max cosine, ties -> lowest
+    * centroid id). Centroids are broadcast; one scan over the vectors. */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        centIdCol: String = "cent_id", centVecCol: String = "ce"): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col(centIdCol),
+        cosine(col(vecCol), col(centVecCol)).as("csim"))
+    val best = struct(col("csim").as("s"), (-col(centIdCol)).as("negid"))
+    scored.groupBy(col(idCol))
+      .agg(max_by(struct(col(centIdCol), col(vecCol)), best).as("a"))
+      .select(col(idCol), col("a." + centIdCol).as("cent_id"), col("a." + vecCol).as(vecCol))
+  }
+
+  /** IVF search: probe only the query's nearest cell, exact top-k inside.
+    * `assigned` is the output of [[assignToCentroids]] (at scale this is
+    * written bucketed/partitioned by cent_id so a probe prunes partitions). */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryVecCol: String = "qe"): DataFrame = {
+    val probedCell = assignToCentroids(
+      query.select(lit(-1L).as(idCol), col(queryVecCol).as(vecCol)), centroids,
+      idCol, vecCol).select(col("cent_id"))
+    assigned.join(broadcast(probedCell), "cent_id")
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(cosine(col(vecCol), col(queryVecCol)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact all-pairs cosine >= threshold (self-join on id inequality). */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

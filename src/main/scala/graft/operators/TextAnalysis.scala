@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * shingling, language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * All column builders are pure Spark higher-order-function expressions —
+  * map-side only, codegen-friendly, no UDFs, no shuffles. A 100 TB corpus
+  * pays exactly one scan for any combination of these.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space corpus contract; empty tokens
+    * filtered so repeated separators are harmless). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles ("a b c" strings), the dedup unit.
+    * Docs shorter than n shingle to the empty array. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-token 32-bit hashes (md5-derived, cross-engine stable). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => HashFunctions.h32(t))
+
+  /** Order-sensitive rolling document fingerprint over token hashes. */
+  def fingerprint(toks: Column): Column =
+    HashFunctions.rollingFingerprint(tokenHashes(toks))
+
+  /** Stopword list used by quality scoring / language-ID (tiny, fixed —
+    * part of the operator contract so oracles can inline it). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker words per language for the n-gram/keyword language-ID
+    * heuristic; scored by marker hits, argmax with first-wins tie order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "et", "ou"),
+    "zh" -> Seq("de", "le", "he"))
+
+  def stopwordCount(toks: Column, stopwords: Seq[String] = Stopwords): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  /** Quality score in [0,1]: length factor x (1 - stopword ratio). A
+    * deliberately simple, fully deterministic formula (the point is the
+    * single-scan plumbing, not linguistic sophistication). */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val stopRatio = stopwordCount(toks).cast("double") / n
+    least(n / 100.0, lit(1.0)) * (lit(1.0) - stopRatio)
+  }
+
+  /** Predicted language: argmax of marker-word hits, ties resolved by the
+    * declared marker order (first wins, strict >). */
+  def predictedLang(toks: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Regex-based token count (BPE-ish word/number pieces). */
+  def regexTokenCount(text: Column, pattern: String = "[a-z0-9]+"): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** One-scan text profile of a documents table. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("stopword_cnt", stopwordCount(t).cast("long"))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("pred_lang", predictedLang(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
