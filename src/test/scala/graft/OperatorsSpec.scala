@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, FullLoad, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+class FullLoadSpec extends SparkSpec {
+  test("split-count heuristic matches the reference formula, clamped at 1") {
+    assert(FullLoad.splitCount("G.2X", 3) === 32) // 16*(W-1), ddb_full_load.py:41
+    assert(FullLoad.splitCount("G.1X", 3) === 16) // 8*(W-1), :43
+    assert(FullLoad.splitCount("Standard", 3) === 12) // 4*((W-1)*2-1), :45
+    assert(FullLoad.splitCount("Standard", 1) === 1) // reference yields -4; we clamp
+  }
+
+  test("full-load pipeline: overwrite parquet round-trip with requested file count") {
+    val dir = java.nio.file.Files.createTempDirectory("fullload").toString + "/out"
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    FullLoad.run(src, dir, outputPartitions = 3)
+    FullLoad.run(src, dir, outputPartitions = 3) // idempotent overwrite (A5)
+    val back = FullLoad.readBack(spark, dir)
+    assert(back.count() === 25)
+    assert(back.rdd.getNumPartitions === 3)
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm on known vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(1f, 2f, 2f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.norm($"a"),
+      VectorFunctions.cosine($"a", $"b")).collect()
+    assert(rows(0).getDouble(0) === 0.0)
+    assert(rows(0).getDouble(2) === 0.0) // orthogonal
+    assert(rows(1).getDouble(1) === 3.0) // |(1,2,2)| = 3
+    assert(math.abs(rows(1).getDouble(2) - 1.0) < 1e-12) // parallel
+    assert(rows(2).getDouble(2) === 0.0) // zero-norm guard, no NaN
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drop empties; shingles are distinct ordered 3-grams") {
+    val df = Seq("a b  c d", "x y").toDF("text")
+    val out = df.select(
+      TextAnalysis.tokens($"text").as("t"),
+      TextAnalysis.shingles(TextAnalysis.tokens($"text")).as("sh")).collect()
+    assert(out(0).getSeq[String](0) === Seq("a", "b", "c", "d"))
+    assert(out(0).getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1) === Seq.empty) // shorter than n
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text"))).collect()
+      .map(_.getLong(0))
+    assert(fps(0) === fps(2))
+    assert(fps(0) !== fps(1))
+  }
+
+  test("quality score: stopword-free 100-token doc scores 1.0") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq(doc, "the a of").toDF("text")
+    val qs = df.select(round(TextAnalysis.qualityScore(TextAnalysis.tokens($"text")), 4)).collect()
+    assert(qs(0).getDouble(0) === 1.0)
+    assert(qs(1).getDouble(0) === 0.0) // all stopwords
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words in this sentence about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash with canonical min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(g.length === 3)
+    assert(g.head.getAs[Long]("cnt") === 2)
+    assert(g.head.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("jaccard pairs and minhash LSH agree and find the near-dup") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      lsh.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // exact duplicate pair has jaccard exactly 1.0
+    assert(exact.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs collide, near-dups are hamming-close") {
+    val sh = docs.select($"doc_id", Dedup.simhash32(TextAnalysis.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 8)
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF top-k equals brute force when the probed cell holds the answers") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0), query, 5).collect()
+    assert(brute.length === 5)
+    assert(brute.map(_.getDouble(1)).toSeq === brute.map(_.getDouble(1)).sorted.reverse.toSeq)
+    // IVF with a single centroid probes everything -> must equal brute force
+    val cents = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+    val assigned = Similarity.assignToCentroids(emb, cents)
+    val ivf = Similarity.ivfTopK(assigned.filter($"vec_id" =!= 0), cents, query, 5).collect()
+    assert(ivf.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
