@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video travel as opaque `binary` columns with typed metadata, and
+  * decode/featurize/frame-sample run as partition-wise batch operators.
+  *
+  * The DECODE STEP IS A STUB in this environment (no image/audio libraries
+  * in the container — clearly marked below with a deterministic fake). The
+  * Spark-side plumbing is real and tested: schema contract, partition-wise
+  * iterator batching (the Scala analogue of `mapInPandas` — one buffer per
+  * partition, no per-row JNI/process round-trips), partition sizing, and
+  * zero-copy pass-through of rows that don't need decoding.
+  *
+  * At 100 TB: binaries dominate row size, so operators here avoid shuffling
+  * the binary column (featurize projects it away as early as possible) and
+  * `repartitionForMedia` right-sizes partitions by estimated byte weight,
+  * not row count.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every media blob. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** STUB decode: a real implementation would hand the bytes to an image /
+    * audio codec. Here: a deterministic fake that derives `dim` float
+    * features from the content bytes (stable across runs/partitionings),
+    * so the distributed plumbing around it is fully testable. */
+  private[operators] def decodeToFeaturesStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real codec goes here (e.g. JPEG decode -> pooled CNN features)
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((h >>> 33).toInt % 1000) / 1000.0f
+      j += 1
+    }
+    out
+  }
+
+  /** Featurize media partition-wise (mapPartitions = the batch shape of
+    * mapInPandas): one iterator pass per partition, binary column consumed
+    * and NOT carried into the output (keeps the shuffle-facing row thin). */
+  def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = media
+      .select(col("media_id"), col("content"), col("meta.format").as("format"))
+      .mapPartitions { rows =>
+        // batch loop: in a real codec this is where a reusable decode
+        // context/buffer lives, amortized over the partition
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val feats = decodeToFeaturesStub(if (bytes == null) Array.emptyByteArray else bytes, dim)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("format"), feats.toSeq)
+        }
+      }(enc)
+    out.toDF()
+  }
+
+  /** STUB frame sampling: every `stride`-th fixed-size slice of the blob
+    * stands in for a decoded video frame; emits (media_id, frame_no,
+    * frame_bytes) — the explode-shaped generator a real sampler has. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame =
+    media.select(col("media_id"),
+        posexplode(
+          filter(
+            transform(sequence(lit(0), greatest((length(col("content")) / frameSize).cast("int") - 1, lit(0))),
+              i => when(i % stride === 0, substring(col("content"), i * frameSize + 1, lit(frameSize)))),
+            f => f.isNotNull)))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_bytes")
+
+  /** Right-size partitions by payload bytes, not row count: media rows are
+    * wildly skewed in size, so a fixed rows-per-partition split makes some
+    * tasks 100x heavier than others at scale. */
+  def repartitionForMedia(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = media.select(sum(coalesce(length(col("content")), lit(0)))).head.getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+
+  /** Deterministic synthetic media table for tests/demos. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      // deterministic pseudo-binary payload of varying size
+      encode(concat_ws("", (0 to 16).map(i => md5(concat(col("id"), lit(i)))): _*), "UTF-8").as("content"),
+      struct(
+        when(col("id") % 2 === 0, "jpeg").otherwise("wav").as("format"),
+        lit(640).as("width"), lit(480).as("height"),
+        (col("id") * 1000).as("duration_ms")).as("meta"))
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming relational operators over an event stream with an event-time
+  * column: windowed aggregations + watermarking + dedupe (SURVEY.md §2.2,
+  * "engine surface present but excluded from the t2 hash set"; validated by
+  * stream-vs-batch equivalence in StreamingSpec).
+  *
+  * All of these are incremental one-shuffle aggregations: partial
+  * aggregation happens map-side per micro-batch, the state store holds one
+  * row per open (window, key) group, and the watermark bounds state size —
+  * the properties that keep them viable on an unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  /** Tumbling-window count+sum per (window, key); watermark bounds state and
+    * drops data later than `lateness`. Batch-equivalent of Q31. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowLen: String = "1 hour",
+                  lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"), col("sum_value"))
+
+  /** Sliding-window variant (window/slide). */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 windowLen: String, slide: String,
+                 lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Session windows (gap-based), per key. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes",
+                 lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"), col(keyCol), col("cnt"))
+
+  /** At-least-once -> effectively-once: drop duplicate event ids, keeping
+    * state only within the watermark horizon. */
+  def dedupeWithinWatermark(events: DataFrame, tsCol: String,
+                            idCols: Seq[String], lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("featurize: schema contract, determinism across partitionings, no binary in output") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val f1 = Multimodal.featurize(media, dim = 8)
+    assert(f1.schema.fieldNames.toSeq === Seq("media_id", "format", "features"))
+    assert(!f1.schema.fieldNames.contains("content"))
+    val a = f1.orderBy("media_id").collect().map(r => (r.getLong(0), r.getSeq[Float](2)))
+    // different physical partitioning must not change features (stub is
+    // content-deterministic, the plumbing adds no nondeterminism)
+    val b = Multimodal.featurize(media.repartition(7), dim = 8)
+      .orderBy("media_id").collect().map(r => (r.getLong(0), r.getSeq[Float](2)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_._2.length === 8))
+  }
+
+  test("frame sampling emits strided fixed-size slices per media row") {
+    val media = Multimodal.syntheticMedia(spark, 5)
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+    val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"), max(length(col("frame_bytes"))).as("sz"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_.getInt(2) <= 64))
+    // content is 17 md5 hex strings = 544 bytes -> 8 full slices, stride 4 -> ceil(8/4)=2
+    assert(perDoc.forall(_.getLong(1) === 2))
+  }
+
+  test("byte-weighted repartition sizes by payload, not row count") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    // 100 rows x 544B = ~54KB -> at 8KB/partition target: ~7 partitions
+    val rp = Multimodal.repartitionForMedia(media, targetBytesPerPartition = 8192)
+    assert(rp.rdd.getNumPartitions === 7)
+  }
+}
