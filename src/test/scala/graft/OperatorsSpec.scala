@@ -133,3 +133,17 @@ class SimilaritySpec extends SparkSpec {
       brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 }
+
+/** SURVEY §2.2 non-hash surface: approximate aggregates validated by
+  * tolerance against the exact answer, not by oracle hash. */
+class ApproxSpec extends SparkSpec {
+  test("approx_count_distinct within 5% of exact (HLL default rsd)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val r = li.select(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact drift > 5%")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan assertions for the scale-critical behaviors (SURVEY §4):
+  * these pin the properties that make the declared queries viable at 100 TB
+  * — filter/column pushdown into the parquet scan, broadcast joins for
+  * small dims, TakeOrderedAndProject for top-k, partial aggregation —
+  * so a refactor that silently loses one fails CI, not the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    // default metadata truncation (100 chars) hides the PushedFilters tail
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("Q02 filter + projection push into the parquet scan") {
+    val p = plan(Queries.queryMap("q02_filter_project")(spark, sf0001))
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains("GreaterThan(l_quantity,30.0)"), s"quantity filter not pushed:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
+    // column pruning: only the 4 referenced columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+      s"scan reads more columns than needed:\n$p")
+  }
+
+  test("Q07 small-dim join broadcasts (no shuffle of the fact side)") {
+    val p = plan(Queries.queryMap("q07_join_broadcast")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("Q08 multiway join broadcasts the filtered dimension side") {
+    val p = plan(Queries.queryMap("q08_join_multiway")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast for customer side:\n$p")
+    // the BUILDING predicate reaches the customer scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed to scan")
+  }
+
+  test("Q18 global sort + limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(Queries.queryMap("q18_topk")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("Q10 aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan(Queries.queryMap("q10_agg_pricing_summary")(spark, sf0001))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, s"expected HashAggregate + Exchange:\n$p")
+    assert(p.indexOf("HashAggregate", firstAgg + 1) >= 0, "expected partial+final agg pair")
+  }
+
+  test("CDC snapshot is a single shuffle with map-side partial max_by") {
+    val flat = Queries.queryMap("q27_cdc_transform")(spark, sf0001)
+    val p = plan(graft.operators.Cdc.snapshot(
+      flat.withColumn("seq_l", col("seq").cast("long")),
+      Seq("id", "name"), Seq("ingest_ts", "seq_l"), eventCol = "event"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"snapshot should shuffle exactly once:\n$p")
+    assert(!p.contains("Window"), "snapshot must not use a window sort")
+  }
+
+  test("events scan prunes to referenced columns only") {
+    val df = Tables.events(spark, sf0001).select(col("user_id")).distinct()
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"events scan did not prune columns:\n$p")
+  }
+}

@@ -119,3 +119,54 @@ class StreamingSpec extends SparkSpec {
     assert(out("10:00") === 2) // late row NOT counted
   }
 }
+
+/** Stateful snapshot equivalence: streaming mapGroupsWithState vs batch
+  * max_by snapshot over the same event history, fed in multiple batches. */
+class StatefulSnapshotSpec extends SparkSpec {
+  import graft.streaming.StatefulSnapshot
+  import graft.streaming.StatefulSnapshot.SnapshotRow
+
+  test("incremental snapshot == batch snapshot after all batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val batch1 = Seq(
+      SnapshotRow("1", "a", "INSERT", 100L, 1L, """{"v":"x"}"""),
+      SnapshotRow("1", "a", "MODIFY", 200L, 2L, """{"v":"y"}"""),
+      SnapshotRow("2", "b", "INSERT", 150L, 3L, """{"v":"z"}"""))
+    val batch2 = Seq(
+      SnapshotRow("1", "a", "MODIFY", 300L, 4L, """{"v":"w"}"""),
+      SnapshotRow("2", "b", "REMOVE", 400L, 5L, """{"v":"z"}"""),
+      SnapshotRow("3", "c", "INSERT", 50L, 6L, """{"v":"q"}"""),
+      // late event OLDER than key 1's current state: must not win
+      SnapshotRow("1", "a", "MODIFY", 120L, 7L, """{"v":"stale"}"""))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SnapshotRow]
+    val q = StatefulSnapshot.updates(mem.toDS())
+      .writeStream.format("memory").queryName("snapstate").outputMode("update").start()
+    mem.addData(batch1); q.processAllAvailable()
+    mem.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // streaming result: per key, the row emitted with the highest (ts,seq)
+    val streamed = spark.table("snapstate").as[SnapshotRow].collect()
+      .groupBy(r => (r.id, r.name))
+      .map { case (_, rs) => rs.maxBy(r => (r.eventMicros, r.seq)) }
+      .filter(_.event != "REMOVE")
+      .map(r => (r.id, r.name, r.attrsJson)).toSet
+
+    // batch result over the full history via the batch operator
+    val all = (batch1 ++ batch2).toDF()
+      .withColumn(
+        "ingestion_timestamp",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("eventMicros")))
+    val batched = graft.operators.Cdc.snapshot(
+        all, Seq("id", "name"), Seq("ingestion_timestamp", "seq"), eventCol = "event")
+      .collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("name"), r.getAs[String]("attrsJson")))
+      .toSet
+
+    assert(streamed === batched)
+    assert(streamed === Set(("1", "a", """{"v":"w"}"""), ("3", "c", """{"v":"q"}""")))
+  }
+}
