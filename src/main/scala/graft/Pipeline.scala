@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Cdc, FullLoad}
+import graft.streaming.CdcStream
+
+/** A17 "pipeline compilation" (SURVEY §2.1 / §3.3): the reference's
+  * CDK lifecycle — construct tree (config) -> synth (plan) -> deploy
+  * (execute) — re-expressed as typed config -> lazy DataFrame/stream plan
+  * -> action. Validation errors surface at plan time, like CDK synth
+  * (`bin/dynamodb-streaming-datalake.ts:28-68`, `cdk.json:2`).
+  */
+object Pipeline {
+
+  /** CDC-zone pipeline config (the producer stack's knobs, stack.ts):
+    * buffering interval = Firehose buffer (`stack.ts:211-214`), layout
+    * prefixes (`stack.ts:38,221-222`). */
+  final case class CdcSpec(
+      inputPath: String,
+      lakePath: String,
+      errorPath: String,
+      checkpointPath: String,
+      triggerSeconds: Long = 60L,
+      maxFilesPerTrigger: Option[Int] = None,
+      wallClockIngestion: Boolean = false) {
+    def validate(): Unit = {
+      require(inputPath.nonEmpty && lakePath.nonEmpty && errorPath.nonEmpty &&
+        checkpointPath.nonEmpty, "all CDC paths must be non-empty")
+      require(triggerSeconds > 0, s"trigger must be positive, got $triggerSeconds")
+      require(Seq(lakePath, errorPath, checkpointPath).distinct.size == 3,
+        "lake/error/checkpoint paths must be distinct")
+    }
+  }
+
+  /** Full-load pipeline config (the consumer stack: fleet shape drives the
+    * scan split count, `ddb_full_load.py:39-47`; output partitions
+    * `:67-69`). */
+  final case class FullLoadSpec(
+      sourcePath: String,
+      destPath: String,
+      workerType: String = "Standard",
+      numWorkers: Int = 1,
+      outputPartitions: Option[Int] = None) {
+    def validate(): Unit = {
+      require(sourcePath.nonEmpty && destPath.nonEmpty, "paths must be non-empty")
+      require(numWorkers >= 1, s"numWorkers must be >= 1, got $numWorkers")
+    }
+    def splits: Int = FullLoad.splitCount(workerType, numWorkers)
+  }
+
+  /** Planned (synth'd) CDC pipeline: lazy, nothing runs until start(). */
+  final class CdcPlan private[Pipeline] (spark: SparkSession, spec: CdcSpec) {
+    private val clock: Option[Column] =
+      if (spec.wallClockIngestion) Some(current_timestamp()) else None
+
+    /** Execute until all currently-available input is processed. */
+    def runOnce(): Unit = {
+      val parsed = CdcStream.source(spark, spec.inputPath, spec.maxFilesPerTrigger)
+      val q = CdcStream.pipeline(parsed, spec.lakePath, spec.errorPath,
+        spec.checkpointPath, Trigger.AvailableNow(), clock).start()
+      q.awaitTermination()
+    }
+
+    /** Execute continuously on the configured micro-batch interval. */
+    def start(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val parsed = CdcStream.source(spark, spec.inputPath, spec.maxFilesPerTrigger)
+      CdcStream.pipeline(parsed, spec.lakePath, spec.errorPath,
+        spec.checkpointPath,
+        Trigger.ProcessingTime(s"${spec.triggerSeconds} seconds"), clock).start()
+    }
+
+    /** The lake read model over what this pipeline has written. */
+    def lakeZone(): DataFrame = spark.read.json(
+      s"${spec.lakePath}/year=*/month=*/day=*/hour=*")
+    def errorZone(): DataFrame = spark.read.json(spec.errorPath)
+    def snapshot(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val flat = lakeZone().withColumn("_seq",
+        monotonically_increasing_id()) // file order tiebreaker within equal ts
+      Cdc.snapshot(flat, Seq("id", "name"), Seq("ingestion_timestamp", "_seq"))
+        .drop("_seq")
+    }
+  }
+
+  final class FullLoadPlan private[Pipeline] (spark: SparkSession, spec: FullLoadSpec) {
+    def run(): Unit = {
+      val src = spark.read.parquet(spec.sourcePath)
+        .repartition(spec.splits) // the reference's scan-split parallelism (A1/A2)
+      FullLoad.run(src, spec.destPath,
+        spec.outputPartitions.getOrElse(Runtime.getRuntime.availableProcessors()))
+    }
+    def readBack(): DataFrame = FullLoad.readBack(spark, spec.destPath)
+  }
+
+  /** synth: validate config and return the lazy plan (plan-time failure for
+    * bad config, like CDK synth). */
+  def plan(spark: SparkSession, spec: CdcSpec): CdcPlan = {
+    spec.validate(); new CdcPlan(spark, spec)
+  }
+  def plan(spark: SparkSession, spec: FullLoadSpec): FullLoadPlan = {
+    spec.validate(); new FullLoadPlan(spark, spec)
+  }
+}

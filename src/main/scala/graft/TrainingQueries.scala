@@ -174,6 +174,34 @@ object TrainingQueries {
       (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
         .orderBy("a_id", "b_id")),
 
+    Q("q45_dedup_exact_groups",
+      Some("""SELECT MD5(text) AS content_hash, COUNT(*) AS cnt,
+             |       MIN(doc_id) AS canonical_id
+             |FROM documents GROUP BY MD5(text) ORDER BY canonical_id""".stripMargin),
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("canonical_id")),
+
+    Q("q46_dedup_simhash_pairs",
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id,
+              |         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->
+              |           CASE WHEN LIST_SUM(LIST_TRANSFORM(hs, h ->
+              |                  CASE WHEN CAST(FLOOR(h / POWER(2, b)) AS BIGINT) % 2 = 1
+              |                       THEN 1 ELSE -1 END)) > 0
+              |                THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+              |  FROM (SELECT doc_id,
+              |               LIST_TRANSFORM($toksSql, t -> ${h32Sql.format("t")}) AS hs
+              |        FROM documents) d)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id")),
+
     Q("q44_ann_ivf",
       Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
               |v AS (SELECT vec_id, embedding FROM embeddings),

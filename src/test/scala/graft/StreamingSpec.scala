@@ -170,3 +170,46 @@ class StatefulSnapshotSpec extends SparkSpec {
     assert(streamed === Set(("1", "a", """{"v":"w"}"""), ("3", "c", """{"v":"q"}""")))
   }
 }
+
+/** Sliding and session window streaming ops vs their batch equivalents. */
+class WindowOpsSpec extends SparkSpec {
+  import graft.streaming.StreamOps
+
+  test("sliding window agg == batch groupBy(window, slide)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf0001)
+      .select($"ts", $"user_id", $"event_type", $"value").as[EventRow].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    mem.addData(rows)
+    val q = StreamOps.slidingAgg(mem.toDF(), "ts", "event_type", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide")
+      .select(date_format($"window_start", "yyyy-MM-dd HH:mm").as("ws"), $"event_type", $"cnt")
+      .orderBy("ws", "event_type").collect()
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("ws"), $"event_type", $"cnt")
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("session window groups events within the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    mem.addData(Seq(
+      EventRow(ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      EventRow(ts("2024-01-01 10:10:00"), 2L, "a", 1.0),  // same session (gap 30m)
+      EventRow(ts("2024-01-01 12:00:00"), 3L, "a", 1.0))) // new session
+    val q = StreamOps.sessionAgg(mem.toDF(), "ts", "event_type", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess").orderBy("session_start").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+  }
+}
