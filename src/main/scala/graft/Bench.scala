@@ -12,6 +12,7 @@ object Bench {
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
     // Warm the JVM/codegen once on the smallest scale so per-query numbers
     // measure the plan, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -146,7 +146,7 @@ object Cdc {
     */
   def snapshot(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                eventCol: String = "Event"): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, ord).as("latest"))

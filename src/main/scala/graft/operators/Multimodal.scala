@@ -94,7 +94,7 @@ object Multimodal {
     * wildly skewed in size, so a fixed rows-per-partition split makes some
     * tasks 100x heavier than others at scale. */
   def repartitionForMedia(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = media.select(sum(coalesce(length(col("content")), lit(0)))).head.getLong(0)
+    val totalBytes = media.select(sum(coalesce(length(col("content")), lit(0)))).head().getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
     media.repartition(parts)
   }

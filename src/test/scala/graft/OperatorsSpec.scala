@@ -147,3 +147,24 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact drift > 5%")
   }
 }
+
+/** SQL-surface registration of the custom kernels. */
+class GraftFunctionsSpec extends SparkSpec {
+  test("vec_dot / vec_norm_sq / minhash_sig usable from spark.sql") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0F,2.0F), array(3.0F,4.0F)) AS d, " +
+      "vec_norm_sq(array(3.0F,4.0F)) AS n").collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 25.0)
+    val sig = spark.sql("SELECT minhash_sig(array(42L, 7L), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === 4)
+    // mins match the permutation family directly
+    val expect = (0 until 4).map { i =>
+      Seq(42L, 7L).map(h => (h * graft.functions.HashFunctions.permA(i) +
+        graft.functions.HashFunctions.permB(i)) % graft.functions.HashFunctions.P).min
+    }
+    assert(sig === expect)
+  }
+}
