@@ -132,14 +132,13 @@ object Dedup {
 
   /** 32-bit SimHash over the (repeated) token stream: bit b is set iff the
     * signed sum of token-hash bits at position b is strictly positive.
-    * Pure map-side HOF arithmetic in the floor-div form the oracle mirrors. */
+    * One md5 pass for the token hashes, then the codegen'd one-pass
+    * [[graft.functions.SimHash32]] kernel (the nested-HOF formulation
+    * re-evaluated the token hashing once per bit). */
   def simhash32(toks: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val hs = TextAnalysis.tokenHashes(toks)
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
-      val bitSum = aggregate(hs, lit(0L),
-        (a, h) => a + when(bitAt(h, b) === 1L, 1L).otherwise(-1L))
-      acc + when(bitSum > 0L, pow(lit(2.0), b).cast("long")).otherwise(0L)
-    })
+    ColumnBridge.column(graft.functions.SimHash32(ColumnBridge.expression(hs)))
   }
 
   /** SimHash near-dup pairs: block by rotating bit-bands (any pair within
@@ -147,8 +146,13 @@ object Dedup {
     * pigeonhole), verify with exact popcount. Avoids the n^2 cross join. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      simhash32(TextAnalysis.tokens(col(textCol))).as("sim"))
+    // Exchange barrier: same Generate-inlining hazard as lshCandidates —
+    // without it the band explode recomputes the signature per band and the
+    // self-join duplicates the whole subtree. Tiny rows (id + one long).
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), simhash32(col("toks")).as("sim"))
+      .repartition(col("doc_id"))
     val width = 32 / bands
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
