@@ -31,13 +31,10 @@ import graft.operators.Cdc
 object CdcStream {
 
   /** Rate-limited JSON-lines stream source (the Kinesis stand-in; SURVEY
-    * §2.2 sources table — pluggable, file-based in this environment). */
+    * §2.2 sources table — any [[graft.sources.CdcSource]] plugs in here). */
   def source(spark: SparkSession, inputPath: String,
-             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.getOrElse(Int.MaxValue))
-    Cdc.parse(r.text(inputPath), "value")
-  }
+             maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    graft.sources.FileCdcSource(inputPath, maxFilesPerTrigger).stream(spark)
 
   /** Full pipeline as a stream writer; caller starts/stops it.
     *

@@ -168,3 +168,42 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sig === expect)
   }
 }
+
+/** MinHash collision-probability property (SURVEY §5.2 item 3): the
+  * fraction of agreeing signature positions estimates Jaccard similarity.
+  * Deterministic construction (no random seeds -> no flakes): doc pairs
+  * share k of 20 trigram-generating tokens, sweeping J from 0 to 1. */
+class MinHashPropertySpec extends SparkSpec {
+  test("signature agreement tracks exact Jaccard within estimator error") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i")
+    // pair k: doc A = tokens 0..19, doc B = tokens k..k+19 (overlap 20-k)
+    val pairs = (0 to 20).map { k =>
+      (k.toLong, base.slice(0, 20).mkString(" "), base.slice(k, k + 20).mkString(" "))
+    }
+    val df = pairs.toDF("k", "ta", "tb")
+      .selectExpr("k",
+        "filter(split(ta, ' '), t -> t <> '') as toksA",
+        "filter(split(tb, ' '), t -> t <> '') as toksB")
+    val withSh = df.select($"k",
+      graft.operators.TextAnalysis.shingles($"toksA").as("sa"),
+      graft.operators.TextAnalysis.shingles($"toksB").as("sb"))
+    val sigs = withSh.select($"k",
+      size(array_intersect($"sa", $"sb")).cast("double")
+        ./(size(array_union($"sa", $"sb"))).as("jaccard"),
+      graft.operators.Dedup.minhashSignature($"sa", 64).as("siga"),
+      graft.operators.Dedup.minhashSignature($"sb", 64).as("sigb"))
+    val rows = sigs.select($"k", $"jaccard",
+      (size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), b => b))
+        .cast("double") / 64.0).as("estimate")).collect()
+    val errs = rows.map(r => math.abs(r.getDouble(1) - r.getDouble(2)))
+    // per-pair bound: binomial std-err at 64 hashes is <= 0.0625; allow 4 sigma
+    assert(errs.forall(_ <= 0.25), s"estimator off: ${errs.mkString(",")}")
+    // mean over the sweep is much tighter
+    assert(errs.sum / errs.length <= 0.08, s"mean error ${errs.sum / errs.length}")
+    // exact endpoints must be exact
+    val byK = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byK(0L) === ((1.0, 1.0)))  // identical docs
+    assert(byK(20L)._2 === 0.0)       // disjoint docs: no collisions at 64 hashes
+  }
+}
