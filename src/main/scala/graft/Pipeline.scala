@@ -82,6 +82,13 @@ object Pipeline {
       Cdc.snapshot(flat, Seq("id", "name"), Seq("ingestion_timestamp", "_seq"))
         .drop("_seq")
     }
+
+    /** Lake maintenance: compact the append-only CDC zone into a columnar
+      * snapshot table (the reference's full-load zone shape, A5/A6 applied
+      * to the CDC read model) — overwrite parquet keyed by the table key. */
+    def compact(destPath: String,
+                outputPartitions: Int = Runtime.getRuntime.availableProcessors()): Unit =
+      FullLoad.run(snapshot(), destPath, outputPartitions)
   }
 
   final class FullLoadPlan private[Pipeline] (spark: SparkSession, spec: FullLoadSpec) {

@@ -29,6 +29,9 @@ object PipelineDemo {
     println("snapshot:")
     cdc.snapshot().show(false)
 
+    cdc.compact(s"$base/snap", outputPartitions = 1)
+    println("compacted snapshot rows: " + spark.read.parquet(s"$base/snap").count())
+
     val fl = Pipeline.plan(spark, Pipeline.FullLoadSpec(
       "/root/testdata/sf0.001/customer.parquet", s"$base/full_load",
       workerType = "G.2X", numWorkers = 2, outputPartitions = Some(4)))

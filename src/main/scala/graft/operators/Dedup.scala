@@ -55,7 +55,10 @@ object Dedup {
     * per-doc sizes. Only co-shingled pairs are materialized. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n)
+    // Exchange barrier: the index subtree feeds three consumers (sizes +
+    // both join sides); identical exchanges are computed once and reused
+    // (ReuseExchange), so tokenize+shingle+explode runs a single time.
+    val idx = shingleIndex(docs, idCol, textCol, n).repartition(col("shingle"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -43,4 +43,22 @@ class PipelineSpec extends SparkSpec {
     assert(plan.readBack().count() === 25)
     assert(plan.readBack().rdd.getNumPartitions === 2)
   }
+
+  test("compaction materializes the snapshot as overwrite parquet") {
+    val base = Files.createTempDirectory("compactspec").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    Files.write(Paths.get(s"$base/in/f1.json"),
+      ("""{"eventName":"INSERT","dynamodb":{"ApproximateCreationDateTime":1687310602.0,"Keys":{"id":{"S":"1"},"name":{"S":"a"}},"NewImage":{"id":{"S":"1"},"name":{"S":"a"},"x":{"S":"1"}}}}""" + "\n" +
+       """{"eventName":"INSERT","dynamodb":{"ApproximateCreationDateTime":1687310603.0,"Keys":{"id":{"S":"2"},"name":{"S":"b"}},"NewImage":{"id":{"S":"2"},"name":{"S":"b"},"x":{"S":"5"}}}}""" + "\n" +
+       """{"eventName":"REMOVE","dynamodb":{"ApproximateCreationDateTime":1687310700.0,"Keys":{"id":{"S":"2"},"name":{"S":"b"}},"OldImage":{"id":{"S":"2"},"name":{"S":"b"},"x":{"S":"5"}}}}""").getBytes)
+    val plan = Pipeline.plan(spark, Pipeline.CdcSpec(
+      s"$base/in", s"$base/lake", s"$base/err", s"$base/ckpt"))
+    plan.runOnce()
+    plan.compact(s"$base/snap", outputPartitions = 1)
+    val snap = spark.read.parquet(s"$base/snap")
+    assert(snap.count() === 1) // key 2 tombstoned
+    assert(snap.select("id").collect().head.getString(0) === "1")
+    plan.compact(s"$base/snap", outputPartitions = 1) // idempotent overwrite
+    assert(spark.read.parquet(s"$base/snap").count() === 1)
+  }
 }
