@@ -45,7 +45,7 @@ object Queries {
   // (id = user_id%20, name = 'n'||user_id%7) like the reference table's
   // (partition, sort) pair; free attrs carry props / seq / etype.
 
-  private def cdcFixture(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def cdcFixture(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val idC = (col("user_id") % 20).cast("string")
     val nameC = concat(lit("n"), (col("user_id") % 7).cast("string"))
