@@ -71,16 +71,39 @@ object Pipeline {
         Trigger.ProcessingTime(s"${spec.triggerSeconds} seconds"), clock).start()
     }
 
-    /** The lake read model over what this pipeline has written. */
-    def lakeZone(): DataFrame = spark.read.json(
-      s"${spec.lakePath}/year=*/month=*/day=*/hour=*")
-    def errorZone(): DataFrame = spark.read.json(spec.errorPath)
-    def snapshot(): DataFrame = {
+    private def pathExists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+
+    /** The lake read model over what this pipeline has written. Partition
+      * columns (year/month/day/hour) survive via basePath so consumers can
+      * prune by hour — the entire point of the A13 layout; the ingestion
+      * clock is restored to TimestampType from its ISO JSON form. Before
+      * the first batch lands this is an empty frame, not a read error. */
+    def lakeZone(): DataFrame = {
       import org.apache.spark.sql.functions._
-      val flat = lakeZone().withColumn("_seq",
-        monotonically_increasing_id()) // file order tiebreaker within equal ts
-      Cdc.snapshot(flat, Seq("id", "name"), Seq("ingestion_timestamp", "_seq"))
-        .drop("_seq")
+      if (!pathExists(spec.lakePath)) spark.emptyDataFrame
+      else spark.read.option("basePath", spec.lakePath)
+        .json(s"${spec.lakePath}/year=*/month=*/day=*/hour=*")
+        .withColumn("ingestion_timestamp", to_timestamp(col("ingestion_timestamp")))
+    }
+
+    /** Empty frame (not PATH_NOT_FOUND) when no batch has had errors —
+      * the normal case a health check probes. */
+    def errorZone(): DataFrame =
+      if (!pathExists(spec.errorPath)) spark.emptyDataFrame
+      else spark.read.json(spec.errorPath)
+
+    def snapshot(): DataFrame = {
+      // Tiebreaker for equal ingestion timestamps must be deterministic
+      // across runs; monotonically_increasing_id() depends on how the scan
+      // bin-packs files, so ties would flip between runs. Content order
+      // (the serialized attrs + event) is stable, and rows that tie on it
+      // are byte-identical — either winner is the same row. (The JSON
+      // source exposes no _metadata.row_index to use instead.)
+      Cdc.snapshot(lakeZone(), Seq("id", "name"),
+        Seq("ingestion_timestamp", "attrs_json", "Event"))
     }
 
     /** Lake maintenance: compact the append-only CDC zone into a columnar

@@ -24,8 +24,14 @@ object PipelineDemo {
 
     val cdc = Pipeline.plan(spark, Pipeline.CdcSpec(
       s"$base/in", s"$base/lake", s"$base/err", s"$base/ckpt"))
+    // probe: read models before ANY run must be empty frames, not errors
+    println("pre-run lakeZone rows: " + cdc.lakeZone().count() +
+      ", errorZone rows: " + cdc.errorZone().count())
     cdc.runOnce()
     println("lake rows: " + cdc.lakeZone().count())
+    println("lake partition columns present: " +
+      cdc.lakeZone().columns.count(Set("year", "month", "day", "hour")))
+    println("errorZone after clean run: " + cdc.errorZone().count())
     println("snapshot:")
     cdc.snapshot().show(false)
 

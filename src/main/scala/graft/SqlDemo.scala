@@ -16,6 +16,12 @@ object SqlDemo {
         |             / (SQRT(vec_norm_sq(e.embedding)) * SQRT(vec_norm_sq(q.embedding))), 4) AS sim
         |FROM emb e CROSS JOIN (SELECT embedding FROM emb WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 3""".stripMargin).show(false)
+    // probe: wrong element type must be a named analysis error, not garbage
+    try {
+      spark.sql("SELECT vec_dot(array(1.0D,2.0D), array(3.0D,4.0D))").collect()
+      println("PROBE FAILED: double arrays accepted")
+    } catch { case e: Exception => println("double arrays rejected: " +
+      Option(e.getMessage).getOrElse("").linesIterator.find(_.contains("vec_dot")).getOrElse("(msg)").trim.take(90)) }
     // probe: non-literal k must be rejected with a named error
     try {
       spark.sql("SELECT minhash_sig(array(1L), vec_id) FROM emb LIMIT 1").collect()

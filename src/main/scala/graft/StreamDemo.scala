@@ -23,7 +23,10 @@ object StreamDemo {
     println("RUN1 lake rows: " + spark.read.json(s"$lake/year=*/month=*/day=*/hour=*").count())
 
     put("f2.json",
-      """{"eventName":"MODIFY","dynamodb":{"ApproximateCreationDateTime":1687310722.0,"Keys":{"id":{"S":"864732"},"name":{"S":"Adam"}},"NewImage":{"id":{"S":"864732"},"name":{"S":"Adam"},"Designation":{"S":"Developer Advocate"}}}}""",
+      // the MODIFY row carries an attribute with an EMPTY type map ("junk")
+      // - must be omitted from the flattened row (reference semantics), not
+      // crash the batch under ANSI mode
+      """{"eventName":"MODIFY","dynamodb":{"ApproximateCreationDateTime":1687310722.0,"Keys":{"id":{"S":"864732"},"name":{"S":"Adam"}},"NewImage":{"id":{"S":"864732"},"name":{"S":"Adam"},"Designation":{"S":"Developer Advocate"},"junk":{}}}}""",
       """{"eventName":"BOGUS","dynamodb":{"ApproximateCreationDateTime":1687310800.0,"Keys":{},"NewImage":{}}}""",
       """not json at all""")
     CdcStream.runAvailableNow(spark, in, lake, err, ckpt)

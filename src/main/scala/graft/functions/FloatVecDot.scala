@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two `array<float>` columns, accumulated in
   * double, strictly left-to-right — bit-identical to the higher-order
@@ -20,9 +21,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Applied only by graft library code on known array<float> columns, so no
-  // ExpectsInputTypes coercion machinery (private[sql] in Spark 4) is wired.
   override def dataType: DataType = DoubleType
+
+  // ExpectsInputTypes is private[sql] in Spark 4, so validate explicitly:
+  // registered for SQL (GraftFunctions), a wrong element type would
+  // otherwise be read with raw getFloat and produce silent garbage.
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -19,6 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint> of pre-hashed values, got ${other.sql}")
+  }
 
   private val as: Array[Long] = Array.tabulate(numHashes)(HashFunctions.permA)
   private val bs: Array[Long] = Array.tabulate(numHashes)(HashFunctions.permB)

@@ -73,10 +73,14 @@ object Cdc {
 
   /** A8: type-erase a typed-attribute map to attr -> string. The reference's
     * inner dict loop keeps the LAST tag's value (`:12-14`), hence
-    * `element_at(map_values(v), -1)`. Pure map-side higher-order function —
-    * no shuffle, stays in codegen. */
+    * `element_at(map_values(v), -1)`; an attribute with an EMPTY type map is
+    * omitted, exactly like the reference (the Python loop never assigns it)
+    * — and without the filter, ANSI-mode element_at on the empty array would
+    * kill the batch. Pure map-side higher-order function — no shuffle. */
   def flattenImage(image: Column): Column =
-    transform_values(image, (_, v) => element_at(map_values(v), -1))
+    transform_values(
+      map_filter(image, (_, v) => size(map_values(v)) > 0),
+      (_, v) => element_at(map_values(v), -1))
 
   /** A7 + A8 + A9 over a parsed envelope frame.
     *

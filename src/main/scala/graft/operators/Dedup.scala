@@ -119,9 +119,14 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Docs too short to shingle are excluded up front: they would all share
+    // the identical all-P sentinel signature, forming an m^2/2 candidate
+    // clique whose verification divides by an empty union (ANSI error) —
+    // and a shingle-less doc cannot be an n-gram near-dup of anything.
     val withSh = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), TextAnalysis.shingles(col("toks"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
     val sigs = withSh.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, "doc_id", "sig", bands, rowsPerBand)
     val j = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /

@@ -77,26 +77,41 @@ object Multimodal {
     out.toDF()
   }
 
-  /** STUB frame sampling: every `stride`-th fixed-size slice of the blob
-    * stands in for a decoded video frame; emits (media_id, frame_no,
-    * frame_bytes) — the explode-shaped generator a real sampler has. */
-  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame =
-    media.select(col("media_id"),
-        posexplode(
-          filter(
-            transform(sequence(lit(0), greatest((length(col("content")) / frameSize).cast("int") - 1, lit(0))),
-              i => when(i % stride === 0, substring(col("content"), i * frameSize + 1, lit(frameSize)))),
-            f => f.isNotNull)))
-      .withColumnRenamed("pos", "frame_no")
-      .withColumnRenamed("col", "frame_bytes")
+  /** STUB frame sampling: every `stride`-th FULL fixed-size slice of the
+    * blob stands in for a decoded video frame; emits (media_id, frame_no,
+    * frame_bytes) where frame_no is the SOURCE frame index (not the sample
+    * ordinal). Blobs shorter than one frame yield zero frames, and the
+    * partial tail of longer blobs is dropped — every emitted frame is
+    * exactly `frameSize` bytes, which is what a downstream decoder
+    * expects. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
+    val nFrames = (length(col("content")) / frameSize).cast("int")
+    val frames = when(nFrames >= 1,
+        filter(
+          transform(sequence(lit(0), nFrames - 1),
+            i => when(i % stride === 0,
+              struct(i.as("frame_no"),
+                substring(col("content"), i * frameSize + 1, lit(frameSize)).as("frame_bytes")))),
+          f => f.isNotNull))
+      .otherwise(array().cast("array<struct<frame_no:int,frame_bytes:binary>>"))
+    media.select(col("media_id"), explode(frames).as("f"))
+      .select(col("media_id"), col("f.frame_no"), col("f.frame_bytes"))
+  }
 
   /** Right-size partitions by payload bytes, not row count: media rows are
     * wildly skewed in size, so a fixed rows-per-partition split makes some
     * tasks 100x heavier than others at scale. */
   def repartitionForMedia(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = media.select(sum(coalesce(length(col("content")), lit(0)))).head().getLong(0)
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
-    media.repartition(parts)
+    // coalesce(sum, 0): sum over zero rows is null, and an empty media
+    // table should pass through rather than NPE
+    val totalBytes = media
+      .select(coalesce(sum(coalesce(length(col("content")), lit(0))), lit(0L)))
+      .head().getLong(0)
+    if (totalBytes == 0L) media
+    else {
+      val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+      media.repartition(parts)
+    }
   }
 
   /** Deterministic synthetic media table for tests/demos. */

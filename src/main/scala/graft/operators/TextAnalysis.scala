@@ -54,11 +54,15 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length factor x (1 - stopword ratio). A
     * deliberately simple, fully deterministic formula (the point is the
-    * single-scan plumbing, not linguistic sophistication). */
+    * single-scan plumbing, not linguistic sophistication). Empty documents
+    * score 0.0 — the 0/0 stopword ratio would otherwise be a runtime error
+    * under Spark 4's default ANSI mode, on exactly the junk rows a quality
+    * score exists to filter. */
   def qualityScore(toks: Column): Column = {
     val n = size(toks).cast("double")
     val stopRatio = stopwordCount(toks).cast("double") / n
-    least(n / 100.0, lit(1.0)) * (lit(1.0) - stopRatio)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(least(n / 100.0, lit(1.0)) * (lit(1.0) - stopRatio))
   }
 
   /** Predicted language: argmax of marker-word hits, ties resolved by the

@@ -38,6 +38,16 @@ object CdcStream {
 
   /** Full pipeline as a stream writer; caller starts/stops it.
     *
+    * Delivery semantics (honest version): the checkpoint guarantees each
+    * source batch is PROCESSED once per successful commit, but the two
+    * sinks are independent non-transactional directories — if the JVM dies
+    * between the lake write and the checkpoint commit, the replayed batch
+    * appends the ok rows again. That residual at-least-once-ness is exactly
+    * the reference's position (at-least-once transport + lake-side dedupe,
+    * `firehose_transformation.py:16`): the A16 snapshot is the read-side
+    * guard. The error write IS replay-idempotent: it lands under a
+    * batch-id-keyed directory with overwrite.
+    *
     * @param ingestionTs injectable clock (None = envelope creation time,
     *   the deterministic default; pass `Some(current_timestamp())` for the
     *   reference's wall-clock behavior).
@@ -50,23 +60,22 @@ object CdcStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch may redeliver a batch after restart; both writes are
-        // idempotent-enough (append of deterministic content keyed by the
-        // checkpointed offsets) and the error path additionally carries the
-        // batch id for audit.
-        val (valid, errors) = Cdc.split(batch)
-        val ok = Cdc.transform(valid, ingestionTs)
-        Cdc.writeCdcZone(ok, lakePath)
-        if (!errors.isEmpty) {
-          errors
-            .withColumn("batch_id", lit(batchId))
-            .withColumn("raw", coalesce(col("_corrupt_record"), to_json(struct(col("eventName"), col("dynamodb")))))
-            .select("error_reason", "batch_id", "raw")
-            .write.mode("append")
-            .partitionBy("error_reason")
-            .option("compression", "gzip")
-            .json(errorPath)
-        }
+        batch.persist() // both sinks + the emptiness check read it once
+        try {
+          val (valid, errors) = Cdc.split(batch)
+          val ok = Cdc.transform(valid, ingestionTs)
+          Cdc.writeCdcZone(ok, lakePath)
+          if (!errors.isEmpty) {
+            errors
+              .withColumn("raw", coalesce(col("_corrupt_record"),
+                to_json(struct(col("eventName"), col("dynamodb")))))
+              .select("error_reason", "raw")
+              .write.mode("overwrite") // batch-keyed dir -> replay-idempotent
+              .partitionBy("error_reason")
+              .option("compression", "gzip")
+              .json(s"$errorPath/batch_id=$batchId")
+          }
+        } finally batch.unpersist()
         ()
       }
 

@@ -39,7 +39,7 @@ class StreamingSpec extends SparkSpec {
     CdcStream.runAvailableNow(spark, in, lake, err, ckpt)
     val ok = spark.read.json(s"$lake/year=*/month=*/day=*/hour=*")
     assert(ok.count() === 2) // 1 + 1, not 1 + 2
-    val errRows = spark.read.json(s"$err/error_reason=*")
+    val errRows = spark.read.json(err) // root: partition discovery keeps batch_id/error_reason
     assert(errRows.count() === 1)
 
     // third run with nothing new: a no-op
