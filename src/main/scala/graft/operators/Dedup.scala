@@ -123,10 +123,19 @@ object Dedup {
     // the identical all-P sentinel signature, forming an m^2/2 candidate
     // clique whose verification divides by an empty union (ANSI error) —
     // and a shingle-less doc cannot be an n-gram near-dup of anything.
+    // The repartition barrier makes the (scan -> tokenize -> shingle ->
+    // filter) subtree ONE reused exchange across its three consumers
+    // (signatures + both verification join sides) instead of three full
+    // recomputations.
+    // The short-doc guard compares TOKEN count (cheap), not the built
+    // shingle array: a predicate on the shingle column gets pushed below
+    // the projection and re-evaluates the whole shingle expression per row
+    // (measured 3x q37's runtime).
     val withSh = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
       .select(col("doc_id"), TextAnalysis.shingles(col("toks"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .repartition(col("doc_id"))
     val sigs = withSh.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, "doc_id", "sig", bands, rowsPerBand)
     val j = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
