@@ -98,6 +98,24 @@ object Multimodal {
       .select(col("media_id"), col("f.frame_no"), col("f.frame_bytes"))
   }
 
+  /** STUB resize: a real implementation decodes, scales, and re-encodes;
+    * the stub deterministically truncates/pads the payload to the byte
+    * budget implied by the target dimensions and updates the typed
+    * metadata — so downstream schema/partition behavior (smaller rows,
+    * updated width/height) is real and testable. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
+                 bytesPerPixel: Int = 1): DataFrame = {
+    val budget = targetW * targetH * bytesPerPixel
+    media.select(
+      col("media_id"),
+      // ??? <- real codec resize goes here
+      substring(rpad(col("content"), budget, Array(0.toByte)), 1, budget).as("content"),
+      struct(
+        col("meta.format").as("format"),
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.duration_ms").as("duration_ms")).as("meta"))
+  }
+
   /** Right-size partitions by payload bytes, not row count: media rows are
     * wildly skewed in size, so a fixed rows-per-partition split makes some
     * tasks 100x heavier than others at scale. */

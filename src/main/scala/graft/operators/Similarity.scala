@@ -62,6 +62,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products
+    * against deterministic pseudo-random hyperplanes (md5-seeded, so every
+    * engine/run derives the same planes). Vectors in the same bucket are
+    * likely cosine-similar; a query probes only its own bucket —
+    * complementary to [[ivfTopK]] (no centroid assignment pass needed, but
+    * recall is probabilistic rather than exact-within-cell). */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int = 8, seed: Int = 7): Column = {
+    def plane(b: Int): Seq[Double] =
+      // deterministic pseudo-random components in [-1, 1): a tiny splitmix
+      // over (seed, bit, i) — cheap, engine-independent, fixed forever
+      (0 until dim).map { i =>
+        var h = seed.toLong * 0x9E3779B97F4A7C15L + b.toLong * 0xBF58476D1CE4E5B9L + i
+        h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 27)
+        ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    val bits = (0 until nBits).map { b =>
+      val planeArr = array(plane(b).map(lit): _*)
+      when(dot(vec, planeArr.cast("array<float>")) > 0.0, 1L << b).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via hyperplane buckets: candidates = the query's bucket, exact
+    * cosine top-k inside. At scale the bucketed table is written
+    * partitioned by bucket so a probe is a partition-pruned scan.
+    *
+    * Recall honesty (measured on the driver testdata): hyperplane sign
+    * bits are nearly independent of rank when the corpus is
+    * near-orthogonal (all cosines ~0.2-0.5, as with random embeddings), so
+    * recall@10 can be low — that regime has no sublinear ANN winner.
+    * On corpora with genuine near-neighbors (cosine >= ~0.7) the collision
+    * probability 1 - theta/pi per bit makes bucket recall high. Tune
+    * nBits down (bigger buckets) or probe Hamming-adjacent buckets for
+    * more recall; [[ivfTopK]] is the better scale path when a clustering
+    * structure exists. */
+  def lshTopK(vectors: DataFrame, query: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+              queryVecCol: String = "qe"): DataFrame = {
+    val bucketed = vectors.withColumn("_bucket", hyperplaneBucket(col(vecCol), dim, nBits))
+    val queryBucket = query.select(hyperplaneBucket(col(queryVecCol), dim, nBits).as("_bucket"))
+    bucketed.join(broadcast(queryBucket), "_bucket")
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(cosine(col(vecCol), col(queryVecCol)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:

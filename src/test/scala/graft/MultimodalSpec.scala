@@ -36,4 +36,15 @@ class MultimodalSpec extends SparkSpec {
     val rp = Multimodal.repartitionForMedia(media, targetBytesPerPartition = 8192)
     assert(rp.rdd.getNumPartitions === 7)
   }
+
+  test("resize stub truncates/pads to the pixel budget and updates metadata") {
+    val media = Multimodal.syntheticMedia(spark, 4)
+    val resized = Multimodal.resizeStub(media, 16, 16) // 256-byte budget
+    val rows = resized.collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("content").length === 256))
+    val meta = resized.select("meta.width", "meta.height").distinct().collect().head
+    assert((meta.getInt(0), meta.getInt(1)) === ((16, 16)))
+    // schema contract preserved: still (media_id, content, meta)
+    assert(resized.schema.fieldNames.toSeq === Seq("media_id", "content", "meta"))
+  }
 }

@@ -207,3 +207,25 @@ class MinHashPropertySpec extends SparkSpec {
     assert(byK(20L)._2 === 0.0)       // disjoint docs: no collisions at 64 hashes
   }
 }
+
+/** Hyperplane-LSH ANN: query's own bucket contains the query's neighbors
+  * often enough to be useful; here we pin determinism + containment. */
+class LshAnnSpec extends SparkSpec {
+  import spark.implicits._
+  test("lshTopK is deterministic and a subset of brute-force candidates") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val a = graft.operators.Similarity.lshTopK(emb.filter($"vec_id" =!= 0), query, 5, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.operators.Similarity.lshTopK(emb.filter($"vec_id" =!= 0), query, 5, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b) // deterministic planes -> identical buckets both runs
+    assert(a.nonEmpty) // the query's bucket is never empty for this corpus
+    // every returned sim matches the exact cosine for that id (no fake scores)
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(emb.filter($"vec_id" =!= 0), query, 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.forall { case (id, sim) => brute(id) === sim })
+  }
+}
