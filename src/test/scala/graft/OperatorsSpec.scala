@@ -229,3 +229,25 @@ class LshAnnSpec extends SparkSpec {
     assert(a.forall { case (id, sim) => brute(id) === sim })
   }
 }
+
+/** Custom typed Aggregator surface (SURVEY §2.2 UDAF line). */
+class VectorCentroidSpec extends SparkSpec {
+  import spark.implicits._
+  test("per-label centroid equals the manual average, via udaf + groupBy") {
+    val centroid = udaf(graft.functions.VectorCentroid)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = emb.groupBy($"label")
+      .agg(centroid($"embedding").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // manual reference for one label
+    val rows = emb.filter($"label" === 0).select($"embedding").collect()
+      .map(_.getSeq[Float](0))
+    val manual = rows.map(_.toVector).toVector.transpose
+      .map(xs => xs.map(_.toDouble).sum / rows.length)
+    assert(got(0).size === manual.size)
+    got(0).zip(manual).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // empty group behavior: centroid of nothing is empty, not a crash
+    val empty = emb.filter($"label" === -999).agg(centroid($"embedding")).collect().head
+    assert(empty.getSeq[Double](0).isEmpty)
+  }
+}
