@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Queries.Q
@@ -201,6 +202,40 @@ object TrainingQueries {
           maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("a_id", "b_id")),
+
+    Q("q47_correlated_subquery",
+      // decimal-exact inner AVG so the correlated comparison is
+      // boundary-stable across engines (Catalyst decorrelates to a join)
+      Some("""SELECT c_custkey, ROUND(c_acctbal, 4) AS bal
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_q47")
+        s.sql("""SELECT c_custkey, ROUND(c_acctbal, 4) AS bal
+                |FROM graft_cust_q47 c
+                |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                |                   FROM graft_cust_q47 c2 WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    Q("q48_window_ntile",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             |       ROUND(PERCENT_RANK() OVER w, 4) AS pr
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
 
     Q("q44_ann_ivf",
       Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
