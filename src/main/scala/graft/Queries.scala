@@ -46,7 +46,14 @@ object Queries {
   // (partition, sort) pair; free attrs carry props / seq / etype.
 
   private[graft] def cdcFixture(spark: SparkSession, dir: String): DataFrame = {
+    // One narrow-row shuffle to spread the scan across cores BEFORE the
+    // per-row envelope construction: the events table is a single small
+    // parquet file -> one input partition, which would run all the
+    // map-building + flatten work of Q27-Q30 on a single core (measured
+    // ~2.4s of the old q28 at sf0.1). Real CDC input arrives as many
+    // files/shards, so the production path parallelizes at the source.
     val ev = Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val idC = (col("user_id") % 20).cast("string")
     val nameC = concat(lit("n"), (col("user_id") % 7).cast("string"))
     val image = map(
@@ -166,13 +173,25 @@ object Queries {
               |WHERE c_mktsegment = 'BUILDING'
               |GROUP BY o_orderkey
               |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
-      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)),
+      (s, d) => {
+        // Fact-streams-the-probe-side shape: lineitem is the big table, so
+        // it must be the STREAMED side of the final join. Left to static
+        // size estimates Catalyst broadcasts the 3-column LINEITEM scan
+        // (the fact!) — fine at sf0.1, dead at 100x scale. The explicit
+        // hint pins the build side to the (filter-collapsed, genuinely
+        // small) o_orderkey dim set; at full scale the same query drops
+        // the hint and AQE picks broadcast-vs-shuffle from runtime sizes.
+        val bldOrders = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+            col("c_custkey") === col("o_custkey"))
+          .select("o_orderkey")
+        Tables.lineitem(s, d)
+          .join(broadcast(bldOrders), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
 
     Q("q09_join_range",
       Some("""SELECT p_brand, COUNT(*) AS cnt

@@ -1,14 +1,17 @@
 package graft
 
-/** Dev smoke: drives SparkEntry.entry like the driver's t1 check. */
+/** Dev-only scratch probe. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.entry(spark)
-    val n = df.count()
-    df.show(5, false)
-    println(s"entry rows=$n")
+    val spark = GraftSession.get()
+    val d = "/root/testdata/sf0.1"
+    def time2(name: String)(f: => Long): Unit = {
+      f
+      val t0 = System.nanoTime(); f
+      println(f"$name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s (warm)")
+    }
+    Queries.queryMap("q08_join_multiway")(spark, "/root/testdata/sf0.001").count()
+    time2("q08") { Queries.queryMap("q08_join_multiway")(spark, d).count() }
     spark.stop()
   }
 }

@@ -52,7 +52,20 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard >= threshold via the inverted index:
     * join on shared shingle -> per-pair intersection count -> |A u B| from
-    * per-doc sizes. Only co-shingled pairs are materialized. */
+    * per-doc sizes. Only co-shingled pairs are materialized, and every row
+    * past the explode is three scalars — no array payloads cross a shuffle.
+    *
+    * Algorithm choice, measured: the prefix-filter family (SSJoin/PPJoin —
+    * index only each doc's first |A|-ceil(t|A|)+1 shingles in a global
+    * order) generates fewer candidates but must verify each by joining the
+    * full shingle ARRAYS back in; on corpora without df skew (driver
+    * testdata: max shingle df = 25) candidates barely shrink (1.27M rows ->
+    * 220K pairs at t=0.8) and the array-carrying verify joins cost more
+    * than the all-scalar count aggregation. The count-based form's exposure
+    * is a high-df shingle (k docs -> k^2 pair rows); that is what
+    * `maxShingleDf` in [[shingleIndex]] caps on Zipfian corpora, at the
+    * documented cost of exactness on pairs whose overlap is entirely
+    * ubiquitous shingles. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // Exchange barrier: the index subtree feeds three consumers (sizes +

@@ -122,14 +122,21 @@ object Similarity {
     *    rows first (measured ~2x the whole query at sf0.1). */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("a_id"), col(vecCol).as("va"),
-      sqrt(normSq(col(vecCol))).as("na"))
+    // The streamed side is repartitioned with an EXPLICIT partition count so
+    // the nested-loop runs one task per core — a single-file vector table
+    // would otherwise put the whole O(n^2) loop on ONE core, and without
+    // the explicit count AQE coalesces the tiny shuffle right back to one
+    // partition. The build side is broadcast: n vectors, not n^2 pairs.
+    val parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    val a = vectors.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("a_id"), col(vecCol).as("va"),
+        sqrt(normSq(col(vecCol))).as("na"))
     val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
       sqrt(normSq(col(vecCol))).as("nb"))
     val denom = col("na") * col("nb")
     val sim = when(denom === 0.0, lit(0.0)).otherwise(dot(col("va"), col("vb")) / denom)
     val simR = round(sim, 4)
-    a.join(b, col("a_id") < col("b_id") && simR >= threshold)
+    a.join(broadcast(b), col("a_id") < col("b_id") && simR >= threshold)
       .select(col("a_id"), col("b_id"), simR.as("sim"))
   }
 }
