@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.operators.{AsOf, Dedup, Sessionize}
+import graft.sources.Tables
+
+/** Extended relational + pipeline inventory (q49–q56): sessionization,
+  * pivot, grouping sets, exact percentiles, first/last/nth_value frames,
+  * the general two-relation as-of join, exact statistical moments, and
+  * connected-components duplicate clustering — each with a DuckDB oracle
+  * under the SURVEY §2.2 determinism rules.
+  */
+object ExtendedQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+  private def dsumD(c: Column): Column = dsum(c).cast("double")
+  private def r4(c: Column): Column = round(c, 4)
+
+  private val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  def all: Seq[Q] = Seq(
+
+    Q("q49_sessionize",
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         CASE WHEN LAG(ts) OVER w IS NULL
+             |                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM b)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |       COUNT(*) AS n_events,
+             |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      (s, d) => Sessionize.assign(Tables.events(s, d), Seq("user_id"), "ts", "event_id", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          r4(dsumD(col("value"))).as("sum_value"))
+        .orderBy("user_id", "session_id")),
+
+    Q("q50_pivot",
+      Some(s"""SELECT n_name,
+              |${Segments.map(g => s"       COUNT(*) FILTER (WHERE c_mktsegment = '$g') AS seg_${g.toLowerCase},").mkString("\n")}
+              |       COUNT(*) AS total
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, d) => {
+        val pivoted = Tables.customer(s, d)
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .pivot("c_mktsegment", Segments)  // explicit values: no extra distinct scan
+          .agg(count(lit(1)))
+          .na.fill(0L, Segments)
+        val totals = Tables.customer(s, d)
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("total"))
+        pivoted.join(totals, "n_name")
+          .select(col("n_name")
+            +: Segments.map(g => col(g).as(s"seg_${g.toLowerCase}"))
+            :+ col("total"): _*)
+          .orderBy("n_name")
+      }),
+
+    Q("q51_grouping_sets",
+      Some("""SELECT COALESCE(n_name, '(all)') AS nation,
+             |       COALESCE(c_mktsegment, '(all)') AS segment,
+             |       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS g,
+             |       COUNT(*) AS cnt,
+             |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+             |ORDER BY g, nation, segment""".stripMargin),
+      (s, d) => {
+        // SQL form for the same reason as q12: DataFrame grouping() +
+        // rewritten grouping columns trips Spark 4.1's ambiguous-self-join
+        // check; the SQL path resolves cleanly.
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_q51")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation_q51")
+        s.sql("""SELECT COALESCE(n_name, '(all)') AS nation,
+                |       COALESCE(c_mktsegment, '(all)') AS segment,
+                |       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS g,
+                |       COUNT(*) AS cnt,
+                |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal
+                |FROM graft_cust_q51 JOIN graft_nation_q51 ON c_nationkey = n_nationkey
+                |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+                |ORDER BY g, nation, segment""".stripMargin)
+      }),
+
+    Q("q52_percentiles",
+      // Exact (interpolating) percentiles: Spark `percentile` and DuckDB
+      // `quantile_cont` both linearly interpolate order statistics, so the
+      // values agree bit-for-bit before the final ROUND. The approximate
+      // variant (approx_percentile/KLL) is engine-specific and validated by
+      // tolerance spec instead (ApproxSpec), like approx_count_distinct.
+      Some("""SELECT l_returnflag,
+             |       ROUND(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+             |       ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+             |       ROUND(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+             |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_median
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(percentile(col("l_quantity"), lit(0.25))).as("qty_p25"),
+          r4(percentile(col("l_quantity"), lit(0.5))).as("qty_p50"),
+          r4(percentile(col("l_quantity"), lit(0.9))).as("qty_p90"),
+          r4(percentile(col("l_extendedprice"), lit(0.5))).as("price_median"))
+        .orderBy("l_returnflag")),
+
+    Q("q53_window_firstlast",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+             |       LAST_VALUE(o_orderkey) OVER w AS last_ok,
+             |       NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(w).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    Q("q54_asof_join",
+      // General two-relation as-of join (trades⋈quotes shape): each
+      // purchase picks up the latest prior-or-simultaneous view's value per
+      // user. Oracle mirrors the union+window formulation — DuckDB's ASOF
+      // JOIN syntax leaves equal-timestamp reference ties unspecified,
+      // while (ts, side, seq) ordering pins them deterministically.
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id, value AS qv, NULL AS tv, 0 AS side
+             |  FROM events WHERE event_type = 'view'
+             |  UNION ALL
+             |  SELECT user_id, ts, event_id, NULL, value, 1
+             |  FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT user_id, event_id, tv, side,
+             |         LAST_VALUE(qv IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY ts, side, event_id
+             |           ROWS UNBOUNDED PRECEDING) AS av
+             |  FROM u)
+             |SELECT user_id, event_id, ROUND(tv, 4) AS purchase_value,
+             |       ROUND(av, 4) AS last_view_value
+             |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts", "value")
+        AsOf.joinLatest(purchases, views, Seq("user_id"), "ts", "event_id",
+            "value", outCol = "last_view_value")
+          .select(col("user_id"), col("event_id"),
+            r4(col("value")).as("purchase_value"),
+            r4(col("last_view_value")).as("last_view_value"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q55_stats_moments",
+      // Exact moments from decimal sums (s1, s2, s3), one double pass at
+      // the end — same determinism pattern as q08/q10 extended to products
+      // (the IEEE double products are bit-identical across engines, and
+      // double->decimal casts round half-up in both).
+      Some("""WITH s AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             |         CAST(SUM(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE) AS s2,
+             |         CAST(SUM(CAST(value * value * value AS DECIMAL(25,4))) AS DOUBLE) AS s3,
+             |         ROUND(MIN(value), 4) AS min_value,
+             |         ROUND(MAX(value), 4) AS max_value
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, n AS cnt,
+             |       ROUND(s1 / n, 4) AS mean,
+             |       ROUND(s2 / n - (s1 / n) * (s1 / n), 4) AS var_pop,
+             |       ROUND((s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) * (s1 / n)) - (s1 / n) * (s1 / n) * (s1 / n))
+             |             / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew,
+             |       min_value, max_value
+             |FROM s ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val inner = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            dsumD(col("value")).as("s1"),
+            sum((col("value") * col("value")).cast("decimal(20,4)")).cast("double").as("s2"),
+            sum((col("value") * col("value") * col("value")).cast("decimal(25,4)")).cast("double").as("s3"),
+            r4(min(col("value"))).as("min_value"),
+            r4(max(col("value"))).as("max_value"))
+        val m1 = col("s1") / col("n")
+        val varPop = col("s2") / col("n") - m1 * m1
+        val skew = (col("s3") / col("n") - lit(3) * m1 * varPop - m1 * m1 * m1) /
+          pow(varPop, 1.5)
+        inner.select(col("event_type"), col("n").as("cnt"),
+            r4(m1).as("mean"), r4(varPop).as("var_pop"), r4(skew).as("skew"),
+            col("min_value"), col("max_value"))
+          .orderBy("event_type")
+      }),
+
+    Q("q56_dup_clusters",
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION ALL SELECT b_id, a_id FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node)
+              |SELECT node AS doc_id, MIN(r) AS cluster_id
+              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        Dedup.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")
+      })
+  )
+}

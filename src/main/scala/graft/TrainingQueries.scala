@@ -33,8 +33,9 @@ object TrainingQueries {
        |       ELSE [] END)) AS shingle
        |FROM (SELECT doc_id, $toksSql AS t FROM documents) d""".stripMargin
 
-  /** Exact pairwise 3-gram Jaccard >= 0.8 — the oracle for q36 AND q37. */
-  private val jaccardPairsSql =
+  /** Exact pairwise 3-gram Jaccard >= 0.8 — the oracle for q36 AND q37
+    * (and the edge relation of q56's cluster oracle). */
+  private[graft] val jaccardPairsSql =
     s"""WITH sh AS ($shingleRowsSql),
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i

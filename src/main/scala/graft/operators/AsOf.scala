@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General as-of join: for each probe row, the most recent reference row
+  * with `ts <= probe.ts` in the same key group (the classic trades⋈quotes
+  * shape; Q35 declares the self-join special case, this is the two-relation
+  * general form).
+  *
+  * Implementation is union + ONE window pass, not a range join: tag both
+  * relations, sort each key group once by `(ts, side, seq)` with references
+  * before probes at equal timestamps (inclusive semantics), and carry the
+  * last non-null reference value forward. Cost is one shuffle+sort over
+  * |probes| + |refs| rows — a range/theta join would explode to the
+  * candidate cross-product per key and re-filter, which is the formulation
+  * that dies at 100 TB.
+  */
+object AsOf {
+
+  /** Join the latest reference value at-or-before each probe row's time.
+    *
+    * Output: all `probes` columns + `outCol` (the as-of `refValCol`, null
+    * when no reference precedes the probe). Equal-timestamp references
+    * resolve to the one with the greatest `seqCol` (deterministic).
+    */
+  def joinLatest(probes: DataFrame, refs: DataFrame, keyCols: Seq[String],
+                 tsCol: String, seqCol: String, refValCol: String,
+                 outCol: String = "asof_value"): DataFrame = {
+    val refValType = refs.schema(refValCol).dataType
+    val probeStruct = org.apache.spark.sql.types.StructType(probes.schema)
+    def sideCols(keyed: DataFrame): Seq[Column] =
+      keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col(seqCol).as("_seq"))
+    val r = refs.select(sideCols(refs)
+      ++ Seq(col(refValCol).as("_ref_val"), lit(0).as("_side"),
+        lit(null).cast(probeStruct).as("_probe")): _*)
+    val p = probes.select(sideCols(probes)
+      ++ Seq(lit(null).cast(refValType).as("_ref_val"), lit(1).as("_side"),
+        struct(probes.columns.toIndexedSeq.map(col): _*).as("_probe")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_seq"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(p)
+      .withColumn(outCol, last(col("_ref_val"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_probe.*"), col(outCol))
+  }
+}

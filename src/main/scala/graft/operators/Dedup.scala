@@ -160,6 +160,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate CLUSTERS from pairwise near-dup edges: connected components
+    * by iterative min-label propagation (each node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint). The
+    * fixpoint is unique — every node ends with its component's minimum id —
+    * so the result is deterministic and oracle-checkable (DuckDB: recursive
+    * transitive closure + MIN).
+    *
+    * Scale shape: this is the standard distributed CC loop (the simple
+    * variant of Kiveris et al.'s star algorithms) — per iteration one
+    * edge⋈label shuffle join + a min-aggregation, converging in
+    * O(component diameter) rounds. Near-dup components are cliques or
+    * near-cliques, so 2-3 rounds in practice. `localCheckpoint` cuts the
+    * growing lineage each round (iterative plans otherwise re-derive every
+    * prior round per action).
+    *
+    * Output: (`node`, `label`) for every node appearing in any edge. */
+  def connectedComponents(edges: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIterations: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.select(col("node"), col("label").as("new_label"))
+        .join(labels, "node")
+        .filter(col("new_label") =!= col("label"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over the (repeated) token stream: bit b is set iff the
     * signed sum of token-hash bits at position b is strictly positive.
     * One md5 pass for the token hashes, then the codegen'd one-pass

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup, Sessionize}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("gap-based assignment: new session when gap exceeds threshold") {
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(2000), 3L), (1L, ts(2010), 4L),
+      (2L, ts(0), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.assign(df, Seq("user_id"), "ts", "event_id", gapSeconds = 1800L)
+      .orderBy("user_id", "event_id")
+      .select("user_id", "event_id", "session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 5L, 1L)))
+  }
+
+  test("equal timestamps order deterministically by the sequence column") {
+    val df = Seq((1L, ts(0), 2L), (1L, ts(0), 1L)).toDF("user_id", "ts", "event_id")
+    val out = Sessionize.assign(df, Seq("user_id"), "ts", "event_id", 60L)
+      .select("event_id", "session_id").orderBy("event_id").collect()
+    // both in one session regardless of row arrival order
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 1L))
+  }
+}
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("latest at-or-before reference value per probe; null when none") {
+    val refs = Seq((1L, ts(1), 10L, 10.0), (1L, ts(5), 11L, 50.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((1L, ts(0), 20L), (1L, ts(1), 21L), (1L, ts(3), 22L), (1L, ts(7), 23L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOf.joinLatest(probes, refs, Seq("user_id"), "ts", "event_id", "value")
+      .orderBy("event_id")
+      .select("event_id", "asof_value")
+      .collect()
+    assert(out(0).isNullAt(1))                 // t=0: no prior ref
+    assert(out(1).getDouble(1) === 10.0)       // t=1: inclusive <=
+    assert(out(2).getDouble(1) === 10.0)       // t=3: latest prior
+    assert(out(3).getDouble(1) === 50.0)       // t=7
+  }
+
+  test("equal-timestamp references resolve to the greatest sequence id") {
+    val refs = Seq((1L, ts(1), 1L, 10.0), (1L, ts(1), 2L, 20.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((1L, ts(2), 9L)).toDF("user_id", "ts", "event_id")
+    val out = AsOf.joinLatest(probes, refs, Seq("user_id"), "ts", "event_id", "value")
+      .select("asof_value").collect()
+    assert(out(0).getDouble(0) === 20.0)
+  }
+
+  test("keys never borrow references from other keys") {
+    val refs = Seq((1L, ts(1), 1L, 10.0)).toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((2L, ts(5), 9L)).toDF("user_id", "ts", "event_id")
+    val out = AsOf.joinLatest(probes, refs, Seq("user_id"), "ts", "event_id", "value")
+      .select("asof_value").collect()
+    assert(out(0).isNullAt(0))
+  }
+}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components resolve to the minimum node id") {
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val out = Dedup.connectedComponents(edges)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("chains longer than one hop converge (multi-iteration propagation)") {
+    // path 1-2-3-4-5-6-7: min label must travel the full diameter
+    val edges = (1L until 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.connectedComponents(edges)
+      .select("label").distinct().collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("empty edge set yields empty labeling") {
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(edges).count() === 0L)
+  }
+}
