@@ -32,6 +32,15 @@ object Dedup {
 
   /** doc -> distinct shingle rows (the inverted index), with optional
     * document-frequency cap on shingles (skew guard; 0 = no cap). */
+  /** Spread a document scan across cores before CPU-heavy text work: a
+    * small single-file corpus arrives as ONE input partition, which would
+    * run all tokenize/shingle/hash work on a single core. The shuffle
+    * moves raw (id, text) rows only — the expensive derived columns are
+    * computed after, in parallel. Explicit partition count so AQE cannot
+    * coalesce the small shuffle back to one task. */
+  private def spread(docs: DataFrame, idCol: String): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
     // Tokenize in its OWN projection: element_at inside the shingle lambda
@@ -39,7 +48,7 @@ object Dedup {
     // 3-gram) — Catalyst has no loop-invariant hoisting inside HOF lambdas,
     // and CollapseProject keeps non-cheap multiply-referenced expressions
     // in their own step, so this materializes the token array once per row.
-    val idx = docs
+    val idx = spread(docs, idCol)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), n)).as("shingle"))
     if (maxShingleDf <= 0) idx
@@ -144,7 +153,7 @@ object Dedup {
     // shingle array: a predicate on the shingle column gets pushed below
     // the projection and re-evaluates the whole shingle expression per row
     // (measured 3x q37's runtime).
-    val withSh = docs
+    val withSh = spread(docs, idCol)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), TextAnalysis.shingles(col("toks"), n).as("sh"))
@@ -223,7 +232,7 @@ object Dedup {
     // Exchange barrier: same Generate-inlining hazard as lshCandidates —
     // without it the band explode recomputes the signature per band and the
     // self-join duplicates the whole subtree. Tiny rows (id + one long).
-    val sh = docs
+    val sh = spread(docs, idCol)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), simhash32(col("toks")).as("sim"))
       .repartition(col("doc_id"))
