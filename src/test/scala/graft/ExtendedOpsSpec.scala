@@ -94,3 +94,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(edges).count() === 0L)
   }
 }
+
+/** Plan-shape assertions for the round-2 operators: the properties that
+  * keep them viable at 100 TB. */
+class ExtendedPlanSpec extends SparkSpec {
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("as-of join plans as union + window: NO join operator, no range explosion") {
+    val p = plan(Queries.queryMap("q54_asof_join")(spark, sf0001))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), "expected a window operator")
+  }
+
+  test("sessionize + session aggregate reuse one partitioning (single exchange)") {
+    val p = plan(Queries.queryMap("q49_sessionize")(spark, sf0001))
+    // window partitions by user_id; the (user_id, session_id) groupBy is
+    // satisfied by the same hash partitioning -> no second shuffle before
+    // the final presentation sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+}

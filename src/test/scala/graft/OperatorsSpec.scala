@@ -146,6 +146,16 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05,
       s"approx=$approx exact=$exact drift > 5%")
   }
+
+  test("approx_percentile within 5% of exact interpolating percentile (q52's approximate sibling)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val r = li.select(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx")).collect().head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx=$approx exact=$exact drift > 5%")
+  }
 }
 
 /** SQL-surface registration of the custom kernels. */
