@@ -216,6 +216,122 @@ object ExtendedQueries {
           .orderBy("event_type")
       }),
 
+    Q("q57_lateral_topk",
+      // Correlated LATERAL subquery with per-group LIMIT (Catalyst
+      // decorrelates to a ranked window) — the "top-N per key" join form.
+      Some("""SELECT n_name, c_custkey, ROUND(c_acctbal, 4) AS bal
+             |FROM nation, LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_nationkey = n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY n_name, c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_q57")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation_q57")
+        s.sql("""SELECT n_name, c_custkey, ROUND(c_acctbal, 4) AS bal
+                |FROM graft_nation_q57, LATERAL (
+                |  SELECT c_custkey, c_acctbal FROM graft_cust_q57
+                |  WHERE c_nationkey = n_nationkey
+                |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+                |ORDER BY n_name, c_custkey""".stripMargin)
+      }),
+
+    Q("q58_string_advanced",
+      Some("""SELECT p_partkey,
+             |       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+             |       split_part(p_name, ' ', 2) AS second_word,
+             |       lpad(p_brand, 12, '.') AS brand_pad,
+             |       reverse(p_type) AS type_rev,
+             |       replace(p_name, ' ', '_') AS name_us
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+          lpad(col("p_brand"), 12, ".").as("brand_pad"),
+          reverse(col("p_type")).as("type_rev"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"))
+        .orderBy("p_partkey")),
+
+    Q("q59_bitwise",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_orderkey & 255 AS and_m,
+             |       l_orderkey | 256 AS or_m,
+             |       xor(l_orderkey, l_partkey) AS xor_k,
+             |       CAST(l_linenumber << 3 AS BIGINT) AS shl,
+             |       CAST(bit_count(l_orderkey) AS BIGINT) AS bc
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("and_m"),
+          col("l_orderkey").bitwiseOR(lit(256L)).as("or_m"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_k"),
+          shiftleft(col("l_linenumber"), 3).cast("long").as("shl"),
+          bit_count(col("l_orderkey")).cast("long").as("bc"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Q("q60_date_arith",
+      // dayofweek numbering differs across engines (DuckDB 0=Sun, Spark
+      // 1=Sun); ISO day-of-week (1=Mon..7=Sun) is the stable contract.
+      Some("""SELECT o_orderkey,
+             |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             |       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |       CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+             |       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"))
+        .orderBy("o_orderkey")),
+
+    Q("q61_conditional_agg",
+      Some("""SELECT l_returnflag,
+             |       COUNT(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+             |       BOOL_OR(l_discount > 0.09) AS any_high_disc,
+             |       BOOL_AND(l_quantity >= 1) AS all_qty_pos,
+             |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+             |               FILTER (WHERE l_quantity > 25) AS DOUBLE), 4) AS big_sum
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("big_cnt"),
+          bool_or(col("l_discount") > 0.09).as("any_high_disc"),
+          bool_and(col("l_quantity") >= 1).as("all_qty_pos"),
+          r4(sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+            .cast("decimal(18,4)")).cast("double")).as("big_sum"))
+        .orderBy("l_returnflag")),
+
+    Q("q62_range_window",
+      // RANGE frame (value-based, peers included) vs the ROWS frames of
+      // q16/q53: how many of the customer's orders fall within +-10000 of
+      // each order's price.
+      Some("""SELECT o_custkey, o_orderkey,
+             |       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+             |         RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS near_cnt
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_q62")
+        s.sql("""SELECT o_custkey, o_orderkey,
+                |       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                |         RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS near_cnt
+                |FROM graft_orders_q62 ORDER BY o_custkey, o_orderkey""".stripMargin)
+      }),
+
+    Q("q63_histogram",
+      Some("""SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin, COUNT(*) AS cnt,
+             |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v
+             |FROM events GROUP BY 1 ORDER BY bin""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"), r4(dsumD(col("value"))).as("sum_v"))
+        .orderBy("bin")),
+
     Q("q56_dup_clusters",
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
