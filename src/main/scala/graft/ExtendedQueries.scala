@@ -28,7 +28,7 @@ object ExtendedQueries {
       Some("""WITH b AS (
              |  SELECT user_id, ts, event_id, value,
              |         CASE WHEN LAG(ts) OVER w IS NULL
-             |                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             |                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
              |              THEN 1 ELSE 0 END AS brk
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
@@ -344,8 +344,12 @@ object ExtendedQueries {
               |SELECT node AS doc_id, MIN(r) AS cluster_id
               |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8)
+        // Edges come from the LSH pipeline (candidates -> exact verify),
+        // the composition a 100 TB dedup run actually uses; its output is
+        // the exact pair set (q36 ≡ q37, see TrainingQueries), so the
+        // recursive-closure oracle is unchanged.
+        val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.8)
         Dedup.connectedComponents(pairs)
           .select(col("node").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")

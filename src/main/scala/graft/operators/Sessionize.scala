@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Assign 1-based session ids per key: a new session starts when the gap
-    * since the previous event exceeds `gapSeconds`. Ordering within a key
-    * is `(tsCol, seqCol)` — `seqCol` must make the order total so the
-    * assignment is deterministic under equal timestamps.
+    * since the previous event reaches `gapSeconds`. The boundary is
+    * END-EXCLUSIVE — an event at exactly `prev + gap` opens a NEW session —
+    * matching Structured Streaming's `session_window` ([start, last+gap)),
+    * so the batch and streaming forms sessionize identically. Ordering
+    * within a key is `(tsCol, seqCol)` — `seqCol` must make the order total
+    * so the assignment is deterministic under equal timestamps.
     *
     * The gap test runs on integer epoch-micros (`unix_micros`), never on
     * float seconds: micros fit a long exactly, so the same rows produce the
@@ -30,7 +33,7 @@ object Sessionize {
     val prev = lag(col(tsCol), 1).over(w)
     val isBreak = when(
       prev.isNull ||
-        unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+        unix_micros(col(tsCol)) - unix_micros(prev) >= gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     df.withColumn("_brk", isBreak)
       .withColumn("session_id",

@@ -10,10 +10,11 @@ class SessionizeSpec extends SparkSpec {
 
   private def ts(sec: Long) = new Timestamp(sec * 1000L)
 
-  test("gap-based assignment: new session when gap exceeds threshold") {
+  test("gap-based assignment: new session when gap reaches threshold (end-exclusive)") {
     val df = Seq(
       (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(2000), 3L), (1L, ts(2010), 4L),
-      (2L, ts(0), 5L))
+      (2L, ts(0), 5L),
+      (3L, ts(0), 6L), (3L, ts(1800), 7L), (3L, ts(3599), 8L))
       .toDF("user_id", "ts", "event_id")
     val out = Sessionize.assign(df, Seq("user_id"), "ts", "event_id", gapSeconds = 1800L)
       .orderBy("user_id", "event_id")
@@ -21,7 +22,10 @@ class SessionizeSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out === Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
-      (2L, 5L, 1L)))
+      (2L, 5L, 1L),
+      // exactly prev+gap opens a NEW session (session_window [start, end));
+      // 1799s later stays inside
+      (3L, 6L, 1L), (3L, 7L, 2L), (3L, 8L, 2L)))
   }
 
   test("equal timestamps order deterministically by the sequence column") {
@@ -114,5 +118,34 @@ class ExtendedPlanSpec extends SparkSpec {
     // the final presentation sort
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+}
+
+/** Batch Sessionize.assign and Structured Streaming session_window are two
+  * formulations of the same gap semantics — their session boundaries and
+  * per-session counts must agree on identical input. */
+class SessionizeStreamEquivalenceSpec extends SparkSpec {
+  test("batch gap sessions == streaming session_window sessions (sf0.001 events)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select($"ts", $"user_id", $"event_type", $"value").as[EventRow]
+    val rows = events.collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    mem.addData(rows)
+    val q = graft.streaming.StreamOps.sessionAgg(mem.toDF(), "ts", "user_id", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_eq").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_eq")
+      .select(date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("start"),
+        $"user_id".cast("long").as("user_id"), $"cnt")
+      .orderBy("user_id", "start").collect()
+    val batch = graft.operators.Sessionize
+      .assign(events.toDF(), Seq("user_id"), "ts", "value", gapSeconds = 1800L)
+      .groupBy($"user_id", $"session_id")
+      .agg(date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("start"), count(lit(1)).as("cnt"))
+      .select($"start", $"user_id", $"cnt")
+      .orderBy("user_id", "start").collect()
+    assert(streamed.toSeq === batch.toSeq)
   }
 }
