@@ -332,6 +332,76 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("cnt"), r4(dsumD(col("value"))).as("sum_v"))
         .orderBy("bin")),
 
+    Q("q64_json_keys",
+      Some("""SELECT event_id,
+             |       array_to_string(json_keys(props), ',') AS key_list,
+             |       CAST(props ->> '$.k' AS BIGINT) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          concat_ws(",", json_object_keys(col("props"))).as("key_list"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")),
+
+    Q("q65_array_advanced",
+      // Derived integer arrays (sequence of vec_id%5+1 elements) keep the
+      // array-function surface float-free and therefore hash-stable.
+      Some("""SELECT vec_id,
+             |       CAST(LEN(GENERATE_SERIES(1, 1 + vec_id % 5)) AS BIGINT) AS arr_len,
+             |       list_contains(GENERATE_SERIES(1, 1 + vec_id % 5), 3) AS has3,
+             |       CAST(LEN(list_slice(GENERATE_SERIES(1, 1 + vec_id % 5), 2, 3)) AS BIGINT) AS slice_len,
+             |       CAST(LEN(flatten([GENERATE_SERIES(1, 1 + vec_id % 5),
+             |                         GENERATE_SERIES(1, 1 + vec_id % 5)])) AS BIGINT) AS flat_len,
+             |       CAST(list_aggregate(GENERATE_SERIES(1, 1 + vec_id % 5), 'max') AS BIGINT) AS arr_max
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val arr = sequence(lit(1L), lit(1L) + col("vec_id") % 5)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            size(arr).cast("long").as("arr_len"),
+            array_contains(arr, 3L).as("has3"),
+            size(slice(arr, 2, 2)).cast("long").as("slice_len"),
+            size(flatten(array(arr, arr))).cast("long").as("flat_len"),
+            array_max(arr).cast("long").as("arr_max"))
+          .orderBy("vec_id")
+      }),
+
+    Q("q66_intersect_all",
+      // Bag-semantics set op (q20/q21 are the DISTINCT forms): duplicate
+      // nation keys survive up to the min multiplicity on each side.
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT ALL
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy("nationkey")),
+
+    Q("q67_string_agg",
+      // Ordered string aggregation: Spark has no ORDER BY inside an agg, so
+      // the deterministic form is collect_list -> array_sort -> array_join,
+      // which equals DuckDB's string_agg(... ORDER BY ...).
+      Some("""SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
+             |       COUNT(*) AS cnt
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+      (s, d) => Tables.supplier(s, d)
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"),
+          count(lit(1)).as("cnt"))
+        .orderBy("s_nationkey")),
+
+    Q("q68_posexplode",
+      Some("""SELECT vec_id, i AS pos,
+             |       ROUND(CAST(embedding[i] AS DOUBLE), 4) AS val
+             |FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+             |WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin),
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col").cast("double"), 4).as("val"))
+        .orderBy("vec_id", "pos")),
+
     Q("q56_dup_clusters",
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
