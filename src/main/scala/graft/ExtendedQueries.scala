@@ -59,19 +59,18 @@ object ExtendedQueries {
               |FROM customer JOIN nation ON c_nationkey = n_nationkey
               |GROUP BY n_name ORDER BY n_name""".stripMargin),
       (s, d) => {
+        // total = sum of the pivot columns (the declared value list is
+        // exhaustive for this table) — not a second scan+join.
         val pivoted = Tables.customer(s, d)
           .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .pivot("c_mktsegment", Segments)  // explicit values: no extra distinct scan
           .agg(count(lit(1)))
           .na.fill(0L, Segments)
-        val totals = Tables.customer(s, d)
-          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
-          .groupBy("n_name").agg(count(lit(1)).as("total"))
-        pivoted.join(totals, "n_name")
+        pivoted
           .select(col("n_name")
             +: Segments.map(g => col(g).as(s"seg_${g.toLowerCase}"))
-            :+ col("total"): _*)
+            :+ Segments.map(col).reduce(_ + _).as("total"): _*)
           .orderBy("n_name")
       }),
 

@@ -186,10 +186,36 @@ object Dedup {
     *
     * Output: (`node`, `label`) for every node appearing in any edge. */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIterations: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          bCol: String = "b_id", maxIterations: Int = 20,
+                          smallGraphEdges: Long = 100000L): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .localCheckpoint(true)
+    // Size-aware fallback: below `smallGraphEdges` the whole edge set fits
+    // trivially on the driver, where union-find resolves in O(E α(E)) —
+    // versus O(diameter) distributed rounds at ~0.5s of job latency each.
+    // Same labels either way (component minimum); the distributed loop
+    // below is the 100 TB path and stays the default above the threshold.
+    if (sym.count() / 2 <= smallGraphEdges) {
+      import spark.implicits._
+      val pairs = sym.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("node", "label")
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)

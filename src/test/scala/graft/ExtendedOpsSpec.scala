@@ -86,11 +86,22 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("chains longer than one hop converge (multi-iteration propagation)") {
-    // path 1-2-3-4-5-6-7: min label must travel the full diameter
+    // path 1-2-3-4-5-6-7: min label must travel the full diameter.
+    // smallGraphEdges=0 forces the DISTRIBUTED loop (the 100 TB path).
     val edges = (1L until 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val out = Dedup.connectedComponents(edges)
+    val out = Dedup.connectedComponents(edges, smallGraphEdges = 0L)
       .select("label").distinct().collect().map(_.getLong(0))
     assert(out.toSeq === Seq(1L))
+  }
+
+  test("driver union-find fallback == distributed propagation") {
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 8L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("a_id", "b_id")
+    val small = Dedup.connectedComponents(edges)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = Dedup.connectedComponents(edges, smallGraphEdges = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(small === dist)
   }
 
   test("empty edge set yields empty labeling") {
