@@ -7,17 +7,17 @@ import graft.Queries.Q
 import graft.operators.{AsOf, Dedup, Sessionize}
 import graft.sources.Tables
 
-/** Extended relational + pipeline inventory (q49–q56): sessionization,
+/** Extended relational + pipeline inventory (q49–q68): sessionization,
   * pivot, grouping sets, exact percentiles, first/last/nth_value frames,
-  * the general two-relation as-of join, exact statistical moments, and
-  * connected-components duplicate clustering — each with a DuckDB oracle
-  * under the SURVEY §2.2 determinism rules.
+  * the general two-relation as-of join, exact statistical moments,
+  * connected-components duplicate clustering, lateral/string/bitwise/
+  * date/conditional-agg/range-frame/json/array/set-op/string-agg/
+  * posexplode coverage — each with a DuckDB oracle under the SURVEY §2.2
+  * determinism rules (shared helpers in [[Queries]]).
   */
 object ExtendedQueries {
 
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
-  private def dsumD(c: Column): Column = dsum(c).cast("double")
-  private def r4(c: Column): Column = round(c, 4)
+  import Queries.{dsumD, r4}
 
   private val Segments =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -249,7 +249,10 @@ object ExtendedQueries {
           split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
           lpad(col("p_brand"), 12, ".").as("brand_pad"),
           reverse(col("p_type")).as("type_rev"),
-          regexp_replace(col("p_name"), " ", "_").as("name_us"))
+          // translate, not regexp_replace: the oracle's replace() is
+          // LITERAL — a regex mirror breaks the moment the pattern gains a
+          // metacharacter
+          translate(col("p_name"), " ", "_").as("name_us"))
         .orderBy("p_partkey")),
 
     Q("q59_bitwise",
@@ -336,11 +339,17 @@ object ExtendedQueries {
              |       array_to_string(json_keys(props), ',') AS key_list,
              |       CAST(props ->> '$.k' AS BIGINT) AS k_val
              |FROM events ORDER BY event_id""".stripMargin),
-      (s, d) => Tables.events(s, d)
-        .select(col("event_id"),
-          concat_ws(",", json_object_keys(col("props"))).as("key_list"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
-        .orderBy("event_id")),
+      (s, d) => {
+        // null-safe: concat_ws maps a null array to '' but the oracle's
+        // array_to_string(NULL) is NULL — keep null/invalid props NULL on
+        // both sides.
+        val ks = json_object_keys(col("props"))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            when(ks.isNotNull, concat_ws(",", ks)).as("key_list"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+          .orderBy("event_id")
+      }),
 
     Q("q65_array_advanced",
       // Derived integer arrays (sequence of vec_id%5+1 elements) keep the

@@ -27,11 +27,13 @@ object Queries {
 
   // ---- shared determinism helpers ------------------------------------------
 
+  // private[graft]: ExtendedQueries shares the exact casts — the
+  // determinism contract must live in ONE place.
   /** Exact decimal sum of a double column (no float accumulation drift). */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+  private[graft] def dsum(c: Column): Column = sum(c.cast("decimal(18,4)"))
   /** Decimal-exact sum surfaced as double. */
-  private def dsumD(c: Column): Column = dsum(c).cast("double")
-  private def r4(c: Column): Column = round(c, 4)
+  private[graft] def dsumD(c: Column): Column = dsum(c).cast("double")
+  private[graft] def r4(c: Column): Column = round(c, 4)
 
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
   private def dsumSql(e: String): String = DSUM.format(e)

@@ -28,14 +28,19 @@ object AsOf {
   def joinLatest(probes: DataFrame, refs: DataFrame, keyCols: Seq[String],
                  tsCol: String, seqCol: String, refValCol: String,
                  outCol: String = "asof_value"): DataFrame = {
+    val internal = Seq("_ts", "_seq", "_ref_val", "_side", "_probe")
+    require((probes.columns ++ refs.columns).intersect(internal).isEmpty,
+      s"input columns collide with internal names ${internal.mkString(", ")}")
     val refValType = refs.schema(refValCol).dataType
     val probeStruct = org.apache.spark.sql.types.StructType(probes.schema)
-    def sideCols(keyed: DataFrame): Seq[Column] =
+    // unresolved col() refs — resolved against whichever side they are
+    // select()ed on below
+    val sideCols: Seq[Column] =
       keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col(seqCol).as("_seq"))
-    val r = refs.select(sideCols(refs)
+    val r = refs.select(sideCols
       ++ Seq(col(refValCol).as("_ref_val"), lit(0).as("_side"),
         lit(null).cast(probeStruct).as("_probe")): _*)
-    val p = probes.select(sideCols(probes)
+    val p = probes.select(sideCols
       ++ Seq(lit(null).cast(refValType).as("_ref_val"), lit(1).as("_side"),
         struct(probes.columns.toIndexedSeq.map(col): _*).as("_probe")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)

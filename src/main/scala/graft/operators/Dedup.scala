@@ -30,8 +30,6 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical_id"))
 
-  /** doc -> distinct shingle rows (the inverted index), with optional
-    * document-frequency cap on shingles (skew guard; 0 = no cap). */
   /** Spread a document scan across cores before CPU-heavy text work: a
     * small single-file corpus arrives as ONE input partition, which would
     * run all tokenize/shingle/hash work on a single core. The shuffle
@@ -41,6 +39,8 @@ object Dedup {
   private def spread(docs: DataFrame, idCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
 
+  /** doc -> distinct shingle rows (the inverted index), with optional
+    * document-frequency cap on shingles (skew guard; 0 = no cap). */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
     // Tokenize in its OWN projection: element_at inside the shingle lambda
@@ -236,6 +236,11 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // Loud, not wrong: a component wider than maxIterations hops would
+    // otherwise silently split into several clusters.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIterations iterations " +
+        s"($changed labels still changing) — raise maxIterations")
     labels
   }
 

@@ -29,6 +29,9 @@ object Sessionize {
     * same sessions in any engine. */
   def assign(df: DataFrame, keyCols: Seq[String], tsCol: String, seqCol: String,
              gapSeconds: Long): DataFrame = {
+    require(!df.columns.contains("session_id") && !df.columns.contains("_brk"),
+      "input already has a session_id/_brk column — drop or rename it first " +
+        "(assign would silently overwrite it)")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(seqCol))
     val prev = lag(col(tsCol), 1).over(w)
     val isBreak = when(

@@ -120,8 +120,14 @@ object Similarity {
     *    materializes the (rare) passing pairs — pushing it after the join
     *    copies both embedding arrays for every one of the n^2/2 candidate
     *    rows first (measured ~2x the whole query at sf0.1). */
+  /** @param broadcastRef broadcast the build side (default). The all-pairs
+    *   form only makes sense when one side fits the broadcast limit — past
+    *   that, block FIRST (IVF cell / hyperplane bucket, see class doc) and
+    *   run this inside each block; passing false yields a plain (cartesian)
+    *   join for the rare non-broadcastable, non-blockable case. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         broadcastRef: Boolean = true): DataFrame = {
     // The streamed side is repartitioned with an EXPLICIT partition count so
     // the nested-loop runs one task per core — a single-file vector table
     // would otherwise put the whole O(n^2) loop on ONE core, and without
@@ -131,12 +137,13 @@ object Similarity {
     val a = vectors.repartition(parallelism, col(idCol))
       .select(col(idCol).as("a_id"), col(vecCol).as("va"),
         sqrt(normSq(col(vecCol))).as("na"))
-    val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+    val b0 = vectors.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
       sqrt(normSq(col(vecCol))).as("nb"))
+    val b = if (broadcastRef) broadcast(b0) else b0
     val denom = col("na") * col("nb")
     val sim = when(denom === 0.0, lit(0.0)).otherwise(dot(col("va"), col("vb")) / denom)
     val simR = round(sim, 4)
-    a.join(broadcast(b), col("a_id") < col("b_id") && simR >= threshold)
+    a.join(b, col("a_id") < col("b_id") && simR >= threshold)
       .select(col("a_id"), col("b_id"), simR.as("sim"))
   }
 }
