@@ -410,6 +410,20 @@ object ExtendedQueries {
           round(col("col").cast("double"), 4).as("val"))
         .orderBy("vec_id", "pos")),
 
+    Q("q69_ann_kmeans",
+      // No SQL oracle (Lloyd's iterations are not reasonably expressible in
+      // one DuckDB query) -> driver records the weaker rows-only check;
+      // determinism and quality are pinned by KMeansSpec instead.
+      None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = graft.operators.Similarity.kmeans(emb, k = 16, iterations = 2)
+        val assigned = graft.operators.Similarity.assignToCentroids(emb, cents)
+        val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        graft.operators.Similarity.ivfTopK(
+          assigned.filter(col("vec_id") =!= 0), cents, query, 10)
+      }),
+
     Q("q56_dup_clusters",
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),

@@ -8,13 +8,10 @@ object Scratch {
     def time2(name: String)(f: => Long): Unit = {
       f
       val t0 = System.nanoTime(); f
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s (warm)")
+      println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s (warm)")
     }
-    Queries.queryMap("q08_join_multiway")(spark, "/root/testdata/sf0.001").count()
-    Seq("q36_dedup_ngram_jaccard","q37_dedup_minhash_lsh","q46_dedup_simhash_pairs",
-        "q56_dup_clusters","q38_dedup_simhash").foreach { q =>
-      time2(q) { Queries.queryMap(q)(spark, d).count() }
-    }
+    Queries.queryMap("q56_dup_clusters")(spark, "/root/testdata/sf0.001").count()
+    time2("q56") { Queries.queryMap("q56_dup_clusters")(spark, d).count() }
     spark.stop()
   }
 }

@@ -189,9 +189,15 @@ object Dedup {
                           bCol: String = "b_id", maxIterations: Int = 20,
                           smallGraphEdges: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // Materialize the edge relation BEFORE symmetrizing: the union's two
+    // branches both reference the (possibly expensive — e.g. a whole LSH
+    // dedup pipeline) edge subtree, and through the checkpoint/RDD path
+    // there is no exchange reuse, so an un-materialized input is computed
+    // twice. One eager checkpoint pins it to a single pass.
+    val e0 = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Size-aware fallback: below `smallGraphEdges` the whole edge set fits
     // trivially on the driver, where union-find resolves in O(E α(E)) —
     // versus O(diameter) distributed rounds at ~0.5s of job latency each.

@@ -62,6 +62,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic Lloyd's k-means over an `array<float>` column — the
+    * training step that produces real IVF centroids (vs. seeding cells from
+    * arbitrary ids). Design choices, all for scale + determinism:
+    *
+    *  - init = the k lowest-id vectors (deterministic, no RNG);
+    *  - assignment = [[assignToCentroids]]: centroids broadcast, ONE scan
+    *    of the vectors per iteration, max-cosine with id tie-break;
+    *  - update = per-dimension mean via posexplode + decimal-exact sums
+    *    (a float sum's value depends on shuffle arrival order; the decimal
+    *    accumulator makes the centroid bit-stable run-to-run), then the
+    *    k×dim result — a few KB — is collected and rebroadcast, exactly
+    *    the MLlib topology (state that small belongs on the driver);
+    *  - a cell that loses all members keeps its previous centroid.
+    *
+    * Fixed iteration count, no convergence test: deterministic cost and
+    * output. Returns (`cent_id`, `ce: array<float>`). */
+  def kmeans(vectors: DataFrame, k: Int, iterations: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var centroids = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 0 until iterations) {
+      val centDf = centroids.toDF("cent_id", "ce")
+        .select(col("cent_id"), col("ce").cast("array<float>").as("ce"))
+      val assigned = assignToCentroids(vectors, centDf)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col(vecCol)))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("ce"))
+        .as[(Long, Array[Float])].collect().toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce").cast("array<float>").as("ce"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products
     * against deterministic pseudo-random hyperplanes (md5-seeded, so every
     * engine/run derives the same planes). Vectors in the same bucket are

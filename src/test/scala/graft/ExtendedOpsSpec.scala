@@ -160,3 +160,35 @@ class SessionizeStreamEquivalenceSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 }
+
+class KMeansSpec extends SparkSpec {
+  import graft.operators.Similarity
+
+  test("deterministic across runs; improves mean cosine to assigned centroid") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def run() = Similarity.kmeans(emb, k = 4, iterations = 3)
+    val c1 = run().orderBy("cent_id").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val c2 = run().orderBy("cent_id").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    assert(c1 === c2, "k-means is not run-to-run deterministic")
+
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignToCentroids(emb, cents)
+        .join(cents, "cent_id")
+        .select(avg(graft.functions.VectorFunctions
+          .cosine(col("embedding"), col("ce"))).as("o"))
+        .collect().head.getDouble(0)
+    val init = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val trained = run()
+    assert(objective(trained) >= objective(init) - 1e-9,
+      "training made the mean assigned cosine worse")
+  }
+
+  test("every vector is assigned to exactly one of k cells") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Similarity.kmeans(emb, k = 4, iterations = 2)
+    val assigned = Similarity.assignToCentroids(emb, cents)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cent_id").distinct().count() <= 4)
+  }
+}

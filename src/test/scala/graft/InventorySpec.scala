@@ -14,9 +14,17 @@ class InventorySpec extends AnyFunSuite {
     val names = inv.map(_.name)
     assert(names.distinct.size === names.size, "duplicate query names")
     assert(names.forall(_.matches("q\\d+[a-z0-9_]*")), s"bad names: ${names.filterNot(_.matches("q\\d+[a-z0-9_]*"))}")
+    // The driver contract allows omitting the oracle for ops that are not
+    // reasonably SQL-expressible (it then records a weaker rows-only
+    // check). That must stay an EXPLICIT decision: any query without an
+    // oracle must be on this list with its spec-based validation.
+    val rowsOnlyAllowed = Set(
+      "q69_ann_kmeans" // Lloyd's iterations; pinned by KMeansSpec
+    )
     val missing = inv.filter(_.oracle.isEmpty).map(_.name)
-    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+      .filterNot(rowsOnlyAllowed)
+    assert(missing.isEmpty, s"queries without oracle SQL not allowlisted: $missing")
+    assert(SparkEntry.queries.keySet -- rowsOnlyAllowed === SparkEntry.oracleSql.keySet)
     assert(inv.size >= 46)
   }
 
