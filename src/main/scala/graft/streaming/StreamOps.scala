@@ -54,4 +54,29 @@ object StreamOps {
     events
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream equi+interval join: left rows match right rows with the
+    * same key whose event time lies in `[left.ts - lowerBound, left.ts +
+    * upperBound]`. BOTH sides carry watermarks and the time bounds are part
+    * of the join condition — that pair is what lets the state store evict
+    * rows once the other side's watermark passes them, keeping state O(
+    * in-flight interval) instead of unbounded; without the bounds Spark
+    * rejects the plan (or with outer joins would hold state forever.)
+    *
+    * Column convention: left columns keep their names; right's key/ts are
+    * `keyCol_r`/`tsCol_r` so the output is join-ambiguity-free. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lowerBound: String = "10 minutes",
+                   upperBound: String = "10 minutes",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness)
+    val r0 = right
+      .withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withColumnRenamed(tsCol, s"${tsCol}_r")
+    val r = r0.withWatermark(s"${tsCol}_r", lateness)
+    l.join(r,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $lowerBound") &&
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $upperBound"))
+  }
 }

@@ -192,3 +192,43 @@ class KMeansSpec extends SparkSpec {
     assert(assigned.select("cent_id").distinct().count() <= 4)
   }
 }
+
+/** Stream-stream interval join == the equivalent batch range join. */
+class IntervalJoinSpec extends SparkSpec {
+  test("purchases x views within +-10 minutes per user: stream == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select($"ts", $"user_id", $"event_type", $"value").as[EventRow]
+    val rows = ev.collect().toSeq
+    def mem() = {
+      val m = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+      m.addData(rows); m
+    }
+    val purchases = mem().toDF().filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val views = mem().toDF().filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value".as("view_value"))
+    val q = graft.streaming.StreamOps
+      .intervalJoin(purchases, views, "user_id", "ts")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ij")
+      .select($"user_id", $"ts", $"ts_r", round($"value", 4).as("pv"),
+        round($"view_value", 4).as("vv"))
+      .orderBy("user_id", "ts", "ts_r").collect()
+
+    val bp = ev.toDF().filter($"event_type" === "purchase").select($"user_id", $"ts", $"value")
+    val bv = ev.toDF().filter($"event_type" === "view")
+      .select($"user_id".as("user_id_r"), $"ts".as("ts_r"), $"value".as("view_value"))
+    val batch = bp.join(bv,
+        $"user_id" === $"user_id_r" &&
+          $"ts_r" >= $"ts" - expr("INTERVAL 10 minutes") &&
+          $"ts_r" <= $"ts" + expr("INTERVAL 10 minutes"))
+      .select($"user_id", $"ts", $"ts_r", round($"value", 4).as("pv"),
+        round($"view_value", 4).as("vv"))
+      .orderBy("user_id", "ts", "ts_r").collect()
+    assert(streamed.nonEmpty, "interval join produced no rows — fixture too sparse")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
