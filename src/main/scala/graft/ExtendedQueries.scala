@@ -262,7 +262,7 @@ object ExtendedQueries {
              |       xor(l_orderkey, l_partkey) AS xor_k,
              |       CAST(l_linenumber << 3 AS BIGINT) AS shl,
              |       CAST(bit_count(l_orderkey) AS BIGINT) AS bc
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, xor_k""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_orderkey").bitwiseAND(lit(255L)).as("and_m"),
@@ -270,7 +270,8 @@ object ExtendedQueries {
           col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_k"),
           shiftleft(col("l_linenumber"), 3).cast("long").as("shl"),
           bit_count(col("l_orderkey")).cast("long").as("bc"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique (orderkey, linenumber): xor_k pins l_partkey (see q02)
+        .orderBy("l_orderkey", "l_linenumber", "xor_k")),
 
     Q("q60_date_arith",
       // dayofweek numbering differs across engines (DuckDB 0=Sun, Spark
@@ -409,6 +410,55 @@ object ExtendedQueries {
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
           round(col("col").cast("double"), 4).as("val"))
         .orderBy("vec_id", "pos")),
+
+    Q("q70_train_test_split",
+      // Deterministic hash-bucket splits (train 0.8 / valid 0.1 / test 0.1)
+      // — the reproducible, engine-stable alternative to rand() sampling.
+      Some("""SELECT split, lang, COUNT(*) AS cnt
+             |FROM (SELECT lang,
+             |             CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+             |                  WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'valid'
+             |                  ELSE 'test' END AS split
+             |      FROM documents) t
+             |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+      (s, d) => graft.operators.Splits
+        .assignSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("split", "lang")),
+
+    Q("q71_disjunctive_filter",
+      // TPC-H Q19 shape: OR-of-ANDs across the join — exercises CNF
+      // conversion / partial pushdown of disjunctive predicates.
+      Some("""SELECT COUNT(*) AS cnt,
+             |       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 AND l_quantity < 20)""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity") >= 20) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(5, 25) && col("l_quantity") < 20))
+        .agg(count(lit(1)).as("cnt"),
+          r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))),
+
+    Q("q72_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, measure, ROUND(value, 4) AS value
+             |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |               FROM lineitem WHERE l_orderkey < 100)
+             |      ON l_quantity, l_discount INTO NAME measure VALUE value)
+             |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount")), "measure", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          round(col("value"), 4).as("value"))
+        // (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
+        // value completes the total order
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")),
 
     Q("q69_ann_kmeans",
       // No SQL oracle (Lloyd's iterations are not reasonably expressible in

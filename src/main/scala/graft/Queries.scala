@@ -115,13 +115,16 @@ object Queries {
       (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
 
     Q("q02_filter_project",
+      // (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
+      // price completes the total order (ties on all three are identical
+      // output rows, so the hash is stable). Same pattern in q24/q59/q72.
       Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
              |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, price""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), r4(col("l_extendedprice")).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "price")),
 
     Q("q03_join_inner",
       Some("""SELECT o_orderkey, c_name FROM orders
@@ -426,7 +429,8 @@ object Queries {
              |       ROUND(POWER(l_quantity, 2), 4) AS qty_sq,
              |       l_orderkey % 7 AS key_mod,
              |       ROUND(SQRT(l_quantity), 4) AS qty_sqrt
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, price_r, disc_dev, qty_sq""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           r4(col("l_extendedprice")).as("price_r"),
@@ -436,7 +440,9 @@ object Queries {
           r4(pow(col("l_quantity"), 2)).as("qty_sq"),
           (col("l_orderkey") % 7).as("key_mod"),
           r4(sqrt(col("l_quantity"))).as("qty_sqrt"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique (orderkey, linenumber): the three independent source
+        // measures complete the total order (see q02)
+        .orderBy("l_orderkey", "l_linenumber", "price_r", "disc_dev", "qty_sq")),
 
     Q("q25_array_funcs",
       Some("""SELECT vec_id,

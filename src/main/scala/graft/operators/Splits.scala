@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+
+/** Deterministic dataset splitting for training pipelines: train/valid/test
+  * membership derived from a hash of the row's id, never from `rand()`.
+  *
+  * Why hash, not random: the split must be (1) reproducible across runs and
+  * engines, (2) stable under re-partitioning and data growth — a document
+  * keeps its split forever, so later pipeline runs never leak test rows
+  * into training, and (3) computable map-side in the scan (no shuffle, no
+  * state). All properties a `rand()`-based split lacks.
+  */
+object Splits {
+
+  /** Stable bucket in [0, buckets): md5-derived 32-bit hash of the id
+    * (cross-engine stable, [[graft.functions.HashFunctions.h32]]). */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    HashFunctions.h32(id.cast("string")) % buckets
+
+  /** Add a `split` column assigning each row to a named split with the
+    * given weights (must sum to ~1). Ranges are cumulative over the hash
+    * bucket, so enlarging one split keeps all rows of the smaller prior
+    * splits in place. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)], buckets: Int = 100): DataFrame = {
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    require(splits.nonEmpty)
+    val bucket = hashBucket(col(idCol), buckets)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * buckets))
+    val expr = splits.init.zip(cums.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), acc) => when(bucket < cum, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -232,3 +232,76 @@ class IntervalJoinSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 }
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Splits
+
+  test("splits are exhaustive, deterministic, and stable under repartitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val s1 = Splits.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    val s2 = Splits.assignSplit(docs.repartition(7), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    assert(s1 === s2, "split must not depend on physical layout")
+    val counts = s1.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "valid", "test"))
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+  }
+
+  test("growing a trailing split never moves rows between the leading ones") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Splits.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "rest" -> 0.2))
+      .filter($"split" === "train").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .filter($"split" === "train").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "re-slicing the tail must not churn the train set")
+  }
+
+  test("bad weights are rejected") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    intercept[IllegalArgumentException] {
+      Splits.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "test" -> 0.1))
+    }
+  }
+}
+
+/** Property: AsOf.joinLatest equals the brute-force per-probe maximum
+  * search on arbitrary generated inputs. */
+class AsOfPropertySpec extends SparkSpec {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import spark.implicits._
+
+  private val rowGen = for {
+    key <- Gen.choose(1L, 3L)
+    ts <- Gen.choose(0L, 40L)
+    v <- Gen.choose(0, 1000).map(_ / 10.0)
+  } yield (key, ts, v)
+
+  test("joinLatest == brute-force latest-at-or-before, on random inputs") {
+    val gen = for {
+      refs <- Gen.listOfN(30, rowGen)
+      probes <- Gen.listOfN(15, rowGen)
+    } yield (refs, probes)
+    val prop = Prop.forAll(gen) { case (refRows0, probeRows0) =>
+      // unique seq ids keep the expected answer well-defined
+      val refRows = refRows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val probeRows = probeRows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val refs = refRows.toDF("k", "t", "seq", "v")
+      val probes = probeRows.toDF("k", "t", "seq", "v")
+      val got = graft.operators.AsOf
+        .joinLatest(probes, refs, Seq("k"), "t", "seq", "v")
+        .select($"k", $"seq", $"asof_value")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      probeRows.forall { case (k, t, seq, _) =>
+        val expected = refRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._4)
+        got((k, seq)) == expected
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
