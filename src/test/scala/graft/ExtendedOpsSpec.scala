@@ -305,3 +305,28 @@ class AsOfPropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 }
+
+/** A13's reason to exist: the hour-partitioned lake layout must let a
+  * time-bounded read scan ONLY the matching directories. */
+class PartitionPruningSpec extends SparkSpec {
+  test("CDC zone read with year/month/day/hour predicate partition-prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdczone").toString + "/lake"
+    val (valid, _) = graft.operators.Cdc.split(Queries.cdcFixture(spark, sf0001))
+    val flat = graft.operators.Cdc.transform(valid, ingestionTs = Some($"_ingest_ts"))
+    graft.operators.Cdc.writeCdcZone(flat, dir)
+    val back = spark.read.json(dir)
+    val q = back.filter($"year" === 2024 && $"month" === 1 && $"day" === 1 && $"hour" === 3)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters section:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*year[^\\]]*hour[^\\]]*\\].*"),
+      s"year/hour not in PartitionFilters:\n$plan")
+    // and the pruned read returns exactly the rows of that hour
+    val expected = graft.operators.Cdc.withPartitionColumns(flat)
+      .filter($"year" === 2024 && $"month" === 1 && $"day" === 1 && $"hour" === 3)
+      .count()
+    assert(q.count() === expected)
+    assert(expected > 0, "fixture has no rows in the probed hour — pick another")
+  }
+}
