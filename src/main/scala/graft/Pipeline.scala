@@ -124,6 +124,69 @@ object Pipeline {
     def readBack(): DataFrame = FullLoad.readBack(spark, spec.destPath)
   }
 
+  /** Training-corpus pipeline config — the engine's extension axis (the
+    * north-star training-data ops) composed under the same A17 lifecycle:
+    * quality gate -> exact dedup -> near-dup cluster dedup -> deterministic
+    * splits -> split-partitioned lake write. Every stage is one of the
+    * tested operators; the plan is lazy end-to-end. */
+  final case class TrainingSpec(
+      sourcePath: String,
+      destPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.0,
+      dedupExact: Boolean = true,
+      nearDupJaccard: Option[Double] = Some(0.8),
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)) {
+    def validate(): Unit = {
+      require(sourcePath.nonEmpty && destPath.nonEmpty, "paths must be non-empty")
+      require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
+      nearDupJaccard.foreach(t =>
+        require(t > 0.0 && t <= 1.0, s"near-dup threshold in (0,1], got $t"))
+      require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+        "split weights must sum to 1")
+    }
+  }
+
+  final class TrainingPlan private[Pipeline] (spark: SparkSession, spec: TrainingSpec) {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Splits, TextAnalysis}
+
+    /** The lazy cleaned/dedup'd/split corpus. Stage order is the cheap-
+      * first scale order: the quality gate is map-side (one scan, no
+      * shuffle) and shrinks everything downstream; exact dedup is one
+      * hash-shuffle; near-dup (LSH + cluster labels) only ever sees the
+      * exact-dedup survivors. Survivor policy is lowest id, at every
+      * stage — deterministic end to end. */
+    def corpus(): DataFrame = {
+      val id = col(spec.idCol)
+      var docs = spark.read.parquet(spec.sourcePath)
+      if (spec.minQuality > 0.0)
+        docs = docs.filter(
+          TextAnalysis.qualityScore(TextAnalysis.tokens(col(spec.textCol))) >= spec.minQuality)
+      if (spec.dedupExact) {
+        val canon = Dedup.exactGroups(docs, spec.idCol, spec.textCol)
+          .select(col("canonical_id").as(spec.idCol))
+        docs = docs.join(canon, spec.idCol :: Nil, "left_semi")
+      }
+      spec.nearDupJaccard.foreach { t =>
+        val pairs = Dedup.minhashNearDups(docs, spec.idCol, spec.textCol, threshold = t)
+        val losers = Dedup.connectedComponents(pairs)
+          .filter(col("node") =!= col("label"))   // cluster minimum survives
+          .select(col("node").as(spec.idCol))
+        docs = docs.join(losers, spec.idCol :: Nil, "left_anti")
+      }
+      Splits.assignSplit(docs, spec.idCol, spec.splits)
+    }
+
+    /** Write the corpus split-partitioned (train/valid/test directories are
+      * the lake layout consumers prune on). */
+    def run(): Unit =
+      corpus().write.mode("overwrite").partitionBy("split").parquet(spec.destPath)
+
+    def readBack(): DataFrame = spark.read.parquet(spec.destPath)
+  }
+
   /** synth: validate config and return the lazy plan (plan-time failure for
     * bad config, like CDK synth). */
   def plan(spark: SparkSession, spec: CdcSpec): CdcPlan = {
@@ -131,5 +194,8 @@ object Pipeline {
   }
   def plan(spark: SparkSession, spec: FullLoadSpec): FullLoadPlan = {
     spec.validate(); new FullLoadPlan(spark, spec)
+  }
+  def plan(spark: SparkSession, spec: TrainingSpec): TrainingPlan = {
+    spec.validate(); new TrainingPlan(spark, spec)
   }
 }

@@ -1,17 +1,22 @@
 package graft
 
-/** Dev-only scratch probe. */
+/** Dev-only scratch probe: plan red-flag sweep over every query. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val d = "/root/testdata/sf0.1"
-    def time2(name: String)(f: => Long): Unit = {
-      f
-      val t0 = System.nanoTime(); f
-      println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s (warm)")
+    val d = "/root/testdata/sf0.001"
+    Queries.inventory.foreach { q =>
+      try {
+        val p = q.run(spark, d).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> "CartesianProduct".r.findAllIn(p).length,
+          "BNLJ" -> "BroadcastNestedLoopJoin".r.findAllIn(p).length,
+          "SortMergeJoin" -> "SortMergeJoin".r.findAllIn(p).length,
+          "Exchange" -> "Exchange".r.findAllIn(p).length)
+          .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
+        println(f"${q.name}%-28s $flags")
+      } catch { case e: Throwable => println(s"${q.name} ERROR ${e.getMessage.take(80)}") }
     }
-    Queries.queryMap("q56_dup_clusters")(spark, "/root/testdata/sf0.001").count()
-    time2("q56") { Queries.queryMap("q56_dup_clusters")(spark, d).count() }
     spark.stop()
   }
 }

@@ -330,3 +330,47 @@ class PartitionPruningSpec extends SparkSpec {
     assert(expected > 0, "fixture has no rows in the probed hour — pick another")
   }
 }
+
+/** The training-corpus pipeline (quality -> exact dedup -> near-dup
+  * clusters -> splits -> split-partitioned write) end to end. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus has no exact dups, no near-dup pairs, total split assignment; layout prunes") {
+    val dest = java.nio.file.Files.createTempDirectory("corpus").toString + "/out"
+    val spec = Pipeline.TrainingSpec(
+      sourcePath = s"$sf0001/documents.parquet", destPath = dest,
+      nearDupJaccard = Some(0.8))
+    Pipeline.plan(spark, spec).run()
+    val back = spark.read.parquet(dest)
+
+    // exact dups gone: one survivor per content hash
+    val dupContent = back.groupBy(md5($"text".cast("binary"))).count().filter($"count" > 1).count()
+    assert(dupContent === 0, "exact duplicates survived")
+    // near-dups gone: re-running the detector on survivors finds nothing
+    val residual = graft.operators.Dedup
+      .jaccardPairs(back, "doc_id", "text", n = 3, threshold = 0.8).count()
+    assert(residual === 0, "near-duplicate pairs survived")
+    // survivor policy: every original doc's cluster minimum is present
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3, 0.8)
+    val clusterMins = graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy("label").agg(count(lit(1))).select($"label").collect().map(_.getLong(0)).toSet
+    val kept = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clusterMins.subsetOf(kept), "a cluster's minimum id was dropped")
+    // splits total + directory layout
+    assert(back.filter(!$"split".isin("train", "valid", "test")).count() === 0)
+    val dirs = new java.io.File(dest).listFiles().map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.toSet === Set("split=train", "split=valid", "split=test"))
+  }
+
+  test("bad config fails at plan time, like CDK synth") {
+    intercept[IllegalArgumentException] {
+      Pipeline.plan(spark, Pipeline.TrainingSpec("src", "dst",
+        splits = Seq("train" -> 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.plan(spark, Pipeline.TrainingSpec("src", "dst", minQuality = 1.5))
+    }
+  }
+}
