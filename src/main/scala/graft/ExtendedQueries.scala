@@ -460,6 +460,32 @@ object ExtendedQueries {
         // value completes the total order
         .orderBy("l_orderkey", "l_linenumber", "measure", "value")),
 
+    Q("q73_tpch_q5",
+      // TPC-H Q5 shape: 6-table join with the local-supplier residual
+      // (c_nationkey = s_nationkey) — the join-reorder / broadcast-chain
+      // workout. Dims flow into the fact, never the reverse.
+      Some("""SELECT n_name,
+             |       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
     Q("q69_ann_kmeans",
       // No SQL oracle (Lloyd's iterations are not reasonably expressible in
       // one DuckDB query) -> driver records the weaker rows-only check;

@@ -27,18 +27,26 @@ object FullLoad {
     math.max(1, raw)
   }
 
+  /** Columnar formats the full-load zone supports; parquet is the
+    * reference's choice (`ddb_full_load.py:79`), orc the common
+    * alternative both Spark and the downstream catalogs read natively. */
+  val SupportedFormats: Set[String] = Set("parquet", "orc")
+
   /** Full-load pipeline: snapshot a source table into the lake's full-load
-    * zone as Parquet. One exchange (the explicit repartition controlling
-    * output file count, A4); everything else is scan -> write. */
+    * zone as a columnar table. One exchange (the explicit repartition
+    * controlling output file count, A4); everything else is scan -> write. */
   def run(src: DataFrame, destPath: String,
           outputPartitions: Int = Runtime.getRuntime.availableProcessors(),
-          verbose: Boolean = false): Unit = {
+          verbose: Boolean = false, format: String = "parquet"): Unit = {
+    require(SupportedFormats(format), s"unsupported full-load format: $format")
     if (verbose) src.show() // the reference's eager preview (ddb_full_load.py:66)
     src.repartition(outputPartitions)
       .write.mode(SaveMode.Overwrite)
-      .parquet(destPath)
+      .format(format)
+      .save(destPath)
   }
 
-  def readBack(spark: SparkSession, destPath: String): DataFrame =
-    spark.read.parquet(destPath)
+  def readBack(spark: SparkSession, destPath: String,
+               format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(destPath)
 }

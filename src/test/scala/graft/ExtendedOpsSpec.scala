@@ -374,3 +374,67 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 }
+
+class OrcRoundTripSpec extends SparkSpec {
+  test("full-load zone ORC round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("orcload").toString + "/out"
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    graft.operators.FullLoad.run(src, dir, outputPartitions = 2, format = "orc")
+    val back = graft.operators.FullLoad.readBack(spark, dir, format = "orc")
+    assert(back.schema === src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      graft.operators.FullLoad.run(src, dir, format = "avro") // not on the lake contract
+    }
+  }
+}
+
+/** Streaming session windows must survive a checkpoint restart without
+  * losing or double-counting sessions (file source, like the CDC restart
+  * test — MemoryStream offsets don't span restarts). */
+class SessionRestartSpec extends SparkSpec {
+  test("session_window agg across a restart == single batch result") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select($"ts", $"user_id", $"value")
+      .orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val (first, second) = events.splitAt(events.length / 2)
+    val src = java.nio.file.Files.createTempDirectory("sesssrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sessckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("sessout").toString + "/t"
+
+    def writeBatch(rows: Seq[(java.sql.Timestamp, Long, Double)], name: String): Unit =
+      rows.toSeq.toDF("ts", "user_id", "value").coalesce(1)
+        .write.mode("append").json(src)
+
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val stream = spark.readStream.schema(schema).json(src)
+      val q = graft.streaming.StreamOps.sessionAgg(stream, "ts", "user_id", gap = "30 minutes")
+        .writeStream.outputMode("complete")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeBatch(first.toSeq, "a"); runOnce()
+    writeBatch(second.toSeq, "b"); runOnce() // full restart from checkpoint
+    val streamed = spark.read.parquet(out)
+      .select(date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("start"),
+        $"user_id".cast("long").as("user_id"), $"cnt")
+      .orderBy("user_id", "start").collect()
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("start"),
+        $"user_id".cast("long").as("user_id"), $"cnt")
+      .orderBy("user_id", "start").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
