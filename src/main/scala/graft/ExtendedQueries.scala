@@ -486,6 +486,25 @@ object ExtendedQueries {
         .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
 
+    Q("q74_text_redact",
+      // PII-style masking; n_chars>=220 keeps the output scan small while
+      // still exercising every rule. Rule order (email before number) is
+      // part of the contract — see TextAnalysis.DefaultRedactions.
+      Some("""SELECT doc_id,
+             |       regexp_replace(regexp_replace(text,
+             |         '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             |         '[0-9]+', '<NUM>', 'g') AS redacted,
+             |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_nums
+             |FROM documents WHERE n_chars >= 220
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .filter(col("n_chars") >= 220)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.redact(col("text")).as("redacted"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_nums"))
+        .orderBy("doc_id")),
+
     Q("q69_ann_kmeans",
       // No SQL oracle (Lloyd's iterations are not reasonably expressible in
       // one DuckDB query) -> driver records the weaker rows-only check;

@@ -78,6 +78,21 @@ object TextAnalysis {
     }._2
   }
 
+  /** Ordered redaction rules (pattern -> replacement token), applied
+    * left-to-right — rule order matters when patterns overlap (emails
+    * contain digits, so the email rule must run first). Patterns stay in
+    * the RE2-compatible subset (no backrefs/lookarounds) so any engine
+    * reproduces them. */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    "[a-z0-9.]+@[a-z0-9.]+" -> "<EMAIL>",
+    "[0-9]+" -> "<NUM>")
+
+  /** PII-style masking as a single map-side projection: one scan at any
+    * corpus size, codegen'd regexp_replace chain, no UDF. */
+  def redact(text: Column,
+             rules: Seq[(String, String)] = DefaultRedactions): Column =
+    rules.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
   /** Regex-based token count (BPE-ish word/number pieces). */
   def regexTokenCount(text: Column, pattern: String = "[a-z0-9]+"): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
