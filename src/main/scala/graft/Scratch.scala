@@ -1,22 +1,14 @@
 package graft
 
-/** Dev-only scratch probe: plan red-flag sweep over every query. */
+/** Dev smoke: drives SparkEntry.entry like the driver's t1 check. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get()
-    val d = "/root/testdata/sf0.001"
-    Queries.inventory.foreach { q =>
-      try {
-        val p = q.run(spark, d).queryExecution.executedPlan.toString
-        val flags = Seq(
-          "CartesianProduct" -> "CartesianProduct".r.findAllIn(p).length,
-          "BNLJ" -> "BroadcastNestedLoopJoin".r.findAllIn(p).length,
-          "SortMergeJoin" -> "SortMergeJoin".r.findAllIn(p).length,
-          "Exchange" -> "Exchange".r.findAllIn(p).length)
-          .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
-        println(f"${q.name}%-28s $flags")
-      } catch { case e: Throwable => println(s"${q.name} ERROR ${e.getMessage.take(80)}") }
-    }
+    val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, false)
+    println(s"entry rows=$n")
     spark.stop()
   }
 }

@@ -438,3 +438,39 @@ class SessionRestartSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 }
+
+/** Property: Sessionize.assign equals a sequential fold over each key's
+  * time-ordered events (new session when gap >= threshold). */
+class SessionizePropertySpec extends SparkSpec {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import spark.implicits._
+
+  test("assign == sequential gap fold on random inputs") {
+    val rowGen = for {
+      key <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 500L)
+    } yield (key, ts)
+    val gen = Gen.listOfN(40, rowGen).map(_.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) })
+    val prop = Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (k, t, seq) => (k, new java.sql.Timestamp(t * 1000L), seq) }
+          .toDF("k", "ts", "seq")
+        val got = graft.operators.Sessionize.assign(df, Seq("k"), "ts", "seq", gapSeconds = 60L)
+          .select($"k", $"seq", $"session_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        rows.groupBy(_._1).forall { case (k, ks) =>
+          val ordered = ks.sortBy(r => (r._2, r._3))
+          var sess = 0L; var prev = Long.MinValue
+          ordered.forall { case (_, t, seq) =>
+            if (prev == Long.MinValue || t - prev >= 60L) sess += 1
+            prev = t
+            got((k, seq)) == sess
+          }
+        }
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
