@@ -17,11 +17,21 @@ object Bench {
     // so the timed pass measures steady-state plan execution rather than
     // one-time Janino/JIT compilation of each query's generated code. The
     // reference engines are native (no JIT warmup penalty), so steady
-    // state is the like-for-like throughput comparison.
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // state is the like-for-like throughput comparison. The warm dir is
+    // the sf0.001 SIBLING of the configured testdata dir (falls back to
+    // the target dir itself), and failures are counted loudly — silent
+    // warmup failure would report cold numbers as steady-state.
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.toString else sfDir
     }
+    var warmFailures = 0
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
+    }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] WARNING: $warmFailures/${SparkEntry.queries.size} " +
+        s"warmup runs failed on $warmDir — timed numbers may include compilation")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -89,7 +89,7 @@ object Similarity {
     for (_ <- 0 until iterations) {
       val centDf = centroids.toDF("cent_id", "ce")
         .select(col("cent_id"), col("ce").cast("array<float>").as("ce"))
-      val assigned = assignToCentroids(vectors, centDf)
+      val assigned = assignToCentroids(vectors, centDf, idCol, vecCol)
       val means = assigned
         .select(col("cent_id"), posexplode(col(vecCol)))
         .groupBy(col("cent_id"), col("pos"))

@@ -31,6 +31,11 @@ object Splits {
     require(splits.nonEmpty)
     val bucket = hashBucket(col(idCol), buckets)
     val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * buckets))
+    // Loud, not silently empty: a weight below the bucket resolution would
+    // round its range to zero width and the split would never get a row.
+    require((0L +: cums).zip(cums).forall { case (lo, hi) => hi > lo },
+      s"split weights ${splits.map(_._2).mkString(",")} collapse below the " +
+        s"1/$buckets bucket resolution — raise `buckets` or merge splits")
     val expr = splits.init.zip(cums.init).foldRight(lit(splits.last._1)) {
       case (((name, _), cum), acc) => when(bucket < cum, name).otherwise(acc)
     }

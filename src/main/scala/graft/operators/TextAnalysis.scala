@@ -84,7 +84,7 @@ object TextAnalysis {
     * the RE2-compatible subset (no backrefs/lookarounds) so any engine
     * reproduces them. */
   val DefaultRedactions: Seq[(String, String)] = Seq(
-    "[a-z0-9.]+@[a-z0-9.]+" -> "<EMAIL>",
+    "[A-Za-z0-9.]+@[A-Za-z0-9.]+" -> "<EMAIL>", // mixed case: Bob@Corp.com must not survive
     "[0-9]+" -> "<NUM>")
 
   /** PII-style masking as a single map-side projection: one scan at any

@@ -63,12 +63,18 @@ object StreamOps {
     * in-flight interval) instead of unbounded; without the bounds Spark
     * rejects the plan (or with outer joins would hold state forever.)
     *
-    * Column convention: left columns keep their names; right's key/ts are
-    * `keyCol_r`/`tsCol_r` so the output is join-ambiguity-free. */
+    * Column convention: left columns keep their names and right's key/ts
+    * become `keyCol_r`/`tsCol_r`; any OTHER column name shared by both
+    * sides is rejected up front (it would silently produce ambiguous
+    * duplicate output columns) — rename before joining. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lowerBound: String = "10 minutes",
                    upperBound: String = "10 minutes",
                    lateness: String = "10 minutes"): DataFrame = {
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet -- Set(keyCol, tsCol))
+    require(overlap.isEmpty,
+      s"rename overlapping non-key columns before intervalJoin: ${overlap.mkString(", ")}")
     val l = left.withWatermark(tsCol, lateness)
     val r0 = right
       .withColumnRenamed(keyCol, s"${keyCol}_r")

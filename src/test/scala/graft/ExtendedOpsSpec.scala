@@ -405,8 +405,8 @@ class SessionRestartSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("sessckpt").toString
     val out = java.nio.file.Files.createTempDirectory("sessout").toString + "/t"
 
-    def writeBatch(rows: Seq[(java.sql.Timestamp, Long, Double)], name: String): Unit =
-      rows.toSeq.toDF("ts", "user_id", "value").coalesce(1)
+    def writeBatch(rows: Seq[(java.sql.Timestamp, Long, Double)]): Unit =
+      rows.toDF("ts", "user_id", "value").coalesce(1)
         .write.mode("append").json(src)
 
     def runOnce(): Unit = {
@@ -423,8 +423,8 @@ class SessionRestartSpec extends SparkSpec {
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable(); q.stop()
     }
-    writeBatch(first.toSeq, "a"); runOnce()
-    writeBatch(second.toSeq, "b"); runOnce() // full restart from checkpoint
+    writeBatch(first.toSeq); runOnce()
+    writeBatch(second.toSeq); runOnce() // full restart from checkpoint
     val streamed = spark.read.parquet(out)
       .select(date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("start"),
         $"user_id".cast("long").as("user_id"), $"cnt")
