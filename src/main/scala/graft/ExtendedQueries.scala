@@ -505,6 +505,40 @@ object ExtendedQueries {
             .cast("long").as("n_nums"))
         .orderBy("doc_id")),
 
+    Q("q75_correlation",
+      // Pearson correlation from decimal-exact co-moment sums — built-in
+      // corr() accumulates floats in shuffle-arrival order and drifts
+      // across engines/runs, so it cannot be hash-checked; this form can.
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy,
+             |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+             |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |       ROUND((sxy / n - (sx / n) * (sy / n))
+             |             / (SQRT(sxx / n - (sx / n) * (sx / n))
+             |              * SQRT(syy / n - (sy / n) * (sy / n))), 4) AS corr_qty_price
+             |FROM s ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val inner = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsumD(col("l_quantity")).as("sx"),
+            dsumD(col("l_extendedprice")).as("sy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(25,4)")).cast("double").as("sxy"),
+            sum((col("l_quantity") * col("l_quantity")).cast("decimal(20,4)")).cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(25,4)")).cast("double").as("syy"))
+        val mx = col("sx") / col("n")
+        val my = col("sy") / col("n")
+        val corr = (col("sxy") / col("n") - mx * my) /
+          (sqrt(col("sxx") / col("n") - mx * mx) * sqrt(col("syy") / col("n") - my * my))
+        inner.select(col("l_returnflag"), col("n"), r4(corr).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      }),
+
     Q("q69_ann_kmeans",
       // No SQL oracle (Lloyd's iterations are not reasonably expressible in
       // one DuckDB query) -> driver records the weaker rows-only check;

@@ -474,3 +474,22 @@ class SessionizePropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 }
+
+class RedactSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("masks mixed-case emails and digit runs; idempotent") {
+    val df = Seq(
+      "contact Bob@Corp.com or x9y at 555 1234",
+      "no pii here",
+      "a@b.co and 42").toDF("text")
+    val once = df.select(TextAnalysis.redact($"text").as("r")).collect().map(_.getString(0))
+    assert(once(0) === "contact <EMAIL> or x<NUM>y at <NUM> <NUM>")
+    assert(once(1) === "no pii here")
+    assert(once(2) === "<EMAIL> and <NUM>")
+    val twice = df.select(TextAnalysis.redact(TextAnalysis.redact($"text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(once.toSeq === twice.toSeq, "redaction must be idempotent")
+  }
+}
