@@ -70,7 +70,10 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lowerBound: String = "10 minutes",
                    upperBound: String = "10 minutes",
-                   lateness: String = "10 minutes"): DataFrame = {
+                   lateness: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"stream-stream interval join supports inner/left_outer, got $joinType")
     val overlap = left.columns.toSet
       .intersect(right.columns.toSet -- Set(keyCol, tsCol))
     require(overlap.isEmpty,
@@ -80,9 +83,22 @@ object StreamOps {
       .withColumnRenamed(keyCol, s"${keyCol}_r")
       .withColumnRenamed(tsCol, s"${tsCol}_r")
     val r = r0.withWatermark(s"${tsCol}_r", lateness)
+    // left_outer: the unmatched-left null row is emitted only once the
+    // RIGHT watermark passes the interval's upper edge — correctness over
+    // latency, the only sound choice for an unbounded stream.
     l.join(r,
       col(keyCol) === col(s"${keyCol}_r") &&
         col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $lowerBound") &&
-        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $upperBound"))
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $upperBound"),
+      joinType)
   }
+
+  /** Stream-static dim enrichment: the streaming fact joins a bounded dim
+    * relation. The static side re-plans per micro-batch (picking up dim
+    * updates between batches) and broadcasts when small — no stream-stream
+    * state at all, which is why this is the FIRST join shape to reach for
+    * when one side is a table. */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+             dimKeyCol: String): DataFrame =
+    stream.join(broadcast(dim), col(keyCol) === col(dimKeyCol))
 }

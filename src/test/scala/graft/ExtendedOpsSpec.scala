@@ -493,3 +493,61 @@ class RedactSpec extends SparkSpec {
     assert(once.toSeq === twice.toSeq, "redaction must be idempotent")
   }
 }
+
+/** Stream-static enrichment and the left-outer interval join's
+  * watermark-gated null emission. */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-static dim enrichment == batch join") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select($"ts", $"user_id", $"event_type", $"value").as[EventRow]
+    val rows = ev.collect().toSeq
+    val dim = Seq(("signup", 1.0), ("purchase", 5.0), ("view", 0.1),
+      ("click", 0.2), ("error", 0.0)).toDF("etype", "weight")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    mem.addData(rows)
+    val q = graft.streaming.StreamOps.enrich(mem.toDF(), dim, "event_type", "etype")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched")
+      .groupBy("event_type").agg(count(lit(1)).as("n"), max("weight").as("w"))
+      .orderBy("event_type").collect()
+    val batch = ev.toDF().join(dim, $"event_type" === $"etype")
+      .groupBy("event_type").agg(count(lit(1)).as("n"), max("weight").as("w"))
+      .orderBy("event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("left-outer interval join emits null rows once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    val rMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    // left row 10:00 matches right 10:05; left 11:00 has NO match.
+    // The far-future rows on both sides push the watermark so the
+    // unmatched 11:00 row's null output can actually be emitted.
+    lMem.addData(Seq(
+      EventRow(ts("2024-01-01 10:00:00"), 1L, "l", 1.0),
+      EventRow(ts("2024-01-01 11:00:00"), 1L, "l", 2.0),
+      EventRow(ts("2024-01-02 09:00:00"), 9L, "l", 0.0)))
+    rMem.addData(Seq(
+      EventRow(ts("2024-01-01 10:05:00"), 1L, "r", 10.0),
+      EventRow(ts("2024-01-02 09:00:00"), 8L, "r", 0.0)))
+    val left = lMem.toDF().select($"user_id", $"ts", $"value")
+    val right = rMem.toDF().select($"user_id", $"ts", $"value".as("rv"))
+    val q = graft.streaming.StreamOps
+      .intervalJoin(left, right, "user_id", "ts", joinType = "left_outer")
+      .writeStream.format("memory").queryName("loj").outputMode("append").start()
+    q.processAllAvailable()
+    // second micro-batch advances the watermark past 11:00's interval
+    lMem.addData(Seq(EventRow(ts("2024-01-02 12:00:00"), 9L, "l", 0.0)))
+    rMem.addData(Seq(EventRow(ts("2024-01-02 12:00:00"), 8L, "r", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("loj").filter($"user_id" === 1L)
+      .select($"value", $"rv").orderBy("value").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq === Seq((1.0, Some(10.0)), (2.0, None)))
+  }
+}
