@@ -551,3 +551,62 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq((1.0, Some(10.0)), (2.0, None)))
   }
 }
+
+/** Custom Expressions carry TWO implementations — interpreted eval() and
+  * doGenCode() — and a divergence produces silently wrong results in
+  * whichever path production happens to take. Pin them equal. */
+class KernelPathEquivalenceSpec extends SparkSpec {
+  import graft.operators.{Dedup, TextAnalysis}
+  import graft.sources.Tables
+
+  private def bothModes(build: => Array[org.apache.spark.sql.Row]): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = build.toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = build.toSeq
+      (gen, interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
+
+  test("FloatVecDot: generated == interpreted") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val (gen, interp) = bothModes {
+      emb.crossJoin(broadcast(q))
+        .select($"vec_id", round(graft.functions.VectorFunctions.dot($"embedding", $"qe"), 6))
+        .orderBy("vec_id").collect()
+    }
+    assert(gen === interp)
+  }
+
+  test("MinHashSig: generated == interpreted") {
+    import spark.implicits._
+    val (gen, interp) = bothModes {
+      Tables.documents(spark, sf0001)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .select($"doc_id", TextAnalysis.shingles($"toks", 3).as("sh"))
+        .select($"doc_id", Dedup.minhashSignature($"sh", 32).as("sig"))
+        .orderBy("doc_id").collect()
+    }
+    assert(gen === interp)
+  }
+
+  test("SimHash32: generated == interpreted") {
+    import spark.implicits._
+    val (gen, interp) = bothModes {
+      Tables.documents(spark, sf0001)
+        .select($"doc_id", Dedup.simhash32(TextAnalysis.tokens($"text")).as("sh"))
+        .orderBy("doc_id").collect()
+    }
+    assert(gen === interp)
+  }
+}
