@@ -610,3 +610,32 @@ class KernelPathEquivalenceSpec extends SparkSpec {
     assert(gen === interp)
   }
 }
+
+/** SQL null semantics for the custom kernels: null input -> null output,
+  * never an NPE or a garbage value. */
+class KernelNullSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorFunctions
+
+  test("FloatVecDot: null on either side yields null") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(3f, 4f))),
+      (Some(Array(1f, 2f)), None)).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("MinHashSig / SimHash32: null token array yields null") {
+    val df = Seq(Some(Seq("a b c", "b c d")), None).toDF("sh")
+    val sig = df.select(graft.operators.Dedup.minhashSignature($"sh", 8)).collect()
+    assert(!sig(0).isNullAt(0))
+    assert(sig(1).isNullAt(0))
+    val toks = Seq(Some(Seq("x", "y")), None).toDF("t")
+    val sh = toks.select(graft.operators.Dedup.simhash32($"t")).collect()
+    assert(!sh(0).isNullAt(0))
+    assert(sh(1).isNullAt(0))
+  }
+}
