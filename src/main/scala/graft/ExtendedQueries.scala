@@ -539,6 +539,72 @@ object ExtendedQueries {
           .orderBy("l_returnflag")
       }),
 
+    Q("q76_nation_pair_volume",
+      // TPC-H Q7 shape: the SAME dim joined twice under different roles
+      // (supplier nation vs customer nation) — alias disambiguation +
+      // pair-symmetric disjunctive filter.
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       COUNT(*) AS cnt,
+             |       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+             |FROM supplier
+             |JOIN lineitem ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+             |GROUP BY n1.n_name, n2.n_name
+             |ORDER BY supp_nation, cust_nation""".stripMargin),
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        Tables.supplier(s, d)
+          .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter(
+            (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy("supp_nation", "cust_nation")
+          .agg(count(lit(1)).as("cnt"),
+            r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy("supp_nation", "cust_nation")
+      }),
+
+    Q("q77_decile_share",
+      // Three-stage agg -> window -> agg shape: customers bucketed into
+      // spend deciles, each decile's share of total revenue. Shares sum to
+      // 1; decimal sums keep every stage exact until the final division.
+      Some("""WITH spend AS (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+             |  FROM orders GROUP BY o_custkey),
+             |ranked AS (
+             |  SELECT o_custkey, s, NTILE(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+             |  FROM spend)
+             |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
+             |       ROUND(CAST(SUM(s) AS DOUBLE), 4) AS decile_spend,
+             |       ROUND(CAST(SUM(s) AS DOUBLE)
+             |             / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders), 4) AS share
+             |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val spend = orders.groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("sp"))
+        val w = Window.orderBy(col("sp").desc, col("o_custkey"))
+        val total = orders.agg(dsumD(col("o_totalprice"))).head().getDouble(0)
+        spend.withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+            r4(sum(col("sp")).cast("double")).as("decile_spend"),
+            r4(sum(col("sp")).cast("double") / total).as("share"))
+          .orderBy("decile")
+      }),
+
     Q("q69_ann_kmeans",
       // No SQL oracle (Lloyd's iterations are not reasonably expressible in
       // one DuckDB query) -> driver records the weaker rows-only check;
