@@ -596,12 +596,19 @@ object ExtendedQueries {
         val spend = orders.groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("sp"))
         val w = Window.orderBy(col("sp").desc, col("o_custkey"))
-        val total = orders.agg(dsumD(col("o_totalprice"))).head().getDouble(0)
+        // lazy scalar: the grand total rides along as a broadcast 1-row
+        // frame (the oracle's scalar subquery shape) — an eager .head()
+        // here would run a job at plan-construction time and NPE on an
+        // empty table
+        val totalDf = orders.agg(dsumD(col("o_totalprice")).as("grand_total"))
         spend.withColumn("decile", ntile(10).over(w).cast("long"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_customers"),
-            r4(sum(col("sp")).cast("double")).as("decile_spend"),
-            r4(sum(col("sp")).cast("double") / total).as("share"))
+            sum(col("sp")).cast("double").as("spend_d"))
+          .crossJoin(broadcast(totalDf))
+          .select(col("decile"), col("n_customers"),
+            r4(col("spend_d")).as("decile_spend"),
+            r4(col("spend_d") / col("grand_total")).as("share"))
           .orderBy("decile")
       }),
 

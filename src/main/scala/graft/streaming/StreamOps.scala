@@ -95,10 +95,21 @@ object StreamOps {
 
   /** Stream-static dim enrichment: the streaming fact joins a bounded dim
     * relation. The static side re-plans per micro-batch (picking up dim
-    * updates between batches) and broadcasts when small — no stream-stream
-    * state at all, which is why this is the FIRST join shape to reach for
-    * when one side is a table. */
+    * updates between batches); no stream-stream state at all, which is why
+    * this is the FIRST join shape to reach for when one side is a table.
+    *
+    * Defaults are the safe enrichment semantics: LEFT OUTER (a fact row
+    * with no dim match passes through with null dim columns instead of
+    * silently vanishing) and `broadcastDim = true` for genuinely small
+    * dims — pass false for a large dim to let Spark pick from its size
+    * estimate instead of force-collecting it to the driver. */
   def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
-             dimKeyCol: String): DataFrame =
-    stream.join(broadcast(dim), col(keyCol) === col(dimKeyCol))
+             dimKeyCol: String, joinType: String = "left_outer",
+             broadcastDim: Boolean = true): DataFrame = {
+    val overlap = stream.columns.toSet.intersect(dim.columns.toSet)
+    require(overlap.isEmpty,
+      s"rename overlapping columns before enrich: ${overlap.mkString(", ")}")
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, col(keyCol) === col(dimKeyCol), joinType)
+  }
 }
