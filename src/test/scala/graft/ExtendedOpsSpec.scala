@@ -639,3 +639,40 @@ class KernelNullSpec extends SparkSpec {
     assert(sh(1).isNullAt(0))
   }
 }
+
+/** Lake operational robustness: schema evolution and corrupt-file
+  * tolerance — the two failure modes an append-only lake actually hits. */
+class LakeRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schema-evolved parquet reads as the union schema with nulls for old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")), "pre-evolution row must read null v2")
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) === 9.5)
+  }
+
+  test("a corrupt file in the scan path is skippable without losing good files") {
+    val dir = java.nio.file.Files.createTempDirectory("corrupt").toString + "/t"
+    Seq((1L, "ok")).toDF("id", "v").write.mode("append").parquet(dir)
+    // plant garbage that claims to be parquet
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.snappy.parquet"),
+      "not a parquet file".getBytes)
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try {
+      // default: the corrupt file fails the query loudly (no silent loss)
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      intercept[org.apache.spark.SparkException] {
+        spark.read.parquet(dir).count()
+      }
+      // opt-in degraded mode: good files still read
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir).count() === 1L)
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+}
