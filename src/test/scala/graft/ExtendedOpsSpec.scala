@@ -676,3 +676,48 @@ class LakeRobustnessSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
   }
 }
+
+class KMeansEdgeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("k larger than the corpus yields one centroid per vector") {
+    val df = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(df, k = 5, iterations = 2)
+    assert(cents.count() === 2)
+  }
+
+  test("custom column names are honored end to end") {
+    val df = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("id", "vec")
+    val cents = Similarity.kmeans(df, k = 2, iterations = 2, idCol = "id", vecCol = "vec")
+    assert(cents.count() === 2)
+    assert(cents.columns.toSeq === Seq("cent_id", "ce"))
+  }
+}
+
+class SessionizeCompositeKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composite keys sessionize independently per key tuple") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, "a", ts(0), 1L), (1L, "a", ts(10), 2L),
+      (1L, "b", ts(5), 3L),          // same user, different device: own session
+      (2L, "a", ts(0), 4L))
+      .toDF("user_id", "device", "ts", "event_id")
+    val out = graft.operators.Sessionize
+      .assign(df, Seq("user_id", "device"), "ts", "event_id", gapSeconds = 60L)
+      .select("user_id", "device", "event_id", "session_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 1L, 1L), (1L, "a", 2L, 1L), (1L, "b", 3L, 1L), (2L, "a", 4L, 1L)))
+    // and a gap within one composite key opens session 2 only there
+    val out2 = graft.operators.Sessionize
+      .assign(df.union(Seq((1L, "a", ts(500), 5L)).toDF("user_id", "device", "ts", "event_id")),
+        Seq("user_id", "device"), "ts", "event_id", gapSeconds = 60L)
+      .filter($"event_id" === 5L).select("session_id").collect()
+    assert(out2.head.getLong(0) === 2L)
+  }
+}
