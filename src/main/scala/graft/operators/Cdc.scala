@@ -107,16 +107,40 @@ object Cdc {
 
   /** A14: split a parsed envelope frame into (valid, error). Error rows are
     * corrupt lines or unknown event names — routed with a reason, never
-    * dropped (the reference's Firehose error prefix, `stack.ts:221`). */
-  def split(env: DataFrame): (DataFrame, DataFrame) = {
+    * dropped (the reference's Firehose error prefix, `stack.ts:221`).
+    * `validEvents` is overridable so a replay after a rule change (e.g. a
+    * newly supported event type) re-evaluates against the CURRENT rules. */
+  def split(env: DataFrame,
+            validEvents: Seq[String] = ValidEvents): (DataFrame, DataFrame) = {
     val isCorrupt = col("_corrupt_record").isNotNull
-    val isUnknown = !coalesce(col("eventName"), lit("")).isin(ValidEvents: _*)
+    val isUnknown = !coalesce(col("eventName"), lit("")).isin(validEvents: _*)
     val valid = env.filter(!isCorrupt && !isUnknown)
     val errors = env.filter(isCorrupt || isUnknown)
       .withColumn("error_reason",
         when(isCorrupt, lit("corrupt_record"))
           .otherwise(concat(lit("unknown_event:"), coalesce(col("eventName"), lit("null")))))
     (valid, errors)
+  }
+
+  /** Error-zone REPLAY — A14's operational counterpart: after a parser or
+    * rule fix, re-ingest previously-errored rows against the CURRENT
+    * rules. Corrupt lines are re-parsed from their preserved raw text
+    * (`_corrupt_record` carries the original line, so a schema/parser fix
+    * can recover them); unknown-event rows are re-evaluated against
+    * `validEvents` (which may have grown). Returns (recovered, stillBad):
+    * a partition of the input — nothing is dropped, rows that still fail
+    * are re-errored with fresh reasons and can be replayed again.
+    *
+    * Scale shape: two filters + one `from_json` re-parse + a union — all
+    * map-side; replay cost is proportional to the error zone, which is
+    * tiny by construction. */
+  def replayErrors(errors: DataFrame,
+                   validEvents: Seq[String] = ValidEvents): (DataFrame, DataFrame) = {
+    val env = errors.drop("error_reason")
+    val wasCorrupt = col("_corrupt_record").isNotNull
+    val reparsed = parse(env.filter(wasCorrupt).select(col("_corrupt_record").as("value")))
+    val candidate = env.filter(!wasCorrupt).unionByName(reparsed)
+    split(candidate, validEvents)
   }
 
   /** A13: derive the hour-partition columns from the ingestion clock —

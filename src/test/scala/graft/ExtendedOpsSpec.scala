@@ -721,3 +721,43 @@ class SessionizeCompositeKeySpec extends SparkSpec {
     assert(out2.head.getLong(0) === 2L)
   }
 }
+
+/** Error-zone replay: previously-errored rows re-ingested under current
+  * rules — recoverable rows recover, the rest stay errored, nothing lost. */
+class ReplayErrorsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Cdc
+
+  private def envOf(lines: Seq[String]) = Cdc.parse(lines.toDF("value"))
+
+  test("rule extension recovers unknown-event rows; corrupt lines stay errored") {
+    val good = """{"eventName":"INSERT","dynamodb":{"ApproximateCreationDateTime":1.0,"NewImage":{"id":{"S":"1"},"name":{"S":"a"}}}}"""
+    val upsert = good.replace("INSERT", "UPSERT") // not valid... yet
+    val garbage = "{not json"
+    val (_, errors) = Cdc.split(envOf(Seq(good, upsert, garbage)))
+    assert(errors.count() === 2)
+
+    // replay under the ORIGINAL rules: nothing recovers, nothing is lost
+    val (rec0, bad0) = Cdc.replayErrors(errors)
+    assert(rec0.count() === 0 && bad0.count() === 2)
+
+    // replay after the rules learn UPSERT: that row recovers with its
+    // payload intact; the garbage stays errored with a fresh reason
+    val (rec1, bad1) = Cdc.replayErrors(errors, Cdc.ValidEvents :+ "UPSERT")
+    assert(rec1.count() === 1)
+    assert(rec1.select("eventName").head().getString(0) === "UPSERT")
+    assert(bad1.count() === 1)
+    assert(bad1.select("error_reason").head().getString(0) === "corrupt_record")
+  }
+
+  test("a corrupt line becomes recoverable once it parses (raw text preserved)") {
+    // a line that is VALID json — errored only for its unknown event name
+    val odd = """{"eventName":"PATCH","dynamodb":{"ApproximateCreationDateTime":2.0,"NewImage":{"id":{"S":"9"},"name":{"S":"z"}}}}"""
+    val (_, errors) = Cdc.split(envOf(Seq(odd)))
+    val (rec, bad) = Cdc.replayErrors(errors, validEvents = Seq("INSERT", "MODIFY", "REMOVE", "PATCH"))
+    assert(rec.count() === 1 && bad.count() === 0)
+    // the recovered envelope still carries its image
+    val img = rec.select("dynamodb.NewImage").head().getMap[String, Map[String, String]](0)
+    assert(img("id")("S") === "9")
+  }
+}
