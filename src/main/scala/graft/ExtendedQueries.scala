@@ -612,6 +612,84 @@ object ExtendedQueries {
           .orderBy("decile")
       }),
 
+    Q("q78_exists_combo",
+      // EXISTS and NOT EXISTS against the same relation in one predicate —
+      // Catalyst plans a semi and an anti join over one subtree.
+      Some("""SELECT c_custkey, c_name
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        Tables.customer(s, d)
+          .join(orders.select("o_custkey"), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(orders.filter(col("o_totalprice") > 400000).select("o_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      }),
+
+    Q("q79_cte_reuse",
+      // One CTE consumed twice (per-nation stats vs their global average) —
+      // the shared-subtree reuse shape.
+      Some("""WITH stats AS (
+             |  SELECT n_name, COUNT(*) AS n_cust,
+             |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name)
+             |SELECT s.n_name, s.n_cust, ROUND(s.bal, 4) AS nation_bal
+             |FROM stats s
+             |WHERE s.bal > (SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) FROM stats)
+             |ORDER BY s.n_name""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_q79")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation_q79")
+        s.sql("""WITH stats AS (
+                |  SELECT n_name, COUNT(*) AS n_cust,
+                |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+                |  FROM graft_cust_q79 JOIN graft_nation_q79 ON c_nationkey = n_nationkey
+                |  GROUP BY n_name)
+                |SELECT s.n_name, s.n_cust, ROUND(s.bal, 4) AS nation_bal
+                |FROM stats s
+                |WHERE s.bal > (SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) FROM stats)
+                |ORDER BY s.n_name""".stripMargin)
+      }),
+
+    Q("q80_null_funcs",
+      // COALESCE/NULLIF/CASE over genuine outer-join nulls (customers with
+      // no orders) — the null-handling function surface on real nulls, not
+      // literals.
+      // Outputs stay integer/string-exact: ROUND of an arbitrary float
+      // QUOTIENT is the one place the engines' double-rounding can differ
+      // by 1 ulp at a .xxxx5 boundary (measured here), so the quotient
+      // form is deliberately excluded.
+      Some("""SELECT c_custkey,
+             |       COALESCE(CAST(cnt AS BIGINT), 0) AS order_cnt,
+             |       CAST(CASE WHEN cnt IS NULL THEN 'none'
+             |                 WHEN cnt >= 20 THEN 'heavy' ELSE 'light' END AS VARCHAR) AS band,
+             |       CAST(NULLIF(COALESCE(cnt, 0), 0) AS BIGINT) AS nullable_cnt,
+             |       ROUND(COALESCE(total, 0.0), 4) AS total_spend
+             |FROM customer
+             |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt,
+             |                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |           FROM orders GROUP BY o_custkey) o ON o_custkey = c_custkey
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val agg = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), dsumD(col("o_totalprice")).as("total"))
+        Tables.customer(s, d)
+          .join(agg, col("o_custkey") === col("c_custkey"), "left_outer")
+          .select(col("c_custkey"),
+            coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+            when(col("cnt").isNull, "none").when(col("cnt") >= 20, "heavy")
+              .otherwise("light").as("band"),
+            nullif(coalesce(col("cnt"), lit(0L)), lit(0L)).cast("long").as("nullable_cnt"),
+            r4(coalesce(col("total"), lit(0.0))).as("total_spend"))
+          .orderBy("c_custkey")
+      }),
+
     Q("q69_ann_kmeans",
       // No SQL oracle (Lloyd's iterations are not reasonably expressible in
       // one DuckDB query) -> driver records the weaker rows-only check;
