@@ -23,8 +23,17 @@ object Bench {
     // warmup failure would report cold numbers as steady-state.
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.toString else sfDir
+      if (sib.isDirectory) sib.toString
+      else {
+        // Loud: warming on the full target dir runs every query TWICE at
+        // full scale — wall time roughly doubles and the operator should
+        // know why.
+        System.err.println(s"[bench] WARNING: no sf0.001 sibling of $sfDir — " +
+          "warming up on the full target dir (each query runs twice at full scale)")
+        sfDir
+      }
     }
+    System.err.println(s"[bench] warmup dir: $warmDir; timed dir: $sfDir")
     var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }

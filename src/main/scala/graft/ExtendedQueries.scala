@@ -492,7 +492,7 @@ object ExtendedQueries {
       // part of the contract — see TextAnalysis.DefaultRedactions.
       Some("""SELECT doc_id,
              |       regexp_replace(regexp_replace(text,
-             |         '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
              |         '[0-9]+', '<NUM>', 'g') AS redacted,
              |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_nums
              |FROM documents WHERE n_chars >= 220

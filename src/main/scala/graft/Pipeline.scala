@@ -132,6 +132,11 @@ object Pipeline {
   final case class TrainingSpec(
       sourcePath: String,
       destPath: String,
+      // idCol must be an INTEGRAL column when nearDupJaccard is set: the
+      // near-dup stage labels duplicate clusters via
+      // Dedup.connectedComponents, whose node ids are longs (it require-
+      // fails loudly on non-integral ids). Hash free-form string ids to an
+      // integral column first (e.g. HashFunctions.h32).
       idCol: String = "doc_id",
       textCol: String = "text",
       minQuality: Double = 0.0,

@@ -24,6 +24,13 @@ object AsOf {
     * Output: all `probes` columns + `outCol` (the as-of `refValCol`, null
     * when no reference precedes the probe). Equal-timestamp references
     * resolve to the one with the greatest `seqCol` (deterministic).
+    *
+    * A reference row whose `refValCol` is NULL still counts as the latest
+    * reference (its null wins over any older non-null value): reference
+    * PRESENCE is tracked by a non-null struct marker, so "latest value is
+    * null" and "no reference yet" are distinguishable — both yield a null
+    * `outCol`, but a null-valued reference correctly shadows older values
+    * instead of being skipped by `ignoreNulls`.
     */
   def joinLatest(probes: DataFrame, refs: DataFrame, keyCols: Seq[String],
                  tsCol: String, seqCol: String, refValCol: String,
@@ -32,22 +39,27 @@ object AsOf {
     require((probes.columns ++ refs.columns).intersect(internal).isEmpty,
       s"input columns collide with internal names ${internal.mkString(", ")}")
     val refValType = refs.schema(refValCol).dataType
+    val markerType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", refValType)))
     val probeStruct = org.apache.spark.sql.types.StructType(probes.schema)
     // unresolved col() refs — resolved against whichever side they are
     // select()ed on below
     val sideCols: Seq[Column] =
       keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col(seqCol).as("_seq"))
+    // _ref_val is struct(v) on reference rows (non-null even when v is null)
+    // and a null struct on probe rows — `last(ignoreNulls)` then skips probe
+    // rows but never a genuine reference, null-valued or not.
     val r = refs.select(sideCols
-      ++ Seq(col(refValCol).as("_ref_val"), lit(0).as("_side"),
+      ++ Seq(struct(col(refValCol).as("v")).as("_ref_val"), lit(0).as("_side"),
         lit(null).cast(probeStruct).as("_probe")): _*)
     val p = probes.select(sideCols
-      ++ Seq(lit(null).cast(refValType).as("_ref_val"), lit(1).as("_side"),
+      ++ Seq(lit(null).cast(markerType).as("_ref_val"), lit(1).as("_side"),
         struct(probes.columns.toIndexedSeq.map(col): _*).as("_probe")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, 0)
     r.unionByName(p)
-      .withColumn(outCol, last(col("_ref_val"), ignoreNulls = true).over(w))
+      .withColumn(outCol, last(col("_ref_val"), ignoreNulls = true).over(w)("v"))
       .filter(col("_side") === 1)
       .select(col("_probe.*"), col(outCol))
   }

@@ -189,6 +189,19 @@ object Dedup {
                           bCol: String = "b_id", maxIterations: Int = 20,
                           smallGraphEdges: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
+    // Node ids must be integral: the long cast below would throw under ANSI
+    // on free-form string ids (and with ANSI off would silently null every
+    // node, collapsing all components into one). Callers with string ids
+    // hash them to long first (e.g. HashFunctions.h64) — loud here beats
+    // either failure mode downstream.
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = edges.schema(c).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral node ids; $c is $dt — " +
+          "hash string ids to an integral column first (e.g. graft.functions.HashFunctions.h32)")
+    }
     // Materialize the edge relation BEFORE symmetrizing: the union's two
     // branches both reference the (possibly expensive — e.g. a whole LSH
     // dedup pipeline) edge subtree, and through the checkpoint/RDD path

@@ -84,7 +84,11 @@ object TextAnalysis {
     * the RE2-compatible subset (no backrefs/lookarounds) so any engine
     * reproduces them. */
   val DefaultRedactions: Seq[(String, String)] = Seq(
-    "[A-Za-z0-9.]+@[A-Za-z0-9.]+" -> "<EMAIL>", // mixed case: Bob@Corp.com must not survive
+    // Full RFC-ish local part (._%+- legal and common: john_doe@, a+tag@) —
+    // a narrower class would redact only the tail and leak partial PII
+    // ("john_doe@corp.com" -> "john_<EMAIL>"). Mixed case: Bob@Corp.com
+    // must not survive either.
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
     "[0-9]+" -> "<NUM>")
 
   /** PII-style masking as a single map-side projection: one scan at any

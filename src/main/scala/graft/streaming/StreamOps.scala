@@ -78,6 +78,16 @@ object StreamOps {
       .intersect(right.columns.toSet -- Set(keyCol, tsCol))
     require(overlap.isEmpty,
       s"rename overlapping non-key columns before intervalJoin: ${overlap.mkString(", ")}")
+    // The rename targets themselves must be free on EITHER side: a left (or
+    // right non-key) column already named `key_r`/`ts_r` would collide with
+    // the renamed right key/ts — exactly the ambiguity the guard above exists
+    // to prevent.
+    val renameTargets = Set(s"${keyCol}_r", s"${tsCol}_r")
+    val clash = (left.columns.toSet ++ (right.columns.toSet -- Set(keyCol, tsCol)))
+      .intersect(renameTargets)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with intervalJoin's " +
+        s"${keyCol}_r/${tsCol}_r rename targets — rename them first")
     val l = left.withWatermark(tsCol, lateness)
     val r0 = right
       .withColumnRenamed(keyCol, s"${keyCol}_r")

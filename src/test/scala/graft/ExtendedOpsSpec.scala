@@ -73,6 +73,20 @@ class AsOfSpec extends SparkSpec {
       .select("asof_value").collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("a null-VALUED latest reference wins over older non-null values") {
+    // ref@t=1 has value 10.0; ref@t=5 exists but its value is null. A probe
+    // at t=7 must see null (the latest reference), NOT carry 10.0 forward —
+    // "latest value is null" and "no reference yet" are distinct states.
+    val refs = Seq((1L, ts(1), 10L, Some(10.0)), (1L, ts(5), 11L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((1L, ts(3), 20L), (1L, ts(7), 21L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOf.joinLatest(probes, refs, Seq("user_id"), "ts", "event_id", "value")
+      .orderBy("event_id").select("asof_value").collect()
+    assert(out(0).getDouble(0) === 10.0) // t=3: before the null ref
+    assert(out(1).isNullAt(0))           // t=7: null ref shadows 10.0
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
@@ -107,6 +121,12 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty edge set yields empty labeling") {
     val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.connectedComponents(edges).count() === 0L)
+  }
+
+  test("non-integral node ids are rejected loudly (no silent ANSI cast)") {
+    val edges = Seq(("a", "b")).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException](Dedup.connectedComponents(edges))
+    assert(e.getMessage.contains("integral"))
   }
 }
 
@@ -230,6 +250,18 @@ class IntervalJoinSpec extends SparkSpec {
       .orderBy("user_id", "ts", "ts_r").collect()
     assert(streamed.nonEmpty, "interval join produced no rows — fixture too sparse")
     assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("a left column named after the ts_r/key_r rename target is rejected") {
+    import spark.implicits._
+    val ts0 = new java.sql.Timestamp(0L)
+    // 'ts_r' on the LEFT would become ambiguous once the right's ts is
+    // renamed to ts_r — the guard must catch it up front.
+    val left = Seq((1L, ts0, 0.0)).toDF("user_id", "ts", "ts_r")
+    val right = Seq((1L, ts0)).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamOps.intervalJoin(left, right, "user_id", "ts"))
+    assert(e.getMessage.contains("rename targets"))
   }
 }
 
@@ -491,6 +523,17 @@ class RedactSpec extends SparkSpec {
     val twice = df.select(TextAnalysis.redact(TextAnalysis.redact($"text")).as("r"))
       .collect().map(_.getString(0))
     assert(once.toSeq === twice.toSeq, "redaction must be idempotent")
+  }
+
+  test("local parts with ._%+- and hyphenated domains redact WHOLE, no partial leak") {
+    val df = Seq(
+      "mail john_doe@corp.com today",
+      "or jane.d+tag@my-host.co.uk instead",
+      "pct a%b@x.io end").toDF("text")
+    val out = df.select(TextAnalysis.redact($"text").as("r")).collect().map(_.getString(0))
+    assert(out(0) === "mail <EMAIL> today")   // not "john_<EMAIL>"
+    assert(out(1) === "or <EMAIL> instead")
+    assert(out(2) === "pct <EMAIL> end")
   }
 }
 
