@@ -474,17 +474,27 @@ object ExtendedQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
-      (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, d),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA")
-        .groupBy("n_name")
-        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))),
+      (s, d) => {
+        // Fact-FIRST join order: lineitem streams through every join and
+        // never sits on a build side (static stats would otherwise happily
+        // broadcast the column-pruned fact — measured: BuildRight=lineitem
+        // at sf0.1). The ASIA-filtered supplier⋈nation⋈region dim chain is
+        // explicitly broadcast; orders/customer stay unhinted so AQE picks
+        // build sides from runtime sizes at any scale.
+        val dims = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
 
     Q("q74_text_redact",
       // PII-style masking; n_chars>=220 keeps the output scan small while
@@ -696,12 +706,14 @@ object ExtendedQueries {
       // determinism and quality are pinned by KMeansSpec instead.
       None,
       (s, d) => {
+        import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)
-        val cents = graft.operators.Similarity.kmeans(emb, k = 16, iterations = 2)
-        val assigned = graft.operators.Similarity.assignToCentroids(emb, cents)
+        val cents = Similarity.collectCentroids(
+          Similarity.kmeans(emb, k = 16, iterations = 2))
+        val assigned = Similarity.assignToCentroidsLocal(emb, cents)
         val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        graft.operators.Similarity.ivfTopK(
-          assigned.filter(col("vec_id") =!= 0), cents, query, 10)
+        Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents, query, 10,
+          "vec_id", "embedding", "qe")
       }),
 
     Q("q56_dup_clusters",

@@ -255,11 +255,12 @@ object TrainingQueries {
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val assigned = Similarity.assignToCentroids(emb, cents)
+        val cents = Similarity.collectCentroids(emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
+        val assigned = Similarity.assignToCentroidsLocal(emb, cents)
         val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents, query, 10)
+        Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents, query, 10,
+          "vec_id", "embedding", "qe")
       })
   )
 }

@@ -46,13 +46,57 @@ object Similarity {
       .select(col(idCol), col("a." + centIdCol).as("cent_id"), col("a." + vecCol).as(vecCol))
   }
 
+  /** Map-side centroid assignment for driver-resident centroids (k×dim
+    * floats — a few KB, the normal IVF regime): the argmax over k cosines
+    * runs inside ONE codegen'd projection (array_max over literal-centroid
+    * structs), so assignment costs zero shuffles and no k-times row blowup.
+    * [[assignToCentroids]] by contrast materializes and shuffles every
+    * (vector, centroid) pair — keep it for centroid sets too large to
+    * collect. Identical semantics: max cosine, ties to the lowest centroid
+    * id. */
+  def assignToCentroidsLocal(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val vnorm = sqrt(normSq(col(vecCol)))
+    val scored = centroids.map { case (cid, ce) =>
+      // centroid norm folded on the driver, mirroring FloatVecDot's strict
+      // left-to-right double accumulation bit-for-bit
+      var sq = 0.0
+      ce.foreach(x => sq += x.toDouble * x.toDouble)
+      val denom = vnorm * lit(math.sqrt(sq))
+      val csim = when(denom === 0.0, lit(0.0))
+        .otherwise(dot(col(vecCol), typedLit(ce)) / denom)
+      struct(csim.as("s"), lit(-cid).as("negid"), lit(cid).as("cid"))
+    }
+    vectors.select(col(idCol),
+      array_max(array(scored: _*)).getField("cid").as("cent_id"), col(vecCol))
+  }
+
+  /** Collect a small centroid relation to the driver for the
+    * [[assignToCentroidsLocal]] / literal-probe path. */
+  def collectCentroids(centroids: DataFrame, centIdCol: String = "cent_id",
+                       centVecCol: String = "ce"): Seq[(Long, Array[Float])] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+  }
+
   /** IVF search: probe only the query's nearest cell, exact top-k inside.
     * `assigned` is the output of [[assignToCentroids]] (at scale this is
     * written bucketed/partitioned by cent_id so a probe prunes partitions). */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              queryVecCol: String = "qe"): DataFrame = {
-    val probedCell = assignToCentroids(
+              queryVecCol: String = "qe"): DataFrame =
+    ivfTopK(assigned, collectCentroids(centroids), query, k, idCol, vecCol, queryVecCol)
+
+  /** [[ivfTopK]] with driver-resident centroids: the probe cell is chosen
+    * by the same zero-shuffle literal argmax as
+    * [[assignToCentroidsLocal]]. */
+  def ivfTopK(assigned: DataFrame, centroids: Seq[(Long, Array[Float])], query: DataFrame,
+              k: Int, idCol: String, vecCol: String, queryVecCol: String): DataFrame = {
+    val probedCell = assignToCentroidsLocal(
       query.select(lit(-1L).as(idCol), col(queryVecCol).as(vecCol)), centroids,
       idCol, vecCol).select(col("cent_id"))
     assigned.join(broadcast(probedCell), "cent_id")
@@ -67,8 +111,9 @@ object Similarity {
     * arbitrary ids). Design choices, all for scale + determinism:
     *
     *  - init = the k lowest-id vectors (deterministic, no RNG);
-    *  - assignment = [[assignToCentroids]]: centroids broadcast, ONE scan
-    *    of the vectors per iteration, max-cosine with id tie-break;
+    *  - assignment = [[assignToCentroidsLocal]]: centroid literals compiled
+    *    into ONE zero-shuffle scan per iteration, max-cosine with id
+    *    tie-break;
     *  - update = per-dimension mean via posexplode + decimal-exact sums
     *    (a float sum's value depends on shuffle arrival order; the decimal
     *    accumulator makes the centroid bit-stable run-to-run), then the
@@ -87,18 +132,23 @@ object Similarity {
       .as[(Long, Array[Float])].collect().toSeq
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 0 until iterations) {
-      val centDf = centroids.toDF("cent_id", "ce")
-        .select(col("cent_id"), col("ce").cast("array<float>").as("ce"))
-      val assigned = assignToCentroids(vectors, centDf, idCol, vecCol)
+      // literal-centroid map-side argmax: each iteration is ONE scan with
+      // zero shuffles before the per-dimension mean aggregation
+      val assigned = assignToCentroidsLocal(vectors, centroids, idCol, vecCol)
+      // ONE shuffle per iteration: partial sums combine map-side down to
+      // k x dim rows; the tiny (cent_id, pos, mean) relation is assembled
+      // into arrays on the driver (it is collected anyway) rather than
+      // paying a second collect_list shuffle for the grouping.
       val means = assigned
         .select(col("cent_id"), posexplode(col(vecCol)))
         .groupBy(col("cent_id"), col("pos"))
         .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
           .cast("float").as("m"))
-        .groupBy("cent_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("ce"))
-        .as[(Long, Array[Float])].collect().toMap
+        .as[(Long, Int, Float)].collect()
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3)
+        }
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     centroids.toDF("cent_id", "ce")

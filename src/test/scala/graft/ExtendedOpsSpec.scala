@@ -211,6 +211,18 @@ class KMeansSpec extends SparkSpec {
     assert(assigned.count() === emb.count())
     assert(assigned.select("cent_id").distinct().count() <= 4)
   }
+
+  test("literal map-side assignment == distributed crossJoin assignment") {
+    // same argmax + tie semantics, different plan shape (zero shuffles vs
+    // crossJoin+groupBy) — every vector must land in the same cell.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Similarity.kmeans(emb, k = 4, iterations = 2)
+    val dist = Similarity.assignToCentroids(emb, cents)
+      .select("vec_id", "cent_id").orderBy("vec_id").collect().toSeq
+    val local = Similarity.assignToCentroidsLocal(emb, Similarity.collectCentroids(cents))
+      .select("vec_id", "cent_id").orderBy("vec_id").collect().toSeq
+    assert(local === dist)
+  }
 }
 
 /** Stream-stream interval join == the equivalent batch range join. */
