@@ -1,0 +1,363 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Queries.Q
+import graft.sources.Tables
+
+/** Round-3 inventory extension (q81–q94): the remaining TPC-H query
+  * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
+  * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
+  * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
+  * avg-quantity correlated filter, Q18's having-then-rejoin, Q22's
+  * rich-inactive anti join) plus map/struct/string-format/regexp/date-part
+  * function coverage. All under the SURVEY §2.2 determinism rules; every
+  * fractional comparison is restated multiplicatively over exact decimals
+  * (e.g. `5·qty·n < Σqty` for `qty < 0.2·avg`) so no engine ever compares
+  * against a rounded quotient.
+  */
+object MoreQueries {
+
+  import Queries.{dsum, dsumD, r4}
+
+  def all: Seq[Q] = Seq(
+
+    Q("q81_min_price_supplier",
+      // TPC-H Q2 shape: suppliers achieving the per-part minimum price.
+      // The correlated MIN is a window over the part-filtered join — the
+      // filter lands BEFORE the window pass, so the 100 TB plan windows
+      // only surviving parts (min-per-partkey is join-invariant: the dim
+      // join drops whole partkeys, never individual lineitems).
+      Some("""WITH pmin AS (SELECT l_partkey, MIN(l_extendedprice) AS minp
+             |              FROM lineitem GROUP BY l_partkey)
+             |SELECT p_partkey, s_suppkey, s_name, l_orderkey, l_linenumber,
+             |       ROUND(l_extendedprice, 4) AS price
+             |FROM part
+             |JOIN lineitem ON l_partkey = p_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN pmin ON pmin.l_partkey = p_partkey AND l_extendedprice = pmin.minp
+             |WHERE p_size <= 5
+             |ORDER BY p_partkey, s_suppkey, l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => {
+        val parts = Tables.part(s, d).filter(col("p_size") <= 5).select("p_partkey")
+        val w = Window.partitionBy("l_partkey")
+        Tables.lineitem(s, d)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .withColumn("minp", min(col("l_extendedprice")).over(w))
+          .filter(col("l_extendedprice") === col("minp"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+            col("l_orderkey"), col("l_linenumber"),
+            r4(col("l_extendedprice")).as("price"))
+          .orderBy("p_partkey", "s_suppkey", "l_orderkey", "l_linenumber")
+      }),
+
+    Q("q82_late_ship_priority",
+      // TPC-H Q4 shape: EXISTS decorrelates to a left-semi join; the fact
+      // side never duplicates orders however many lineitems match.
+      Some("""SELECT o_orderpriority, COUNT(*) AS n
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        Tables.orders(s, d)
+          .join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      }),
+
+    Q("q83_brand_value_share",
+      // TPC-H Q11 shape: groups above a fraction of the global total. The
+      // share test is multiplicative over exact decimals (50·Σbrand > Σall
+      // ⇔ share > 2%) — no quotient, no float boundary.
+      Some("""WITH tot AS (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS t
+             |             FROM part)
+             |SELECT p_brand,
+             |       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS brand_value
+             |FROM part, tot
+             |GROUP BY p_brand, t
+             |HAVING 50 * SUM(CAST(p_retailprice AS DECIMAL(18,4))) > t
+             |ORDER BY p_brand""".stripMargin),
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val tot = p.agg(dsum(col("p_retailprice")).as("t"))
+        p.groupBy("p_brand").agg(dsum(col("p_retailprice")).as("bsum"))
+          .crossJoin(broadcast(tot))
+          .filter(col("bsum") * 50 > col("t"))
+          .select(col("p_brand"), r4(col("bsum").cast("double")).as("brand_value"))
+          .orderBy("p_brand")
+      }),
+
+    Q("q84_custdist",
+      // TPC-H Q13 shape: two-level aggregation incl. zero-order customers
+      // (the left join keeps them; COUNT(o_orderkey) ignores the nulls).
+      Some("""WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |           FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |           GROUP BY c_custkey)
+             |SELECT c_count, COUNT(*) AS custdist
+             |FROM c GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    Q("q85_promo_share",
+      // TPC-H Q14 shape: monthly promo revenue share. Both operands of the
+      // single final division are exact decimal sums surfaced as double.
+      Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |       CAST(month(l_shipdate) AS BIGINT) AS mo,
+             |       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+             |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             |             4) AS promo_share
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin),
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+        val zero = lit(0).cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+            month(col("l_shipdate")).cast("long").as("mo"))
+          .agg(r4(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(zero)).cast("double") /
+            sum(rev).cast("double")).as("promo_share"))
+          .orderBy("yr", "mo")
+      }),
+
+    Q("q86_supplier_cnt",
+      // TPC-H Q16 shape: NOT IN over a never-null key == left-anti join.
+      Some("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_size IN (1, 5, 9, 13)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      (s, d) => {
+        val badSupp = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_size").isin(1, 5, 9, 13))
+              .select("p_partkey", "p_brand", "p_type", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      }),
+
+    Q("q87_small_qty_revenue",
+      // TPC-H Q17 shape: `qty < 0.2·avg(qty per part)` restated as
+      // `5·qty·n < Σqty` over exact decimals — the correlated-average
+      // filter without a quotient.
+      Some("""WITH pa AS (SELECT l_partkey,
+             |                   SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+             |                   COUNT(*) AS n
+             |            FROM lineitem GROUP BY l_partkey)
+             |SELECT p_brand,
+             |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+             |       COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN pa USING (l_partkey)
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n < sq
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val pa = li.groupBy(col("l_partkey").as("pa_partkey"))
+          .agg(dsum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+        li.join(pa, col("l_partkey") === col("pa_partkey"))
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .filter(col("l_quantity").cast("decimal(18,4)") * 5 * col("n") < col("sq"))
+          .groupBy("p_brand")
+          .agg(r4(dsumD(col("l_extendedprice"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      }),
+
+    Q("q88_big_orders",
+      // TPC-H Q18 shape: grouped HAVING feeds a semi filter, then the
+      // surviving orders re-join and re-aggregate.
+      Some("""WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             |       ROUND(o_totalprice, 4) AS total_price,
+             |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN big ON big.l_orderkey = o_orderkey
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val big = li.groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("sq"))
+          .filter(col("sq") > lit(300).cast("decimal(18,4)"))
+          .select(col("l_orderkey").as("big_orderkey"))
+        li.join(big, col("l_orderkey") === col("big_orderkey"))
+          .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(r4(dsumD(col("l_quantity"))).as("sum_qty"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            r4(col("o_totalprice")).as("total_price"), col("sum_qty"))
+          .orderBy("o_orderkey")
+      }),
+
+    Q("q89_rich_inactive",
+      // TPC-H Q22 shape: above-average balance (scalar subquery) and no
+      // LARGE order (anti join with a residual predicate pushed into the
+      // anti side), summarized per segment. Every customer in the driver
+      // data has at least one order, so the plain no-orders form would be
+      // vacuously empty — the price floor keeps the anti join load-bearing.
+      Some("""WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             |                   / COUNT(*) AS a
+             |            FROM customer WHERE c_acctbal > 0)
+             |SELECT c_mktsegment, COUNT(*) AS n_custs,
+             |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_bal
+             |FROM customer, ab
+             |WHERE c_acctbal > a
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg((dsumD(col("c_acctbal")) / count(lit(1))).as("a"))
+        val bigOrders = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000).select("o_custkey")
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("a"))
+          .join(bigOrders, col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_custs"), r4(dsumD(col("c_acctbal"))).as("total_bal"))
+          .orderBy("c_mktsegment")
+      }),
+
+    Q("q90_map_funcs",
+      // MapType surface: build (map_from_arrays/create_map), merge
+      // (map_concat), rewrite values (transform_values), drop entries
+      // (map_filter), read (element_at/map_keys). The oracle states the
+      // equivalent scalar results directly — the map algebra is the thing
+      // under test on the Spark side.
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u, UPPER(p_type) AS type_u,
+             |       CAST(3 AS BIGINT) AS n_keys, 'brand,type' AS kept_keys
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => {
+        val m0 = map_from_arrays(array(lit("brand"), lit("type")),
+          array(col("p_brand"), col("p_type")))
+        val m = map_concat(m0, map(lit("size"), col("p_size").cast("string")))
+        val mu = transform_values(m, (_, v) => upper(v))
+        val kept = map_filter(mu, (k, _) => k =!= "size")
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            element_at(mu, "brand").as("brand_u"),
+            element_at(mu, "type").as("type_u"),
+            size(m).cast("long").as("n_keys"),
+            array_join(array_sort(map_keys(kept)), ",").as("kept_keys"))
+          .orderBy("p_partkey")
+      }),
+
+    Q("q91_struct_minmax",
+      // Struct ordering as a deterministic arg-min/arg-max: min/max over
+      // struct(price, key) — the (price, key) pair is unique, so ties are
+      // impossible by construction (the safe form of min_by/max_by).
+      Some("""WITH w AS (SELECT o_custkey, o_totalprice, o_orderkey,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                     ORDER BY o_totalprice, o_orderkey) AS rn_min,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+             |  FROM orders)
+             |SELECT o_custkey,
+             |       MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_key,
+             |       ROUND(MAX(CASE WHEN rn_min = 1 THEN o_totalprice END), 4) AS cheapest_price,
+             |       MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_key,
+             |       ROUND(MAX(CASE WHEN rn_max = 1 THEN o_totalprice END), 4) AS priciest_price
+             |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("mn"),
+          max(struct(col("o_totalprice"), col("o_orderkey"))).as("mx"))
+        .select(col("o_custkey"),
+          col("mn.o_orderkey").as("cheapest_key"),
+          r4(col("mn.o_totalprice")).as("cheapest_price"),
+          col("mx.o_orderkey").as("priciest_key"),
+          r4(col("mx.o_totalprice")).as("priciest_price"))
+        .orderBy("o_custkey")),
+
+    Q("q92_string_format",
+      // C-style formatting (format_string ≡ printf), char translation,
+      // repetition — the string surface q58 left uncovered.
+      Some("""SELECT p_partkey,
+             |       printf('%s#%05d', p_brand, p_partkey) AS tag,
+             |       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+             |       concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS joined,
+             |       repeat('*', CAST(p_size % 5 AS INT) + 1) AS stars
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          format_string("%s#%05d", col("p_brand"), col("p_partkey")).as("tag"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          concat_ws("|", col("p_brand"), col("p_type"), col("p_size").cast("string")).as("joined"),
+          repeat(lit("*"), (col("p_size") % 5 + 1).cast("int")).as("stars"))
+        .orderBy("p_partkey")),
+
+    Q("q93_regexp_funcs",
+      // regexp_count / boolean match / group extract / class replace —
+      // all in the RE2-compatible subset both engines share.
+      Some("""SELECT p_partkey,
+             |       CAST(LEN(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+             |       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             |       regexp_matches(p_name, 'ro') AS has_ro,
+             |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          col("p_name").rlike("ro").as("has_ro"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("masked"))
+        .orderBy("p_partkey")),
+
+    Q("q94_date_parts",
+      // make_date reconstruction + day-of-year/ISO-week extraction,
+      // aggregated per month (q60 covers arithmetic; this covers
+      // construction and the remaining extract surface).
+      Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |       CAST(month(l_shipdate) AS BIGINT) AS mo,
+             |       strftime(make_date(CAST(year(l_shipdate) AS INT),
+             |                          CAST(month(l_shipdate) AS INT), 1),
+             |                '%Y-%m-%d') AS month_start,
+             |       COUNT(*) AS n,
+             |       CAST(MIN(dayofyear(l_shipdate)) AS BIGINT) AS first_doy,
+             |       CAST(MAX(weekofyear(l_shipdate)) AS BIGINT) AS max_wk
+             |FROM lineitem GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          month(col("l_shipdate")).cast("long").as("mo"),
+          date_format(make_date(year(col("l_shipdate")), month(col("l_shipdate")), lit(1)),
+            "yyyy-MM-dd").as("month_start"))
+        .agg(count(lit(1)).as("n"),
+          min(dayofyear(col("l_shipdate"))).cast("long").as("first_doy"),
+          max(weekofyear(col("l_shipdate"))).cast("long").as("max_wk"))
+        .orderBy("yr", "mo"))
+  )
+}
