@@ -101,6 +101,23 @@ object TextAnalysis {
   def regexTokenCount(text: Column, pattern: String = "[a-z0-9]+"): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Approximate top tokens via the [[graft.functions.HeavyHitters]]
+    * Misra–Gries summary: ONE scan, O(k) state per partial buffer, no
+    * per-distinct-token shuffle row — the scale path for "what dominates
+    * this corpus" when the vocabulary itself is too large to group by.
+    * Output: (item, count, err) rows, count a lower bound with
+    * `true <= count + err` (HeavyHittersSpec pins the guarantees). */
+  def topTokensApprox(docs: DataFrame, textCol: String = "text", k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val hh = org.apache.spark.sql.functions.udaf(
+      graft.functions.HeavyHitters(k), Encoders.STRING)
+    docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(hh(col("tok")).as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.item"), col("h.count"), col("h.err"))
+  }
+
   /** One-scan text profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))

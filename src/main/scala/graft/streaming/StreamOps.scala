@@ -66,14 +66,18 @@ object StreamOps {
     * Column convention: left columns keep their names and right's key/ts
     * become `keyCol_r`/`tsCol_r`; any OTHER column name shared by both
     * sides is rejected up front (it would silently produce ambiguous
-    * duplicate output columns) — rename before joining. */
+    * duplicate output columns) — rename before joining.
+    *
+    * `left_semi` emits each left row at most once (first match wins, no
+    * right columns in the output) — "purchases that had a view nearby"
+    * without the match multiplicity. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lowerBound: String = "10 minutes",
                    upperBound: String = "10 minutes",
                    lateness: String = "10 minutes",
                    joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"stream-stream interval join supports inner/left_outer, got $joinType")
+    require(Set("inner", "left_outer", "left_semi")(joinType),
+      s"stream-stream interval join supports inner/left_outer/left_semi, got $joinType")
     val overlap = left.columns.toSet
       .intersect(right.columns.toSet -- Set(keyCol, tsCol))
     require(overlap.isEmpty,

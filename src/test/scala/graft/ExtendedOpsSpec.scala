@@ -605,6 +605,41 @@ class StreamJoinSpec extends SparkSpec {
       .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     assert(got.toSeq === Seq((1.0, Some(10.0)), (2.0, None)))
   }
+
+  test("left-semi interval join == batch semi (each left row at most once)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select($"ts", $"user_id", $"event_type", $"value").as[EventRow]
+    val rows = ev.collect().toSeq
+    def mem() = {
+      val m = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+      m.addData(rows); m
+    }
+    val purchases = mem().toDF().filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val views = mem().toDF().filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value".as("view_value"))
+    val q = graft.streaming.StreamOps
+      .intervalJoin(purchases, views, "user_id", "ts", joinType = "left_semi")
+      .writeStream.format("memory").queryName("sij").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sij")
+      .select($"user_id", $"ts", round($"value", 4).as("v"))
+      .orderBy("user_id", "ts", "v").collect()
+
+    val bp = ev.toDF().filter($"event_type" === "purchase").select($"user_id", $"ts", $"value")
+    val bv = ev.toDF().filter($"event_type" === "view")
+      .select($"user_id".as("user_id_r"), $"ts".as("ts_r"))
+    val batch = bp.join(bv,
+        $"user_id" === $"user_id_r" &&
+          $"ts_r" >= $"ts" - expr("INTERVAL 10 minutes") &&
+          $"ts_r" <= $"ts" + expr("INTERVAL 10 minutes"), "left_semi")
+      .select($"user_id", $"ts", round($"value", 4).as("v"))
+      .orderBy("user_id", "ts", "v").collect()
+    assert(streamed.nonEmpty, "semi interval join produced no rows — fixture too sparse")
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
 
 /** Custom Expressions carry TWO implementations — interpreted eval() and
