@@ -5,6 +5,23 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the declared query inventory on
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds. */
 object Bench {
+
+  /** Warmup dir = the sf0.001 sibling of the target dir, loudly falling
+    * back to the target itself (shared with PerfProbe2 so the fallback
+    * warning cannot drift out of one of the copies). */
+  def warmDirFor(sfDir: String): String = {
+    val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (sib.isDirectory) sib.toString
+    else {
+      // Loud: warming on the full target dir runs every query TWICE at
+      // full scale — wall time roughly doubles and the operator should
+      // know why.
+      System.err.println(s"[bench] WARNING: no sf0.001 sibling of $sfDir — " +
+        "warming up on the full target dir (each query runs twice at full scale)")
+      sfDir
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,18 +38,7 @@ object Bench {
     // the sf0.001 SIBLING of the configured testdata dir (falls back to
     // the target dir itself), and failures are counted loudly — silent
     // warmup failure would report cold numbers as steady-state.
-    val warmDir = {
-      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.toString
-      else {
-        // Loud: warming on the full target dir runs every query TWICE at
-        // full scale — wall time roughly doubles and the operator should
-        // know why.
-        System.err.println(s"[bench] WARNING: no sf0.001 sibling of $sfDir — " +
-          "warming up on the full target dir (each query runs twice at full scale)")
-        sfDir
-      }
-    }
+    val warmDir = warmDirFor(sfDir)
     System.err.println(s"[bench] warmup dir: $warmDir; timed dir: $sfDir")
     var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>

@@ -146,18 +146,22 @@ object ExtendedQueries {
       // purchase picks up the latest prior-or-simultaneous view's value per
       // user. Oracle mirrors the union+window formulation — DuckDB's ASOF
       // JOIN syntax leaves equal-timestamp reference ties unspecified,
-      // while (ts, side, seq) ordering pins them deterministically.
+      // while (ts, side, seq) ordering pins them deterministically. The
+      // reference value rides in a struct marker exactly like
+      // AsOf.joinLatest: a NULL-VALUED reference is a non-null struct, so
+      // it shadows older values instead of being skipped by IGNORE NULLS
+      // (same semantics both engines, even on null reference values).
       Some("""WITH u AS (
-             |  SELECT user_id, ts, event_id, value AS qv, NULL AS tv, 0 AS side
+             |  SELECT user_id, ts, event_id, {'v': value} AS qr, NULL AS tv, 0 AS side
              |  FROM events WHERE event_type = 'view'
              |  UNION ALL
-             |  SELECT user_id, ts, event_id, NULL, value, 1
+             |  SELECT user_id, ts, event_id, CAST(NULL AS STRUCT(v DOUBLE)), value, 1
              |  FROM events WHERE event_type = 'purchase'),
              |m AS (
              |  SELECT user_id, event_id, tv, side,
-             |         LAST_VALUE(qv IGNORE NULLS) OVER (
+             |         (LAST_VALUE(qr IGNORE NULLS) OVER (
              |           PARTITION BY user_id ORDER BY ts, side, event_id
-             |           ROWS UNBOUNDED PRECEDING) AS av
+             |           ROWS UNBOUNDED PRECEDING)).v AS av
              |  FROM u)
              |SELECT user_id, event_id, ROUND(tv, 4) AS purchase_value,
              |       ROUND(av, 4) AS last_view_value

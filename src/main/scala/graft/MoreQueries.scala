@@ -42,10 +42,10 @@ object MoreQueries {
         val parts = Tables.part(s, d).filter(col("p_size") <= 5).select("p_partkey")
         val w = Window.partitionBy("l_partkey")
         Tables.lineitem(s, d)
-          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(parts, col("l_partkey") === col("p_partkey"))
           .withColumn("minp", min(col("l_extendedprice")).over(w))
           .filter(col("l_extendedprice") === col("minp"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
             col("l_orderkey"), col("l_linenumber"),
             r4(col("l_extendedprice")).as("price"))
@@ -126,7 +126,7 @@ object MoreQueries {
         val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
         val zero = lit(0).cast("decimal(18,4)")
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          .join(Tables.part(s, d).select("p_partkey", "p_type"),
             col("l_partkey") === col("p_partkey"))
           .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
             month(col("l_shipdate")).cast("long").as("mo"))
@@ -148,11 +148,11 @@ object MoreQueries {
         val badSupp = Tables.supplier(s, d)
           .filter(col("s_acctbal") < 0).select("s_suppkey")
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)
+          .join(Tables.part(s, d)
               .filter(col("p_size").isin(1, 5, 9, 13))
-              .select("p_partkey", "p_brand", "p_type", "p_size")),
+              .select("p_partkey", "p_brand", "p_type", "p_size"),
             col("l_partkey") === col("p_partkey"))
-          .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -179,7 +179,7 @@ object MoreQueries {
         val pa = li.groupBy(col("l_partkey").as("pa_partkey"))
           .agg(dsum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
         li.join(pa, col("l_partkey") === col("pa_partkey"))
-          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          .join(Tables.part(s, d).select("p_partkey", "p_brand"),
             col("p_partkey") === col("l_partkey"))
           .filter(col("l_quantity").cast("decimal(18,4)") * 5 * col("n") < col("sq"))
           .groupBy("p_brand")
@@ -211,7 +211,7 @@ object MoreQueries {
           .select(col("l_orderkey").as("big_orderkey"))
         li.join(big, col("l_orderkey") === col("big_orderkey"))
           .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+          .join(Tables.customer(s, d).select("c_custkey", "c_name"),
             col("c_custkey") === col("o_custkey"))
           .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate"), col("o_totalprice"))

@@ -9,10 +9,7 @@ object PerfProbe2 {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
-    val warmDir = {
-      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.toString else sfDir
-    }
+    val warmDir = Bench.warmDirFor(sfDir)
     names.foreach { n0 =>
       val doExplain = n0.startsWith("explain:")
       val n = if (doExplain) n0.stripPrefix("explain:") else n0

@@ -85,11 +85,18 @@ object Similarity {
 
   /** IVF search: probe only the query's nearest cell, exact top-k inside.
     * `assigned` is the output of [[assignToCentroids]] (at scale this is
-    * written bucketed/partitioned by cent_id so a probe prunes partitions). */
+    * written bucketed/partitioned by cent_id so a probe prunes partitions).
+    * This overload keeps the DISTRIBUTED probe (cell choice via
+    * [[assignToCentroids]]) — the path for centroid relations too large to
+    * collect; use the Seq overload when the centroids are driver-resident. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              queryVecCol: String = "qe"): DataFrame =
-    ivfTopK(assigned, collectCentroids(centroids), query, k, idCol, vecCol, queryVecCol)
+              queryVecCol: String = "qe"): DataFrame = {
+    val probedCell = assignToCentroids(
+      query.select(lit(-1L).as(idCol), col(queryVecCol).as(vecCol)), centroids,
+      idCol, vecCol).select(col("cent_id"))
+    probeCell(assigned, probedCell, query, k, idCol, vecCol, queryVecCol)
+  }
 
   /** [[ivfTopK]] with driver-resident centroids: the probe cell is chosen
     * by the same zero-shuffle literal argmax as
@@ -99,12 +106,19 @@ object Similarity {
     val probedCell = assignToCentroidsLocal(
       query.select(lit(-1L).as(idCol), col(queryVecCol).as(vecCol)), centroids,
       idCol, vecCol).select(col("cent_id"))
+    probeCell(assigned, probedCell, query, k, idCol, vecCol, queryVecCol)
+  }
+
+  /** Shared tail of both [[ivfTopK]] overloads: scan only the probed cell,
+    * exact cosine top-k inside. */
+  private def probeCell(assigned: DataFrame, probedCell: DataFrame, query: DataFrame,
+                        k: Int, idCol: String, vecCol: String,
+                        queryVecCol: String): DataFrame =
     assigned.join(broadcast(probedCell), "cent_id")
       .crossJoin(broadcast(query))
       .select(col(idCol), round(cosine(col(vecCol), col(queryVecCol)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-  }
 
   /** Deterministic Lloyd's k-means over an `array<float>` column — the
     * training step that produces real IVF centroids (vs. seeding cells from
