@@ -48,6 +48,38 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("summary accumulates incrementally over a stream (update mode)") {
+    // The same Aggregator runs as streaming state: partial buffers merge
+    // across micro-batches exactly as they merge across tasks, so the
+    // final summary obeys the same bounds as the batch run.
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    val exact = exactCounts(toks)
+    val k = 32
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF()
+      .select(udaf(HeavyHitters(k), org.apache.spark.sql.Encoders.STRING)(col("value")).as("h"))
+      .writeStream.format("memory").queryName("hh_stream").outputMode("complete").start()
+    val (firstHalf, secondHalf) = toks.splitAt(toks.size / 2)
+    mem.addData(firstHalf); q.processAllAvailable()
+    mem.addData(secondHalf); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hh_stream")
+      .select(explode(col("h")).as("h")).select("h.*").as[HeavyHit].collect()
+    assert(out.nonEmpty && out.length <= k)
+    out.foreach { h =>
+      val t = exact(h.item)
+      assert(h.count <= t && t <= h.count + h.err,
+        s"${h.item}: true $t outside [${h.count}, ${h.count}+${h.err}]")
+    }
+    val n = toks.size.toLong
+    val mustHave = exact.collect { case (i, c) if c > n / (k + 1) => i }
+    val reported = out.map(_.item).toSet
+    assert(mustHave.forall(reported))
+  }
+
   test("operator entry point reports the corpus's dominant tokens") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = TextAnalysis.topTokensApprox(docs, "text", k = 16)
