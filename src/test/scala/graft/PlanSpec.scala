@@ -69,4 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<user_id:bigint>"),
       s"events scan did not prune columns:\n$p")
   }
+
+  test("Q73 streams the fact: lineitem never sits under a BroadcastExchange") {
+    // Column-pruned static stats under-estimate the fact table enough for
+    // Catalyst to broadcast it (measured: BuildRight=lineitem before the
+    // fact-first rewrite) — pin the corrected shape.
+    val p = plan(Queries.queryMap("q73_tpch_q5")(spark, sf0001))
+    val li = p.indexOf("lineitem.parquet")
+    val bc = p.indexOf("BroadcastExchange")
+    assert(li >= 0 && bc >= 0, s"expected lineitem scan + broadcast dims:\n$p")
+    // the streamed side of the outermost join prints before any build
+    // side's BroadcastExchange; a broadcast fact would print after one
+    assert(li < bc, s"lineitem appears on a broadcast build side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$p")
+  }
 }
