@@ -5,13 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.sources.Tables
 
-/** Round-3 inventory extension (q81–q94): the remaining TPC-H query
+/** Round-3 inventory extension (q81–q96): the remaining TPC-H query
   * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
   * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
   * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
   * avg-quantity correlated filter, Q18's having-then-rejoin, Q22's
   * rich-inactive anti join) plus map/struct/string-format/regexp/date-part
-  * function coverage. All under the SURVEY §2.2 determinism rules; every
+  * function coverage, and the skew-salting join/agg rewrites proven
+  * equal to their plain forms under the oracle (q95/q96). All under the
+  * SURVEY §2.2 determinism rules; every
   * fractional comparison is restated multiplicatively over exact decimals
   * (e.g. `5·qty·n < Σqty` for `qty < 0.2·avg`) so no engine ever compares
   * against a rounded quotient.
@@ -358,6 +360,40 @@ object MoreQueries {
         .agg(count(lit(1)).as("n"),
           min(dayofyear(col("l_shipdate"))).cast("long").as("first_doy"),
           max(weekofyear(col("l_shipdate"))).cast("long").as("max_wk"))
-        .orderBy("yr", "mo"))
+        .orderBy("yr", "mo")),
+
+    Q("q95_salted_join",
+      // The skew-salting join rewrite under the oracle: Skew.saltedJoin
+      // spreads each fact key over k salted copies of the dim row, and the
+      // result must be EXACTLY the plain equi-join — the oracle states the
+      // plain join, so any salting bug (lost rows, duplicate dim copies)
+      // hash-fails. SkewSpec covers the plan shape; this covers semantics.
+      Some("""SELECT p_brand,
+             |       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+             |       COUNT(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, d) => graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d),
+          Tables.part(s, d).select("p_partkey", "p_brand"),
+          factKey = "l_partkey", dimKey = "p_partkey",
+          factUnique = "l_orderkey", k = 8)
+        .groupBy("p_brand")
+        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    Q("q96_salted_agg",
+      // Two-phase salted aggregation == the one-shuffle groupBy, exactly:
+      // partial (key, salt) sums are decimal-exact, so re-aggregation on
+      // key is order-independent and hash-stable.
+      Some("""SELECT user_id, COUNT(*) AS cnt,
+             |       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_r
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => graft.operators.Skew.saltedCountSum(
+          Tables.events(s, d), key = "user_id", valueCol = "value",
+          uniqueCol = "event_id", k = 8)
+        .select(col("user_id"), col("cnt"), r4(col("sum_value")).as("sum_r"))
+        .orderBy("user_id"))
   )
 }
