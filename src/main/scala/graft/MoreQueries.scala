@@ -395,5 +395,45 @@ object MoreQueries {
           uniqueCol = "event_id", k = 8)
         .select(col("user_id"), col("cnt"), r4(col("sum_value")).as("sum_r"))
         .orderBy("user_id"))
+    ,
+
+    Q("q97_heavy_hitters_exact",
+      // The Misra–Gries summary in its EXACT regime: capacity (512) far
+      // above the corpus vocabulary (31), so no buffer ever decrements and
+      // the sketch must reproduce the exact groupBy counts with err = 0 —
+      // the one regime where a frequency sketch is hash-checkable. The
+      // sub-capacity approximate regime is property-tested instead
+      // (HeavyHittersSpec).
+      Some("""SELECT t AS item, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
+             |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) u
+             |WHERE t <> ''
+             |GROUP BY t ORDER BY cnt DESC, item""".stripMargin),
+      (s, d) => graft.operators.TextAnalysis
+        .topTokensApprox(Tables.documents(s, d), "text", k = 512)
+        .select(col("item"), col("count").as("cnt"), col("err"))
+        .orderBy(col("cnt").desc, col("item"))),
+
+    Q("q98_multimodal_frames",
+      // Multimodal frame-sampling arithmetic under the oracle: every
+      // synthetic blob is 17 md5 hex strings = 544 bytes -> 8 full
+      // 64-byte frames, stride 4 keeps frames {0, 4}. The oracle derives
+      // the same counts from the construction (generate_series), so the
+      // slicing math (full-frame floor, stride selection, exact frame
+      // length) is cross-checked; the decode stub itself is pinned by
+      // MultimodalSpec.
+      Some("""SELECT CAST(g AS BIGINT) AS media_id,
+             |       CAST(2 AS BIGINT) AS n_frames,
+             |       CAST(4 AS BIGINT) AS sum_frame_no,
+             |       CAST(128 AS BIGINT) AS sum_bytes
+             |FROM generate_series(0, 199) t(g) ORDER BY media_id""".stripMargin),
+      (s, d) => {
+        val media = graft.operators.Multimodal.syntheticMedia(s, 200)
+        graft.operators.Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("frame_no")).as("sum_frame_no"),
+            sum(length(col("frame_bytes"))).as("sum_bytes"))
+          .orderBy("media_id")
+      })
   )
 }
