@@ -434,6 +434,45 @@ object MoreQueries {
             sum(col("frame_no")).as("sum_frame_no"),
             sum(length(col("frame_bytes"))).as("sum_bytes"))
           .orderBy("media_id")
-      })
+      }),
+
+    Q("q99_cube",
+      // CUBE completes the multi-dimensional agg family (q12 rollup, q51
+      // grouping sets): all 4 grouping combinations in one pass, NULLs
+      // disambiguated from real values by GROUPING().
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             |       COUNT(*) AS n,
+             |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (s, d) => {
+        // DataFrame cube() + grouping() trips the same spurious
+        // ambiguous-self-join analyzer error as rollup did in q12 on
+        // Spark 4.1 — spark.sql is the reliable form for both.
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_q99")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                |       COUNT(*) AS n,
+                |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+                |FROM graft_li_q99
+                |GROUP BY CUBE (l_returnflag, l_linestatus)
+                |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      }),
+
+    Q("q100_except_all",
+      // Bag-semantics difference (q21 is the DISTINCT form, q66 the
+      // INTERSECT ALL dual): each nation key survives max(0, countL -
+      // countR) times.
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT ALL
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy("nationkey"))
   )
 }
