@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.sources.Tables
 
-/** Round-3 inventory extension (q81–q96): the remaining TPC-H query
+/** Round-3 inventory extension (q81–q100): the remaining TPC-H query
   * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
   * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
   * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
