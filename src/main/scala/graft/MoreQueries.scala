@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.sources.Tables
 
-/** Round-3 inventory extension (q81–q100): the remaining TPC-H query
+/** Round-3 inventory extension (q81–q102): the remaining TPC-H query
   * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
   * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
   * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
@@ -473,6 +473,39 @@ object MoreQueries {
              |ORDER BY nationkey""".stripMargin),
       (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .exceptAll(Tables.supplier(s, d).select(col("s_nationkey")))
-        .orderBy("nationkey"))
+        .orderBy("nationkey")),
+
+    Q("q101_explode_outer",
+      // Null-preserving explode (q33/q68 are the dropping forms): rows
+      // whose match list is empty survive with a NULL element instead of
+      // vanishing. DuckDB has no UNNEST-outer, so the oracle injects the
+      // [NULL] sentinel explicitly — same rows, same semantics.
+      Some("""SELECT p_partkey,
+             |       UNNEST(CASE WHEN LEN(l) = 0 THEN [NULL] ELSE l END) AS m
+             |FROM (SELECT p_partkey, regexp_extract_all(p_type, 'M[A-Z]+') AS l
+             |      FROM part)
+             |ORDER BY p_partkey, m""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          explode_outer(regexp_extract_all(col("p_type"), lit("M[A-Z]+"), lit(0))).as("m"))
+        .orderBy("p_partkey", "m")),
+
+    Q("q102_bit_aggs",
+      // Bitwise AGGREGATES (q59 covers scalar bit ops): AND/OR/XOR folds
+      // are commutative+associative, so they are shuffle-order-stable and
+      // hash-checkable, unlike float folds.
+      Some("""SELECT l_returnflag,
+             |       bit_and(l_orderkey) AS b_and,
+             |       bit_or(l_orderkey) AS b_or,
+             |       bit_xor(l_orderkey) AS b_xor,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).as("b_and"),
+          bit_or(col("l_orderkey")).as("b_or"),
+          bit_xor(col("l_orderkey")).as("b_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 }
