@@ -31,5 +31,18 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"minhash_sig(hashes[, k]) takes 1-2 args, got ${other.size}")
     })
+    ColumnBridge.registerFunction(spark, "simhash32", {
+      case Seq(hashes) => SimHash32(hashes)
+      case other => throw new IllegalArgumentException(
+        s"simhash32(token_hashes) takes 1 arg, got ${other.size}")
+    })
+    // custom typed aggregates (Aggregator surface) for spark.sql users;
+    // heavy_hitters carries a fixed capacity — SQL functions cannot take
+    // a per-call config scalar without a literal-arg builder per k
+    import org.apache.spark.sql.{functions => F}
+    spark.udf.register("vec_centroid", F.udaf(VectorCentroid,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
+    spark.udf.register("heavy_hitters",
+      F.udaf(HeavyHitters(64), org.apache.spark.sql.Encoders.STRING))
   }
 }

@@ -177,6 +177,23 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(sig === expect)
   }
+
+  test("simhash32 / vec_centroid / heavy_hitters usable from spark.sql") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // simhash32 of one token hash: every set bit of the hash contributes
+    // +1 at its position, unset bits -1 -> simhash == the hash itself
+    // (within 32 bits)
+    val sh = spark.sql("SELECT simhash32(array(5L)) AS s").collect().head.getLong(0)
+    assert(sh === 5L)
+    val c = spark.sql(
+      "SELECT vec_centroid(v) AS c FROM VALUES (array(1.0F,2.0F)), (array(3.0F,4.0F)) t(v)")
+      .collect().head.getSeq[Double](0)
+    assert(c === Seq(2.0, 3.0))
+    val hh = spark.sql(
+      "SELECT explode(heavy_hitters(t)) AS h FROM VALUES ('a'),('a'),('b') t(t)")
+      .select("h.*").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hh === Map("a" -> 2L, "b" -> 1L))
+  }
 }
 
 /** MinHash collision-probability property (SURVEY §5.2 item 3): the
