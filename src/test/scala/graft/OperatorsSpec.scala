@@ -235,6 +235,50 @@ class MinHashPropertySpec extends SparkSpec {
   }
 }
 
+/** Property: the inverted-index jaccardPairs equals per-pair brute force
+  * over every doc pair, on a deterministic corpus engineered to cover the
+  * edge shapes (identical docs, full containment, partial overlap,
+  * disjoint, too-short-to-shingle, duplicate shingles). */
+class JaccardBruteForceSpec extends SparkSpec {
+  test("jaccardPairs == brute-force pairwise Jaccard at every threshold") {
+    import spark.implicits._
+    val t = (0 until 12).map(i => s"w$i")
+    def doc(ix: Seq[Int]) = ix.map(t).mkString(" ")
+    val docs = Seq(
+      1L -> doc(0 until 8),          // base
+      2L -> doc(0 until 8),          // identical to 1
+      3L -> doc(0 until 6),          // contained in 1
+      4L -> doc(2 until 10),         // partial overlap
+      5L -> doc(8 until 12),         // overlaps 4 only
+      6L -> doc(Seq(0, 1)),          // too short for 3-shingles
+      7L -> doc(Seq(5, 6, 7, 5, 6, 7, 5, 6, 7)) // repeated shingles
+    ).toDF("doc_id", "text")
+
+    // brute force: shingle sets per doc on the driver
+    def shingleSet(s: String): Set[String] = {
+      val toks = s.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.as[(Long, String)].collect().toMap.view.mapValues(shingleSet).toMap
+    def bf(threshold: Double): Set[(Long, Long, Double)] = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      uni = sets(a).union(sets(b)).size
+      if uni > 0 && inter > 0 // index join only surfaces co-shingled pairs
+      j = BigDecimal(inter.toDouble / uni)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= threshold
+    } yield (a, b, j)).toSet
+
+    for (th <- Seq(0.2, 0.5, 0.8, 1.0)) {
+      val got = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = th)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === bf(th), s"threshold $th: $got vs ${bf(th)}")
+    }
+  }
+}
+
 /** Hyperplane-LSH ANN: query's own bucket contains the query's neighbors
   * often enough to be useful; here we pin determinism + containment. */
 class LshAnnSpec extends SparkSpec {
