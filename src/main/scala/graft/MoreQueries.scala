@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.sources.Tables
 
-/** Round-3 inventory extension (q81–q102): the remaining TPC-H query
+/** Round-3 inventory extension (q81–q103): the remaining TPC-H query
   * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
   * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
   * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
@@ -506,6 +506,25 @@ object MoreQueries {
           bit_or(col("l_orderkey")).as("b_or"),
           bit_xor(col("l_orderkey")).as("b_xor"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    Q("q103_window_distinct",
+      // Running DISTINCT count per key: Spark has no COUNT(DISTINCT) over
+      // a window, so the engine form is size(collect_set() OVER w) — the
+      // VALUE is order-insensitive (set semantics) even though collect_set
+      // itself isn't, which is what makes it hash-checkable.
+      Some("""SELECT user_id, event_id,
+             |       CAST(COUNT(DISTINCT event_type) OVER (
+             |         PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_distinct
+             |FROM events ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            size(collect_set(col("event_type")).over(w)).cast("long").as("run_distinct"))
+          .orderBy("user_id", "event_id")
+      })
   )
 }
