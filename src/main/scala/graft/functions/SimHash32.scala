@@ -18,6 +18,17 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // ExpectsInputTypes is private[sql] in Spark 4, so validate explicitly —
+  // the SQL registration exposes this to arbitrary input, and an array<int>
+  // argument would otherwise pass analysis and be misread by getLong.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash32 requires an array<bigint> argument, got ${other.sql}")
+    }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val counts = new Array[Int](32)

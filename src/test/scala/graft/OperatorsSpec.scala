@@ -194,6 +194,14 @@ class GraftFunctionsSpec extends SparkSpec {
       .select("h.*").collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(hh === Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("simhash32 rejects non-array<bigint> input at analysis, not runtime") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // array<int> would be silently misread by getLong without the check
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash32(array(1, 2))").collect())
+    assert(e.getMessage.contains("array<bigint>"))
+  }
 }
 
 /** MinHash collision-probability property (SURVEY §5.2 item 3): the
@@ -274,7 +282,8 @@ class JaccardBruteForceSpec extends SparkSpec {
     for (th <- Seq(0.2, 0.5, 0.8, 1.0)) {
       val got = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = th)
         .as[(Long, Long, Double)].collect().toSet
-      assert(got === bf(th), s"threshold $th: $got vs ${bf(th)}")
+      val expected = bf(th)
+      assert(got === expected, s"threshold $th: $got vs $expected")
     }
   }
 }
