@@ -76,8 +76,9 @@ object StreamOps {
                    upperBound: String = "10 minutes",
                    lateness: String = "10 minutes",
                    joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer", "left_semi")(joinType),
-      s"stream-stream interval join supports inner/left_outer/left_semi, got $joinType")
+    require(Set("inner", "left_outer", "right_outer", "full_outer", "left_semi")(joinType),
+      s"stream-stream interval join supports inner/left_outer/right_outer/" +
+        s"full_outer/left_semi, got $joinType")
     val overlap = left.columns.toSet
       .intersect(right.columns.toSet -- Set(keyCol, tsCol))
     require(overlap.isEmpty,
@@ -97,9 +98,10 @@ object StreamOps {
       .withColumnRenamed(keyCol, s"${keyCol}_r")
       .withColumnRenamed(tsCol, s"${tsCol}_r")
     val r = r0.withWatermark(s"${tsCol}_r", lateness)
-    // left_outer: the unmatched-left null row is emitted only once the
-    // RIGHT watermark passes the interval's upper edge — correctness over
-    // latency, the only sound choice for an unbounded stream.
+    // outer variants: an unmatched row's null-extended output is emitted
+    // only once the OTHER side's watermark passes the interval's upper
+    // edge — correctness over latency, the only sound choice for an
+    // unbounded stream (full_outer pays it in both directions).
     l.join(r,
       col(keyCol) === col(s"${keyCol}_r") &&
         col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $lowerBound") &&

@@ -264,6 +264,41 @@ class IntervalJoinSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("full-outer interval join emits both sides' unmatched rows after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    val rMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    // left 10:00 matches right 10:05; left 11:00 unmatched; right 12:00
+    // unmatched — full outer must surface BOTH null-extended rows once
+    // the opposite watermark passes.
+    lMem.addData(Seq(
+      EventRow(ts("2024-01-01 10:00:00"), 1L, "l", 1.0),
+      EventRow(ts("2024-01-01 11:00:00"), 1L, "l", 2.0)))
+    rMem.addData(Seq(
+      EventRow(ts("2024-01-01 10:05:00"), 1L, "r", 10.0),
+      EventRow(ts("2024-01-01 12:00:00"), 1L, "r", 20.0)))
+    val left = lMem.toDF().select($"user_id", $"ts", $"value")
+    val right = rMem.toDF().select($"user_id", $"ts", $"value".as("rv"))
+    val q = graft.streaming.StreamOps
+      .intervalJoin(left, right, "user_id", "ts", joinType = "full_outer")
+      .writeStream.format("memory").queryName("foj").outputMode("append").start()
+    q.processAllAvailable()
+    // push both watermarks far past every interval
+    lMem.addData(Seq(EventRow(ts("2024-01-03 00:00:00"), 9L, "l", 0.0)))
+    rMem.addData(Seq(EventRow(ts("2024-01-03 00:00:00"), 8L, "r", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("foj").filter($"user_id" === 1L || $"user_id_r" === 1L)
+      .select($"value", $"rv").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(got === Set(
+      (Some(1.0), Some(10.0)), // matched pair
+      (Some(2.0), None),       // unmatched left
+      (None, Some(20.0))))     // unmatched right
+  }
+
   test("a left column named after the ts_r/key_r rename target is rejected") {
     import spark.implicits._
     val ts0 = new java.sql.Timestamp(0L)
