@@ -22,6 +22,56 @@ object ExtendedQueries {
   private val Segments =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
+  // ---- q69 oracle: deterministic Lloyd's k-means + IVF probe, unrolled --
+
+  /** Cosine over DuckDB lists, mirroring [[graft.functions.FloatVecDot]]'s
+    * double accumulation (same fragment family as TrainingQueries.cosSql). */
+  private def cosOf(a: String, b: String): String =
+    s"""(LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($a)),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+       |    / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |     * SQRT(LIST_AGGREGATE(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))""".stripMargin
+
+  /** One assignment round: every vector to its max-cosine centroid of
+    * `cents`, ties to the lowest cid. */
+  private def assignSql(cents: String): String =
+    s"""(SELECT vec_id, embedding, cid FROM (
+       |  SELECT v.vec_id, v.embedding, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosOf("v.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM v CROSS JOIN $cents c) r WHERE rn = 1)""".stripMargin
+
+  /** One update round: per-dimension mean per cell (exact decimal sum ->
+    * double -> IEEE division -> float); empty cells keep `prev`'s centroid. */
+  private def updateSql(assigned: String, prev: String): String =
+    s"""(SELECT p.cid, COALESCE(mm.ce2, p.ce) AS ce FROM $prev p LEFT JOIN (
+       |  SELECT cid, LIST(m ORDER BY i) AS ce2 FROM (
+       |    SELECT a.cid, t.i,
+       |           CAST(CAST(SUM(CAST(a.embedding[t.i] AS DECIMAL(25,10))) AS DOUBLE)
+       |                / COUNT(*) AS FLOAT) AS m
+       |    FROM $assigned a, (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i) t
+       |    GROUP BY a.cid, t.i) g
+       |  GROUP BY cid) mm ON mm.cid = p.cid)""".stripMargin
+
+  private[graft] val kmeansIvfOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |              embedding AS ce
+       |       FROM v ORDER BY vec_id LIMIT 16),
+       |a0 AS ${assignSql("c0")},
+       |c1 AS ${updateSql("a0", "c0")},
+       |a1 AS ${assignSql("c1")},
+       |c2 AS ${updateSql("a1", "c1")},
+       |afinal AS ${assignSql("c2")},
+       |qv AS (SELECT embedding AS qe FROM v WHERE vec_id = 0),
+       |qcell AS (SELECT cid FROM (
+       |  SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${cosOf("q.qe", "c.ce")} DESC, c.cid) AS rn
+       |  FROM qv q CROSS JOIN c2 c) r WHERE rn = 1)
+       |SELECT a.vec_id, ROUND(${cosOf("a.embedding", "q.qe")}, 4) AS sim
+       |FROM afinal a JOIN qcell ON a.cid = qcell.cid CROSS JOIN qv q
+       |WHERE a.vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("q49_sessionize",
@@ -705,10 +755,16 @@ object ExtendedQueries {
       }),
 
     Q("q69_ann_kmeans",
-      // No SQL oracle (Lloyd's iterations are not reasonably expressible in
-      // one DuckDB query) -> driver records the weaker rows-only check;
-      // determinism and quality are pinned by KMeansSpec instead.
-      None,
+      // Full Lloyd's-iteration oracle, unrolled: init = 16 lowest-id
+      // vectors relabeled 0..15; each round = argmax-cosine assignment
+      // (ties -> lowest cid, pinned by ROW_NUMBER) then per-dimension
+      // mean as exact-decimal sum -> double -> IEEE division -> float —
+      // every step engine-portable (decimal DIVISION is not: its
+      // precision/scale rules differ per engine, which is why the mean is
+      // divided in double). Lost cells keep their previous centroid
+      // (COALESCE). Dim is fixed at 64 by the driver schema
+      // (TESTDATA.md); KMeansSpec pins determinism/quality besides.
+      Some(ExtendedQueries.kmeansIvfOracleSql),
       (s, d) => {
         import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)

@@ -153,10 +153,16 @@ object Similarity {
       // k x dim rows; the tiny (cent_id, pos, mean) relation is assembled
       // into arrays on the driver (it is collected anyway) rather than
       // paying a second collect_list shuffle for the grouping.
+      // Mean = exact decimal sum -> double -> IEEE double division ->
+      // float. Every step is deterministic AND engine-portable: the sum is
+      // exact (decimal), the decimal->double and double->float conversions
+      // round-to-nearest in any IEEE engine, and double/int division is
+      // exact IEEE — unlike decimal DIVISION, whose precision/scale rules
+      // are engine-specific (that formulation blocked a DuckDB oracle).
       val means = assigned
         .select(col("cent_id"), posexplode(col(vecCol)))
         .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
+        .agg((sum(col("col").cast("decimal(25,10)")).cast("double") / count(lit(1)))
           .cast("float").as("m"))
         .as[(Long, Int, Float)].collect()
         .groupBy(_._1)

@@ -18,9 +18,9 @@ class InventorySpec extends AnyFunSuite {
     // reasonably SQL-expressible (it then records a weaker rows-only
     // check). That must stay an EXPLICIT decision: any query without an
     // oracle must be on this list with its spec-based validation.
-    val rowsOnlyAllowed = Set(
-      "q69_ann_kmeans" // Lloyd's iterations; pinned by KMeansSpec
-    )
+    // Currently EMPTY — every declared query is oracle-checked (q69's
+    // Lloyd's iterations unrolled into a DuckDB CTE chain in round 3).
+    val rowsOnlyAllowed = Set.empty[String]
     val missing = inv.filter(_.oracle.isEmpty).map(_.name)
       .filterNot(rowsOnlyAllowed)
     assert(missing.isEmpty, s"queries without oracle SQL not allowlisted: $missing")
