@@ -24,13 +24,8 @@ object ExtendedQueries {
 
   // ---- q69 oracle: deterministic Lloyd's k-means + IVF probe, unrolled --
 
-  /** Cosine over DuckDB lists, mirroring [[graft.functions.FloatVecDot]]'s
-    * double accumulation (same fragment family as TrainingQueries.cosSql). */
-  private def cosOf(a: String, b: String): String =
-    s"""(LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($a)),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
-       |    / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-       |     * SQRT(LIST_AGGREGATE(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))""".stripMargin
+  /** The one shared guarded cosine fragment — see TrainingQueries.cosOf. */
+  private def cosOf(a: String, b: String): String = TrainingQueries.cosOf(a, b)
 
   /** One assignment round: every vector to its max-cosine centroid of
     * `cents`, ties to the lowest cid. */
@@ -762,8 +757,8 @@ object ExtendedQueries {
       // every step engine-portable (decimal DIVISION is not: its
       // precision/scale rules differ per engine, which is why the mean is
       // divided in double). Lost cells keep their previous centroid
-      // (COALESCE). Dim is fixed at 64 by the driver schema
-      // (TESTDATA.md); KMeansSpec pins determinism/quality besides.
+      // (COALESCE). Dim is fixed at 64 by the driver data (FIXTURES.md
+      // embeddings row); KMeansSpec pins determinism/quality besides.
       Some(ExtendedQueries.kmeansIvfOracleSql),
       (s, d) => {
         import graft.operators.Similarity

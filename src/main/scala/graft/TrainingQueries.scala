@@ -49,14 +49,19 @@ object TrainingQueries {
        |WHERE ROUND(i::DOUBLE / (ca.n_sh + cb.n_sh - i), 4) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
-  private val cosSql =
-    """LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(%s)),
-      |           i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), 'sum')
-      |         / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM(%s,
-      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-      |          * SQRT(LIST_AGGREGATE(LIST_TRANSFORM(%s,
-      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
-  private def cos(a: String, b: String): String = cosSql.format(a, a, b, a, b)
+  /** DuckDB cosine over lists, mirroring [[graft.functions.FloatVecDot]]'s
+    * strict double accumulation AND VectorFunctions.cosine's zero-norm
+    * guard (sim = 0.0, not NaN/NULL, for a zero-norm input). ONE copy for
+    * every oracle (q34/q43/q44/q69) — the fragment is bit-parity-critical,
+    * so it must not fork. */
+  private def normSql(v: String): String =
+    s"SQRT(LIST_AGGREGATE(LIST_TRANSFORM($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+  private[graft] def cosOf(a: String, b: String): String =
+    s"""(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0.0 THEN 0.0
+       |      ELSE LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($a)),
+       |             i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+       |           / (${normSql(a)} * ${normSql(b)}) END)""".stripMargin
+  private def cos(a: String, b: String): String = cosOf(a, b)
 
   def all: Seq[Q] = Seq(
 

@@ -264,6 +264,36 @@ class IntervalJoinSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("right-outer interval join null-extends unmatched right rows after left watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    val rMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    // right 10:05 matches left 10:00; right 12:00 is unmatched and must
+    // surface null-extended once the LEFT watermark passes its interval.
+    lMem.addData(Seq(EventRow(ts("2024-01-01 10:00:00"), 1L, "l", 1.0)))
+    rMem.addData(Seq(
+      EventRow(ts("2024-01-01 10:05:00"), 1L, "r", 10.0),
+      EventRow(ts("2024-01-01 12:00:00"), 1L, "r", 20.0)))
+    val left = lMem.toDF().select($"user_id", $"ts", $"value")
+    val right = rMem.toDF().select($"user_id", $"ts", $"value".as("rv"))
+    val q = graft.streaming.StreamOps
+      .intervalJoin(left, right, "user_id", "ts", joinType = "right_outer")
+      .writeStream.format("memory").queryName("roj").outputMode("append").start()
+    q.processAllAvailable()
+    lMem.addData(Seq(EventRow(ts("2024-01-03 00:00:00"), 9L, "l", 0.0)))
+    rMem.addData(Seq(EventRow(ts("2024-01-03 00:00:00"), 8L, "r", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("roj").filter($"user_id_r" === 1L)
+      .select($"value", $"rv").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(got === Set(
+      (Some(1.0), Some(10.0)), // matched pair
+      (None, Some(20.0))))     // unmatched right, null-extended left
+  }
+
   test("full-outer interval join emits both sides' unmatched rows after watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
