@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Compaction
+
+/** Compaction must shrink the file count to the byte-derived target while
+  * preserving every row, the schema, and (when asked) the partition
+  * directory layout. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_compact").toString + "/zone"
+
+  test("many tiny files collapse to the target count with identical data") {
+    val dir = freshDir()
+    val df = spark.range(10000L).select($"id",
+      concat(lit("row"), $"id").as("payload"))
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesBefore === 64L)
+    assert(stats.filesAfter === 1L, s"expected 1 compacted file, got $stats")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000L)
+    assert(back.agg(sum($"id")).head.getLong(0) === (0L until 10000L).sum)
+    assert(back.schema.fieldNames.toSet === Set("id", "payload"))
+  }
+
+  test("already-compact zones are left untouched (no rewrite)") {
+    val dir = freshDir()
+    spark.range(100L).coalesce(1).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesBefore === stats.filesAfter)
+    assert(stats.rows === -1L) // marker: nothing rewritten
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet === before,
+      "no-op compaction must not touch the zone")
+  }
+
+  test("partition layout survives; per-partition form bounds the rewrite unit") {
+    val dir = freshDir()
+    val df = spark.range(2000L).select($"id", ($"id" % 2).as("part"),
+      concat(lit("x"), $"id").as("payload"))
+    df.repartition(16).write.partitionBy("part").parquet(dir)
+    // compact only part=0 — part=1's files must be byte-identical after
+    val p1Before = new java.io.File(dir + "/part=1").listFiles()
+      .filterNot(_.getName.startsWith("_")).map(f => f.getName -> f.length()).toMap
+    val stats = Compaction.compactPartition(spark, dir, "part=0", targetBytes = 1L << 30)
+    assert(stats.filesAfter === 1L)
+    val p1After = new java.io.File(dir + "/part=1").listFiles()
+      .filterNot(_.getName.startsWith("_")).map(f => f.getName -> f.length()).toMap
+    assert(p1After === p1Before, "untouched partition was rewritten")
+    // read back through the partitioned zone root: all rows intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2000L)
+    assert(back.filter($"part" === 0).count() === 1000L)
+  }
+}
