@@ -142,7 +142,10 @@ object Pipeline {
       minQuality: Double = 0.0,
       dedupExact: Boolean = true,
       nearDupJaccard: Option[Double] = Some(0.8),
-      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)) {
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      // post-write maintenance: compact each split partition to ~this many
+      // bytes per file (None = leave the writer's file layout as-is)
+      compactTargetBytes: Option[Long] = None) {
     def validate(): Unit = {
       require(sourcePath.nonEmpty && destPath.nonEmpty, "paths must be non-empty")
       require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
@@ -150,6 +153,8 @@ object Pipeline {
         require(t > 0.0 && t <= 1.0, s"near-dup threshold in (0,1], got $t"))
       require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
         "split weights must sum to 1")
+      compactTargetBytes.foreach(b =>
+        require(b > 0, s"compactTargetBytes must be positive, got $b"))
     }
   }
 
@@ -185,9 +190,18 @@ object Pipeline {
     }
 
     /** Write the corpus split-partitioned (train/valid/test directories are
-      * the lake layout consumers prune on). */
-    def run(): Unit =
+      * the lake layout consumers prune on), then optionally compact each
+      * split partition — the bounded per-partition rewrite unit, so a
+      * consumer reading one split never races a whole-zone swap. */
+    def run(): Unit = {
       corpus().write.mode("overwrite").partitionBy("split").parquet(spec.destPath)
+      spec.compactTargetBytes.foreach { target =>
+        spec.splits.foreach { case (name, _) =>
+          graft.operators.Compaction.compactPartition(
+            spark, spec.destPath, s"split=$name", targetBytes = target)
+        }
+      }
+    }
 
     def readBack(): DataFrame = spark.read.parquet(spec.destPath)
   }

@@ -481,6 +481,31 @@ class TrainingPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pipeline.plan(spark, Pipeline.TrainingSpec("src", "dst", minQuality = 1.5))
     }
+    intercept[IllegalArgumentException] {
+      Pipeline.plan(spark, Pipeline.TrainingSpec("src", "dst",
+        compactTargetBytes = Some(0L)))
+    }
+  }
+
+  test("post-write compaction shrinks split files without changing the corpus") {
+    val dest = java.nio.file.Files.createTempDirectory("corpusc").toString + "/out"
+    def filesUnder(sub: String) =
+      new java.io.File(s"$dest/$sub").listFiles()
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith(".")).length
+    val base = Pipeline.TrainingSpec(
+      sourcePath = s"$sf0001/documents.parquet", destPath = dest,
+      nearDupJaccard = None)
+    Pipeline.plan(spark, base).run()
+    val uncompacted = filesUnder("split=train")
+    val rows = spark.read.parquet(dest).count()
+
+    Pipeline.plan(spark, base.copy(compactTargetBytes = Some(1L << 30))).run()
+    assert(filesUnder("split=train") === 1,
+      s"train split should compact to 1 file (was $uncompacted)")
+    val back = spark.read.parquet(dest)
+    assert(back.count() === rows, "compaction changed the corpus row count")
+    assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
+      === Set("train", "valid", "test"))
   }
 }
 
