@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.sources.Tables
 
-/** Round-3 inventory extension (q81–q103): the remaining TPC-H query
+/** Round-3 inventory extension (q81–q105): the remaining TPC-H query
   * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
   * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
   * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
@@ -525,6 +525,47 @@ object MoreQueries {
           .select(col("user_id"), col("event_id"),
             size(collect_set(col("event_type")).over(w)).cast("long").as("run_distinct"))
           .orderBy("user_id", "event_id")
+      }),
+
+    Q("q104_try_funcs",
+      // The try_* null-on-error family — how the engine keeps ANSI mode ON
+      // (Spark 4 default; 0/0 and bad casts are runtime errors) while junk
+      // data degrades to NULL instead of killing a 100 TB job. DuckDB
+      // states the same semantics natively: NULLIF-guarded division,
+      // TRY_CAST, out-of-range list index -> NULL.
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       ROUND(l_orderkey / NULLIF(l_orderkey % 3, 0), 4) AS div3,
+             |       TRY_CAST(l_returnflag AS INT) AS flag_n,
+             |       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ln_n,
+             |       ([l_orderkey, l_partkey])[CAST(l_linenumber AS INT)] AS pick
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, pick""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          r4(try_divide(col("l_orderkey"), col("l_orderkey") % 3)).as("div3"),
+          try_to_number(col("l_returnflag"), lit("9")).cast("int").as("flag_n"),
+          try_to_number(col("l_linenumber").cast("string"), lit("9")).cast("int").as("ln_n"),
+          try_element_at(array(col("l_orderkey"), col("l_partkey")),
+            col("l_linenumber").cast("int")).as("pick"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "pick")),
+
+    Q("q105_str_to_map",
+      // Key:value string parsing into a MapType (str_to_map) and reading
+      // it back out — the oracle restates the end-to-end result directly
+      // (the map algebra is the Spark-side subject, as in q90).
+      Some("""SELECT p_partkey, p_brand AS brand_v, CAST(p_size AS VARCHAR) AS size_v,
+             |       CAST(2 AS BIGINT) AS n_entries
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => {
+        val m = str_to_map(
+          concat(lit("brand:"), col("p_brand"), lit(",size:"), col("p_size").cast("string")),
+          lit(","), lit(":"))
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            element_at(m, "brand").as("brand_v"),
+            element_at(m, "size").as("size_v"),
+            size(m).cast("long").as("n_entries"))
+          .orderBy("p_partkey")
       })
   )
 }
