@@ -81,4 +81,41 @@ object Compaction {
   def compactPartition(spark: SparkSession, zonePath: String, partitionSubdir: String,
                        format: String = "parquet", targetBytes: Long = 128L << 20): Stats =
     compact(spark, zonePath.stripSuffix("/") + "/" + partitionSubdir, format, targetBytes)
+
+  /** Compact every CLOSED hour partition of an A13-layout CDC zone
+    * (`year=Y/month=M/day=D/hour=H`, the reference's Firehose prefix as
+    * written by Cdc.writeCdcZone): an hour is closed when it sorts
+    * strictly before `beforeHour` = (year, month, day, hour) — typically
+    * the hour currently being written. The streaming writer only ever
+    * APPENDS to the current processing-time hour, so closed hours are
+    * immutable and compacting them never races the writer; the current
+    * hour is deliberately left alone. Returns per-hour stats of the
+    * partitions actually rewritten. */
+  def compactClosedHours(spark: SparkSession, zonePath: String,
+                         beforeHour: (Int, Int, Int, Int),
+                         format: String = "json",
+                         targetBytes: Long = 128L << 20): Seq[(String, Stats)] = {
+    val root = new Path(zonePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    def subdirs(p: Path, prefix: String): Seq[(Int, Path)] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap { s =>
+          val n = s.getPath.getName
+          if (n.startsWith(prefix + "=")) Some(n.stripPrefix(prefix + "=").toInt -> s.getPath)
+          else None
+        }
+    val closed = for {
+      (y, yp) <- subdirs(root, "year")
+      (m, mp) <- subdirs(yp, "month")
+      (d, dp) <- subdirs(mp, "day")
+      (h, _) <- subdirs(dp, "hour")
+      if Ordering[(Int, Int, Int, Int)].lt((y, m, d, h), beforeHour)
+    } yield ((y, m, d, h), s"year=$y/month=$m/day=$d/hour=$h")
+    // chronological (numeric) order — lexicographic would put hour=10
+    // before hour=9
+    closed.sortBy(_._1).map { case (_, sub) =>
+      sub -> compactPartition(spark, zonePath, sub, format, targetBytes)
+    }
+  }
 }

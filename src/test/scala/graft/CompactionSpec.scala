@@ -37,6 +37,28 @@ class CompactionSpec extends SparkSpec {
       "no-op compaction must not touch the zone")
   }
 
+  test("closed CDC hours compact; the in-flight hour is never touched") {
+    val dir = freshDir()
+    // two closed hours + the current one, A13 layout, many tiny files each
+    for (h <- Seq(9, 10, 11)) {
+      spark.range(200L).select($"id", lit(2024).as("year"), lit(6).as("month"),
+          lit(21).as("day"), lit(h).as("hour"))
+        .repartition(8)
+        .write.mode("append").partitionBy("year", "month", "day", "hour").json(dir)
+    }
+    def filesIn(h: Int) =
+      new java.io.File(s"$dir/year=2024/month=6/day=21/hour=$h").listFiles()
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith(".")).length
+    val currentBefore = filesIn(11)
+    val stats = Compaction.compactClosedHours(spark, dir,
+      beforeHour = (2024, 6, 21, 11), format = "json", targetBytes = 1L << 30)
+    assert(stats.map(_._1) ===
+      Seq("year=2024/month=6/day=21/hour=9", "year=2024/month=6/day=21/hour=10"))
+    assert(filesIn(9) === 1 && filesIn(10) === 1, "closed hours not compacted")
+    assert(filesIn(11) === currentBefore, "in-flight hour was rewritten")
+    assert(spark.read.json(dir).count() === 600L)
+  }
+
   test("partition layout survives; per-partition form bounds the rewrite unit") {
     val dir = freshDir()
     val df = spark.range(2000L).select($"id", ($"id" % 2).as("part"),
