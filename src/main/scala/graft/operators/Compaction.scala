@@ -1,8 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction for lake zones.
   *
@@ -11,21 +10,30 @@ import org.apache.spark.sql.functions.col
   * README.md:58-59). At 100 TB that layout is the classic small-files
   * problem: listing dominates planning, each task reads one tiny object,
   * and the NameNode/S3 metadata load grows unbounded. Compaction rewrites
-  * a zone into ~`targetBytes` files while preserving data, schema, and
-  * partition layout.
+  * a zone into ~`targetBytes` files while preserving data, schema,
+  * compression, and partition layout.
   *
-  * Scale shape: ONE round-robin shuffle sized from the zone's actual byte
-  * weight (not row count — rows vary wildly in width), then an
-  * atomic-enough swap (write `<path>__compact_tmp`, delete old, rename).
-  * On object stores the rename is a copy; production orchestration runs
-  * this per PARTITION directory (hour dirs in the CDC zone) so the unit of
-  * rewrite stays bounded and concurrent readers of other partitions are
-  * untouched.
+  * Swap protocol (no table format available — Delta/Iceberg-style atomic
+  * commits are the real answer at scale, out of scope in this
+  * dependency-free build):
+  *   1. write `.compact_tmp_<name>` beside the live dir (DOT-prefixed, so
+  *      Spark partition discovery and [[dataFiles]] ignore it);
+  *   2. re-list the live dir — if its file set changed since planning
+  *      (a concurrent writer appended), ABORT and delete the tmp;
+  *   3. rename live -> `.compact_old_<name>`, tmp -> live, delete old.
+  * No step deletes data before its replacement is in place: a crash at
+  * any point leaves every row in SOME directory (worst case the partition
+  * is transiently missing, never silently corrupted or partially lost).
+  * The step-2 check shrinks — but cannot close — the append race window;
+  * production orchestration must still fence writers of the target
+  * partition (see [[compactClosedHours]] for the CDC-zone fencing rule).
   */
 object Compaction {
 
-  final case class Stats(filesBefore: Long, filesAfter: Long,
-                         bytesBefore: Long, rows: Long)
+  final case class Stats(filesBefore: Long, filesAfter: Long, bytesBefore: Long) {
+    /** True when the zone was rewritten (false = no-op or aborted). */
+    def rewritten: Boolean = filesAfter < filesBefore
+  }
 
   /** List the zone's data files (skips _SUCCESS/metadata/hidden). */
   private def dataFiles(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -38,71 +46,113 @@ object Compaction {
       while (it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) buf += f
+        val hiddenAncestor = {
+          var q = f.getPath.getParent
+          var hidden = false
+          while (q != null && q.toString.length >= p.toString.length && !hidden) {
+            val n = q.getName
+            hidden = n.startsWith("_") || n.startsWith(".")
+            q = q.getParent
+          }
+          hidden
+        }
+        if (!name.startsWith("_") && !name.startsWith(".") && !hiddenAncestor) buf += f
       }
       buf.toSeq
     }
   }
 
-  /** Compact `path` (a lake zone dir) into ~`targetBytes` files per
-    * partition-set, preserving `partitionCols` directory layout. Returns
-    * before/after stats. No-op (returns stats unchanged) when the zone
-    * already meets the target file count. */
+  private def fileKeys(fs: Seq[org.apache.hadoop.fs.FileStatus]): Set[(String, Long)] =
+    fs.map(f => f.getPath.toString -> f.getLen).toSet
+
+  /** Test seam: runs after the tmp write, before the concurrent-change
+    * check — lets a spec inject a racing append deterministically. */
+  private[graft] var beforeSwapHook: String => Unit = _ => ()
+
+  /** Compact `path` (a lake zone dir) into ~`targetBytes` files, preserving
+    * `partitionCols` directory layout and passing `writeOptions` (e.g.
+    * compression) to the rewrite. No-op when the zone already meets the
+    * target file count; aborts (leaving the zone untouched) when a
+    * concurrent writer changes the zone between planning and swap. */
   def compact(spark: SparkSession, path: String, format: String = "parquet",
               targetBytes: Long = 128L << 20,
-              partitionCols: Seq[String] = Nil): Stats = {
+              partitionCols: Seq[String] = Nil,
+              writeOptions: Map[String, String] = Map.empty): Stats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val before = dataFiles(spark, path)
     val bytes = before.map(_.getLen).sum
     val wantFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
-    if (before.isEmpty || before.size <= wantFiles)
-      return Stats(before.size.toLong, before.size.toLong, bytes, -1L)
+    val noop = Stats(before.size.toLong, before.size.toLong, bytes)
+    if (before.isEmpty || before.size <= wantFiles) return noop
 
-    val df = spark.read.format(format).load(path)
-    val rows = df.count()
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
-    val writer = df.repartition(wantFiles.toInt)
-      .write.mode(SaveMode.Overwrite).format(format)
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = System.nanoTime().toString
+    val tmp = new Path(live.getParent, s".compact_tmp_${live.getName}_$tag")
+    val old = new Path(live.getParent, s".compact_old_${live.getName}_$tag")
+
+    val writer = spark.read.format(format).options(writeOptions).load(path)
+      .repartition(wantFiles.toInt)
+      .write.mode(SaveMode.Overwrite).format(format).options(writeOptions)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .save(tmp)
+      .save(tmp.toString)
 
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    require(fs.rename(new Path(tmp), p),
-      s"compaction swap failed: $tmp -> $path (zone left intact at $tmp)")
-    Stats(before.size.toLong, dataFiles(spark, path).size.toLong, bytes, rows)
+    beforeSwapHook(path)
+    // abort on concurrent modification: a writer appended/removed files
+    // since planning — compacting now would drop its rows
+    if (fileKeys(dataFiles(spark, path)) != fileKeys(before)) {
+      fs.delete(tmp, true)
+      return noop
+    }
+    require(fs.rename(live, old), s"compaction swap failed renaming $live aside")
+    require(fs.rename(tmp, live),
+      s"compaction swap failed: $tmp -> $live (data intact at $old)")
+    fs.delete(old, true)
+    Stats(before.size.toLong, dataFiles(spark, path).size.toLong, bytes)
   }
 
-  /** Compact only the partitions of a partitioned zone selected by
-    * `partitionPredicate` (e.g. "year=2024/month=01"): the bounded-unit
-    * production form — concurrent readers of other partitions never see a
-    * swap. */
+  /** Compact one partition subdir of a partitioned zone (e.g.
+    * "year=2024/month=01"): the bounded-unit production form — concurrent
+    * readers of other partitions never see a swap. */
   def compactPartition(spark: SparkSession, zonePath: String, partitionSubdir: String,
-                       format: String = "parquet", targetBytes: Long = 128L << 20): Stats =
-    compact(spark, zonePath.stripSuffix("/") + "/" + partitionSubdir, format, targetBytes)
+                       format: String = "parquet", targetBytes: Long = 128L << 20,
+                       writeOptions: Map[String, String] = Map.empty): Stats =
+    compact(spark, zonePath.stripSuffix("/") + "/" + partitionSubdir, format,
+      targetBytes, Nil, writeOptions)
 
   /** Compact every CLOSED hour partition of an A13-layout CDC zone
     * (`year=Y/month=M/day=D/hour=H`, the reference's Firehose prefix as
-    * written by Cdc.writeCdcZone): an hour is closed when it sorts
-    * strictly before `beforeHour` = (year, month, day, hour) — typically
-    * the hour currently being written. The streaming writer only ever
-    * APPENDS to the current processing-time hour, so closed hours are
-    * immutable and compacting them never races the writer; the current
-    * hour is deliberately left alone. Returns per-hour stats of the
-    * partitions actually rewritten. */
+    * written by Cdc.writeCdcZone), preserving the zone's gzip-JSON
+    * contract by default. An hour is treated as closed when it sorts
+    * strictly before `beforeHour` — and because the hour columns derive
+    * from `ingestion_timestamp`, which is only wall-clock "now" under the
+    * production clock, callers must fence for replay: a restarted stream
+    * re-stamps replayed rows with the CURRENT clock (they land in the
+    * open hour — safe), but a pipeline configured with an event-derived
+    * or injected clock can append into old hours, so pick `beforeHour`
+    * with a lag covering the pipeline's maximum replay depth (e.g. two
+    * hours behind now, not one). The per-compact concurrent-append check
+    * additionally aborts a racing rewrite rather than dropping rows.
+    * Returns per-hour stats of the partitions actually examined. */
   def compactClosedHours(spark: SparkSession, zonePath: String,
                          beforeHour: (Int, Int, Int, Int),
                          format: String = "json",
-                         targetBytes: Long = 128L << 20): Seq[(String, Stats)] = {
+                         targetBytes: Long = 128L << 20,
+                         writeOptions: Map[String, String] = Map("compression" -> "gzip")
+                        ): Seq[(String, Stats)] = {
     val root = new Path(zonePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    // only well-formed numeric partition dirs participate: tmp/old staging
+    // dirs (dot-prefixed anyway), __HIVE_DEFAULT_PARTITION__ from null
+    // timestamps, or any foreign dir must not crash the maintenance job
     def subdirs(p: Path, prefix: String): Seq[(Int, Path)] =
       fs.listStatus(p).toSeq.filter(_.isDirectory)
         .flatMap { s =>
           val n = s.getPath.getName
-          if (n.startsWith(prefix + "=")) Some(n.stripPrefix(prefix + "=").toInt -> s.getPath)
+          if (n.startsWith(prefix + "="))
+            scala.util.Try(n.stripPrefix(prefix + "=").toInt).toOption
+              .map(_ -> s.getPath)
           else None
         }
     val closed = for {
@@ -115,7 +165,7 @@ object Compaction {
     // chronological (numeric) order — lexicographic would put hour=10
     // before hour=9
     closed.sortBy(_._1).map { case (_, sub) =>
-      sub -> compactPartition(spark, zonePath, sub, format, targetBytes)
+      sub -> compactPartition(spark, zonePath, sub, format, targetBytes, writeOptions)
     }
   }
 }

@@ -4,13 +4,21 @@ import org.apache.spark.sql.functions._
 import graft.operators.Compaction
 
 /** Compaction must shrink the file count to the byte-derived target while
-  * preserving every row, the schema, and (when asked) the partition
-  * directory layout. */
+  * preserving every row, the schema, the compression contract, and (when
+  * asked) the partition directory layout — and must never race a
+  * concurrent writer into data loss. */
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("graft_compact").toString + "/zone"
+
+  private def dataFileNames(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.getName).toSeq
+  }
 
   test("many tiny files collapse to the target count with identical data") {
     val dir = freshDir()
@@ -20,24 +28,28 @@ class CompactionSpec extends SparkSpec {
     val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
     assert(stats.filesBefore === 64L)
     assert(stats.filesAfter === 1L, s"expected 1 compacted file, got $stats")
+    assert(stats.rewritten)
     val back = spark.read.parquet(dir)
     assert(back.count() === 10000L)
     assert(back.agg(sum($"id")).head.getLong(0) === (0L until 10000L).sum)
     assert(back.schema.fieldNames.toSet === Set("id", "payload"))
+    // staging dirs are cleaned up
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.startsWith(".compact_")),
+      "staging dirs left behind")
   }
 
   test("already-compact zones are left untouched (no rewrite)") {
     val dir = freshDir()
     spark.range(100L).coalesce(1).write.parquet(dir)
-    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val before = dataFileNames(dir).toSet
     val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
-    assert(stats.filesBefore === stats.filesAfter)
-    assert(stats.rows === -1L) // marker: nothing rewritten
-    assert(new java.io.File(dir).listFiles().map(_.getName).toSet === before,
+    assert(!stats.rewritten)
+    assert(dataFileNames(dir).toSet === before,
       "no-op compaction must not touch the zone")
   }
 
-  test("closed CDC hours compact; the in-flight hour is never touched") {
+  test("closed CDC hours compact to gzip; the in-flight hour is never touched") {
     val dir = freshDir()
     // two closed hours + the current one, A13 layout, many tiny files each
     for (h <- Seq(9, 10, 11)) {
@@ -46,17 +58,41 @@ class CompactionSpec extends SparkSpec {
         .repartition(8)
         .write.mode("append").partitionBy("year", "month", "day", "hour").json(dir)
     }
-    def filesIn(h: Int) =
-      new java.io.File(s"$dir/year=2024/month=6/day=21/hour=$h").listFiles()
-        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith(".")).length
-    val currentBefore = filesIn(11)
+    // junk dirs that must not crash the maintenance walk
+    new java.io.File(s"$dir/year=2024/month=6/day=21/hour=__HIVE_DEFAULT_PARTITION__").mkdirs()
+    new java.io.File(s"$dir/year=2024/month=6/day=21/.compact_tmp_hour=9_123").mkdirs()
+    def hourDir(h: Int) = s"$dir/year=2024/month=6/day=21/hour=$h"
+    val currentBefore = dataFileNames(hourDir(11))
     val stats = Compaction.compactClosedHours(spark, dir,
-      beforeHour = (2024, 6, 21, 11), format = "json", targetBytes = 1L << 30)
+      beforeHour = (2024, 6, 21, 11), targetBytes = 1L << 30)
     assert(stats.map(_._1) ===
       Seq("year=2024/month=6/day=21/hour=9", "year=2024/month=6/day=21/hour=10"))
-    assert(filesIn(9) === 1 && filesIn(10) === 1, "closed hours not compacted")
-    assert(filesIn(11) === currentBefore, "in-flight hour was rewritten")
+    assert(dataFileNames(hourDir(9)).size === 1 && dataFileNames(hourDir(10)).size === 1,
+      "closed hours not compacted")
+    // the CDC zone's gzip contract survives the rewrite
+    assert(dataFileNames(hourDir(9)).forall(_.endsWith(".json.gz")),
+      s"compacted hour lost gzip: ${dataFileNames(hourDir(9))}")
+    assert(dataFileNames(hourDir(11)) === currentBefore, "in-flight hour was rewritten")
     assert(spark.read.json(dir).count() === 600L)
+  }
+
+  test("a concurrent append between planning and swap aborts the rewrite") {
+    val dir = freshDir()
+    spark.range(1000L).select($"id").repartition(16).write.parquet(dir)
+    // inject the race through the test seam: a writer appends AFTER the
+    // tmp was written but BEFORE the swap — compact must walk away, and
+    // the appended rows must survive
+    Compaction.beforeSwapHook = p =>
+      spark.range(1000L, 1100L).select($"id").coalesce(1).write.mode("append").parquet(p)
+    try {
+      val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+      assert(!stats.rewritten, s"racing rewrite must abort, got $stats")
+    } finally Compaction.beforeSwapHook = _ => ()
+    assert(spark.read.parquet(dir).count() === 1100L,
+      "the concurrently appended rows were lost")
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.startsWith(".compact_")),
+      "aborted compaction left staging dirs")
   }
 
   test("partition layout survives; per-partition form bounds the rewrite unit") {
