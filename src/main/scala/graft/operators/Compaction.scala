@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction for lake zones.
@@ -16,6 +16,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Swap protocol (no table format available — Delta/Iceberg-style atomic
   * commits are the real answer at scale, out of scope in this
   * dependency-free build):
+  *   0. reclaim any staging dirs a previous crashed run left beside the
+  *      live dir (restore `.compact_old_*` if the live dir is missing,
+  *      delete the rest) — every run self-heals its predecessors;
   *   1. write `.compact_tmp_<name>` beside the live dir (DOT-prefixed, so
   *      Spark partition discovery and [[dataFiles]] ignore it);
   *   2. re-list the live dir — if its file set changed since planning
@@ -23,33 +26,41 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *   3. rename live -> `.compact_old_<name>`, tmp -> live, delete old.
   * No step deletes data before its replacement is in place: a crash at
   * any point leaves every row in SOME directory (worst case the partition
-  * is transiently missing, never silently corrupted or partially lost).
-  * The step-2 check shrinks — but cannot close — the append race window;
-  * production orchestration must still fence writers of the target
-  * partition (see [[compactClosedHours]] for the CDC-zone fencing rule).
+  * is transiently missing until the next run's reclaim restores it, never
+  * silently corrupted or partially lost). The step-2 check shrinks — but
+  * cannot close — the append race window; production orchestration must
+  * still fence writers of the target partition (see
+  * [[compactClosedHours]] for the CDC-zone fencing rule).
   */
 object Compaction {
 
-  final case class Stats(filesBefore: Long, filesAfter: Long, bytesBefore: Long) {
-    /** True when the zone was rewritten (false = no-op or aborted). */
-    def rewritten: Boolean = filesAfter < filesBefore
-  }
+  /** `rewritten` is set ONLY on the swap path — false means no-op
+    * (already compact) or abort (concurrent writer detected). */
+  final case class Stats(filesBefore: Long, filesAfter: Long,
+                         bytesBefore: Long, rewritten: Boolean)
 
-  /** List the zone's data files (skips _SUCCESS/metadata/hidden). */
+  private def tmpPrefix(name: String) = s".compact_tmp_${name}_"
+  private def oldPrefix(name: String) = s".compact_old_${name}_"
+
+  /** List the zone's data files (skips _SUCCESS/metadata and anything
+    * under a hidden directory BELOW the zone root — the zone root's own
+    * name, or its ancestors', must not disqualify its contents). */
   private def dataFiles(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
+    val p0 = new Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(p0)
+    if (!fs.exists(root)) Seq.empty
     else {
-      val it = fs.listFiles(p, true)
+      val it = fs.listFiles(root, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
+        // walk ancestors up to (excluding) the zone root, by path equality
         val hiddenAncestor = {
           var q = f.getPath.getParent
           var hidden = false
-          while (q != null && q.toString.length >= p.toString.length && !hidden) {
+          while (q != null && q != root && !hidden) {
             val n = q.getName
             hidden = n.startsWith("_") || n.startsWith(".")
             q = q.getParent
@@ -65,50 +76,83 @@ object Compaction {
   private def fileKeys(fs: Seq[org.apache.hadoop.fs.FileStatus]): Set[(String, Long)] =
     fs.map(f => f.getPath.toString -> f.getLen).toSet
 
-  /** Test seam: runs after the tmp write, before the concurrent-change
-    * check — lets a spec inject a racing append deterministically. */
-  private[graft] var beforeSwapHook: String => Unit = _ => ()
+  /** Self-heal a predecessor's crash: a leftover `.compact_old_<name>_*`
+    * with NO live dir means the crash hit between rename-aside and
+    * promote — restore it; with a live dir present the promote finished —
+    * delete it. Leftover tmp dirs are always safe to delete (they were
+    * never the live copy). */
+  private def reclaim(fs: FileSystem, live: Path): Unit = {
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val siblings = fs.listStatus(parent).toSeq.map(_.getPath)
+    val olds = siblings.filter(_.getName.startsWith(oldPrefix(live.getName)))
+    if (!fs.exists(live)) olds.headOption.foreach { o =>
+      require(fs.rename(o, live), s"failed restoring $o -> $live")
+    }
+    (siblings.filter(_.getName.startsWith(tmpPrefix(live.getName)))
+      ++ olds.filter(o => fs.exists(live) && o != live)).foreach(fs.delete(_, true))
+  }
 
   /** Compact `path` (a lake zone dir) into ~`targetBytes` files, preserving
     * `partitionCols` directory layout and passing `writeOptions` (e.g.
-    * compression) to the rewrite. No-op when the zone already meets the
-    * target file count; aborts (leaving the zone untouched) when a
-    * concurrent writer changes the zone between planning and swap. */
+    * compression) to the rewrite — the read side parses the zone as-is.
+    * No-op when the zone already meets the target file count; aborts
+    * (leaving the zone untouched) when a concurrent writer changes the
+    * zone between planning and swap. `preSwapHook` is a test seam run
+    * between the tmp write and the concurrent-change check. */
   def compact(spark: SparkSession, path: String, format: String = "parquet",
               targetBytes: Long = 128L << 20,
               partitionCols: Seq[String] = Nil,
-              writeOptions: Map[String, String] = Map.empty): Stats = {
+              writeOptions: Map[String, String] = Map.empty,
+              preSwapHook: String => Unit = _ => ()): Stats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val live0 = new Path(path)
+    val fs = live0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.makeQualified(live0)
+    reclaim(fs, live)
+
     val before = dataFiles(spark, path)
     val bytes = before.map(_.getLen).sum
     val wantFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
-    val noop = Stats(before.size.toLong, before.size.toLong, bytes)
+    val noop = Stats(before.size.toLong, before.size.toLong, bytes, rewritten = false)
     if (before.isEmpty || before.size <= wantFiles) return noop
 
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tag = System.nanoTime().toString
-    val tmp = new Path(live.getParent, s".compact_tmp_${live.getName}_$tag")
-    val old = new Path(live.getParent, s".compact_old_${live.getName}_$tag")
+    val tmp = new Path(live.getParent, tmpPrefix(live.getName) + tag)
+    val old = new Path(live.getParent, oldPrefix(live.getName) + tag)
 
-    val writer = spark.read.format(format).options(writeOptions).load(path)
-      .repartition(wantFiles.toInt)
-      .write.mode(SaveMode.Overwrite).format(format).options(writeOptions)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .save(tmp.toString)
+    try {
+      val df = spark.read.format(format).load(path)
+      // partitioned zones repartition BY the partition columns so each
+      // value's rows land in one task -> one file per value, not
+      // wantFiles x values
+      val re =
+        if (partitionCols.nonEmpty)
+          df.repartition(wantFiles.toInt, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        else df.repartition(wantFiles.toInt)
+      val writer = re.write.mode(SaveMode.Overwrite).format(format).options(writeOptions)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .save(tmp.toString)
 
-    beforeSwapHook(path)
-    // abort on concurrent modification: a writer appended/removed files
-    // since planning — compacting now would drop its rows
-    if (fileKeys(dataFiles(spark, path)) != fileKeys(before)) {
-      fs.delete(tmp, true)
-      return noop
+      preSwapHook(path)
+      // abort on concurrent modification: a writer appended/removed files
+      // since planning — compacting now would drop its rows
+      if (fileKeys(dataFiles(spark, path)) != fileKeys(before)) {
+        fs.delete(tmp, true)
+        return noop
+      }
+      require(fs.rename(live, old), s"compaction swap failed renaming $live aside")
+      require(fs.rename(tmp, live),
+        s"compaction swap failed: $tmp -> $live (data intact at $old)")
+      fs.delete(old, true)
+      Stats(before.size.toLong, dataFiles(spark, path).size.toLong, bytes, rewritten = true)
+    } catch {
+      case e: Throwable =>
+        // live dir untouched (or restorable from old on the next run's
+        // reclaim); tmp is never the only copy, so drop it
+        if (fs.exists(live) && fs.exists(tmp)) fs.delete(tmp, true)
+        throw e
     }
-    require(fs.rename(live, old), s"compaction swap failed renaming $live aside")
-    require(fs.rename(tmp, live),
-      s"compaction swap failed: $tmp -> $live (data intact at $old)")
-    fs.delete(old, true)
-    Stats(before.size.toLong, dataFiles(spark, path).size.toLong, bytes)
   }
 
   /** Compact one partition subdir of a partitioned zone (e.g.

@@ -72,27 +72,46 @@ class CompactionSpec extends SparkSpec {
     // the CDC zone's gzip contract survives the rewrite
     assert(dataFileNames(hourDir(9)).forall(_.endsWith(".json.gz")),
       s"compacted hour lost gzip: ${dataFileNames(hourDir(9))}")
-    assert(dataFileNames(hourDir(11)) === currentBefore, "in-flight hour was rewritten")
+    assert(dataFileNames(hourDir(11)).toSet === currentBefore.toSet,
+      "in-flight hour was rewritten")
     assert(spark.read.json(dir).count() === 600L)
   }
 
   test("a concurrent append between planning and swap aborts the rewrite") {
     val dir = freshDir()
     spark.range(1000L).select($"id").repartition(16).write.parquet(dir)
-    // inject the race through the test seam: a writer appends AFTER the
-    // tmp was written but BEFORE the swap — compact must walk away, and
-    // the appended rows must survive
-    Compaction.beforeSwapHook = p =>
-      spark.range(1000L, 1100L).select($"id").coalesce(1).write.mode("append").parquet(p)
-    try {
-      val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
-      assert(!stats.rewritten, s"racing rewrite must abort, got $stats")
-    } finally Compaction.beforeSwapHook = _ => ()
+    // inject the race through the per-call test seam: a writer appends
+    // AFTER the tmp was written but BEFORE the swap — compact must walk
+    // away, and the appended rows must survive
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30,
+      preSwapHook = p => spark.range(1000L, 1100L).select($"id")
+        .coalesce(1).write.mode("append").parquet(p))
+    assert(!stats.rewritten, s"racing rewrite must abort, got $stats")
     assert(spark.read.parquet(dir).count() === 1100L,
       "the concurrently appended rows were lost")
     val parent = new java.io.File(dir).getParentFile
     assert(!parent.listFiles().exists(_.getName.startsWith(".compact_")),
       "aborted compaction left staging dirs")
+  }
+
+  test("a crashed swap's leftover staging dirs self-heal on the next run") {
+    val dir = freshDir()
+    spark.range(500L).select($"id").repartition(8).write.parquet(dir)
+    val parent = new java.io.File(dir).getParentFile
+    val name = new java.io.File(dir).getName
+    // simulate a crash between rename-aside and promote: live dir moved
+    // to .compact_old_*, nothing promoted
+    val oldDir = new java.io.File(parent, s".compact_old_${name}_999")
+    assert(new java.io.File(dir).renameTo(oldDir))
+    assert(!new java.io.File(dir).exists())
+    // plus an orphaned tmp from an earlier failed write
+    new java.io.File(parent, s".compact_tmp_${name}_42").mkdirs()
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    // reclaim restored the live dir, then the compaction proceeded
+    assert(stats.rewritten && stats.filesBefore === 8L)
+    assert(spark.read.parquet(dir).count() === 500L)
+    assert(!parent.listFiles().exists(_.getName.startsWith(".compact_")),
+      "staging dirs not reclaimed")
   }
 
   test("partition layout survives; per-partition form bounds the rewrite unit") {
