@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.sources.Tables
 
-/** Round-3 inventory extension (q81–q105): the remaining TPC-H query
+/** Round-3 inventory extension (q81–q106): the remaining TPC-H query
   * *shapes* expressible over the driver schema (Q2's correlated min, Q4's
   * EXISTS count, Q11's share-of-total HAVING, Q13's two-level distribution,
   * Q14's conditional ratio, Q16's NOT-IN distinct count, Q17's
@@ -548,6 +548,27 @@ object MoreQueries {
           try_element_at(array(col("l_orderkey"), col("l_partkey")),
             col("l_linenumber").cast("int")).as("pick"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "pick")),
+
+    Q("q106_hof_predicates",
+      // Quantifier HOFs over arrays — exists / forall (DuckDB: list_filter
+      // length tests) plus a filter+aggregate composition, on the token
+      // arrays the text pipeline lives on.
+      Some(s"""SELECT doc_id,
+              |       LEN(LIST_FILTER(t, x -> x = 'the')) > 0 AS has_the,
+              |       LEN(LIST_FILTER(t, x -> LEN(x) >= 2)) = LEN(t) AS all_ge2,
+              |       CAST(LEN(LIST_FILTER(t, x -> LEN(x) >= 5)) AS BIGINT) AS n_long
+              |FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS t
+              |      FROM documents) d
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val t = graft.operators.TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            exists(t, x => x === "the").as("has_the"),
+            forall(t, x => length(x) >= 2).as("all_ge2"),
+            size(filter(t, x => length(x) >= 5)).cast("long").as("n_long"))
+          .orderBy("doc_id")
+      }),
 
     Q("q105_str_to_map",
       // Key:value string parsing into a MapType (str_to_map) and reading
