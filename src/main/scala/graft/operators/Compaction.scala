@@ -73,8 +73,13 @@ object Compaction {
     }
   }
 
-  private def fileKeys(fs: Seq[org.apache.hadoop.fs.FileStatus]): Set[(String, Long)] =
-    fs.map(f => f.getPath.toString -> f.getLen).toSet
+  /** Identity of the live file set for the concurrent-writer abort check.
+    * Includes modificationTime so a same-length in-place overwrite (or a
+    * stale listing that reuses a path+length) between planning and swap
+    * still trips the abort — path+length alone misses it. Cheap extra
+    * signal only; external fencing (see class doc) remains mandatory. */
+  private def fileKeys(fs: Seq[org.apache.hadoop.fs.FileStatus]): Set[(String, Long, Long)] =
+    fs.map(f => (f.getPath.toString, f.getLen, f.getModificationTime)).toSet
 
   /** Self-heal a predecessor's crash: a leftover `.compact_old_<name>_*`
     * with NO live dir means the crash hit between rename-aside and
@@ -116,6 +121,20 @@ object Compaction {
     val wantFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
     val noop = Stats(before.size.toLong, before.size.toLong, bytes, rewritten = false)
     if (before.isEmpty || before.size <= wantFiles) return noop
+
+    // A partitioned zone root compacted with partitionCols=Nil would read
+    // the key=value layout fine but REWRITE it as flat files — rows survive,
+    // yet every consumer globbing year=*/month=*/... sees zero files. Refuse
+    // loudly instead of silently destroying the layout.
+    if (partitionCols.isEmpty) {
+      val partDirs = fs.listStatus(live).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !n.startsWith("_") && n.contains("="))
+      require(partDirs.isEmpty,
+        s"$path contains partition subdirectories (${partDirs.sorted.take(3).mkString(", ")}, ...) " +
+          "but partitionCols is empty — compacting would flatten the key=value layout. " +
+          "Pass partitionCols explicitly, or compact one leaf via compactPartition / " +
+          "compactClosedHours.")
+    }
 
     val tag = System.nanoTime().toString
     val tmp = new Path(live.getParent, tmpPrefix(live.getName) + tag)

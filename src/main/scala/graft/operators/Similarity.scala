@@ -68,8 +68,13 @@ object Similarity {
         .otherwise(dot(col(vecCol), typedLit(ce)) / denom)
       struct(csim.as("s"), lit(-cid).as("negid"), lit(cid).as("cid"))
     }
+    // A null embedding must yield a NULL assignment: unguarded, every
+    // centroid's csim is null, the structs tie, and the negid tie-break
+    // silently assigns the row to the lowest centroid id.
     vectors.select(col(idCol),
-      array_max(array(scored: _*)).getField("cid").as("cent_id"), col(vecCol))
+      when(col(vecCol).isNotNull, array_max(array(scored: _*)).getField("cid"))
+        .as("cent_id"),
+      col(vecCol))
   }
 
   /** Collect a small centroid relation to the driver for the

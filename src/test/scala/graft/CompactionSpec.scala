@@ -114,6 +114,41 @@ class CompactionSpec extends SparkSpec {
       "staging dirs not reclaimed")
   }
 
+  test("a same-length in-place overwrite between planning and swap aborts (mtime signal)") {
+    val dir = freshDir()
+    spark.range(1000L).select($"id").repartition(16).write.parquet(dir)
+    // the racing writer rewrites one data file IN PLACE with the same byte
+    // length — a (path, length)-only identity misses this; modificationTime
+    // must trip the abort
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30,
+      preSwapHook = p => {
+        val f = new java.io.File(p).listFiles()
+          .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+          .minBy(_.getName)
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        java.nio.file.Files.write(f.toPath, bytes)
+        assert(f.setLastModified(f.lastModified() + 2000L))
+      })
+    assert(!stats.rewritten, s"same-length overwrite race must abort, got $stats")
+  }
+
+  test("a partitioned zone root refuses compaction without explicit partitionCols") {
+    val dir = freshDir()
+    spark.range(100L).select($"id", ($"id" % 2).as("part"))
+      .repartition(8).write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("partition subdirectories"))
+    // the layout is untouched and readable
+    assert(spark.read.parquet(dir).filter($"part" === 1).count() === 50L)
+    // with the columns declared explicitly the same call compacts fine
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 30,
+      partitionCols = Seq("part"))
+    assert(stats.rewritten)
+    assert(spark.read.parquet(dir).filter($"part" === 1).count() === 50L)
+  }
+
   test("partition layout survives; per-partition form bounds the rewrite unit") {
     val dir = freshDir()
     val df = spark.range(2000L).select($"id", ($"id" % 2).as("part"),

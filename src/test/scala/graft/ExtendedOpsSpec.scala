@@ -818,6 +818,17 @@ class KernelNullSpec extends SparkSpec {
     assert(!sh(0).isNullAt(0))
     assert(sh(1).isNullAt(0))
   }
+
+  test("assignToCentroidsLocal: null embedding yields null cent_id, not centroid 0") {
+    val vecs = Seq((1L, Some(Array(1f, 0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0f, 1f)), (5L, Array(1f, 0f)))
+    val out = graft.operators.Similarity
+      .assignToCentroidsLocal(vecs, cents)
+      .orderBy($"vec_id").collect()
+    assert(out(0).getLong(1) === 5L)
+    assert(out(1).isNullAt(1), "null embedding must not be assigned to the lowest cid")
+  }
 }
 
 /** Lake operational robustness: schema evolution and corrupt-file
