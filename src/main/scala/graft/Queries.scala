@@ -604,7 +604,8 @@ object Queries {
   /** Full declared inventory: Q01–Q35 plus the training-data ops plus the
     * extended relational/pipeline ops. */
   def inventory: Seq[Q] =
-    all ++ TrainingQueries.all ++ ExtendedQueries.all ++ MoreQueries.all
+    all ++ TrainingQueries.all ++ ExtendedQueries.all ++ MoreQueries.all ++
+      Round4Queries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap

@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.sources.Tables
+
+/** Round-4 inventory extension (q107–q115): the last uncovered TPC-H query
+  * *shapes* over the driver schema (Q8's conditional market share, Q9's
+  * product-profit, Q10's returned-item report, Q12's priority split with
+  * timestamp-interval filter, Q15's top-supplier-of-max-revenue, Q21's
+  * sole-late-supplier multi-predicate), plus percent_rank/cume_dist
+  * window coverage, a time-series gap-fill with hourly grid + forward
+  * fill (the training-pipeline resample primitive), and levenshtein
+  * edit-distance classification. All under the SURVEY §2.2 determinism
+  * rules: total ORDER BY on a unique key, decimal-exact sums, ROUND(x,4)
+  * on floating outputs, BIGINT-aligned integer outputs.
+  */
+object Round4Queries {
+
+  import Queries.{dsumD, r4}
+
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+  private def dsumSql(e: String): String = DSUM.format(e)
+
+  def all: Seq[Q] = Seq(
+
+    Q("q107_percent_rank",
+      // percent_rank = (rank-1)/(n-1) and cume_dist = peers<=cur / n are
+      // exact small-integer ratios -> one IEEE division each, identical in
+      // both engines; the unique o_orderkey tie-break pins rank order.
+      Some("""SELECT o_custkey, o_orderkey,
+             |       ROUND(PERCENT_RANK() OVER
+             |         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 4) AS pr,
+             |       ROUND(CUME_DIST() OVER
+             |         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 4) AS cd
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          r4(percent_rank().over(w)).as("pr"),
+          r4(cume_dist().over(w)).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    Q("q108_returned_items",
+      // TPC-H Q10 shape: revenue lost to returns per customer in a quarter.
+      // Scale: lineitem streams; orders filtered by the quarter BEFORE the
+      // join; customer/nation broadcast-able dims.
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |       ROUND(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01'
+              |GROUP BY c_custkey, c_name, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      (s, d) => Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)),
+
+    Q("q109_priority_split",
+      // TPC-H Q12 shape (no l_shipmode in the driver schema -> split by
+      // l_returnflag): orders whose lines shipped >30 days after the order
+      // date, counted by priority class. The interval predicate is exact
+      // microsecond arithmetic in both engines.
+      Some("""SELECT l_returnflag,
+             |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 1 ELSE 0 END) AS high_cnt,
+             |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 0 ELSE 1 END) AS low_cnt
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_cnt"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_cnt"))
+          .orderBy("l_returnflag")
+      }),
+
+    Q("q110_waiting_suppliers",
+      // TPC-H Q21 shape: suppliers who were the SOLE late supplier of a
+      // multi-supplier finished order (late := shipped >60 days after the
+      // order date). The classic EXISTS / NOT EXISTS pair is restated as
+      // one per-order aggregate (distinct suppliers, distinct late
+      // suppliers) joined back to the late lines — same relation, but at
+      // 100 TB it is two scans instead of three correlated self-joins.
+      Some("""WITH f AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE o_orderstatus = 'F'),
+             |stats AS (
+             |  SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp,
+             |         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+             |  FROM f GROUP BY 1)
+             |SELECT s_name, COUNT(*) AS numwait
+             |FROM f JOIN stats ON ok = l_orderkey
+             |       JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE late AND n_supp > 1 AND n_late = 1
+             |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin),
+      (s, d) => {
+        val f = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+        val stats = f.groupBy(col("l_orderkey").as("ok"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        f.join(stats, col("ok") === col("l_orderkey"))
+          .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
+          .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      }),
+
+    Q("q111_top_supplier",
+      // TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+      // revenue. The max is over ROUND'ed decimal-exact revenues, so the
+      // equality join is float-safe; the 1-row max relation broadcasts.
+      Some(s"""WITH revenue AS (
+              |  SELECT l_suppkey,
+              |         ROUND(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate < TIMESTAMP '1996-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_revenue
+              |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+              |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+              |ORDER BY s_suppkey""".stripMargin),
+      (s, d) => {
+        val revenue = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_revenue"))
+        val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
+        Tables.supplier(s, d)
+          .join(revenue, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      }),
+
+    Q("q112_market_share",
+      // TPC-H Q8 shape: NATION_3 suppliers' share of revenue delivered to
+      // ASIA customers, per order year. The conditional numerator is CASE
+      // INSIDE the decimal cast on both sides, so numerator and denominator
+      // are exact sums and the share is one IEEE division.
+      Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+             |       ROUND(
+             |         CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+             |                  THEN l_extendedprice * (1 - l_discount)
+             |                  ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             |         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |                  AS DECIMAL(18,4))) AS DOUBLE), 4) AS share
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation cn ON cn.n_nationkey = c_nationkey
+             |JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation sn ON sn.n_nationkey = s_nationkey
+             |GROUP BY 1 ORDER BY yr""".stripMargin),
+      (s, d) => {
+        val custNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+        val suppNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(custNation), col("cn_key") === col("c_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("r_regionkey") === col("cn_region"))
+          .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(suppNation), col("sn_key") === col("s_nationkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(r4(
+            sum(dec(when(col("sn_name") === "NATION_3", rev).otherwise(lit(0)))).cast("double") /
+              sum(dec(rev)).cast("double")).as("share"))
+          .orderBy("yr")
+      }),
+
+    Q("q113_product_profit",
+      // TPC-H Q9 shape (no partsupp -> cost := 0.5 * retailprice * qty):
+      // profit on 'red' parts per supplier nation and order year. The
+      // per-row profit is pure double arithmetic (identical IEEE result in
+      // both engines) summed exactly as decimal.
+      Some(s"""SELECT n_name AS nat, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+              |       ROUND(${dsumSql(
+                       "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity")}, 4)
+              |         AS profit
+              |FROM lineitem
+              |JOIN part ON p_partkey = l_partkey
+              |JOIN supplier ON s_suppkey = l_suppkey
+              |JOIN nation ON n_nationkey = s_nationkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |WHERE p_name LIKE '%red%'
+              |GROUP BY 1, 2 ORDER BY nat, yr""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nat"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity"))).as("profit"))
+        .orderBy("nat", "yr")),
+
+    Q("q114_gap_fill",
+      // Time-series resample: per user, an hourly grid from the user's
+      // first to last event hour, forward-filling the hour's closing value
+      // (arg-max by event_id) across empty hours — the training-pipeline
+      // gap-fill primitive. Grid = sequence/explode (generate_series in
+      // DuckDB); fill = last(v, ignoreNulls) over an unbounded-preceding
+      // row frame. Bounded by users x hours, never by events^2.
+      Some("""WITH hourly AS (
+             |  SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
+             |         ROUND(ARG_MAX(value, event_id), 4) AS v
+             |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, UNNEST(GENERATE_SERIES(MIN(hour), MAX(hour),
+             |                                         INTERVAL 1 HOUR)) AS hour
+             |  FROM hourly GROUP BY user_id)
+             |SELECT g.user_id,
+             |       strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+             |       LAST_VALUE(h.v IGNORE NULLS) OVER
+             |         (PARTITION BY g.user_id ORDER BY g.hour
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+             |       CAST(CASE WHEN h.v IS NULL THEN 0 ELSE 1 END AS INT) AS had_event
+             |FROM grid g LEFT JOIN hourly h
+             |  ON h.user_id = g.user_id AND h.hour = g.hour
+             |ORDER BY g.user_id, hour""".stripMargin),
+      (s, d) => {
+        val hourly = Tables.events(s, d).filter(col("user_id") < 100)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(r4(max_by(col("value"), col("event_id"))).as("v"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+            when(col("v").isNull, 0).otherwise(1).cast("int").as("had_event"))
+          .orderBy("user_id", "hour")
+      }),
+
+    Q("q115_levenshtein",
+      // Edit-distance classification: each part name scored against three
+      // prototype names, class = argmin with a fixed CASE tie-break (the
+      // same CASE chain in both engines, so ties resolve identically).
+      Some("""SELECT p_partkey,
+             |       CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist,
+             |       CASE WHEN levenshtein(p_name, 'red widget') <= levenshtein(p_name, 'blue bolt')
+             |             AND levenshtein(p_name, 'red widget') <= levenshtein(p_name, 'small gear')
+             |            THEN 'widget'
+             |            WHEN levenshtein(p_name, 'blue bolt') <= levenshtein(p_name, 'small gear')
+             |            THEN 'bolt' ELSE 'gear' END AS cls
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => {
+        val d1 = levenshtein(col("p_name"), lit("red widget"))
+        val d2 = levenshtein(col("p_name"), lit("blue bolt"))
+        val d3 = levenshtein(col("p_name"), lit("small gear"))
+        Tables.part(s, d).select(col("p_partkey"),
+          d1.cast("long").as("dist"),
+          when(d1 <= d2 && d1 <= d3, "widget")
+            .when(d2 <= d3, "bolt").otherwise("gear").as("cls"))
+          .orderBy("p_partkey")
+      })
+  )
+}
