@@ -117,18 +117,25 @@ object Round4Queries {
              |WHERE late AND n_supp > 1 AND n_late = 1
              |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin),
       (s, d) => {
-        val f = Tables.lineitem(s, d)
+        // One scan: reduce to (order, supplier) grain first (map-side
+        // partial agg), derive the per-order supplier stats as a window
+        // over that already-small grain, filter, and re-aggregate. The
+        // two-scan EXISTS formulation reads the lineitem⋈orders join
+        // twice; this reads it once — the shape that matters at 100 TB.
+        val g = Tables.lineitem(s, d)
           .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(col("l_orderkey"), col("l_suppkey"),
-            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-        val stats = f.groupBy(col("l_orderkey").as("ok"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-        f.join(stats, col("ok") === col("l_orderkey"))
-          .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1L).otherwise(0L)).as("late_lines"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        val withStats = g.select(col("l_suppkey"), col("late_lines"),
+          count(lit(1)).over(w).as("n_supp"),
+          sum(when(col("late_lines") > 0, 1L).otherwise(0L)).over(w).as("n_late"))
+        withStats
+          .filter(col("late_lines") > 0 && col("n_supp") > 1 && col("n_late") === 1)
           .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
-          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .groupBy("s_name").agg(sum(col("late_lines")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
       }),
 
