@@ -301,6 +301,127 @@ object Round4Queries {
           when(d1 <= d2 && d1 <= d3, "widget")
             .when(d2 <= d3, "bolt").otherwise("gear").as("cls"))
           .orderBy("p_partkey")
+      }),
+
+    Q("q116_time_range_frame",
+      // Value-based TIME range frame (vs q62's numeric range): per event,
+      // count + sum of the user's events in the trailing hour. The order
+      // key is exact integer epoch-micros (unix_micros / epoch_us) so the
+      // frame bound 3_600_000_000 is engine-portable; the frame sum is a
+      // decimal accumulation — exact under any add/remove order, unlike a
+      // sliding double sum.
+      Some("""SELECT user_id, event_id, cnt_1h,
+             |       ROUND(CAST(sum_1h AS DOUBLE), 4) AS sum_1h
+             |FROM (
+             |  SELECT user_id, event_id,
+             |         COUNT(*) OVER w AS cnt_1h,
+             |         SUM(CAST(value AS DECIMAL(18,4))) OVER w AS sum_1h
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) t
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("cnt_1h"),
+            r4(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+              .as("sum_1h"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q117_array_setops",
+      // Array set algebra over tokenized text: both engines' intersect/
+      // except dedup, so sorting the results makes them order-canonical;
+      // emitted as joined strings to keep the comparison value-stable.
+      // COALESCE: DuckDB's array_to_string is a string_agg (NULL on an
+      // empty list), Spark's array_join is '' — align on ''.
+      Some("""SELECT doc_id,
+             |       COALESCE(array_to_string(list_sort(list_distinct(
+             |         list_intersect(string_split(text, ' '),
+             |                        ['the','a','of','and','is']))), ','), '') AS stop_hits,
+             |       CAST(LEN(list_distinct(list_filter(string_split(text, ' '),
+             |         x -> NOT list_contains(['the','a','of','and','is'], x)))) AS BIGINT)
+             |         AS content_vocab
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d).select(col("doc_id"),
+          array_join(array_sort(array_intersect(toks, stop)), ",").as("stop_hits"),
+          size(array_distinct(array_except(toks, stop))).cast("long")
+            .as("content_vocab"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q118_stratified_sample",
+      // Stratified deterministic downsampling: per language, keep the
+      // first ceil(20%) of documents in md5(doc_id) order — the
+      // reproducible, engine-stable alternative to sampleBy()'s RNG, and
+      // the standard way to cap a dominant language in a training mix.
+      // ceil(0.2*n): restated multiplicatively (rn*5 <= n*1 would be 20%
+      // floor; use (rn-1)*5 < n for ceil) to avoid float quotients.
+      Some("""SELECT lang, doc_id
+             |FROM (SELECT lang, doc_id,
+             |             ROW_NUMBER() OVER (PARTITION BY lang
+             |               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             |             COUNT(*) OVER (PARTITION BY lang) AS n
+             |      FROM documents) t
+             |WHERE (rn - 1) * 5 < n
+             |ORDER BY lang, doc_id""".stripMargin),
+      (s, d) => {
+        val ord = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val all = Window.partitionBy(col("lang"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            row_number().over(ord).as("rn"), count(lit(1)).over(all).as("n"))
+          .filter((col("rn") - 1) * 5 < col("n"))
+          .select("lang", "doc_id")
+          .orderBy("lang", "doc_id")
+      }),
+
+    Q("q119_regression",
+      // Least-squares slope/intercept/R^2 from decimal-exact co-moment
+      // sums (the q75 pattern): built-in regr_slope/regr_r2 accumulate
+      // doubles in shuffle order and cannot be hash-checked; this
+      // formulation is one exact aggregate plus identical IEEE double
+      // algebra in both engines.
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy,
+             |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+             |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+             |       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+             |       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+             |FROM s ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val dec = (e: org.apache.spark.sql.Column, t: String) => sum(e.cast(t)).cast("double")
+        val st = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          dec(col("l_quantity"), "decimal(18,4)").as("sx"),
+          dec(col("l_extendedprice"), "decimal(18,4)").as("sy"),
+          dec(col("l_quantity") * col("l_extendedprice"), "decimal(25,4)").as("sxy"),
+          dec(col("l_quantity") * col("l_quantity"), "decimal(20,4)").as("sxx"),
+          dec(col("l_extendedprice") * col("l_extendedprice"), "decimal(25,4)").as("syy"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+        val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))
+        st.select(col("l_returnflag"), col("n"),
+          r4(slope).as("slope"),
+          r4((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          r4(r2num / r2den).as("r2"))
+          .orderBy("l_returnflag")
       })
   )
 }
