@@ -36,7 +36,9 @@ object Queries {
   private[graft] def r4(c: Column): Column = round(c, 4)
 
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
-  private def dsumSql(e: String): String = DSUM.format(e)
+  /** Oracle-side twin of [[dsumD]] — the SQL text must carry the same
+    * decimal casts, so it lives here beside them. */
+  private[graft] def dsumSql(e: String): String = DSUM.format(e)
 
   // ---- CDC fixture (Q27–Q30) ----------------------------------------------
   // A deterministic DynamoDB-stream-envelope relation derived from the

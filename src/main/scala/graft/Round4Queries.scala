@@ -18,10 +18,7 @@ import graft.sources.Tables
   */
 object Round4Queries {
 
-  import Queries.{dsumD, r4}
-
-  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
-  private def dsumSql(e: String): String = DSUM.format(e)
+  import Queries.{dsumD, dsumSql, r4}
 
   def all: Seq[Q] = Seq(
 
@@ -77,10 +74,10 @@ object Round4Queries {
       // date, counted by priority class. The interval predicate is exact
       // microsecond arithmetic in both engines.
       Some("""SELECT l_returnflag,
-             |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-             |                THEN 1 ELSE 0 END) AS high_cnt,
-             |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-             |                THEN 0 ELSE 1 END) AS low_cnt
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
@@ -134,7 +131,8 @@ object Round4Queries {
           sum(when(col("late_lines") > 0, 1L).otherwise(0L)).over(w).as("n_late"))
         withStats
           .filter(col("late_lines") > 0 && col("n_supp") > 1 && col("n_late") === 1)
-          .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          // supplier is scale-proportional: no broadcast hint, AQE decides
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
           .groupBy("s_name").agg(sum(col("late_lines")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
       }),
@@ -161,10 +159,15 @@ object Round4Queries {
           .groupBy("l_suppkey")
           .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("total_revenue"))
-        val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
-        Tables.supplier(s, d)
-          .join(revenue, col("s_suppkey") === col("l_suppkey"))
-          .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        // max as a global window over the ALREADY-AGGREGATED per-supplier
+        // frame (one row per supplier): one lineitem scan total, where a
+        // separate .agg(max) subplan would scan + aggregate the fact twice
+        // (Catalyst does not dedup common DataFrame subplans). The
+        // single-partition window is over the tiny aggregate, never the fact.
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        revenue.withColumn("max_rev", max(col("total_revenue")).over(wAll))
+          .filter(col("total_revenue") === col("max_rev"))
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
           .select("s_suppkey", "s_name", "total_revenue")
           .orderBy("s_suppkey")
       }),
@@ -202,7 +205,8 @@ object Round4Queries {
           .join(broadcast(custNation), col("cn_key") === col("c_nationkey"))
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
             col("r_regionkey") === col("cn_region"))
-          .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          // supplier is scale-proportional: no broadcast hint, AQE decides
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
           .join(broadcast(suppNation), col("sn_key") === col("s_nationkey"))
           .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
           .agg(r4(
@@ -230,7 +234,8 @@ object Round4Queries {
       (s, d) => Tables.lineitem(s, d)
         .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
           col("p_partkey") === col("l_partkey"))
-        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        // supplier is scale-proportional: no broadcast hint, AQE decides
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
         .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("n_name").as("nat"), year(col("o_orderdate")).cast("long").as("yr"))
@@ -349,7 +354,8 @@ object Round4Queries {
         val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
         val toks = split(col("text"), " ")
         Tables.documents(s, d).select(col("doc_id"),
-          array_join(array_sort(array_intersect(toks, stop)), ",").as("stop_hits"),
+          coalesce(array_join(array_sort(array_intersect(toks, stop)), ","), lit(""))
+            .as("stop_hits"),
           size(array_distinct(array_except(toks, stop))).cast("long")
             .as("content_vocab"))
           .orderBy("doc_id")

@@ -174,9 +174,13 @@ object Compaction {
     }
   }
 
-  /** Compact one partition subdir of a partitioned zone (e.g.
-    * "year=2024/month=01"): the bounded-unit production form — concurrent
-    * readers of other partitions never see a swap. */
+  /** Compact one LEAF partition subdir of a partitioned zone (e.g.
+    * "year=2024/month=01/day=05/hour=13"): the bounded-unit production
+    * form — concurrent readers of other partitions never see a swap.
+    * A mid-level dir (e.g. "year=2024/month=01" in an hourly layout)
+    * still contains key=value subdirs and is refused by [[compact]]'s
+    * layout guard — compact its leaves individually instead (what
+    * [[compactClosedHours]] does for the CDC zone). */
   def compactPartition(spark: SparkSession, zonePath: String, partitionSubdir: String,
                        format: String = "parquet", targetBytes: Long = 128L << 20,
                        writeOptions: Map[String, String] = Map.empty): Stats =

@@ -43,7 +43,12 @@ object Similarity {
     val best = struct(col("csim").as("s"), (-col(centIdCol)).as("negid"))
     scored.groupBy(col(idCol))
       .agg(max_by(struct(col(centIdCol), col(vecCol)), best).as("a"))
-      .select(col(idCol), col("a." + centIdCol).as("cent_id"), col("a." + vecCol).as(vecCol))
+      // Null-embedding guard, mirroring assignToCentroidsLocal: with a null
+      // vector every csim is null, the max_by structs tie, and the negid
+      // tie-break would silently pick the lowest centroid id.
+      .select(col(idCol),
+        when(col("a." + vecCol).isNotNull, col("a." + centIdCol)).as("cent_id"),
+        col("a." + vecCol).as(vecCol))
   }
 
   /** Map-side centroid assignment for driver-resident centroids (k×dim

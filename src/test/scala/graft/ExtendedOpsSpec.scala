@@ -819,15 +819,21 @@ class KernelNullSpec extends SparkSpec {
     assert(sh(1).isNullAt(0))
   }
 
-  test("assignToCentroidsLocal: null embedding yields null cent_id, not centroid 0") {
+  test("both centroid-assignment paths: null embedding yields null cent_id, not centroid 0") {
     val vecs = Seq((1L, Some(Array(1f, 0f))), (2L, None))
       .toDF("vec_id", "embedding")
     val cents = Seq((0L, Array(0f, 1f)), (5L, Array(1f, 0f)))
-    val out = graft.operators.Similarity
+    val local = graft.operators.Similarity
       .assignToCentroidsLocal(vecs, cents)
       .orderBy($"vec_id").collect()
-    assert(out(0).getLong(1) === 5L)
-    assert(out(1).isNullAt(1), "null embedding must not be assigned to the lowest cid")
+    assert(local(0).getLong(1) === 5L)
+    assert(local(1).isNullAt(1), "local: null embedding must not be assigned to the lowest cid")
+    val centsDf = cents.toDF("cent_id", "ce")
+    val dist = graft.operators.Similarity
+      .assignToCentroids(vecs, centsDf)
+      .orderBy($"vec_id").collect()
+    assert(dist(0).getLong(1) === 5L)
+    assert(dist(1).isNullAt(1), "distributed: null embedding must not be assigned to the lowest cid")
   }
 }
 
