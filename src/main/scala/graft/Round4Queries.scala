@@ -428,6 +428,110 @@ object Round4Queries {
           r4((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
           r4(r2num / r2den).as("r2"))
           .orderBy("l_returnflag")
+      }),
+
+    Q("q120_tpch_q6",
+      // TPC-H Q6: the forecast-revenue-change scan — filter-only agg, no
+      // join. Both engines compare the same parquet double bits against
+      // the same literals, so the BETWEEN on discount is engine-stable.
+      Some(s"""SELECT ROUND(${dsumSql("l_extendedprice * l_discount")}, 4) AS revenue_delta,
+              |       CAST(COUNT(*) AS BIGINT) AS cnt
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate < TIMESTAMP '1997-01-01'
+              |  AND l_discount BETWEEN 0.05 AND 0.07
+              |  AND l_quantity < 24""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r4(dsumD(col("l_extendedprice") * col("l_discount"))).as("revenue_delta"),
+          count(lit(1)).as("cnt"))),
+
+    Q("q121_union_by_name",
+      // Schema-aligned union (unionByName with allowMissingColumns ==
+      // DuckDB's UNION ALL BY NAME): columns match by NAME across sides
+      // with different order and an extra column null-padded on one side.
+      Some("""SELECT key, bal, src, CAST(extra AS BIGINT) AS extra
+             |FROM (SELECT c_custkey AS key, ROUND(c_acctbal, 4) AS bal,
+             |             'customer' AS src FROM customer
+             |      UNION ALL BY NAME
+             |      SELECT s_nationkey AS extra, s_suppkey AS key,
+             |             ROUND(s_acctbal, 4) AS bal, 'supplier' AS src
+             |      FROM supplier) t
+             |ORDER BY src, key""".stripMargin),
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(
+          col("c_custkey").as("key"), r4(col("c_acctbal")).as("bal"),
+          lit("customer").as("src"))
+        val supp = Tables.supplier(s, d).select(
+          col("s_nationkey").cast("long").as("extra"), col("s_suppkey").as("key"),
+          r4(col("s_acctbal")).as("bal"), lit("supplier").as("src"))
+        cust.unionByName(supp, allowMissingColumns = true)
+          .select("key", "bal", "src", "extra")
+          .orderBy("src", "key")
+      }),
+
+    Q("q122_doc_chunks",
+      // Document chunking for training: overlapping token windows (size 20,
+      // stride 10) via sequence/explode + array slice — the standard
+      // long-document -> context-window preprocessing step. Slice mapping:
+      // Spark slice(arr, start, len) == DuckDB arr[start : start+len-1]
+      // (inclusive end). Chunk count = floor((n_tok-1)/stride)+1.
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, i,
+             |         toks[1 + 10 * i : LEAST(10 * i + 20, LEN(toks))] AS ch
+             |  FROM t, UNNEST(GENERATE_SERIES(0,
+             |         CAST(FLOOR((LEN(toks) - 1) / 10.0) AS BIGINT))) AS u(i))
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             |       CAST(LEN(ch) AS BIGINT) AS n_toks,
+             |       array_to_string(ch, ' ') AS chunk
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L),
+              floor((size(col("toks")) - 1) / lit(10.0)).cast("long"))).as("i"))
+          .select(col("doc_id"), col("i").as("chunk_id"),
+            slice(col("toks"), (lit(1) + lit(10) * col("i")).cast("int"), lit(20)).as("ch"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("ch")).cast("long").as("n_toks"),
+            array_join(col("ch"), " ").as("chunk"))
+          .orderBy("doc_id", "chunk_id")
+      }),
+
+    Q("q123_sequence_packing",
+      // Greedy sequential packing of documents into fixed-capacity token
+      // bins (the LLM sequence-packing shape): bin id = floor(cumulative
+      // tokens BEFORE this doc / capacity) in deterministic doc_id order —
+      // pure integer/window math, engine-stable. Summarized per bin.
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM t)
+             |SELECT CAST(FLOOR(cum_before / 500.0) AS BIGINT) AS bin,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(sum(col("n_tok")).over(w), lit(0L)).as("cum_before"))
+          .groupBy(floor(col("cum_before") / lit(500.0)).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+          .orderBy("bin")
       })
   )
 }
