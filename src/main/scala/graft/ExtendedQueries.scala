@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
-import graft.operators.{AsOf, Dedup, Sessionize}
+import graft.operators.{AsOf, Dedup, GlobalOrder, Sessionize}
 import graft.sources.Tables
 
 /** Extended relational + pipeline inventory (q49–q68): sessionization,
@@ -654,13 +654,15 @@ object ExtendedQueries {
         val orders = Tables.orders(s, d)
         val spend = orders.groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("sp"))
-        val w = Window.orderBy(col("sp").desc, col("o_custkey"))
         // lazy scalar: the grand total rides along as a broadcast 1-row
         // frame (the oracle's scalar subquery shape) — an eager .head()
         // here would run a job at plan-construction time and NPE on an
         // empty table
         val totalDf = orders.agg(dsumD(col("o_totalprice")).as("grand_total"))
-        spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        // ntile(10).over(Window.orderBy(...)) would funnel every customer
+        // through one task; GlobalOrder.ntile is the range-partitioned
+        // equivalent (exact NTILE semantics, no single-partition window).
+        GlobalOrder.ntile(spend, 10, Seq(col("sp").desc, col("o_custkey")), "decile")
           .groupBy("decile")
           .agg(count(lit(1)).as("n_customers"),
             sum(col("sp")).cast("double").as("spend_d"))

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
+import graft.operators.GlobalOrder
 import graft.sources.Tables
 
 /** Round-4 inventory extension (q107–q115): the last uncovered TPC-H query
@@ -522,13 +523,13 @@ object Round4Queries {
              |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
              |FROM c GROUP BY 1 ORDER BY bin""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
+        // A bare Window.orderBy here would serialize the whole corpus onto
+        // one task; GlobalOrder does the same math as a range-partitioned
+        // two-pass prefix scan (see operators/GlobalOrder.scala).
+        val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .select(col("doc_id"), col("n_tok"),
-            coalesce(sum(col("n_tok")).over(w), lit(0L)).as("cum_before"))
+        GlobalOrder.exclusiveRunningSum(toks, Seq(col("doc_id")), "n_tok", "cum_before")
           .groupBy(floor(col("cum_before") / lit(500.0)).cast("long").as("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
           .orderBy("bin")

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Distributed totally-ordered analytics: exclusive running sums, global
+  * row numbers, and exact NTILE without a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partition key is correct but collapses
+  * the whole input onto ONE task (Spark logs "No Partition Defined for
+  * Window operation") — a non-starter at lake scale. The classic fix is
+  * the two-pass range-partitioned prefix scan (the same shape Spark
+  * itself uses for `zipWithIndex` / global `sort`):
+  *
+  *   1. range-partition by the sort key and sort within partitions — the
+  *      only full shuffle in the plan;
+  *   2. job A: one tiny row per partition (its local weight total) is
+  *      collected and prefix-scanned on the driver (numPartitions values,
+  *      bytes not gigabytes);
+  *   3. job B: each partition re-reads its shuffle output (stage reuse —
+  *      the exchange is NOT recomputed) and streams its rows once, adding
+  *      its driver-computed base offset to a local running total.
+  *
+  * Wall-clock is one shuffle plus two linear map passes, fully parallel;
+  * the driver handles only numPartitions longs. Rows with equal sort keys
+  * land in one partition (RangePartitioner splits on key boundaries), so
+  * results match the single-partition window whenever the sort key is a
+  * total order — under ties the running values are as nondeterministic as
+  * the window form.
+  *
+  * Construction runs job A eagerly (like `rdd.zipWithIndex`), so callers
+  * get a plain DataFrame back, at the cost of an action at build time.
+  */
+object GlobalOrder {
+
+  /** Range-partition + in-partition sort, materialized once so both
+    * passes share one shuffle. Returns the sorted Row RDD and the
+    * resolved per-row weight extractor's running machinery. */
+  private def prefixScan(
+      df: DataFrame, sortExprs: Seq[Column], weightOf: (Row => Long),
+      numPartitions: Int): (org.apache.spark.rdd.RDD[Row], Array[Long], Long) = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    // ONE lineage object: reusing `rdd` in both jobs lets job B skip the
+    // shuffle-map stage instead of re-running the exchange.
+    val rdd = ranged.rdd
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += weightOf(r))
+      Iterator((pid, s))
+    }.collect()
+    val offsets = new Array[Long](rdd.getNumPartitions)
+    var acc = 0L
+    totals.sortBy(_._1).foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    (rdd, offsets, acc)
+  }
+
+  private def longWeight(df: DataFrame, valueCol: String): Row => Long = {
+    val idx = df.schema.fieldIndex(valueCol)
+    require(df.schema(idx).dataType == LongType,
+      s"$valueCol must be LongType (cast first), got ${df.schema(idx).dataType}")
+    r => if (r.isNullAt(idx)) 0L else r.getLong(idx)
+  }
+
+  private def appended(df: DataFrame, rdd: org.apache.spark.rdd.RDD[Row],
+                       offsets: Array[Long], weightOf: Row => Long,
+                       outCol: String, rowValue: Long => Long): DataFrame = {
+    require(!df.columns.contains(outCol), s"output column $outCol already exists")
+    val outSchema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val res = Row.fromSeq(r.toSeq :+ rowValue(run))
+        run += weightOf(r)
+        res
+      }
+    }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+
+  /** Appends `outCol` = sum of `valueCol` over all rows strictly before
+    * this one in `sortExprs` order (0 for the first row; nulls add 0) —
+    * the scalable form of
+    * `coalesce(sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding, -1)), 0)`.
+    * `valueCol` must already be LongType. */
+  def exclusiveRunningSum(df: DataFrame, sortExprs: Seq[Column], valueCol: String,
+                          outCol: String, numPartitions: Int = 0): DataFrame = {
+    val w = longWeight(df, valueCol)
+    val (rdd, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
+    appended(df, rdd, offsets, w, outCol, identity)
+  }
+
+  /** Appends `outCol` = 1-based global row number in `sortExprs` order —
+    * the scalable form of `row_number().over(Window.orderBy(...))`.
+    * Nondeterministic under ties, exactly like the window form. */
+  def rowNumber(df: DataFrame, sortExprs: Seq[Column], outCol: String,
+                numPartitions: Int = 0): DataFrame = {
+    val w = (_: Row) => 1L
+    val (rdd, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
+    appended(df, rdd, offsets, w, outCol, _ + 1L)
+  }
+
+  /** Appends `outCol` = NTILE(k) over the global `sortExprs` order.
+    * Matches SQL NTILE exactly: with n rows, the first n % k tiles hold
+    * floor(n/k)+1 rows and the rest floor(n/k) (when k > n each row is
+    * its own tile, 1..n) — computable from just the row number and the
+    * (job A) grand total, no second window. */
+  def ntile(df: DataFrame, k: Int, sortExprs: Seq[Column], outCol: String,
+            numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val w = (_: Row) => 1L
+    val (rdd, offsets, total) = prefixScan(df, sortExprs, w, numPartitions)
+    val q = if (total > 0) total / k else 0L // tile base size
+    val r = if (total > 0) total % k else 0L // tiles holding one extra row
+    val cut = r * (q + 1) // zero-based row count covered by the big tiles
+    appended(df, rdd, offsets, w, outCol,
+      rn0 => if (rn0 < cut) rn0 / (q + 1) + 1 else r + (rn0 - cut) / q + 1)
+  }
+}
