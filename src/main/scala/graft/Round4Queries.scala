@@ -533,6 +533,70 @@ object Round4Queries {
           .groupBy(floor(col("cum_before") / lit(500.0)).cast("long").as("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
           .orderBy("bin")
-      })
+      }),
+
+    Q("q124_tpch_q3",
+      // TPC-H Q3 shape (shipping priority; o_orderpriority stands in for
+      // the schema's missing o_shippriority): unshipped-revenue top-10 for
+      // one market segment. Scale: both cutoff filters reach the scans,
+      // customer is the smallest relation after its segment filter.
+      Some(s"""SELECT o_orderkey,
+              |       ROUND(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue,
+              |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1996-07-01'
+              |  AND l_shipdate > TIMESTAMP '1996-07-01'
+              |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey"), col("c_custkey") === col("o_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)),
+
+    Q("q125_global_rownum",
+      // GlobalOrder.rowNumber itself under the oracle: a full-table global
+      // sequence number in (o_totalprice DESC, o_orderkey) order — what a
+      // single-partition ROW_NUMBER() window computes, produced by the
+      // range-partitioned two-pass scan instead.
+      Some("""SELECT o_orderkey,
+             |       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => GlobalOrder.rowNumber(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "rn")
+        .select("o_orderkey", "rn")
+        .orderBy("o_orderkey")),
+
+    Q("q126_length_vigintiles",
+      // GlobalOrder.ntile under the oracle: documents cut into 20 exact
+      // global length tiles (k does not divide n, so tile sizes differ by
+      // one — the piecewise NTILE arithmetic is what's being checked),
+      // then summarized per tile.
+      Some("""WITH t AS (
+             |  SELECT n_chars, NTILE(20) OVER (ORDER BY n_chars, doc_id) AS tile
+             |  FROM documents)
+             |SELECT CAST(tile AS BIGINT) AS tile, COUNT(*) AS n_docs,
+             |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+             |FROM t GROUP BY tile ORDER BY tile""".stripMargin),
+      (s, d) => GlobalOrder.ntile(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          20, Seq(col("n_chars"), col("doc_id")), "tile")
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy("tile"))
   )
 }
