@@ -64,10 +64,14 @@ object GlobalOrder {
     r => if (r.isNullAt(idx)) 0L else r.getLong(idx)
   }
 
+  /** Cheap invariants go BEFORE prefixScan — the scan runs a shuffle and a
+    * driver collect, too expensive to waste on a knowable-bad call. */
+  private def checkOutCol(df: DataFrame, outCol: String): Unit =
+    require(!df.columns.contains(outCol), s"output column $outCol already exists")
+
   private def appended(df: DataFrame, rdd: org.apache.spark.rdd.RDD[Row],
                        offsets: Array[Long], weightOf: Row => Long,
                        outCol: String, rowValue: Long => Long): DataFrame = {
-    require(!df.columns.contains(outCol), s"output column $outCol already exists")
     val outSchema = StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -88,6 +92,7 @@ object GlobalOrder {
     * `valueCol` must already be LongType. */
   def exclusiveRunningSum(df: DataFrame, sortExprs: Seq[Column], valueCol: String,
                           outCol: String, numPartitions: Int = 0): DataFrame = {
+    checkOutCol(df, outCol)
     val w = longWeight(df, valueCol)
     val (rdd, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
     appended(df, rdd, offsets, w, outCol, identity)
@@ -98,6 +103,7 @@ object GlobalOrder {
     * Nondeterministic under ties, exactly like the window form. */
   def rowNumber(df: DataFrame, sortExprs: Seq[Column], outCol: String,
                 numPartitions: Int = 0): DataFrame = {
+    checkOutCol(df, outCol)
     val w = (_: Row) => 1L
     val (rdd, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
     appended(df, rdd, offsets, w, outCol, _ + 1L)
@@ -111,6 +117,7 @@ object GlobalOrder {
   def ntile(df: DataFrame, k: Int, sortExprs: Seq[Column], outCol: String,
             numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
+    checkOutCol(df, outCol)
     val w = (_: Row) => 1L
     val (rdd, offsets, total) = prefixScan(df, sortExprs, w, numPartitions)
     val q = if (total > 0) total / k else 0L // tile base size

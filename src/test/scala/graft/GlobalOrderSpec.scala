@@ -9,8 +9,6 @@ import graft.operators.GlobalOrder
   * partition boundaries, under k > n NTILE, null weights, and emptiness. */
 class GlobalOrderSpec extends SparkSpec {
 
-  import spark.implicits._
-
   // 101 rows over 7 partitions: boundaries fall mid-stream, several
   // partitions are multi-row, values include 0 and nulls.
   private lazy val base = spark.range(101).toDF("id")
