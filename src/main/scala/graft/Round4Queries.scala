@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
-import graft.operators.GlobalOrder
+import graft.operators.{GlobalOrder, Similarity}
 import graft.sources.Tables
 
 /** Round-4 inventory extension (q107–q115): the last uncovered TPC-H query
@@ -598,5 +598,41 @@ object Round4Queries {
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
         .orderBy("tile"))
-  )
+  ) ++ Seq(lshQuery)
+
+  // ---- q127: LSH ANN under the oracle ------------------------------------
+
+  /** DuckDB twin of one hyperplane sign bit: the same double plane
+    * components as SQL literals (Double.toString round-trips exactly),
+    * cast to FLOAT like the Spark side, products in DOUBLE, sequential
+    * list sum — bit-identical to the codegen'd FloatVecDot fold. */
+  private def bucketSql(v: String, dim: Int, nBits: Int): String =
+    Similarity.hyperplanes(dim, nBits).zipWithIndex.map { case (p, b) =>
+      val plane = s"([${p.mkString(", ")}]::FLOAT[])"
+      val dotSql = s"LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, $dim), " +
+        s"i -> CAST($v[i] AS DOUBLE) * CAST($plane[i] AS DOUBLE)), 'sum')"
+      s"(CASE WHEN $dotSql > 0.0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def lshQuery: Q = Q("q127_ann_lsh",
+    // Random-hyperplane LSH ANN (the scale path beside q44's IVF): probe
+    // ONLY the query's sign-bit bucket, exact cosine top-k inside it. The
+    // planes are deterministic splitmix values, so the oracle rebuilds the
+    // identical buckets and must agree on the exact candidate set.
+    Some(s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            |qv AS (SELECT embedding AS qe FROM v WHERE vec_id = 0),
+            |b AS (SELECT vec_id, embedding,
+            |             ${bucketSql("embedding", 64, 8)} AS bkt
+            |      FROM v WHERE vec_id <> 0),
+            |qb AS (SELECT ${bucketSql("qe", 64, 8)} AS bkt FROM qv)
+            |SELECT vec_id, ROUND(${TrainingQueries.cosOf("b.embedding", "q.qe")}, 4) AS sim
+            |FROM b JOIN qb USING (bkt) CROSS JOIN qv q
+            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") =!= 0),
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("qe")),
+        k = 10, dim = 64)
+    })
 }

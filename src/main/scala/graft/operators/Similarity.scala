@@ -192,7 +192,21 @@ object Similarity {
     * complementary to [[ivfTopK]] (no centroid assignment pass needed, but
     * recall is probabilistic rather than exact-within-cell). */
   def hyperplaneBucket(vec: Column, dim: Int, nBits: Int = 8, seed: Int = 7): Column = {
-    def plane(b: Int): Seq[Double] =
+    val planes = hyperplanes(dim, nBits, seed)
+    val bits = (0 until nBits).map { b =>
+      val planeArr = array(planes(b).map(lit): _*)
+      when(dot(vec, planeArr.cast("array<float>")) > 0.0, 1L << b).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** The deterministic hyperplane components of [[hyperplaneBucket]], as
+    * the DOUBLE values the Spark side turns into literals (the float cast
+    * happens downstream, identically in any consumer that mirrors it).
+    * Public so an external checker can embed bit-identical plane literals
+    * — e.g. the q127 DuckDB oracle. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Int = 7): IndexedSeq[IndexedSeq[Double]] =
+    (0 until nBits).map { b =>
       // deterministic pseudo-random components in [-1, 1): a tiny splitmix
       // over (seed, bit, i) — cheap, engine-independent, fixed forever
       (0 until dim).map { i =>
@@ -200,12 +214,7 @@ object Similarity {
         h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 27)
         ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
       }
-    val bits = (0 until nBits).map { b =>
-      val planeArr = array(plane(b).map(lit): _*)
-      when(dot(vec, planeArr.cast("array<float>")) > 0.0, 1L << b).otherwise(0L)
     }
-    bits.reduce(_ + _)
-  }
 
   /** ANN via hyperplane buckets: candidates = the query's bucket, exact
     * cosine top-k inside. At scale the bucketed table is written
