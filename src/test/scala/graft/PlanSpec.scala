@@ -83,4 +83,27 @@ class PlanSpec extends SparkSpec {
     assert(li < bc, s"lineitem appears on a broadcast build side:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$p")
   }
+
+  test("Q124 streams lineitem with both date cutoffs pushed to the scans") {
+    val p = plan(Queries.queryMap("q124_tpch_q3")(spark, sf0001))
+    val li = p.indexOf("lineitem.parquet")
+    val bc = p.indexOf("BroadcastExchange")
+    assert(li >= 0 && bc >= 0 && li < bc,
+      s"lineitem must stream (build sides broadcast after it):\n$p")
+    assert(p.contains("GreaterThan(l_shipdate,"), s"shipdate cutoff not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate,"), s"orderdate cutoff not pushed:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$p")
+  }
+
+  test("Q108 pushes the quarter filter and streams lineitem") {
+    val p = plan(Queries.queryMap("q108_returned_items")(spark, sf0001))
+    val li = p.indexOf("lineitem.parquet")
+    val bc = p.indexOf("BroadcastExchange")
+    assert(li >= 0 && bc >= 0 && li < bc,
+      s"lineitem must stream (build sides broadcast after it):\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), s"quarter filter not pushed:\n$p")
+    // top-20 by revenue must be TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"limit not fused with order:\n$p")
+  }
 }
