@@ -597,7 +597,47 @@ object Round4Queries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
-        .orderBy("tile"))
+        .orderBy("tile")),
+
+    Q("q128_hof_arith",
+      // The scalar higher-order-function family in one pass (transform /
+      // filter / zip_with / aggregate == DuckDB list_transform /
+      // list_filter / list_zip / list_aggregate): token-length stats per
+      // document, all integer-exact so fold order cannot drift.
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_transform(string_split(text, ' '), s -> LEN(s)) AS lens
+             |  FROM documents)
+             |SELECT doc_id, CAST(LEN(lens) AS BIGINT) AS n_tok,
+             |       CAST(list_aggregate(lens, 'sum') AS BIGINT) AS sum_len,
+             |       CAST(LEN(list_filter(lens, l -> l % 2 = 0)) AS BIGINT) AS even_cnt,
+             |       CAST(list_aggregate(list_transform(
+             |              list_zip(lens, GENERATE_SERIES(1, LEN(lens))),
+             |              p -> p[1] * p[2]), 'sum') AS BIGINT) AS pos_wsum
+             |FROM t ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val lens = transform(split(col("text"), " "), t => length(t).cast("long"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), lens.as("lens"))
+          .select(col("doc_id"),
+            size(col("lens")).cast("long").as("n_tok"),
+            aggregate(col("lens"), lit(0L), (acc, x) => acc + x).as("sum_len"),
+            size(filter(col("lens"), l => l % 2 === 0)).cast("long").as("even_cnt"),
+            aggregate(zip_with(col("lens"), sequence(lit(1L), size(col("lens")).cast("long")),
+              (l, i) => l * i), lit(0L), (acc, x) => acc + x).as("pos_wsum"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q129_hashes",
+      // Cryptographic digests are engine-independent by definition: md5 and
+      // sha-256 of the same bytes must agree as lowercase hex in any
+      // implementation (unlike hash()/xxhash64, whose seeds are private).
+      Some("""SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), md5(col("c_name")).as("h_md5"),
+          sha2(col("c_name"), 256).as("h_sha256"))
+        .orderBy("c_custkey"))
   ) ++ Seq(lshQuery)
 
   // ---- q127: LSH ANN under the oracle ------------------------------------
