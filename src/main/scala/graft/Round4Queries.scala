@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
-import graft.operators.{GlobalOrder, Similarity}
+import graft.operators.{GlobalOrder, RangeJoin, Similarity}
 import graft.sources.Tables
 
 /** Round-4 inventory extension (q107–q115): the last uncovered TPC-H query
@@ -626,6 +626,27 @@ object Round4Queries {
             aggregate(zip_with(col("lens"), sequence(lit(1L), size(col("lens")).cast("long")),
               (l, i) => l * i), lit(0L), (acc, x) => acc + x).as("pos_wsum"))
           .orderBy("doc_id")
+      }),
+
+    Q("q130_keyless_range_join",
+      // Keyless point-in-interval via operators/RangeJoin: lineitem prices
+      // against per-part price bands with NO equi-key — naive Catalyst
+      // planning is a nested loop; the banded rewrite makes it a hash join
+      // on the bucket id and must return exactly the BETWEEN semantics.
+      Some("""WITH bands AS (
+             |  SELECT p_brand, p_retailprice * 0.97 AS lo, p_retailprice * 1.03 AS hi
+             |  FROM part)
+             |SELECT p_brand, COUNT(*) AS cnt
+             |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, d) => {
+        val bands = Tables.part(s, d).select(col("p_brand"),
+          (col("p_retailprice") * 0.97).as("lo"), (col("p_retailprice") * 1.03).as("hi"))
+        RangeJoin.pointInInterval(
+            Tables.lineitem(s, d).select("l_extendedprice"), "l_extendedprice",
+            bands, "lo", "hi", bucketWidth = 100.0)
+          .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+          .orderBy("p_brand")
       }),
 
     Q("q129_hashes",

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Banded point-in-interval must equal the naive BETWEEN theta-join and
+  * must plan as a hash join, not a nested loop. */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val points = spark.range(0, 500).toDF("pid")
+    .select($"pid", (($"pid" * 37) % 101).cast("double").as("v"))
+  private lazy val intervals = spark.range(0, 60).toDF("iid")
+    .select($"iid",
+      (($"iid" * 13) % 90).cast("double").as("lo"),
+      ((($"iid" * 13) % 90) + ($"iid" % 7)).cast("double").as("hi"))
+
+  test("equals the naive BETWEEN join, at several bucket widths") {
+    val naive = points.join(intervals, $"v".between($"lo", $"hi"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    assert(naive.nonEmpty)
+    for (w <- Seq(0.5, 3.0, 7.0, 1000.0)) {
+      val banded = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", w)
+        .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+      assert(banded === naive, s"bucketWidth=$w")
+    }
+  }
+
+  test("null points, null bounds, and inverted intervals match nothing") {
+    val p = Seq((1L, Some(5.0)), (2L, None)).toDF("pid", "v")
+    val iv = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
+      (3L, Some(0.0), None), (4L, Some(10.0), Some(0.0))).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, "v", iv, "lo", "hi", 2.0)
+      .select("pid", "iid").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((1L, 1L)))
+  }
+
+  test("plans as a hash-partitioned join — never a nested loop or cartesian") {
+    val plan = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banding failed to produce an equi-join:\n$plan")
+  }
+
+  test("guards: bad width and colliding schemas are loud") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "v", points.withColumnRenamed("v", "lo")
+        .withColumn("hi", $"lo"), "lo", "hi", 1.0)
+    }
+  }
+}
