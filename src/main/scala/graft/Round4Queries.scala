@@ -664,15 +664,16 @@ object Round4Queries {
   // ---- q127: LSH ANN under the oracle ------------------------------------
 
   /** DuckDB twin of one hyperplane sign bit: the same double plane
-    * components as SQL literals (Double.toString round-trips exactly),
-    * cast to FLOAT like the Spark side, products in DOUBLE, sequential
-    * list sum — bit-identical to the codegen'd FloatVecDot fold. */
+    * components as SQL literals, taken through an explicit DOUBLE[] ->
+    * FLOAT[] cast chain — without the DOUBLE[] step DuckDB parses the
+    * decimal literals as DECIMAL and its DECIMAL->FLOAT cast is off by
+    * 1 ULP for ~30% of components (measured), which would fork the sign
+    * of any dot product within ~1e-7 of 0. The fold itself is the shared
+    * [[TrainingQueries.dotSql]] fragment, mirroring FloatVecDot. */
   private def bucketSql(v: String, dim: Int, nBits: Int): String =
     Similarity.hyperplanes(dim, nBits).zipWithIndex.map { case (p, b) =>
-      val plane = s"([${p.mkString(", ")}]::FLOAT[])"
-      val dotSql = s"LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, $dim), " +
-        s"i -> CAST($v[i] AS DOUBLE) * CAST($plane[i] AS DOUBLE)), 'sum')"
-      s"(CASE WHEN $dotSql > 0.0 THEN ${1L << b} ELSE 0 END)"
+      val plane = s"([${p.mkString(", ")}]::DOUBLE[]::FLOAT[])"
+      s"(CASE WHEN ${TrainingQueries.dotSql(v, plane)} > 0.0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private def lshQuery: Q = Q("q127_ann_lsh",

@@ -56,10 +56,15 @@ object TrainingQueries {
     * so it must not fork. */
   private def normSql(v: String): String =
     s"SQRT(LIST_AGGREGATE(LIST_TRANSFORM($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+  /** The indexed double-fold dot product underneath [[cosOf]] — also the
+    * fragment the q127 hyperplane buckets reuse (same bit-parity rule:
+    * one copy, never forked). */
+  private[graft] def dotSql(a: String, b: String): String =
+    s"""LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($a)),
+       |             i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
   private[graft] def cosOf(a: String, b: String): String =
     s"""(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0.0 THEN 0.0
-       |      ELSE LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($a)),
-       |             i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+       |      ELSE ${dotSql(a, b)}
        |           / (${normSql(a)} * ${normSql(b)}) END)""".stripMargin
   private def cos(a: String, b: String): String = cosOf(a, b)
 

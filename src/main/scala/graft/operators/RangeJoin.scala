@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyless point-in-interval joins that hash-partition instead of
@@ -20,31 +20,58 @@ import org.apache.spark.sql.functions._
   * itself becomes an ordinary shuffled hash/sort-merge join on a numeric
   * key. Pick `w` near the TYPICAL interval width — too small explodes the
   * interval side, too large funnels everything into few buckets (skew).
-  * Rows with null/NaN points or null bounds, and intervals with lo > hi,
-  * match nothing (same as the BETWEEN they replace).
+  * Null/NaN/infinite points and null bounds and intervals with lo > hi
+  * match nothing (the same rows the BETWEEN they replace rejects) — but a
+  * NaN or infinite BOUND raises loudly: banding cannot represent an
+  * open-ended interval (floor(inf/w) -> Long.MaxValue buckets), and under
+  * Spark's NaN-is-greatest ordering a NaN hi would silently change which
+  * rows qualify, so failing beats guessing.
   */
 object RangeJoin {
 
   private val BucketCol = "__rj_bucket"
 
+  /** Pass-through that raises (distributed, at evaluation time) on a
+    * non-finite interval bound; nulls pass through to the isNotNull
+    * filter. A driver-side require can't see data, so the guard rides the
+    * expression tree. */
+  private def finiteOrRaise(c: Column, name: String): Column =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
+      raise_error(concat(lit(s"RangeJoin: non-finite $name bound: "), c.cast("string"))))
+      .otherwise(c)
+
   /** Inner-join `points` to every interval containing `points(pointCol)`
     * (closed bounds, exactly `BETWEEN lo AND hi`). Output columns are
-    * points' ++ intervals'; names must not collide. */
+    * points' ++ intervals'; names must not collide.
+    * `maxBucketsPerInterval` bounds the banding blow-up: an interval
+    * spanning more buckets raises with a hint to grow `bucketWidth`
+    * (default 1M buckets — far past it the expansion IS the problem). */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0 && !bucketWidth.isNaN && !bucketWidth.isInfinite,
       s"bucketWidth must be a positive finite number, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"column names collide across sides: $overlap")
     require(!points.columns.contains(BucketCol) && !intervals.columns.contains(BucketCol),
       s"$BucketCol is reserved; rename that input column")
     val w = lit(bucketWidth)
     val p = points.withColumn(BucketCol, floor(col(pointCol) / w).cast("long"))
+    val loB = floor(finiteOrRaise(col(loCol), "lo") / w).cast("long")
+    val hiB = floor(finiteOrRaise(col(hiCol), "hi") / w).cast("long")
+    val span = hiB - loB + 1L
     val iv = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
-      .withColumn(BucketCol, explode(sequence(
-        floor(col(loCol) / w).cast("long"), floor(col(hiCol) / w).cast("long"))))
+      .withColumn(BucketCol, explode(sequence(loB,
+        when(span > maxBucketsPerInterval,
+          raise_error(concat(
+            lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval buckets ("),
+            span.cast("string"),
+            lit(s"); increase bucketWidth (=$bucketWidth) or maxBucketsPerInterval"))))
+          .otherwise(hiB))))
     p.join(iv, p(BucketCol) === iv(BucketCol) &&
         col(pointCol).between(col(loCol), col(hiCol)), "inner")
       .drop(BucketCol)

@@ -52,4 +52,21 @@ class RangeJoinSpec extends SparkSpec {
         .withColumn("hi", $"lo"), "lo", "hi", 1.0)
     }
   }
+
+  test("non-finite bounds and over-wide intervals raise instead of guessing") {
+    def run(iv: org.apache.spark.sql.DataFrame, maxB: Long = 1L << 20) =
+      RangeJoin.pointInInterval(points, "v", iv, "lo", "hi", 2.0, maxB).count()
+    // an open-ended band would need Long.MaxValue buckets
+    val inf = Seq((1L, 0.0, Double.PositiveInfinity)).toDF("iid", "lo", "hi")
+    val eInf = intercept[Exception] { run(inf) }
+    assert(eInf.getMessage.contains("non-finite hi"), eInf.getMessage)
+    // NaN hi would qualify rows under Spark's NaN-is-greatest ordering
+    val nan = Seq((1L, 0.0, Double.NaN)).toDF("iid", "lo", "hi")
+    val eNan = intercept[Exception] { run(nan) }
+    assert(eNan.getMessage.contains("non-finite hi"), eNan.getMessage)
+    // finite but wider than the expansion budget
+    val wide = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val eWide = intercept[Exception] { run(wide, maxB = 1000L) }
+    assert(eWide.getMessage.contains("increase bucketWidth"), eWide.getMessage)
+  }
 }
