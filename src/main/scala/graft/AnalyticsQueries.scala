@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.{Q, r4}
+import graft.operators.Skyline
+import graft.sources.Tables
+
+/** Round-4 analytics inventory (q134–q136): text normalization (the LLM
+  * preprocessing staple, exercised on the messy JSON `props` strings, not
+  * the already-clean document bodies), a distributed 2-D skyline
+  * (Pareto frontier — an operator Spark lacks, built as the two-phase
+  * local/global sweep in [[graft.operators.Skyline]]), and a staged
+  * event funnel (signup -> view -> purchase with strict temporal order).
+  * All hash-checked under the §2.2 determinism rules.
+  */
+object AnalyticsQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("q134_text_normalize",
+      // lower -> strip non-alphanumerics -> collapse runs of spaces ->
+      // trim: both engines use the same regex classes ([^a-z0-9 ], ' +'),
+      // which RE2 (DuckDB) and java.util.regex (Spark) treat identically.
+      // Aggregated per event_type over the normalized token stream.
+      Some("""WITH n AS (
+             |  SELECT event_type,
+             |         TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(props),
+             |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |  FROM events)
+             |SELECT event_type,
+             |       COUNT(*) AS n_rows,
+             |       SUM(CAST(LEN(norm) AS BIGINT)) AS total_chars,
+             |       SUM(CAST(LEN(string_split(norm, ' ')) AS BIGINT)) AS total_tokens,
+             |       MIN(norm) AS min_norm
+             |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val norm = trim(regexp_replace(regexp_replace(lower(col("props")),
+          "[^a-z0-9 ]", " "), " +", " "))
+        Tables.events(s, d)
+          .select(col("event_type"), norm.as("norm"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("norm")).cast("long")).as("total_chars"),
+            sum(size(split(col("norm"), " ")).cast("long")).as("total_tokens"),
+            min(col("norm")).as("min_norm"))
+          .orderBy("event_type")
+      }),
+
+    Q("q135_skyline",
+      // Pareto frontier of part on (minimize p_retailprice, maximize
+      // p_size): no other part is both cheaper-or-equal and
+      // larger-or-equal with one strict. The oracle is the quadratic
+      // NOT EXISTS; the engine runs the two-phase sweep — identical sets
+      // because skyline is partition-invariant.
+      Some("""SELECT p_partkey, p_size, ROUND(p_retailprice, 4) AS price
+             |FROM part p1
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part p2
+             |  WHERE p2.p_retailprice <= p1.p_retailprice
+             |    AND p2.p_size >= p1.p_size
+             |    AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size > p1.p_size))
+             |ORDER BY p_partkey""".stripMargin),
+      (s, d) => Skyline.skyline2d(
+          Tables.part(s, d).select("p_partkey", "p_size", "p_retailprice"),
+          minCol = "p_retailprice", maxCol = "p_size")
+        .select(col("p_partkey"), col("p_size"), r4(col("p_retailprice")).as("price"))
+        .orderBy("p_partkey"))
+      ,
+
+    Q("q136_funnel",
+      // Staged funnel with STRICT temporal order per user: first signup,
+      // then the first view after it, then the first purchase after that.
+      // Timestamps only ever compare (never print), so Spark's
+      // nanos-as-long and DuckDB's native timestamp order identically.
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2
+             |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3
+             |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+             |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+             |       (SELECT COUNT(*) FROM s2) AS n_view_after,
+             |       (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+             |       ROUND((SELECT COUNT(*) FROM s3) * 1.0
+             |             / (SELECT COUNT(*) FROM s1), 4) AS conversion""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "view").as("e")
+          .join(s1, "user_id")
+          .filter(col("e.ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("e.ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase").as("e")
+          .join(s2, "user_id")
+          .filter(col("e.ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("e.ts")).as("t3"))
+        val c1 = s1.agg(count(lit(1)).as("n_signup"))
+        val c2 = s2.agg(count(lit(1)).as("n_view_after"))
+        val c3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+        c1.crossJoin(c2).crossJoin(c3)
+          .select(col("n_signup"), col("n_view_after"), col("n_purchase_after"),
+            r4(col("n_purchase_after") * lit(1.0) / col("n_signup")).as("conversion"))
+      })
+  )
+}
