@@ -68,6 +68,46 @@ object TrainingQueries {
        |           / (${normSql(a)} * ${normSql(b)}) END)""".stripMargin
   private def cos(a: String, b: String): String = cosOf(a, b)
 
+  /** Oracle for q137: rebuild the 32 md5-permutation minima (the
+    * MinHashSig family: a_k = 37k+11, b_k = 101k+7, mod P, empty -> P
+    * sentinel), band them 16 x 2 into the same '|'-joined scalar keys as
+    * Dedup.lshCandidates, self-join for candidates, then emit the
+    * slot-agreement estimate beside the exact Jaccard. Generated, so the
+    * permutation coefficients can never drift from HashFunctions. */
+  private val minhashEstimateSql: String = {
+    val P = graft.functions.HashFunctions.P
+    val sigTerms = (0 until 32).map { k =>
+      val a = graft.functions.HashFunctions.permA(k)
+      val b = graft.functions.HashFunctions.permB(k)
+      s"COALESCE(LIST_MIN(LIST_TRANSFORM(hs, h -> (h * $a + $b) % $P)), $P)"
+    }.mkString("[", ",\n             ", "]")
+    val bandKeys = (0 until 16).map { b =>
+      s"'$b|' || CAST(sig[${2 * b + 1}] AS VARCHAR) || '|' || CAST(sig[${2 * b + 2}] AS VARCHAR)"
+    }.mkString("[", ",\n             ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |shs AS (SELECT doc_id,
+       |               LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+       |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |        FROM t WHERE LEN(t) >= 3),
+       |hs AS (SELECT doc_id, sh,
+       |              LIST_TRANSFORM(sh, s -> ${h32Sql.format("s")}) AS hs
+       |       FROM shs),
+       |sig AS (SELECT doc_id, sh, $sigTerms AS sig FROM hs),
+       |banded AS (SELECT doc_id, UNNEST($bandKeys) AS bk FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32),
+       |               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0,
+       |             4) AS est_jaccard,
+       |       ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
+       |             / LEN(LIST_DISTINCT(sa.sh || sb.sh)), 4) AS jaccard
+       |FROM cand
+       |JOIN sig sa ON a_id = sa.doc_id
+       |JOIN sig sb ON b_id = sb.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("q36_dedup_ngram_jaccard",
@@ -80,6 +120,20 @@ object TrainingQueries {
       Some(jaccardPairsSql),
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
+    Q("q137_minhash_estimate",
+      // The estimator STUDY behind q37: per LSH candidate pair (bands=16,
+      // r=2, NO threshold), the signature-agreement estimate
+      // (matching slots / 32 — E[est] = J, the property that lets a
+      // 100 TB dedup pass skip exact verification when approximation
+      // suffices) beside the exact Jaccard. The oracle rebuilds the md5
+      // permutation signatures (same 37k+11 / 101k+7 family as
+      // MinHashSig), bands them into the same '|'-joined keys, and must
+      // agree on both numbers for the identical candidate set.
+      Some(minhashEstimateSql),
+      (s, d) => Dedup.minhashEstimatePairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16)
         .orderBy("a_id", "b_id")),
 
     Q("q38_dedup_simhash",

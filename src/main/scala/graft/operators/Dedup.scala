@@ -169,6 +169,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash ESTIMATE study: for every LSH candidate pair, the
+    * signature-agreement estimate (matching slots / numHashes — the
+    * unbiased estimator E[est] = J that justifies MinHash dedup at
+    * 100 TB, where exact verification of every candidate is the cost
+    * ceiling) side by side with the exact Jaccard. Same exclusions and
+    * barriers as [[minhashNearDups]]; emits (a_id, b_id, est_jaccard,
+    * jaccard) for candidates of ANY similarity (no threshold), so the
+    * estimator's spread is visible, not just its high end. */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSh = spread(docs, idCol)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), TextAnalysis.shingles(col("toks"), n).as("sh"))
+      .repartition(col("doc_id"))
+    val both = withSh.select(col("doc_id"), col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val cands = lshCandidates(both.select("doc_id", "sig"), "doc_id", "sig",
+      bands, rowsPerBand)
+    val agree = aggregate(
+      zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val est = agree.cast("double") / numHashes
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    cands
+      .join(both.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(both.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(est, 4).as("est_jaccard"), round(jac, 4).as("jaccard"))
+  }
+
   /** Duplicate CLUSTERS from pairwise near-dup edges: connected components
     * by iterative min-label propagation (each node repeatedly adopts the
     * smallest label among itself and its neighbors until fixpoint). The
