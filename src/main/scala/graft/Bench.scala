@@ -84,7 +84,9 @@ object Bench {
       "q49_sessionize", "q52_percentiles", "q54_asof_join",
       "q56_dup_clusters", "q69_ann_kmeans", "q73_tpch_q5",
       "q95_salted_join", "q97_heavy_hitters_exact", "q120_tpch_q6",
-      "q124_tpch_q3", "q125_global_rownum")
+      "q124_tpch_q3", "q125_global_rownum", "q131_hll_distinct",
+      "q132_bloom_semi", "q133_zorder_stats", "q135_skyline",
+      "q137_minhash_estimate")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the
     // whole line fits the consumer's 2000-char tail with slack for sbt's

@@ -58,6 +58,34 @@ class SketchSpec extends SparkSpec {
     assert(fp < 50, s"$fp/1000 false positives — filter is not selective")
   }
 
+  test("hll registers merge distributively (the 1000-executor property)") {
+    // Registers from disjoint halves, merged with MAX per bucket, must
+    // equal the registers of the whole input — the algebraic property
+    // that lets partial aggregation do the work map-side at any scale.
+    val li = Tables.lineitem(spark, sf0001)
+    val whole = Sketch.hllRegisters(li, "l_partkey", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = Sketch.hllRegisters(li.filter(col("l_orderkey") % 2 === 0), "l_partkey", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hi = Sketch.hllRegisters(li.filter(col("l_orderkey") % 2 =!= 0), "l_partkey", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (lo.keySet ++ hi.keySet).map { b =>
+      b -> math.max(lo.getOrElse(b, 0L), hi.getOrElse(b, 0L))
+    }.toMap
+    assert(merged == whole)
+  }
+
+  test("bloom probe plans with no join and no extra shuffle on the fact side") {
+    val li = Tables.lineitem(spark, sf0001)
+    val bad = Tables.supplier(spark, sf0001)
+      .filter(col("s_suppkey") % 3 === 0).select("s_suppkey")
+    val mask = Sketch.bloomBuild(bad, "s_suppkey", 2048, 3)
+    val probed = li.filter(Sketch.bloomProbe(col("l_suppkey"), mask, 2048, 3))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom probe must be a map-side filter, got:\n$plan")
+    assert(!plan.contains("Exchange"), s"bloom probe must not shuffle, got:\n$plan")
+  }
+
   test("zValue matches a bit-twiddling reference") {
     def ref(x: Long, y: Long, bits: Int): Long = {
       var z = 0L
