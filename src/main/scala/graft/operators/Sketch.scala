@@ -39,13 +39,22 @@ object Sketch {
     * floor(log2(w)) is exact for w < 2^26 — the IEEE log2 of an integer
     * below 2^26 is more than 2e-8 away from the next integer, far beyond
     * double rounding error. */
-  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
-    val h = HashFunctions.h32(col(keyCol).cast("string"))
-    val bucket = (h % 64L).as("bucket")
+  /** The per-row (bucket, rho) pair for `key` — exposed so STREAMING
+    * aggregations can compose the same sketch: `groupBy(window, bucket)
+    * .agg(max(rho))` is an incremental max, so HLL distinct-counting
+    * runs over an unbounded stream with state bounded at 64 registers
+    * per open window. */
+  def hllBucketRho(key: Column): (Column, Column) = {
+    val h = HashFunctions.h32(key.cast("string"))
     val w = floor(h / 64L).cast("long")
     val rho = when(w === 0L, lit(27L))
       .otherwise(lit(26L) - floor(log2(w.cast("double"))).cast("long"))
-    df.select((groupCols.map(col) :+ bucket :+ rho.as("rho")): _*)
+    ((h % 64L).as("bucket"), rho.as("rho"))
+  }
+
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    val (bucket, rho) = hllBucketRho(col(keyCol))
+    df.select((groupCols.map(col) :+ bucket :+ rho): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("m_j"))
   }
@@ -59,8 +68,13 @@ object Sketch {
     * exist) applies m·ln(m/V); ln is the one step trusted only to the
     * engines' shared libm — acceptable under the inventory's ROUND(x,4)
     * contract. */
-  def hllEstimate(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
-    val regs = hllRegisters(df, keyCol, groupCols)
+  def hllEstimate(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
+    hllFinish(hllRegisters(df, keyCol, groupCols), groupCols)
+
+  /** Finish a register relation (groupCols*, bucket, m_j) — whether it
+    * came from [[hllRegisters]], a MAX-merge of several register sets, or
+    * a streaming sink table — into the per-group estimate. */
+  def hllFinish(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val grouped =
       if (groupCols.isEmpty) regs.groupBy()
       else regs.groupBy(groupCols.map(col): _*)

@@ -109,6 +109,28 @@ object StreamOps {
       joinType)
   }
 
+  /** Streaming approximate distinct-count: HLL registers per tumbling
+    * window, maintained incrementally. Exact streaming COUNT(DISTINCT) is
+    * impossible with bounded state (every seen key must be remembered);
+    * the HLL register MAX is an incremental aggregate, so state is
+    * bounded at 64 registers per open window no matter how many events
+    * flow through — the only viable distinct-count shape on an unbounded
+    * 100 TB/day stream. Emit these registers to a sink and finish with
+    * [[graft.operators.Sketch.hllFinish]] (a second chained streaming agg
+    * would be rejected in append mode); registers from different shards/
+    * restarts MAX-merge losslessly (SketchSpec pins distributivity). */
+  def hllRegistersStream(events: DataFrame, tsCol: String, keyCol: String,
+                         windowLen: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame = {
+    val (bucket, rho) = graft.operators.Sketch.hllBucketRho(col(keyCol))
+    events
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), bucket, rho)
+      .groupBy(window(col(tsCol), windowLen), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("m_j"))
+  }
+
   /** Stream-static dim enrichment: the streaming fact joins a bounded dim
     * relation. The static side re-plans per micro-batch (picking up dim
     * updates between batches); no stream-stream state at all, which is why
