@@ -106,6 +106,47 @@ object AnalyticsQueries {
         c1.crossJoin(c2).crossJoin(c3)
           .select(col("n_signup"), col("n_view_after"), col("n_purchase_after"),
             r4(col("n_purchase_after") * lit(1.0) / col("n_signup")).as("conversion"))
+      }),
+
+    Q("q138_weighted_sample",
+      // Deterministic weighted priority sampling (reproducible corpus
+      // subsampling): priority = h32(doc_id)·1000 ÷ n_tok (integer
+      // floor-div — h·1000 < 2^42, so the double division floors
+      // identically in both engines), top-3 smallest per lang. Longer
+      // docs get smaller priorities — weight-biased — and the same seedless
+      // md5 order reproduces on any cluster, any partitioning, any rerun;
+      // rand()-based sampling reproduces on none of them.
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang,
+              |         CAST(LEN(${TrainingQueries.toksSql}) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, lang, n_tok,
+              |         CAST(FLOOR((${TrainingQueries.h32Sql.format("CAST(doc_id AS VARCHAR)")}
+              |                     * 1000) / n_tok) AS BIGINT) AS priority
+              |  FROM t WHERE n_tok > 0),
+              |r AS (
+              |  SELECT *, ROW_NUMBER() OVER
+              |    (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+              |  FROM p)
+              |SELECT lang, doc_id, n_tok, priority
+              |FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.HashFunctions
+        import graft.operators.TextAnalysis
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+        val pri = floor((HashFunctions.h32(col("doc_id").cast("string")) * 1000L)
+          / col("n_tok")).cast("long")
+        val w = Window.partitionBy(col("lang")).orderBy(col("priority"), col("doc_id"))
+        t.withColumn("priority", pri)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("lang", "doc_id", "n_tok", "priority")
+          .orderBy("lang", "doc_id")
       })
   )
 }

@@ -23,8 +23,8 @@ import graft.sources.Tables
 object TrainingQueries {
 
   /** DuckDB SQL fragments mirroring TextAnalysis/HashFunctions. */
-  private val toksSql = "LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')"
-  private val h32Sql = "CAST('0x' || SUBSTR(MD5(%s), 1, 8) AS BIGINT)"
+  private[graft] val toksSql = "LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')"
+  private[graft] val h32Sql = "CAST('0x' || SUBSTR(MD5(%s), 1, 8) AS BIGINT)"
 
   private val shingleRowsSql =
     s"""SELECT doc_id, UNNEST(LIST_DISTINCT(CASE WHEN LEN(t) >= 3 THEN
