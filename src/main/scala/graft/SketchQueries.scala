@@ -85,7 +85,12 @@ object SketchQueries {
         val bad = Tables.supplier(s, d)
           .filter(col("s_acctbal") < 0).select("s_suppkey")
         val mask = Sketch.bloomBuild(bad, "s_suppkey", 2048, 3)
-        val cand = li.filter(Sketch.bloomProbe(col("l_suppkey"), mask, 2048, 3))
+        // project the h32 once; the 3 bit tests share it (md5 once per
+        // row — Filter codegen does not CSE a repeated md5)
+        val cand = li
+          .select(col("l_returnflag"),
+            graft.functions.HashFunctions.h32(col("l_suppkey").cast("string")).as("h"))
+          .filter(Sketch.bloomProbeOnHash(col("h"), mask, 2048, 3))
           .groupBy("l_returnflag").agg(count(lit(1)).as("bloom_candidates"))
         val tru = li.join(bad, col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy("l_returnflag").agg(count(lit(1)).as("true_matches"))

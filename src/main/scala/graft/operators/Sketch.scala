@@ -122,11 +122,18 @@ object Sketch {
     mBits / 64
   }
 
+  /** The i-th (1-based) bloom position from an ALREADY md5-hashed key
+    * (h32): the permutation family mod m. Split out so a probe over k
+    * positions hashes each row once — neither Filter codegen nor HOFs
+    * eliminate a repeated md5 subexpression. */
+  def bloomPosFromHash(i: Int, h: Column, mBits: Int): Column =
+    HashFunctions.permHash(i, h) % mBits
+
   /** The i-th (1-based) bloom position of a key column: md5-hash then the
     * permutation family, mod m. Shared by build and probe so the two sides
     * cannot disagree. */
   def bloomPos(i: Int, key: Column, mBits: Int): Column =
-    HashFunctions.permHash(i, HashFunctions.h32(key.cast("string"))) % mBits
+    bloomPosFromHash(i, HashFunctions.h32(key.cast("string")), mBits)
 
   /** Build an m-bit bloom mask (k md5-permutation hashes) over `keyCol`,
     * returned as driver-side words. The distinct-position set is computed
@@ -145,14 +152,14 @@ object Sketch {
     mask
   }
 
-  /** Probe column: true iff ALL k positions of `key` are set in `mask` —
-    * the map-side pre-filter. Pure literal-array bit arithmetic: no join,
-    * no shuffle, stays inside whole-stage codegen. */
-  def bloomProbe(key: Column, mask: Array[Long], mBits: Int = 2048, k: Int = 3): Column = {
+  /** [[bloomProbe]] over a pre-hashed (h32) key column — use when the
+    * caller can project the hash once (k bit tests share it instead of
+    * re-running md5 per position). */
+  def bloomProbeOnHash(h: Column, mask: Array[Long], mBits: Int = 2048, k: Int = 3): Column = {
     require(mask.length == words(mBits), s"mask has ${mask.length} words, want ${words(mBits)}")
     val litMask = typedLit(mask.toSeq)
     (1 to k).map { i =>
-      val p = bloomPos(i, key, mBits)
+      val p = bloomPosFromHash(i, h, mBits)
       val word = element_at(litMask, (p / 64L).cast("int") + 1)
       // call_function: the Scala `shiftright` helper only takes a literal
       // shift; the SQL ShiftRight expression takes a column. Arithmetic
@@ -160,6 +167,12 @@ object Sketch {
       (call_function("shiftright", word, (p % 64L).cast("int")) % 2L) =!= 0L
     }.reduce(_ && _)
   }
+
+  /** Probe column: true iff ALL k positions of `key` are set in `mask` —
+    * the map-side pre-filter. Pure literal-array bit arithmetic: no join,
+    * no shuffle, stays inside whole-stage codegen. */
+  def bloomProbe(key: Column, mask: Array[Long], mBits: Int = 2048, k: Int = 3): Column =
+    bloomProbeOnHash(HashFunctions.h32(key.cast("string")), mask, mBits, k)
 
   /** Oracle-SQL fragment: the i-th bloom position of `keyExpr` (DuckDB).
     * permHash inlined with the same coefficients. */
