@@ -53,33 +53,29 @@ object Similarity {
 
   /** Map-side centroid assignment for driver-resident centroids (k×dim
     * floats — a few KB, the normal IVF regime): the argmax over k cosines
-    * runs inside ONE codegen'd projection (array_max over literal-centroid
-    * structs), so assignment costs zero shuffles and no k-times row blowup.
-    * [[assignToCentroids]] by contrast materializes and shuffles every
-    * (vector, centroid) pair — keep it for centroid sets too large to
-    * collect. Identical semantics: max cosine, ties to the lowest centroid
-    * id. */
+    * runs inside ONE codegen'd projection
+    * ([[graft.functions.ArgmaxCosine]]), so assignment costs zero
+    * shuffles and no k-times row blowup. [[assignToCentroids]] by
+    * contrast materializes and shuffles every (vector, centroid) pair —
+    * keep it for centroid sets too large to collect. Identical
+    * semantics: max cosine, ties to the lowest centroid id; a null
+    * embedding yields a NULL assignment (the kernel null-propagates).
+    *
+    * Round 4 swapped the literal-centroid `array_max(array(struct(...)))`
+    * formulation for the kernel: k·dim literal floats in the expression
+    * tree meant fresh codegen SOURCE — and a fresh Janino compile — per
+    * k-means iteration and per run (centroids are data-dependent); the
+    * kernel keeps centroids behind `references[...]` so the compiled
+    * class is cached. Same arithmetic bit-for-bit (ArgmaxCosineSpec pins
+    * kernel == literal-form equality, including interpreted == codegen). */
   def assignToCentroidsLocal(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val vnorm = sqrt(normSq(col(vecCol)))
-    val scored = centroids.map { case (cid, ce) =>
-      // centroid norm folded on the driver, mirroring FloatVecDot's strict
-      // left-to-right double accumulation bit-for-bit
-      var sq = 0.0
-      ce.foreach(x => sq += x.toDouble * x.toDouble)
-      val denom = vnorm * lit(math.sqrt(sq))
-      val csim = when(denom === 0.0, lit(0.0))
-        .otherwise(dot(col(vecCol), typedLit(ce)) / denom)
-      struct(csim.as("s"), lit(-cid).as("negid"), lit(cid).as("cid"))
-    }
-    // A null embedding must yield a NULL assignment: unguarded, every
-    // centroid's csim is null, the structs tie, and the negid tie-break
-    // silently assigns the row to the lowest centroid id.
-    vectors.select(col(idCol),
-      when(col(vecCol).isNotNull, array_max(array(scored: _*)).getField("cid"))
-        .as("cent_id"),
-      col(vecCol))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val assign = ColumnBridge.column(graft.functions.ArgmaxCosine(
+      ColumnBridge.expression(col(vecCol)),
+      centroids.map { case (cid, ce) => (cid, ce) }.toArray))
+    vectors.select(col(idCol), assign.as("cent_id"), col(vecCol))
   }
 
   /** Collect a small centroid relation to the driver for the

@@ -789,6 +789,50 @@ class KernelPathEquivalenceSpec extends SparkSpec {
     }
     assert(gen === interp)
   }
+
+  test("ArgmaxCosine: generated == interpreted == literal formulation") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeans(emb, k = 8, iterations = 1))
+    val (gen, interp) = bothModes {
+      Similarity.assignToCentroidsLocal(emb, cents)
+        .select($"vec_id", $"cent_id").orderBy("vec_id").collect()
+    }
+    assert(gen === interp)
+    // and both equal the literal array_max(struct(csim, -cid, cid))
+    // formulation the kernel replaced — same arithmetic bit-for-bit
+    import graft.functions.VectorFunctions.{dot, normSq}
+    val vnorm = sqrt(normSq($"embedding"))
+    val scored = cents.map { case (cid, ce) =>
+      var sq = 0.0
+      ce.foreach(x => sq += x.toDouble * x.toDouble)
+      val denom = vnorm * lit(math.sqrt(sq))
+      val csim = when(denom === 0.0, lit(0.0))
+        .otherwise(dot($"embedding", typedLit(ce)) / denom)
+      struct(csim.as("s"), lit(-cid).as("negid"), lit(cid).as("cid"))
+    }
+    val literal = emb.select($"vec_id",
+        when($"embedding".isNotNull, array_max(array(scored: _*)).getField("cid"))
+          .as("cent_id"))
+      .orderBy("vec_id").collect().toSeq
+    assert(gen === literal)
+  }
+
+  test("ArgmaxCosine: null embedding yields null assignment") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, None)
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Similarity.assignToCentroidsLocal(
+        df, Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))))
+      .select("vec_id", "cent_id").orderBy("vec_id").collect()
+    assert(got(0).getLong(1) == 0L)
+    assert(got(1).isNullAt(1), "null embedding must yield null cent_id")
+  }
 }
 
 /** SQL null semantics for the custom kernels: null input -> null output,
