@@ -147,6 +147,29 @@ object AnalyticsQueries {
           .filter(col("rn") <= 3)
           .select("lang", "doc_id", "n_tok", "priority")
           .orderBy("lang", "doc_id")
+      }),
+
+    Q("q139_pagerank",
+      // Fixed-point integer PageRank (3 power iterations) over the
+      // supplier -> customer fulfillment graph (customers offset by 1e6
+      // to keep the node spaces disjoint). All-integer arithmetic makes
+      // the iteration bit-stable across engines and shuffle orders —
+      // float PageRank is not — so an ITERATIVE graph analytic sits
+      // under the hash gate. Top 20 by rank, ties broken by node id.
+      Some(s"""SELECT node, rank FROM (
+              |  ${graft.operators.PageRank.fixedPointSql(
+                   "SELECT l_suppkey AS src, 1000000 + o_custkey AS dst " +
+                     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+                   iterations = 3)})
+              |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+      (s, d) => {
+        import graft.operators.PageRank
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+            (lit(1000000L) + col("o_custkey")).as("dst"))
+        PageRank.fixedPoint(edges, "src", "dst", iterations = 3)
+          .orderBy(col("rank").desc, col("node")).limit(20)
       })
   )
 }

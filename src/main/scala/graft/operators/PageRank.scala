@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: power iteration over a directed edge list with
+  * ALL arithmetic in scaled integers, so the result is bit-stable across
+  * engines, partitionings, and summation orders — float PageRank is none
+  * of those (a double Σ contributions depends on shuffle arrival order).
+  *
+  * Per iteration, with ranks scaled by 1e6 (r₀ = 1.0 → 1 000 000):
+  *   contribution(u→v) = floor(r_u · 85 / (100 · outdeg_u))
+  *   r_v = 150 000 + Σ contributions  (i.e. 0.15 + 0.85·Σ r_u/deg_u,
+  *   floored per edge — the documented fixed-point semantics)
+  * Integer BIGINT sums are exact in any order; floor-div of exact
+  * integers is engine-identical (IEEE division of exactly-representable
+  * operands rounds to the true quotient's floor consistently). Dangling
+  * destinations (no out-edges) absorb rank without redistributing it —
+  * the standard simplification, stated rather than hidden.
+  *
+  * Scale shape: one edges⋈ranks hash join + one SUM aggregation per
+  * iteration — the same two-shuffle loop as
+  * [[Dedup.connectedComponents]], with the same lineage discipline:
+  * edges/nodes/degrees are materialized once (they feed every round)
+  * and the rank relation is checkpointed per round, so iteration N's
+  * plan does not re-derive rounds 1..N-1 (measured 2x on q139 at
+  * sf0.1). Checkpointing moves no values — the arithmetic is integer —
+  * so the oracle is unaffected.
+  */
+object PageRank {
+
+  val Scale = 1000000L
+  val Base = 150000L // 0.15 scaled
+
+  /** Ranks after `iterations` rounds over `edges` (srcCol, dstCol) —
+    * one row per node appearing as source or destination. */
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    for (i <- 0 until iterations) {
+      val contribs = e
+        .join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        // floor((r*85) / (100*deg)): r*85 <= ~8.5e11 — exact in the
+        // double division both engines use, so the floor is the true
+        // integer quotient
+        .select(col("dst"),
+          floor((col("rank") * 85L) / (col("deg") * 100L)).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      val next = nodes
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"), (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+      // cut lineage between rounds; leave the LAST round lazy so callers
+      // compose (top-k, filters) without a forced extra materialization
+      ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Oracle-SQL twin (DuckDB dialect): the same iterations unrolled as
+    * chained CTEs over an `edges(src, dst)` CTE that the caller provides
+    * as `edgesSql`. Generated beside the Scala so the constants cannot
+    * drift. */
+  def fixedPointSql(edgesSql: String, iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         $Base + COALESCE((
+         |           SELECT SUM(CAST(FLOOR((r.rank * 85) / (d.deg * 100)) AS BIGINT))
+         |           FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN deg d ON d.src = e.src
+         |           WHERE e.dst = n.node), 0) AS rank
+         |  FROM nodes n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+}
