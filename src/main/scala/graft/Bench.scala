@@ -86,7 +86,7 @@ object Bench {
       "q95_salted_join", "q97_heavy_hitters_exact", "q120_tpch_q6",
       "q124_tpch_q3", "q125_global_rownum", "q131_hll_distinct",
       "q132_bloom_semi", "q133_zorder_stats", "q135_skyline",
-      "q137_minhash_estimate")
+      "q137_minhash_estimate", "q138_weighted_sample", "q139_pagerank")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the
     // whole line fits the consumer's 2000-char tail with slack for sbt's
