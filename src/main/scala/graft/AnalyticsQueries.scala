@@ -170,6 +170,44 @@ object AnalyticsQueries {
             (lit(1000000L) + col("o_custkey")).as("dst"))
         PageRank.fixedPoint(edges, "src", "dst", iterations = 3)
           .orderBy(col("rank").desc, col("node")).limit(20)
+      }),
+
+    Q("q140_ann_recall",
+      // The IVF quality/latency tradeoff MEASURED: recall@10 of 1-probe
+      // vs 3-probe against the exact brute-force top-10, plus the
+      // candidate counts each probe setting scans (1/16 vs 3/16 of the
+      // corpus). Cell ranking, assignment, and cosine all share the q69
+      // arithmetic, so the oracle reproduces the exact candidate sets —
+      // an approximate index whose approximation error is itself
+      // hash-checked.
+      Some(ExtendedQueries.annRecallOracleSql),
+      (s, d) => {
+        import graft.operators.Similarity
+        import graft.functions.VectorFunctions.cosine
+        import org.apache.spark.sql.functions.broadcast
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.collectCentroids(Similarity.kmeans(emb, 16, 2))
+        val assigned = Similarity.assignToCentroidsLocal(emb, cents)
+          .filter(col("vec_id") =!= 0)
+        val qe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<float>"))
+          .collect().head.getSeq[Float](0).toArray
+        val ranked = Similarity.rankCells(cents, qe)
+        val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        def top10(base: org.apache.spark.sql.DataFrame) = base
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("c"))
+          .orderBy(col("c").desc, col("vec_id")).limit(10).select("vec_id")
+        val brute = top10(emb.filter(col("vec_id") =!= 0))
+        def probed(n: Int) = assigned.filter(col("cent_id").isin(ranked.take(n): _*))
+        val cand1 = probed(1).agg(count(lit(1)).as("cand_1probe"))
+        val cand3 = probed(3).agg(count(lit(1)).as("cand_3probe"))
+        val h1 = top10(probed(1)).join(brute, "vec_id").agg(count(lit(1)).as("h1"))
+        val h3 = top10(probed(3)).join(brute, "vec_id").agg(count(lit(1)).as("h3"))
+        cand1.crossJoin(cand3).crossJoin(h1).crossJoin(h3)
+          .select(col("cand_1probe"), col("cand_3probe"),
+            r4(col("h1") / 10.0).as("recall_1probe"),
+            r4(col("h3") / 10.0).as("recall_3probe"))
       })
   )
 }

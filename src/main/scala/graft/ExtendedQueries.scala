@@ -48,8 +48,11 @@ object ExtendedQueries {
        |    GROUP BY a.cid, t.i) g
        |  GROUP BY cid) mm ON mm.cid = p.cid)""".stripMargin
 
-  private[graft] val kmeansIvfOracleSql: String =
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+  /** The shared CTE chain: 2 Lloyd's rounds from the 16 lowest-id seeds,
+    * final assignment, and the query vector — the prefix of every
+    * kmeans/IVF oracle (q69, q140). */
+  private[graft] val kmeansCtePrefix: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
        |              embedding AS ce
        |       FROM v ORDER BY vec_id LIMIT 16),
@@ -58,7 +61,10 @@ object ExtendedQueries {
        |a1 AS ${assignSql("c1")},
        |c2 AS ${updateSql("a1", "c1")},
        |afinal AS ${assignSql("c2")},
-       |qv AS (SELECT embedding AS qe FROM v WHERE vec_id = 0),
+       |qv AS (SELECT embedding AS qe FROM v WHERE vec_id = 0)""".stripMargin
+
+  private[graft] val kmeansIvfOracleSql: String =
+    s"""WITH $kmeansCtePrefix,
        |qcell AS (SELECT cid FROM (
        |  SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${cosOf("q.qe", "c.ce")} DESC, c.cid) AS rn
        |  FROM qv q CROSS JOIN c2 c) r WHERE rn = 1)
@@ -66,6 +72,38 @@ object ExtendedQueries {
        |FROM afinal a JOIN qcell ON a.cid = qcell.cid CROSS JOIN qv q
        |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** q140 oracle: recall@10 and candidate counts of 1-probe vs 3-probe
+    * IVF against the exact brute-force top-10 — same centroids, same
+    * cosine fragment, ranked with UNROUNDED sims and vec_id tie-breaks
+    * on both engines. */
+  private[graft] val annRecallOracleSql: String = {
+    def ivfTop(cellsPred: String): String =
+      s"""(SELECT vec_id FROM (
+         |  SELECT a.vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${cosOf("a.embedding", "q.qe")} DESC, a.vec_id) AS rn
+         |  FROM afinal a CROSS JOIN qv q
+         |  WHERE a.cid IN (SELECT cid FROM cellrank WHERE $cellsPred)
+         |    AND a.vec_id <> 0) t WHERE rn <= 10)""".stripMargin
+    s"""WITH $kmeansCtePrefix,
+       |cellrank AS (
+       |  SELECT c.cid, ROW_NUMBER() OVER (
+       |    ORDER BY ${cosOf("q.qe", "c.ce")} DESC, c.cid) AS rn
+       |  FROM qv q CROSS JOIN c2 c),
+       |brute AS (SELECT vec_id FROM (
+       |  SELECT v2.vec_id, ROW_NUMBER() OVER (
+       |    ORDER BY ${cosOf("v2.embedding", "q.qe")} DESC, v2.vec_id) AS rn
+       |  FROM v v2 CROSS JOIN qv q WHERE v2.vec_id <> 0) t WHERE rn <= 10),
+       |ivf1 AS ${ivfTop("rn = 1")},
+       |ivf3 AS ${ivfTop("rn <= 3")}
+       |SELECT
+       |  (SELECT COUNT(*) FROM afinal
+       |   WHERE cid IN (SELECT cid FROM cellrank WHERE rn = 1) AND vec_id <> 0) AS cand_1probe,
+       |  (SELECT COUNT(*) FROM afinal
+       |   WHERE cid IN (SELECT cid FROM cellrank WHERE rn <= 3) AND vec_id <> 0) AS cand_3probe,
+       |  ROUND((SELECT COUNT(*) FROM ivf1 JOIN brute USING (vec_id)) / 10.0, 4) AS recall_1probe,
+       |  ROUND((SELECT COUNT(*) FROM ivf3 JOIN brute USING (vec_id)) / 10.0, 4) AS recall_3probe""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 

@@ -78,6 +78,27 @@ object Similarity {
     vectors.select(col(idCol), assign.as("cent_id"), col(vecCol))
   }
 
+  /** Driver-side cell ranking for multi-probe IVF: cell ids by cosine to
+    * the query, descending, ties to the lowest cid — the nprobe knob's
+    * order. Same arithmetic as the engine/oracle cosine (left-to-right
+    * double dot, norm(q)·norm(ce) multiply order, zero-denom -> 0.0), so
+    * the probed cell set matches the SQL oracle's bit-for-bit. */
+  def rankCells(centroids: Seq[(Long, Array[Float])], qe: Array[Float]): Seq[Long] = {
+    var qs = 0.0
+    qe.foreach(x => qs += x.toDouble * x.toDouble)
+    val qn = math.sqrt(qs)
+    centroids.map { case (cid, ce) =>
+      var sq = 0.0
+      ce.foreach(x => sq += x.toDouble * x.toDouble)
+      val denom = qn * math.sqrt(sq)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(qe.length, ce.length)
+      while (i < m) { dot += qe(i).toDouble * ce(i).toDouble; i += 1 }
+      (cid, if (denom == 0.0) 0.0 else dot / denom)
+    }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+  }
+
   /** Collect a small centroid relation to the driver for the
     * [[assignToCentroidsLocal]] / literal-probe path. */
   def collectCentroids(centroids: DataFrame, centIdCol: String = "cent_id",
