@@ -29,8 +29,8 @@ object AnalyticsQueries {
              |  FROM events)
              |SELECT event_type,
              |       COUNT(*) AS n_rows,
-             |       SUM(CAST(LEN(norm) AS BIGINT)) AS total_chars,
-             |       SUM(CAST(LEN(string_split(norm, ' ')) AS BIGINT)) AS total_tokens,
+             |       CAST(SUM(LEN(norm)) AS BIGINT) AS total_chars,
+             |       CAST(SUM(LEN(string_split(norm, ' '))) AS BIGINT) AS total_tokens,
              |       MIN(norm) AS min_norm
              |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => {

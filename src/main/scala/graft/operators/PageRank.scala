@@ -83,6 +83,6 @@ object PageRank {
        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
        |$rounds
-       |SELECT node, rank FROM r$iterations""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin
   }
 }
