@@ -160,14 +160,17 @@ object Round4Queries {
           .groupBy("l_suppkey")
           .agg(r4(dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("total_revenue"))
-        // max as a global window over the ALREADY-AGGREGATED per-supplier
-        // frame (one row per supplier): one lineitem scan total, where a
-        // separate .agg(max) subplan would scan + aggregate the fact twice
-        // (Catalyst does not dedup common DataFrame subplans). The
-        // single-partition window is over the tiny aggregate, never the fact.
-        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        revenue.withColumn("max_rev", max(col("total_revenue")).over(wAll))
-          .filter(col("total_revenue") === col("max_rev"))
+        // One lineitem scan total: the per-supplier aggregate is
+        // materialized once (localCheckpoint), then joined against a
+        // broadcast 1-row MAX of itself. A global window here would funnel
+        // every supplier row through a single task — fine at sf0.1, a
+        // genuine bottleneck at 1B+ supplier keys — and a separate
+        // .agg(max) subplan without the checkpoint would scan + aggregate
+        // the fact twice (Catalyst does not dedup DataFrame subplans).
+        val rev = revenue.localCheckpoint(true)
+        rev.join(
+            broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))),
+            col("total_revenue") === col("max_rev"))
           .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
           .select("s_suppkey", "s_name", "total_revenue")
           .orderBy("s_suppkey")

@@ -95,6 +95,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$p")
   }
 
+  test("no declared query plans a partition-less WindowExec") {
+    // An unpartitioned window funnels the whole input through ONE task —
+    // invisible at sf0.001, fatal at 100 TB. Every global-order need in
+    // the suite goes through GlobalOrder's range-partitioned two-pass
+    // scan or a broadcast 1-row aggregate instead; pin that invariant
+    // over the entire declared inventory so a regression fails CI.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val offenders = Queries.inventory.flatMap { q =>
+      val plan = q.run(spark, sf0001).queryExecution.executedPlan
+      val inner = plan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val bad = inner.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with single-task global windows: $offenders")
+  }
+
   test("Q108 pushes the quarter filter and streams lineitem") {
     val p = plan(Queries.queryMap("q108_returned_items")(spark, sf0001))
     val li = p.indexOf("lineitem.parquet")
