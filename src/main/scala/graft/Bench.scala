@@ -40,19 +40,35 @@ object Bench {
     // warmup failure would report cold numbers as steady-state.
     val warmDir = warmDirFor(sfDir)
     System.err.println(s"[bench] warmup dir: $warmDir; timed dir: $sfDir")
+    // optional dev-only subset (comma-separated names); the driver never
+    // sets it, so its runs always time the full inventory
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     var warmFailures = 0
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
     }
     if (warmFailures > 0)
-      System.err.println(s"[bench] WARNING: $warmFailures/${SparkEntry.queries.size} " +
+      System.err.println(s"[bench] WARNING: $warmFailures/${queries.size} " +
         s"warmup runs failed on $warmDir — timed numbers may include compilation")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A throwing query gets time = -1 (visibly broken, never a plausible
+    // tiny wall-time) and an entry in the errors map — a regression must
+    // not be reportable as a speedup.
+    val runs = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable =>
+                  Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)) }
+      val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
+      (name, secs, err)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errors = runs.collect { case (n, _, Some(e)) => n -> e }
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ERROR: ${errors.size} queries threw: " +
+        errors.map(_._1).mkString(", "))
+    val results = runs.map { case (n, s, _) => n -> s }
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // Full-precision per-query map goes to a FILE: the consumer of the
     // stdout line keeps only the last ~2000 chars of output, and 130
@@ -61,11 +77,13 @@ object Bench {
     // plus a headline subset and is kept under the tail budget.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val fullPath = new java.io.File("target/bench_full.json")
     fullPath.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"errors":$errJson,"sf":"$sfDir"}""")
     finally w.close()
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
@@ -94,7 +112,7 @@ object Bench {
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":${errors.size},"sf":"$sfDir"}"""
     }
     var keep = headline
     while (line(keep).length > 1700 && keep.nonEmpty) keep = keep.init
