@@ -13,9 +13,12 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * a zone into ~`targetBytes` files while preserving data, schema,
   * compression, and partition layout.
   *
-  * Swap protocol (no table format available — Delta/Iceberg-style atomic
-  * commits are the real answer at scale, out of scope in this
-  * dependency-free build):
+  * Swap protocol for PLAIN directory zones (zones that must stay readable
+  * by path-globbing consumers, like the reference's Firehose prefixes).
+  * Zones that can route reads through a manifest should use [[TxLog]]
+  * instead — its generation-addressed files + atomic publish give
+  * lock-free readers and racing-writer safety without the fencing caveat
+  * below:
   *   0. reclaim any staging dirs a previous crashed run left beside the
   *      live dir (restore `.compact_old_*` if the live dir is missing,
   *      delete the rest) — every run self-heals its predecessors;

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+
+/** The transaction log's contract: readers always see a complete
+  * generation (never a partial file set), racing writers cannot both own
+  * a generation, old snapshots stay readable until vacuum retention
+  * passes them, and every row survives append/compact/vacuum. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshZone(): String =
+    java.nio.file.Files.createTempDirectory("graft_txlog").toString + "/zone"
+
+  private def ids(zone: String): Set[Long] =
+    TxLog.read(spark, zone).select($"id").as[Long].collect().toSet
+
+  test("init over an existing plain zone, then read, preserves the data") {
+    val zone = freshZone()
+    spark.range(100L).select($"id", concat(lit("p"), $"id").as("payload"))
+      .repartition(4).write.parquet(zone)
+    val s = TxLog.init(spark, zone)
+    assert(s.gen === 0L && s.files.size === 4)
+    assert(ids(zone) === (0L until 100L).toSet)
+  }
+
+  test("append publishes increasing generations and accumulates rows") {
+    val zone = freshZone()
+    spark.range(10L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    val s1 = TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"))
+    val s2 = TxLog.append(spark, zone, spark.range(20L, 30L).toDF("id"))
+    assert(s1.gen === 1L && s2.gen === 2L)
+    assert(s2.files.toSet.size === s2.files.size, "duplicate manifest entries")
+    assert(ids(zone) === (0L until 30L).toSet)
+  }
+
+  test("compact collapses files, keeps data, and never disturbs old-snapshot readers") {
+    val zone = freshZone()
+    spark.range(1000L).toDF("id").repartition(16).write.parquet(zone)
+    val s0 = TxLog.init(spark, zone)
+    assert(s0.files.size === 16)
+
+    // a reader pinned to the pre-compact snapshot
+    val oldReader = TxLog.readSnapshot(spark, zone, s0)
+
+    var sawDuringRewrite: Option[Set[Long]] = None
+    val stats = TxLog.compact(spark, zone, targetBytes = 1L << 30,
+      prePublishHook = () => {
+        // new data files are fully written but NOT yet published: a
+        // concurrent reader must still see the complete OLD generation
+        sawDuringRewrite = Some(ids(zone))
+      })
+    assert(stats.rewritten && stats.filesBefore === 16L && stats.filesAfter === 1L)
+    assert(sawDuringRewrite.get === (0L until 1000L).toSet,
+      "reader during rewrite saw a partial or mixed file set")
+    assert(ids(zone) === (0L until 1000L).toSet)
+    // the pinned old snapshot still reads in full (vacuum has not run)
+    assert(oldReader.count() === 1000L)
+  }
+
+  test("a lost publish race aborts the compaction and removes its files") {
+    val zone = freshZone()
+    spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
+    TxLog.init(spark, zone)
+    val stats = TxLog.compact(spark, zone, targetBytes = 1L << 30,
+      prePublishHook = () => {
+        // a concurrent append wins generation 1 first
+        TxLog.append(spark, zone, spark.range(100L, 110L).toDF("id"))
+      })
+    assert(!stats.rewritten, "compaction must abort when it loses the race")
+    // the winner's rows are live; nothing was lost or duplicated
+    assert(ids(zone) === (0L until 110L).toSet)
+    // the aborted rewrite's data dir is gone: exactly one d-* dir (the append's)
+    val dDirs = new java.io.File(zone).listFiles().filter(_.getName.startsWith("d-"))
+    assert(dDirs.length === 1, s"aborted compact left its write dir: ${dDirs.mkString(",")}")
+  }
+
+  test("mid-write (truncated) manifests are invisible to readers") {
+    val zone = freshZone()
+    spark.range(50L).toDF("id").write.parquet(zone)
+    val s0 = TxLog.init(spark, zone)
+    // simulate a writer crash / in-flight publish: a gen-1 manifest with
+    // no terminating 'end' marker
+    val dir = new java.io.File(zone, "_txlog")
+    val partial = new java.io.File(dir, "gen-" + "0" * 19 + "1")
+    val w = new java.io.PrintWriter(partial, "UTF-8")
+    try { w.println("graft-txlog v1"); w.println("gen=1"); w.println("format=parquet")
+          w.println("count=1"); w.println("f d-dead/part-0.parquet") } finally w.close()
+    val seen = TxLog.latest(spark, zone)
+    assert(seen.map(_.gen) === Some(s0.gen), "reader picked up an incomplete manifest")
+    assert(ids(zone) === (0L until 50L).toSet)
+  }
+
+  test("vacuum drops only generations past retention; kept snapshots stay readable") {
+    val zone = freshZone()
+    spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
+    TxLog.init(spark, zone)
+    val s1 = TxLog.append(spark, zone, spark.range(100L, 200L).toDF("id"))
+    val s2 = TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    assert(s2.rewritten && s2.gen === 2L)
+    val removed = TxLog.vacuum(spark, zone, keepGens = 1)
+    assert(removed > 0L, "vacuum should remove the pre-compact generation's files")
+    // head still fully readable after vacuum
+    assert(ids(zone) === (0L until 200L).toSet)
+    // s1's appended d-* files are gone (only gen-2's compacted dir remains)
+    val liveRel = TxLog.latest(spark, zone).get.files.toSet
+    assert(s1.files.exists(f => f.startsWith("d-") && !liveRel.contains(f)))
+  }
+}
