@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One reference-stream row (the quotes side of trades⋈quotes). A
+  * NULL-VALUED reference still shadows older values, exactly like the
+  * struct-marker contract in the batch [[graft.operators.AsOf]]. */
+case class AsOfRef(key: Long, ts: java.sql.Timestamp, seq: Long,
+                   ref_value: Option[Double])
+
+/** One probe-stream row (the trades side). */
+case class AsOfProbe(key: Long, ts: java.sql.Timestamp, seq: Long,
+                     value: Option[Double])
+
+/** A probe joined with the latest reference at-or-before its time. */
+case class AsOfJoined(key: Long, ts: java.sql.Timestamp, seq: Long,
+                      value: Option[Double], asof_value: Option[Double])
+
+/** Internal tagged union row; side 0 = reference, 1 = probe — the same
+  * (ts, side, seq) tie order as the batch union+window formulation. */
+private[streaming] case class AsOfEvt(key: Long, ts: java.sql.Timestamp,
+                                      seq: Long, side: Int, v: Option[Double])
+
+/** Per-key buffer: (micros, seq, value) for refs awaiting supersession and
+  * probes awaiting finalization. */
+private[streaming] case class AsOfBuf(refs: List[(Long, Long, Option[Double])],
+                                      probes: List[(Long, Long, Option[Double])])
+
+/** Stream-stream as-of join — the streaming twin of
+  * [[graft.operators.AsOf.joinLatest]] (whose batch form is hash-checked
+  * as q54). Spark's native stream-stream joins express equality + time
+  * RANGE conditions, not "latest at-or-before", so this is the custom
+  * state form: union the tagged streams, group by key, and buffer under
+  * `flatMapGroupsWithState`.
+  *
+  * Correctness contract: a probe is emitted exactly once, when the
+  * event-time watermark passes its timestamp — from that point the
+  * watermark guarantees no reference with `ref.ts <= probe.ts` can still
+  * be accepted, so the join value is final (same inclusive semantics and
+  * greatest-seq tie-break as the batch operator).
+  *
+  * State/scale shape (the part that must survive 100 TB/day streams):
+  * per key, the buffer holds (a) probes newer than the watermark — bounded
+  * by the lateness budget, (b) references newer than the watermark plus
+  * ONE anchor (the latest reference at-or-before the watermark; older
+  * references are superseded for every future probe and evicted each
+  * trigger). An idle key's state converges to just its anchor — one row —
+  * which is the minimum any as-of semantics can keep, because a probe
+  * arriving years later still joins against it. Probes finalize either
+  * in-trigger (watermark already past) or via an event-time timeout set to
+  * the oldest pending probe, so emission never waits for new same-key data.
+  */
+object StreamAsOf {
+
+  private val MicrosPerSecond = 1000000L
+
+  private[graft] def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * MicrosPerSecond + ts.getNanos / 1000L
+
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, MicrosPerSecond) * 1000L)
+    t.setNanos((Math.floorMod(us, MicrosPerSecond) * 1000L).toInt)
+    t
+  }
+
+  /** Join each probe with the latest reference at-or-before its time.
+    * `delay` is the shared lateness budget (`withWatermark` on both
+    * streams; the union's watermark is their minimum). Append-mode
+    * output: one row per probe, final on emission. */
+  def joinLatest(probes: Dataset[AsOfProbe], refs: Dataset[AsOfRef],
+                 delay: String): Dataset[AsOfJoined] = {
+    import probes.sparkSession.implicits._
+    val tagged = refs.map(r => AsOfEvt(r.key, r.ts, r.seq, 0, r.ref_value))
+      .withWatermark("ts", delay)
+      .unionByName(
+        probes.map(p => AsOfEvt(p.key, p.ts, p.seq, 1, p.value))
+          .withWatermark("ts", delay))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfJoined](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfEvt], state: GroupState[AsOfBuf]) =>
+          val st0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var refsL = st0.refs
+          var probesL = st0.probes
+          it.foreach { e =>
+            val entry = (micros(e.ts), e.seq, e.v)
+            if (e.side == 0) refsL ::= entry else probesL ::= entry
+          }
+          // Spark drops input rows at or below the current watermark before
+          // this function sees them (measured in StatefulSessions), so a
+          // probe at-or-below the watermark can never gain another
+          // qualifying reference: finalize it now.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, pending) = probesL.partition(_._1 <= wmUs)
+          val out = done.sortBy(p => (p._1, p._2)).map { case (pus, pseq, pv) =>
+            val eligible = refsL.filter(_._1 <= pus)
+            val best =
+              if (eligible.isEmpty) None
+              else Some(eligible.maxBy(r => (r._1, r._2)))
+            AsOfJoined(key, tsOf(pus), pseq, pv, best.flatMap(_._3))
+          }
+          // evict superseded references: for every FUTURE acceptable probe
+          // (ts > watermark), only the newest at-or-before-watermark
+          // reference (the anchor) and the post-watermark ones can win
+          val (oldRefs, liveRefs) = refsL.partition(_._1 <= wmUs)
+          val anchor = if (oldRefs.isEmpty) Nil
+                       else List(oldRefs.maxBy(r => (r._1, r._2)))
+          val kept = AsOfBuf(anchor ++ liveRefs, pending)
+          if (kept.refs.isEmpty && kept.probes.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // flush the oldest pending probe the moment the watermark
+            // passes it, even if this key never sees another event
+            pending.map(_._1).minOption.foreach { us =>
+              state.setTimeoutTimestamp(Math.floorDiv(us + 999L, 1000L))
+            }
+          }
+          out.iterator
+      }
+  }
+}
