@@ -172,6 +172,31 @@ object AnalyticsQueries {
           .orderBy(col("rank").desc, col("node")).limit(20)
       }),
 
+    Q("q142_pagerank_redistribute",
+      // q139's graph with the canonical dangling treatment instead of the
+      // absorb simplification: every customer node is a sink in the
+      // supplier->customer graph, so each round redistributes
+      // floor(85*D/(100*N)) — D the exact BIGINT dangling mass — to all
+      // nodes. Total mass is conserved up to floor losses (PageRankSpec
+      // pins the bound); arithmetic stays integer, so the iterative
+      // analytic remains hash-checkable. Top 20 by rank, ties by node.
+      Some(s"""SELECT node, rank FROM (
+              |  ${graft.operators.PageRank.fixedPointSql(
+                   "SELECT l_suppkey AS src, 1000000 + o_custkey AS dst " +
+                     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+                   iterations = 3, redistributeDangling = true)})
+              |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+      (s, d) => {
+        import graft.operators.PageRank
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+            (lit(1000000L) + col("o_custkey")).as("dst"))
+        PageRank.fixedPoint(edges, "src", "dst", iterations = 3,
+            redistributeDangling = true)
+          .orderBy(col("rank").desc, col("node")).limit(20)
+      }),
+
     Q("q140_ann_recall",
       // The IVF quality/latency tradeoff MEASURED: recall@10 of 1-probe
       // vs 3-probe against the exact brute-force top-10, plus the

@@ -662,7 +662,7 @@ object Round4Queries {
         .select(col("c_custkey"), md5(col("c_name")).as("h_md5"),
           sha2(col("c_name"), 256).as("h_sha256"))
         .orderBy("c_custkey"))
-  ) ++ Seq(lshQuery)
+  ) ++ Seq(lshQuery, lshMultiProbeQuery)
 
   // ---- q127: LSH ANN under the oracle ------------------------------------
 
@@ -699,5 +699,70 @@ object Round4Queries {
         emb.filter(col("vec_id") =!= 0),
         emb.filter(col("vec_id") === 0).select(col("embedding").as("qe")),
         k = 10, dim = 64)
+    })
+
+  private def lshMultiProbeQuery: Q = Q("q141_ann_lsh_multiprobe",
+    // The multi-probe recall knob MEASURED (the q140 study, for LSH):
+    // recall@10 and candidate counts of the exact-bucket probe vs the
+    // Hamming<=1 probe set (query bucket + each sign bit flipped, the
+    // Lv et al. multi-probe scheme) against the brute-force top-10.
+    // Buckets, probes, and cosines are all deterministic splitmix/float
+    // arithmetic, so the oracle rebuilds the exact candidate sets — the
+    // approximation error of the recall knob is itself hash-checked.
+    Some {
+      def lshTop(cand: String): String =
+        s"""(SELECT vec_id FROM (
+           |  SELECT c.vec_id, ROW_NUMBER() OVER (
+           |    ORDER BY ${TrainingQueries.cosOf("c.embedding", "q.qe")} DESC, c.vec_id) AS rn
+           |  FROM $cand c CROSS JOIN qv q) t WHERE rn <= 10)""".stripMargin
+      val flips = (0 until 8).map(b => s"SELECT xor(bkt, ${1L << b}) FROM qb")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |qv AS (SELECT embedding AS qe FROM v WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding,
+         |             ${bucketSql("embedding", 64, 8)} AS bkt
+         |      FROM v WHERE vec_id <> 0),
+         |qb AS (SELECT ${bucketSql("qe", 64, 8)} AS bkt FROM qv),
+         |probes AS (SELECT bkt FROM qb UNION ALL $flips),
+         |cand1 AS (SELECT vec_id, embedding FROM b JOIN qb USING (bkt)),
+         |candm AS (SELECT b.vec_id, b.embedding FROM b JOIN probes USING (bkt)),
+         |brute AS (SELECT vec_id FROM (
+         |  SELECT v2.vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${TrainingQueries.cosOf("v2.embedding", "q.qe")} DESC, v2.vec_id) AS rn
+         |  FROM v v2 CROSS JOIN qv q WHERE v2.vec_id <> 0) t WHERE rn <= 10),
+         |top1 AS ${lshTop("cand1")},
+         |topm AS ${lshTop("candm")}
+         |SELECT
+         |  (SELECT COUNT(*) FROM cand1) AS cand_1probe,
+         |  (SELECT COUNT(*) FROM candm) AS cand_multiprobe,
+         |  ROUND((SELECT COUNT(*) FROM top1 JOIN brute USING (vec_id)) / 10.0, 4) AS recall_1probe,
+         |  ROUND((SELECT COUNT(*) FROM topm JOIN brute USING (vec_id)) / 10.0, 4) AS recall_multiprobe""".stripMargin
+    },
+    (s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") =!= 0)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val bucketed = base.withColumn("bkt",
+        Similarity.hyperplaneBucket(col("embedding"), 64, 8))
+      val qb = query.select(Similarity.hyperplaneBucket(col("qe"), 64, 8).as("bkt"))
+      val probes = qb.select(explode(array(
+        col("bkt") +: (0 until 8).map(b => col("bkt").bitwiseXOR(lit(1L << b))): _*
+      )).as("bkt"))
+      val cand1 = bucketed.join(broadcast(qb), "bkt")
+      val candM = bucketed.join(broadcast(probes), "bkt")
+      def top10(df: org.apache.spark.sql.DataFrame) = df
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10).select("vec_id")
+      val brute = top10(base)
+      val n1 = cand1.agg(count(lit(1)).as("cand_1probe"))
+      val nm = candM.agg(count(lit(1)).as("cand_multiprobe"))
+      val h1 = top10(cand1).join(brute, "vec_id").agg(count(lit(1)).as("h1"))
+      val hm = top10(candM).join(brute, "vec_id").agg(count(lit(1)).as("hm"))
+      n1.crossJoin(nm).crossJoin(h1).crossJoin(hm)
+        .select(col("cand_1probe"), col("cand_multiprobe"),
+          r4(col("h1") / 10.0).as("recall_1probe"),
+          r4(col("hm") / 10.0).as("recall_multiprobe"))
     })
 }

@@ -14,18 +14,33 @@ import org.apache.spark.sql.functions._
   *   floored per edge — the documented fixed-point semantics)
   * Integer BIGINT sums are exact in any order; floor-div of exact
   * integers is engine-identical (IEEE division of exactly-representable
-  * operands rounds to the true quotient's floor consistently). Dangling
-  * destinations (no out-edges) absorb rank without redistributing it —
-  * the standard simplification, stated rather than hidden.
+  * operands rounds to the true quotient's floor consistently).
+  *
+  * Dangling destinations (no out-edges) have two standard treatments,
+  * both offered:
+  *  - `redistributeDangling = false` (default): dangling nodes absorb
+  *    rank without re-emitting it — the simplification, stated rather
+  *    than hidden. Total mass decays where danglings accumulate rank.
+  *  - `redistributeDangling = true`: each iteration also adds
+  *    floor(85·D / (100·N)) to every node, where D = Σ rank over
+  *    dangling nodes (exact BIGINT) and N = |nodes| — the canonical
+  *    uniform redistribution (Page et al.; Ipsen & Selee's lumped
+  *    formulation). Because the share derives from the single exact
+  *    total D, it is as order-independent as the edge contributions;
+  *    total mass is then conserved up to the documented floor losses
+  *    (< 1 per edge + 1 per node per iteration — PageRankSpec pins the
+  *    bound).
   *
   * Scale shape: one edges⋈ranks hash join + one SUM aggregation per
   * iteration — the same two-shuffle loop as
   * [[Dedup.connectedComponents]], with the same lineage discipline:
-  * edges/nodes/degrees are materialized once (they feed every round)
-  * and the rank relation is checkpointed per round, so iteration N's
-  * plan does not re-derive rounds 1..N-1 (measured 2x on q139 at
-  * sf0.1). Checkpointing moves no values — the arithmetic is integer —
-  * so the oracle is unaffected.
+  * edges/nodes/degrees (and the dangling set) are materialized once
+  * (they feed every round) and the rank relation is checkpointed per
+  * round, so iteration N's plan does not re-derive rounds 1..N-1
+  * (measured 2x on q139 at sf0.1). Redistribution adds one
+  * dangling-semi-join SUM (a 1-row aggregate, crossJoin-broadcast back)
+  * per iteration — no per-node state on the driver. Checkpointing moves
+  * no values — the arithmetic is integer — so the oracle is unaffected.
   */
 object PageRank {
 
@@ -35,13 +50,19 @@ object PageRank {
   /** Ranks after `iterations` rounds over `edges` (srcCol, dstCol) —
     * one row per node appearing as source or destination. */
   def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                 iterations: Int): DataFrame = {
+                 iterations: Int,
+                 redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // dangling set and |N| are edge-derived and static across rounds
+    val dang = if (redistributeDangling)
+      nodes.join(deg, col("node") === col("src"), "left_anti").localCheckpoint(true)
+    else null
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank", lit(Scale))
     for (i <- 0 until iterations) {
       val contribs = e
@@ -53,9 +74,21 @@ object PageRank {
         .select(col("dst"),
           floor((col("rank") * 85L) / (col("deg") * 100L)).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      val next = nodes
+      val base = nodes
         .join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"), (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+      val next =
+        if (redistributeDangling) {
+          // ONE exact total D (1-row aggregate, broadcast back); every
+          // node's share floor(85*D/(100*N)) derives from it, so the
+          // redistribution is as shuffle-order-proof as the edge sums
+          val dmass = ranks.join(dang, "node")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("_dsum"))
+          val share = floor((col("_dsum") * 85L) / lit(100L * nNodes)).cast("long")
+          base.crossJoin(broadcast(dmass))
+            .select(col("node"),
+              (lit(Base) + coalesce(col("in_sum"), lit(0L)) + share).as("rank"))
+        } else base
+          .select(col("node"), (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
       // cut lineage between rounds; leave the LAST round lazy so callers
       // compose (top-k, filters) without a forced extra materialization
       ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
@@ -67,7 +100,12 @@ object PageRank {
     * chained CTEs over an `edges(src, dst)` CTE that the caller provides
     * as `edgesSql`. Generated beside the Scala so the constants cannot
     * drift. */
-  def fixedPointSql(edgesSql: String, iterations: Int): String = {
+  def fixedPointSql(edgesSql: String, iterations: Int,
+                    redistributeDangling: Boolean = false): String = {
+    val share = if (redistributeDangling)
+      s""" + (SELECT CAST(FLOOR((COALESCE(SUM(r2.rank), 0) * 85) / (100 * (SELECT COUNT(*) FROM nodes))) AS BIGINT)
+         |        FROM rPREV r2 JOIN dang ON dang.node = r2.node)""".stripMargin
+    else ""
     val rounds = (1 to iterations).map { i =>
       s"""r$i AS (
          |  SELECT n.node,
@@ -75,12 +113,15 @@ object PageRank {
          |           SELECT SUM(CAST(FLOOR((r.rank * 85) / (d.deg * 100)) AS BIGINT))
          |           FROM e JOIN r${i - 1} r ON e.src = r.node
          |           JOIN deg d ON d.src = e.src
-         |           WHERE e.dst = n.node), 0) AS rank
+         |           WHERE e.dst = n.node), 0)${share.replace("rPREV", s"r${i - 1}")} AS rank
          |  FROM nodes n)""".stripMargin
     }.mkString(",\n")
+    val dangCte = if (redistributeDangling)
+      "\ndang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)),"
+    else ""
     s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),$dangCte
        |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
        |$rounds
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin

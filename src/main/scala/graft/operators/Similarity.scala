@@ -258,6 +258,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe variant of [[lshTopK]]: probe the query's bucket PLUS
+    * every Hamming-distance-1 bucket (each single sign bit flipped) —
+    * the standard multi-probe LSH recall knob (Lv et al., VLDB'07): a
+    * near-neighbor that lands one hyperplane on the wrong side of the
+    * query is recovered by the flipped probe instead of being lost.
+    * Candidate cost grows from ~N/2^nBits to ~(nBits+1)·N/2^nBits —
+    * still sublinear, vs. the 2× of halving nBits (which squares every
+    * bucket's size). The probe set is 1+nBits scalar bucket ids
+    * broadcast to the bucketed table; at scale the table is written
+    * partitioned by bucket, so multi-probe is a (nBits+1)-partition
+    * pruned scan. Deterministic (same splitmix planes), so the exact
+    * candidate set is oracle-checkable (q141). */
+  def lshTopKMultiProbe(vectors: DataFrame, query: DataFrame, k: Int, dim: Int,
+                        nBits: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        queryVecCol: String = "qe"): DataFrame = {
+    val bucketed = vectors.withColumn("_bucket", hyperplaneBucket(col(vecCol), dim, nBits))
+    val probeBuckets = query
+      .select(hyperplaneBucket(col(queryVecCol), dim, nBits).as("_qb"))
+      .select(explode(array(
+        col("_qb") +: (0 until nBits).map(b => col("_qb").bitwiseXOR(lit(1L << b))): _*
+      )).as("_bucket"))
+    bucketed.join(broadcast(probeBuckets), "_bucket")
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(cosine(col(vecCol), col(queryVecCol)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:
