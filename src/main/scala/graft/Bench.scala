@@ -63,11 +63,42 @@ object Bench {
       val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
       (name, secs, err)
     }
-    val errors = runs.collect { case (n, _, Some(e)) => n -> e }
+    // Maintenance-path entry: small-file compaction of an A13-layout CDC
+    // zone (4 closed hours x 16 tiny gzip-JSON files from the events
+    // fixture). Zone setup is excluded from the timed section; the timed
+    // cost is listing + rewrite + swap across the closed hours — the
+    // operation a real lake runs continuously, so its cost belongs in the
+    // bench beside the queries.
+    val compactionRun = if (!only.forall(_.contains("compaction_cdc_zone"))) Nil else List {
+      val t = try {
+        val zone = java.nio.file.Files
+          .createTempDirectory("graft_bench_cdc").toString + "/zone"
+        import org.apache.spark.sql.functions._
+        graft.sources.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+          .withColumn("year", lit(2024)).withColumn("month", lit(1))
+          .withColumn("day", lit(1))
+          .withColumn("hour", pmod(col("user_id"), lit(4)).cast("int"))
+          .repartition(16)
+          .write.mode("append").partitionBy("year", "month", "day", "hour")
+          .option("compression", "gzip").json(zone)
+        val t0 = System.nanoTime()
+        val stats = graft.operators.Compaction.compactClosedHours(
+          spark, zone, beforeHour = (2025, 1, 1, 0))
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(stats.nonEmpty && stats.forall(_._2.rewritten),
+          s"compaction bench did not rewrite: $stats")
+        (secs, None)
+      } catch { case e: Throwable =>
+        (-1.0, Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160))) }
+      ("compaction_cdc_zone", t._1, t._2)
+    }
+    val allRuns = runs ++ compactionRun
+    val errors = allRuns.collect { case (n, _, Some(e)) => n -> e }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ERROR: ${errors.size} queries threw: " +
         errors.map(_._1).mkString(", "))
-    val results = runs.map { case (n, s, _) => n -> s }
+    val results = allRuns.map { case (n, s, _) => n -> s }
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // Full-precision per-query map goes to a FILE: the consumer of the
@@ -104,7 +135,9 @@ object Bench {
       "q95_salted_join", "q97_heavy_hitters_exact", "q120_tpch_q6",
       "q124_tpch_q3", "q125_global_rownum", "q131_hll_distinct",
       "q132_bloom_semi", "q133_zorder_stats", "q135_skyline",
-      "q137_minhash_estimate", "q138_weighted_sample", "q139_pagerank")
+      "q137_minhash_estimate", "q138_weighted_sample", "q139_pagerank",
+      "q141_ann_lsh_multiprobe", "q142_pagerank_redistribute",
+      "compaction_cdc_zone")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the
     // whole line fits the consumer's 2000-char tail with slack for sbt's

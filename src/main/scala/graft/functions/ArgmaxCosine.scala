@@ -128,6 +128,29 @@ case class ArgmaxCosine(child: Expression,
        """.stripMargin
     })
 
+  // the case-class defaults compare the centroids Array by REFERENCE,
+  // so two semantically identical expressions would never be equal —
+  // defeating Catalyst canonicalization, subexpression elimination, and
+  // plan-level reuse. Compare (and hash) the contents.
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgmaxCosine =>
+      child == a.child && centroids.length == a.centroids.length &&
+        centroids.indices.forall { i =>
+          centroids(i)._1 == a.centroids(i)._1 &&
+            java.util.Arrays.equals(centroids(i)._2, a.centroids(i)._2)
+        }
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    centroids.foreach { case (id, v) =>
+      h = 31 * h + java.lang.Long.hashCode(id)
+      h = 31 * h + java.util.Arrays.hashCode(v)
+    }
+    h
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ArgmaxCosine =
     copy(child = newChild)
 }

@@ -36,29 +36,33 @@ object Skyline {
     // a row survives iff no strictly-cheaper row had >= its max, and no
     // same-price row had a strictly larger max. Both reduce to tracking
     // the best (min, max) seen.
-    var bestMin = Double.NaN
+    // explicit first-row flag — a NaN sentinel would break on genuine NaN
+    // measures (every later row would pass the "no rows yet" branch)
+    var seen = false
+    var bestMin = 0.0
     var bestMax = Double.NegativeInfinity
     rows.filter { r =>
       val mn = r.getDouble(minIdx)
       val mx = r.getDouble(maxIdx)
-      val samePrice = !bestMin.isNaN && mn == bestMin
       val keep =
-        if (bestMin.isNaN) true
-        else if (samePrice) mx == bestMax // price tie: only the group's max survives
+        if (!seen) true
+        else if (mn == bestMin) mx == bestMax // price tie: only the group's max survives
         else mx > bestMax // strictly costlier: needs strictly larger max
-      if (keep) { bestMin = mn; bestMax = mx }
+      if (keep) { seen = true; bestMin = mn; bestMax = mx }
       keep
     }
   }
 
   /** Skyline of `df` minimizing `minCol` and maximizing `maxCol` (both
     * coerced to double for the comparison; all original columns pass
-    * through). Null measures are excluded up front: null is not
-    * comparable, so a null-measured row can neither dominate nor claim
-    * non-dominance. */
+    * through). Null and NaN measures are excluded up front: neither is
+    * comparable, so such a row can neither dominate nor claim
+    * non-dominance (NaN would also sort above every real value and
+    * corrupt the sweep order). */
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     val prepared = df
-      .filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+      .filter(col(minCol).isNotNull && col(maxCol).isNotNull &&
+        !isnan(col(minCol).cast("double")) && !isnan(col(maxCol).cast("double")))
       .withColumn("__sky_min", col(minCol).cast("double"))
       .withColumn("__sky_max", col(maxCol).cast("double"))
     val schema = prepared.schema

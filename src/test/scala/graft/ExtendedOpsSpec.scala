@@ -820,6 +820,22 @@ class KernelPathEquivalenceSpec extends SparkSpec {
     assert(gen === literal)
   }
 
+  test("ArgmaxCosine: content-equal instances are equal (canonicalization/reuse)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.ArgmaxCosine
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def mk() = ArgmaxCosine(child, Array((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f))))
+    // separately-constructed Arrays: the case-class default would compare
+    // by reference, break semanticEquals, and defeat subexpression
+    // elimination / plan-level reuse
+    assert(mk() === mk())
+    assert(mk().hashCode() === mk().hashCode())
+    assert(mk().semanticEquals(mk()))
+    val different = ArgmaxCosine(child, Array((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 5.0f))))
+    assert(mk() !== different)
+  }
+
   test("ArgmaxCosine: null embedding yields null assignment") {
     import spark.implicits._
     import graft.operators.Similarity

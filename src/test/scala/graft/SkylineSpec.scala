@@ -37,6 +37,18 @@ class SkylineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("NaN measures are excluded, not skyline-corrupting") {
+    import spark.implicits._
+    // a NaN-priced row must neither survive nor (the old sentinel bug)
+    // poison the sweep state so every later row survives unconditionally
+    val rows = Seq(
+      (1L, 10.0, 5), (2L, Double.NaN, 50), (3L, 10.0, 3), (4L, 20.0, 4)
+    ).toDF("p_partkey", "p_retailprice", "p_size")
+    val got = Skyline.skyline2d(rows, "p_retailprice", "p_size")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L)) // 3 same-price-smaller, 4 costlier-smaller, 2 NaN
+  }
+
   test("dominance edge cases: ties survive, same-price-smaller is dominated") {
     import spark.implicits._
     // (key, price, size): 1 and 2 tie exactly -> both survive; 3 is
