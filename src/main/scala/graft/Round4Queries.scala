@@ -662,7 +662,7 @@ object Round4Queries {
         .select(col("c_custkey"), md5(col("c_name")).as("h_md5"),
           sha2(col("c_name"), 256).as("h_sha256"))
         .orderBy("c_custkey"))
-  ) ++ Seq(lshQuery, lshMultiProbeQuery)
+  ) ++ Seq(lshQuery, lshMultiProbeQuery, lshBandedNearDupQuery)
 
   // ---- q127: LSH ANN under the oracle ------------------------------------
 
@@ -765,4 +765,30 @@ object Round4Queries {
           r4(col("h1") / 10.0).as("recall_1probe"),
           r4(col("hm") / 10.0).as("recall_multiprobe"))
     })
+
+  private def lshBandedNearDupQuery: Q = Q("q143_neardup_lsh_banded",
+    // q43's embedding near-dup by the BLOCK-FIRST formulation its scaladoc
+    // prescribes past the broadcast limit: hyperplane sign bits split into
+    // two 4-bit bands, candidates = pairs agreeing on at least one band,
+    // exact-verified with the same rounded cosine. Output is a subset of
+    // q43's exact pairs (banding recall, SimilaritySpec measures it);
+    // the deterministic planes make the candidate set oracle-identical.
+    Some(s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            |b AS (SELECT vec_id, ${bucketSql("embedding", 64, 8)} AS bkt FROM v),
+            |bands AS (
+            |  SELECT vec_id, 0 AS bi, bkt & 15 AS bv FROM b
+            |  UNION ALL
+            |  SELECT vec_id, 1 AS bi, (bkt >> 4) & 15 FROM b),
+            |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+            |         FROM bands a JOIN bands b2
+            |           ON a.bi = b2.bi AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
+            |p AS (SELECT c.a_id, c.b_id,
+            |             ROUND(${TrainingQueries.cosOf("va.embedding", "vb.embedding")}, 4) AS sim
+            |      FROM cand c JOIN v va ON va.vec_id = c.a_id
+            |                  JOIN v vb ON vb.vec_id = c.b_id)
+            |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.45
+            |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => Similarity.lshBandedNearDupPairs(
+        Tables.embeddings(s, d), threshold = 0.45, dim = 64)
+      .orderBy("a_id", "b_id"))
 }

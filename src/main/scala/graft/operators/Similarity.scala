@@ -287,6 +287,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-banded cosine near-dup pairs — the BLOCK-FIRST scale path that
+    * [[cosineNearDupPairs]]'s scaladoc prescribes once neither side fits
+    * the broadcast limit. The hyperplane bucket is split into `bands`
+    * bit-bands ([[Dedup]]'s rotating-band idea applied to sign bits):
+    * candidates = pairs agreeing on AT LEAST ONE band (pigeonhole: any
+    * pair within `bands-1` flipped hyperplanes of each other always
+    * agrees somewhere), then candidates are exact-verified with the same
+    * rounded cosine as the all-pairs form — so output ⊆ exact pairs, with
+    * banding recall instead of n²/2 comparisons.
+    *
+    * Scale shape: bucket bits are map-side; the band explode produces
+    * `bands` scalar-keyed rows per vector feeding a shuffled hash self-
+    * join (never a nested loop — scalar key, same lesson as
+    * [[Dedup.lshCandidates]]); candidate ids dedupe before the two
+    * embedding re-joins, so each surviving pair pays ONE codegen'd
+    * cosine. Deterministic splitmix planes make the candidate set — and
+    * therefore the result — oracle-checkable (q143). */
+  def lshBandedNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
+                            nBits: Int = 8, bands: Int = 2,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(nBits % bands == 0, s"nBits=$nBits not divisible by bands=$bands")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val withBkt = vectors
+      .select(col(idCol), col(vecCol),
+        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"))
+      // exchange barrier before the explode: Generate would otherwise
+      // re-derive the nBits dot products once per band reference
+      .repartition(col(idCol))
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("|", lit(b),
+        shiftright(col("_bkt"), b * bandBits).bitwiseAND(lit(mask)))
+    }: _*)
+    val banded = withBkt.select(col(idCol).as("_id"), explode(bandKeys).as("_bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+      .distinct()
+    val va = vectors.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
+    val vb = vectors.select(col(idCol).as("b_id"), col(vecCol).as("_vb"))
+    val sim = round(cosine(col("_va"), col("_vb")), 4)
+    cands.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:

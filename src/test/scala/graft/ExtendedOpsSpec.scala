@@ -953,6 +953,39 @@ class KMeansEdgeSpec extends SparkSpec {
   }
 }
 
+/** The banded-LSH near-dup blocking (q43's scale path): its output must
+  * be a SUBSET of the exact all-pairs result (false positives are always
+  * cosine-verified away; banding only costs recall, never precision),
+  * and the plan must self-join on a scalar band key. */
+class LshBandedSpec extends SparkSpec {
+  import graft.operators.Similarity
+  import graft.sources.Tables
+
+  test("banded pairs are a verified subset of the exact all-pairs result") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(emb, 0.30)
+      .select("a_id", "b_id", "sim"))
+    val banded = pairs(Similarity.lshBandedNearDupPairs(emb, 0.30, dim = 64)
+      .select("a_id", "b_id", "sim"))
+    assert(banded.nonEmpty, "fixture produced no banded pairs — threshold too high")
+    assert(banded.subsetOf(exact),
+      s"banding produced pairs the exact form lacks: ${banded -- exact}")
+    // recall is probabilistic (documented); just surface it
+    info(f"banded recall at 0.30: ${banded.size}/${exact.size}")
+  }
+
+  test("identical vectors always land in the same bucket (recall floor)") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1f, 2f, 3f, 4f)), (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding")
+    val got = Similarity.lshBandedNearDupPairs(df, 0.99, dim = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 1L)))
+  }
+}
+
 class SessionizeCompositeKeySpec extends SparkSpec {
   import spark.implicits._
 
