@@ -41,7 +41,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object TxLog {
 
-  final case class Snapshot(gen: Long, format: String, files: Seq[String]) {
+  final case class Snapshot(gen: Long, format: String, files: Seq[String],
+                            meta: Map[String, String] = Map.empty) {
     def resolve(zone: String): Seq[String] =
       files.map(f => zone.stripSuffix("/") + "/" + f)
   }
@@ -77,12 +78,16 @@ object TxLog {
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       if (lines.isEmpty || lines.head != Header || lines.last != "end") return None
-      val kv = lines.tail.init.filterNot(_.startsWith("f ")).map { l =>
+      val body = lines.tail.init
+      val kv = body.filterNot(l => l.startsWith("f ") || l.startsWith("m ")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
-      val files = lines.filter(_.startsWith("f ")).map(_.substring(2))
+      val meta = body.filter(_.startsWith("m ")).map { l =>
+        val i = l.indexOf('=', 2); (l.substring(2, i), l.substring(i + 1))
+      }.toMap
+      val files = body.filter(_.startsWith("f ")).map(_.substring(2))
       if (kv.get("count").map(_.toLong).contains(files.size.toLong))
-        Some(Snapshot(kv("gen").toLong, kv("format"), files))
+        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta))
       else None
     } catch { case _: Exception => None }
     finally in.close()
@@ -91,7 +96,11 @@ object TxLog {
   /** Atomically publish generation `gen`. Returns false when another
     * writer already owns it (create-exclusive lost the race). */
   private def publish(spark: SparkSession, zone: String, gen: Long,
-                      format: String, files: Seq[String]): Boolean = {
+                      format: String, files: Seq[String],
+                      meta: Map[String, String] = Map.empty): Boolean = {
+    require(meta.forall { case (k, v) =>
+      !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
+      s"manifest meta keys must be =-free and values newline-free: $meta")
     val p = genPath(zone, gen)
     val f = fs(spark, zone)
     f.mkdirs(p.getParent)
@@ -102,6 +111,8 @@ object TxLog {
         .append("gen=").append(gen).append('\n')
         .append("format=").append(format).append('\n')
         .append("count=").append(files.size).append('\n')
+      meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        body.append("m ").append(k).append('=').append(v).append('\n') }
       files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
       body.append("end\n")
       out.write(body.toString.getBytes("UTF-8"))
@@ -158,7 +169,8 @@ object TxLog {
     * publish race the file list is recomputed against the new head and
     * retried — appends never conflict on data, only on the gen number. */
   def append(spark: SparkSession, zone: String, df: DataFrame,
-             maxRetries: Int = 5): Snapshot = {
+             maxRetries: Int = 5,
+             meta: Map[String, String] = Map.empty): Snapshot = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
@@ -168,12 +180,42 @@ object TxLog {
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
-      val next = Snapshot(head.gen + 1, head.format, (head.files ++ added).sorted)
-      if (publish(spark, zone, next.gen, next.format, next.files)) return next
+      // carry earlier generations' metadata forward (e.g. the streaming
+      // sink's batchId high-water mark); this publish's keys override
+      val next = Snapshot(head.gen + 1, head.format,
+        (head.files ++ added).sorted, head.meta ++ meta)
+      if (publish(spark, zone, next.gen, next.format, next.files, next.meta))
+        return next
       attempt += 1
     }
     f.delete(dataDir, true)
     sys.error(s"txlog append to $zone lost the publish race $maxRetries times")
+  }
+
+  /** Exactly-once micro-batch append for Structured Streaming: commit
+    * `df` tagged with `batchId`, skipping batches at or below the zone's
+    * committed high-water mark — a replayed batch (restart re-running the
+    * last uncommitted-to-the-SINK trigger) becomes a no-op instead of a
+    * duplicate. The mark rides IN the manifest, so data + mark commit in
+    * the same atomic publish (the standard idempotent-foreachBatch
+    * contract; one streaming query per zone — concurrent writers of the
+    * SAME batchId are outside Structured Streaming's model). Returns true
+    * when the batch was appended, false when skipped as already
+    * committed. */
+  def exactlyOnceAppend(spark: SparkSession, zone: String, df: DataFrame,
+                        batchId: Long): Boolean = {
+    val committed = latest(spark, zone).flatMap(_.meta.get("batchId")).map(_.toLong)
+    if (committed.exists(_ >= batchId)) false
+    else {
+      append(spark, zone, df, meta = Map("batchId" -> batchId.toString))
+      true
+    }
+  }
+
+  /** `writeStream.foreachBatch(TxLog.streamSink(zone))` — the
+    * exactly-once lake sink. */
+  def streamSink(zone: String): (DataFrame, Long) => Unit = (df, batchId) => {
+    exactlyOnceAppend(df.sparkSession, zone, df, batchId): Unit
   }
 
   /** Compact the newest snapshot into ~targetBytes files, published as a
@@ -198,7 +240,9 @@ object TxLog {
       .write.mode(SaveMode.ErrorIfExists).format(head.format).save(dataDir.toString)
     val newFiles = listRel(f, root, dataDir)
     prePublishHook()
-    if (publish(spark, zone, head.gen + 1, head.format, newFiles))
+    // meta carries forward: compaction must not erase e.g. the streaming
+    // sink's batchId high-water mark
+    if (publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta))
       CompactStats(head.gen + 1, head.files.size.toLong, newFiles.size.toLong,
         bytes, rewritten = true)
     else {

@@ -93,6 +93,53 @@ class TxLogSpec extends SparkSpec {
     assert(ids(zone) === (0L until 50L).toSet)
   }
 
+  test("exactlyOnceAppend: replayed batchIds are skipped; the mark survives compaction") {
+    val zone = freshZone()
+    spark.range(0L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    assert(TxLog.exactlyOnceAppend(spark, zone, spark.range(10L).toDF("id"), 0L))
+    assert(TxLog.exactlyOnceAppend(spark, zone, spark.range(10L, 20L).toDF("id"), 1L))
+    // a restart replaying batch 1 must be a no-op, not a duplicate
+    assert(!TxLog.exactlyOnceAppend(spark, zone, spark.range(10L, 20L).toDF("id"), 1L))
+    assert(ids(zone) === (0L until 20L).toSet)
+    // compaction carries the high-water mark forward
+    val stats = TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    assert(stats.rewritten)
+    assert(!TxLog.exactlyOnceAppend(spark, zone, spark.range(10L, 20L).toDF("id"), 1L),
+      "compaction erased the batchId mark — replay would duplicate")
+    assert(TxLog.exactlyOnceAppend(spark, zone, spark.range(20L, 30L).toDF("id"), 2L))
+    assert(ids(zone) === (0L until 30L).toSet)
+  }
+
+  test("streamSink: checkpointed stream lands each row exactly once across a restart") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("txsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("txckpt").toString
+    val zone = freshZone()
+    spark.range(0L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+
+    def writeBatch(r: Range): Unit =
+      r.map(_.toLong).toDF("id").coalesce(1).write.mode("append").json(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("id LONG").json(src).select($"id")
+      val q = stream.writeStream
+        .foreachBatch(TxLog.streamSink(zone))
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeBatch(0 until 50); runOnce()
+    writeBatch(50 until 100); runOnce() // full restart from checkpoint
+    assert(ids(zone) === (0L until 100L).toSet)
+    // simulate the classic failure: the last trigger replays after a crash
+    // between sink write and checkpoint commit
+    val lastBatch = TxLog.latest(spark, zone).get.meta("batchId").toLong
+    assert(!TxLog.exactlyOnceAppend(spark, zone,
+      (50 until 100).map(_.toLong).toDF("id"), lastBatch))
+    assert(ids(zone) === (0L until 100L).toSet, "replay duplicated rows")
+  }
+
   test("vacuum drops only generations past retention; kept snapshots stay readable") {
     val zone = freshZone()
     spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
