@@ -137,6 +137,8 @@ object Bench {
       "q132_bloom_semi", "q133_zorder_stats", "q135_skyline",
       "q137_minhash_estimate", "q138_weighted_sample", "q139_pagerank",
       "q141_ann_lsh_multiprobe", "q142_pagerank_redistribute",
+      "q143_neardup_lsh_banded", "q144_unigram_lm_score",
+      "q145_tfidf_topterms", "q146_contamination",
       "compaction_cdc_zone")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the

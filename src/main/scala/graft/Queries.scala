@@ -607,7 +607,8 @@ object Queries {
     * extended relational/pipeline ops. */
   def inventory: Seq[Q] =
     all ++ TrainingQueries.all ++ ExtendedQueries.all ++ MoreQueries.all ++
-      Round4Queries.all ++ SketchQueries.all ++ AnalyticsQueries.all
+      Round4Queries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
+      Round5Queries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.operators.{Splits, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-5 inventory extension (q144–q146): the corpus-statistics tier of
+  * an LLM training-data pipeline — unigram LM quality scoring (the CCNet-
+  * style "does this look like the corpus" filter), TF-IDF term salience,
+  * and train/test contamination measurement (n-gram containment of test
+  * documents in the training split — the decontamination step every
+  * eval-honest pipeline runs).
+  *
+  * All three share one determinism discipline, chosen so an engine-
+  * independent oracle exists: NO transcendental functions (a libm log is
+  * not bit-pinned across engines), only integer counting — exact in any
+  * summation order — down to ONE final IEEE division (or multiply+divide
+  * of exactly-representable integers), then ROUND(x, 4). The classic
+  * log-space formulations (perplexity, log-idf) order the same documents
+  * monotonically identically for fixed denominators; the rational
+  * variants here trade the familiar scale for bit-stable output.
+  */
+object Round5Queries {
+
+  import TrainingQueries.toksSql
+
+  def all: Seq[Q] = Seq(
+
+    Q("q144_unigram_lm_score",
+      // Per-document mean add-one-smoothed unigram probability, scaled by
+      // 1e6: score(d) = 1e6 * Σ_{t∈d}(cnt(t)+1) / (|d| * (N+V)). Token
+      // counts are corpus-wide BIGINTs (exact in any order); the scaled
+      // numerator stays < 2^53 at every test SF, so the single division
+      // is IEEE-identical in both engines. Zero-token documents are
+      // excluded (no token rows) — consistently on both sides.
+      Some(s"""WITH tok AS (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+              |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+              |               COUNT(*) AS v_size FROM vocab),
+              |d AS (SELECT t.doc_id, CAST(SUM(v.cnt + 1) AS BIGINT) AS s,
+              |             COUNT(*) AS n_tok
+              |      FROM tok t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+              |SELECT d.doc_id, d.n_tok,
+              |       ROUND(CAST(d.s * 1000000 AS DOUBLE)
+              |             / CAST(d.n_tok * (tot.n_total + tot.v_size) AS DOUBLE),
+              |             4) AS lm_score
+              |FROM d, tot ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
+        toks.join(vocab, "tok")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") + 1L).as("s"), count(lit(1)).as("n_tok"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_tok"),
+            round((col("s") * 1000000L).cast("double")
+              / (col("n_tok") * (col("n_total") + col("v_size"))).cast("double"),
+              4).as("lm_score"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q145_tfidf_topterms",
+      // Top-3 salient terms per document by rational TF-IDF:
+      // score = tf * D / df (D = docs with >= 1 token, df = docs
+      // containing the term). tf*D is an exact BIGINT product; one IEEE
+      // division; ties broken by term — a total order per document. The
+      // log-idf variant ranks identically for fixed D (both are
+      // monotone in tf and 1/df); the rational form is engine-exact.
+      Some(s"""WITH tok AS (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+              |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+              |dd AS (SELECT COUNT(DISTINCT doc_id) AS d FROM tok),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.tok AS term,
+              |         ROUND(CAST(tf.tf * dd.d AS DOUBLE) / CAST(df.df AS DOUBLE), 4) AS score
+              |  FROM tf JOIN df USING (tok), dd),
+              |r AS (SELECT doc_id, term, score, CAST(ROW_NUMBER() OVER (
+              |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn
+              |      FROM scored)
+              |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
+              |ORDER BY doc_id, rn""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val dd = toks.agg(countDistinct(col("doc_id")).as("d"))
+        val scored = tf.join(dfRel, "tok").crossJoin(broadcast(dd))
+          .select(col("doc_id"), col("tok").as("term"),
+            round((col("tf") * col("d")).cast("double") / col("df").cast("double"), 4)
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "score", "rn")
+          .orderBy("doc_id", "rn")
+      }),
+
+    Q("q146_contamination",
+      // Train/test decontamination measurement: for every TEST document
+      // (the q70 hash split at the 90% boundary), the fraction of its
+      // distinct 3-gram shingles that occur anywhere in the TRAIN split.
+      // The candidate relation is a distinct-shingle semi-join against
+      // the train shingle set — the inverted-index shape of q36, never
+      // test x train document pairs. Counting is integer; one division.
+      // Documents under 3 tokens have no shingles and are excluded
+      // (consistently: shingle-less docs cannot be contaminated).
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, UNNEST(LIST_DISTINCT(CASE WHEN LEN(t) >= 3 THEN
+              |           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+              |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |         ELSE [] END)) AS shingle
+              |  FROM (SELECT doc_id, $toksSql AS t FROM documents) d),
+              |tagged AS (SELECT doc_id, shingle,
+              |                  CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |                    % 100 >= 90 AS is_test
+              |           FROM sh),
+              |train_sh AS (SELECT DISTINCT shingle FROM tagged WHERE NOT is_test),
+              |t AS (SELECT doc_id, COUNT(*) AS n_shingles,
+              |             CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM train_sh)
+              |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+              |      FROM tagged WHERE is_test GROUP BY doc_id)
+              |SELECT doc_id, n_shingles, n_contaminated,
+              |       ROUND(CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+              |         AS contamination
+              |FROM t ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = docs.select(col("doc_id"),
+            explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+              .as("shingle"))
+          .withColumn("is_test", Splits.hashBucket(col("doc_id")) >= 90)
+        val trainSh = sh.filter(!col("is_test")).select("shingle").distinct()
+          .withColumn("_hit", lit(1L))
+        sh.filter(col("is_test"))
+          .join(trainSh, Seq("shingle"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+          .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+            round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4)
+              .as("contamination"))
+          .orderBy("doc_id")
+      })
+  )
+}
