@@ -440,6 +440,41 @@ class PartitionPruningSpec extends SparkSpec {
   }
 }
 
+/** The IVF scale path end to end: the assigned vector table WRITTEN
+  * partitioned by cell, so a probe is a partition-pruned scan of ~1/K of
+  * the corpus — the layout every Similarity scaladoc promises. */
+class IvfLayoutSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+  import graft.sources.Tables
+
+  test("cent_id-partitioned IVF table probes one cell via partition pruning") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.collectCentroids(Similarity.kmeans(emb, k = 8, iterations = 1))
+    val assigned = Similarity.assignToCentroidsLocal(emb, cents)
+      .filter(col("vec_id") =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/vectors"
+    assigned.write.partitionBy("cent_id").parquet(dir)
+    val stored = spark.read.parquet(dir)
+
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val got = Similarity.ivfTopK(stored, cents, query, k = 10,
+      idCol = "vec_id", vecCol = "embedding", queryVecCol = "qe")
+    val want = Similarity.ivfTopK(assigned, cents, query, k = 10,
+      idCol = "vec_id", vecCol = "embedding", queryVecCol = "qe")
+    assert(got.collect().map(_.toSeq).toSeq === want.collect().map(_.toSeq).toSeq,
+      "partitioned-layout probe diverges from the in-memory probe")
+
+    // the probed cell must reach the scan as a PartitionFilter (a dynamic
+    // one via the broadcast join's DPP, or static after a literal filter)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val literalProbe = stored.filter(col("cent_id") === cents.head._1)
+    val plan = literalProbe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\].*"),
+      s"cent_id not in PartitionFilters:\n$plan")
+  }
+}
+
 /** The training-corpus pipeline (quality -> exact dedup -> near-dup
   * clusters -> splits -> split-partitioned write) end to end. */
 class TrainingPipelineSpec extends SparkSpec {
