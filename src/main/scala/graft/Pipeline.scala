@@ -145,7 +145,12 @@ object Pipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       // post-write maintenance: compact each split partition to ~this many
       // bytes per file (None = leave the writer's file layout as-is)
-      compactTargetBytes: Option[Long] = None) {
+      compactTargetBytes: Option[Long] = None,
+      // write each split through the transaction log (one TxLog zone per
+      // split directory): corpus refreshes become atomic per split — a
+      // reader mid-refresh keeps the previous complete generation instead
+      // of racing mode("overwrite")'s delete+write window
+      useTxLog: Boolean = false) {
     def validate(): Unit = {
       require(sourcePath.nonEmpty && destPath.nonEmpty, "paths must be non-empty")
       require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
@@ -192,18 +197,44 @@ object Pipeline {
     /** Write the corpus split-partitioned (train/valid/test directories are
       * the lake layout consumers prune on), then optionally compact each
       * split partition — the bounded per-partition rewrite unit, so a
-      * consumer reading one split never races a whole-zone swap. */
+      * consumer reading one split never races a whole-zone swap. With
+      * `useTxLog` each split directory is a [[graft.operators.TxLog]]
+      * zone refreshed via `replace` — the fully atomic form. */
     def run(): Unit = {
-      corpus().write.mode("overwrite").partitionBy("split").parquet(spec.destPath)
-      spec.compactTargetBytes.foreach { target =>
+      if (spec.useTxLog) {
+        // materialize once: the per-split writes would otherwise re-run
+        // the whole dedup pipeline per split
+        val c = corpus().localCheckpoint(true)
         spec.splits.foreach { case (name, _) =>
-          graft.operators.Compaction.compactPartition(
-            spark, spec.destPath, s"split=$name", targetBytes = target)
+          graft.operators.TxLog.replace(spark, splitZone(name),
+            c.filter(col("split") === name).drop("split"))
+        }
+        spec.compactTargetBytes.foreach { target =>
+          spec.splits.foreach { case (name, _) =>
+            graft.operators.TxLog.compact(spark, splitZone(name), targetBytes = target)
+          }
+        }
+      } else {
+        corpus().write.mode("overwrite").partitionBy("split").parquet(spec.destPath)
+        spec.compactTargetBytes.foreach { target =>
+          spec.splits.foreach { case (name, _) =>
+            graft.operators.Compaction.compactPartition(
+              spark, spec.destPath, s"split=$name", targetBytes = target)
+          }
         }
       }
     }
 
-    def readBack(): DataFrame = spark.read.parquet(spec.destPath)
+    private def splitZone(name: String): String =
+      spec.destPath.stripSuffix("/") + s"/split=$name"
+
+    def readBack(): DataFrame =
+      if (spec.useTxLog)
+        spec.splits.map { case (name, _) =>
+          graft.operators.TxLog.read(spark, splitZone(name))
+            .withColumn("split", lit(name))
+        }.reduce(_.unionByName(_))
+      else spark.read.parquet(spec.destPath)
   }
 
   /** synth: validate config and return the lazy plan (plan-time failure for

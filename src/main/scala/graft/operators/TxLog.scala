@@ -192,6 +192,33 @@ object TxLog {
     sys.error(s"txlog append to $zone lost the publish race $maxRetries times")
   }
 
+  /** Atomically REPLACE the zone's content with `df` as a new generation
+    * — the transactional form of `mode("overwrite")`: a reader holding
+    * the previous snapshot keeps reading its (immutable) files; a reader
+    * arriving mid-write sees the previous complete generation until the
+    * single publish flips the head. Lost publish races retry against the
+    * new head (replace is last-writer-wins by intent, so rebasing is just
+    * re-claiming the next generation number). */
+  def replace(spark: SparkSession, zone: String, df: DataFrame,
+              maxRetries: Int = 5,
+              meta: Map[String, String] = Map.empty): Snapshot = {
+    val f = fs(spark, zone)
+    val root = f.makeQualified(new Path(zone))
+    val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
+    val head0 = latest(spark, zone).getOrElse(init(spark, zone))
+    df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
+    val files = listRel(f, root, dataDir)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val head = latest(spark, zone).getOrElse(head0)
+      if (publish(spark, zone, head.gen + 1, head.format, files, head.meta ++ meta))
+        return Snapshot(head.gen + 1, head.format, files, head.meta ++ meta)
+      attempt += 1
+    }
+    f.delete(dataDir, true)
+    sys.error(s"txlog replace of $zone lost the publish race $maxRetries times")
+  }
+
   /** Exactly-once micro-batch append for Structured Streaming: commit
     * `df` tagged with `batchId`, skipping batches at or below the zone's
     * committed high-water mark — a replayed batch (restart re-running the

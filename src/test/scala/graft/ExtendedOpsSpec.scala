@@ -508,6 +508,34 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(dirs.toSet === Set("split=train", "split=valid", "split=test"))
   }
 
+  test("useTxLog: same corpus as the plain writer; refresh is atomic per split") {
+    import graft.operators.TxLog
+    val destPlain = java.nio.file.Files.createTempDirectory("corpusp").toString + "/out"
+    val destTx = java.nio.file.Files.createTempDirectory("corpust").toString + "/out"
+    def spec(dest: String, tx: Boolean) = Pipeline.TrainingSpec(
+      sourcePath = s"$sf0001/documents.parquet", destPath = dest,
+      nearDupJaccard = Some(0.8), useTxLog = tx)
+    Pipeline.plan(spark, spec(destPlain, tx = false)).run()
+    val txPlan = Pipeline.plan(spark, spec(destTx, tx = true))
+    txPlan.run()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(txPlan.readBack()) === rows(spark.read.parquet(destPlain)))
+
+    // pin the pre-refresh train snapshot, then refresh the whole corpus:
+    // the pinned snapshot must stay fully readable (immutable files) and
+    // the head must advance atomically
+    val trainZone = s"$destTx/split=train"
+    val pinned = TxLog.latest(spark, trainZone).get
+    val before = TxLog.readSnapshot(spark, trainZone, pinned).count()
+    txPlan.run() // refresh
+    assert(TxLog.readSnapshot(spark, trainZone, pinned).count() === before,
+      "refresh disturbed a pinned reader's snapshot")
+    assert(TxLog.latest(spark, trainZone).get.gen > pinned.gen)
+    assert(rows(txPlan.readBack()) === rows(spark.read.parquet(destPlain)),
+      "refresh changed the corpus content")
+  }
+
   test("bad config fails at plan time, like CDK synth") {
     intercept[IllegalArgumentException] {
       Pipeline.plan(spark, Pipeline.TrainingSpec("src", "dst",
