@@ -104,8 +104,26 @@ object TxLog {
     val p = genPath(zone, gen)
     val f = fs(spark, zone)
     f.mkdirs(p.getParent)
-    val out = try f.create(p, /*overwrite=*/ false)
-    catch { case _: java.io.IOException => return false }
+    // The generation claim must be ATOMIC create-if-absent. HDFS enforces
+    // that at the namenode, but the Hadoop local filesystem implements
+    // create(overwrite=false) as exists()-then-create — two racing
+    // writers can both pass the check and silently overwrite each other.
+    // On file: URIs go straight to O_CREAT|O_EXCL via CREATE_NEW.
+    val qualified = f.makeQualified(p)
+    val out: java.io.OutputStream =
+      if (qualified.toUri.getScheme == "file") {
+        val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+        try java.nio.file.Files.newOutputStream(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case _: java.io.IOException => return false
+        }
+      } else {
+        try f.create(p, /*overwrite=*/ false)
+        catch { case _: java.io.IOException => return false }
+      }
     try {
       val body = new StringBuilder(Header).append('\n')
         .append("gen=").append(gen).append('\n')
@@ -187,6 +205,9 @@ object TxLog {
       if (publish(spark, zone, next.gen, next.format, next.files, next.meta))
         return next
       attempt += 1
+      // the racing winner may still be mid-manifest-write (invisible to
+      // latest()); back off so the rebase sees its completed head
+      Thread.sleep(math.min(200L, 10L * attempt))
     }
     f.delete(dataDir, true)
     sys.error(s"txlog append to $zone lost the publish race $maxRetries times")
@@ -214,6 +235,7 @@ object TxLog {
       if (publish(spark, zone, head.gen + 1, head.format, files, head.meta ++ meta))
         return Snapshot(head.gen + 1, head.format, files, head.meta ++ meta)
       attempt += 1
+      Thread.sleep(math.min(200L, 10L * attempt))
     }
     f.delete(dataDir, true)
     sys.error(s"txlog replace of $zone lost the publish race $maxRetries times")

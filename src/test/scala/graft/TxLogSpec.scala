@@ -140,6 +140,32 @@ class TxLogSpec extends SparkSpec {
     assert(ids(zone) === (0L until 100L).toSet, "replay duplicated rows")
   }
 
+  test("concurrent appenders: every row lands exactly once (create-exclusive races)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val zone = freshZone()
+    spark.range(0L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    // 8 writers race the generation counter; each loses some publishes and
+    // must rebase — the exactly-once guarantee is the log's, not luck's
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 8).map { w =>
+        Future {
+          TxLog.append(spark, zone,
+            spark.range(w * 100L, (w + 1) * 100L).toDF("id"), maxRetries = 50)
+        }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    val head = TxLog.latest(spark, zone).get
+    assert(head.gen === 8L, s"expected 8 serialized publishes, got gen ${head.gen}")
+    assert(head.files.size === head.files.toSet.size, "duplicate manifest entries")
+    assert(ids(zone) === (0L until 800L).toSet, "a concurrent append lost or duplicated rows")
+  }
+
   test("vacuum drops only generations past retention; kept snapshots stay readable") {
     val zone = freshZone()
     spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
