@@ -303,9 +303,16 @@ object TxLog {
 
   /** Delete data files referenced ONLY by generations older than the
     * newest `keepGens`, plus those generations' manifests. Never touches
-    * the files of a kept snapshot. */
-  def vacuum(spark: SparkSession, zone: String, keepGens: Int = 2): Long = {
+    * the files of a kept snapshot, and never touches files younger than
+    * `graceMs`: an in-flight append/compact/replace has written its
+    * d-<uuid> files but not yet published, so an unreferenced-but-fresh
+    * file is most likely a commit in progress, not garbage (the same
+    * reasoning as Delta's retention window). Pick `graceMs` above the
+    * longest plausible write-to-publish gap. */
+  def vacuum(spark: SparkSession, zone: String, keepGens: Int = 2,
+             graceMs: Long = 15L * 60L * 1000L): Long = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dir = new Path(root, LogDir)
@@ -315,14 +322,21 @@ object TxLog {
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - keepGens))
     val live: Set[String] =
       keep.flatMap(p => readManifest(f, p)).flatMap(_.files).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     // only files under d-* write dirs are vacuum-managed; gen-0 root files
     // from init() predate the log and are left alone
     var removed = 0L
     f.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
       .foreach { d =>
-        listRel(f, root, d.getPath).foreach { rel =>
-          if (!live.contains(rel)) {
-            if (f.delete(new Path(root, rel), false)) removed += 1
+        val it = f.listFiles(d.getPath, true)
+        val rootPath = root.toUri.getPath.stripSuffix("/")
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".") &&
+              !live.contains(rel) && st.getModificationTime < cutoff) {
+            if (f.delete(st.getPath, false)) removed += 1
           }
         }
         if (listRel(f, root, d.getPath).isEmpty) f.delete(d.getPath, true)

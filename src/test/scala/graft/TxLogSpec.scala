@@ -140,6 +140,30 @@ class TxLogSpec extends SparkSpec {
     assert(ids(zone) === (0L until 100L).toSet, "replay duplicated rows")
   }
 
+  test("vacuum grace period protects an in-flight writer's unpublished files") {
+    val zone = freshZone()
+    spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
+    TxLog.init(spark, zone)
+    TxLog.append(spark, zone, spark.range(100L, 200L).toDF("id"))
+    // simulate a writer mid-commit: data files written, manifest not yet
+    // published — exactly what a concurrent vacuum must NOT collect
+    val inflight = new java.io.File(zone, "d-inflight")
+    inflight.mkdirs()
+    spark.range(200L, 300L).toDF("id").write.mode("overwrite")
+      .parquet(inflight.toString + "/part")
+    val compacted = TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    assert(compacted.rewritten)
+    // default grace: the unpublished fresh files survive vacuum
+    TxLog.vacuum(spark, zone, keepGens = 1)
+    assert(spark.read.parquet(inflight.toString + "/part").count() === 100L,
+      "vacuum collected an in-flight writer's files inside the grace window")
+    // past the grace window (grace 0) they are garbage and go away
+    TxLog.vacuum(spark, zone, keepGens = 1, graceMs = 0L)
+    assert(!new java.io.File(inflight, "part").exists(),
+      "expired unreferenced files should be collected")
+    assert(ids(zone) === (0L until 200L).toSet)
+  }
+
   test("concurrent appenders: every row lands exactly once (create-exclusive races)") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -173,7 +197,8 @@ class TxLogSpec extends SparkSpec {
     val s1 = TxLog.append(spark, zone, spark.range(100L, 200L).toDF("id"))
     val s2 = TxLog.compact(spark, zone, targetBytes = 1L << 30)
     assert(s2.rewritten && s2.gen === 2L)
-    val removed = TxLog.vacuum(spark, zone, keepGens = 1)
+    // grace 0: this test's files are seconds old and must still qualify
+    val removed = TxLog.vacuum(spark, zone, keepGens = 1, graceMs = 0L)
     assert(removed > 0L, "vacuum should remove the pre-compact generation's files")
     // head still fully readable after vacuum
     assert(ids(zone) === (0L until 200L).toSet)
