@@ -84,7 +84,7 @@ object Queries {
   }
 
   /** Valid CDC rows flattened by the real operator pack (A7–A9). */
-  private def cdcFlattened(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def cdcFlattened(spark: SparkSession, dir: String): DataFrame = {
     val (valid, _) = Cdc.split(cdcFixture(spark, dir))
     Cdc.transform(valid, ingestionTs = Some(col("_ingest_ts")))
       .select(
@@ -96,7 +96,7 @@ object Queries {
         col("ingestion_timestamp"))
   }
 
-  private val cdcOracleBase =
+  private[graft] val cdcOracleBase =
     """SELECT CAST(user_id % 20 AS VARCHAR) AS id,
       |       'n' || CAST(user_id % 7 AS VARCHAR) AS name,
       |       props,

@@ -145,6 +145,56 @@ object Round5Queries {
             round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4)
               .as("contamination"))
           .orderBy("doc_id")
+      }),
+
+    Q("q147_shingle_containment",
+      // Directional containment |sh(a) ∩ sh(b)| / |sh(a)| >= 0.8: the
+      // asymmetric near-dup metric that catches near-SUPERSETS (quoted /
+      // boilerplate-wrapped copies) where Jaccard stays low because the
+      // union is dominated by the larger doc. Same inverted-index shape
+      // as q36; both directions of a mutual near-copy appear.
+      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+              |          FROM sh a JOIN sh b
+              |            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT a_id, b_id, ROUND(i::DOUBLE / ca.n_sh, 4) AS containment
+              |FROM inter JOIN cnt ca ON ca.doc_id = a_id
+              |WHERE ROUND(i::DOUBLE / ca.n_sh, 4) >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => graft.operators.Dedup
+        .containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
+    Q("q148_cdc_scd2",
+      // SCD Type-2 history from the CDC event log (the lakehouse-classic
+      // companion to q28's snapshot): each non-REMOVE event opens a
+      // version valid [ts, next change); REMOVE closes without opening;
+      // the un-closed version per key is is_current — q28's snapshot is
+      // exactly the is_current slice. Validity bounds leave as formatted
+      // micro-precision strings (NULL open end on both engines).
+      Some(s"""SELECT id, name, props, seq, etype,
+              |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+              |       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+              |       valid_to_ts IS NULL AS is_current
+              |FROM (
+              |  SELECT *, LEAD(ts) OVER (
+              |    PARTITION BY id, name
+              |    ORDER BY ts, CAST(seq AS BIGINT)) AS valid_to_ts
+              |  FROM (${Queries.cdcOracleBase}) t) v
+              |WHERE event <> 'REMOVE'
+              |ORDER BY CAST(id AS INT), name, CAST(seq AS BIGINT)""".stripMargin),
+      (s, d) => {
+        val flat = Queries.cdcFlattened(s, d).withColumn("seq_l", col("seq").cast("long"))
+        graft.operators.Cdc.scd2History(flat, Seq("id", "name"),
+            Seq("ingestion_timestamp", "seq_l"), eventCol = "event")
+          .select(col("id"), col("name"), col("props"), col("seq"), col("etype"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+            col("is_current"))
+          .orderBy(col("id").cast("int"), col("name"), col("seq").cast("long"))
       })
   )
 }

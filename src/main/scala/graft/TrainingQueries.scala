@@ -26,7 +26,7 @@ object TrainingQueries {
   private[graft] val toksSql = "LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')"
   private[graft] val h32Sql = "CAST('0x' || SUBSTR(MD5(%s), 1, 8) AS BIGINT)"
 
-  private val shingleRowsSql =
+  private[graft] val shingleRowsSql =
     s"""SELECT doc_id, UNNEST(LIST_DISTINCT(CASE WHEN LEN(t) >= 3 THEN
        |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])

@@ -165,6 +165,32 @@ object Cdc {
       .option("compression", "gzip")
       .json(path)
 
+  /** SCD Type-2 history table from the flattened CDC event log: every
+    * non-REMOVE event opens a version valid [its time, the key's next
+    * change), the key's latest un-closed version is `is_current`, and a
+    * REMOVE closes the preceding version without opening one (the
+    * tombstone itself is not a version). The lakehouse-classic companion
+    * to [[snapshot]]: the snapshot is exactly the `is_current` slice,
+    * while the history answers as-of-time queries.
+    *
+    * `orderCols` must totally order each key's events (the [[snapshot]]
+    * contract: ingestion time + unique sequence). One per-key window —
+    * partitioned by the table key, so it scales like the snapshot's
+    * shuffle, never a global sort. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                  eventCol: String = "Event",
+                  tsCol: String = "ingestion_timestamp"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("valid_from", col(tsCol))
+      // lead over ALL events INCLUDING tombstones: a REMOVE bounds the
+      // previous version's validity even though it emits no row itself
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(eventCol) =!= "REMOVE")
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** A16: last-writer-wins snapshot with REMOVE tombstones dropped.
     *
     * One shuffle on the key, map-side-combining `max_by` (constant state per

@@ -95,6 +95,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional n-gram containment >= threshold:
+    * containment(a -> b) = |sh(a) ∩ sh(b)| / |sh(a)| — the asymmetric
+    * near-dup metric that catches near-SUPERSETS (a quoted document, a
+    * boilerplate-wrapped copy) where symmetric Jaccard stays low because
+    * the union is dominated by the larger document. Output is directional:
+    * (a_id, b_id) means "a is mostly contained in b" (and a pair of
+    * mutual near-copies appears in both directions).
+    *
+    * Same inverted-index shape and cost model as [[jaccardPairs]] (only
+    * co-shingled pairs materialize, all-scalar shuffles, `maxShingleDf`
+    * caps the high-df skew k² in [[shingleIndex]]); the only differences
+    * are the order-free join predicate (both directions) and the
+    * denominator (|sh(a)| instead of the union). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n).repartition(col("shingle"))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val c = col("inter").cast("double") / col("na.n_sh")
+    inter.join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+      .select(col("a_id"), col("b_id"), round(c, 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signature column (array<long> of `numHashes` mins) from a
     * distinct-shingle array column. One md5 per shingle, then the codegen'd
     * one-pass permutation kernel [[graft.functions.MinHashSig]] — all
