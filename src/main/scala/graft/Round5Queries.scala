@@ -195,6 +195,91 @@ object Round5Queries {
             date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
             col("is_current"))
           .orderBy(col("id").cast("int"), col("name"), col("seq").cast("long"))
+      }),
+
+    Q("q149_asof_forward",
+      // The FORWARD as-of join (q54's mirror): each purchase picks up the
+      // NEXT view's value at-or-after its time per user — union + one
+      // window pass with the walk reversed (ts DESC), never a range join.
+      // Inclusive at equal timestamps, ties to the lowest event_id.
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id, {'v': value} AS qr, NULL AS tv, 0 AS side
+             |  FROM events WHERE event_type = 'view'
+             |  UNION ALL
+             |  SELECT user_id, ts, event_id, CAST(NULL AS STRUCT(v DOUBLE)), value, 1
+             |  FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT user_id, event_id, tv, side,
+             |         (LAST_VALUE(qr IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+             |           ROWS UNBOUNDED PRECEDING)).v AS av
+             |  FROM u)
+             |SELECT user_id, event_id, ROUND(tv, 4) AS purchase_value,
+             |       ROUND(av, 4) AS next_view_value
+             |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.AsOf
+        import graft.Queries.r4
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts", "value")
+        AsOf.joinNext(purchases, views, Seq("user_id"), "ts", "event_id",
+            "value", outCol = "next_view_value")
+          .select(col("user_id"), col("event_id"),
+            r4(col("value")).as("purchase_value"),
+            r4(col("next_view_value")).as("next_view_value"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q150_max_concurrency",
+      // Interval-overlap maximum via the +1/-1 sweep — the stabbing query
+      // that is O(n log n), never the n^2 self-join: each event opens a
+      // 10-minute window; per event_type, the peak number of concurrently
+      // open windows and the first instant it is reached. Half-open
+      // intervals: an end at instant t frees its slot before a start at t
+      // (delta -1 sorts first). Cumulative integer sums are exact in any
+      // engine; the per-type window is key-partitioned (never global).
+      Some("""WITH iv AS (
+             |  SELECT event_type, ts AS s, ts + INTERVAL 10 MINUTE AS e, event_id
+             |  FROM events),
+             |pts AS (
+             |  SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+             |  UNION ALL
+             |  SELECT event_type, e AS t, -1 AS d, event_id FROM iv),
+             |c AS (
+             |  SELECT event_type, t, CAST(SUM(d) OVER (
+             |    PARTITION BY event_type ORDER BY t, d, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+             |  FROM pts),
+             |mx AS (SELECT event_type, MAX(conc) AS max_concurrent FROM c GROUP BY event_type)
+             |SELECT c.event_type, mx.max_concurrent,
+             |       strftime(MIN(c.t), '%Y-%m-%d %H:%M:%S.%f') AS first_peak
+             |FROM c JOIN mx ON c.event_type = mx.event_type AND c.conc = mx.max_concurrent
+             |GROUP BY c.event_type, mx.max_concurrent
+             |ORDER BY c.event_type""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = Tables.events(s, d).select(col("event_type"),
+          col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"), col("event_id"))
+        val pts = iv.select(col("event_type"), col("s").as("t"),
+            lit(1).as("d"), col("event_id"))
+          .unionByName(iv.select(col("event_type"), col("e").as("t"),
+            lit(-1).as("d"), col("event_id")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("d"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c = pts.withColumn("conc", sum(col("d")).over(w).cast("long"))
+        val mx = c.groupBy("event_type")
+          .agg(max(col("conc")).as("max_concurrent"))
+          .withColumnRenamed("event_type", "et")
+        c.join(broadcast(mx),
+            col("event_type") === col("et") && col("conc") === col("max_concurrent"))
+          .groupBy(col("event_type"), col("max_concurrent"))
+          .agg(date_format(min(col("t")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_peak"))
+          .select("event_type", "max_concurrent", "first_peak")
+          .orderBy("event_type")
       })
   )
 }

@@ -63,4 +63,39 @@ object AsOf {
       .filter(col("_side") === 1)
       .select(col("_probe.*"), col(outCol))
   }
+
+  /** The FORWARD as-of join: the earliest reference at-or-after each
+    * probe row's time (the mirror of [[joinLatest]] — "what is the next
+    * quote after this trade"). Same union + ONE window pass, with the
+    * walk reversed: key groups sort by (ts DESC, side, seq DESC), so the
+    * carried-forward last reference at a probe's row is the SMALLEST
+    * reference timestamp >= the probe's, inclusive at equal timestamps,
+    * ties to the LOWEST `seqCol`. Null-valued references shadow later
+    * (in time: earlier in the walk) values via the same struct marker. */
+  def joinNext(probes: DataFrame, refs: DataFrame, keyCols: Seq[String],
+               tsCol: String, seqCol: String, refValCol: String,
+               outCol: String = "asof_value"): DataFrame = {
+    val internal = Seq("_ts", "_seq", "_ref_val", "_side", "_probe")
+    require((probes.columns ++ refs.columns).intersect(internal).isEmpty,
+      s"input columns collide with internal names ${internal.mkString(", ")}")
+    val refValType = refs.schema(refValCol).dataType
+    val markerType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", refValType)))
+    val probeStruct = org.apache.spark.sql.types.StructType(probes.schema)
+    val sideCols: Seq[Column] =
+      keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), col(seqCol).as("_seq"))
+    val r = refs.select(sideCols
+      ++ Seq(struct(col(refValCol).as("v")).as("_ref_val"), lit(0).as("_side"),
+        lit(null).cast(probeStruct).as("_probe")): _*)
+    val p = probes.select(sideCols
+      ++ Seq(lit(null).cast(markerType).as("_ref_val"), lit(1).as("_side"),
+        struct(probes.columns.toIndexedSeq.map(col): _*).as("_probe")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").desc, col("_side"), col("_seq").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(p)
+      .withColumn(outCol, last(col("_ref_val"), ignoreNulls = true).over(w)("v"))
+      .filter(col("_side") === 1)
+      .select(col("_probe.*"), col(outCol))
+  }
 }

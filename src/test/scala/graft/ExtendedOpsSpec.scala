@@ -413,6 +413,32 @@ class AsOfPropertySpec extends SparkSpec {
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("joinNext == brute-force earliest-at-or-after, on random inputs") {
+    val gen = for {
+      refs <- Gen.listOfN(30, rowGen)
+      probes <- Gen.listOfN(15, rowGen)
+    } yield (refs, probes)
+    val prop = Prop.forAll(gen) { case (refRows0, probeRows0) =>
+      val refRows = refRows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val probeRows = probeRows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val refs = refRows.toDF("k", "t", "seq", "v")
+      val probes = probeRows.toDF("k", "t", "seq", "v")
+      val got = graft.operators.AsOf
+        .joinNext(probes, refs, Seq("k"), "t", "seq", "v")
+        .select($"k", $"seq", $"asof_value")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      probeRows.forall { case (k, t, seq, _) =>
+        // earliest ref at-or-after; equal-ts ties to the LOWEST seq
+        val expected = refRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (r._2, r._3)).headOption.map(_._4)
+        got((k, seq)) == expected
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
 
 /** A13's reason to exist: the hour-partitioned lake layout must let a
