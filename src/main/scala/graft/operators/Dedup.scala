@@ -112,12 +112,17 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n).repartition(col("shingle"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // the intersection size is SYMMETRIC: join+aggregate each unordered
+    // pair once (a < b — half the pair rows of a both-directions join),
+    // then mirror the tiny aggregated relation for the two denominators
     val inter = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    val both = inter.unionByName(inter.select(
+      col("b_id").as("a_id"), col("a_id").as("b_id"), col("inter")))
     val c = col("inter").cast("double") / col("na.n_sh")
-    inter.join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+    both.join(sizes.as("na"), col("a_id") === col("na.doc_id"))
       .select(col("a_id"), col("b_id"), round(c, 4).as("containment"))
       .filter(col("containment") >= threshold)
   }
