@@ -280,6 +280,31 @@ object Round5Queries {
           .agg(date_format(min(col("t")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_peak"))
           .select("event_type", "max_concurrent", "first_peak")
           .orderBy("event_type")
+      }),
+
+    Q("q151_pagerank_weighted",
+      // Edge-weighted PageRank over the fulfillment graph: rank flows
+      // proportionally to the lineitem count per (supplier, customer)
+      // pair instead of uniformly — the interaction-strength variant.
+      // Count weights are small integers, so r*85*w stays exact-double-
+      // divisible and the iteration remains bit-stable; oracle generated
+      // from the same constants. Top 20 by rank, ties by node.
+      Some(s"""SELECT node, rank FROM (
+              |  ${graft.operators.PageRank.fixedPointWeightedSql(
+                   "SELECT l_suppkey AS src, 1000000 + o_custkey AS dst, " +
+                     "COUNT(*) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+                     "GROUP BY 1, 2",
+                   iterations = 3)})
+              |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+      (s, d) => {
+        import graft.operators.PageRank
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey").as("src"),
+            (lit(1000000L) + col("o_custkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        PageRank.fixedPointWeighted(edges, "src", "dst", "w", iterations = 3)
+          .orderBy(col("rank").desc, col("node")).limit(20)
       })
   )
 }

@@ -96,6 +96,64 @@ object PageRank {
     ranks
   }
 
+  /** Edge-WEIGHTED fixed-point PageRank: contribution(u→v) =
+    * floor(r_u · 85 · w_uv / (100 · W_u)) with W_u = Σ w over u's
+    * out-edges — rank flows proportionally to integer edge weights
+    * (e.g. interaction counts) instead of uniformly. Multi-edges sum
+    * their weights; weights must be positive integers small enough that
+    * r·85·w stays under 2^53 (the exact-double-division bound; with
+    * count-like weights and 1e6-scaled ranks that is w ≲ 1e4). Dangling
+    * destinations absorb, as in the unweighted default. Same two-shuffle
+    * per-round loop and checkpoint lineage discipline as [[fixedPoint]];
+    * equal weights reduce EXACTLY to the unweighted iteration
+    * (PageRankSpec pins it). */
+  def fixedPointWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                         weightCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val wdeg = e.groupBy("src").agg(sum(col("w")).as("tw")).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    for (i <- 0 until iterations) {
+      val contribs = e
+        .join(ranks, col("src") === col("node"))
+        .join(wdeg, "src")
+        .select(col("dst"),
+          floor((col("rank") * 85L * col("w")) / (col("tw") * 100L)).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      val next = nodes
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"), (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+      ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Oracle-SQL twin of [[fixedPointWeighted]] over an
+    * `edges(src, dst, w)` relation provided as `edgesSql`. */
+  def fixedPointWeightedSql(edgesSql: String, iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         $Base + COALESCE((
+         |           SELECT SUM(CAST(FLOOR((r.rank * 85 * e.w) / (d.tw * 100)) AS BIGINT))
+         |           FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN wdeg d ON d.src = e.src
+         |           WHERE e.dst = n.node), 0) AS rank
+         |  FROM nodes n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+       |           FROM ($edgesSql) GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin
+  }
+
   /** Oracle-SQL twin (DuckDB dialect): the same iterations unrolled as
     * chained CTEs over an `edges(src, dst)` CTE that the caller provides
     * as `edgesSql`. Generated beside the Scala so the constants cannot

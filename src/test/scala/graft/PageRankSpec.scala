@@ -88,6 +88,32 @@ class PageRankSpec extends SparkSpec {
     assert(run(true) === run(false))
   }
 
+  test("equal weights reduce exactly to the unweighted iteration") {
+    import spark.implicits._
+    val e = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), (lit(1000000L) + col("o_custkey")).as("dst"))
+      .distinct()
+    val weighted = PageRank.fixedPointWeighted(
+        e.withColumn("w", lit(1L)), "src", "dst", "w", 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = PageRank.fixedPoint(e, "src", "dst", 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(weighted === plain)
+  }
+
+  test("weighted: multi-edge weights sum; heavier edges carry more rank") {
+    import spark.implicits._
+    // a -> b (w=3), a -> c (w=1): b gets floor(3/4), c floor(1/4) of a's flow
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = PageRank.fixedPointWeighted(e, "src", "dst", "w", 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a: base only. b: 150000 + floor(1e6*85*3/400) = 150000+637500
+    // c: 150000 + floor(1e6*85*1/400) = 150000+212500
+    assert(got.toSeq === Seq((1L, 150000L), (2L, 787500L), (3L, 362500L)))
+  }
+
   test("duplicate edges collapse (edge set, not multiset)") {
     import spark.implicits._
     val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
