@@ -139,6 +139,8 @@ object Bench {
       "q141_ann_lsh_multiprobe", "q142_pagerank_redistribute",
       "q143_neardup_lsh_banded", "q144_unigram_lm_score",
       "q145_tfidf_topterms", "q146_contamination",
+      "q147_shingle_containment", "q148_cdc_scd2", "q149_asof_forward",
+      "q150_max_concurrency", "q151_pagerank_weighted",
       "compaction_cdc_zone")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the

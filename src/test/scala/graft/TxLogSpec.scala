@@ -140,6 +140,30 @@ class TxLogSpec extends SparkSpec {
     assert(ids(zone) === (0L until 100L).toSet, "replay duplicated rows")
   }
 
+  test("fuzz: a manifest truncated at ANY byte is invisible, never misread") {
+    val zone = freshZone()
+    spark.range(25L).toDF("id").write.parquet(zone)
+    val s0 = TxLog.init(spark, zone)
+    val s1 = TxLog.append(spark, zone, spark.range(25L, 50L).toDF("id"))
+    val dir = new java.io.File(zone, "_txlog")
+    val full = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "gen-" + "0" * 19 + "1").toPath)
+    val g2 = new java.io.File(dir, "gen-" + "0" * 19 + "2")
+    // every proper prefix of a real gen-2 manifest must be ignored (the
+    // reader falls back to gen-1) — a crash can cut the write anywhere
+    for (cut <- 0 until full.length) {
+      java.nio.file.Files.write(g2.toPath, full.take(cut))
+      val seen = TxLog.latest(spark, zone).get
+      assert(seen.gen === s1.gen && seen.files === s1.files,
+        s"truncation at byte $cut changed the visible snapshot")
+      g2.delete()
+    }
+    // the complete bytes, by contrast, parse (as a gen-2 with gen-1's list)
+    java.nio.file.Files.write(g2.toPath, full)
+    assert(TxLog.latest(spark, zone).exists(_.files === s1.files))
+    assert(s0.gen === 0L)
+  }
+
   test("vacuum grace period protects an in-flight writer's unpublished files") {
     val zone = freshZone()
     spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
