@@ -305,6 +305,51 @@ object Round5Queries {
           .agg(count(lit(1)).as("w"))
         PageRank.fixedPointWeighted(edges, "src", "dst", "w", iterations = 3)
           .orderBy(col("rank").desc, col("node")).limit(20)
+      }),
+
+    Q("q152_triangle_count",
+      // Exact triangle counting on the part co-order graph (parts are
+      // adjacent when some order contains both) via the degree-ordered
+      // edge-iterator: oriented wedges join on the low vertex and close
+      // with one edge lookup, so each triangle counts once and no vertex
+      // fans out past O(sqrt E) — the formulation that survives celebrity
+      // vertices at 100 TB. Top 10 parts by triangle participation.
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_partkey FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+             |raw AS (
+             |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+             |  FROM li l1 JOIN li l2
+             |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+             |deg AS (SELECT n, COUNT(*) AS d FROM (
+             |  SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) GROUP BY n),
+             |o AS (SELECT CASE WHEN du.d <= dv.d THEN raw.u ELSE raw.v END AS s,
+             |             CASE WHEN du.d <= dv.d THEN raw.v ELSE raw.u END AS t
+             |      FROM raw JOIN deg du ON du.n = raw.u JOIN deg dv ON dv.n = raw.v),
+             |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+             |        FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t <> e2.t
+             |        JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+             |pn AS (SELECT node, COUNT(*) AS tri_cnt FROM (
+             |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri) GROUP BY node)
+             |SELECT node, tri_cnt FROM pn
+             |ORDER BY tri_cnt DESC, node LIMIT 10""".stripMargin),
+      (s, d) => {
+        // one quarter's co-order graph: the co-occurrence graph of the
+        // full fact is quadratically dense in parts-per-order — the
+        // windowed graph is the realistic analytic (and the operator is
+        // subgraph-agnostic)
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select("l_orderkey", "l_partkey")
+        val edges = li.as("l1").join(li.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_partkey") < col("l2.l_partkey"))
+          .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+        graft.operators.Triangles.perNode(edges, "src", "dst")
+          .orderBy(col("tri_cnt").desc, col("node")).limit(10)
       })
   )
 }
