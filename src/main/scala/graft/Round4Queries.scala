@@ -673,7 +673,7 @@ object Round4Queries {
     * 1 ULP for ~30% of components (measured), which would fork the sign
     * of any dot product within ~1e-7 of 0. The fold itself is the shared
     * [[TrainingQueries.dotSql]] fragment, mirroring FloatVecDot. */
-  private def bucketSql(v: String, dim: Int, nBits: Int): String =
+  private[graft] def bucketSql(v: String, dim: Int, nBits: Int): String =
     Similarity.hyperplanes(dim, nBits).zipWithIndex.map { case (p, b) =>
       val plane = s"([${p.mkString(", ")}]::DOUBLE[]::FLOAT[])"
       s"(CASE WHEN ${TrainingQueries.dotSql(v, plane)} > 0.0 THEN ${1L << b} ELSE 0 END)"

@@ -350,6 +350,75 @@ object Round5Queries {
           .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
         graft.operators.Triangles.perNode(edges, "src", "dst")
           .orderBy(col("tri_cnt").desc, col("node")).limit(10)
+      }),
+
+    Q("q153_rank_fusion",
+      // Reciprocal rank fusion (Cormack et al.) of two ANN retrievers —
+      // the retrieval-stack combiner: RRF(d) = Σ 1/(60 + rank_d) over the
+      // IVF top-20 (q44's index) and the LSH-bucket top-20 (q127's).
+      // Ranks derive from the shared ROUND(cos,4)/vec_id order on BOTH
+      // engines (rounded, so rank ties cannot fork cross-engine); the
+      // score is a fixed two-term IEEE expression — deterministic. The
+      // Spark side computes ranks with a count-of-better aggregation on
+      // the 20-row lists, not a global window (the partition-less
+      // WindowExec ban holds for every declared plan).
+      Some {
+        import ExtendedQueries.kmeansCtePrefix
+        import TrainingQueries.cosOf
+        def top20(src: String): String =
+          s"""(SELECT vec_id, rn FROM (
+             |  SELECT c.vec_id, ROW_NUMBER() OVER (
+             |    ORDER BY ROUND(${cosOf("c.embedding", "q.qe")}, 4) DESC, c.vec_id) AS rn
+             |  FROM $src c CROSS JOIN qv q) t WHERE rn <= 20)""".stripMargin
+        s"""WITH $kmeansCtePrefix,
+           |qcell AS (SELECT cid FROM (
+           |  SELECT c.cid, ROW_NUMBER() OVER (
+           |    ORDER BY ${cosOf("q.qe", "c.ce")} DESC, c.cid) AS rn
+           |  FROM qv q CROSS JOIN c2 c) r WHERE rn = 1),
+           |ivf_cand AS (SELECT a.vec_id, a.embedding FROM afinal a
+           |             JOIN qcell ON a.cid = qcell.cid WHERE a.vec_id <> 0),
+           |bkt AS (SELECT vec_id, embedding,
+           |               ${Round4Queries.bucketSql("embedding", 64, 8)} AS bkt
+           |        FROM v WHERE vec_id <> 0),
+           |qb AS (SELECT ${Round4Queries.bucketSql("qe", 64, 8)} AS bkt FROM qv),
+           |lsh_cand AS (SELECT b.vec_id, b.embedding FROM bkt b JOIN qb USING (bkt)),
+           |ivf AS (SELECT vec_id, rn AS r_ivf FROM ${top20("ivf_cand")} t1),
+           |lsh AS (SELECT vec_id, rn AS r_lsh FROM ${top20("lsh_cand")} t2)
+           |SELECT vec_id, r_ivf, r_lsh,
+           |       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_ivf), 0)
+           |             + COALESCE(CAST(1 AS DOUBLE) / (60 + r_lsh), 0), 6) AS rrf
+           |FROM ivf FULL OUTER JOIN lsh USING (vec_id)
+           |ORDER BY rrf DESC, vec_id LIMIT 10""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.collectCentroids(Similarity.kmeans(emb, 16, 2))
+        val assigned = Similarity.assignToCentroidsLocal(emb, cents)
+          .filter(col("vec_id") =!= 0)
+        val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val ivfTop = Similarity.ivfTopK(assigned, cents, query, 20,
+          "vec_id", "embedding", "qe")
+        val lshTop = Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), query,
+          k = 20, dim = 64)
+        // rank = 1 + |better rows| on the tiny top-k list: a broadcast
+        // count-of-better join, not a partition-less window
+        def ranked(t: org.apache.spark.sql.DataFrame, rName: String) = {
+          val x = t.select(col("vec_id").as("xid"), col("sim").as("xs"))
+          val y = t.select(col("vec_id").as("yid"), col("sim").as("ys"))
+          x.join(broadcast(y),
+              col("ys") > col("xs") ||
+                (col("ys") === col("xs") && col("yid") < col("xid")),
+              "left_outer")
+            .groupBy(col("xid")).agg((count(col("yid")) + 1L).as(rName))
+            .withColumnRenamed("xid", "vec_id")
+        }
+        val score = round(
+          coalesce(lit(1.0) / (lit(60L) + col("r_ivf")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("r_lsh")), lit(0.0)), 6)
+        ranked(ivfTop, "r_ivf").join(ranked(lshTop, "r_lsh"), Seq("vec_id"), "full_outer")
+          .select(col("vec_id"), col("r_ivf"), col("r_lsh"), score.as("rrf"))
+          .orderBy(col("rrf").desc, col("vec_id")).limit(10)
       })
   )
 }
