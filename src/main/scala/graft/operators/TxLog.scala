@@ -42,7 +42,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object TxLog {
 
   final case class Snapshot(gen: Long, format: String, files: Seq[String],
-                            meta: Map[String, String] = Map.empty) {
+                            meta: Map[String, String] = Map.empty,
+                            stats: Map[String, (Double, Double)] = Map.empty) {
     def resolve(zone: String): Seq[String] =
       files.map(f => zone.stripSuffix("/") + "/" + f)
   }
@@ -79,15 +80,22 @@ object TxLog {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       if (lines.isEmpty || lines.head != Header || lines.last != "end") return None
       val body = lines.tail.init
-      val kv = body.filterNot(l => l.startsWith("f ") || l.startsWith("m ")).map { l =>
+      val kv = body.filterNot(l =>
+        l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
       val meta = body.filter(_.startsWith("m ")).map { l =>
         val i = l.indexOf('=', 2); (l.substring(2, i), l.substring(i + 1))
       }.toMap
+      // per-file column stats: "s <relpath>=<min>,<max>" (doubles)
+      val stats = body.filter(_.startsWith("s ")).map { l =>
+        val i = l.lastIndexOf('=')
+        val Array(mn, mx) = l.substring(i + 1).split(",", 2)
+        (l.substring(2, i), (mn.toDouble, mx.toDouble))
+      }.toMap
       val files = body.filter(_.startsWith("f ")).map(_.substring(2))
       if (kv.get("count").map(_.toLong).contains(files.size.toLong))
-        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta))
+        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta, stats))
       else None
     } catch { case _: Exception => None }
     finally in.close()
@@ -97,7 +105,8 @@ object TxLog {
     * writer already owns it (create-exclusive lost the race). */
   private def publish(spark: SparkSession, zone: String, gen: Long,
                       format: String, files: Seq[String],
-                      meta: Map[String, String] = Map.empty): Boolean = {
+                      meta: Map[String, String] = Map.empty,
+                      stats: Map[String, (Double, Double)] = Map.empty): Boolean = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       s"manifest meta keys must be =-free and values newline-free: $meta")
@@ -131,6 +140,9 @@ object TxLog {
         .append("count=").append(files.size).append('\n')
       meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
         body.append("m ").append(k).append('=').append(v).append('\n') }
+      stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+        body.append("s ").append(k).append('=')
+          .append(mn).append(',').append(mx).append('\n') }
       files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
       body.append("end\n")
       out.write(body.toString.getBytes("UTF-8"))
@@ -182,28 +194,63 @@ object TxLog {
     else spark.read.format(s.format).load(paths: _*)
   }
 
+  /** Per-file min/max of `statsCol` (cast to double) over the files just
+    * written to `dataDir` — one bounded extra scan of the NEW files only,
+    * at write time, like Delta's stats collection. Files whose min/max is
+    * null or NaN get no stats entry (they are always read). */
+  private def fileStats(spark: SparkSession, root: Path, dataDir: Path,
+                        format: String, statsCol: String): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    spark.read.format(format).load(dataDir.toString)
+      .groupBy(input_file_name().as("_file"))
+      .agg(min(col(statsCol).cast("double")).as("_mn"),
+        max(col(statsCol).cast("double")).as("_mx"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else {
+          val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+          if (mn.isNaN || mx.isNaN) None
+          else {
+            val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+              .stripPrefix(rootPath).stripPrefix("/")
+            Some(rel -> (mn, mx))
+          }
+        }
+      }.toMap
+  }
+
   /** Append `df` as a new generation: new files land in a fresh
     * `d-<uuid>/` dir, the manifest is head.files ++ new files. On a lost
     * publish race the file list is recomputed against the new head and
-    * retried — appends never conflict on data, only on the gen number. */
+    * retried — appends never conflict on data, only on the gen number.
+    * With `statsCol`, per-file min/max of that column are committed in
+    * the same manifest, enabling [[readWhere]] file skipping. */
   def append(spark: SparkSession, zone: String, df: DataFrame,
              maxRetries: Int = 5,
-             meta: Map[String, String] = Map.empty): Snapshot = {
+             meta: Map[String, String] = Map.empty,
+             statsCol: Option[String] = None): Snapshot = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
     val head0 = latest(spark, zone).getOrElse(init(spark, zone))
     df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
     val added = listRel(f, root, dataDir)
+    val cName = statsCol.orElse(head0.meta.get("stats.col"))
+    val addedStats = cName.map(c => fileStats(spark, root, dataDir, head0.format, c))
+      .getOrElse(Map.empty)
+    val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty)
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
       // carry earlier generations' metadata forward (e.g. the streaming
       // sink's batchId high-water mark); this publish's keys override
       val next = Snapshot(head.gen + 1, head.format,
-        (head.files ++ added).sorted, head.meta ++ meta)
-      if (publish(spark, zone, next.gen, next.format, next.files, next.meta))
-        return next
+        (head.files ++ added).sorted, head.meta ++ statsMeta ++ meta,
+        head.stats ++ addedStats)
+      if (publish(spark, zone, next.gen, next.format, next.files, next.meta,
+        next.stats)) return next
       attempt += 1
       // the racing winner may still be mid-manifest-write (invisible to
       // latest()); back off so the rebase sees its completed head
@@ -211,6 +258,37 @@ object TxLog {
     }
     f.delete(dataDir, true)
     sys.error(s"txlog append to $zone lost the publish race $maxRetries times")
+  }
+
+  /** The live files a range predicate on the stats column can touch:
+    * files without stats are kept (never skip blind), files whose
+    * [min, max] misses [lo, hi] are pruned. */
+  def prunedFiles(s: Snapshot, lo: Double, hi: Double): Seq[String] =
+    s.files.filter { f =>
+      s.stats.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+
+  /** Range read with manifest-based file skipping: scans ONLY the files
+    * whose committed min/max overlap [lo, hi] (plus stat-less files),
+    * then applies the exact predicate. At 100 TB this is the difference
+    * between touching 3 files and 800k — the reason the stats live in
+    * the manifest. The zone must have been written with a `statsCol`. */
+  def readWhere(spark: SparkSession, zone: String,
+                lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val head = latest(spark, zone).getOrElse(
+      sys.error(s"$zone has no transaction log"))
+    val cName = head.meta.getOrElse("stats.col",
+      sys.error(s"$zone has no stats column — write with statsCol to enable skipping"))
+    val pred = col(cName).cast("double") >= lo && col(cName).cast("double") <= hi
+    val keep = prunedFiles(head, lo, hi)
+    if (keep.isEmpty) readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.format(head.format)
+      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      .filter(pred)
   }
 
   /** Atomically REPLACE the zone's content with `df` as a new generation
@@ -222,18 +300,24 @@ object TxLog {
     * re-claiming the next generation number). */
   def replace(spark: SparkSession, zone: String, df: DataFrame,
               maxRetries: Int = 5,
-              meta: Map[String, String] = Map.empty): Snapshot = {
+              meta: Map[String, String] = Map.empty,
+              statsCol: Option[String] = None): Snapshot = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
     val head0 = latest(spark, zone).getOrElse(init(spark, zone))
     df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
     val files = listRel(f, root, dataDir)
+    val cName = statsCol.orElse(head0.meta.get("stats.col"))
+    val stats = cName.map(c => fileStats(spark, root, dataDir, head0.format, c))
+      .getOrElse(Map.empty)
+    val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty)
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
-      if (publish(spark, zone, head.gen + 1, head.format, files, head.meta ++ meta))
-        return Snapshot(head.gen + 1, head.format, files, head.meta ++ meta)
+      val m = head.meta ++ statsMeta ++ meta
+      if (publish(spark, zone, head.gen + 1, head.format, files, m, stats))
+        return Snapshot(head.gen + 1, head.format, files, m, stats)
       attempt += 1
       Thread.sleep(math.min(200L, 10L * attempt))
     }
@@ -288,10 +372,14 @@ object TxLog {
     readSnapshot(spark, zone, head).repartition(wantFiles.toInt)
       .write.mode(SaveMode.ErrorIfExists).format(head.format).save(dataDir.toString)
     val newFiles = listRel(f, root, dataDir)
+    // a stats-tracked zone recomputes per-file stats for the rewrite
+    val newStats = head.meta.get("stats.col")
+      .map(c => fileStats(spark, root, dataDir, head.format, c))
+      .getOrElse(Map.empty)
     prePublishHook()
     // meta carries forward: compaction must not erase e.g. the streaming
     // sink's batchId high-water mark
-    if (publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta))
+    if (publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta, newStats))
       CompactStats(head.gen + 1, head.files.size.toLong, newFiles.size.toLong,
         bytes, rewritten = true)
     else {

@@ -140,6 +140,46 @@ class TxLogSpec extends SparkSpec {
     assert(ids(zone) === (0L until 100L).toSet, "replay duplicated rows")
   }
 
+  test("manifest stats skip non-overlapping files; results equal the full scan") {
+    import org.apache.spark.sql.functions._
+    val zone = freshZone()
+    spark.range(0L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    // three appends with disjoint id ranges -> per-file min/max in the log
+    for (lo <- Seq(0L, 1000L, 2000L))
+      TxLog.append(spark, zone,
+        spark.range(lo, lo + 1000L).toDF("id").coalesce(2),
+        statsCol = Some("id"))
+    val head = TxLog.latest(spark, zone).get
+    assert(head.meta("stats.col") === "id")
+    // the gen-0 root file (empty, pre-log) has no stats and is never
+    // skipped; every APPENDED file carries stats
+    assert(head.stats.size === head.files.count(_.startsWith("d-")),
+      "an appended data file is missing stats")
+
+    // the predicate touches ONLY the middle range's files
+    val keep = TxLog.prunedFiles(head, 1200d, 1300d)
+    assert(keep.size < head.files.size && keep.nonEmpty,
+      s"no skipping happened: ${keep.size} of ${head.files.size}")
+    assert(keep.forall(f => head.stats.get(f)
+      .forall { case (mn, mx) => mx >= 1200d && mn <= 1300d }))
+
+    val got = TxLog.readWhere(spark, zone, 1200d, 1300d)
+      .select($"id").as[Long].collect().toSet
+    assert(got === (1200L to 1300L).toSet, "pruned read lost or gained rows")
+    // a range beyond all stats reads nothing
+    assert(TxLog.readWhere(spark, zone, 10000d, 20000d).count() === 0L)
+
+    // compaction recomputes stats for the rewritten files; skipping survives
+    val c = TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    assert(c.rewritten)
+    val afterHead = TxLog.latest(spark, zone).get
+    assert(afterHead.stats.nonEmpty, "compaction dropped the stats")
+    val got2 = TxLog.readWhere(spark, zone, 1200d, 1300d)
+      .select($"id").as[Long].collect().toSet
+    assert(got2 === (1200L to 1300L).toSet)
+  }
+
   test("fuzz: a manifest truncated at ANY byte is invisible, never misread") {
     val zone = freshZone()
     spark.range(25L).toDF("id").write.parquet(zone)
