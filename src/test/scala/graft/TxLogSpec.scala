@@ -180,6 +180,37 @@ class TxLogSpec extends SparkSpec {
     assert(got2 === (1200L to 1300L).toSet)
   }
 
+  test("value-clustered layout makes manifest skipping effective; shuffled does not") {
+    // same rows, two physical layouts: clustering is what turns per-file
+    // min/max into a sharp pruning predicate (single-column = range
+    // clustering; multi-column locality is Layout.clusterByZ's job)
+    val rows = spark.range(4000L).toDF("id")
+      .select(col("id"), pmod(col("id") * 2654435761L, lit(4000L)).as("v"))
+    def build(df: org.apache.spark.sql.DataFrame): String = {
+      val zone = freshZone()
+      spark.range(0L).select(col("id"), col("id").as("v")).limit(0)
+        .write.parquet(zone)
+      TxLog.init(spark, zone)
+      TxLog.replace(spark, zone, df, statsCol = Some("v"))
+      zone
+    }
+    val clustered = build(rows.repartitionByRange(8, col("v"))
+      .sortWithinPartitions("v"))
+    val shuffled = build(rows.repartition(8))
+    def touched(zone: String): Int = {
+      val h = TxLog.latest(spark, zone).get
+      TxLog.prunedFiles(h, 100d, 150d).count(f => h.stats.contains(f))
+    }
+    assert(touched(clustered) <= 2,
+      s"clustered zone should prune to ~1 file, touched ${touched(clustered)}")
+    assert(touched(shuffled) === 8, "shuffled layout cannot prune — every file overlaps")
+    // both layouts return the identical exact result
+    import spark.implicits._
+    val a = TxLog.readWhere(spark, clustered, 100d, 150d).select($"id").as[Long].collect().toSet
+    val b = TxLog.readWhere(spark, shuffled, 100d, 150d).select($"id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("fuzz: a manifest truncated at ANY byte is invisible, never misread") {
     val zone = freshZone()
     spark.range(25L).toDF("id").write.parquet(zone)
