@@ -419,6 +419,46 @@ object Round5Queries {
         ranked(ivfTop, "r_ivf").join(ranked(lshTop, "r_lsh"), Seq("vec_id"), "full_outer")
           .select(col("vec_id"), col("r_ivf"), col("r_lsh"), score.as("rrf"))
           .orderBy(col("rrf").desc, col("vec_id")).limit(10)
+      }),
+
+    Q("q154_retention_cohorts",
+      // Weekly retention cohorts — the canonical product-analytics matrix:
+      // users cohorted by signup week; each later event lands in a
+      // weeks-since-signup offset; cell = distinct active users. All
+      // arithmetic is integer day/week math (epoch-day difference floor-
+      // divided by 7 — engine-identical), counts are exact; negative
+      // offsets (events logged before the signup row) are excluded on
+      // both sides.
+      Some("""WITH s AS (
+             |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |a AS (
+             |  SELECT e.user_id,
+             |         CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
+             |                             CAST(s.signup_ts AS DATE)) / 7) AS BIGINT) AS cohort_week,
+             |         CAST(FLOOR(DATEDIFF('day', CAST(s.signup_ts AS DATE),
+             |                             CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset
+             |  FROM events e JOIN s ON e.user_id = s.user_id)
+             |SELECT cohort_week, week_offset,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+             |FROM a WHERE week_offset >= 0 AND week_offset <= 8
+             |GROUP BY cohort_week, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+        val epoch = lit("1970-01-01").cast("date")
+        ev.join(signup, "user_id")
+          .select(col("user_id"),
+            floor(datediff(col("signup_ts").cast("date"), epoch) / 7)
+              .cast("long").as("cohort_week"),
+            floor(datediff(col("ts").cast("date"), col("signup_ts").cast("date")) / 7)
+              .cast("long").as("week_offset"))
+          .filter(col("week_offset") >= 0 && col("week_offset") <= 8)
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "week_offset")
       })
   )
 }

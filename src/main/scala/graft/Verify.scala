@@ -12,6 +12,11 @@ object Verify {
     // the driver always passes two args and gets the full dump)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query names in subset filter: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark: SparkSession = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)

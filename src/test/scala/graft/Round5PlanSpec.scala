@@ -36,4 +36,19 @@ class Round5PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"contamination check degenerated to a loop join:\n$p")
   }
+
+  test("q152 triangles: wedge closure stays equi-join (no cartesian/loop join)") {
+    val p = plan("q152_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting degenerated to a loop join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$p")
+  }
+
+  test("q154 cohorts: distinct-count aggregation is partial before the shuffle") {
+    val p = plan("q154_retention_cohorts")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) >= 0,
+      s"expected partial+final aggregate pair:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cohort plan:\n$p")
+  }
 }
