@@ -459,6 +459,53 @@ object Round5Queries {
           .groupBy("cohort_week", "week_offset")
           .agg(countDistinct(col("user_id")).as("active_users"))
           .orderBy("cohort_week", "week_offset")
+      }),
+
+    Q("q155_countmin_estimates",
+      // Count-Min point-frequency estimates beside the exact counts for
+      // the 20 most frequent tokens — completing the portable sketch
+      // family (HLL, bloom, minhash-estimate, Misra-Gries): 4x256
+      // permutation-hashed counters (the q137 MinHash coefficient family,
+      // inlined in the oracle), estimate = min over the token's 4
+      // counters. All-integer, so the approximation error is itself
+      // hash-checked; CmSketchSpec pins the never-underestimates bound.
+      Some {
+        import TrainingQueries.{h32Sql, toksSql}
+        def bucket(k: Int): String = {
+          val a = graft.functions.HashFunctions.permA(k)
+          val b = graft.functions.HashFunctions.permB(k)
+          val p = graft.functions.HashFunctions.P
+          s"((h * $a + $b) % $p) % 256"
+        }
+        val kRows = (0 until 4).map(k => s"SELECT tok, $k AS k, ${bucket(k)} AS b FROM h")
+          .mkString(" UNION ALL ")
+        s"""WITH tok AS (SELECT UNNEST($toksSql) AS tok FROM documents),
+           |h AS (SELECT tok, ${h32Sql.format("tok")} AS h FROM tok),
+           |buck AS ($kRows),
+           |sk AS (SELECT k, b, COUNT(*) AS cnt FROM buck GROUP BY k, b),
+           |exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM tok GROUP BY tok),
+           |top AS (SELECT tok, exact_cnt FROM (
+           |  SELECT tok, exact_cnt, ROW_NUMBER() OVER (
+           |    ORDER BY exact_cnt DESC, tok) AS rn FROM exact) t WHERE rn <= 20),
+           |pb AS (SELECT DISTINCT bk.tok, bk.k, bk.b
+           |       FROM buck bk JOIN top ON top.tok = bk.tok),
+           |est AS (SELECT tok, CAST(MIN(sk.cnt) AS BIGINT) AS cm_est
+           |        FROM pb JOIN sk ON sk.k = pb.k AND sk.b = pb.b GROUP BY tok)
+           |SELECT t.tok AS token, t.exact_cnt, e.cm_est
+           |FROM top t JOIN est e USING (tok)
+           |ORDER BY exact_cnt DESC, token""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.{Sketch, TextAnalysis}
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        val sketch = Sketch.countMin(toks, "tok")
+        val est = Sketch.cmEstimates(sketch, top.select("tok"), "tok")
+        top.join(est, "tok")
+          .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"))
+          .orderBy(col("exact_cnt").desc, col("token"))
       })
   )
 }

@@ -52,6 +52,41 @@ object Sketch {
     ((h % 64L).as("bucket"), rho.as("rho"))
   }
 
+  /** Count-Min sketch counters: `depth` independent permutation hashes
+    * ([[HashFunctions.permHash]], the q137 MinHash family — same literal
+    * coefficients in the oracle SQL) over `width` buckets each. The
+    * sketch is ONE map-side-combinable groupBy whose shuffle carries at
+    * most depth x width counter rows regardless of input size — the same
+    * registers-not-rows scale shape as HLL. Output: (row, bucket, cnt). */
+  def countMin(df: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 256): DataFrame =
+    cmProbes(df, keyCol, depth, width)
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The (key, row, bucket) probe rows shared by build and estimate —
+    * the key's md5 hash is materialized once, not once per depth row. */
+  private def cmProbes(df: DataFrame, keyCol: String,
+                       depth: Int, width: Int): DataFrame = {
+    val hashed = df.select(col(keyCol),
+      HashFunctions.h32(col(keyCol).cast("string")).as("_h"))
+    hashed.select(col(keyCol), explode(array((0 until depth).map { k =>
+        struct(lit(k).as("row"),
+          (HashFunctions.permHash(k, col("_h")) % width).as("bucket"))
+      }: _*)).as("_rb"))
+      .select(col(keyCol), col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+  }
+
+  /** Point-frequency estimates from a Count-Min sketch: for each distinct
+    * key in `keys`, min over its depth counters — the classic
+    * never-underestimates bound (every counter the key touches contains
+    * its true count plus non-negative collision mass). The sketch side is
+    * depth x width rows, so the join broadcasts. */
+  def cmEstimates(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame =
+    cmProbes(keys, keyCol, depth, width).distinct()
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col(keyCol)).agg(min(col("cnt")).as("cm_est"))
+
   def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
     val (bucket, rho) = hllBucketRho(col(keyCol))
     df.select((groupCols.map(col) :+ bucket :+ rho): _*)
