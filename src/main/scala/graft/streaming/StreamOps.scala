@@ -131,6 +131,33 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("bucket"), col("m_j"))
   }
 
+  /** Streaming Count-Min frequency sketch: per-window counters maintained
+    * incrementally — COUNT is an incremental aggregate, so state is
+    * bounded at depth x width counters per open window no matter how many
+    * events flow through (the frequency twin of [[hllRegistersStream]]).
+    * Emit to a sink and answer point queries with
+    * [[graft.operators.Sketch.cmEstimates]]; counters from shards or
+    * restarts SUM-merge losslessly. */
+  def cmCountersStream(events: DataFrame, tsCol: String, keyCol: String,
+                       windowLen: String = "1 hour",
+                       lateness: String = "10 minutes",
+                       depth: Int = 4, width: Int = 256): DataFrame = {
+    import graft.functions.HashFunctions
+    events
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol),
+        HashFunctions.h32(col(keyCol).cast("string")).as("_h"))
+      .select(col(tsCol), explode(array((0 until depth).map { k =>
+          struct(lit(k).as("row"),
+            (HashFunctions.permHash(k, col("_h")) % width).as("bucket"))
+        }: _*)).as("_rb"))
+      .groupBy(window(col(tsCol), windowLen),
+        col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("row"), col("bucket"), col("cnt"))
+  }
+
   /** Stream-static dim enrichment: the streaming fact joins a bounded dim
     * relation. The static side re-plans per micro-batch (picking up dim
     * updates between batches); no stream-stream state at all, which is why

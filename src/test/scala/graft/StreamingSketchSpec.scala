@@ -54,4 +54,50 @@ class StreamingSketchSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(exact.forall(_ > 0))
   }
+
+  test("streaming count-min counters equal the batch sketch per window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val rows = events.as[EventRow].collect().toSeq
+
+    val mem = MemoryStream[EventRow]
+    // two batches: the counters must accumulate incrementally
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val q = StreamOps.cmCountersStream(mem.toDF(), "ts", "event_type",
+        windowLen = "6 hours", depth = 4, width = 32)
+      .writeStream.format("memory").queryName("cmregs")
+      .outputMode("complete").start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cmregs")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("row"), col("bucket"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch twin: the same counter relation computed with the same
+    // expressions over the full data in one pass
+    val batchSet = {
+      import graft.functions.HashFunctions
+      events
+        .select(window(col("ts"), "6 hours").getField("start").as("ws0"),
+          HashFunctions.h32(col("event_type").cast("string")).as("_h"))
+        .select(col("ws0"), explode(array((0 until 4).map { k =>
+            struct(lit(k).as("row"),
+              (HashFunctions.permHash(k, col("_h")) % 32).as("bucket"))
+          }: _*)).as("_rb"))
+        .groupBy(col("ws0"), col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("ws0"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("row"), col("bucket"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(streamed === batchSet)
+    assert(streamed.nonEmpty)
+  }
 }
