@@ -141,7 +141,8 @@ object Bench {
       "q145_tfidf_topterms", "q146_contamination",
       "q147_shingle_containment", "q148_cdc_scd2", "q149_asof_forward",
       "q150_max_concurrency", "q151_pagerank_weighted",
-      "q152_triangle_count", "q153_rank_fusion",
+      "q152_triangle_count", "q153_rank_fusion", "q154_retention_cohorts",
+      "q155_countmin_estimates",
       "compaction_cdc_zone")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the
