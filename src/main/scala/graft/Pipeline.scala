@@ -206,8 +206,12 @@ object Pipeline {
         // the whole dedup pipeline per split
         val c = corpus().localCheckpoint(true)
         spec.splits.foreach { case (name, _) =>
-          graft.operators.TxLog.replace(spark, splitZone(name),
-            c.filter(col("split") === name).drop("split"))
+          val part = c.filter(col("split") === name).drop("split")
+          // the split's schema rides in the manifest: a zone whose refresh
+          // landed zero rows (tiny corpus × small weight) stays readable
+          // as a TYPED empty relation instead of a zero-column frame
+          graft.operators.TxLog.replace(spark, splitZone(name), part,
+            meta = Map("schema.ddl" -> part.schema.toDDL))
         }
         spec.compactTargetBytes.foreach { target =>
           spec.splits.foreach { case (name, _) =>
@@ -229,12 +233,28 @@ object Pipeline {
       spec.destPath.stripSuffix("/") + s"/split=$name"
 
     def readBack(): DataFrame =
-      if (spec.useTxLog)
-        spec.splits.map { case (name, _) =>
-          graft.operators.TxLog.read(spark, splitZone(name))
-            .withColumn("split", lit(name))
-        }.reduce(_.unionByName(_))
-      else spark.read.parquet(spec.destPath)
+      if (spec.useTxLog) {
+        val frames = spec.splits.flatMap { case (name, _) =>
+          val zone = splitZone(name)
+          val df = graft.operators.TxLog.read(spark, zone)
+          if (df.schema.nonEmpty) Some(df.withColumn("split", lit(name)))
+          else
+            // zero-file snapshot reads as a zero-column frame, which would
+            // poison the union; rebuild the typed empty relation from the
+            // schema committed in the manifest (pre-schema-meta zones with
+            // no data contribute nothing and are skipped)
+            graft.operators.TxLog.latest(spark, zone)
+              .flatMap(_.meta.get("schema.ddl")).map { ddl =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType.fromDDL(ddl))
+                  .withColumn("split", lit(name))
+              }
+        }
+        require(frames.nonEmpty,
+          s"no split zone under ${spec.destPath} has data or a recorded schema")
+        frames.reduce(_.unionByName(_))
+      } else spark.read.parquet(spec.destPath)
   }
 
   /** synth: validate config and return the lazy plan (plan-time failure for

@@ -101,8 +101,58 @@ object TxLog {
     finally in.close()
   }
 
+  /** A writer that crashes between claiming a generation (create-exclusive)
+    * and completing the manifest body leaves a TORN manifest occupying the
+    * number: `latest` skips it, so every later publish recomputes the same
+    * head and collides with the corpse forever — one crash would wedge the
+    * zone. Collisions therefore reclaim torn manifests older than this
+    * grace window (delete + one create retry). Complete manifests are
+    * never reclaimed, and the window is sized so an IN-FLIGHT publish
+    * (created milliseconds ago, body still streaming) is never stolen. */
+  private[operators] val TornManifestGraceMs: Long = 15L * 60L * 1000L
+
+  /** The atomic generation claim: create-if-absent. HDFS enforces this at
+    * the namenode, but the Hadoop local filesystem implements
+    * create(overwrite=false) as exists()-then-create — two racing writers
+    * can both pass the check and silently overwrite each other. On file:
+    * URIs go straight to O_CREAT|O_EXCL via CREATE_NEW. */
+  private def tryCreate(f: FileSystem, p: Path): Option[java.io.OutputStream] = {
+    val qualified = f.makeQualified(p)
+    if (qualified.toUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+      try Some(java.nio.file.Files.newOutputStream(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => None
+        case _: java.io.IOException => None
+      }
+    } else {
+      try Some(f.create(p, /*overwrite=*/ false))
+      catch { case _: java.io.IOException => None }
+    }
+  }
+
+  /** True iff `p` held a torn (incomplete) manifest past the grace window
+    * and was deleted — the claim may be retried. Also true when the file
+    * vanished between the collision and this check (someone else already
+    * reclaimed or vacuumed it). A COMPLETE manifest, or a fresh torn one
+    * (likely mid-write), is left alone. */
+  private def reclaimTorn(f: FileSystem, p: Path): Boolean =
+    try {
+      val st = f.getFileStatus(p)
+      readManifest(f, p).isEmpty &&
+        st.getModificationTime < System.currentTimeMillis() - TornManifestGraceMs &&
+        f.delete(p, false)
+    } catch {
+      case _: java.io.FileNotFoundException => true
+      case _: java.io.IOException => false
+    }
+
   /** Atomically publish generation `gen`. Returns false when another
-    * writer already owns it (create-exclusive lost the race). */
+    * writer already owns it with a complete or in-flight manifest
+    * (create-exclusive lost the race); a crash-torn manifest past the
+    * grace window is reclaimed so a dead writer cannot wedge the zone. */
   private def publish(spark: SparkSession, zone: String, gen: Long,
                       format: String, files: Seq[String],
                       meta: Map[String, String] = Map.empty,
@@ -113,26 +163,10 @@ object TxLog {
     val p = genPath(zone, gen)
     val f = fs(spark, zone)
     f.mkdirs(p.getParent)
-    // The generation claim must be ATOMIC create-if-absent. HDFS enforces
-    // that at the namenode, but the Hadoop local filesystem implements
-    // create(overwrite=false) as exists()-then-create — two racing
-    // writers can both pass the check and silently overwrite each other.
-    // On file: URIs go straight to O_CREAT|O_EXCL via CREATE_NEW.
-    val qualified = f.makeQualified(p)
     val out: java.io.OutputStream =
-      if (qualified.toUri.getScheme == "file") {
-        val local = java.nio.file.Paths.get(qualified.toUri.getPath)
-        try java.nio.file.Files.newOutputStream(local,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => return false
-          case _: java.io.IOException => return false
-        }
-      } else {
-        try f.create(p, /*overwrite=*/ false)
-        catch { case _: java.io.IOException => return false }
-      }
+      tryCreate(f, p).orElse {
+        if (reclaimTorn(f, p)) tryCreate(f, p) else None
+      }.getOrElse(return false)
     try {
       val body = new StringBuilder(Header).append('\n')
         .append("gen=").append(gen).append('\n')
@@ -230,7 +264,20 @@ object TxLog {
   def append(spark: SparkSession, zone: String, df: DataFrame,
              maxRetries: Int = 5,
              meta: Map[String, String] = Map.empty,
-             statsCol: Option[String] = None): Snapshot = {
+             statsCol: Option[String] = None): Snapshot =
+    appendImpl(spark, zone, df, maxRetries, meta, statsCol, batchId = None)
+      .getOrElse(sys.error("unreachable: append without a batchId never skips"))
+
+  /** Shared append body. With `batchId`, the committed high-water mark is
+    * re-checked against the CURRENT head inside the publish retry loop —
+    * closing the check-then-act window where two writers replaying the
+    * same batch could both commit (the loser's rebase would otherwise
+    * keep its rows). Returns None when the batch was already committed
+    * (the staged data dir is removed). */
+  private def appendImpl(spark: SparkSession, zone: String, df: DataFrame,
+                         maxRetries: Int, meta: Map[String, String],
+                         statsCol: Option[String],
+                         batchId: Option[Long]): Option[Snapshot] = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
@@ -244,13 +291,18 @@ object TxLog {
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
+      if (batchId.exists(b =>
+        head.meta.get("batchId").exists(_.toLong >= b))) {
+        f.delete(dataDir, true)
+        return None
+      }
       // carry earlier generations' metadata forward (e.g. the streaming
       // sink's batchId high-water mark); this publish's keys override
       val next = Snapshot(head.gen + 1, head.format,
         (head.files ++ added).sorted, head.meta ++ statsMeta ++ meta,
         head.stats ++ addedStats)
       if (publish(spark, zone, next.gen, next.format, next.files, next.meta,
-        next.stats)) return next
+        next.stats)) return Some(next)
       attempt += 1
       // the racing winner may still be mid-manifest-write (invisible to
       // latest()); back off so the rebase sees its completed head
@@ -337,12 +389,14 @@ object TxLog {
     * committed. */
   def exactlyOnceAppend(spark: SparkSession, zone: String, df: DataFrame,
                         batchId: Long): Boolean = {
+    // fast path: skip before staging any data files; the authoritative
+    // check is re-run against the head inside appendImpl's publish loop,
+    // so two writers replaying the same batchId cannot both commit
     val committed = latest(spark, zone).flatMap(_.meta.get("batchId")).map(_.toLong)
     if (committed.exists(_ >= batchId)) false
-    else {
-      append(spark, zone, df, meta = Map("batchId" -> batchId.toString))
-      true
-    }
+    else appendImpl(spark, zone, df, maxRetries = 5,
+      meta = Map("batchId" -> batchId.toString), statsCol = None,
+      batchId = Some(batchId)).isDefined
   }
 
   /** `writeStream.foreachBatch(TxLog.streamSink(zone))` — the
@@ -405,12 +459,30 @@ object TxLog {
     val root = f.makeQualified(new Path(zone))
     val dir = new Path(root, LogDir)
     if (!f.exists(dir)) return 0L
-    val manifests = f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("gen-")).sortBy(_.getName)
-    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - keepGens))
-    val live: Set[String] =
-      keep.flatMap(p => readManifest(f, p)).flatMap(_.files).toSet
+    val manifests = f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("gen-")).sortBy(_.getPath.getName)
     val cutoff = System.currentTimeMillis() - graceMs
+    // Retention counts COMPLETE manifests only: a crash-torn newest
+    // manifest must not occupy a retention slot (with keepGens=1 it would
+    // make `live` empty and vacuum would delete the newest real
+    // generation's data). Torn manifests are not snapshots — they are
+    // GC'd once past the grace window (fresher ones may be a publish in
+    // progress; the publish-side reclaim handles the wedge case).
+    val parsed = manifests.map(st => (st, readManifest(f, st.getPath)))
+    val complete = parsed.collect { case (st, Some(s)) => (st, s) }
+    val keep = complete.takeRight(keepGens)
+    val keepNames = keep.map(_._1.getPath.getName).toSet
+    val live: Set[String] = keep.flatMap(_._2.files).toSet
+    val dropManifests = parsed.collect {
+      case (st, Some(_)) if !keepNames(st.getPath.getName) => st.getPath
+      case (st, None) if st.getModificationTime < cutoff => st.getPath
+    }
+    // with no complete manifest at all, liveness is unknowable — GC torn
+    // manifests but leave every data file in place
+    if (complete.isEmpty) {
+      dropManifests.foreach(f.delete(_, false))
+      return 0L
+    }
     // only files under d-* write dirs are vacuum-managed; gen-0 root files
     // from init() predate the log and are left alone
     var removed = 0L
@@ -429,7 +501,7 @@ object TxLog {
         }
         if (listRel(f, root, d.getPath).isEmpty) f.delete(d.getPath, true)
       }
-    drop.foreach(f.delete(_, false))
+    dropManifests.foreach(f.delete(_, false))
     removed
   }
 }

@@ -562,6 +562,26 @@ class TrainingPipelineSpec extends SparkSpec {
       "refresh changed the corpus content")
   }
 
+  test("useTxLog: a split landing zero rows stays readable as a typed empty relation") {
+    // 1 document -> exactly one populated split; the other two zones
+    // publish zero files. readBack must union a TYPED empty relation from
+    // the manifest's schema.ddl, not the zero-column frame a zero-file
+    // snapshot reads as.
+    val srcDir = java.nio.file.Files.createTempDirectory("corpus1").toString
+    val dest = srcDir + "/out"
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(1)
+      .write.parquet(srcDir + "/src")
+    val plan = Pipeline.plan(spark, Pipeline.TrainingSpec(
+      sourcePath = srcDir + "/src", destPath = dest,
+      nearDupJaccard = None, useTxLog = true))
+    plan.run()
+    val back = plan.readBack()
+    assert(back.count() === 1L)
+    assert(back.columns.contains("split") && back.columns.contains("doc_id"))
+    // the empty zones answer filtered queries with the right schema
+    assert(back.filter($"split".isin("train", "valid", "test")).count() === 1L)
+  }
+
   test("bad config fails at plan time, like CDK synth") {
     intercept[IllegalArgumentException] {
       Pipeline.plan(spark, Pipeline.TrainingSpec("src", "dst",

@@ -285,6 +285,91 @@ class TxLogSpec extends SparkSpec {
     assert(ids(zone) === (0L until 800L).toSet, "a concurrent append lost or duplicated rows")
   }
 
+  /** A crashed publish: gen file created, body never completed. */
+  private def writeTorn(zone: String, gen: Long): java.io.File = {
+    val dir = new java.io.File(zone, "_txlog"); dir.mkdirs()
+    val torn = new java.io.File(dir, "gen-" + ("%020d".format(gen)))
+    val w = new java.io.PrintWriter(torn, "UTF-8")
+    try { w.println("graft-txlog v1"); w.println(s"gen=$gen") } finally w.close()
+    torn
+  }
+
+  test("a crash-torn manifest past the grace window is reclaimed — one crash cannot wedge the zone") {
+    val zone = freshZone()
+    spark.range(10L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    val torn = writeTorn(zone, 1L)
+    // fresh torn file = possibly a publish in progress: the claim must NOT
+    // be stolen, so the append exhausts its retries and fails loudly
+    intercept[RuntimeException] {
+      TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"), maxRetries = 1)
+    }
+    assert(ids(zone) === (0L until 10L).toSet, "failed append leaked rows")
+    // past the grace window the corpse is garbage: the claim is reclaimed
+    // and the zone is writable again at the SAME generation number
+    assert(torn.setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
+    val s = TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"))
+    assert(s.gen === 1L, s"reclaim should reuse the torn generation, got ${s.gen}")
+    assert(ids(zone) === (0L until 20L).toSet)
+    // a COMPLETE manifest is never reclaimed, however old it is
+    val g1 = new java.io.File(new java.io.File(zone, "_txlog"), "gen-" + "%020d".format(1L))
+    assert(g1.setLastModified(System.currentTimeMillis() - 24L * 60L * 60L * 1000L))
+    val s2 = TxLog.append(spark, zone, spark.range(20L, 30L).toDF("id"))
+    assert(s2.gen === 2L && ids(zone) === (0L until 30L).toSet)
+  }
+
+  test("vacuum retention counts complete manifests only — a torn newest cannot evict the head") {
+    val zone = freshZone()
+    spark.range(50L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    TxLog.append(spark, zone, spark.range(50L, 100L).toDF("id"))
+    val torn = writeTorn(zone, 2L)
+    // keepGens=1 with a torn gen-2: the ONE kept snapshot must be the
+    // newest COMPLETE generation (gen-1), not the corpse — otherwise
+    // every live data file looks unreferenced and is deleted
+    TxLog.vacuum(spark, zone, keepGens = 1, graceMs = 0L)
+    assert(ids(zone) === (0L until 100L).toSet,
+      "vacuum deleted the newest complete generation's data files")
+    assert(!torn.exists(), "an expired torn manifest should be GC'd")
+    assert(TxLog.latest(spark, zone).exists(_.gen === 1L))
+    // a FRESH torn manifest (publish in progress) survives default grace
+    val torn2 = writeTorn(zone, 2L)
+    TxLog.vacuum(spark, zone, keepGens = 1)
+    assert(torn2.exists(), "vacuum must not GC a fresh (possibly in-flight) manifest")
+    // a zone whose every manifest is torn: liveness unknowable, data untouched
+    val zone2 = freshZone()
+    spark.range(10L).toDF("id").repartition(2).write.parquet(zone2 + "/d-seed")
+    writeTorn(zone2, 0L)
+    assert(TxLog.vacuum(spark, zone2, keepGens = 1, graceMs = 0L) === 0L,
+      "vacuum with no complete manifest must not delete data files")
+    assert(spark.read.parquet(zone2 + "/d-seed").count() === 10L)
+  }
+
+  test("two writers replaying the same batchId: exactly one commits (in-loop recheck)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val zone = freshZone()
+    spark.range(0L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // both pass the fast pre-check (no mark yet), stage data, then race
+      // the publish; the loser's rebase must see the winner's batchId mark
+      // and abort instead of committing a duplicate
+      val results = Await.result(Future.sequence((0 until 2).map { _ =>
+        Future(TxLog.exactlyOnceAppend(spark, zone, spark.range(100L).toDF("id"), 7L))
+      }), 60.seconds)
+      assert(results.count(identity) === 1,
+        s"exactly one replayed writer may commit, got $results")
+    } finally pool.shutdown()
+    assert(TxLog.read(spark, zone).count() === 100L, "replayed batch duplicated rows")
+    // the loser's staged d-* dir was cleaned up: one data dir remains
+    val dDirs = new java.io.File(zone).listFiles().filter(_.getName.startsWith("d-"))
+    assert(dDirs.length === 1, s"aborted replay left its write dir: ${dDirs.mkString(",")}")
+  }
+
   test("vacuum drops only generations past retention; kept snapshots stay readable") {
     val zone = freshZone()
     spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
