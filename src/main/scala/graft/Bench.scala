@@ -99,7 +99,12 @@ object Bench {
       System.err.println(s"[bench] ERROR: ${errors.size} queries threw: " +
         errors.map(_._1).mkString(", "))
     val results = allRuns.map { case (n, s, _) => n -> s }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A failing query must FAIL the bench, not make it look faster: with
+    // any error the total is the -1 sentinel (impossible as a real time),
+    // so a total-only consumer can never read a regression as a speedup.
+    // Per-query entries keep their own -1 markers alongside.
+    val total =
+      if (errors.nonEmpty) -1.0 else results.map(_._2).filter(_ >= 0).sum
 
     // Full-precision per-query map goes to a FILE: the consumer of the
     // stdout line keeps only the last ~2000 chars of output, and 130
@@ -119,31 +124,38 @@ object Bench {
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // NEWEST FIRST: the fit-to-1700-chars loop below drops from the END,
+    // so the queries most recently added or changed must lead the vector —
+    // otherwise each round's new work is exactly what gets trimmed out of
+    // the driver's per-query record (round 5 lost q154/q155 this way).
+    // When adding a query, prepend it here.
     val headline = Vector(
-      "q01_scan_count", "q02_filter_project", "q03_join_inner",
-      "q04_join_left_outer", "q05_join_semi", "q06_join_anti",
-      "q07_join_broadcast", "q08_join_multiway", "q09_join_range",
-      "q10_agg_pricing_summary", "q11_agg_distinct", "q12_rollup",
-      "q14_window_latest", "q16_window_sliding", "q18_topk", "q19_union",
-      "q26_json_funcs", "q27_cdc_transform", "q28_cdc_snapshot",
-      "q31_window_tumbling", "q32_dedup_hash", "q33_tokenize_topk",
-      "q34_cosine_topk", "q36_dedup_ngram_jaccard", "q37_dedup_minhash_lsh",
-      "q38_dedup_simhash", "q39_text_quality", "q40_text_langid",
-      "q43_embedding_neardup", "q44_ann_ivf", "q45_dedup_exact_groups",
-      "q49_sessionize", "q52_percentiles", "q54_asof_join",
-      "q56_dup_clusters", "q69_ann_kmeans", "q73_tpch_q5",
-      "q95_salted_join", "q97_heavy_hitters_exact", "q120_tpch_q6",
-      "q124_tpch_q3", "q125_global_rownum", "q131_hll_distinct",
-      "q132_bloom_semi", "q133_zorder_stats", "q135_skyline",
-      "q137_minhash_estimate", "q138_weighted_sample", "q139_pagerank",
-      "q141_ann_lsh_multiprobe", "q142_pagerank_redistribute",
-      "q143_neardup_lsh_banded", "q144_unigram_lm_score",
-      "q145_tfidf_topterms", "q146_contamination",
-      "q147_shingle_containment", "q148_cdc_scd2", "q149_asof_forward",
-      "q150_max_concurrency", "q151_pagerank_weighted",
-      "q152_triangle_count", "q153_rank_fusion", "q154_retention_cohorts",
-      "q155_countmin_estimates",
-      "compaction_cdc_zone")
+      "q156_txlog_pruned_read",
+      "compaction_cdc_zone",
+      "q155_countmin_estimates", "q154_retention_cohorts",
+      "q153_rank_fusion", "q152_triangle_count",
+      "q151_pagerank_weighted", "q150_max_concurrency",
+      "q149_asof_forward", "q148_cdc_scd2", "q147_shingle_containment",
+      "q146_contamination", "q145_tfidf_topterms",
+      "q144_unigram_lm_score", "q143_neardup_lsh_banded",
+      "q142_pagerank_redistribute", "q141_ann_lsh_multiprobe",
+      "q139_pagerank", "q138_weighted_sample", "q137_minhash_estimate",
+      "q135_skyline", "q133_zorder_stats", "q132_bloom_semi",
+      "q131_hll_distinct", "q125_global_rownum", "q124_tpch_q3",
+      "q120_tpch_q6", "q97_heavy_hitters_exact", "q95_salted_join",
+      "q73_tpch_q5", "q69_ann_kmeans", "q56_dup_clusters",
+      "q54_asof_join", "q52_percentiles", "q49_sessionize",
+      "q45_dedup_exact_groups", "q44_ann_ivf", "q43_embedding_neardup",
+      "q40_text_langid", "q39_text_quality", "q38_dedup_simhash",
+      "q37_dedup_minhash_lsh", "q36_dedup_ngram_jaccard",
+      "q34_cosine_topk", "q33_tokenize_topk", "q32_dedup_hash",
+      "q31_window_tumbling", "q28_cdc_snapshot", "q27_cdc_transform",
+      "q26_json_funcs", "q19_union", "q18_topk", "q16_window_sliding",
+      "q14_window_latest", "q12_rollup", "q11_agg_distinct",
+      "q10_agg_pricing_summary", "q09_join_range", "q08_join_multiway",
+      "q07_join_broadcast", "q06_join_anti", "q05_join_semi",
+      "q04_join_left_outer", "q03_join_inner", "q02_filter_project",
+      "q01_scan_count")
     val byName = results.toMap
     // Build the headline map, then drop entries from the END until the
     // whole line fits the consumer's 2000-char tail with slack for sbt's

@@ -163,9 +163,12 @@ object Round5Queries {
               |FROM inter JOIN cnt ca ON ca.doc_id = a_id
               |WHERE ROUND(i::DOUBLE / ca.n_sh, 4) >= 0.8
               |ORDER BY a_id, b_id""".stripMargin),
+      // skew guard ON, same cap rationale as q36: 256 >> testdata max df
+      // (25 at sf0.1) keeps the hash oracle-identical while bounding a
+      // viral shingle's candidate blow-up on skewed corpora
       (s, d) => graft.operators.Dedup
         .containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8)
+          n = 3, threshold = 0.8, maxShingleDf = 256L)
         .orderBy("a_id", "b_id")),
 
     Q("q148_cdc_scd2",

@@ -112,8 +112,12 @@ object TrainingQueries {
 
     Q("q36_dedup_ngram_jaccard",
       Some(jaccardPairsSql),
+      // skew guard ON: 256 is 10x above the testdata's max shingle df (25
+      // at sf0.1), so the oracle (which computes without a cap) matches
+      // bit-for-bit — while a Zipfian corpus's viral shingle is bounded to
+      // 256²/2 candidate rows instead of k²/2 (DedupSkewSpec pins this)
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8)
+          n = 3, threshold = 0.8, maxShingleDf = 256L)
         .orderBy("a_id", "b_id")),
 
     Q("q37_dedup_minhash_lsh",

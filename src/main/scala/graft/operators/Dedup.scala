@@ -72,15 +72,24 @@ object Dedup {
     * 220K pairs at t=0.8) and the array-carrying verify joins cost more
     * than the all-scalar count aggregation. The count-based form's exposure
     * is a high-df shingle (k docs -> k^2 pair rows); that is what
-    * `maxShingleDf` in [[shingleIndex]] caps on Zipfian corpora, at the
-    * documented cost of exactness on pairs whose overlap is entirely
-    * ubiquitous shingles. */
+    * `maxShingleDf` caps on Zipfian corpora, at the documented cost of
+    * exactness on pairs whose overlap is entirely ubiquitous shingles
+    * (when the cap drops shingles, BOTH the intersection and the per-doc
+    * sizes are computed on the capped sets — the estimate stays
+    * internally consistent). With the cap at `c`, one shingle contributes
+    * at most c(c-1)/2 candidate rows no matter how viral it is; with the
+    * cap off a single boilerplate shingle in k documents materializes
+    * k²/2 rows — the 100 TB scale-killer. Callers on real corpora should
+    * always set a cap above the df of any shingle that still carries
+    * similarity signal. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxShingleDf: Long = 0L): DataFrame = {
     // Exchange barrier: the index subtree feeds three consumers (sizes +
     // both join sides); identical exchanges are computed once and reused
     // (ReuseExchange), so tokenize+shingle+explode runs a single time.
-    val idx = shingleIndex(docs, idCol, textCol, n).repartition(col("shingle"))
+    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDf)
+      .repartition(col("shingle"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -105,12 +114,14 @@ object Dedup {
     *
     * Same inverted-index shape and cost model as [[jaccardPairs]] (only
     * co-shingled pairs materialize, all-scalar shuffles, `maxShingleDf`
-    * caps the high-df skew k² in [[shingleIndex]]); the only differences
-    * are the order-free join predicate (both directions) and the
-    * denominator (|sh(a)| instead of the union). */
+    * bounds a viral shingle's candidates to c²/2 instead of k²/2); the
+    * only differences are the order-free join predicate (both directions)
+    * and the denominator (|sh(a)| instead of the union). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n).repartition(col("shingle"))
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDf)
+      .repartition(col("shingle"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // the intersection size is SYMMETRIC: join+aggregate each unordered
     // pair once (a < b — half the pair rows of a both-directions join),
