@@ -314,28 +314,36 @@ object Dedup {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
+    while (!converged && iter < maxIterations) {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // ONE action per round: the convergence signal rides an accumulator
+      // bumped while the eager checkpoint materializes the new labels.
+      // The previous shape paid a SECOND job per round (joining the new
+      // labels back against the old + count) purely to learn whether
+      // anything changed — N rounds of pure convergence bookkeeping.
+      val acc = spark.sparkContext.longAccumulator("cc_changed")
+      val flagged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
       val updated = labels
         .join(nbrMin, col("node") === col("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          flagged(coalesce(col("nbr_label") < col("label"), lit(false))).as("chg"))
         .localCheckpoint(true)
-      changed = updated.select(col("node"), col("label").as("new_label"))
-        .join(labels, "node")
-        .filter(col("new_label") =!= col("label"))
-        .count()
-      labels = updated
+      // accumulator caveat: a retried task can double-count, but only
+      // `== 0` is consulted, so convergence detection stays exact — zero
+      // means NO task saw a label shrink during the materializing pass
+      converged = acc.value == 0L
+      labels = updated.drop("chg")
       iter += 1
     }
     // Loud, not wrong: a component wider than maxIterations hops would
     // otherwise silently split into several clusters.
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIterations iterations " +
-        s"($changed labels still changing) — raise maxIterations")
+        "(labels still changing) — raise maxIterations")
     labels
   }
 
