@@ -34,29 +34,59 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", mediaMetaType)))
 
-  /** STUB decode: a real implementation would hand the bytes to an image /
-    * audio codec. Here: a deterministic fake that derives `dim` float
-    * features from the content bytes (stable across runs/partitionings),
-    * so the distributed plumbing around it is fully testable. */
-  private[operators] def decodeToFeaturesStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** The pluggable decode boundary: everything that needs an actual media
+    * library lives behind this trait, so dropping a real JPEG/WAV decoder
+    * into the pipeline is implementing an interface, not editing the
+    * operators. Implementations are shipped to executors inside the task
+    * closure — hold any heavy native context in a `@transient lazy val`
+    * so it is (re)created once per executor JVM, never serialized, and
+    * amortized across the partition-wise batch loops in [[featurize]] /
+    * [[resize]]. */
+  trait MediaCodec extends Serializable {
+    /** Decode one blob into a fixed-dim feature vector (e.g. decode +
+      * pooled embedding). `bytes` is never null (empty for null blobs). */
+    def decodeToFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float]
+    /** Decode, scale to targetW x targetH, re-encode. Returns the new
+      * payload bytes. */
+    def resize(bytes: Array[Byte], format: String,
+               targetW: Int, targetH: Int, bytesPerPixel: Int): Array[Byte]
+  }
+
+  /** STUB codec — the default in this container (no image/audio libraries
+    * available): deterministic fakes so the distributed plumbing around
+    * the codec (schema contract, batching, partition sizing, metadata
+    * updates) is fully testable and stable across runs/partitionings. */
+  object StubMediaCodec extends MediaCodec {
     // ??? <- real codec goes here (e.g. JPEG decode -> pooled CNN features)
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
-    var i = 0
-    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((h >>> 33).toInt % 1000) / 1000.0f
-      j += 1
+    override def decodeToFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(j) = ((h >>> 33).toInt % 1000) / 1000.0f
+        j += 1
+      }
+      out
     }
-    out
+    // ??? <- real codec resize goes here; the stub truncates/pads to the
+    // byte budget implied by the target dimensions
+    override def resize(bytes: Array[Byte], format: String,
+                        targetW: Int, targetH: Int, bytesPerPixel: Int): Array[Byte] = {
+      val budget = targetW * targetH * bytesPerPixel
+      java.util.Arrays.copyOf(bytes, budget)
+    }
   }
 
   /** Featurize media partition-wise (mapPartitions = the batch shape of
     * mapInPandas): one iterator pass per partition, binary column consumed
-    * and NOT carried into the output (keeps the shuffle-facing row thin). */
-  def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
+    * and NOT carried into the output (keeps the shuffle-facing row thin).
+    * The decode itself is `codec`'s job — swap in a real implementation
+    * without touching the operator. */
+  def featurize(media: DataFrame, dim: Int = 16,
+                codec: MediaCodec = StubMediaCodec): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -66,12 +96,14 @@ object Multimodal {
     val out: Dataset[Row] = media
       .select(col("media_id"), col("content"), col("meta.format").as("format"))
       .mapPartitions { rows =>
-        // batch loop: in a real codec this is where a reusable decode
-        // context/buffer lives, amortized over the partition
+        // batch loop: the codec's per-executor decode context (transient
+        // lazy in the implementation) is amortized over the partition
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          val feats = decodeToFeaturesStub(if (bytes == null) Array.emptyByteArray else bytes, dim)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("format"), feats.toSeq)
+          val fmt = r.getAs[String]("format")
+          val feats = codec.decodeToFeatures(
+            if (bytes == null) Array.emptyByteArray else bytes, fmt, dim)
+          Row(r.getAs[Long]("media_id"), fmt, feats.toSeq)
         }
       }(enc)
     out.toDF()
@@ -98,23 +130,38 @@ object Multimodal {
       .select(col("media_id"), col("f.frame_no"), col("f.frame_bytes"))
   }
 
-  /** STUB resize: a real implementation decodes, scales, and re-encodes;
-    * the stub deterministically truncates/pads the payload to the byte
-    * budget implied by the target dimensions and updates the typed
-    * metadata — so downstream schema/partition behavior (smaller rows,
-    * updated width/height) is real and testable. */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
-                 bytesPerPixel: Int = 1): DataFrame = {
-    val budget = targetW * targetH * bytesPerPixel
-    media.select(
-      col("media_id"),
-      // ??? <- real codec resize goes here
-      substring(rpad(col("content"), budget, Array(0.toByte)), 1, budget).as("content"),
-      struct(
-        col("meta.format").as("format"),
-        lit(targetW).as("width"), lit(targetH).as("height"),
-        col("meta.duration_ms").as("duration_ms")).as("meta"))
+  /** Resize every blob to targetW x targetH via the codec, updating the
+    * typed metadata to match. The operator owns the distributed shape
+    * (partition-wise batch loop, null pass-through, metadata rewrite);
+    * the pixel work is `codec.resize` — [[StubMediaCodec]] by default
+    * (deterministic truncate/pad to the implied byte budget), a real
+    * decoder as a drop-in. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+             bytesPerPixel: Int = 1,
+             codec: MediaCodec = StubMediaCodec): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val out: Dataset[Row] = media
+      .select(col("media_id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val meta = r.getAs[Row]("meta")
+          val fmt = if (meta == null) null else meta.getAs[String]("format")
+          val resized =
+            if (bytes == null) null
+            else codec.resize(bytes, fmt, targetW, targetH, bytesPerPixel)
+          val durationMs: Any = if (meta == null) null else meta.get(3)
+          Row(r.getAs[Long]("media_id"), resized,
+            Row(fmt, targetW, targetH, durationMs))
+        }
+      }(enc)
+    out.toDF()
   }
+
+  /** Back-compat alias for [[resize]] with the stub codec. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
+                 bytesPerPixel: Int = 1): DataFrame =
+    resize(media, targetW, targetH, bytesPerPixel)
 
   /** Right-size partitions by payload bytes, not row count: media rows are
     * wildly skewed in size, so a fixed rows-per-partition split makes some

@@ -47,4 +47,37 @@ class MultimodalSpec extends SparkSpec {
     // schema contract preserved: still (media_id, content, meta)
     assert(resized.schema.fieldNames.toSeq === Seq("media_id", "content", "meta"))
   }
+
+  /** A drop-in codec: proves the operators run against the trait, not the
+    * stub — what plugging a real JPEG/WAV library in looks like. */
+  private object TestCodec extends Multimodal.MediaCodec {
+    override def decodeToFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
+      // format-sensitive on purpose: asserts the operator threads the
+      // typed metadata through to the codec
+      val base = if (format == "jpeg") 1.0f else 2.0f
+      Array.tabulate(dim)(i => base + (if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff))
+    }
+    override def resize(bytes: Array[Byte], format: String,
+                        targetW: Int, targetH: Int, bytesPerPixel: Int): Array[Byte] =
+      bytes.reverse.take(targetW * targetH * bytesPerPixel)
+  }
+
+  test("a custom MediaCodec is a drop-in for featurize and resize") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val feats = Multimodal.featurize(media, dim = 4, codec = TestCodec)
+      .orderBy("media_id").collect()
+    assert(feats.length === 10 && feats.forall(_.getSeq[Float](2).length === 4))
+    // the codec saw the format from the typed metadata (jpeg=even ids)
+    feats.foreach { r =>
+      val base = if (r.getLong(0) % 2 == 0) 1.0f else 2.0f
+      assert(r.getSeq[Float](2).forall(f => f >= base && (f - base) % 1.0f === 0.0f),
+        s"codec did not receive the row's format: $r")
+    }
+    val resized = Multimodal.resize(media, 4, 4, codec = TestCodec).collect()
+    val original = media.orderBy("media_id").collect()
+    assert(resized.forall(_.getAs[Array[Byte]]("content").length === 16))
+    // TestCodec reverses: first resized byte == last original byte
+    val lastOrig = original.head.getAs[Array[Byte]]("content").last
+    assert(resized.minBy(_.getLong(0)).getAs[Array[Byte]]("content").head === lastOrig)
+  }
 }
