@@ -41,9 +41,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object TxLog {
 
+  /** Typed per-file column statistics: `kind` is "num" (min/max compare
+    * as doubles) or "str" (lexicographic — dates/timestamps stringify ISO,
+    * so lexicographic == chronological). `min`/`max` are None when the
+    * column is entirely null in the file. */
+  final case class ColStat(kind: String, rows: Long, nulls: Long,
+                           min: Option[String], max: Option[String])
+
   final case class Snapshot(gen: Long, format: String, files: Seq[String],
                             meta: Map[String, String] = Map.empty,
-                            stats: Map[String, (Double, Double)] = Map.empty) {
+                            stats: Map[String, (Double, Double)] = Map.empty,
+                            colStats: Map[String, Map[String, ColStat]] = Map.empty) {
     def resolve(zone: String): Seq[String] =
       files.map(f => zone.stripSuffix("/") + "/" + f)
   }
@@ -74,6 +82,13 @@ object TxLog {
     gens.iterator.flatMap(p => readManifest(f, p)).nextOption()
   }
 
+  // typed-stat value encoding: URL-encode with a "v" prefix so the None
+  // sentinel "-" can never collide with a real value
+  private def encV(v: Option[String]): String =
+    v.map(s => "v" + java.net.URLEncoder.encode(s, "UTF-8")).getOrElse("-")
+  private def decV(s: String): Option[String] =
+    if (s == "-") None else Some(java.net.URLDecoder.decode(s.substring(1), "UTF-8"))
+
   private def readManifest(f: FileSystem, p: Path): Option[Snapshot] = {
     val in = try f.open(p) catch { case _: java.io.IOException => return None }
     try {
@@ -81,21 +96,34 @@ object TxLog {
       if (lines.isEmpty || lines.head != Header || lines.last != "end") return None
       val body = lines.tail.init
       val kv = body.filterNot(l =>
-        l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ")).map { l =>
+        l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ") ||
+          l.startsWith("t ")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
       val meta = body.filter(_.startsWith("m ")).map { l =>
         val i = l.indexOf('=', 2); (l.substring(2, i), l.substring(i + 1))
       }.toMap
-      // per-file column stats: "s <relpath>=<min>,<max>" (doubles)
+      // legacy single-column stats: "s <relpath>=<min>,<max>" (doubles)
       val stats = body.filter(_.startsWith("s ")).map { l =>
         val i = l.lastIndexOf('=')
         val Array(mn, mx) = l.substring(i + 1).split(",", 2)
         (l.substring(2, i), (mn.toDouble, mx.toDouble))
       }.toMap
+      // typed multi-column stats:
+      // "t <relpath>|<col>=<kind>,<rows>,<nulls>,<minEnc>,<maxEnc>"
+      val colStats = body.filter(_.startsWith("t ")).map { l =>
+        val eq = l.indexOf('=', 2)
+        val key = l.substring(2, eq)
+        val bar = key.lastIndexOf('|')
+        val Array(kind, rows, nulls, mn, mx) = l.substring(eq + 1).split(",", 5)
+        (key.substring(0, bar), key.substring(bar + 1),
+          ColStat(kind, rows.toLong, nulls.toLong, decV(mn), decV(mx)))
+      }.groupBy(_._1).map { case (file, ts) =>
+        file -> ts.map(t => t._2 -> t._3).toMap
+      }
       val files = body.filter(_.startsWith("f ")).map(_.substring(2))
       if (kv.get("count").map(_.toLong).contains(files.size.toLong))
-        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta, stats))
+        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta, stats, colStats))
       else None
     } catch { case _: Exception => None }
     finally in.close()
@@ -156,10 +184,14 @@ object TxLog {
   private def publish(spark: SparkSession, zone: String, gen: Long,
                       format: String, files: Seq[String],
                       meta: Map[String, String] = Map.empty,
-                      stats: Map[String, (Double, Double)] = Map.empty): Boolean = {
+                      stats: Map[String, (Double, Double)] = Map.empty,
+                      colStats: Map[String, Map[String, ColStat]] = Map.empty): Boolean = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       s"manifest meta keys must be =-free and values newline-free: $meta")
+    require(colStats.values.flatMap(_.keys).forall(c =>
+      !c.contains('|') && !c.contains('=') && !c.contains(',')),
+      "stats column names must be free of | = , characters")
     val p = genPath(zone, gen)
     val f = fs(spark, zone)
     f.mkdirs(p.getParent)
@@ -177,6 +209,12 @@ object TxLog {
       stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
         body.append("s ").append(k).append('=')
           .append(mn).append(',').append(mx).append('\n') }
+      colStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
+        perCol.toSeq.sortBy(_._1).foreach { case (c, st) =>
+          body.append("t ").append(file).append('|').append(c).append('=')
+            .append(st.kind).append(',').append(st.rows).append(',')
+            .append(st.nulls).append(',').append(encV(st.min)).append(',')
+            .append(encV(st.max)).append('\n') } }
       files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
       body.append("end\n")
       out.write(body.toString.getBytes("UTF-8"))
@@ -255,6 +293,55 @@ object TxLog {
       }.toMap
   }
 
+  /** Typed per-file min/max/null-count for `cols` over the files just
+    * written to `dataDir` — ONE bounded extra scan of the new files only,
+    * all columns aggregated in the same pass (Delta-style stats
+    * collection). Numeric columns record doubles ("num"); everything else
+    * records its string form ("str" — ISO date/timestamp strings order
+    * chronologically). */
+  private def fileStatsTyped(spark: SparkSession, root: Path, dataDir: Path,
+                             format: String,
+                             cols: Seq[String]): Map[String, Map[String, ColStat]] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
+    val df = spark.read.format(format).load(dataDir.toString)
+    val kinds = cols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => "num"
+        case _ => "str"
+      })
+    }.toMap
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+      val v = if (kinds(c) == "num") col(c).cast("double") else col(c).cast("string")
+      Seq(min(v), max(v), count(when(col(c).isNull, 1)))
+    }
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+          .stripPrefix(rootPath).stripPrefix("/")
+        val rows = r.getLong(1)
+        val perCol = cols.zipWithIndex.map { case (c, i) =>
+          val base = 2 + i * 3
+          def v(at: Int): Option[String] =
+            if (r.isNullAt(at)) None else Some(r.get(at).toString)
+          c -> ColStat(kinds(c), rows, r.getLong(base + 2), v(base), v(base + 1))
+        }.toMap
+        rel -> perCol
+      }.toMap
+  }
+
+  /** The stats columns a zone tracks: this write's request, else the
+    * zone's committed choice (so stats survive writers that don't repeat
+    * the option). */
+  private def effectiveStatsCols(statsCols: Seq[String],
+                                 headMeta: Map[String, String]): Seq[String] =
+    if (statsCols.nonEmpty) statsCols
+    else headMeta.get("stats.cols").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+
   /** Append `df` as a new generation: new files land in a fresh
     * `d-<uuid>/` dir, the manifest is head.files ++ new files. On a lost
     * publish race the file list is recomputed against the new head and
@@ -264,8 +351,10 @@ object TxLog {
   def append(spark: SparkSession, zone: String, df: DataFrame,
              maxRetries: Int = 5,
              meta: Map[String, String] = Map.empty,
-             statsCol: Option[String] = None): Snapshot =
-    appendImpl(spark, zone, df, maxRetries, meta, statsCol, batchId = None)
+             statsCol: Option[String] = None,
+             statsCols: Seq[String] = Nil): Snapshot =
+    appendImpl(spark, zone, df, maxRetries, meta, statsCol, statsCols,
+      batchId = None)
       .getOrElse(sys.error("unreachable: append without a batchId never skips"))
 
   /** Shared append body. With `batchId`, the committed high-water mark is
@@ -276,7 +365,7 @@ object TxLog {
     * (the staged data dir is removed). */
   private def appendImpl(spark: SparkSession, zone: String, df: DataFrame,
                          maxRetries: Int, meta: Map[String, String],
-                         statsCol: Option[String],
+                         statsCol: Option[String], statsCols: Seq[String],
                          batchId: Option[Long]): Option[Snapshot] = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
@@ -287,7 +376,10 @@ object TxLog {
     val cName = statsCol.orElse(head0.meta.get("stats.col"))
     val addedStats = cName.map(c => fileStats(spark, root, dataDir, head0.format, c))
       .getOrElse(Map.empty)
-    val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty)
+    val tCols = effectiveStatsCols(statsCols, head0.meta)
+    val addedColStats = fileStatsTyped(spark, root, dataDir, head0.format, tCols)
+    val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty) ++
+      (if (tCols.nonEmpty) Map("stats.cols" -> tCols.mkString(",")) else Map.empty)
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
@@ -300,9 +392,9 @@ object TxLog {
       // sink's batchId high-water mark); this publish's keys override
       val next = Snapshot(head.gen + 1, head.format,
         (head.files ++ added).sorted, head.meta ++ statsMeta ++ meta,
-        head.stats ++ addedStats)
+        head.stats ++ addedStats, head.colStats ++ addedColStats)
       if (publish(spark, zone, next.gen, next.format, next.files, next.meta,
-        next.stats)) return Some(next)
+        next.stats, next.colStats)) return Some(next)
       attempt += 1
       // the racing winner may still be mid-manifest-write (invisible to
       // latest()); back off so the rebase sees its completed head
@@ -343,6 +435,76 @@ object TxLog {
       .filter(pred)
   }
 
+  /** Files a range predicate on `column` can touch under the TYPED stats:
+    * files without a stat for the column are kept (never skip blind);
+    * files whose [min, max] misses [lo, hi] — compared as doubles for
+    * "num" columns, lexicographically for "str" — are pruned, as are
+    * files where the column is entirely null (a range predicate is
+    * null-rejecting). NaN bounds keep the file. */
+  def prunedFilesFor(s: Snapshot, column: String, lo: Any, hi: Any): Seq[String] =
+    s.files.filter { f =>
+      s.colStats.get(f).flatMap(_.get(column)) match {
+        case Some(st) => (st.min, st.max) match {
+          case (Some(mn), Some(mx)) if st.kind == "num" =>
+            val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
+            val (m, x) = (mn.toDouble, mx.toDouble)
+            m.isNaN || x.isNaN || (x >= l && m <= h)
+          case (Some(mn), Some(mx)) =>
+            val (l, h) = (lo.toString, hi.toString)
+            mx >= l && mn <= h
+          case _ => false // entirely-null column: no row can pass the range
+        }
+        case None => true
+      }
+    }
+
+  /** Typed-stats range read: scans ONLY the files whose committed
+    * min/max for `column` overlap [lo, hi], then applies the exact
+    * predicate. The multi-column twin of [[readWhere]]; the zone must
+    * have been written with `statsCols` including `column`. */
+  def readWhereCol(spark: SparkSession, zone: String, column: String,
+                   lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val head = latest(spark, zone).getOrElse(
+      sys.error(s"$zone has no transaction log"))
+    val tracked = head.meta.getOrElse("stats.cols", "").split(",")
+    require(tracked.contains(column),
+      s"$zone does not track stats for '$column' (tracked: ${tracked.mkString(",")}) " +
+        "— write with statsCols to enable skipping")
+    val kind = head.colStats.values.flatMap(_.get(column)).headOption.map(_.kind)
+    val (c, l, h) =
+      if (kind.contains("num"))
+        (col(column).cast("double"),
+          lit(lo.toString.toDouble), lit(hi.toString.toDouble))
+      else (col(column).cast("string"), lit(lo.toString), lit(hi.toString))
+    val pred = c >= l && c <= h
+    val keep = prunedFilesFor(head, column, lo, hi)
+    if (keep.isEmpty)
+      readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.format(head.format)
+      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      .filter(pred)
+  }
+
+  /** Null-count-based skipping: read the zone for an IS NOT NULL query on
+    * `column`, scanning only files where at least one row is non-null. */
+  def readWhereNotNull(spark: SparkSession, zone: String, column: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val head = latest(spark, zone).getOrElse(
+      sys.error(s"$zone has no transaction log"))
+    val keep = head.files.filter { f =>
+      head.colStats.get(f).flatMap(_.get(column)) match {
+        case Some(st) => st.nulls < st.rows
+        case None => true
+      }
+    }
+    if (keep.isEmpty)
+      readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.format(head.format)
+      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      .filter(col(column).isNotNull)
+  }
+
   /** Atomically REPLACE the zone's content with `df` as a new generation
     * — the transactional form of `mode("overwrite")`: a reader holding
     * the previous snapshot keeps reading its (immutable) files; a reader
@@ -353,7 +515,8 @@ object TxLog {
   def replace(spark: SparkSession, zone: String, df: DataFrame,
               maxRetries: Int = 5,
               meta: Map[String, String] = Map.empty,
-              statsCol: Option[String] = None): Snapshot = {
+              statsCol: Option[String] = None,
+              statsCols: Seq[String] = Nil): Snapshot = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
@@ -363,13 +526,16 @@ object TxLog {
     val cName = statsCol.orElse(head0.meta.get("stats.col"))
     val stats = cName.map(c => fileStats(spark, root, dataDir, head0.format, c))
       .getOrElse(Map.empty)
-    val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty)
+    val tCols = effectiveStatsCols(statsCols, head0.meta)
+    val colStats = fileStatsTyped(spark, root, dataDir, head0.format, tCols)
+    val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty) ++
+      (if (tCols.nonEmpty) Map("stats.cols" -> tCols.mkString(",")) else Map.empty)
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
       val m = head.meta ++ statsMeta ++ meta
-      if (publish(spark, zone, head.gen + 1, head.format, files, m, stats))
-        return Snapshot(head.gen + 1, head.format, files, m, stats)
+      if (publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats))
+        return Snapshot(head.gen + 1, head.format, files, m, stats, colStats)
       attempt += 1
       Thread.sleep(math.min(200L, 10L * attempt))
     }
@@ -396,7 +562,7 @@ object TxLog {
     if (committed.exists(_ >= batchId)) false
     else appendImpl(spark, zone, df, maxRetries = 5,
       meta = Map("batchId" -> batchId.toString), statsCol = None,
-      batchId = Some(batchId)).isDefined
+      statsCols = Nil, batchId = Some(batchId)).isDefined
   }
 
   /** `writeStream.foreachBatch(TxLog.streamSink(zone))` — the
@@ -430,10 +596,13 @@ object TxLog {
     val newStats = head.meta.get("stats.col")
       .map(c => fileStats(spark, root, dataDir, head.format, c))
       .getOrElse(Map.empty)
+    val newColStats = fileStatsTyped(spark, root, dataDir, head.format,
+      effectiveStatsCols(Nil, head.meta))
     prePublishHook()
     // meta carries forward: compaction must not erase e.g. the streaming
     // sink's batchId high-water mark
-    if (publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta, newStats))
+    if (publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta,
+      newStats, newColStats))
       CompactStats(head.gen + 1, head.files.size.toLong, newFiles.size.toLong,
         bytes, rewritten = true)
     else {

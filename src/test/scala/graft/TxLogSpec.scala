@@ -180,6 +180,53 @@ class TxLogSpec extends SparkSpec {
     assert(got2 === (1200L to 1300L).toSet)
   }
 
+  test("typed multi-column stats: numeric, lexicographic, and null-count skipping") {
+    val zone = freshZone()
+    spark.range(0L).select($"id", $"id".cast("string").as("name"),
+      $"id".cast("string").as("maybe")).write.parquet(zone)
+    TxLog.init(spark, zone)
+    // batch 1: ids 0-999, names a*, `maybe` entirely NULL
+    TxLog.append(spark, zone,
+      spark.range(0L, 1000L).select($"id", concat(lit("a"), $"id").as("name"),
+        lit(null).cast("string").as("maybe")).coalesce(2),
+      statsCols = Seq("id", "name", "maybe"))
+    // batch 2: ids 1000-1999, names m*, `maybe` populated (inherits stats.cols)
+    TxLog.append(spark, zone,
+      spark.range(1000L, 2000L).select($"id", concat(lit("m"), $"id").as("name"),
+        concat(lit("v"), $"id").as("maybe")).coalesce(2))
+    val head = TxLog.latest(spark, zone).get
+    assert(head.meta("stats.cols") === "id,name,maybe")
+    val appended = head.files.filter(_.startsWith("d-"))
+    assert(appended.forall(f => head.colStats(f).keySet === Set("id", "name", "maybe")),
+      "an appended file is missing typed stats")
+
+    // numeric range pruning touches only batch 2's files
+    val keepNum = TxLog.prunedFilesFor(head, "id", 1200L, 1300L)
+    assert(keepNum.nonEmpty && keepNum.size < appended.size)
+    val gotNum = TxLog.readWhereCol(spark, zone, "id", 1200L, 1300L)
+    assert(gotNum.inputFiles.length === keepNum.size, "scan did not honor the pruned file list")
+    assert(gotNum.select($"id").as[Long].collect().toSet === (1200L to 1300L).toSet)
+
+    // lexicographic pruning on the string column skips the a* files
+    val keepStr = TxLog.prunedFilesFor(head, "name", "m", "z")
+    assert(keepStr.nonEmpty && keepStr.size < appended.size)
+    assert(TxLog.readWhereCol(spark, zone, "name", "m", "z").count() === 1000L)
+
+    // a range predicate on the all-null file's column prunes it outright,
+    // and null-count skipping reads only files with a non-null row
+    val notNull = TxLog.readWhereNotNull(spark, zone, "maybe")
+    assert(notNull.count() === 1000L)
+    assert(notNull.inputFiles.length < appended.size,
+      "the entirely-null file should not be scanned for IS NOT NULL")
+
+    // compaction recomputes typed stats for the rewritten files
+    assert(TxLog.compact(spark, zone, targetBytes = 1L << 30).rewritten)
+    val after = TxLog.latest(spark, zone).get
+    assert(after.colStats.nonEmpty, "compaction dropped the typed stats")
+    assert(TxLog.readWhereCol(spark, zone, "id", 1200L, 1300L)
+      .select($"id").as[Long].collect().toSet === (1200L to 1300L).toSet)
+  }
+
   test("value-clustered layout makes manifest skipping effective; shuffled does not") {
     // same rows, two physical layouts: clustering is what turns per-file
     // min/max into a sharp pruning predicate (single-column = range
