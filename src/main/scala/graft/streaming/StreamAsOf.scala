@@ -119,4 +119,86 @@ object StreamAsOf {
           out.iterator
       }
   }
+
+  /** FORWARD stream-stream as-of join — the streaming twin of
+    * [[graft.operators.AsOf.joinNext]] (hash-checked as q149): each probe
+    * joins the EARLIEST reference at-or-after its time (inclusive, ties
+    * to the LOWEST seq — the batch operator's order).
+    *
+    * Finality differs fundamentally from [[joinLatest]]: a backward join
+    * is final once the watermark passes the probe (nothing older can
+    * arrive), but a forward join waits on the FUTURE — "no next reference
+    * ever" is undecidable on an unbounded stream. `horizonMs` bounds the
+    * wait: the match is searched in [probe.ts, probe.ts + horizonMs], so
+    * a probe finalizes either when the watermark passes its earliest
+    * known qualifying reference (no earlier one can still arrive), or
+    * with a null when the watermark passes the horizon end (every
+    * in-horizon reference has arrived and none qualified). Batch
+    * equivalence therefore holds whenever every batch match gap is
+    * within the horizon.
+    *
+    * State shape: pending probes (bounded by horizon + lateness) and
+    * references still above the watermark or at-or-after the oldest
+    * pending probe. An idle key's state drains to EMPTY — unlike the
+    * backward join, no anchor is needed, because a future probe can only
+    * match future references. */
+  def joinNext(probes: Dataset[AsOfProbe], refs: Dataset[AsOfRef],
+               delay: String, horizonMs: Long): Dataset[AsOfJoined] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    val horizonUs = horizonMs * 1000L
+    import probes.sparkSession.implicits._
+    val tagged = refs.map(r => AsOfEvt(r.key, r.ts, r.seq, 0, r.ref_value))
+      .withWatermark("ts", delay)
+      .unionByName(
+        probes.map(p => AsOfEvt(p.key, p.ts, p.seq, 1, p.value))
+          .withWatermark("ts", delay))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfJoined](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfEvt], state: GroupState[AsOfBuf]) =>
+          val st0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var refsL = st0.refs
+          var probesL = st0.probes
+          it.foreach { e =>
+            val entry = (micros(e.ts), e.seq, e.v)
+            if (e.side == 0) refsL ::= entry else probesL ::= entry
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // earliest qualifying IN-HORIZON reference per probe; final when
+          // the watermark passes it (rows at-or-below the watermark can no
+          // longer arrive, so nothing earlier-qualifying is still coming)
+          def bestFor(pus: Long): Option[(Long, Long, Option[Double])] = {
+            val q = refsL.filter(r => r._1 >= pus && r._1 <= pus + horizonUs)
+            if (q.isEmpty) None else Some(q.minBy(r => (r._1, r._2)))
+          }
+          val (done, pending) = probesL.partition { case (pus, _, _) =>
+            bestFor(pus).exists(_._1 <= wmUs) || wmUs >= pus + horizonUs
+          }
+          val out = done.sortBy(p => (p._1, p._2)).map { case (pus, pseq, pv) =>
+            AsOfJoined(key, tsOf(pus), pseq, pv,
+              bestFor(pus).filter(_._1 <= wmUs).flatMap(_._3))
+          }
+          // evict references no future or pending probe can match: future
+          // probes have ts > watermark, pending ones have ts >= their min
+          val pendingMin = pending.map(_._1).minOption
+          val keptRefs = refsL.filter(r =>
+            r._1 > wmUs || pendingMin.exists(r._1 >= _))
+          val kept = AsOfBuf(keptRefs, pending)
+          if (kept.refs.isEmpty && kept.probes.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // wake when the oldest pending probe can finalize: its known
+            // match's ts, else its horizon end (whichever comes first)
+            pending.map { case (pus, _, _) =>
+              bestFor(pus).map(_._1).getOrElse(Long.MaxValue)
+                .min(pus + horizonUs)
+            }.minOption.foreach { us =>
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(us + 999L, 1000L),
+                state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
 }

@@ -101,3 +101,141 @@ class StreamAsOfSpec extends SparkSpec {
     assert(got.map(j => (j.key, j.seq, j.asof_value)) === Seq((2L, 1L, None)))
   }
 }
+
+/** The FORWARD stream-stream as-of join must produce exactly the batch
+  * AsOf.joinNext rows on the q149 fixture (purchases pick up the next
+  * view at-or-after their time, lowest-seq ties), including across a
+  * checkpoint restart, with horizon-bounded null emission. */
+class StreamAsOfNextSpec extends SparkSpec {
+
+  private val HorizonMs = 90L * 86400L * 1000L // 90 days >> the 30-day fixture span
+
+  private def runStream(refBatches: Seq[Seq[AsOfRef]],
+                        probeBatches: Seq[Seq[AsOfProbe]],
+                        name: String): Seq[AsOfJoined] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val refMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfRef]
+    val probeMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfProbe]
+    val q = StreamAsOf.joinNext(probeMem.toDS(), refMem.toDS(), "0 seconds", HorizonMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try refBatches.zipAll(probeBatches, Seq.empty[AsOfRef], Seq.empty[AsOfProbe])
+      .foreach { case (rb, pb) =>
+        if (rb.nonEmpty) refMem.addData(rb)
+        if (pb.nonEmpty) probeMem.addData(pb)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+    spark.table(name).as[AsOfJoined].collect().toSeq
+  }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def fixture() = {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val refsDf = events.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val probesDf = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val want = graft.operators.AsOf
+      .joinNext(probesDf, refsDf, Seq("user_id"), "ts", "event_id", "value")
+      .select($"user_id", $"event_id", $"value", $"asof_value")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq.sorted
+    val refs = refsDf.select($"user_id".as("key"), $"ts",
+      $"event_id".as("seq"), $"value".as("ref_value")).as[AsOfRef].collect().toSeq
+    val probes = probesDf.select($"user_id".as("key"), $"ts",
+      $"event_id".as("seq"), $"value").as[AsOfProbe].collect().toSeq
+    (refs, probes, want)
+  }
+
+  /** Far-future flush sentinels: outside every real probe's horizon, so
+    * they advance the watermark without becoming anyone's next match. */
+  private def flushTsOf(refs: Seq[AsOfRef]): java.sql.Timestamp =
+    ts(refs.map(r => StreamAsOf.micros(r.ts) / 1000000L).max + 400L * 86400L)
+
+  test("matches batch AsOf.joinNext on the sf0.001 q149 fixture") {
+    val (refs, probes, want) = fixture()
+    assert(refs.nonEmpty && probes.nonEmpty)
+    val flushTs = flushTsOf(refs)
+    val keys = (refs.map(_.key) ++ probes.map(_.key)).distinct
+    val got = runStream(
+      Seq(refs, keys.map(AsOfRef(_, flushTs, -1L, None))),
+      Seq(probes, keys.map(AsOfProbe(_, flushTs, -1L, None))),
+      "asofn_equiv")
+      .filter(_.seq >= 0L)
+      .map(j => (j.key, j.seq, j.value, j.asof_value)).sorted
+    assert(got === want)
+  }
+
+  test("q149 fixture across a checkpoint restart == batch joinNext") {
+    import spark.implicits._
+    val (refs, probes, want) = fixture()
+    val flushTs = flushTsOf(refs)
+    val keys = (refs.map(_.key) ++ probes.map(_.key)).distinct
+    val cut = StreamAsOf.micros(refs.map(_.ts).sortBy(StreamAsOf.micros).apply(refs.size / 2))
+    def half[T](xs: Seq[T], us: T => Long, first: Boolean) =
+      xs.filter(x => (us(x) <= cut) == first)
+    val srcR = java.nio.file.Files.createTempDirectory("asofnr").toString
+    val srcP = java.nio.file.Files.createTempDirectory("asofnp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("asofnc").toString
+    val out = java.nio.file.Files.createTempDirectory("asofno").toString + "/t"
+    def writeRefs(rs: Seq[AsOfRef]): Unit =
+      rs.toDS().coalesce(1).write.mode("append").json(srcR)
+    def writeProbes(ps: Seq[AsOfProbe]): Unit =
+      ps.toDS().coalesce(1).write.mode("append").json(srcP)
+    def runOnce(): Unit = {
+      val rSchema = org.apache.spark.sql.Encoders.product[AsOfRef].schema
+      val pSchema = org.apache.spark.sql.Encoders.product[AsOfProbe].schema
+      val rStream = spark.readStream.schema(rSchema).json(srcR).as[AsOfRef]
+      val pStream = spark.readStream.schema(pSchema).json(srcP).as[AsOfProbe]
+      val q = StreamAsOf.joinNext(pStream, rStream, "0 seconds", HorizonMs)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeRefs(half[AsOfRef](refs, r => StreamAsOf.micros(r.ts), first = true))
+    writeProbes(half[AsOfProbe](probes, p => StreamAsOf.micros(p.ts), first = true))
+    runOnce()
+    writeRefs(half[AsOfRef](refs, r => StreamAsOf.micros(r.ts), first = false) ++
+      keys.map(AsOfRef(_, flushTs, -1L, None)))
+    writeProbes(half[AsOfProbe](probes, p => StreamAsOf.micros(p.ts), first = false) ++
+      keys.map(AsOfProbe(_, flushTs, -1L, None)))
+    runOnce() // full restart from the checkpoint
+    val got = spark.read.parquet(out).as[AsOfJoined].collect().toSeq
+      .filter(_.seq >= 0L)
+      .map(j => (j.key, j.seq, j.value, j.asof_value)).sorted
+    assert(got === want, "restart changed the forward as-of output")
+  }
+
+  test("inclusive equal-ts match with lowest-seq tie; nearest wins over later") {
+    val got = runStream(
+      Seq(Seq(AsOfRef(1L, ts(300), 9L, Some(90.0)), AsOfRef(1L, ts(300), 2L, Some(20.0)),
+              AsOfRef(1L, ts(500), 5L, Some(50.0))),
+          Seq(AsOfRef(1L, ts(100000), -1L, None))),
+      Seq(Seq(AsOfProbe(1L, ts(300), 3L, Some(1.0))),
+          Seq(AsOfProbe(1L, ts(100000), -1L, None))),
+      "asofn_tie")
+    // equal ts qualifies (inclusive); among equal-ts refs the LOWEST seq
+    // wins (the batch operator's order); the ts=500 ref never shadows
+    assert(got.filter(_.seq >= 0).map(j => (j.key, j.seq, j.asof_value))
+      === Seq((1L, 3L, Some(20.0))))
+  }
+
+  test("a probe with no next reference within the horizon emits null") {
+    // the only later ref is beyond the horizon end; once the watermark
+    // passes probe.ts + horizon the probe finalizes with null
+    val horizonSec = HorizonMs / 1000L
+    val got = runStream(
+      Seq(Seq(AsOfRef(4L, ts(100), 1L, Some(10.0))),
+          Seq(AsOfRef(4L, ts(200 + horizonSec + 100), 7L, Some(70.0))),
+          Seq(AsOfRef(4L, ts(3L * horizonSec), -1L, None))),
+      Seq(Seq(AsOfProbe(4L, ts(200), 2L, Some(1.0))),
+          Seq.empty,
+          Seq(AsOfProbe(4L, ts(3L * horizonSec), -1L, None))),
+      "asofn_null")
+    assert(got.filter(_.seq >= 0).map(j => (j.key, j.seq, j.asof_value))
+      === Seq((4L, 2L, None)))
+  }
+}
