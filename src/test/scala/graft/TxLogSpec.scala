@@ -371,6 +371,9 @@ class TxLogSpec extends SparkSpec {
     TxLog.init(spark, zone)
     TxLog.append(spark, zone, spark.range(50L, 100L).toDF("id"))
     val torn = writeTorn(zone, 2L)
+    // backdate: graceMs=0 compares mtime < now STRICTLY, and a manifest
+    // written in the same millisecond tie-breaks as "fresh" (kept)
+    assert(torn.setLastModified(System.currentTimeMillis() - 10000L))
     // keepGens=1 with a torn gen-2: the ONE kept snapshot must be the
     // newest COMPLETE generation (gen-1), not the corpse — otherwise
     // every live data file looks unreferenced and is deleted
@@ -386,7 +389,7 @@ class TxLogSpec extends SparkSpec {
     // a zone whose every manifest is torn: liveness unknowable, data untouched
     val zone2 = freshZone()
     spark.range(10L).toDF("id").repartition(2).write.parquet(zone2 + "/d-seed")
-    writeTorn(zone2, 0L)
+    assert(writeTorn(zone2, 0L).setLastModified(System.currentTimeMillis() - 10000L))
     assert(TxLog.vacuum(spark, zone2, keepGens = 1, graceMs = 0L) === 0L,
       "vacuum with no complete manifest must not delete data files")
     assert(spark.read.parquet(zone2 + "/d-seed").count() === 10L)
