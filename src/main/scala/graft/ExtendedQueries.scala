@@ -48,6 +48,22 @@ object ExtendedQueries {
        |    GROUP BY a.cid, t.i) g
        |  GROUP BY cid) mm ON mm.cid = p.cid)""".stripMargin
 
+  /** k=16, 2-round Lloyd's centroids over the embeddings table, trained
+    * ONCE per (session, sf dir) and shared by q69/q140/q153 — the
+    * training is deterministic (seeded by the 16 lowest ids, exact-
+    * decimal means), so every caller gets bit-identical centroids and
+    * reuse changes no result; it just stops re-running the same Lloyd's
+    * iterations three times per inventory pass. Keyed by session
+    * identity so a stopped session's plan state is never reused. */
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Array[Float])]]
+  private[graft] def trainedCentroids16(s: org.apache.spark.sql.SparkSession,
+                                        d: String): Seq[(Long, Array[Float])] =
+    centCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d,
+      graft.operators.Similarity.collectCentroids(
+        graft.operators.Similarity.kmeans(Tables.embeddings(s, d),
+          k = 16, iterations = 2)))
+
   /** The shared CTE chain: 2 Lloyd's rounds from the 16 lowest-id seeds,
     * final assignment, and the query vector — the prefix of every
     * kmeans/IVF oracle (q69, q140). */
@@ -803,8 +819,7 @@ object ExtendedQueries {
       (s, d) => {
         import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)
-        val cents = Similarity.collectCentroids(
-          Similarity.kmeans(emb, k = 16, iterations = 2))
+        val cents = trainedCentroids16(s, d) // shared deterministic training
         val assigned = Similarity.assignToCentroidsLocal(emb, cents)
         val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents, query, 10,
