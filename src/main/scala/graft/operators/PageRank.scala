@@ -47,17 +47,34 @@ object PageRank {
   val Scale = 1000000L
   val Base = 150000L // 0.15 scaled
 
-  /** Ranks after `iterations` rounds over `edges` (srcCol, dstCol) —
-    * one row per node appearing as source or destination. */
-  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                 iterations: Int,
-                 redistributeDangling: Boolean = false): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+  /** The materialized iteration-invariant relations: distinct edges,
+    * node set, out-degrees. Build ONCE ([[buildGraph]]) when several
+    * rank computations iterate over the same edge set (q139 + q142 share
+    * one graph) — each relation is an eager checkpoint, so reuse skips
+    * the distinct/union/aggregate shuffles, not just the scan. */
+  final case class Graph(e: DataFrame, nodes: DataFrame, deg: DataFrame)
+
+  def buildGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    Graph(e, nodes, deg)
+  }
+
+  /** Ranks after `iterations` rounds over `edges` (srcCol, dstCol) —
+    * one row per node appearing as source or destination. */
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int,
+                 redistributeDangling: Boolean = false): DataFrame =
+    fixedPoint(buildGraph(edges, srcCol, dstCol), iterations, redistributeDangling)
+
+  /** [[fixedPoint]] over a prebuilt [[Graph]]. */
+  def fixedPoint(g: Graph, iterations: Int,
+                 redistributeDangling: Boolean): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val Graph(e, nodes, deg) = g
     // dangling set and |N| are edge-derived and static across rounds
     val dang = if (redistributeDangling)
       nodes.join(deg, col("node") === col("src"), "left_anti").localCheckpoint(true)
