@@ -39,6 +39,44 @@ object Round6Queries {
       zone
     })
 
+  /** Z-ordered TxLog zone over (l_partkey, l_quantity): clusterByZ makes
+    * every file's min/max tight on BOTH columns at once, so q157's
+    * conjunctive range read prunes on their intersection. Partkey is
+    * bucketed /32 into the z-value's 10-bit budget (Layout.zValue ignores
+    * high bits; distant raw values must not collide), quantity fits raw. */
+  private val zZones = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def zorderZone(s: SparkSession, d: String): String =
+    zZones.getOrElseUpdate(d, {
+      val zone = java.nio.file.Files
+        .createTempDirectory("graft_q157").toString + "/zone"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
+      val clustered = graft.operators.Layout.clusterByZ(
+        li.withColumn("_pb", floor(col("l_partkey") / 32)),
+        Seq("_pb", "l_quantity"), bits = 10, numFiles = 16).drop("_pb")
+      TxLog.replace(s, zone, clustered,
+        statsCols = Seq("l_partkey", "l_quantity"))
+      zone
+    })
+
+  /** Two generations over lineitem split by quantity: gen 1 = the
+    * low-quantity rows (replace), gen 2 = gen 1 + the rest (append).
+    * q158 reads the PINNED gen-1 snapshot after gen 2 exists — time
+    * travel within the vacuum retention window, under the hash gate. */
+  private val ttZones = scala.collection.concurrent.TrieMap
+    .empty[String, (String, TxLog.Snapshot)]
+  private[graft] def timeTravelZone(s: SparkSession, d: String): (String, TxLog.Snapshot) =
+    ttZones.getOrElseUpdate(d, {
+      val zone = java.nio.file.Files
+        .createTempDirectory("graft_q158").toString + "/zone"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val gen1 = TxLog.replace(s, zone, li.filter(col("l_quantity") <= 25))
+      TxLog.append(s, zone, li.filter(col("l_quantity") > 25))
+      (zone, gen1)
+    })
+
   def all: Seq[Q] = Seq(
 
     Q("q156_txlog_pruned_read",
@@ -54,6 +92,37 @@ object Round6Queries {
           "1996-01-01 00:00:00", "1996-03-31 23:59:59")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_shipdate"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Q("q157_txlog_zorder_pruned",
+      // conjunctive range read over the Z-ordered zone: correctness is
+      // the plain two-predicate filter; the zone layout + per-column
+      // stats intersection is the engine's business (Round6Spec pins
+      // that the scan honors the intersected keep-list)
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 50 AND 120
+             |  AND l_quantity BETWEEN 10 AND 20
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => TxLog
+        .readWhereCols(s, zorderZone(s, d),
+          Seq(("l_partkey", 50, 120), ("l_quantity", 10, 20)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Q("q158_txlog_time_travel",
+      // the pinned gen-1 snapshot read AFTER gen 2 was published must
+      // see exactly the pre-append rows — snapshot isolation / time
+      // travel under the hash gate
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem WHERE l_quantity <= 25
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => {
+        val (zone, gen1) = timeTravelZone(s, d)
+        TxLog.readSnapshot(s, zone, gen1)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
+      })
   )
 }

@@ -486,6 +486,38 @@ object TxLog {
       .filter(pred)
   }
 
+  /** Conjunctive multi-column range read: a file is scanned only if its
+    * stats overlap EVERY column's range — the read shape a Z-ordered
+    * layout exists for ([[Layout.clusterByZ]] makes per-file min/max
+    * tight on every clustered column simultaneously, so the intersection
+    * of the per-column keep-lists is small). Exact predicates are applied
+    * after, as always. */
+  def readWhereCols(spark: SparkSession, zone: String,
+                    preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhereCols needs at least one range predicate")
+    import org.apache.spark.sql.functions.{col, lit}
+    val head = latest(spark, zone).getOrElse(
+      sys.error(s"$zone has no transaction log"))
+    val keep = preds.foldLeft(head.files) { case (files, (c, lo, hi)) =>
+      val perCol = prunedFilesFor(head, c, lo, hi).toSet
+      files.filter(perCol)
+    }
+    val pred = preds.map { case (c, lo, hi) =>
+      val kind = head.colStats.values.flatMap(_.get(c)).headOption.map(_.kind)
+      if (kind.contains("num"))
+        col(c).cast("double") >= lit(lo.toString.toDouble) &&
+          col(c).cast("double") <= lit(hi.toString.toDouble)
+      else
+        col(c).cast("string") >= lit(lo.toString) &&
+          col(c).cast("string") <= lit(hi.toString)
+    }.reduce(_ && _)
+    if (keep.isEmpty)
+      readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.format(head.format)
+      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      .filter(pred)
+  }
+
   /** Null-count-based skipping: read the zone for an IS NOT NULL query on
     * `column`, scanning only files where at least one row is non-null. */
   def readWhereNotNull(spark: SparkSession, zone: String, column: String): DataFrame = {
