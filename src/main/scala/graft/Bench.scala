@@ -130,7 +130,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
-      "q158_txlog_time_travel", "q157_txlog_zorder_pruned",
+      "q159_knn_join", "q158_txlog_time_travel", "q157_txlog_zorder_pruned",
       "q156_txlog_pruned_read",
       "compaction_cdc_zone",
       "q155_countmin_estimates", "q154_retention_cohorts",

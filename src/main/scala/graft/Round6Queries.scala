@@ -123,6 +123,44 @@ object Round6Queries {
         TxLog.readSnapshot(s, zone, gen1)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    Q("q159_knn_join",
+      // Batch k-NN JOIN: the 20 lowest-id vectors are the query set, the
+      // rest the corpus; every query probes its 3 best IVF cells (the
+      // shared deterministic k=16 training) and takes exact cosine top-5
+      // inside them. Candidates are a cell equi-join — |q|·nProbe·(n/16)
+      // rows, never |q|·n — and the oracle replays the identical probe
+      // and ranking arithmetic (rounded cosine, lowest-id ties) over the
+      // same unrolled k-means CTEs as q69/q140.
+      Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
+              |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM v WHERE vec_id < 20),
+              |qprob AS (SELECT q_id, qe, cid FROM (
+              |  SELECT q.q_id, q.qe, c.cid,
+              |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+              |           ORDER BY ROUND(${TrainingQueries.cosOf("q.qe", "c.ce")}, 4) DESC,
+              |                    c.cid) AS rn
+              |  FROM qs q CROSS JOIN c2 c) r WHERE rn <= 3),
+              |cand AS (SELECT p.q_id, p.qe, a.vec_id, a.embedding
+              |         FROM qprob p JOIN afinal a ON a.cid = p.cid
+              |         WHERE a.vec_id >= 20),
+              |ranked AS (SELECT q_id, vec_id,
+              |                  ROUND(${TrainingQueries.cosOf("qe", "embedding")}, 4) AS sim,
+              |                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              |                    ORDER BY ROUND(${TrainingQueries.cosOf("qe", "embedding")}, 4) DESC,
+              |                             vec_id) AS BIGINT) AS rank
+              |           FROM cand)
+              |SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin),
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val corpus = emb.filter(col("vec_id") >= 20)
+        Similarity.knnJoinIvf(corpus, queries,
+            ExtendedQueries.trainedCentroids16(s, d), k = 5, nProbe = 3)
+          .orderBy("q_id", "rank")
       })
   )
 }

@@ -147,6 +147,52 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** Batch k-NN JOIN via IVF — every query row gets its top-k corpus
+    * neighbors by rounded cosine. This is the retrieval/contamination
+    * primitive a training-data pipeline runs at scale (match a whole
+    * eval set, not one probe vector, against the corpus), and the shape
+    * is what keeps it off the q×n cliff:
+    *
+    *  - corpus rows are cell-assigned ONCE (the zero-shuffle literal
+    *    argmax kernel of [[assignToCentroidsLocal]]);
+    *  - each query ranks the k×dim centroid literals (a broadcast of the
+    *    tiny centroid relation, map-side window per query) and probes
+    *    its `nProbe` best cells;
+    *  - candidates are a CELL EQUI-JOIN (probed cells ⋈ assigned corpus)
+    *    — candidate count ≈ |queries|·nProbe·(n/k), never |queries|·n;
+    *  - exact rounded cosine + per-QUERY top-k window (partitioned by
+    *    query id — thousands of independent partitions, no global sort).
+    *
+    * Rounding to 4dp with lowest-id ties on BOTH the probe ranking and
+    * the final ranking makes the result engine-portable (the q44/q69
+    * oracle discipline). Output: (qIdCol, idCol, sim, rank<=k). */
+  def knnJoinIvf(corpus: DataFrame, queries: DataFrame,
+                 centroids: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}], got $nProbe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroidsLocal(corpus, centroids, idCol, vecCol)
+    val centsDf = centroids.toDF("cent_id", "ce")
+    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_cs").desc, col("cent_id"))
+    val probed = queries.crossJoin(broadcast(centsDf))
+      .select(col(qIdCol), col(qVecCol), col("cent_id"),
+        round(cosine(col(qVecCol), col("ce")), 4).as("_cs"))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("cent_id"))
+    val wk = Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))
+    probed.join(assigned, "cent_id")
+      .select(col(qIdCol), col(idCol),
+        round(cosine(col(qVecCol), col(vecCol)), 4).as("sim"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic Lloyd's k-means over an `array<float>` column — the
     * training step that produces real IVF centroids (vs. seeding cells from
     * arbitrary ids). Design choices, all for scale + determinism:

@@ -40,6 +40,39 @@ class Round6Spec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("knnJoinIvf with every cell probed equals the brute-force top-k") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.cosine
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val cents = ExtendedQueries.trainedCentroids16(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nProbe = all cells: the IVF path must reproduce the exact answer
+    val ivf = Similarity.knnJoinIvf(corpus, queries, cents, k = 3, nProbe = cents.size)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = queries.crossJoin(corpus)
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    assert(rows(ivf) === rows(exact),
+      "probing every cell must equal the brute-force k-NN join")
+    // partial probing returns a well-formed subset: k rows per query,
+    // consecutive ranks from 1
+    val part = Similarity.knnJoinIvf(corpus, queries, cents, k = 3, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")))
+    part.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.size.toLong).toSeq,
+        s"query $q has non-consecutive ranks")
+    }
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
