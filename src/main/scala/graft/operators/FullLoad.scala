@@ -46,6 +46,17 @@ object FullLoad {
       .save(destPath)
   }
 
+  /** Full load straight from a pluggable segmented connector
+    * ([[graft.sources.SegmentedScan]] — the reference's parallel DynamoDB
+    * scan boundary): `splits` scan tasks (A1/A2 via [[splitCount]]),
+    * then the standard repartition -> columnar write (A4/A5/A6). */
+  def runScan(spark: SparkSession, source: graft.sources.SegmentedScan,
+              splits: Int, destPath: String,
+              outputPartitions: Int = Runtime.getRuntime.availableProcessors(),
+              verbose: Boolean = false, format: String = "parquet"): Unit =
+    run(graft.sources.SegmentedScan.toDataFrame(spark, source, splits),
+      destPath, outputPartitions, verbose, format)
+
   def readBack(spark: SparkSession, destPath: String,
                format: String = "parquet"): DataFrame =
     spark.read.format(format).load(destPath)
