@@ -462,28 +462,35 @@ object TxLog {
     * min/max for `column` overlap [lo, hi], then applies the exact
     * predicate. The multi-column twin of [[readWhere]]; the zone must
     * have been written with `statsCols` including `column`. */
+  /** Range predicate that keeps PARQUET PUSHDOWN alive: the literal is
+    * cast to the COLUMN's native type, never the column to the
+    * literal's — a cast around the column makes the filter opaque to the
+    * scan, losing the row-group min/max skipping INSIDE each file that
+    * manifest-level pruning composes with. */
+  private def nativeRangePred(df: DataFrame, column: String,
+                              lo: Any, hi: Any): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dt = df.schema(column).dataType
+    col(column) >= lit(lo.toString).cast(dt) &&
+      col(column) <= lit(hi.toString).cast(dt)
+  }
+
   def readWhereCol(spark: SparkSession, zone: String, column: String,
                    lo: Any, hi: Any): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     val head = latest(spark, zone).getOrElse(
       sys.error(s"$zone has no transaction log"))
     val tracked = head.meta.getOrElse("stats.cols", "").split(",")
     require(tracked.contains(column),
       s"$zone does not track stats for '$column' (tracked: ${tracked.mkString(",")}) " +
         "— write with statsCols to enable skipping")
-    val kind = head.colStats.values.flatMap(_.get(column)).headOption.map(_.kind)
-    val (c, l, h) =
-      if (kind.contains("num"))
-        (col(column).cast("double"),
-          lit(lo.toString.toDouble), lit(hi.toString.toDouble))
-      else (col(column).cast("string"), lit(lo.toString), lit(hi.toString))
-    val pred = c >= l && c <= h
     val keep = prunedFilesFor(head, column, lo, hi)
     if (keep.isEmpty)
       readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.format(head.format)
-      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
-      .filter(pred)
+    else {
+      val df = spark.read.format(head.format)
+        .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      df.filter(nativeRangePred(df, column, lo, hi))
+    }
   }
 
   /** Conjunctive multi-column range read: a file is scanned only if its
@@ -495,27 +502,20 @@ object TxLog {
   def readWhereCols(spark: SparkSession, zone: String,
                     preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereCols needs at least one range predicate")
-    import org.apache.spark.sql.functions.{col, lit}
     val head = latest(spark, zone).getOrElse(
       sys.error(s"$zone has no transaction log"))
     val keep = preds.foldLeft(head.files) { case (files, (c, lo, hi)) =>
       val perCol = prunedFilesFor(head, c, lo, hi).toSet
       files.filter(perCol)
     }
-    val pred = preds.map { case (c, lo, hi) =>
-      val kind = head.colStats.values.flatMap(_.get(c)).headOption.map(_.kind)
-      if (kind.contains("num"))
-        col(c).cast("double") >= lit(lo.toString.toDouble) &&
-          col(c).cast("double") <= lit(hi.toString.toDouble)
-      else
-        col(c).cast("string") >= lit(lo.toString) &&
-          col(c).cast("string") <= lit(hi.toString)
-    }.reduce(_ && _)
     if (keep.isEmpty)
       readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.format(head.format)
-      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
-      .filter(pred)
+    else {
+      val df = spark.read.format(head.format)
+        .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      df.filter(preds.map { case (c, lo, hi) => nativeRangePred(df, c, lo, hi) }
+        .reduce(_ && _))
+    }
   }
 
   /** Null-count-based skipping: read the zone for an IS NOT NULL query on

@@ -22,6 +22,14 @@ class Round6Spec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     assert(df.filter(col("l_shipdate").cast("string") < "1996-01-01 00:00:00" ||
       col("l_shipdate").cast("string") > "1996-03-31 23:59:59").count() === 0L)
+    // manifest pruning COMPOSES with parquet row-group skipping: the
+    // exact predicate must reach the scan (literal cast to the column's
+    // type, never the column to the literal's)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\]".r
+    assert(pushed.findFirstIn(plan).isDefined,
+      s"range predicate did not push into the parquet scan:\n$plan")
   }
 
   test("q157: the Z-ordered zone prunes on the INTERSECTION of both columns' stats") {
