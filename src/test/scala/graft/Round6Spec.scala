@@ -81,6 +81,58 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q159 plan: candidates are a cell equi-join; the only nested loop is the centroid broadcast") {
+    val df = Queries.queryMap("q159_knn_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q159 planned a cartesian product:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 1,
+      s"expected at most the 16-row centroid broadcast as a nested loop, found $nlj:\n$plan")
+    // the corpus-side candidate join must be an equi-join on cent_id
+    assert(plan.contains("cent_id"), s"cell key missing from the plan:\n$plan")
+  }
+
+  test("property: typed-stats pruned reads equal the full-scan filter on random data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val zone = java.nio.file.Files
+        .createTempDirectory(s"graft_prop$trial").toString + "/zone"
+      val n = 2000
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(1000), f"s${rnd.nextInt(500)}%03d")
+      }
+      val df = rows.toDF("id", "num", "str")
+      // random physical layout: clustered, shuffled, or range-partitioned
+      val laid = trial % 3 match {
+        case 0 => df.repartitionByRange(8, col("num"))
+        case 1 => df.repartition(8)
+        case 2 => df.repartitionByRange(8, col("str"))
+      }
+      spark.range(0).select(lit(0L).as("id"), lit(0).as("num"), lit("").as("str"))
+        .limit(0).write.parquet(zone)
+      graft.operators.TxLog.init(spark, zone)
+      graft.operators.TxLog.replace(spark, zone, laid,
+        statsCols = Seq("num", "str"))
+      for (_ <- 0 until 5) {
+        val (lo, hi) = { val a = rnd.nextInt(1000); val b = rnd.nextInt(1000)
+          (math.min(a, b), math.max(a, b)) }
+        val got = graft.operators.TxLog.readWhereCol(spark, zone, "num", lo, hi)
+          .select($"id").as[Long].collect().toSet
+        val want = rows.collect { case (id, v, _) if v >= lo && v <= hi => id }.toSet
+        assert(got === want, s"num range [$lo,$hi] on layout $trial diverged")
+        val (sl, sh) = { val a = f"s${rnd.nextInt(500)}%03d"; val b = f"s${rnd.nextInt(500)}%03d"
+          if (a <= b) (a, b) else (b, a) }
+        val gotS = graft.operators.TxLog.readWhereCol(spark, zone, "str", sl, sh)
+          .select($"id").as[Long].collect().toSet
+        val wantS = rows.collect { case (id, _, s) if s >= sl && s <= sh => id }.toSet
+        assert(gotS === wantS, s"str range [$sl,$sh] on layout $trial diverged")
+      }
+    }
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
