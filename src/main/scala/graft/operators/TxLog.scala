@@ -466,7 +466,10 @@ object TxLog {
     * cast to the COLUMN's native type, never the column to the
     * literal's — a cast around the column makes the filter opaque to the
     * scan, losing the row-group min/max skipping INSIDE each file that
-    * manifest-level pruning composes with. */
+    * manifest-level pruning composes with. Bounds must be representable
+    * in the column's type (e.g. no fractional bounds on an integer
+    * column) — under ANSI the constant-folded cast fails loudly at plan
+    * time rather than silently filtering everything. */
   private def nativeRangePred(df: DataFrame, column: String,
                               lo: Any, hi: Any): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
