@@ -21,13 +21,14 @@ object AnalyticsQueries {
     * and rebuilt per query the lineitem⋈orders join + pair aggregation
     * was ~13% of the round-5 bench across the three. The cache holds one
     * eagerly checkpointed pair relation — |suppliers×customers| scalar
-    * rows, tiny next to the fact tables it derives from. Keyed by
-    * session identity so a stopped session's checkpoint is never reused. */
-  private val fulfillCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    * rows, tiny next to the fact tables it derives from. Keyed by the
+    * session OBJECT (weakly — see [[SessionCache]]) so a stopped
+    * session's checkpoint is never served to a new session and dead
+    * sessions do not pin their checkpoints forever. */
+  private val fulfillCache = new SessionCache[org.apache.spark.sql.DataFrame]
   private[graft] def fulfillmentEdges(s: org.apache.spark.sql.SparkSession,
                                       d: String): org.apache.spark.sql.DataFrame =
-    fulfillCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d,
+    fulfillCache.getOrElseUpdate(s, d)(
       Tables.lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -40,11 +41,10 @@ object AnalyticsQueries {
     * degrees) over [[fulfillmentEdges]], built once and shared by q139
     * and q142 — the two unweighted variants differ only in dangling-mass
     * treatment, which is derived inside the iteration. */
-  private val graphCache = scala.collection.concurrent.TrieMap
-    .empty[String, graft.operators.PageRank.Graph]
+  private val graphCache = new SessionCache[graft.operators.PageRank.Graph]
   private def fulfillmentGraph(s: org.apache.spark.sql.SparkSession,
                                d: String): graft.operators.PageRank.Graph =
-    graphCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d,
+    graphCache.getOrElseUpdate(s, d)(
       graft.operators.PageRank.buildGraph(fulfillmentEdges(s, d), "src", "dst"))
 
   def all: Seq[Q] = Seq(

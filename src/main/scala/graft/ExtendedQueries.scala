@@ -53,13 +53,13 @@ object ExtendedQueries {
     * training is deterministic (seeded by the 16 lowest ids, exact-
     * decimal means), so every caller gets bit-identical centroids and
     * reuse changes no result; it just stops re-running the same Lloyd's
-    * iterations three times per inventory pass. Keyed by session
-    * identity so a stopped session's plan state is never reused. */
-  private val centCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(Long, Array[Float])]]
+    * iterations three times per inventory pass. Keyed by the session
+    * OBJECT (weakly — see [[SessionCache]]) so a stopped session's plan
+    * state is never reused and dead sessions are not pinned. */
+  private val centCache = new SessionCache[Seq[(Long, Array[Float])]]
   private[graft] def trainedCentroids16(s: org.apache.spark.sql.SparkSession,
                                         d: String): Seq[(Long, Array[Float])] =
-    centCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d,
+    centCache.getOrElseUpdate(s, d)(
       graft.operators.Similarity.collectCentroids(
         graft.operators.Similarity.kmeans(Tables.embeddings(s, d),
           k = 16, iterations = 2)))

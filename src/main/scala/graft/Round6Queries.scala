@@ -42,8 +42,14 @@ object Round6Queries {
   /** Z-ordered TxLog zone over (l_partkey, l_quantity): clusterByZ makes
     * every file's min/max tight on BOTH columns at once, so q157's
     * conjunctive range read prunes on their intersection. Partkey is
-    * bucketed /32 into the z-value's 10-bit budget (Layout.zValue ignores
-    * high bits; distant raw values must not collide), quantity fits raw. */
+    * bucketed into the z-value's 10-bit budget with a divisor derived
+    * from the table's actual max key (Layout.zValue IGNORES bits above
+    * 2^bits, so an overflowing bucket id would interleave DISTANT
+    * partkeys into the same z-cells — every file's min/max then spans
+    * the whole key range and pruning silently degenerates to a full
+    * scan at exactly the scale it exists for); quantity fits raw. The
+    * floor of 32 keeps the small-sf layout identical to the fixed /32
+    * bucketing this query shipped with. */
   private val zZones = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def zorderZone(s: SparkSession, d: String): String =
     zZones.getOrElseUpdate(d, {
@@ -52,8 +58,10 @@ object Round6Queries {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_quantity"))
+      val maxPk = li.agg(max(col("l_partkey")).cast("long")).first().getLong(0)
+      val div = math.max(32L, (maxPk >> 10) + 1L) // ceil-ish: maxPk/div < 1024
       val clustered = graft.operators.Layout.clusterByZ(
-        li.withColumn("_pb", floor(col("l_partkey") / 32)),
+        li.withColumn("_pb", floor(col("l_partkey") / div)),
         Seq("_pb", "l_quantity"), bits = 10, numFiles = 16).drop("_pb")
       TxLog.replace(s, zone, clustered,
         statsCols = Seq("l_partkey", "l_quantity"))

@@ -133,10 +133,18 @@ object TxLog {
     * and completing the manifest body leaves a TORN manifest occupying the
     * number: `latest` skips it, so every later publish recomputes the same
     * head and collides with the corpse forever — one crash would wedge the
-    * zone. Collisions therefore reclaim torn manifests older than this
-    * grace window (delete + one create retry). Complete manifests are
-    * never reclaimed, and the window is sized so an IN-FLIGHT publish
-    * (created milliseconds ago, body still streaming) is never stolen. */
+    * zone. Collisions therefore SKIP PAST torn manifests older than this
+    * grace window and claim the next free generation number. Skipping —
+    * rather than delete-and-recreate — keeps the publish path free of
+    * deletions, so there is no window in which a second reclaimer's stale
+    * view of the corpse can delete the first reclaimer's freshly created
+    * in-flight manifest (the delete form loses an acknowledged commit in
+    * exactly the multi-writer-retry scenario reclaim exists for).
+    * `latest` and [[vacuum]] already tolerate generation gaps, and vacuum
+    * GC's the corpse itself once it ages out. Complete manifests are
+    * never skipped, and the window is sized so an IN-FLIGHT publish
+    * (created milliseconds ago, body still streaming) is never bypassed
+    * — its writer still owns its number. */
   private[operators] val TornManifestGraceMs: Long = 15L * 60L * 1000L
 
   /** The atomic generation claim: create-if-absent. HDFS enforces this at
@@ -161,47 +169,62 @@ object TxLog {
     }
   }
 
-  /** True iff `p` held a torn (incomplete) manifest past the grace window
-    * and was deleted — the claim may be retried. Also true when the file
-    * vanished between the collision and this check (someone else already
-    * reclaimed or vacuumed it). A COMPLETE manifest, or a fresh torn one
-    * (likely mid-write), is left alone. */
-  private def reclaimTorn(f: FileSystem, p: Path): Boolean =
+  /** What a collided generation path currently holds. */
+  private sealed trait Occupant
+  private case object Vanished extends Occupant      // retry the same number
+  private case object TornExpired extends Occupant   // corpse: skip the number
+  private case object Owned extends Occupant         // complete or in-flight
+
+  private def occupant(f: FileSystem, p: Path): Occupant =
     try {
       val st = f.getFileStatus(p)
-      readManifest(f, p).isEmpty &&
-        st.getModificationTime < System.currentTimeMillis() - TornManifestGraceMs &&
-        f.delete(p, false)
+      if (readManifest(f, p).nonEmpty) Owned
+      else if (st.getModificationTime <
+        System.currentTimeMillis() - TornManifestGraceMs) TornExpired
+      else Owned
     } catch {
-      case _: java.io.FileNotFoundException => true
-      case _: java.io.IOException => false
+      case _: java.io.FileNotFoundException => Vanished
+      case _: java.io.IOException => Owned
     }
 
-  /** Atomically publish generation `gen`. Returns false when another
-    * writer already owns it with a complete or in-flight manifest
-    * (create-exclusive lost the race); a crash-torn manifest past the
-    * grace window is reclaimed so a dead writer cannot wedge the zone. */
+  /** Atomically publish a new generation at number `gen` — or, when that
+    * number is occupied by a crash-torn manifest past the grace window,
+    * at the next free number (the corpse is skipped, never deleted; see
+    * [[TornManifestGraceMs]]). Returns the claimed generation number, or
+    * None when another writer owns `gen` with a complete or in-flight
+    * manifest — the caller rebases on the new head and retries. */
   private def publish(spark: SparkSession, zone: String, gen: Long,
                       format: String, files: Seq[String],
                       meta: Map[String, String] = Map.empty,
                       stats: Map[String, (Double, Double)] = Map.empty,
-                      colStats: Map[String, Map[String, ColStat]] = Map.empty): Boolean = {
+                      colStats: Map[String, Map[String, ColStat]] = Map.empty): Option[Long] = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       s"manifest meta keys must be =-free and values newline-free: $meta")
     require(colStats.values.flatMap(_.keys).forall(c =>
       !c.contains('|') && !c.contains('=') && !c.contains(',')),
       "stats column names must be free of | = , characters")
-    val p = genPath(zone, gen)
     val f = fs(spark, zone)
-    f.mkdirs(p.getParent)
-    val out: java.io.OutputStream =
-      tryCreate(f, p).orElse {
-        if (reclaimTorn(f, p)) tryCreate(f, p) else None
-      }.getOrElse(return false)
+    f.mkdirs(genPath(zone, gen).getParent)
+    var g = gen
+    var claimed: Option[java.io.OutputStream] = None
+    // bounded walk: each step either retries a vanished path or skips one
+    // expired corpse; anything else is a genuine lost race
+    var steps = 0
+    while (claimed.isEmpty && steps < 64) {
+      steps += 1
+      val p = genPath(zone, g)
+      claimed = tryCreate(f, p)
+      if (claimed.isEmpty) occupant(f, p) match {
+        case Vanished    => () // vacuumed between collide and check: same g
+        case TornExpired => g += 1
+        case Owned       => return None
+      }
+    }
+    val out = claimed.getOrElse(return None)
     try {
       val body = new StringBuilder(Header).append('\n')
-        .append("gen=").append(gen).append('\n')
+        .append("gen=").append(g).append('\n')
         .append("format=").append(format).append('\n')
         .append("count=").append(files.size).append('\n')
       meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -219,7 +242,7 @@ object TxLog {
       body.append("end\n")
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
-    true
+    Some(g)
   }
 
   /** Zone-relative data files currently under `dir` (one `d-<uuid>`
@@ -246,8 +269,12 @@ object TxLog {
       val files =
         if (!f.exists(root)) Seq.empty
         else listRel(f, root, root).filterNot(_.startsWith(LogDir))
-      publish(spark, zone, 0L, format, files)
-      Snapshot(0L, format, files)
+      publish(spark, zone, 0L, format, files) match {
+        case Some(g) => Snapshot(g, format, files)
+        // lost the init race: someone else published first — read them
+        case None => latest(spark, zone).getOrElse(
+          sys.error(s"txlog init of $zone lost the publish race"))
+      }
     }
 
   /** Read the zone at its newest complete snapshot. A zone without a log
@@ -266,71 +293,69 @@ object TxLog {
     else spark.read.format(s.format).load(paths: _*)
   }
 
-  /** Per-file min/max of `statsCol` (cast to double) over the files just
-    * written to `dataDir` — one bounded extra scan of the NEW files only,
-    * at write time, like Delta's stats collection. Files whose min/max is
-    * null or NaN get no stats entry (they are always read). */
-  private def fileStats(spark: SparkSession, root: Path, dataDir: Path,
-                        format: String, statsCol: String): Map[String, (Double, Double)] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val rootPath = root.toUri.getPath.stripSuffix("/")
-    spark.read.format(format).load(dataDir.toString)
-      .groupBy(input_file_name().as("_file"))
-      .agg(min(col(statsCol).cast("double")).as("_mn"),
-        max(col(statsCol).cast("double")).as("_mx"))
-      .collect()
-      .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None
-        else {
-          val (mn, mx) = (r.getDouble(1), r.getDouble(2))
-          if (mn.isNaN || mx.isNaN) None
-          else {
-            val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-              .stripPrefix(rootPath).stripPrefix("/")
-            Some(rel -> (mn, mx))
-          }
-        }
-      }.toMap
-  }
-
-  /** Typed per-file min/max/null-count for `cols` over the files just
-    * written to `dataDir` — ONE bounded extra scan of the new files only,
-    * all columns aggregated in the same pass (Delta-style stats
-    * collection). Numeric columns record doubles ("num"); everything else
-    * records its string form ("str" — ISO date/timestamp strings order
-    * chronologically). */
-  private def fileStatsTyped(spark: SparkSession, root: Path, dataDir: Path,
-                             format: String,
-                             cols: Seq[String]): Map[String, Map[String, ColStat]] = {
-    if (cols.isEmpty) return Map.empty
+  /** Per-file stats over the files just written to `dataDir` — the legacy
+    * single-column doubles (`legacyCol`) and the typed multi-column
+    * min/max/null-counts (`typedCols`) computed in ONE bounded extra scan
+    * of the new files, all columns aggregated in the same
+    * `groupBy(input_file_name)` job (Delta-style stats collection; a zone
+    * carrying both meta keys must not pay two read passes per commit).
+    * Legacy entries with a null/NaN bound are dropped (those files are
+    * always read). Typed numeric columns record doubles ("num");
+    * everything else records its string form ("str" — ISO date/timestamp
+    * strings order chronologically). */
+  private def collectFileStats(spark: SparkSession, root: Path, dataDir: Path,
+                               format: String, legacyCol: Option[String],
+                               typedCols: Seq[String])
+      : (Map[String, (Double, Double)], Map[String, Map[String, ColStat]]) = {
+    if (legacyCol.isEmpty && typedCols.isEmpty) return (Map.empty, Map.empty)
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
     val df = spark.read.format(format).load(dataDir.toString)
-    val kinds = cols.map { c =>
+    val kinds = typedCols.map { c =>
       c -> (df.schema(c).dataType match {
         case _: org.apache.spark.sql.types.NumericType => "num"
         case _ => "str"
       })
     }.toMap
-    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+    val legacyAggs = legacyCol.toSeq.flatMap { c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double")))
+    }
+    val typedAggs = typedCols.flatMap { c =>
       val v = if (kinds(c) == "num") col(c).cast("double") else col(c).cast("string")
       Seq(min(v), max(v), count(when(col(c).isNull, 1)))
     }
+    val aggs = count(lit(1)).as("_rows") +: (legacyAggs ++ typedAggs)
     val rootPath = root.toUri.getPath.stripSuffix("/")
-    df.groupBy(input_file_name().as("_file"))
+    val rows = df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map { r =>
+    val typedBase = 2 + legacyAggs.size
+    val legacy = rows.flatMap { r =>
+      if (legacyCol.isEmpty || r.isNullAt(2) || r.isNullAt(3)) None
+      else {
+        val (mn, mx) = (r.getDouble(2), r.getDouble(3))
+        if (mn.isNaN || mx.isNaN) None
+        else {
+          val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+            .stripPrefix(rootPath).stripPrefix("/")
+          Some(rel -> (mn, mx))
+        }
+      }
+    }.toMap
+    val typed =
+      if (typedCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else rows.map { r =>
         val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
           .stripPrefix(rootPath).stripPrefix("/")
-        val rows = r.getLong(1)
-        val perCol = cols.zipWithIndex.map { case (c, i) =>
-          val base = 2 + i * 3
+        val nRows = r.getLong(1)
+        val perCol = typedCols.zipWithIndex.map { case (c, i) =>
+          val base = typedBase + i * 3
           def v(at: Int): Option[String] =
             if (r.isNullAt(at)) None else Some(r.get(at).toString)
-          c -> ColStat(kinds(c), rows, r.getLong(base + 2), v(base), v(base + 1))
+          c -> ColStat(kinds(c), nRows, r.getLong(base + 2), v(base), v(base + 1))
         }.toMap
         rel -> perCol
       }.toMap
+    (legacy, typed)
   }
 
   /** The stats columns a zone tracks: this write's request, else the
@@ -374,10 +399,9 @@ object TxLog {
     df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
     val added = listRel(f, root, dataDir)
     val cName = statsCol.orElse(head0.meta.get("stats.col"))
-    val addedStats = cName.map(c => fileStats(spark, root, dataDir, head0.format, c))
-      .getOrElse(Map.empty)
     val tCols = effectiveStatsCols(statsCols, head0.meta)
-    val addedColStats = fileStatsTyped(spark, root, dataDir, head0.format, tCols)
+    val (addedStats, addedColStats) =
+      collectFileStats(spark, root, dataDir, head0.format, cName, tCols)
     val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty) ++
       (if (tCols.nonEmpty) Map("stats.cols" -> tCols.mkString(",")) else Map.empty)
     var attempt = 0
@@ -393,8 +417,11 @@ object TxLog {
       val next = Snapshot(head.gen + 1, head.format,
         (head.files ++ added).sorted, head.meta ++ statsMeta ++ meta,
         head.stats ++ addedStats, head.colStats ++ addedColStats)
-      if (publish(spark, zone, next.gen, next.format, next.files, next.meta,
-        next.stats, next.colStats)) return Some(next)
+      publish(spark, zone, next.gen, next.format, next.files, next.meta,
+        next.stats, next.colStats) match {
+        case Some(g) => return Some(next.copy(gen = g))
+        case None => ()
+      }
       attempt += 1
       // the racing winner may still be mid-manifest-write (invisible to
       // latest()); back off so the rebase sees its completed head
@@ -435,12 +462,28 @@ object TxLog {
       .filter(pred)
   }
 
+  /** Common-prefix string comparison for "str" stats: compares only the
+    * first min(len) characters and reports 0 when one side is a prefix of
+    * the other. A strict prefix inequality implies the same strict full-
+    * string inequality, so pruning on it is sound for ANY strings — and
+    * it is what makes mixed-granularity chronological bounds safe: a
+    * DATE-typed stat "1996-01-01" against a caller bound
+    * "1996-01-01 00:00:00" compares EQUAL (ambiguous → keep) instead of
+    * lexicographically smaller (which would prune a file whose rows the
+    * exact predicate then matches — silently missing data). */
+  private def cmpPrefix(a: String, b: String): Int = {
+    val k = math.min(a.length, b.length)
+    a.substring(0, k).compareTo(b.substring(0, k))
+  }
+
   /** Files a range predicate on `column` can touch under the TYPED stats:
     * files without a stat for the column are kept (never skip blind);
     * files whose [min, max] misses [lo, hi] — compared as doubles for
-    * "num" columns, lexicographically for "str" — are pruned, as are
-    * files where the column is entirely null (a range predicate is
-    * null-rejecting). NaN bounds keep the file. */
+    * "num" columns, by [[cmpPrefix]] for "str" (prune only on a STRICT
+    * common-prefix inequality, so bound formats of finer or coarser
+    * granularity than the stat strings can never prune a qualifying
+    * file) — are pruned, as are files where the column is entirely null
+    * (a range predicate is null-rejecting). NaN bounds keep the file. */
   def prunedFilesFor(s: Snapshot, column: String, lo: Any, hi: Any): Seq[String] =
     s.files.filter { f =>
       s.colStats.get(f).flatMap(_.get(column)) match {
@@ -450,8 +493,7 @@ object TxLog {
             val (m, x) = (mn.toDouble, mx.toDouble)
             m.isNaN || x.isNaN || (x >= l && m <= h)
           case (Some(mn), Some(mx)) =>
-            val (l, h) = (lo.toString, hi.toString)
-            mx >= l && mn <= h
+            cmpPrefix(mx, lo.toString) >= 0 && cmpPrefix(mn, hi.toString) <= 0
           case _ => false // entirely-null column: no row can pass the range
         }
         case None => true
@@ -559,18 +601,19 @@ object TxLog {
     df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
     val files = listRel(f, root, dataDir)
     val cName = statsCol.orElse(head0.meta.get("stats.col"))
-    val stats = cName.map(c => fileStats(spark, root, dataDir, head0.format, c))
-      .getOrElse(Map.empty)
     val tCols = effectiveStatsCols(statsCols, head0.meta)
-    val colStats = fileStatsTyped(spark, root, dataDir, head0.format, tCols)
+    val (stats, colStats) =
+      collectFileStats(spark, root, dataDir, head0.format, cName, tCols)
     val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty) ++
       (if (tCols.nonEmpty) Map("stats.cols" -> tCols.mkString(",")) else Map.empty)
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
       val m = head.meta ++ statsMeta ++ meta
-      if (publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats))
-        return Snapshot(head.gen + 1, head.format, files, m, stats, colStats)
+      publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats) match {
+        case Some(g) => return Snapshot(g, head.format, files, m, stats, colStats)
+        case None => ()
+      }
       attempt += 1
       Thread.sleep(math.min(200L, 10L * attempt))
     }
@@ -628,22 +671,20 @@ object TxLog {
       .write.mode(SaveMode.ErrorIfExists).format(head.format).save(dataDir.toString)
     val newFiles = listRel(f, root, dataDir)
     // a stats-tracked zone recomputes per-file stats for the rewrite
-    val newStats = head.meta.get("stats.col")
-      .map(c => fileStats(spark, root, dataDir, head.format, c))
-      .getOrElse(Map.empty)
-    val newColStats = fileStatsTyped(spark, root, dataDir, head.format,
-      effectiveStatsCols(Nil, head.meta))
+    val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
+      head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
     prePublishHook()
     // meta carries forward: compaction must not erase e.g. the streaming
     // sink's batchId high-water mark
-    if (publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta,
-      newStats, newColStats))
-      CompactStats(head.gen + 1, head.files.size.toLong, newFiles.size.toLong,
-        bytes, rewritten = true)
-    else {
-      f.delete(dataDir, true)
-      CompactStats(head.gen, head.files.size.toLong, head.files.size.toLong,
-        bytes, rewritten = false)
+    publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta,
+      newStats, newColStats) match {
+      case Some(g) =>
+        CompactStats(g, head.files.size.toLong, newFiles.size.toLong,
+          bytes, rewritten = true)
+      case None =>
+        f.delete(dataDir, true)
+        CompactStats(head.gen, head.files.size.toLong, head.files.size.toLong,
+          bytes, rewritten = false)
     }
   }
 
@@ -666,12 +707,18 @@ object TxLog {
     val manifests = f.listStatus(dir).toSeq
       .filter(_.getPath.getName.startsWith("gen-")).sortBy(_.getPath.getName)
     val cutoff = System.currentTimeMillis() - graceMs
+    // torn manifests get the PUBLISH-side grace floor regardless of the
+    // caller's graceMs: a torn-looking file younger than that window may
+    // be a publish whose body is still streaming, and deleting its
+    // manifest would lose an acknowledged commit
+    val tornCutoff =
+      System.currentTimeMillis() - math.max(graceMs, TornManifestGraceMs)
     // Retention counts COMPLETE manifests only: a crash-torn newest
     // manifest must not occupy a retention slot (with keepGens=1 it would
     // make `live` empty and vacuum would delete the newest real
     // generation's data). Torn manifests are not snapshots — they are
-    // GC'd once past the grace window (fresher ones may be a publish in
-    // progress; the publish-side reclaim handles the wedge case).
+    // GC'd once past the torn grace floor (fresher ones may be a publish
+    // in progress; the publish-side skip-forward handles the wedge case).
     val parsed = manifests.map(st => (st, readManifest(f, st.getPath)))
     val complete = parsed.collect { case (st, Some(s)) => (st, s) }
     val keep = complete.takeRight(keepGens)
@@ -679,7 +726,7 @@ object TxLog {
     val live: Set[String] = keep.flatMap(_._2.files).toSet
     val dropManifests = parsed.collect {
       case (st, Some(_)) if !keepNames(st.getPath.getName) => st.getPath
-      case (st, None) if st.getModificationTime < cutoff => st.getPath
+      case (st, None) if st.getModificationTime < tornCutoff => st.getPath
     }
     // with no complete manifest at all, liveness is unknowable — GC torn
     // manifests but leave every data file in place

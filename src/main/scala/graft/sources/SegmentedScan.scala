@@ -62,7 +62,10 @@ final case class SyntheticSegmentedScan(totalRows: Long) extends SegmentedScan {
     org.apache.spark.sql.types.StructField("payload",
       org.apache.spark.sql.types.StringType, nullable = false)))
   override def scanSegment(segment: Int, totalSegments: Int): Iterator[Row] =
-    (0L until totalRows).iterator
-      .filter(id => (id % totalSegments).toInt == segment)
+    // generate the stripe directly (ids ≡ segment mod totalSegments):
+    // O(rows/segments) per task, not an O(totalRows) scan-and-filter in
+    // EVERY segment — the difference between O(n) and O(n·segments)
+    // total work in the scale runs this test double drives
+    (segment.toLong until totalRows by totalSegments.toLong).iterator
       .map(id => Row(id, s"p$id"))
 }

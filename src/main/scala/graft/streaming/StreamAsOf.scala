@@ -111,10 +111,20 @@ object StreamAsOf {
           else {
             state.update(kept)
             // flush the oldest pending probe the moment the watermark
-            // passes it, even if this key never sees another event
-            pending.map(_._1).minOption.foreach { us =>
-              state.setTimeoutTimestamp(Math.floorDiv(us + 999L, 1000L))
-            }
+            // passes it, even if this key never sees another event; with
+            // no pending probe, wake when the watermark passes the NEWEST
+            // live reference — one wake collapses every then-old ref into
+            // the single anchor, so an idle key's state really does
+            // converge to one row instead of freezing at however many
+            // refs arrived in its final lateness window (a group with no
+            // timeout is only revisited on new same-key data)
+            pending.map(_._1).minOption
+              .orElse(liveRefs.map(_._1).maxOption)
+              .foreach { us =>
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(us + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1L))
+              }
           }
           out.iterator
       }
@@ -188,15 +198,23 @@ object StreamAsOf {
           else {
             state.update(kept)
             // wake when the oldest pending probe can finalize: its known
-            // match's ts, else its horizon end (whichever comes first)
+            // match's ts, else its horizon end (whichever comes first).
+            // With no pending probe, wake when the watermark passes the
+            // EARLIEST kept reference so it is evicted — a ref-only key
+            // (references but never a probe) would otherwise hold its
+            // refs forever, since a group with no timeout is only
+            // revisited on new same-key data; with the timeout the state
+            // drains to empty as the scaladoc promises
             pending.map { case (pus, _, _) =>
               bestFor(pus).map(_._1).getOrElse(Long.MaxValue)
                 .min(pus + horizonUs)
-            }.minOption.foreach { us =>
-              state.setTimeoutTimestamp(math.max(
-                Math.floorDiv(us + 999L, 1000L),
-                state.getCurrentWatermarkMs() + 1L))
-            }
+            }.minOption
+              .orElse(keptRefs.map(_._1).minOption)
+              .foreach { us =>
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(us + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1L))
+              }
           }
           out.iterator
       }

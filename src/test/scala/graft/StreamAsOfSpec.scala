@@ -223,6 +223,41 @@ class StreamAsOfNextSpec extends SparkSpec {
       === Seq((1L, 3L, Some(20.0))))
   }
 
+  test("a ref-only key's joinNext state drains to empty once the watermark passes its refs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val refMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfRef]
+    val probeMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfProbe]
+    val q = StreamAsOf.joinNext(probeMem.toDS(), refMem.toDS(), "0 seconds", HorizonMs)
+      .writeStream.format("memory").queryName("asofn_drain")
+      .outputMode("append").start()
+    try {
+      // key 9 receives references but never a probe — without a timeout
+      // registered for it, its state would live forever
+      refMem.addData(Seq(AsOfRef(9L, ts(10), 1L, Some(1.0)),
+        AsOfRef(9L, ts(20), 2L, Some(2.0)),
+        // key 8's probe gets an in-horizon match so IT finalizes and
+        // leaves state — the residue under test is key 9 alone
+        AsOfRef(8L, ts(16), 3L, Some(3.0))))
+      probeMem.addData(Seq(AsOfProbe(8L, ts(15), 1L, Some(0.0))))
+      q.processAllAvailable()
+      // advance both streams' watermarks far past key 9's refs (and past
+      // key 8's horizon), across two triggers so the event-time timeouts
+      // registered at the old watermark get a batch to fire in
+      refMem.addData(Seq(AsOfRef(7L, ts(1000000L), -1L, None)))
+      probeMem.addData(Seq(AsOfProbe(7L, ts(1000000L), -1L, None)))
+      q.processAllAvailable()
+      refMem.addData(Seq(AsOfRef(7L, ts(1000010L), -2L, None)))
+      probeMem.addData(Seq(AsOfProbe(7L, ts(1000010L), -2L, None)))
+      q.processAllAvailable()
+      // only the sentinel key's own in-horizon state may remain: key 9
+      // (ref-only) and key 8 (probe finalized, no refs) must be gone
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1L,
+        s"ref-only key state leaked: $stateRows state rows remain")
+    } finally q.stop()
+  }
+
   test("a probe with no next reference within the horizon emits null") {
     // the only later ref is beyond the horizon end; once the watermark
     // passes probe.ts + horizon the probe finalizes with null

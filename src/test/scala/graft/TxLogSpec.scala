@@ -341,28 +341,51 @@ class TxLogSpec extends SparkSpec {
     torn
   }
 
-  test("a crash-torn manifest past the grace window is reclaimed — one crash cannot wedge the zone") {
+  test("a crash-torn manifest past the grace window is skipped — one crash cannot wedge the zone") {
     val zone = freshZone()
     spark.range(10L).toDF("id").write.parquet(zone)
     TxLog.init(spark, zone)
     val torn = writeTorn(zone, 1L)
-    // fresh torn file = possibly a publish in progress: the claim must NOT
-    // be stolen, so the append exhausts its retries and fails loudly
+    // fresh torn file = possibly a publish in progress: its number must
+    // NOT be bypassed, so the append exhausts its retries and fails loudly
     intercept[RuntimeException] {
       TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"), maxRetries = 1)
     }
     assert(ids(zone) === (0L until 10L).toSet, "failed append leaked rows")
-    // past the grace window the corpse is garbage: the claim is reclaimed
-    // and the zone is writable again at the SAME generation number
+    // past the grace window the corpse's NUMBER is skipped (never deleted
+    // — a delete-based reclaim would race a concurrent reclaimer into
+    // deleting its fresh manifest) and the zone is writable again
     assert(torn.setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
     val s = TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"))
-    assert(s.gen === 1L, s"reclaim should reuse the torn generation, got ${s.gen}")
+    assert(s.gen === 2L, s"skip-forward should claim the next free gen, got ${s.gen}")
+    assert(torn.exists(), "publish must never delete the corpse (vacuum GCs it)")
     assert(ids(zone) === (0L until 20L).toSet)
-    // a COMPLETE manifest is never reclaimed, however old it is
-    val g1 = new java.io.File(new java.io.File(zone, "_txlog"), "gen-" + "%020d".format(1L))
-    assert(g1.setLastModified(System.currentTimeMillis() - 24L * 60L * 60L * 1000L))
+    assert(TxLog.latest(spark, zone).exists(_.gen === 2L))
+    // a COMPLETE manifest is never skipped, however old it is
+    val g2 = new java.io.File(new java.io.File(zone, "_txlog"), "gen-" + "%020d".format(2L))
+    assert(g2.setLastModified(System.currentTimeMillis() - 24L * 60L * 60L * 1000L))
     val s2 = TxLog.append(spark, zone, spark.range(20L, 30L).toDF("id"))
-    assert(s2.gen === 2L && ids(zone) === (0L until 30L).toSet)
+    assert(s2.gen === 3L && ids(zone) === (0L until 30L).toSet)
+  }
+
+  test("str-stat pruning is format-safe: timestamp-granularity bounds on a DATE stats column") {
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    val zone = freshZone()
+    val df = spark.range(1L, 11L).toDF("i")
+      .withColumn("d", to_date(
+        org.apache.spark.sql.functions.date_add(lit("2020-01-01"), (col("i") - 1).cast("int"))))
+    TxLog.replace(spark, zone, df.repartitionByRange(3, col("d")),
+      statsCols = Seq("d"))
+    // DATE stats stringify as "2020-01-03"; a finer-granularity caller
+    // bound "2020-01-03 00:00:00" compares lexicographically LARGER than
+    // the day string — a plain string compare would prune the file whose
+    // max is the lower-bound day and silently lose its qualifying rows.
+    // The common-prefix compare treats them as equal (ambiguous → keep).
+    val got = TxLog.readWhereCol(spark, zone, "d",
+      "2020-01-03 00:00:00", "2020-01-07 23:59:59")
+      .select("i").collect().map(_.getLong(0)).toSet
+    assert(got === (3L to 7L).toSet,
+      s"mixed-granularity bounds lost rows: $got")
   }
 
   test("vacuum retention counts complete manifests only — a torn newest cannot evict the head") {
@@ -371,9 +394,11 @@ class TxLogSpec extends SparkSpec {
     TxLog.init(spark, zone)
     TxLog.append(spark, zone, spark.range(50L, 100L).toDF("id"))
     val torn = writeTorn(zone, 2L)
-    // backdate: graceMs=0 compares mtime < now STRICTLY, and a manifest
-    // written in the same millisecond tie-breaks as "fresh" (kept)
-    assert(torn.setLastModified(System.currentTimeMillis() - 10000L))
+    // backdate past the torn-GC floor: torn manifests get the PUBLISH
+    // grace window even when the caller passes a smaller graceMs — a
+    // torn-looking file inside that window may be a publish whose body
+    // is still streaming, and vacuuming its manifest would lose it
+    assert(torn.setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
     // keepGens=1 with a torn gen-2: the ONE kept snapshot must be the
     // newest COMPLETE generation (gen-1), not the corpse — otherwise
     // every live data file looks unreferenced and is deleted
@@ -382,14 +407,16 @@ class TxLogSpec extends SparkSpec {
       "vacuum deleted the newest complete generation's data files")
     assert(!torn.exists(), "an expired torn manifest should be GC'd")
     assert(TxLog.latest(spark, zone).exists(_.gen === 1L))
-    // a FRESH torn manifest (publish in progress) survives default grace
+    // a torn manifest INSIDE the floor survives even an aggressive
+    // graceMs=0 vacuum (it may be an in-flight publish)
     val torn2 = writeTorn(zone, 2L)
-    TxLog.vacuum(spark, zone, keepGens = 1)
-    assert(torn2.exists(), "vacuum must not GC a fresh (possibly in-flight) manifest")
+    assert(torn2.setLastModified(System.currentTimeMillis() - 10000L))
+    TxLog.vacuum(spark, zone, keepGens = 1, graceMs = 0L)
+    assert(torn2.exists(), "vacuum must not GC a torn manifest inside the grace floor")
     // a zone whose every manifest is torn: liveness unknowable, data untouched
     val zone2 = freshZone()
     spark.range(10L).toDF("id").repartition(2).write.parquet(zone2 + "/d-seed")
-    assert(writeTorn(zone2, 0L).setLastModified(System.currentTimeMillis() - 10000L))
+    assert(writeTorn(zone2, 0L).setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
     assert(TxLog.vacuum(spark, zone2, keepGens = 1, graceMs = 0L) === 0L,
       "vacuum with no complete manifest must not delete data files")
     assert(spark.read.parquet(zone2 + "/d-seed").count() === 10L)
