@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
-import graft.operators.TxLog
+import graft.operators.{GlobalOrder, TextAnalysis, TxLog}
 import graft.sources.Tables
 
 /** Round-6 inventory extension: the transaction-log read path under the
@@ -16,6 +16,8 @@ import graft.sources.Tables
   * .ts:199-203`), so every reader scans the full zone; this is the
   * engine's answer. */
 object Round6Queries {
+
+  import TrainingQueries.toksSql
 
   /** One TxLog zone per (JVM, sf dir): lineitem clustered by l_shipdate
     * (range partitioning = what turns per-file min/max into a sharp
@@ -169,6 +171,178 @@ object Round6Queries {
         Similarity.knnJoinIvf(corpus, queries,
             ExtendedQueries.trainedCentroids16(s, d), k = 5, nProbe = 3)
           .orderBy("q_id", "rank")
+      }),
+
+    Q("q160_bm25_topk",
+      // BM25 retrieval (k1=1.2, b=0.75) for a data-derived query-term set
+      // (document-frequency ranks 10-12, ties by term), top-10 documents.
+      // Determinism discipline of the q144-q146 family: the idf factor
+      // (N-df+0.5)/(df+0.5) and the tf saturation tf(k1+1)/(tf+k1(1-b+
+      // b*dl/avgdl)) are each ONE IEEE division of exact integers (both
+      // rationals scaled through by 2 resp. 10*L so numerator and
+      // denominator stay integral and < 2^53), rounded to 6dp, multiplied
+      // EXACTLY as decimals, and summed EXACTLY as decimals — no
+      // order-dependent double summation, no transcendental log (the
+      // log-idf variant ranks identically for fixed N; see q145's note).
+      Some(s"""WITH tok AS (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+              |dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+              |nn AS (SELECT COUNT(*) AS n FROM dl),
+              |ll AS (SELECT CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+              |qt AS (SELECT tok, df FROM (
+              |  SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+              |  FROM dfr) r WHERE rk BETWEEN 10 AND 12),
+              |per AS (SELECT tf.doc_id, ROUND(
+              |    CAST(ROUND(CAST(2*nn.n - 2*qt.df + 1 AS DOUBLE)
+              |               / CAST(2*qt.df + 1 AS DOUBLE), 6) AS DECIMAL(18,6))
+              |  * CAST(ROUND(CAST(22 * tf.tf * ll.l AS DOUBLE)
+              |               / CAST(10 * ll.l * tf.tf + 3 * ll.l + 9 * dl.dl * nn.n AS DOUBLE), 6)
+              |         AS DECIMAL(18,6)), 6) AS s
+              |  FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id), nn, ll),
+              |sc AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM per GROUP BY doc_id)
+              |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nn = dl.agg(count(lit(1)).as("n"))
+        val ll = dl.agg(sum(col("dl")).cast("long").as("l"))
+        // rank the vocabulary by df without a partition-less window: the
+        // engine's own two-pass GlobalOrder row number
+        val qt = GlobalOrder.rowNumber(dfr, Seq(col("df").desc, col("tok")), "rk")
+          .filter(col("rk").between(10, 12)).select("tok", "df")
+        val idf = round((lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double")
+          / (lit(2) * col("df") + lit(1)).cast("double"), 6).cast("decimal(18,6)")
+        val tfp = round((lit(22) * col("tf") * col("l")).cast("double")
+          / (lit(10) * col("l") * col("tf") + lit(3) * col("l")
+             + lit(9) * col("dl") * col("n")).cast("double"), 6).cast("decimal(18,6)")
+        tf.join(broadcast(qt), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(nn)).crossJoin(broadcast(ll))
+          .select(col("doc_id"), round(idf * tfp, 6).as("s"))
+          .groupBy("doc_id").agg(sum(col("s")).cast("double").as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      }),
+
+    Q("q161_event_transitions",
+      // First-order Markov transition matrix over per-user event
+      // sequences: LEAD over (ts, event_id) within each user, pair
+      // counts, and row-normalized probabilities — exact BIGINT counts
+      // down to one IEEE division, ROUND 4 (the family discipline).
+      Some("""WITH seqd AS (SELECT user_id, event_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+             |                 COUNT(*) AS n_transitions
+             |          FROM seqd WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS t
+             |        FROM pairs GROUP BY 1)
+             |SELECT p.from_type, p.to_type, p.n_transitions,
+             |       ROUND(CAST(p.n_transitions AS DOUBLE) / CAST(t.t AS DOUBLE), 4) AS prob
+             |FROM pairs p JOIN tot t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seqd = Tables.events(s, d).select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        val pairs = seqd.filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        // the per-from-type totals are at most |event types| rows —
+        // always broadcastable, never a second wide shuffle
+        val tot = pairs.groupBy("from_type")
+          .agg(sum("n_transitions").cast("long").as("t"))
+        pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n_transitions"),
+            round(col("n_transitions").cast("double") / col("t").cast("double"), 4)
+              .as("prob"))
+          .orderBy("from_type", "to_type")
+      }),
+
+    Q("q162_sorted_neighborhood",
+      // Sorted-neighborhood dedup blocking — the third classic candidate-
+      // generation family beside inverted-index (q36) and LSH banding
+      // (q37/q143): sort documents by a blocking key (first 5 tokens),
+      // take candidate pairs within a window of 5 positions, keep pairs
+      // with token-set Jaccard >= 0.5 (the threshold test 2*|A∩B| >= |A∪B|
+      // is INTEGER-exact). The global sort position comes from the two-
+      // pass GlobalOrder scan, not a single-partition window, and the
+      // window join is an equi-join on exploded neighbor positions —
+      // w scalar rows per document, never a cross join.
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tall FROM documents),
+              |k AS (SELECT doc_id, ARRAY_TO_STRING(tall[1:5], ' ') AS bkey,
+              |             LIST_DISTINCT(tall) AS toks FROM t),
+              |rn AS (SELECT doc_id, toks,
+              |             CAST(ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
+              |       FROM k),
+              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |                 CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS BIGINT) AS inter,
+              |                 CAST(LEN(a.toks) + LEN(b.toks)
+              |                      - LEN(LIST_INTERSECT(a.toks, b.toks)) AS BIGINT) AS uni
+              |          FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn <= a.rn + 5)
+              |SELECT a_id, b_id, ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 4) AS jaccard
+              |FROM pairs WHERE uni > 0 AND 2 * inter >= uni
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => {
+        val k = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tall"))
+          .select(col("doc_id"), concat_ws(" ", slice(col("tall"), 1, 5)).as("bkey"),
+            array_distinct(col("tall")).as("toks"))
+        val rn = GlobalOrder.rowNumber(k, Seq(col("bkey"), col("doc_id")), "rn")
+          .select("doc_id", "toks", "rn")
+        val probes = rn.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+          explode(sequence(col("rn") + 1, col("rn") + 5)).as("rn"))
+        val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
+        val uni = size(col("a_toks")).cast("long") + size(col("b_toks")).cast("long") - inter
+        probes.join(rn.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+            col("rn")), "rn")
+          .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+          .select(col("a_id"), col("b_id"),
+            round(col("inter").cast("double") / col("uni").cast("double"), 4)
+              .as("jaccard"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    Q("q163_hits_scores",
+      // HITS hubs & authorities on the supplier→customer fulfillment
+      // graph, two unrolled mutual-reinforcement rounds from hub=1 —
+      // UNNORMALIZED, so every score is an exact BIGINT sum of BIGINTs
+      // (the conventional per-round L2 normalization rescales both
+      // vectors uniformly and cannot change the ranking; dropping it is
+      // what makes a bit-stable cross-engine oracle possible). Top-10
+      // per side via TakeOrderedAndProject, no global window. Reuses the
+      // session-cached fulfillment edge relation shared with the
+      // PageRank family (q139/q142/q151).
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+             |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |a1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY c),
+             |h1 AS (SELECT e.s, CAST(SUM(a1.a) AS BIGINT) AS h FROM e JOIN a1 USING (c) GROUP BY e.s),
+             |a2 AS (SELECT e.c, CAST(SUM(h1.h) AS BIGINT) AS a FROM e JOIN h1 USING (s) GROUP BY e.c),
+             |h2 AS (SELECT e.s, CAST(SUM(a2.a) AS BIGINT) AS h FROM e JOIN a2 USING (c) GROUP BY e.s)
+             |SELECT side, node, score FROM (
+             |  (SELECT 'authority' AS side, CAST(c AS BIGINT) AS node, a AS score
+             |   FROM a2 ORDER BY a DESC, c LIMIT 10)
+             |  UNION ALL
+             |  (SELECT 'hub' AS side, CAST(s AS BIGINT) AS node, h AS score
+             |   FROM h2 ORDER BY h DESC, s LIMIT 10))
+             |ORDER BY side, score DESC, node""".stripMargin),
+      (s, d) => {
+        val e = AnalyticsQueries.fulfillmentEdges(s, d)
+          .select(col("src").as("s"), (col("dst") - 1000000L).as("c"))
+        val a1 = e.groupBy("c").agg(count(lit(1)).as("a"))
+        val h1 = e.join(a1, "c").groupBy("s").agg(sum("a").as("h"))
+        val a2 = e.join(h1, "s").groupBy("c").agg(sum("h").as("a"))
+        val h2 = e.join(a2, "c").groupBy("s").agg(sum("a").as("h"))
+        val atop = a2.orderBy(col("a").desc, col("c")).limit(10)
+          .select(lit("authority").as("side"), col("c").as("node"), col("a").as("score"))
+        val htop = h2.orderBy(col("h").desc, col("s")).limit(10)
+          .select(lit("hub").as("side"), col("s").as("node"), col("h").as("score"))
+        atop.unionByName(htop).orderBy(col("side"), col("score").desc, col("node"))
       })
   )
 }

@@ -133,6 +133,40 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q162: sorted-neighborhood candidate volume is bounded by w*n, and near-dups surface") {
+    import org.apache.spark.sql.functions._
+    // structural bound: each document probes exactly w=5 neighbor
+    // positions and rn is unique, so candidates <= 5n REGARDLESS of data
+    // skew — the property that distinguishes this blocking family from
+    // an unguarded inverted index (a hot shingle there makes k^2 pairs)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val k = docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("tall"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("tall"), 1, 5)).as("bkey"),
+        array_distinct(col("tall")).as("toks"))
+    val rn = graft.operators.GlobalOrder.rowNumber(
+      k, Seq(col("bkey"), col("doc_id")), "rn").select("doc_id", "rn")
+    val candidates = rn
+      .select(col("doc_id").as("a_id"), explode(sequence(col("rn") + 1, col("rn") + 5)).as("rn"))
+      .join(rn.select(col("doc_id").as("b_id"), col("rn")), "rn")
+      .count()
+    assert(candidates <= 5L * n, s"$candidates candidates for $n docs exceeds 5n")
+    // and the declared query does find pairs on the fixture corpus
+    assert(Queries.queryMap("q162_sorted_neighborhood")(spark, sf0001).count() > 0)
+  }
+
+  test("q160/q163 plans: top-k is TakeOrderedAndProject; tiny sides broadcast") {
+    for (name <- Seq("q160_bm25_topk", "q163_hits_scores")) {
+      val p = Queries.queryMap(name)(spark, sf0001).queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"$name top-k not TakeOrdered:\n$p")
+    }
+    val p160 = Queries.queryMap("q160_bm25_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p160.contains("BroadcastExchange"),
+      s"q160 query-term/corpus-constant sides not broadcast:\n$p160")
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
