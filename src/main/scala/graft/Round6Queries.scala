@@ -343,6 +343,81 @@ object Round6Queries {
         val htop = h2.orderBy(col("h").desc, col("s")).limit(10)
           .select(lit("hub").as("side"), col("s").as("node"), col("h").as("score"))
         atop.unionByName(htop).orderBy(col("side"), col("score").desc, col("node"))
+      }),
+
+    Q("q164_repetition_ratio",
+      // Intra-document repetition — the duplicate-3-gram fraction used as
+      // a generation/boilerplate quality filter (MassiveText-style): for
+      // docs with >= 3 tokens, rep = (total - distinct) / total 3-gram
+      // occurrences. Exact integer counts, one IEEE division, ROUND 4;
+      // top-20 most repetitive (rep DESC, doc_id) via
+      // TakeOrderedAndProject. Map-side only until the final top-k —
+      // per-document arithmetic, no shuffle of token rows.
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id,
+              |         CAST(LEN(toks) - 2 AS BIGINT) AS n_grams,
+              |         CAST(LEN(LIST_DISTINCT(
+              |           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+              |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              |           AS BIGINT) AS n_distinct
+              |       FROM t WHERE LEN(toks) >= 3)
+              |SELECT doc_id, n_grams, n_distinct,
+              |       ROUND(CAST(n_grams - n_distinct AS DOUBLE)
+              |             / CAST(n_grams AS DOUBLE), 4) AS rep
+              |FROM g ORDER BY rep DESC, doc_id LIMIT 20""".stripMargin),
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            (size(col("toks")) - 2).cast("long").as("n_grams"),
+            size(TextAnalysis.shingles(col("toks"), 3)).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            round((col("n_grams") - col("n_distinct")).cast("double")
+              / col("n_grams").cast("double"), 4).as("rep"))
+          .orderBy(col("rep").desc, col("doc_id")).limit(20)
+      }),
+
+    Q("q165_mixture_weights",
+      // Training-mixture weights per source domain: token share and the
+      // temperature-scaled sampling weight w_i = sqrt(share_i) (alpha =
+      // 0.5 up/down-weighting), normalized to sum 1 — the data-mixing
+      // step of an LLM pretraining pipeline. sqrt IS IEEE-exact
+      // (correctly rounded, unlike log/exp), its 6dp rounding goes
+      // through DECIMAL so the normalizing sum is order-independent,
+      // and the final normalization is one IEEE division. All
+      // aggregates are broadcastable scalars (|sources| rows).
+      Some(s"""WITH d AS (SELECT source, LEN($toksSql) AS ntok FROM documents),
+              |src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |               CAST(SUM(ntok) AS BIGINT) AS n_tokens
+              |        FROM d GROUP BY source),
+              |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+              |w AS (SELECT source, n_docs, n_tokens,
+              |        ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+              |        CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+              |             AS DECIMAL(18,6)) AS w
+              |      FROM src, tot),
+              |sw AS (SELECT SUM(w) AS sm FROM w)
+              |SELECT source, n_docs, n_tokens, share,
+              |       ROUND(CAST(w AS DOUBLE) / CAST(sm AS DOUBLE), 4) AS mix_weight
+              |FROM w, sw ORDER BY source""".stripMargin),
+      (s, d) => {
+        val dd = Tables.documents(s, d)
+          .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+        val src = dd.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").cast("long").as("n_tokens"))
+        val tot = src.agg(sum("n_tokens").cast("long").as("t"))
+        val w = src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("t").cast("double"), 6).as("share"),
+            round(sqrt(col("n_tokens").cast("double") / col("t").cast("double")), 6)
+              .cast("decimal(18,6)").as("w"))
+        val sw = w.agg(sum("w").as("sm"))
+        w.crossJoin(broadcast(sw))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+            round(col("w").cast("double") / col("sm").cast("double"), 4).as("mix_weight"))
+          .orderBy("source")
       })
   )
 }
