@@ -165,10 +165,11 @@ object Round5Queries {
               |ORDER BY a_id, b_id""".stripMargin),
       // skew guard ON, same cap rationale as q36: 256 >> testdata max df
       // (25 at sf0.1) keeps the hash oracle-identical while bounding a
-      // viral shingle's candidate blow-up on skewed corpora
+      // viral shingle's candidate blow-up on skewed corpora. Shares the
+      // session-cached pair-stats relation with q36 — containment and
+      // Jaccard are both projections of (inter, n_a, n_b)
       (s, d) => graft.operators.Dedup
-        .containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8, maxShingleDf = 256L)
+        .containmentFromStats(TrainingQueries.cachedPairStats(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
     Q("q148_cdc_scd2",

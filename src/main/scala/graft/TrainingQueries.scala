@@ -108,6 +108,20 @@ object TrainingQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** The co-shingled pair-stats relation (a_id, b_id, inter, n_a, n_b;
+    * n=3, skew cap 256) shared by q36 (Jaccard) and q147 (containment):
+    * both metrics are pure projections of it, and the inverted-index
+    * join that produces it is the expensive part of either query — so it
+    * is computed once per (session, sf dir) and checkpointed (a few
+    * hundred K scalar rows at sf0.1; exact longs, so every derived hash
+    * is unchanged). */
+  private val pairStatsCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  private[graft] def cachedPairStats(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame =
+    pairStatsCache.getOrElseUpdate(s, d)(
+      Dedup.pairStats(Tables.documents(s, d), "doc_id", "text",
+        n = 3, maxShingleDf = 256L).localCheckpoint(true))
+
   def all: Seq[Q] = Seq(
 
     Q("q36_dedup_ngram_jaccard",
@@ -116,8 +130,7 @@ object TrainingQueries {
       // at sf0.1), so the oracle (which computes without a cap) matches
       // bit-for-bit — while a Zipfian corpus's viral shingle is bounded to
       // 256²/2 candidate rows instead of k²/2 (DedupSkewSpec pins this)
-      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8, maxShingleDf = 256L)
+      (s, d) => Dedup.jaccardFromStats(cachedPairStats(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
     Q("q37_dedup_minhash_lsh",

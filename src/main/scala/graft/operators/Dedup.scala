@@ -82,27 +82,43 @@ object Dedup {
     * k²/2 rows — the 100 TB scale-killer. Callers on real corpora should
     * always set a cap above the df of any shingle that still carries
     * similarity signal. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8,
-                   maxShingleDf: Long = 0L): DataFrame = {
+  /** The shared kernel of [[jaccardPairs]] and [[containmentPairs]]:
+    * per co-shingled unordered pair (a_id < b_id), the intersection size
+    * and both docs' (capped) shingle-set sizes — `(a_id, b_id, inter,
+    * n_a, n_b)`, all exact longs. Every pairwise set-overlap metric
+    * (Jaccard, directional containment, overlap/Dice coefficients) is a
+    * pure projection of this relation, so a caller running several
+    * metrics over the same corpus can compute (or cache) it ONCE. */
+  def pairStats(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
     // Exchange barrier: the index subtree feeds three consumers (sizes +
     // both join sides); identical exchanges are computed once and reused
     // (ReuseExchange), so tokenize+shingle+explode runs a single time.
     val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDf)
       .repartition(col("shingle"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = idx.as("a").join(idx.as("b"),
+    idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast("double") /
-      (col("na.n_sh") + col("nb.n_sh") - col("inter"))
-    inter
       .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
       .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
-      .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("na.n_sh").as("n_a"), col("nb.n_sh").as("n_b"))
+  }
+
+  /** Jaccard from a [[pairStats]] relation: |A∩B| / |A∪B|. */
+  def jaccardFromStats(stats: DataFrame, threshold: Double): DataFrame = {
+    val j = col("inter").cast("double") /
+      (col("n_a") + col("n_b") - col("inter"))
+    stats.select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxShingleDf: Long = 0L): DataFrame =
+    jaccardFromStats(pairStats(docs, idCol, textCol, n, maxShingleDf), threshold)
 
   /** Directional n-gram containment >= threshold:
     * containment(a -> b) = |sh(a) ∩ sh(b)| / |sh(a)| — the asymmetric
@@ -117,26 +133,23 @@ object Dedup {
     * bounds a viral shingle's candidates to c²/2 instead of k²/2); the
     * only differences are the order-free join predicate (both directions)
     * and the denominator (|sh(a)| instead of the union). */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.8,
-                       maxShingleDf: Long = 0L): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDf)
-      .repartition(col("shingle"))
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // the intersection size is SYMMETRIC: join+aggregate each unordered
-    // pair once (a < b — half the pair rows of a both-directions join),
-    // then mirror the tiny aggregated relation for the two denominators
-    val inter = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val both = inter.unionByName(inter.select(
-      col("b_id").as("a_id"), col("a_id").as("b_id"), col("inter")))
-    val c = col("inter").cast("double") / col("na.n_sh")
-    both.join(sizes.as("na"), col("a_id") === col("na.doc_id"))
-      .select(col("a_id"), col("b_id"), round(c, 4).as("containment"))
+  /** Directional containment from a [[pairStats]] relation: the
+    * intersection size is SYMMETRIC, so the a<b stats row is mirrored
+    * into both directions, each dividing by ITS source doc's size. */
+  def containmentFromStats(stats: DataFrame, threshold: Double): DataFrame = {
+    val both = stats.select(col("a_id"), col("b_id"),
+        col("inter"), col("n_a").as("n_src"))
+      .unionByName(stats.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+        col("inter"), col("n_b").as("n_src")))
+    val c = col("inter").cast("double") / col("n_src")
+    both.select(col("a_id"), col("b_id"), round(c, 4).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Long = 0L): DataFrame =
+    containmentFromStats(pairStats(docs, idCol, textCol, n, maxShingleDf), threshold)
 
   /** MinHash signature column (array<long> of `numHashes` mins) from a
     * distinct-shingle array column. One md5 per shingle, then the codegen'd
