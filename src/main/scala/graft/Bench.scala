@@ -142,6 +142,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q166_bfs_levels",
       "q165_mixture_weights", "q164_repetition_ratio",
       "q163_hits_scores", "q162_sorted_neighborhood",
       "q161_event_transitions", "q160_bm25_topk",

@@ -418,6 +418,55 @@ object Round6Queries {
           .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
             round(col("w").cast("double") / col("sm").cast("double"), 4).as("mix_weight"))
           .orderBy("source")
+      }),
+
+    Q("q166_bfs_levels",
+      // BFS hop distance from supplier 1 over the UNDIRECTED fulfillment
+      // graph (suppliers s, customers 1000000+c — the shared PageRank id
+      // space), three unrolled frontier expansions: level k = neighbors
+      // of level k-1 not yet visited. The graph-traversal family member
+      // beside PageRank (centrality), connected components (clustering),
+      // triangles (cohesion) and HITS (mutual reinforcement). Each round
+      // is one equi-join + anti-join (distinct frontier, scalar keys);
+      // levels and node ids are exact BIGINTs. On the bipartite graph
+      // odd levels are customers, even levels suppliers.
+      Some("""WITH e0 AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+             |                   CAST(1000000 + o_custkey AS BIGINT) AS b
+             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |            GROUP BY 1, 2),
+             |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+             |l0 AS (SELECT CAST(1 AS BIGINT) AS node),
+             |l1 AS (SELECT DISTINCT e.b AS node FROM e JOIN l0 ON e.a = l0.node
+             |       WHERE e.b NOT IN (SELECT node FROM l0)),
+             |l2 AS (SELECT DISTINCT e.b AS node FROM e JOIN l1 ON e.a = l1.node
+             |       WHERE e.b NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1)),
+             |l3 AS (SELECT DISTINCT e.b AS node FROM e JOIN l2 ON e.a = l2.node
+             |       WHERE e.b NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1
+             |                         UNION ALL SELECT node FROM l2))
+             |SELECT node, level FROM (
+             |  SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+             |  UNION ALL SELECT node, 1 FROM l1
+             |  UNION ALL SELECT node, 2 FROM l2
+             |  UNION ALL SELECT node, 3 FROM l3)
+             |ORDER BY level, node""".stripMargin),
+      (s, d) => {
+        val e0 = AnalyticsQueries.fulfillmentEdges(s, d).select(col("src").as("a"), col("dst").as("b"))
+        val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        var frontier = s.range(1, 2).toDF("node")
+        var visited = frontier
+        val out = scala.collection.mutable.ArrayBuffer(
+          frontier.select(col("node"), lit(0L).as("level")))
+        for (k <- 1 to 3) {
+          frontier = e.join(frontier, e("a") === frontier("node"))
+            .select(col("b").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+          // each frontier is <= |nodes| scalar rows and feeds the next
+          // round's anti-join; materialize to keep the lineage flat
+          frontier = frontier.localCheckpoint(true)
+          visited = visited.unionByName(frontier)
+          out += frontier.select(col("node"), lit(k.toLong).as("level"))
+        }
+        out.reduce(_ unionByName _).orderBy("level", "node")
       })
   )
 }

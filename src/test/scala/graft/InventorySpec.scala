@@ -25,7 +25,7 @@ class InventorySpec extends AnyFunSuite {
       .filterNot(rowsOnlyAllowed)
     assert(missing.isEmpty, s"queries without oracle SQL not allowlisted: $missing")
     assert(SparkEntry.queries.keySet -- rowsOnlyAllowed === SparkEntry.oracleSql.keySet)
-    assert(inv.size >= 165)
+    assert(inv.size >= 166)
   }
 
   test("oracle SQL is driver-serializable (no control chars beyond newline/tab)") {
