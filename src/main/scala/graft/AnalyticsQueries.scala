@@ -22,7 +22,7 @@ object AnalyticsQueries {
     * was ~13% of the round-5 bench across the three. The cache holds one
     * eagerly checkpointed pair relation — |suppliers×customers| scalar
     * rows, tiny next to the fact tables it derives from. Keyed by the
-    * session OBJECT (weakly — see [[SessionCache]]) so a stopped
+    * session OBJECT (LRU-bounded — see [[SessionCache]]) so a stopped
     * session's checkpoint is never served to a new session and dead
     * sessions do not pin their checkpoints forever. */
   private val fulfillCache = new SessionCache[org.apache.spark.sql.DataFrame]

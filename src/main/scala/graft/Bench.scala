@@ -57,12 +57,18 @@ object Bench {
     // timed dir's zones here so q156-q158 time what they claim to time —
     // the manifest-pruned READ — not a one-time lake build; the same
     // setup-exclusion the compaction entry below applies to its zone.
-    try {
-      Round6Queries.shipdateZone(spark, sfDir)
-      Round6Queries.zorderZone(spark, sfDir)
-      Round6Queries.timeTravelZone(spark, sfDir)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: round-6 zone prebuild failed: $e")
+    // Per-zone isolation: one zone's failure must not push the others'
+    // build cost into their timed runs; skip zones whose query a dev
+    // subset excluded.
+    val zoneBuilds: Seq[(String, () => Any)] = Seq(
+      "q156_txlog_pruned_read" -> (() => Round6Queries.shipdateZone(spark, sfDir)),
+      "q157_txlog_zorder_pruned" -> (() => Round6Queries.zorderZone(spark, sfDir)),
+      "q158_txlog_time_travel" -> (() => Round6Queries.timeTravelZone(spark, sfDir)))
+    zoneBuilds.foreach { case (q, build) =>
+      if (only.forall(_.contains(q)))
+        try build() catch { case e: Throwable =>
+          System.err.println(s"[bench] WARNING: zone prebuild for $q failed: $e")
+        }
     }
     // A throwing query gets time = -1 (visibly broken, never a plausible
     // tiny wall-time) and an entry in the errors map — a regression must

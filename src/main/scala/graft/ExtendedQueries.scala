@@ -54,7 +54,7 @@ object ExtendedQueries {
     * decimal means), so every caller gets bit-identical centroids and
     * reuse changes no result; it just stops re-running the same Lloyd's
     * iterations three times per inventory pass. Keyed by the session
-    * OBJECT (weakly — see [[SessionCache]]) so a stopped session's plan
+    * OBJECT (LRU-bounded — see [[SessionCache]]) so a stopped session's plan
     * state is never reused and dead sessions are not pinned. */
   private val centCache = new SessionCache[Seq[(Long, Array[Float])]]
   private[graft] def trainedCentroids16(s: org.apache.spark.sql.SparkSession,

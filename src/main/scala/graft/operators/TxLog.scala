@@ -51,9 +51,16 @@ object TxLog {
   final case class Snapshot(gen: Long, format: String, files: Seq[String],
                             meta: Map[String, String] = Map.empty,
                             stats: Map[String, (Double, Double)] = Map.empty,
-                            colStats: Map[String, Map[String, ColStat]] = Map.empty) {
+                            colStats: Map[String, Map[String, ColStat]] = Map.empty,
+                            /** generation this one was rebased on (gen-1
+                              * unless skip-forward claimed past a torn
+                              * corpse); drives the post-publish fork
+                              * check. Manifests written before the field
+                              * existed read back as gen-1. */
+                            base: Long = -1L) {
     def resolve(zone: String): Seq[String] =
       files.map(f => zone.stripSuffix("/") + "/" + f)
+    def baseGen: Long = if (base >= 0L) base else gen - 1L
   }
 
   /** `rewritten` false = no-op (already compact) or lost-race abort. */
@@ -123,7 +130,8 @@ object TxLog {
       }
       val files = body.filter(_.startsWith("f ")).map(_.substring(2))
       if (kv.get("count").map(_.toLong).contains(files.size.toLong))
-        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta, stats, colStats))
+        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta, stats, colStats,
+          base = kv.get("base").map(_.toLong).getOrElse(-1L)))
       else None
     } catch { case _: Exception => None }
     finally in.close()
@@ -187,12 +195,30 @@ object TxLog {
       case _: java.io.IOException => Owned
     }
 
-  /** Atomically publish a new generation at number `gen` — or, when that
-    * number is occupied by a crash-torn manifest past the grace window,
-    * at the next free number (the corpse is skipped, never deleted; see
-    * [[TornManifestGraceMs]]). Returns the claimed generation number, or
-    * None when another writer owns `gen` with a complete or in-flight
-    * manifest — the caller rebases on the new head and retries. */
+  /** Atomically publish a new generation at number `gen` (rebased on head
+    * `gen - 1`) — or, when that number is occupied by a crash-torn
+    * manifest past the grace window, at the next free number (the corpse
+    * is skipped, never deleted; see [[TornManifestGraceMs]]). Returns the
+    * claimed generation number, or None when another writer owns `gen`
+    * with a complete or in-flight manifest — the caller rebases on the
+    * new head and retries.
+    *
+    * FORK CHECK: number-skipping (and a vacuumed corpse freeing a number
+    * below an in-flight higher claim) makes it possible for two writers
+    * rebased on the SAME head to both complete, at different numbers —
+    * the higher manifest would silently drop the lower writer's files.
+    * Every manifest therefore records its `base` generation, and after
+    * completing the body the writer re-lists the log: if a rival COMPLETE
+    * manifest with `gen > base` and `base <= our base` exists, the chains
+    * have forked — this writer deletes its OWN manifest (never the
+    * rival's) and reports a lost race so the caller rebases and retries.
+    * The later-completing forker always sees the earlier one (its listing
+    * happens after the rival's close), so at most one fork arm survives;
+    * a writer that crashes between close and check never acknowledged its
+    * commit, so nothing acknowledged is lost. A successor that rebased ON
+    * our generation has `base >= our gen > our base` and never triggers
+    * the check — normal serialized commits pay one extra listing, no
+    * false aborts, no self-deletion of superseded-but-live history. */
   private def publish(spark: SparkSession, zone: String, gen: Long,
                       format: String, files: Seq[String],
                       meta: Map[String, String] = Map.empty,
@@ -222,9 +248,11 @@ object TxLog {
       }
     }
     val out = claimed.getOrElse(return None)
+    val baseGen = gen - 1L
     try {
       val body = new StringBuilder(Header).append('\n')
         .append("gen=").append(g).append('\n')
+        .append("base=").append(baseGen).append('\n')
         .append("format=").append(format).append('\n')
         .append("count=").append(files.size).append('\n')
       meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -242,7 +270,24 @@ object TxLog {
       body.append("end\n")
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
-    Some(g)
+    // fork check (see scaladoc): a rival complete manifest that was also
+    // rebased on our base (or older) means two chains — yield ours. The
+    // filename encodes the generation, so only manifests numbered above
+    // our base are parsed: in a serialized history that set is exactly
+    // {ours}, making the check one directory listing and zero reads.
+    val dir = genPath(zone, g).getParent
+    val rivals = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("gen-") && p.getName != genPath(zone, g).getName &&
+          scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption
+            .exists(_ > baseGen)
+      }
+      .flatMap(p => readManifest(f, p))
+      .filter(m => m.gen > baseGen && m.baseGen <= baseGen)
+    if (rivals.nonEmpty) {
+      f.delete(genPath(zone, g), false)
+      None
+    } else Some(g)
   }
 
   /** Zone-relative data files currently under `dir` (one `d-<uuid>`

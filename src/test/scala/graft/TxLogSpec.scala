@@ -388,6 +388,36 @@ class TxLogSpec extends SparkSpec {
       s"mixed-granularity bounds lost rows: $got")
   }
 
+  test("fork check: a publish landing below a rival chain on the same base yields, not wins") {
+    // The one hole skip-forward opens: writer A skips an expired corpse
+    // and claims gen base+2; vacuum GC's the corpse; stale writer B then
+    // claims the freed number base+1 — two complete chains on the same
+    // base, and the higher one silently drops B's files. The manifest's
+    // `base` field + post-publish fork check close it: the later
+    // completer deletes its OWN manifest and reports a lost race.
+    val zone = freshZone()
+    spark.range(10L).toDF("id").repartition(4).write.parquet(zone)
+    TxLog.init(spark, zone)                                        // gen 0
+    TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"))    // gen 1 = head
+    val corpse = writeTorn(zone, 2L)
+    assert(corpse.setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
+    // compact plans against head gen 1 and will publish at gen 2; the
+    // hook runs a full append (which skip-forwards past the corpse to
+    // gen 3) and then simulates vacuum freeing the corpse's number
+    val st = TxLog.compact(spark, zone, targetBytes = 128L << 20,
+      prePublishHook = () => {
+        val s = TxLog.append(spark, zone, spark.range(20L, 30L).toDF("id"))
+        assert(s.gen === 3L, s"append should skip the corpse to gen 3, got ${s.gen}")
+        assert(corpse.delete(), "simulated vacuum could not free the corpse")
+      })
+    assert(!st.rewritten, "the forked compact publish must abort, not win")
+    val head = TxLog.latest(spark, zone).get
+    assert(head.gen === 3L && head.baseGen === 1L)
+    assert(ids(zone) === (0L until 30L).toSet, "the append's rows were lost to the fork")
+    val g2 = new java.io.File(new java.io.File(zone, "_txlog"), "gen-" + "%020d".format(2L))
+    assert(!g2.exists(), "the yielding fork arm must remove its own manifest")
+  }
+
   test("vacuum retention counts complete manifests only — a torn newest cannot evict the head") {
     val zone = freshZone()
     spark.range(50L).toDF("id").write.parquet(zone)
