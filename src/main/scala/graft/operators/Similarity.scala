@@ -346,10 +346,17 @@ object Similarity {
     * Scale shape: bucket bits are map-side; the band explode produces
     * `bands` scalar-keyed rows per vector feeding a shuffled hash self-
     * join (never a nested loop — scalar key, same lesson as
-    * [[Dedup.lshCandidates]]); candidate ids dedupe before the two
-    * embedding re-joins, so each surviving pair pays ONE codegen'd
-    * cosine. Deterministic splitmix planes make the candidate set — and
-    * therefore the result — oracle-checkable (q143). */
+    * [[Dedup.lshCandidates]]). The embedding rides THROUGH the band join
+    * (a `bands`·n-row shuffle of vectors), so no candidate-sized exchange
+    * ever happens: a pair agreeing in several bands is emitted only from
+    * its FIRST agreeing band — a codegen'd bit test on the two full
+    * bucket words inside the join condition — which replaces the classic
+    * candidate `distinct` (an O(candidates) shuffle, the dominant cost:
+    * candidates ≫ `bands`·n) and the two embedding re-fetch joins
+    * (two more O(candidates) shuffles). Each surviving pair pays ONE
+    * codegen'd cosine, evaluated join-side so only passing rows
+    * materialize. Deterministic splitmix planes make the candidate set —
+    * and therefore the result — oracle-checkable (q143). */
   def lshBandedNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
                             nBits: Int = 8, bands: Int = 2,
                             idCol: String = "vec_id",
@@ -367,16 +374,21 @@ object Similarity {
       concat_ws("|", lit(b),
         shiftright(col("_bkt"), b * bandBits).bitwiseAND(lit(mask)))
     }: _*)
-    val banded = withBkt.select(col(idCol).as("_id"), explode(bandKeys).as("_bk"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
-      .distinct()
-    val va = vectors.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
-    val vb = vectors.select(col(idCol).as("b_id"), col(vecCol).as("_vb"))
-    val sim = round(cosine(col("_va"), col("_vb")), 4)
-    cands.join(va, "a_id").join(vb, "b_id")
-      .select(col("a_id"), col("b_id"), sim.as("sim"))
+    val banded = withBkt.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      col("_bkt"), posexplode(bandKeys).as(Seq("_bi", "_bk")))
+    // emit a pair only from the lowest band index where the buckets
+    // agree: every band BELOW the joined one must differ. The joined band
+    // agrees by the equi-key, so only indices 0..bands-2 need testing.
+    def bandOf(side: String, bp: Int) =
+      shiftright(col(s"$side._bkt"), bp * bandBits).bitwiseAND(lit(mask))
+    val firstAgreeingBand = (0 until bands - 1).map { bp =>
+      (col("a._bi") <= lit(bp)) || (bandOf("a", bp) =!= bandOf("b", bp))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    banded.as("a").join(banded.as("b"),
+        col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
+          firstAgreeingBand)
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+        round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
