@@ -148,6 +148,8 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q169_shortest_path_weighted", "q168_dsir_importance",
+      "q167_bigram_lm_score",
       "q166_bfs_levels",
       "q165_mixture_weights", "q164_repetition_ratio",
       "q163_hits_scores", "q162_sorted_neighborhood",

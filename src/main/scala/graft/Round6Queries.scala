@@ -96,13 +96,15 @@ object Round6Queries {
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin),
       (s, d) => TxLog
         .readWhereCol(s, shipdateZone(s, d), "l_shipdate",
           "1996-01-01 00:00:00", "1996-03-31 23:59:59")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_shipdate"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the driver testdata
+        // — order by every output column so ties cannot fork the oracle
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
 
     Q("q157_txlog_zorder_pruned",
       // conjunctive range read over the Z-ordered zone: correctness is
@@ -113,13 +115,15 @@ object Round6Queries {
              |FROM lineitem
              |WHERE l_partkey BETWEEN 50 AND 120
              |  AND l_quantity BETWEEN 10 AND 20
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin),
       (s, d) => TxLog
         .readWhereCols(s, zorderZone(s, d),
           Seq(("l_partkey", 50, 120), ("l_quantity", 10, 20)))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique (l_orderkey, l_linenumber): total-order on all
+        // output columns (this flaked at sf0.001 before the tiebreak)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")),
 
     Q("q158_txlog_time_travel",
       // the pinned gen-1 snapshot read AFTER gen 2 was published must
@@ -127,12 +131,14 @@ object Round6Queries {
       // travel under the hash gate
       Some("""SELECT l_orderkey, l_linenumber, l_quantity
              |FROM lineitem WHERE l_quantity <= 25
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
       (s, d) => {
         val (zone, gen1) = timeTravelZone(s, d)
         TxLog.readSnapshot(s, zone, gen1)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-          .orderBy("l_orderkey", "l_linenumber")
+          // non-unique (l_orderkey, l_linenumber): total-order on all
+          // output columns so oracle tie order cannot diverge
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
       }),
 
     Q("q159_knn_join",
@@ -467,6 +473,155 @@ object Round6Queries {
           out += frontier.select(col("node"), lit(k.toLong).as("level"))
         }
         out.reduce(_ unionByName _).orderBy("level", "node")
+      }),
+
+    Q("q167_bigram_lm_score",
+      // q144's CCNet-style LM quality filter lifted to the BIGRAM level:
+      // per-document mean add-one-smoothed bigram probability, scaled by
+      // 1e6 — score(d) = 1e6 * Σ_{g∈bigrams(d)}(cnt(g)+1)
+      // / (|bigrams(d)| * (NB+VB)). A document of corpus-common word
+      // PAIRS scores high even when q144's unigram view is flat (and
+      // shuffled-word boilerplate scores low) — the standard next rung
+      // of the n-gram quality ladder. Same determinism discipline as
+      // q144: corpus-wide BIGINT counts (exact in any order), ONE IEEE
+      // division, ROUND 4; the scaled numerator stays < 2^53 at every
+      // test SF. Docs with < 2 tokens have no bigrams and are excluded
+      // (consistently: no event stream, no score).
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |bg AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(
+              |         GENERATE_SERIES(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g
+              |       FROM t WHERE LEN(t) >= 2),
+              |vocab AS (SELECT g, COUNT(*) AS cnt FROM bg GROUP BY g),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb,
+              |               COUNT(*) AS vb FROM vocab),
+              |d AS (SELECT bg.doc_id, CAST(SUM(vocab.cnt + 1) AS BIGINT) AS s,
+              |             COUNT(*) AS n_bg
+              |      FROM bg JOIN vocab USING (g) GROUP BY bg.doc_id)
+              |SELECT d.doc_id, d.n_bg,
+              |       ROUND(CAST(d.s * 1000000 AS DOUBLE)
+              |             / CAST(d.n_bg * (tot.nb + tot.vb) AS DOUBLE), 4) AS lm2_score
+              |FROM d, tot ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextAnalysis.ngramStream(TextAnalysis.tokens(col("text")), 2)).as("g"))
+        val vocab = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum("cnt").as("nb"), count(lit(1)).as("vb"))
+        bg.join(vocab, "g")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") + 1L).as("s"), count(lit(1)).as("n_bg"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_bg"),
+            round((col("s") * 1000000L).cast("double")
+              / (col("n_bg") * (col("nb") + col("vb"))).cast("double"), 4)
+              .as("lm2_score"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q168_dsir_importance",
+      // DSIR-style importance weights (Xie et al. 2023): reweight every
+      // document by how much more likely its tokens are under a TARGET
+      // reference slice (here the src0 domain) than under the whole
+      // corpus — importance(d) = p_target(d) / p_corpus(d) on add-one-
+      // smoothed unigram models sharing the corpus vocabulary, reduced
+      // to the rational form (s_T · (N_S+V)) / (s_S · (N_T+V)) with
+      // s_X = Σ_{t∈d}(cnt_X(t)+1). Both sums are exact BIGINTs; the
+      // final expression is a fixed multiply/multiply/divide tree of
+      // exactly-representable (< 2^53) integers, so both engines round
+      // identically. Weights > 1 mark documents to up-sample toward the
+      // reference domain — the data-selection step of a curated
+      // pretraining mixture (beside q165's domain-level weights, this is
+      // the per-document variant).
+      Some(s"""WITH tok AS (SELECT doc_id, source, UNNEST($toksSql) AS tok
+              |             FROM documents),
+              |vs AS (SELECT tok, COUNT(*) AS cnt_s FROM tok GROUP BY tok),
+              |vt AS (SELECT tok, COUNT(*) AS cnt_t FROM tok
+              |       WHERE source = 'src0' GROUP BY tok),
+              |tots AS (SELECT CAST(SUM(cnt_s) AS BIGINT) AS ns,
+              |                COUNT(*) AS v FROM vs),
+              |tott AS (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) AS nt FROM vt),
+              |d AS (SELECT tok.doc_id,
+              |             CAST(SUM(vs.cnt_s + 1) AS BIGINT) AS ss,
+              |             CAST(SUM(COALESCE(vt.cnt_t, 0) + 1) AS BIGINT) AS st,
+              |             COUNT(*) AS n_tok
+              |      FROM tok JOIN vs USING (tok) LEFT JOIN vt USING (tok)
+              |      GROUP BY tok.doc_id)
+              |SELECT d.doc_id, d.n_tok,
+              |       ROUND(CAST(d.st AS DOUBLE) * CAST(tots.ns + tots.v AS DOUBLE)
+              |             / (CAST(d.ss AS DOUBLE) * CAST(tott.nt + tots.v AS DOUBLE)),
+              |             4) AS importance
+              |FROM d, tots, tott ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vs = tok.groupBy("tok").agg(count(lit(1)).as("cnt_s"))
+        val vt = tok.filter(col("source") === "src0")
+          .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
+        val tots = vs.agg(sum("cnt_s").as("ns"), count(lit(1)).as("v"))
+        val tott = vt.agg(coalesce(sum("cnt_t"), lit(0L)).as("nt"))
+        tok.join(vs, "tok").join(vt, Seq("tok"), "left_outer")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt_s") + 1L).as("ss"),
+            sum(coalesce(col("cnt_t"), lit(0L)) + 1L).as("st"),
+            count(lit(1)).as("n_tok"))
+          .crossJoin(broadcast(tots)).crossJoin(broadcast(tott))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("st").cast("double") * (col("ns") + col("v")).cast("double")
+              / (col("ss").cast("double") * (col("nt") + col("v")).cast("double")),
+              4).as("importance"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q169_shortest_path_weighted",
+      // Weighted single-source shortest path — the min-plus-semiring
+      // sibling of q166's BFS: three unrolled Bellman-Ford relaxations
+      // from supplier 1 over the undirected fulfillment graph, edge cost
+      // = the pair's shipment count w (the same weight q151's PageRank
+      // redistributes). Each round is one equi-join + a min-aggregation
+      // (scalar keys, map-side partial min); distances are exact BIGINT
+      // sums, so MIN is order-free and the oracle is bit-stable. Output
+      // is every node reachable in <= 3 hops with its provisional
+      // 3-round distance — on a 1000-executor graph each round is one
+      // shuffle, the canonical distributed relaxation.
+      Some("""WITH e0 AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+             |                   CAST(1000000 + o_custkey AS BIGINT) AS b,
+             |                   CAST(COUNT(*) AS BIGINT) AS w
+             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |            GROUP BY 1, 2),
+             |e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+             |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+             |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+             |         SELECT node, dist FROM d0
+             |         UNION ALL
+             |         SELECT e.b, d0.dist + e.w FROM e JOIN d0 ON e.a = d0.node)
+             |       GROUP BY node),
+             |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+             |         SELECT node, dist FROM d1
+             |         UNION ALL
+             |         SELECT e.b, d1.dist + e.w FROM e JOIN d1 ON e.a = d1.node)
+             |       GROUP BY node),
+             |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+             |         SELECT node, dist FROM d2
+             |         UNION ALL
+             |         SELECT e.b, d2.dist + e.w FROM e JOIN d2 ON e.a = d2.node)
+             |       GROUP BY node)
+             |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
+      (s, d) => {
+        val e0 = AnalyticsQueries.fulfillmentEdges(s, d)
+        val e = e0.select(col("src").as("a"), col("dst").as("b"), col("w"))
+          .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
+        var dist = s.range(1, 2).toDF("node").select(col("node"), lit(0L).as("dist"))
+        for (_ <- 1 to 3) {
+          val relaxed = e.join(dist, e("a") === dist("node"))
+            .select(e("b").as("node"), (dist("dist") + e("w")).as("dist"))
+          // the settled relation is <= |nodes| scalar rows per round and
+          // feeds the next round's join; materialize to keep lineage flat
+          dist = dist.unionByName(relaxed)
+            .groupBy("node").agg(min("dist").as("dist"))
+            .localCheckpoint(true)
+        }
+        dist.orderBy("node")
       })
   )
 }

@@ -19,14 +19,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Distinct word n-gram shingles ("a b c" strings), the dedup unit.
-    * Docs shorter than n shingle to the empty array. */
-  def shingles(toks: Column, n: Int = 3): Column = {
+  /** ALL word n-gram occurrences ("a b" strings) in document order —
+    * the language-model event stream (repeats kept, unlike [[shingles]]).
+    * Docs shorter than n yield the empty array. */
+  def ngramStream(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles ("a b c" strings), the dedup unit.
+    * Docs shorter than n shingle to the empty array. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(ngramStream(toks, n))
 
   /** Per-token 32-bit hashes (md5-derived, cross-engine stable). */
   def tokenHashes(toks: Column): Column =
