@@ -167,6 +167,42 @@ class Round6Spec extends SparkSpec {
       s"q160 query-term/corpus-constant sides not broadcast:\n$p160")
   }
 
+  test("ngramStream keeps repeats in document order; shingles is its distinct projection") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b a b c"),   // repeated bigram "a b"
+      (2L, "x"),           // shorter than n -> empty
+      (3L, "")             // no tokens at all
+    )).toDF("id", "text")
+    val byId = df.select(col("id"),
+        TextAnalysis.ngramStream(TextAnalysis.tokens(col("text")), 2).as("g"),
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(byId(1L)._1 === Seq("a b", "b a", "a b", "b c"),
+      s"occurrence stream wrong: ${byId(1L)._1}")
+    assert(byId(1L)._2 === byId(1L)._1.distinct,
+      "shingles must equal the distinct of the occurrence stream")
+    assert(byId(2L)._1.isEmpty && byId(3L)._1.isEmpty,
+      "docs shorter than n must yield an empty stream")
+  }
+
+  test("q169: relaxation distances are monotone non-increasing and source-anchored") {
+    val d3 = Queries.queryMap("q169_shortest_path_weighted")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3(1L) === 0L, "the source's distance must be 0")
+    assert(d3.values.forall(_ >= 0L), "min-plus over positive weights cannot go negative")
+    // 3-round distances must dominate any single edge relaxed from the
+    // source: dist(neighbor of 1) <= w(1, neighbor)
+    val e = AnalyticsQueries.fulfillmentEdges(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("src") === 1L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    e.foreach { case (nbr, w) =>
+      assert(d3.get(nbr).exists(_ <= w),
+        s"neighbor $nbr: 3-round dist ${d3.get(nbr)} exceeds direct edge $w")
+    }
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
