@@ -130,9 +130,12 @@ object Round5Queries {
               |FROM t ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = docs.select(col("doc_id"),
-            explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
-              .as("shingle"))
+        // tokenize in its OWN projection (the Dedup.shingleIndex lesson):
+        // inlined, element_at inside the shingle lambda re-splits the
+        // text once per accessed element — O(doc_len²) per document
+        val sh = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(TextAnalysis.shingles(col("toks"), 3)).as("shingle"))
           .withColumn("is_test", Splits.hashBucket(col("doc_id")) >= 90)
         val trainSh = sh.filter(!col("is_test")).select("shingle").distinct()
           .withColumn("_hit", lit(1L))

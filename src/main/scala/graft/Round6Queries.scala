@@ -502,9 +502,13 @@ object Round6Queries {
               |             / CAST(d.n_bg * (tot.nb + tot.vb) AS DOUBLE), 4) AS lm2_score
               |FROM d, tot ORDER BY doc_id""".stripMargin),
       (s, d) => {
+        // tokenize in its OWN projection (the Dedup.shingleIndex lesson):
+        // inlined, element_at inside the bigram lambda re-splits the text
+        // once per accessed element — O(doc_len²) per document
         val bg = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
-            explode(TextAnalysis.ngramStream(TextAnalysis.tokens(col("text")), 2)).as("g"))
+            explode(TextAnalysis.ngramStream(col("toks"), 2)).as("g"))
         val vocab = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum("cnt").as("nb"), count(lit(1)).as("vb"))
         bg.join(vocab, "g")
