@@ -526,10 +526,13 @@ object Round6Queries {
       // DSIR-style importance weights (Xie et al. 2023): reweight every
       // document by how much more likely its tokens are under a TARGET
       // reference slice (here the src0 domain) than under the whole
-      // corpus — importance(d) = p_target(d) / p_corpus(d) on add-one-
-      // smoothed unigram models sharing the corpus vocabulary, reduced
-      // to the rational form (s_T · (N_S+V)) / (s_S · (N_T+V)) with
-      // s_X = Σ_{t∈d}(cnt_X(t)+1). Both sums are exact BIGINTs; the
+      // corpus. The true DSIR ratio p_target(d)/p_corpus(d) is a PRODUCT
+      // of per-token probabilities — log-space territory, and a libm log
+      // is not bit-pinned across engines — so the statistic here is the
+      // engine-exact surrogate: the ratio of MEAN smoothed counts,
+      // (s_T · (N_S+V)) / (s_S · (N_T+V)) with s_X = Σ_{t∈d}(cnt_X(t)+1)
+      // (not a reduction of the product — a deliberate substitute scoring
+      // the same target-vs-corpus signal). Both sums are exact BIGINTs; the
       // final expression is a fixed multiply/multiply/divide tree of
       // exactly-representable (< 2^53) integers, so both engines round
       // identically. Weights > 1 mark documents to up-sample toward the

@@ -207,18 +207,39 @@ object TxLog {
     * below an in-flight higher claim) makes it possible for two writers
     * rebased on the SAME head to both complete, at different numbers —
     * the higher manifest would silently drop the lower writer's files.
-    * Every manifest therefore records its `base` generation, and after
-    * completing the body the writer re-lists the log: if a rival COMPLETE
-    * manifest with `gen > base` and `base <= our base` exists, the chains
-    * have forked — this writer deletes its OWN manifest (never the
-    * rival's) and reports a lost race so the caller rebases and retries.
-    * The later-completing forker always sees the earlier one (its listing
-    * happens after the rival's close), so at most one fork arm survives;
-    * a writer that crashes between close and check never acknowledged its
-    * commit, so nothing acknowledged is lost. A successor that rebased ON
-    * our generation has `base >= our gen > our base` and never triggers
-    * the check — normal serialized commits pay one extra listing, no
-    * false aborts, no self-deletion of superseded-but-live history. */
+    * Two defenses, both one directory listing:
+    *
+    *  1. CLAIM GUARD — right after create-exclusive succeeds, the writer
+    *     lists the log; if a COMPLETE manifest with a HIGHER number
+    *     already exists, the claimed number is a vacuum-freed hole below
+    *     the head — the writer releases its claim and rebases. This
+    *     kills the stale-writer-reclaims-a-freed-number arm before any
+    *     body is written.
+    *  2. FORK CHECK — every manifest records its `base` generation, and
+    *     after completing the body the writer re-lists: a rival COMPLETE
+    *     manifest with `gen > base` and `base <= our base` means the
+    *     chains forked — this writer deletes its OWN manifest (never the
+    *     rival's) and reports a lost race. Both arms close before either
+    *     checks is impossible in one order (each check follows its own
+    *     close), so at most one arm survives; both may yield (both saw
+    *     each other) and both then retry — safe. A successor that
+    *     rebased ON our generation has `base >= our gen > our base` and
+    *     never triggers the check, so serialized commits see no false
+    *     aborts.
+    *
+    * RESIDUAL WINDOW (documented, not closed — the local FS offers no
+    * atomic publish primitive to close it): between this writer's body
+    * close and its fork-check delete, a successor can read the soon-to-
+    * be-deleted manifest as head and build on it, resurrecting the
+    * yielded arm's FILES while the rival arm's writer has already
+    * acknowledged. Reaching it requires a crash-torn manifest, a vacuum
+    * that GC'd it, a stale writer reclaiming the freed number inside the
+    * claim-guard race window, AND a successor landing inside this
+    * sub-second close-to-check interval — four independent actors. The
+    * rebase path dedupes file lists, so even then no row duplicates; the
+    * exposure is the rival arm's acknowledged rows missing from the
+    * successor chain, the same single-writer-per-zone caveat
+    * [[exactlyOnceAppend]] already documents. */
   private def publish(spark: SparkSession, zone: String, gen: Long,
                       format: String, files: Seq[String],
                       meta: Map[String, String] = Map.empty,
@@ -249,6 +270,19 @@ object TxLog {
     }
     val out = claimed.getOrElse(return None)
     val baseGen = gen - 1L
+    // claim guard (see scaladoc): a COMPLETE manifest numbered above our
+    // claim means we grabbed a vacuum-freed hole below the head — release
+    // the claim (ours, body-less, safe to delete) and rebase.
+    val dir0 = genPath(zone, g).getParent
+    val aboveUs = f.listStatus(dir0).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption.exists(_ > g))
+      .exists(p => readManifest(f, p).isDefined)
+    if (aboveUs) {
+      out.close()
+      f.delete(genPath(zone, g), false)
+      return None
+    }
     try {
       val body = new StringBuilder(Header).append('\n')
         .append("gen=").append(g).append('\n')
@@ -458,12 +492,20 @@ object TxLog {
         return None
       }
       // carry earlier generations' metadata forward (e.g. the streaming
-      // sink's batchId high-water mark); this publish's keys override
+      // sink's batchId high-water mark); this publish's keys override.
+      // distinct: after a fork-check abort a successor may have carried
+      // our `added` files forward already — re-listing them here would
+      // read every appended row twice (data files are uuid-named, so
+      // distinct never merges genuinely different files)
       val next = Snapshot(head.gen + 1, head.format,
-        (head.files ++ added).sorted, head.meta ++ statsMeta ++ meta,
-        head.stats ++ addedStats, head.colStats ++ addedColStats)
+        (head.files ++ added).distinct.sorted, head.meta ++ statsMeta ++ meta,
+        head.stats ++ addedStats, head.colStats ++ addedColStats,
+        base = head.gen)
       publish(spark, zone, next.gen, next.format, next.files, next.meta,
         next.stats, next.colStats) match {
+        // base stays head.gen even when publish skip-forwarded past a
+        // corpse (g > head.gen + 1) — it names the REBASED head, exactly
+        // what the on-disk manifest records
         case Some(g) => return Some(next.copy(gen = g))
         case None => ()
       }
@@ -656,7 +698,8 @@ object TxLog {
       val head = latest(spark, zone).getOrElse(head0)
       val m = head.meta ++ statsMeta ++ meta
       publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats) match {
-        case Some(g) => return Snapshot(g, head.format, files, m, stats, colStats)
+        case Some(g) =>
+          return Snapshot(g, head.format, files, m, stats, colStats, base = head.gen)
         case None => ()
       }
       attempt += 1
