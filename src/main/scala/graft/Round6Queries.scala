@@ -629,6 +629,25 @@ object Round6Queries {
             .localCheckpoint(true)
         }
         dist.orderBy("node")
-      })
+      }),
+
+    Q("q170_ivf_cell_neardup",
+      // The DATA-ADAPTIVE block-first near-dup path beside q143's
+      // hyperplane bands: exact cosine pairs within each IVF cell of the
+      // shared deterministic k=16 training (q44/q69/q153 centroids).
+      // Candidates ~ Σ|cell|²/2 — clustered corpora get tight cells
+      // exactly where near-dups live. Output ⊆ q43's exact pairs; the
+      // oracle replays the identical unrolled k-means CTEs, so the cell
+      // partition — and therefore the candidate set — is bit-stable.
+      Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |             ROUND(${TrainingQueries.cosOf("a.embedding", "b.embedding")}, 4) AS sim
+              |      FROM afinal a JOIN afinal b
+              |        ON a.cid = b.cid AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.45
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => graft.operators.Similarity.ivfCellNearDupPairs(
+          Tables.embeddings(s, d), 0.45, ExtendedQueries.trainedCentroids16(s, d))
+        .orderBy("a_id", "b_id"))
   )
 }

@@ -392,6 +392,35 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF-cell-blocked exact near-dup pairs — the DATA-ADAPTIVE block-
+    * first scale path beside [[lshBandedNearDupPairs]]'s data-oblivious
+    * hyperplane bands: assign every vector to its max-cosine centroid
+    * (zero-shuffle literal argmax kernel), then exact cosine over pairs
+    * INSIDE each cell via a cell equi-join. Candidates ~ Σ_c |cell_c|²/2;
+    * on clustered corpora cells are tight and recall is high exactly
+    * where near-dups live. Output ⊆ the exact all-pairs result.
+    *
+    * Scale shape mirrors the banded path: the vector rides through the
+    * cell join (one |n|-row shuffle), no candidate-sized exchange, and
+    * no pair dedup at all — each vector has exactly ONE cell, so a pair
+    * can only meet once. Each surviving pair pays one codegen'd cosine,
+    * evaluated join-side. k is the blocking knob: pick k ~ sqrt(n) so
+    * cells stay near sqrt(n) rows; 16 cells on the test corpus keeps the
+    * oracle's unrolled-CTE k-means (q44/q69 machinery) tractable. */
+  def ivfCellNearDupPairs(vectors: DataFrame, threshold: Double,
+                          centroids: Seq[(Long, Array[Float])],
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroidsLocal(vectors, centroids, idCol, vecCol)
+      .select(col(idCol).as("_id"), col("cent_id").as("_cell"),
+        col(vecCol).as("_v"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+        round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:

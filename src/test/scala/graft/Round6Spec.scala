@@ -203,6 +203,23 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q170: IVF-cell pairs are a verified subset of the exact all-pairs result") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.cosineNearDupPairs(emb, 0.30))
+    val cents = ExtendedQueries.trainedCentroids16(spark, sf0001)
+    val cell = pairs(Similarity.ivfCellNearDupPairs(emb, 0.30, cents))
+    assert(cell.nonEmpty, "cell blocking found no pairs at 0.30 on the test corpus")
+    cell.foreach { case (k, sim) =>
+      assert(exact.get(k).contains(sim),
+        s"cell pair $k sim $sim not in / differs from exact result: ${exact.get(k)}")
+    }
+    info(s"cell recall at 0.30: ${cell.size}/${exact.size}")
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
