@@ -648,6 +648,139 @@ object Round6Queries {
               |ORDER BY a_id, b_id""".stripMargin),
       (s, d) => graft.operators.Similarity.ivfCellNearDupPairs(
           Tables.embeddings(s, d), 0.45, ExtendedQueries.trainedCentroids16(s, d))
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+
+    Q("q171_asof_nearest",
+      // NEAREST-event as-of: each purchase picks the view closest in
+      // time, in EITHER direction — the third as-of flavor beside
+      // backward (q54) and forward (q149), and a pure COMPOSITION of
+      // those two operators: the ref value is a (value, epoch-us) struct
+      // so both walks surface their match's timestamp, then a scalar
+      // chooser picks the smaller |Δt| (ties to the earlier view; both
+      // distances are exact BIGINT micros). Purchases with no view at
+      // all pick 'none'. Still two union+window passes — never a range
+      // join — and the chooser is map-side.
+      Some("""WITH vv AS (SELECT user_id, ts, event_id,
+             |              {'v': value, 't': epoch_us(ts)} AS vt
+             |            FROM events WHERE event_type = 'view'),
+             |pp AS (SELECT user_id, ts, event_id, value FROM events
+             |       WHERE event_type = 'purchase'),
+             |up AS (SELECT user_id, ts, event_id, vt,
+             |              CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS pts,
+             |              0 AS side
+             |       FROM vv
+             |       UNION ALL
+             |       SELECT user_id, ts, event_id,
+             |              CAST(NULL AS STRUCT(v DOUBLE, t BIGINT)), value,
+             |              epoch_us(ts), 1
+             |       FROM pp),
+             |mp AS (SELECT user_id, event_id, pv, pts, side,
+             |              LAST_VALUE(vt IGNORE NULLS) OVER (
+             |                PARTITION BY user_id ORDER BY ts, side, event_id
+             |                ROWS UNBOUNDED PRECEDING) AS prev
+             |       FROM up),
+             |mn AS (SELECT user_id, event_id, side,
+             |              LAST_VALUE(vt IGNORE NULLS) OVER (
+             |                PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+             |                ROWS UNBOUNDED PRECEDING) AS nxt
+             |       FROM up),
+             |f AS (SELECT a.user_id, a.event_id, a.pv, a.pts, a.prev, b.nxt
+             |      FROM (SELECT * FROM mp WHERE side = 1) a
+             |      JOIN (SELECT * FROM mn WHERE side = 1) b
+             |        USING (user_id, event_id))
+             |SELECT user_id, event_id, ROUND(pv, 4) AS purchase_value,
+             |       CASE WHEN prev IS NULL AND nxt IS NULL THEN 'none'
+             |            WHEN nxt IS NULL OR (prev IS NOT NULL
+             |                 AND (pts - prev.t) <= (nxt.t - pts)) THEN 'prev'
+             |            ELSE 'next' END AS picked,
+             |       ROUND(CASE WHEN prev IS NULL AND nxt IS NULL THEN NULL
+             |                  WHEN nxt IS NULL OR (prev IS NOT NULL
+             |                       AND (pts - prev.t) <= (nxt.t - pts)) THEN prev.v
+             |                  ELSE nxt.v END, 4) AS nearest_view_value,
+             |       CASE WHEN prev IS NULL AND nxt IS NULL THEN NULL
+             |            WHEN nxt IS NULL OR (prev IS NOT NULL
+             |                 AND (pts - prev.t) <= (nxt.t - pts)) THEN pts - prev.t
+             |            ELSE nxt.t - pts END AS delta_us
+             |FROM f ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.AsOf
+        import graft.Queries.r4
+        val ev = Tables.events(s, d)
+        val refs = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            struct(col("value").as("v"), unix_micros(col("ts")).as("t")).as("vt"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val both = AsOf.joinNext(
+          AsOf.joinLatest(purch, refs, Seq("user_id"), "ts", "event_id", "vt", "prev"),
+          refs, Seq("user_id"), "ts", "event_id", "vt", "nxt")
+        val pts = unix_micros(col("ts"))
+        val pickPrev = col("nxt").isNull ||
+          (col("prev").isNotNull && (pts - col("prev.t")) <= (col("nxt.t") - pts))
+        val none = col("prev").isNull && col("nxt").isNull
+        both.select(col("user_id"), col("event_id"),
+            r4(col("value")).as("purchase_value"),
+            when(none, "none").when(pickPrev, "prev").otherwise("next").as("picked"),
+            r4(when(none, lit(null)).when(pickPrev, col("prev.v"))
+              .otherwise(col("nxt.v"))).as("nearest_view_value"),
+            when(none, lit(null).cast("long"))
+              .when(pickPrev, pts - col("prev.t"))
+              .otherwise(col("nxt.t") - pts).as("delta_us"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q172_label_propagation",
+      // Community detection by synchronous weighted label propagation —
+      // the clustering member of the graph family beside CC (pure
+      // connectivity), PageRank (centrality), HITS and triangles: two
+      // unrolled rounds where every node adopts the label carrying the
+      // greatest incident edge weight among its neighbors, ties to the
+      // lowest label (the determinism knob async LP lacks). Weights and
+      // labels are exact BIGINTs; each round is one equi-join + one
+      // weighted count + a per-node ROW_NUMBER (partitioned window,
+      // never global). Labels init to node ids, so round parity flips
+      // sides of the bipartite graph and round 2 yields 2-hop
+      // (co-purchase) communities.
+      Some("""WITH e0 AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+             |                   CAST(1000000 + o_custkey AS BIGINT) AS b,
+             |                   CAST(COUNT(*) AS BIGINT) AS w
+             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |            GROUP BY 1, 2),
+             |e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+             |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+             |n1 AS (SELECT e.a AS node, l.lbl, CAST(SUM(e.w) AS BIGINT) AS wt
+             |       FROM e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.lbl),
+             |l1 AS (SELECT node, lbl FROM (
+             |         SELECT node, lbl, ROW_NUMBER() OVER (
+             |           PARTITION BY node ORDER BY wt DESC, lbl) AS rn FROM n1) t
+             |       WHERE rn = 1),
+             |n2 AS (SELECT e.a AS node, l.lbl, CAST(SUM(e.w) AS BIGINT) AS wt
+             |       FROM e JOIN l1 l ON e.b = l.node GROUP BY e.a, l.lbl),
+             |l2 AS (SELECT node, lbl FROM (
+             |         SELECT node, lbl, ROW_NUMBER() OVER (
+             |           PARTITION BY node ORDER BY wt DESC, lbl) AS rn FROM n2) t
+             |       WHERE rn = 1)
+             |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e0 = AnalyticsQueries.fulfillmentEdges(s, d)
+        val e = e0.select(col("src").as("a"), col("dst").as("b"), col("w"))
+          .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
+        var lbl = e.select(col("a").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+        for (_ <- 1 to 2) {
+          val votes = e.join(lbl, e("b") === lbl("node"))
+            .select(e("a").as("vnode"), col("lbl"), col("w"))
+            .groupBy("vnode", "lbl").agg(sum("w").as("wt"))
+          val w2 = Window.partitionBy("vnode")
+            .orderBy(col("wt").desc, col("lbl"))
+          lbl = votes.withColumn("rn", row_number().over(w2))
+            .filter(col("rn") === 1)
+            .select(col("vnode").as("node"), col("lbl"))
+            // one materialized |nodes|-row relation per round, flat lineage
+            .localCheckpoint(true)
+        }
+        lbl.select(col("node"), col("lbl").as("community")).orderBy("node")
+      })
   )
 }
