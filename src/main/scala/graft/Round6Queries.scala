@@ -781,6 +781,29 @@ object Round6Queries {
             .localCheckpoint(true)
         }
         lbl.select(col("node"), col("lbl").as("community")).orderBy("node")
-      })
+      }),
+
+    Q("q173_dedup_overlap",
+      // Overlap coefficient |A∩B| / min(|A|,|B|) >= 0.8 — the symmetric
+      // boilerplate metric (= max of q147's two containment directions),
+      // and the proof that every pairwise set-overlap metric is a pure
+      // projection of the ONE shared pair-stats relation: this query adds
+      // zero join work to an inventory pass that already ran q36 or q147
+      // (same session-cached (inter, n_a, n_b) kernel, skew cap 256).
+      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+              |          FROM sh a JOIN sh b
+              |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT a_id, b_id,
+              |       ROUND(i::DOUBLE / LEAST(ca.n_sh, cb.n_sh), 4) AS overlap
+              |FROM inter JOIN cnt ca ON ca.doc_id = a_id
+              |           JOIN cnt cb ON cb.doc_id = b_id
+              |WHERE ROUND(i::DOUBLE / LEAST(ca.n_sh, cb.n_sh), 4) >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => graft.operators.Dedup
+        .overlapFromStats(TrainingQueries.cachedPairStats(s, d), threshold = 0.8)
+        .orderBy("a_id", "b_id"))
   )
 }

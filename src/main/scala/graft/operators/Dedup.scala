@@ -107,6 +107,18 @@ object Dedup {
         col("na.n_sh").as("n_a"), col("nb.n_sh").as("n_b"))
   }
 
+  /** Overlap coefficient from a [[pairStats]] relation:
+    * |A∩B| / min(|A|,|B|) — the symmetric cousin of directional
+    * containment (it equals the LARGER of the two containment
+    * directions), the boilerplate-detection metric that fires whenever
+    * EITHER document is mostly contained in the other. Like every
+    * metric here, a pure projection of the shared stats relation. */
+  def overlapFromStats(stats: DataFrame, threshold: Double): DataFrame = {
+    val ov = col("inter").cast("double") / least(col("n_a"), col("n_b"))
+    stats.select(col("a_id"), col("b_id"), round(ov, 4).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   /** Jaccard from a [[pairStats]] relation: |A∩B| / |A∪B|. */
   def jaccardFromStats(stats: DataFrame, threshold: Double): DataFrame = {
     val j = col("inter").cast("double") /
