@@ -703,29 +703,19 @@ object Round6Queries {
              |            ELSE nxt.t - pts END AS delta_us
              |FROM f ORDER BY user_id, event_id""".stripMargin),
       (s, d) => {
-        import graft.operators.AsOf
         import graft.Queries.r4
         val ev = Tables.events(s, d)
         val refs = ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            struct(col("value").as("v"), unix_micros(col("ts")).as("t")).as("vt"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         val purch = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        val both = AsOf.joinNext(
-          AsOf.joinLatest(purch, refs, Seq("user_id"), "ts", "event_id", "vt", "prev"),
-          refs, Seq("user_id"), "ts", "event_id", "vt", "nxt")
-        val pts = unix_micros(col("ts"))
-        val pickPrev = col("nxt").isNull ||
-          (col("prev").isNotNull && (pts - col("prev.t")) <= (col("nxt.t") - pts))
-        val none = col("prev").isNull && col("nxt").isNull
-        both.select(col("user_id"), col("event_id"),
+        graft.operators.AsOf
+          .joinNearest(purch, refs, Seq("user_id"), "ts", "event_id", "value")
+          .select(col("user_id"), col("event_id"),
             r4(col("value")).as("purchase_value"),
-            when(none, "none").when(pickPrev, "prev").otherwise("next").as("picked"),
-            r4(when(none, lit(null)).when(pickPrev, col("prev.v"))
-              .otherwise(col("nxt.v"))).as("nearest_view_value"),
-            when(none, lit(null).cast("long"))
-              .when(pickPrev, pts - col("prev.t"))
-              .otherwise(col("nxt.t") - pts).as("delta_us"))
+            col("nearest_side").as("picked"),
+            r4(col("nearest_value")).as("nearest_view_value"),
+            col("nearest_delta_us").as("delta_us"))
           .orderBy("user_id", "event_id")
       }),
 
@@ -761,27 +751,9 @@ object Round6Queries {
              |           PARTITION BY node ORDER BY wt DESC, lbl) AS rn FROM n2) t
              |       WHERE rn = 1)
              |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin),
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e0 = AnalyticsQueries.fulfillmentEdges(s, d)
-        val e = e0.select(col("src").as("a"), col("dst").as("b"), col("w"))
-          .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
-        var lbl = e.select(col("a").as("node")).distinct()
-          .select(col("node"), col("node").as("lbl"))
-        for (_ <- 1 to 2) {
-          val votes = e.join(lbl, e("b") === lbl("node"))
-            .select(e("a").as("vnode"), col("lbl"), col("w"))
-            .groupBy("vnode", "lbl").agg(sum("w").as("wt"))
-          val w2 = Window.partitionBy("vnode")
-            .orderBy(col("wt").desc, col("lbl"))
-          lbl = votes.withColumn("rn", row_number().over(w2))
-            .filter(col("rn") === 1)
-            .select(col("vnode").as("node"), col("lbl"))
-            // one materialized |nodes|-row relation per round, flat lineage
-            .localCheckpoint(true)
-        }
-        lbl.select(col("node"), col("lbl").as("community")).orderBy("node")
-      }),
+      (s, d) => graft.operators.LabelProp
+        .run(AnalyticsQueries.fulfillmentEdges(s, d), "src", "dst", "w", rounds = 2)
+        .select(col("node"), col("lbl").as("community")).orderBy("node")),
 
     Q("q173_dedup_overlap",
       // Overlap coefficient |A∩B| / min(|A|,|B|) >= 0.8 — the symmetric

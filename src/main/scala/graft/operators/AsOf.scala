@@ -98,4 +98,42 @@ object AsOf {
       .filter(col("_side") === 1)
       .select(col("_probe.*"), col(outCol))
   }
+
+  /** NEAREST-event as-of: the reference closest in time in EITHER
+    * direction — a pure COMPOSITION of [[joinLatest]] and [[joinNext]]
+    * with the reference value packed beside its epoch-micros timestamp,
+    * so the chooser compares exact non-negative BIGINT distances.
+    *
+    * Output: all `probes` columns plus `<prefix>_side` ('prev' | 'next'
+    * | 'none'), `<prefix>_value` (the chosen `refValCol`, null on
+    * 'none') and `<prefix>_delta_us`. Equal distances pick 'prev' (the
+    * earlier reference) — the determinism knob; a probe with no
+    * reference in either direction picks 'none'. Equal-timestamp
+    * references are inclusive on BOTH walks (delta 0 — always 'prev').
+    * Cost: the two underlying union+window passes, chooser map-side —
+    * still never a range join. */
+  def joinNearest(probes: DataFrame, refs: DataFrame, keyCols: Seq[String],
+                  tsCol: String, seqCol: String, refValCol: String,
+                  outPrefix: String = "nearest"): DataFrame = {
+    require(!probes.columns.contains("_prev") && !probes.columns.contains("_next"),
+      "_prev/_next are reserved; rename those probe columns")
+    val packed = refs.select(keyCols.map(col) ++ Seq(col(tsCol), col(seqCol),
+      struct(col(refValCol).as("v"), unix_micros(col(tsCol)).as("t")).as("_vt")): _*)
+    val both = joinNext(
+      joinLatest(probes, packed, keyCols, tsCol, seqCol, "_vt", "_prev"),
+      packed, keyCols, tsCol, seqCol, "_vt", "_next")
+    val pts = unix_micros(col(tsCol))
+    val none = col("_prev").isNull && col("_next").isNull
+    val pickPrev = col("_next").isNull ||
+      (col("_prev").isNotNull && (pts - col("_prev.t")) <= (col("_next.t") - pts))
+    both.withColumn(s"${outPrefix}_side",
+        when(none, "none").when(pickPrev, "prev").otherwise("next"))
+      .withColumn(s"${outPrefix}_value",
+        when(none, lit(null)).when(pickPrev, col("_prev.v")).otherwise(col("_next.v")))
+      .withColumn(s"${outPrefix}_delta_us",
+        when(none, lit(null).cast("long"))
+          .when(pickPrev, pts - col("_prev.t"))
+          .otherwise(col("_next.t") - pts))
+      .drop("_prev", "_next")
+  }
 }

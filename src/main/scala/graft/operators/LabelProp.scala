@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community detection by SYNCHRONOUS weighted label propagation — the
+  * clustering member of the graph-operator family beside connected
+  * components (pure connectivity), PageRank/HITS (centrality) and
+  * triangle counting (cohesion).
+  *
+  * Labels initialize to node ids; each round every node adopts the
+  * label carrying the greatest summed incident edge weight among its
+  * neighbors, ties to the LOWEST label — the determinism knob the
+  * classic asynchronous formulation lacks (async LP's result depends on
+  * visit order, which no distributed engine should promise). Rounds are
+  * unrolled by the caller's `rounds` knob rather than iterated to
+  * convergence: synchronous LP can 2-cycle on bipartite graphs (labels
+  * legitimately oscillate between sides), so a fixed round count is the
+  * honest contract.
+  *
+  * Scale shape: each round is one equi-join of the |2·edges| scalar-key
+  * edge list against the |nodes|-row label relation, a weighted count
+  * with map-side partial aggregation, and a per-node ROW_NUMBER
+  * (partitioned window, never global); the label relation is eagerly
+  * checkpointed per round to keep lineage flat — the same distributed-
+  * loop discipline as [[PageRank]].
+  */
+object LabelProp {
+
+  /** @param edges one row per UNDIRECTED edge (each pair once, either
+    *   orientation); both orientations are derived internally.
+    * @return (node, lbl) for every node with at least one edge. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+          rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"), col(wCol).as("w"))
+      .unionByName(
+        edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))
+    var lbl = e.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = e.join(lbl, e("b") === lbl("node"))
+        .select(e("a").as("vnode"), col("lbl"), col("w"))
+        .groupBy("vnode", "lbl").agg(sum("w").as("wt"))
+      val byWeight = Window.partitionBy("vnode")
+        .orderBy(col("wt").desc, col("lbl"))
+      lbl = votes.withColumn("rn", row_number().over(byWeight))
+        .filter(col("rn") === 1)
+        .select(col("vnode").as("node"), col("lbl"))
+        // one materialized |nodes|-row relation per round, flat lineage
+        .localCheckpoint(true)
+    }
+    lbl
+  }
+}

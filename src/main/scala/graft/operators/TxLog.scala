@@ -272,12 +272,21 @@ object TxLog {
     val baseGen = gen - 1L
     // claim guard (see scaladoc): a COMPLETE manifest numbered above our
     // claim means we grabbed a vacuum-freed hole below the head — release
-    // the claim (ours, body-less, safe to delete) and rebase.
-    val dir0 = genPath(zone, g).getParent
-    val aboveUs = f.listStatus(dir0).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") &&
-        scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption.exists(_ > g))
-      .exists(p => readManifest(f, p).isDefined)
+    // the claim (ours, body-less, safe to delete) and rebase. The guard
+    // runs while our claim stream is open, so ANY failure here must also
+    // release it: leaking the empty claim would wedge the number behind
+    // occupant=Owned until the torn-manifest grace window expires.
+    val aboveUs = try {
+      val dir0 = genPath(zone, g).getParent
+      f.listStatus(dir0).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("gen-") &&
+          scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption.exists(_ > g))
+        .exists(p => readManifest(f, p).isDefined)
+    } catch { case e: Throwable =>
+      out.close()
+      f.delete(genPath(zone, g), false)
+      throw e
+    }
     if (aboveUs) {
       out.close()
       f.delete(genPath(zone, g), false)
@@ -317,12 +326,22 @@ object TxLog {
             .exists(_ > baseGen)
       }
       .flatMap(p => readManifest(f, p))
-      .filter(m => m.gen > baseGen && m.baseGen <= baseGen)
+      .filter(m => isForkRival(m, baseGen))
     if (rivals.nonEmpty) {
       f.delete(genPath(zone, g), false)
       None
     } else Some(g)
   }
+
+  /** The fork-check predicate, factored for direct testing (the claim
+    * guard resolves most staged races before the post-close check can
+    * fire, so this logic is hard to reach end-to-end): a COMPLETE rival
+    * manifest is a fork arm iff it is numbered above our base AND was
+    * itself rebased on our base or older. A successor that built ON our
+    * generation has `baseGen >= our gen > our base` and is never a
+    * rival; our own base and its ancestors are numbered <= our base. */
+  private[graft] def isForkRival(m: Snapshot, ourBase: Long): Boolean =
+    m.gen > ourBase && m.baseGen <= ourBase
 
   /** Zone-relative data files currently under `dir` (one `d-<uuid>`
     * write dir), skipping Spark's _SUCCESS/hidden files. */

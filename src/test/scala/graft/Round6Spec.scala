@@ -220,6 +220,47 @@ class Round6Spec extends SparkSpec {
     info(s"cell recall at 0.30: ${cell.size}/${exact.size}")
   }
 
+  test("q171: joinNearest tie-breaks — equal distance picks prev; one-sided and none arms") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AsOf
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec.toLong))
+    // key 1: refs 5 s before AND 5 s after the probe (exact tie) -> prev
+    // key 2: ref only after -> next;  key 3: ref only before -> prev
+    // key 4: no refs at all -> none
+    val refs = spark.createDataFrame(Seq(
+      (1L, ts(95), 10L, 1.0), (1L, ts(105), 11L, 2.0),
+      (2L, ts(107), 12L, 3.0),
+      (3L, ts(90), 13L, 4.0)
+    )).toDF("k", "ts", "seq", "v")
+    val probes = spark.createDataFrame(Seq(
+      (1L, ts(100), 20L), (2L, ts(100), 21L), (3L, ts(100), 22L), (4L, ts(100), 23L)
+    )).toDF("k", "ts", "seq")
+    val got = AsOf.joinNearest(probes, refs, Seq("k"), "ts", "seq", "v")
+      .select("k", "nearest_side", "nearest_value", "nearest_delta_us")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) === (("prev", Some(1.0), Some(5000000L))),
+      s"exact tie must pick the EARLIER reference: ${got(1L)}")
+    assert(got(2L) === (("next", Some(3.0), Some(7000000L))), s"got ${got(2L)}")
+    assert(got(3L) === (("prev", Some(4.0), Some(10000000L))), s"got ${got(3L)}")
+    assert(got(4L) === (("none", None, None)), s"got ${got(4L)}")
+  }
+
+  test("q172: label propagation ties go to the lowest label; weights dominate counts") {
+    import org.apache.spark.sql.functions._
+    // path 1-2-3 with equal weights: node 2's neighbor labels {1,3} tie
+    // at weight 5 -> adopts 1. Node 4 hangs off 3 with a HEAVY edge, so
+    // 3 adopts 4's label despite 2 also neighboring it with weight 5.
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 50L)
+    )).toDF("s", "d", "w")
+    val got = graft.operators.LabelProp.run(e, "s", "d", "w", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 1L, s"equal-weight tie must adopt the LOWEST label: $got")
+    assert(got(3L) === 4L, s"the heavier incident label must win: $got")
+    assert(got(1L) === 2L && got(4L) === 3L, s"single-neighbor adoptions: $got")
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)

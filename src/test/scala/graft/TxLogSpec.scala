@@ -418,6 +418,28 @@ class TxLogSpec extends SparkSpec {
     assert(!g2.exists(), "the yielding fork arm must remove its own manifest")
   }
 
+  test("fork-rival predicate: forks flagged, successors and ancestors never") {
+    // The claim guard resolves staged end-to-end races before the post-
+    // close fork check can fire, so the check's predicate is pinned
+    // directly (an inverted comparison here would ship green otherwise).
+    def snap(gen: Long, base: Long) =
+      TxLog.Snapshot(gen, "parquet", Nil, base = base)
+    // we published with base = 1
+    assert(TxLog.isForkRival(snap(gen = 2L, base = 1L), ourBase = 1L),
+      "a same-base rival at another number IS a fork arm")
+    assert(TxLog.isForkRival(snap(gen = 5L, base = 0L), ourBase = 1L),
+      "a rival rebased on an ANCESTOR of our base is also a fork arm")
+    assert(!TxLog.isForkRival(snap(gen = 4L, base = 3L), ourBase = 1L),
+      "a successor built on our generation is not a rival")
+    assert(!TxLog.isForkRival(snap(gen = 1L, base = 0L), ourBase = 1L),
+      "our own base is not a rival")
+    assert(!TxLog.isForkRival(snap(gen = 0L, base = -1L), ourBase = 1L),
+      "ancestors below our base are not rivals")
+    // legacy manifest without the base field: baseGen falls back to gen-1
+    assert(TxLog.isForkRival(TxLog.Snapshot(2L, "parquet", Nil), ourBase = 1L),
+      "a legacy gen-2 manifest reads as base 1 — a same-base rival")
+  }
+
   test("vacuum retention counts complete manifests only — a torn newest cannot evict the head") {
     val zone = freshZone()
     spark.range(50L).toDF("id").write.parquet(zone)
