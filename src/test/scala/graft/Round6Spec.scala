@@ -261,6 +261,32 @@ class Round6Spec extends SparkSpec {
     assert(got(1L) === 2L && got(4L) === 3L, s"single-neighbor adoptions: $got")
   }
 
+  test("q167-q172 plans: no cartesian joins beyond scalar broadcasts; LP windows nothing") {
+    // The shapes that would die at 100 TB: a nested-loop/cartesian join
+    // of two non-scalar relations, or a window over unpartitioned data.
+    // Every cross join these queries declare broadcasts a 1-row scalar
+    // aggregate (corpus totals), which plans as BroadcastNestedLoopJoin
+    // over a SINGLE-row side — fine. A CartesianProduct is never fine.
+    for (name <- Seq("q167_bigram_lm_score", "q168_dsir_importance",
+        "q169_shortest_path_weighted", "q170_ivf_cell_neardup",
+        "q171_asof_nearest", "q172_label_propagation")) {
+      val p = Queries.queryMap(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+    // the LP rewrite's contract: winner pick is an aggregation, no
+    // window sort anywhere in the plan
+    val lp = Queries.queryMap("q172_label_propagation")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!lp.contains("Window"), s"q172 should be window-free:\n$lp")
+    // q170's only nested loop is the argmax-kernel projection's input —
+    // the cell join itself must be a hash/sort-merge equi-join
+    val p170 = Queries.queryMap("q170_ivf_cell_neardup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p170.contains("BroadcastNestedLoopJoin"),
+      s"q170 cell join degenerated to a nested loop:\n$p170")
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
