@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * video travel as opaque `binary` columns with typed metadata, and
   * decode/featurize/frame-sample run as partition-wise batch operators.
   *
-  * The DECODE STEP IS A STUB in this environment (no image/audio libraries
-  * in the container — clearly marked below with a deterministic fake). The
-  * Spark-side plumbing is real and tested: schema contract, partition-wise
-  * iterator batching (the Scala analogue of `mapInPandas` — one buffer per
-  * partition, no per-row JNI/process round-trips), partition sizing, and
-  * zero-copy pass-through of rows that don't need decoding.
+  * The DEFAULT decode is a STUB in this environment (no image/audio
+  * libraries in the container — clearly marked below with a
+  * deterministic fake), but the boundary is proven real by
+  * [[BmpCodec]]: a pure-JVM uncompressed-24-bit-BMP decoder that runs
+  * through the same [[MediaCodec]] trait and the same operators
+  * (MultimodalSpec drives both). The Spark-side plumbing is real and
+  * tested: schema contract, partition-wise iterator batching (the Scala
+  * analogue of `mapInPandas` — one buffer per partition, no per-row
+  * JNI/process round-trips), partition sizing, and zero-copy
+  * pass-through of rows that don't need decoding.
   *
   * At 100 TB: binaries dominate row size, so operators here avoid shuffling
   * the binary column (featurize projects it away as early as possible) and

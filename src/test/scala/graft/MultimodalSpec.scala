@@ -80,4 +80,45 @@ class MultimodalSpec extends SparkSpec {
     val lastOrig = original.head.getAs[Array[Byte]]("content").last
     assert(resized.minBy(_.getLong(0)).getAs[Array[Byte]]("content").head === lastOrig)
   }
+
+  // ---- BmpCodec: a REAL pure-JVM decoder through the same boundary ----
+
+  /** 4x4 24-bit BMP: left half black, right half white. */
+  private def halfAndHalfBmp: Array[Byte] = {
+    val rows = Array.tabulate(4, 12) { (_, i) =>
+      if (i / 3 < 2) 0.toByte else 0xff.toByte
+    }
+    graft.operators.BmpCodec.encode(4, 4, rows)
+  }
+
+  test("BmpCodec: encode -> decode pools exact grid luminance; resize is nearest-neighbor") {
+    import graft.operators.BmpCodec
+    val bmp = halfAndHalfBmp
+    // dim=4 -> 2x2 grid: (black, white, black, white) exactly
+    assert(BmpCodec.decodeToFeatures(bmp, "bmp", 4).toSeq ===
+      Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    // nearest-neighbor downscale to 2x2 keeps the halves, and the
+    // re-encoded payload decodes to the same grid
+    val small = BmpCodec.resize(bmp, "bmp", 2, 2, bytesPerPixel = 3)
+    assert(BmpCodec.decodeToFeatures(small, "bmp", 4).toSeq ===
+      Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    // malformed input fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      BmpCodec.decodeToFeatures(Array.fill[Byte](100)(7), "bmp", 4)
+    }
+  }
+
+  test("BmpCodec drives the distributed featurize operator end to end") {
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(1L, halfAndHalfBmp, Row("bmp", 4, 4, null)),
+      Row(2L, graft.operators.BmpCodec.encode(2, 2,
+        Array.tabulate(2, 6)((_, _) => 0xff.toByte)), Row("bmp", 2, 2, null)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val feats = Multimodal.featurize(media, dim = 4, codec = graft.operators.BmpCodec)
+      .orderBy("media_id").collect()
+    assert(feats(0).getSeq[Float](2) === Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    assert(feats(1).getSeq[Float](2) === Seq(1.0f, 1.0f, 1.0f, 1.0f),
+      "an all-white 2x2 image must pool to all-ones")
+  }
 }
