@@ -439,6 +439,74 @@ class AsOfPropertySpec extends SparkSpec {
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("joinNearest == brute-force nearest-with-prev-on-tie, on random inputs") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val gen = for {
+      refs <- Gen.listOfN(30, rowGen)
+      probes <- Gen.listOfN(15, rowGen)
+    } yield (refs, probes)
+    val prop = Prop.forAll(gen) { case (refRows0, probeRows0) =>
+      val refRows = refRows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val probeRows = probeRows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val refs = refRows.toDF("k", "t", "seq", "v")
+        .withColumn("ts", timestamp_seconds($"t"))
+      val probes = probeRows.toDF("k", "t", "seq", "v")
+        .withColumn("ts", timestamp_seconds($"t"))
+      val got = graft.operators.AsOf
+        .joinNearest(probes, refs, Seq("k"), "ts", "seq", "v")
+        .select($"k", $"seq", $"nearest_side", $"nearest_value", $"nearest_delta_us")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      probeRows.forall { case (k, t, seq, _) =>
+        val prev = refRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val next = refRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (r._2, r._3)).headOption
+        val expected = (prev, next) match {
+          case (None, None) => ("none", None, None)
+          case (Some(p), None) => ("prev", Some(p._4), Some((t - p._2) * 1000000L))
+          case (None, Some(n)) => ("next", Some(n._4), Some((n._2 - t) * 1000000L))
+          case (Some(p), Some(n)) =>
+            if (t - p._2 <= n._2 - t) ("prev", Some(p._4), Some((t - p._2) * 1000000L))
+            else ("next", Some(n._4), Some((n._2 - t) * 1000000L))
+        }
+        got((k, seq)) == expected
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("LabelProp one round == brute-force weighted majority, on random graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(1L, 10L)
+      b <- Gen.choose(1L, 10L) if a != b
+      w <- Gen.choose(1L, 20L)
+    } yield (math.min(a, b), math.max(a, b), w)
+    val gen = Gen.listOfN(20, edgeGen)
+      // one row per undirected pair: duplicates would double-count weight
+      .map(_.groupBy(e => (e._1, e._2)).map(_._2.head).toList)
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(gen) { edges =>
+      val df = edges.toDF("s", "d", "w")
+      val got = graft.operators.LabelProp.run(df, "s", "d", "w", rounds = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.forall { v =>
+        val votes = edges.collect {
+          case (a, b, w) if a == v => (b, w) // neighbor's round-0 label = its id
+          case (a, b, w) if b == v => (a, w)
+        }.groupBy(_._1).map { case (l, ws) => (l, ws.map(_._2).sum) }
+        val expected = votes.toSeq.minBy { case (l, wt) => (-wt, l) }._1
+        got(v) == expected
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
 
 /** A13's reason to exist: the hour-partitioned lake layout must let a
