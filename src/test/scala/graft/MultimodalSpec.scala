@@ -108,6 +108,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: RMS pooling is exact on square waves; resample keeps amplitude") {
+    import graft.operators.WavCodec
+    // 400 samples: first half silent, second half full-scale square wave
+    val samples = Array.tabulate(400)(i =>
+      if (i < 200) 0.toShort
+      else if (i % 2 == 0) 32767.toShort else (-32767).toShort)
+    val wav = WavCodec.encode(8000, samples)
+    val f = WavCodec.decodeToFeatures(wav, "wav", 2)
+    assert(f(0) === 0.0f, s"silent half must pool to 0: ${f.toSeq}")
+    // RMS of a +/-32767 square wave is 32767/32768
+    assert(math.abs(f(1) - 32767.0f / 32768.0f) < 1e-6f, s"got ${f.toSeq}")
+    // nearest-neighbor resample to a 100-sample budget (50x1x2 bytes)
+    val small = WavCodec.resize(wav, "wav", 50, 1, 2)
+    val f2 = WavCodec.decodeToFeatures(small, "wav", 2)
+    assert(f2(0) === 0.0f && math.abs(f2(1) - 32767.0f / 32768.0f) < 1e-6f,
+      s"resample lost the halves: ${f2.toSeq}")
+    intercept[IllegalArgumentException] {
+      WavCodec.decodeToFeatures(Array.fill[Byte](100)(3), "wav", 2)
+    }
+  }
+
   test("BmpCodec drives the distributed featurize operator end to end") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
