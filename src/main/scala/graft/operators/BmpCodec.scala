@@ -48,9 +48,13 @@ object BmpCodec extends Multimodal.MediaCodec {
       s"BmpCodec: unsupported dimensions ${width}x$height (top-down BMPs not handled)")
     require(bpp == 24, s"BmpCodec: unsupported bit depth $bpp (want 24)")
     require(compression == 0, s"BmpCodec: unsupported compression $compression (want BI_RGB)")
-    require(bytes.length >= offset + rowSize(width) * height,
-      s"BmpCodec: pixel array truncated (${bytes.length} bytes, " +
-        s"need ${offset + rowSize(width) * height})")
+    require(offset >= FileHeaderSize + DibHeaderSize && offset <= bytes.length,
+      s"BmpCodec: pixel-array offset $offset outside [headers, file end]")
+    // Long arithmetic: a crafted width near 2^31/3 overflows rowSize and
+    // would make an Int-typed truncation check trivially pass
+    val needed = offset.toLong + ((width.toLong * 3 + 3) / 4 * 4) * height
+    require(bytes.length >= needed,
+      s"BmpCodec: pixel array truncated (${bytes.length} bytes, need $needed)")
     (width, height, offset)
   }
 

@@ -33,6 +33,14 @@ object LabelProp {
   def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
           rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // The max-struct tie-break negates the label (max(-lbl) = min(lbl)),
+    // which is only correct for integral ids — a string id would cast to
+    // null and silently INVERT the documented lowest-label rule.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idTypes = Seq(edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
+    require(idTypes.forall(Seq(ByteType, ShortType, IntegerType, LongType).contains),
+      s"LabelProp needs integral node ids (got ${idTypes.mkString(", ")}); " +
+        "map other id types to longs first")
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"), col(wCol).as("w"))
       .unionByName(
         edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))

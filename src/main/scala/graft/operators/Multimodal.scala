@@ -48,7 +48,10 @@ object Multimodal {
     * [[resize]]. */
   trait MediaCodec extends Serializable {
     /** Decode one blob into a fixed-dim feature vector (e.g. decode +
-      * pooled embedding). `bytes` is never null (empty for null blobs). */
+      * pooled embedding). `bytes` is never null or empty — [[featurize]]
+      * emits NULL features for null/empty blobs without calling the
+      * codec, so implementations are free to reject malformed input
+      * loudly. */
     def decodeToFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float]
     /** Decode, scale to targetW x targetH, re-encode. Returns the new
       * payload bytes. */
@@ -88,7 +91,10 @@ object Multimodal {
     * mapInPandas): one iterator pass per partition, binary column consumed
     * and NOT carried into the output (keeps the shuffle-facing row thin).
     * The decode itself is `codec`'s job — swap in a real implementation
-    * without touching the operator. */
+    * without touching the operator. Null/empty blobs never reach the
+    * codec: they featurize to NULL (real decoders have nothing to decode
+    * and must be free to reject empty input loudly — one null row must
+    * not kill a 100 TB featurize job). */
   def featurize(media: DataFrame, dim: Int = 16,
                 codec: MediaCodec = StubMediaCodec): DataFrame = {
     val spark = media.sparkSession
@@ -105,9 +111,10 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
           val fmt = r.getAs[String]("format")
-          val feats = codec.decodeToFeatures(
-            if (bytes == null) Array.emptyByteArray else bytes, fmt, dim)
-          Row(r.getAs[Long]("media_id"), fmt, feats.toSeq)
+          val feats =
+            if (bytes == null || bytes.isEmpty) null
+            else codec.decodeToFeatures(bytes, fmt, dim).toSeq
+          Row(r.getAs[Long]("media_id"), fmt, feats)
         }
       }(enc)
     out.toDF()

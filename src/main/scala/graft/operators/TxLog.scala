@@ -283,12 +283,14 @@ object TxLog {
           scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption.exists(_ > g))
         .exists(p => readManifest(f, p).isDefined)
     } catch { case e: Throwable =>
-      out.close()
-      f.delete(genPath(zone, g), false)
+      // best-effort each step: a close() that ALSO throws (same flaky FS)
+      // must not skip the delete or mask the original error
+      try out.close() catch { case _: Throwable => () }
+      try f.delete(genPath(zone, g), false) catch { case _: Throwable => () }
       throw e
     }
     if (aboveUs) {
-      out.close()
+      try out.close() catch { case _: Throwable => () }
       f.delete(genPath(zone, g), false)
       return None
     }

@@ -37,6 +37,7 @@ object WavCodec extends Multimodal.MediaCodec {
       require(len >= 0 && pos + 8 + len <= bytes.length,
         s"WavCodec: chunk at $pos overruns the buffer (len $len)")
       if (id == 0x20746d66) { // "fmt "
+        require(len >= 16, s"WavCodec: fmt chunk too short ($len bytes, want >= 16)")
         val audioFormat = b.getShort(pos + 8).toInt
         val channels = b.getShort(pos + 10).toInt
         val rate = b.getInt(pos + 12)
@@ -72,7 +73,9 @@ object WavCodec extends Multimodal.MediaCodec {
     val out = new Array[Float](dim)
     var j = 0
     while (j < dim) {
-      val (i0, i1) = (j * frames / dim, (j + 1) * frames / dim)
+      // Long intermediate: j * frames overflows Int past ~1.4 GB of PCM
+      val (i0, i1) = ((j.toLong * frames / dim).toInt,
+        ((j + 1).toLong * frames / dim).toInt)
       var sumSq = 0L
       var i = i0
       while (i < i1) {
@@ -103,7 +106,7 @@ object WavCodec extends Multimodal.MediaCodec {
       // nearest-neighbor resample of the channel-averaged stream
       samples(i) =
         if (srcFrames == 0) 0
-        else frameAvg(b, off, channels, i * srcFrames / outFrames).toShort
+        else frameAvg(b, off, channels, (i.toLong * srcFrames / outFrames).toInt).toShort
       i += 1
     }
     encode(rate, samples)

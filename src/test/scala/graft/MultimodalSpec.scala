@@ -134,12 +134,34 @@ class MultimodalSpec extends SparkSpec {
     val rows = java.util.Arrays.asList(
       Row(1L, halfAndHalfBmp, Row("bmp", 4, 4, null)),
       Row(2L, graft.operators.BmpCodec.encode(2, 2,
-        Array.tabulate(2, 6)((_, _) => 0xff.toByte)), Row("bmp", 2, 2, null)))
+        Array.tabulate(2, 6)((_, _) => 0xff.toByte)), Row("bmp", 2, 2, null)),
+      // a NULL blob must featurize to NULL, not reach the codec (a real
+      // decoder throws on empty input — one null row must not kill the job)
+      Row(3L, null, Row("bmp", 0, 0, null)))
     val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
     val feats = Multimodal.featurize(media, dim = 4, codec = graft.operators.BmpCodec)
       .orderBy("media_id").collect()
     assert(feats(0).getSeq[Float](2) === Seq(0.0f, 1.0f, 0.0f, 1.0f))
     assert(feats(1).getSeq[Float](2) === Seq(1.0f, 1.0f, 1.0f, 1.0f),
       "an all-white 2x2 image must pool to all-ones")
+    assert(feats(2).isNullAt(2), "null content must yield null features")
+  }
+
+  test("codec header validation: bad BMP pixel offset and short WAV fmt chunk fail loudly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // valid BMP, then corrupt the pixel-array offset to point INSIDE the
+    // headers — silent acceptance would pool header bytes as pixels
+    val bmp = halfAndHalfBmp
+    ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN).putInt(10, 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.BmpCodec.decodeToFeatures(bmp, "bmp", 4)
+    }
+    // valid WAV, then shrink the fmt chunk below the 16 bytes its fields
+    // occupy — reads past it would misparse the next chunk as fields
+    val wav = graft.operators.WavCodec.encode(8000, Array[Short](1, 2, 3, 4))
+    ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN).putInt(16, 8)
+    intercept[IllegalArgumentException] {
+      graft.operators.WavCodec.decodeToFeatures(wav, "wav", 2)
+    }
   }
 }
