@@ -17,6 +17,11 @@ case class AsOfProbe(key: Long, ts: java.sql.Timestamp, seq: Long,
 case class AsOfJoined(key: Long, ts: java.sql.Timestamp, seq: Long,
                       value: Option[Double], asof_value: Option[Double])
 
+/** A probe joined with its NEAREST reference in either direction. */
+case class AsOfNearest(key: Long, ts: java.sql.Timestamp, seq: Long,
+                       value: Option[Double], side: String,
+                       nearest_value: Option[Double], delta_us: Option[Long])
+
 /** Internal tagged union row; side 0 = reference, 1 = probe — the same
   * (ts, side, seq) tie order as the batch union+window formulation. */
 private[streaming] case class AsOfEvt(key: Long, ts: java.sql.Timestamp,
@@ -210,6 +215,117 @@ object StreamAsOf {
                 .min(pus + horizonUs)
             }.minOption
               .orElse(keptRefs.map(_._1).minOption)
+              .foreach { us =>
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(us + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+          }
+          out.iterator
+      }
+  }
+
+  /** NEAREST stream-stream as-of join — the streaming twin of
+    * [[graft.operators.AsOf.joinNearest]] (whose batch form is
+    * hash-checked as q171): each probe joins the reference closest in
+    * time in EITHER direction, equal distances to the EARLIER reference
+    * (so an exact-timestamp reference always wins as 'prev').
+    *
+    * Finality composes both parents': the backward candidate is final
+    * once the watermark passes the probe; the forward side is bounded by
+    * `horizonMs` AND by the backward candidate's distance — a forward
+    * reference only matters if STRICTLY closer than the backward one, so
+    * the probe resolves when the watermark passes
+    * `min(known-next ts, probe.ts + cap)` where
+    * `cap = min(prevDelta - 1us, horizon)` (no prev: `horizon`). A probe
+    * with an exact-timestamp reference resolves immediately at its own
+    * watermark: nothing can beat delta 0. Batch equivalence holds
+    * whenever every batch 'next' win is within the horizon.
+    *
+    * State shape: pending probes (bounded by horizon + lateness) and,
+    * per key, references above the watermark plus one global anchor and
+    * each pending probe's own backward candidate (eviction cannot drop a
+    * pending probe's prev — the global anchor may be NEWER than the
+    * probe). An idle key's state converges to its anchor, like
+    * [[joinLatest]]. */
+  def joinNearest(probes: Dataset[AsOfProbe], refs: Dataset[AsOfRef],
+                  delay: String, horizonMs: Long): Dataset[AsOfNearest] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    val horizonUs = horizonMs * 1000L
+    import probes.sparkSession.implicits._
+    val tagged = refs.map(r => AsOfEvt(r.key, r.ts, r.seq, 0, r.ref_value))
+      .withWatermark("ts", delay)
+      .unionByName(
+        probes.map(p => AsOfEvt(p.key, p.ts, p.seq, 1, p.value))
+          .withWatermark("ts", delay))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfNearest](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfEvt], state: GroupState[AsOfBuf]) =>
+          val st0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var refsL = st0.refs
+          var probesL = st0.probes
+          it.foreach { e =>
+            val entry = (micros(e.ts), e.seq, e.v)
+            if (e.side == 0) refsL ::= entry else probesL ::= entry
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          def prevCand(pus: Long): Option[(Long, Long, Option[Double])] = {
+            val q = refsL.filter(_._1 <= pus)
+            if (q.isEmpty) None else Some(q.maxBy(r => (r._1, r._2)))
+          }
+          // distances at which a forward reference could still WIN:
+          // strictly closer than prev (ties go backward), inside horizon
+          def capOf(pus: Long): Long = prevCand(pus) match {
+            case Some(p) => math.min(pus - p._1 - 1L, horizonUs)
+            case None => horizonUs
+          }
+          // earliest forward reference that would win (within cap)
+          def nextWin(pus: Long): Option[(Long, Long, Option[Double])] = {
+            val cap = capOf(pus)
+            val q = refsL.filter(r => r._1 >= pus && r._1 - pus <= cap)
+            if (q.isEmpty) None else Some(q.minBy(r => (r._1, r._2)))
+          }
+          // refs at-or-below the watermark can no longer arrive, so a
+          // known winning next at-or-below it is the TRUE nearest-forward;
+          // past probe.ts + cap nothing arriving can win forward at all
+          def resolvedAt(pus: Long): Boolean = wmUs >= pus && {
+            nextWin(pus).exists(_._1 <= wmUs) || wmUs >= pus + capOf(pus)
+          }
+          val (done, pending) = probesL.partition(p => resolvedAt(p._1))
+          val out = done.sortBy(p => (p._1, p._2)).map { case (pus, pseq, pv) =>
+            nextWin(pus).filter(_._1 <= wmUs) match {
+              case Some(n) =>
+                AsOfNearest(key, tsOf(pus), pseq, pv, "next", n._3, Some(n._1 - pus))
+              case None => prevCand(pus) match {
+                case Some(p) =>
+                  AsOfNearest(key, tsOf(pus), pseq, pv, "prev", p._3, Some(pus - p._1))
+                case None =>
+                  AsOfNearest(key, tsOf(pus), pseq, pv, "none", None, None)
+              }
+            }
+          }
+          // eviction: live refs, the global anchor (for FUTURE probes),
+          // and each pending probe's own backward candidate
+          val (oldRefs, liveRefs) = refsL.partition(_._1 <= wmUs)
+          val anchor = if (oldRefs.isEmpty) Nil
+                       else List(oldRefs.maxBy(r => (r._1, r._2)))
+          val pinned = pending.flatMap(p => prevCand(p._1))
+          val kept = AsOfBuf((anchor ++ pinned ++ liveRefs).distinct, pending)
+          if (kept.refs.isEmpty && kept.probes.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // wake at each pending probe's resolution point (its own ts if
+            // the watermark has not reached it; else the earlier of its
+            // known winning next and ts + cap); with no pending probe,
+            // wake to collapse old refs into the anchor like joinLatest
+            pending.map { case (pus, _, _) =>
+              if (pus > wmUs) pus
+              else math.min(
+                nextWin(pus).map(_._1).getOrElse(Long.MaxValue),
+                pus + capOf(pus))
+            }.minOption
+              .orElse(liveRefs.map(_._1).maxOption)
               .foreach { us =>
                 state.setTimeoutTimestamp(math.max(
                   Math.floorDiv(us + 999L, 1000L),

@@ -274,3 +274,142 @@ class StreamAsOfNextSpec extends SparkSpec {
       === Seq((4L, 2L, None)))
   }
 }
+
+/** The NEAREST stream-stream as-of join must produce exactly the batch
+  * AsOf.joinNearest rows on the q171 fixture (views = references,
+  * purchases = probes, per user), including across a checkpoint restart,
+  * with the prev-on-tie rule and horizon-bounded forward resolution. */
+class StreamAsOfNearestSpec extends SparkSpec {
+  import graft.streaming.AsOfNearest
+
+  private val HorizonMs = 90L * 86400L * 1000L // 90 days >> the fixture span
+
+  private def runStream(refBatches: Seq[Seq[AsOfRef]],
+                        probeBatches: Seq[Seq[AsOfProbe]],
+                        name: String): Seq[AsOfNearest] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val refMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfRef]
+    val probeMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfProbe]
+    val q = StreamAsOf.joinNearest(probeMem.toDS(), refMem.toDS(), "0 seconds", HorizonMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try refBatches.zipAll(probeBatches, Seq.empty[AsOfRef], Seq.empty[AsOfProbe])
+      .foreach { case (rb, pb) =>
+        if (rb.nonEmpty) refMem.addData(rb)
+        if (pb.nonEmpty) probeMem.addData(pb)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+    spark.table(name).as[AsOfNearest].collect().toSeq
+  }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def fixture() = {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val refsDf = events.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val probesDf = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val wantRows = graft.operators.AsOf
+      .joinNearest(probesDf, refsDf, Seq("user_id"), "ts", "event_id", "value")
+      .select($"user_id", $"event_id", $"value",
+        $"nearest_side", $"nearest_value", $"nearest_delta_us")
+      .as[(Long, Long, Option[Double], String, Option[Double], Option[Long])]
+      .collect().toSeq
+    // batch == stream only when every forward win fits the horizon
+    assert(wantRows.filter(_._4 == "next").flatMap(_._6)
+      .forall(_ < HorizonMs * 1000L), "fixture violates the horizon precondition")
+    val refs = refsDf.select($"user_id".as("key"), $"ts",
+      $"event_id".as("seq"), $"value".as("ref_value")).as[AsOfRef].collect().toSeq
+    val probes = probesDf.select($"user_id".as("key"), $"ts",
+      $"event_id".as("seq"), $"value").as[AsOfProbe].collect().toSeq
+    (refs, probes, wantRows.sorted)
+  }
+
+  private def flushTsOf(refs: Seq[AsOfRef]): java.sql.Timestamp =
+    ts(refs.map(r => StreamAsOf.micros(r.ts) / 1000000L).max + 400L * 86400L)
+
+  test("matches batch AsOf.joinNearest on the sf0.001 q171 fixture") {
+    val (refs, probes, want) = fixture()
+    assert(refs.nonEmpty && probes.nonEmpty)
+    val flushTs = flushTsOf(refs)
+    val keys = (refs.map(_.key) ++ probes.map(_.key)).distinct
+    val got = runStream(
+      Seq(refs, keys.map(AsOfRef(_, flushTs, -1L, None))),
+      Seq(probes, keys.map(AsOfProbe(_, flushTs, -1L, None))),
+      "asofnr_equiv")
+      .filter(_.seq >= 0L)
+      .map(j => (j.key, j.seq, j.value, j.side, j.nearest_value, j.delta_us)).sorted
+    assert(got === want)
+  }
+
+  test("q171 fixture across a checkpoint restart == batch joinNearest") {
+    import spark.implicits._
+    val (refs, probes, want) = fixture()
+    val flushTs = flushTsOf(refs)
+    val keys = (refs.map(_.key) ++ probes.map(_.key)).distinct
+    val cut = StreamAsOf.micros(refs.map(_.ts).sortBy(StreamAsOf.micros).apply(refs.size / 2))
+    def half[T](xs: Seq[T], us: T => Long, first: Boolean) =
+      xs.filter(x => (us(x) <= cut) == first)
+    val srcR = java.nio.file.Files.createTempDirectory("asofnrr").toString
+    val srcP = java.nio.file.Files.createTempDirectory("asofnrp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("asofnrc").toString
+    val out = java.nio.file.Files.createTempDirectory("asofnro").toString + "/t"
+    // parquet sources, NOT json: the default json timestamp format is
+    // millisecond-precision and the nearest join's delta_us is micro-exact
+    def writeRefs(rs: Seq[AsOfRef]): Unit =
+      rs.toDS().coalesce(1).write.mode("append").parquet(srcR)
+    def writeProbes(ps: Seq[AsOfProbe]): Unit =
+      ps.toDS().coalesce(1).write.mode("append").parquet(srcP)
+    def runOnce(): Unit = {
+      val rSchema = org.apache.spark.sql.Encoders.product[AsOfRef].schema
+      val pSchema = org.apache.spark.sql.Encoders.product[AsOfProbe].schema
+      val rStream = spark.readStream.schema(rSchema).parquet(srcR).as[AsOfRef]
+      val pStream = spark.readStream.schema(pSchema).parquet(srcP).as[AsOfProbe]
+      val q = StreamAsOf.joinNearest(pStream, rStream, "0 seconds", HorizonMs)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeRefs(half[AsOfRef](refs, r => StreamAsOf.micros(r.ts), first = true))
+    writeProbes(half[AsOfProbe](probes, p => StreamAsOf.micros(p.ts), first = true))
+    runOnce()
+    writeRefs(half[AsOfRef](refs, r => StreamAsOf.micros(r.ts), first = false) ++
+      keys.map(AsOfRef(_, flushTs, -1L, None)))
+    writeProbes(half[AsOfProbe](probes, p => StreamAsOf.micros(p.ts), first = false) ++
+      keys.map(AsOfProbe(_, flushTs, -1L, None)))
+    runOnce() // full restart from the checkpoint
+    val got = spark.read.parquet(out).as[AsOfNearest].collect().toSeq
+      .filter(_.seq >= 0L)
+      .map(j => (j.key, j.seq, j.value, j.side, j.nearest_value, j.delta_us)).sorted
+    assert(got === want, "restart changed the nearest as-of output")
+  }
+
+  test("equal-distance picks prev; exact-ts ref resolves without waiting for the horizon") {
+    val got = runStream(
+      // flush sentinels sit OUTSIDE the horizon of every real probe, so
+      // they advance the watermark without becoming anyone's next match
+      // (key 4 must resolve 'none' by horizon expiry, not match a sentinel)
+      Seq(Seq(AsOfRef(1L, ts(95), 1L, Some(10.0)), AsOfRef(1L, ts(105), 2L, Some(20.0)),
+              AsOfRef(2L, ts(100), 3L, Some(30.0)),
+              AsOfRef(3L, ts(107), 4L, Some(40.0))),
+          Seq(AsOfRef(1L, ts(400L * 86400L), -1L, None), AsOfRef(2L, ts(400L * 86400L), -1L, None),
+              AsOfRef(3L, ts(400L * 86400L), -1L, None), AsOfRef(4L, ts(400L * 86400L), -1L, None))),
+      Seq(Seq(AsOfProbe(1L, ts(100), 10L, Some(1.0)),  // tie 5s both ways -> prev
+              AsOfProbe(2L, ts(100), 11L, Some(2.0)),  // exact-ts ref -> prev delta 0
+              AsOfProbe(3L, ts(100), 12L, Some(3.0)),  // only next -> next
+              AsOfProbe(4L, ts(100), 13L, Some(4.0))), // nothing -> none
+          Seq(AsOfProbe(1L, ts(400L * 86400L), -1L, None))),
+      "asofnr_tie")
+    val byKey = got.filter(_.seq >= 0)
+      .map(j => j.key -> ((j.side, j.nearest_value, j.delta_us))).toMap
+    assert(byKey(1L) === (("prev", Some(10.0), Some(5000000L))),
+      s"exact tie must pick the earlier view: ${byKey(1L)}")
+    assert(byKey(2L) === (("prev", Some(30.0), Some(0L))), s"${byKey(2L)}")
+    assert(byKey(3L) === (("next", Some(40.0), Some(7000000L))), s"${byKey(3L)}")
+    assert(byKey(4L) === (("none", None, None)), s"${byKey(4L)}")
+  }
+}
