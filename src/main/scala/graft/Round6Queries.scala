@@ -776,6 +776,59 @@ object Round6Queries {
               |ORDER BY a_id, b_id""".stripMargin),
       (s, d) => graft.operators.Dedup
         .overlapFromStats(TrainingQueries.cachedPairStats(s, d), threshold = 0.8)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+
+    Q("q174_dedup_resolution",
+      // Dedup RESOLUTION — the step after detection that an actual
+      // pipeline runs: per near-dup cluster (q56's LSH->verify->connected
+      // components), keep the member with the highest q39 quality score
+      // (rounded, so the tie set is engine-identical; ties to the lowest
+      // doc_id) and report the survivor beside the cluster size. The
+      // winner pick is the same max-struct aggregation as LabelProp
+      // (two-phase, map-side partial), not a window sort.
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION ALL SELECT b_id, a_id FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node),
+              |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+              |       FROM reach GROUP BY node),
+              |q AS (SELECT doc_id,
+              |        ROUND(LEAST(LEN(t) / 100.0, 1.0) *
+              |          (1.0 - LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+              |           / LEN(t)), 4) AS quality
+              |      FROM (SELECT doc_id, $toksSql AS t FROM documents) d),
+              |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+              |      FROM cl JOIN q USING (doc_id))
+              |SELECT cluster_id, survivor_id, survivor_quality,
+              |       CAST(n_members AS BIGINT) AS n_members
+              |FROM (SELECT cluster_id, doc_id AS survivor_id,
+              |             quality AS survivor_quality,
+              |             ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |               ORDER BY quality DESC, doc_id) AS rn,
+              |             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+              |      FROM m) t
+              |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.{Dedup, TextAnalysis}
+        val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+        val cl = Dedup.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        val q = Tables.documents(s, d).select(col("doc_id"),
+          round(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))), 4)
+            .as("quality"))
+        cl.join(q, "doc_id")
+          .groupBy("cluster_id")
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"),
+              col("doc_id").as("sid"))).as("w"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_id"), col("w.sid").as("survivor_id"),
+            col("w.quality").as("survivor_quality"), col("n_members"))
+          .orderBy("cluster_id")
+      })
   )
 }
