@@ -56,6 +56,23 @@ object ExtendedQueries {
     * iterations three times per inventory pass. Keyed by the session
     * OBJECT (LRU-bounded — see [[SessionCache]]) so a stopped session's plan
     * state is never reused and dead sessions are not pinned. */
+  /** The q56 near-dup cluster relation (LSH candidates -> exact verify ->
+    * connected components over the |pairs| edge list), computed once per
+    * (session, sf dir) and shared with q174's resolution step: detection
+    * is the expensive part of BOTH queries, and the relation is a
+    * |clustered docs|-row scalar table — tiny next to the pipeline that
+    * produces it. Deterministic (min-label CC over the exact pair set),
+    * so reuse changes no hash. */
+  private val clusterCache = new SessionCache[DataFrame]
+  private[graft] def cachedDupClusters(s: org.apache.spark.sql.SparkSession,
+                                       d: String): DataFrame =
+    clusterCache.getOrElseUpdate(s, d)(
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.8))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint(true))
+
   private val centCache = new SessionCache[Seq[(Long, Array[Float])]]
   private[graft] def trainedCentroids16(s: org.apache.spark.sql.SparkSession,
                                         d: String): Seq[(Long, Array[Float])] =
@@ -837,16 +854,11 @@ object ExtendedQueries {
               |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node)
               |SELECT node AS doc_id, MIN(r) AS cluster_id
               |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
-      (s, d) => {
-        // Edges come from the LSH pipeline (candidates -> exact verify),
-        // the composition a 100 TB dedup run actually uses; its output is
-        // the exact pair set (q36 ≡ q37, see TrainingQueries), so the
-        // recursive-closure oracle is unchanged.
-        val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          n = 3, numHashes = 32, bands = 16, threshold = 0.8)
-        Dedup.connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-          .orderBy("doc_id")
-      })
+      // Edges come from the LSH pipeline (candidates -> exact verify),
+      // the composition a 100 TB dedup run actually uses; its output is
+      // the exact pair set (q36 ≡ q37, see TrainingQueries), so the
+      // recursive-closure oracle is unchanged. Session-cached and shared
+      // with q174's resolution step.
+      (s, d) => cachedDupClusters(s, d).orderBy("doc_id"))
   )
 }

@@ -813,11 +813,9 @@ object Round6Queries {
               |      FROM m) t
               |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
       (s, d) => {
-        import graft.operators.{Dedup, TextAnalysis}
-        val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          n = 3, numHashes = 32, bands = 16, threshold = 0.8)
-        val cl = Dedup.connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        import graft.operators.TextAnalysis
+        // detection shared with q56: the session-cached cluster relation
+        val cl = ExtendedQueries.cachedDupClusters(s, d)
         val q = Tables.documents(s, d).select(col("doc_id"),
           round(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))), 4)
             .as("quality"))

@@ -388,6 +388,44 @@ class StreamAsOfNearestSpec extends SparkSpec {
     assert(got === want, "restart changed the nearest as-of output")
   }
 
+  test("joinNearest state converges to one anchor per ref-bearing key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val refMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfRef]
+    val probeMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfProbe]
+    val q = StreamAsOf.joinNearest(probeMem.toDS(), refMem.toDS(), "0 seconds", HorizonMs)
+      .writeStream.format("memory").queryName("asofnr_drain")
+      .outputMode("append").start()
+    try {
+      // key 9: refs only, never a probe; key 8: a finalized probe whose
+      // pinned prev must not outlive it. Eviction must collapse each
+      // key's refs to ONE anchor and leak no pending probes.
+      refMem.addData(Seq(AsOfRef(9L, ts(10), 1L, Some(1.0)),
+        AsOfRef(9L, ts(20), 2L, Some(2.0)),
+        AsOfRef(8L, ts(14), 3L, Some(3.0)), AsOfRef(8L, ts(16), 4L, Some(4.0))))
+      probeMem.addData(Seq(AsOfProbe(8L, ts(15), 1L, Some(0.0))))
+      q.processAllAvailable()
+      // two watermark advances so registered event-time timeouts fire
+      refMem.addData(Seq(AsOfRef(7L, ts(400L * 86400L), -1L, None)))
+      probeMem.addData(Seq(AsOfProbe(7L, ts(400L * 86400L), -1L, None)))
+      q.processAllAvailable()
+      refMem.addData(Seq(AsOfRef(7L, ts(400L * 86400L + 10L), -2L, None)))
+      probeMem.addData(Seq(AsOfProbe(7L, ts(400L * 86400L + 10L), -2L, None)))
+      q.processAllAvailable()
+      // keys 7, 8, 9 each keep exactly their anchor (a future probe can
+      // still join backward against it) — nothing else may remain
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3L,
+        s"joinNearest state leaked: $stateRows rows for 3 ref-bearing keys")
+      // key 8's probe emitted with its nearest ref despite the eviction
+      val got = spark.table("asofnr_drain").as[graft.streaming.AsOfNearest]
+        .collect().filter(_.seq >= 0)
+      // prev at 14 and next at 16 are both 1 s away -> tie to prev
+      assert(got.map(j => (j.key, j.side, j.nearest_value)).toSeq ===
+        Seq((8L, "prev", Some(3.0))), s"tie must pick prev: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("equal-distance picks prev; exact-ts ref resolves without waiting for the horizon") {
     val got = runStream(
       // flush sentinels sit OUTSIDE the horizon of every real probe, so
