@@ -148,7 +148,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
-      "q174_dedup_resolution", "q173_dedup_overlap",
+      "q175_readability", "q174_dedup_resolution", "q173_dedup_overlap",
       "q172_label_propagation", "q171_asof_nearest",
       "q170_ivf_cell_neardup",
       "q169_shortest_path_weighted", "q168_dsir_importance",

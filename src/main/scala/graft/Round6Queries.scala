@@ -827,6 +827,52 @@ object Round6Queries {
           .select(col("cluster_id"), col("w.sid").as("survivor_id"),
             col("w.quality").as("survivor_quality"), col("n_members"))
           .orderBy("cluster_id")
+      }),
+
+    Q("q175_readability",
+      // Flesch-style reading-ease per document — the readability member
+      // of the quality-filter tier (beside q39's stopword score, q164's
+      // repetition and q167's LM scores): syllables = vowel-GROUP count
+      // per token (min 1), sentences = [.!?]+ run count (min 1). The
+      // regex classes are literal enough that RE2 (DuckDB) and
+      // java.util.regex agree (the q134 note); every count is an exact
+      // BIGINT and the score is one fixed left-associated double
+      // expression, so both engines round identically. Map-side per-doc
+      // arithmetic, no shuffle before the ORDER BY.
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t, text FROM documents),
+              |c AS (SELECT doc_id,
+              |        CAST(LEN(t) AS BIGINT) AS n_words,
+              |        CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1)
+              |             AS BIGINT) AS n_sentences,
+              |        CAST(LIST_SUM(LIST_TRANSFORM(t,
+              |               x -> GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(x), '[aeiouy]+')), 1)))
+              |             AS BIGINT) AS n_syllables
+              |      FROM t WHERE LEN(t) >= 1)
+              |SELECT doc_id, n_words, n_sentences, n_syllables,
+              |       ROUND(206.835
+              |             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              |             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+              |             4) AS flesch
+              |FROM c ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.TextAnalysis
+        val counted = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"), col("text"))
+          .filter(size(col("t")) >= 1)
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_words"),
+            greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+              .cast("long").as("n_sentences"),
+            aggregate(
+              transform(col("t"),
+                x => greatest(regexp_count(lower(x), lit("[aeiouy]+")), lit(1)).cast("long")),
+              lit(0L), (a, x) => a + x).as("n_syllables"))
+        counted.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+            round(lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+              - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+              4).as("flesch"))
+          .orderBy("doc_id")
       })
   )
 }
