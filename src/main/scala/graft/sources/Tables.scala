@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
@@ -10,12 +10,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * column pruning reach the vectorized parquet reader, so callers should
   * filter/select on these frames directly rather than materializing.
   *
-  * `events.ts` is physically `timestamp[ns]`; Spark has no nanosecond
-  * TimestampType, so the session reads it as a nanos-since-epoch long
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and [[events]] converts to
-  * microsecond TimestampType by truncation — exactly what DuckDB does when
-  * it reads the same file, keeping the two engines comparable (SURVEY §2.2
-  * determinism rules).
+  * `events.ts` has shipped in three physical encodings across driver
+  * rounds — `timestamp[ns]` (read as a nanos long via
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, truncated to micros like
+  * DuckDB), UTC-adjusted `timestamp[us]` (TimestampType, passthrough), and
+  * naive `timestamp[us]` (TimestampNTZType, retagged to TimestampType —
+  * exact because the session timezone is pinned UTC). [[events]] normalizes
+  * all three to microsecond TimestampType so the engines stay comparable
+  * (SURVEY §2.2 determinism rules) and every downstream operator sees one
+  * type.
   */
 object Tables {
 
@@ -45,6 +48,12 @@ object Tables {
         // 53-bit exact range, so float division would corrupt low bits.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
+      case TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false (what the generator
+        // writes as of 2026-08-13). The session timezone is pinned to UTC
+        // (GraftSession), so NTZ -> TZ is a pure type retag: identical
+        // micros, and DuckDB reads the same file as its (naive) TIMESTAMP.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }
