@@ -873,6 +873,116 @@ object Round6Queries {
               - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
               4).as("flesch"))
           .orderBy("doc_id")
-      })
+      }),
+
+    Q("q176_dup_ngram_frac",
+      // Per-DOCUMENT corpus-duplication score (Gopher/RefinedWeb
+      // duplicate-n-gram rule): the fraction of a doc's distinct 3-gram
+      // shingles with corpus document-frequency >= 2. The linear sibling
+      // of the pairwise dedup tier — no pair ever materializes (a viral
+      // shingle is one partial-count register, not k² rows), so this is
+      // the signal a 100 TB pass can afford on every document. Exact
+      // long numerator/denominator, one division, ROUND 4.
+      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+              |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+              |SELECT s.doc_id, COUNT(*) AS n_sh,
+              |       ROUND(SUM(CASE WHEN df.df >= 2 THEN 1.0 ELSE 0.0 END)
+              |             / COUNT(*), 4) AS dup_frac
+              |FROM sh s JOIN df ON s.shingle = df.shingle
+              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+      (s, d) => graft.operators.Dedup
+        .dupShingleFraction(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
+    Q("q177_token_diversity",
+      // Lexical diversity per document: type-token ratio and the inverse
+      // Simpson index n²/Σc² ("effective vocabulary size") — the
+      // vocabulary-richness quality filter beside q39/q164/q175. Simpson
+      // stands in for Shannon entropy because the house determinism rule
+      // keeps libm transcendentals (LOG) out of hash-gated queries: both
+      // measures here are exact-long ratios with ONE IEEE division each
+      // (n < 2^26 per doc keeps n² exact), so the engines agree
+      // bit-for-bit. SUM(BIGINT) is HUGEINT in DuckDB — cast back (the
+      // q134/q139 lesson).
+      Some(s"""WITH tr AS (SELECT doc_id, UNNEST(t) AS tok
+              |            FROM (SELECT doc_id, ${TrainingQueries.toksSql} AS t
+              |                  FROM documents) sub WHERE LEN(t) >= 1),
+              |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tr GROUP BY doc_id, tok),
+              |per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+              |               COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS ssq
+              |        FROM cnt GROUP BY doc_id)
+              |SELECT doc_id, n_tok, n_types,
+              |       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS ttr,
+              |       ROUND(CAST(n_tok * n_tok AS DOUBLE) / CAST(ssq AS DOUBLE), 4)
+              |         AS inv_simpson
+              |FROM per ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis
+        .tokenDiversity(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    Q("q178_kcore",
+      // Bounded k-core peeling (k=4, 3 synchronized rounds) over the
+      // supplier→customer fulfillment graph — the degeneracy member of
+      // the graph family (CC/PageRank/HITS/LabelProp/triangles/BFS).
+      // Each round deletes nodes of degree < k and re-checks survivors;
+      // a fixed round budget is the honest distributed contract (the
+      // cascade depth is data-dependent) and always yields a sound
+      // OVER-approximation of the true k-core. The oracle unrolls the
+      // same three rounds; output is each survivor with its degree
+      // inside the peeled subgraph — all exact BIGINTs.
+      Some("""WITH e0 AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+             |                   CAST(1000000 + o_custkey AS BIGINT) AS b
+             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |            GROUP BY 1, 2),
+             |e1 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+             |k1 AS (SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 4),
+             |e2 AS (SELECT e.a, e.b FROM e1 e JOIN k1 x ON e.a = x.a
+             |       JOIN k1 y ON e.b = y.a),
+             |k2 AS (SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 4),
+             |e3 AS (SELECT e.a, e.b FROM e2 e JOIN k2 x ON e.a = x.a
+             |       JOIN k2 y ON e.b = y.a),
+             |k3 AS (SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 4),
+             |e4 AS (SELECT e.a, e.b FROM e3 e JOIN k3 x ON e.a = x.a
+             |       JOIN k3 y ON e.b = y.a)
+             |SELECT a AS node, COUNT(*) AS deg FROM e4
+             |GROUP BY a ORDER BY node""".stripMargin),
+      (s, d) => graft.operators.KCore
+        .peel(AnalyticsQueries.fulfillmentEdges(s, d), "src", "dst",
+          k = 4, rounds = 3)
+        .orderBy("node")),
+
+    Q("q179_collocation_lift",
+      // Corpus-level phrase mining: adjacent-pair collocations by LIFT
+      // (c_ab·N)/(c_first·c_second), the log-free PMI surrogate (PMI =
+      // log2 lift, same ranking — and the house rule keeps libm out of
+      // the hash gate). Positional marginals come from the SAME bigram
+      // relation as the pair counts, so numerator and denominator share
+      // one event space. Every count is an exact long cast exactly to
+      // double; the fixed multiply-multiply-divide tree rounds
+      // identically in both engines at any corpus size.
+      Some(s"""WITH t AS (SELECT doc_id, ${TrainingQueries.toksSql} AS t
+              |           FROM documents),
+              |bg AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+              |                i -> {'a': t[i], 'b': t[i + 1]})) AS p
+              |       FROM t WHERE LEN(t) >= 2),
+              |pr AS (SELECT p.a AS a, p.b AS b FROM bg),
+              |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pr GROUP BY a, b),
+              |tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM cab),
+              |cf AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_first
+              |       FROM cab GROUP BY a),
+              |cs AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_second
+              |       FROM cab GROUP BY b),
+              |sel AS (SELECT cab.a || ' ' || cab.b AS bigram, c_ab,
+              |               ROUND(CAST(c_ab AS DOUBLE) * CAST(n_bg AS DOUBLE)
+              |                     / (CAST(c_first AS DOUBLE)
+              |                        * CAST(c_second AS DOUBLE)), 4) AS lift
+              |        FROM cab JOIN cf USING (a) JOIN cs USING (b), tot)
+              |SELECT bigram, c_ab, lift FROM sel
+              |WHERE c_ab >= 5 AND lift >= 1.2
+              |ORDER BY bigram""".stripMargin),
+      (s, d) => TextAnalysis
+        .collocationLift(Tables.documents(s, d), "text",
+          minCount = 5L, minLift = 1.2)
+        .orderBy("bigram"))
   )
 }

@@ -163,6 +163,29 @@ object Dedup {
                        maxShingleDf: Long = 0L): DataFrame =
     containmentFromStats(pairStats(docs, idCol, textCol, n, maxShingleDf), threshold)
 
+  /** Corpus-duplication signal per DOCUMENT (not per pair): the fraction
+    * of a doc's distinct n-gram shingles whose document frequency is
+    * >= 2 — i.e. shingles that also occur somewhere ELSE in the corpus.
+    * This is the per-document "how boilerplate is this text" score a
+    * filtering pipeline thresholds on (the Gopher/RefinedWeb
+    * duplicate-n-gram rule), and it is linear where the pairwise
+    * operators are quadratic: no pair ever materializes, just one df
+    * aggregation over shingle keys (map-side partial count — a viral
+    * shingle is ONE register per partition, not k² rows) and one join
+    * back that stays linear in the index size. The numerator and
+    * denominator are exact longs; dup_frac is one IEEE division, rounded,
+    * so the hash gate holds cross-engine. */
+  def dupShingleFraction(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    val dfRel = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+    idx.join(dfRel, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        round(sum(when(col("df") >= 2L, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("dup_frac"))
+  }
+
   /** MinHash signature column (array<long> of `numHashes` mins) from a
     * distinct-shingle array column. One md5 per shingle, then the codegen'd
     * one-pass permutation kernel [[graft.functions.MinHashSig]] — all

@@ -124,6 +124,76 @@ object TextAnalysis {
       .select(col("h.item"), col("h.count"), col("h.err"))
   }
 
+  /** Lexical diversity per document — the vocabulary-richness member of
+    * the quality tier (a low-diversity doc is keyword stuffing or
+    * boilerplate; the classic filter thresholds on it beside length and
+    * stopword ratio). Two measures, both INTEGER-RATIONAL (the house
+    * determinism rule: no libm transcendental under the hash gate, so
+    * Simpson's index stands in where Shannon entropy would need a log):
+    *  - ttr: type-token ratio |vocab| / n.
+    *  - inv_simpson: n² / Σc_i² — the inverse Simpson index, the
+    *    "effective vocabulary size" (= |vocab| when tokens are uniform,
+    *    -> 1 as one token dominates).
+    * Numerators/denominators are exact longs (n < 2^26 per doc keeps n²
+    * < 2^53 exact in a double); each measure is ONE IEEE division,
+    * rounded — both engines agree bit-for-bit. Scale shape: one
+    * (doc, token) count aggregation and one per-doc roll-up, both
+    * two-phase with map-side combine; no arrays cross a shuffle. */
+  def tokenDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tok").cast("double"), 4)
+          .as("ttr"),
+        round((col("n_tok") * col("n_tok")).cast("double")
+          / col("ssq").cast("double"), 4).as("inv_simpson"))
+  }
+
+  /** Corpus-level collocation mining over ADJACENT token pairs: lift =
+    * P(a b) / (P(a ·) P(· b)) = (c_ab · N) / (c_first(a) · c_second(b)),
+    * where c_ab counts the bigram, c_first/c_second count bigrams by
+    * their first/second slot and N is the total bigram count — all four
+    * from the ONE bigram relation, so positional marginals are exact
+    * (no unigram/bigram denominator mismatch). Lift is the log-free
+    * surrogate of PMI (PMI = log2 lift — same ranking, and the house
+    * rule keeps libm out of hash-gated queries); lift >> 1 marks a pair
+    * that co-occurs far above chance — a phrase. All counts are exact
+    * longs; each is cast to double EXACTLY (< 2^53), and the
+    * multiply-multiply-divide tree is fixed-shape IEEE, so both engines
+    * round identically at any corpus size. Scale shape: three two-phase
+    * aggregations over scalar keys plus a 1-row broadcast for N; the
+    * c_first/c_second joins are equi-joins on single tokens (Zipf head
+    * tokens make big groups but only LINEAR join fan-out — nothing
+    * quadratic anywhere). */
+  def collocationLift(docs: DataFrame, textCol: String,
+                      minCount: Long, minLift: Double): DataFrame = {
+    // tokenize in its OWN projection (the Dedup.shingleIndex lesson)
+    val pairs = docs
+      .select(tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val tot = cab.agg(sum("c_ab").as("n_bg"))
+    val cFirst = cab.groupBy("a").agg(sum("c_ab").as("c_first"))
+    val cSecond = cab.groupBy("b").agg(sum("c_ab").as("c_second"))
+    cab.join(cFirst, "a").join(cSecond, "b")
+      .crossJoin(broadcast(tot))
+      .select(concat(col("a"), lit(" "), col("b")).as("bigram"), col("c_ab"),
+        round((col("c_ab").cast("double") * col("n_bg").cast("double"))
+          / (col("c_first").cast("double") * col("c_second").cast("double")), 4)
+          .as("lift"))
+      .filter(col("c_ab") >= minCount && col("lift") >= minLift)
+  }
+
   /** One-scan text profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))

@@ -287,6 +287,77 @@ class Round6Spec extends SparkSpec {
       s"q170 cell join degenerated to a nested loop:\n$p170")
   }
 
+  test("q178: bounded k-core peeling — pendant removal, cascade, over-approximation") {
+    import graft.operators.KCore
+    def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+      KCore.peel(spark.createDataFrame(edges).toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle 1-2-3 with pendant 4 off node 1: the 2-core is exactly the
+    // triangle, and one round reaches it (pendant deg 1 < 2, no cascade)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    assert(peel(tri, k = 2, rounds = 1) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "triangle+pendant: one round of 2-peeling must leave the triangle")
+    // path 1-2-3-4-5 has NO 2-core; the cascade needs one round per layer.
+    // rounds=1 strips the endpoints only (a sound over-approximation);
+    // by rounds=3 the peel has emptied the graph.
+    assert(peel(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 2, 1)
+      === Map(2L -> 1L, 3L -> 2L, 4L -> 1L),
+      "one round strips only the path endpoints, degrees recomputed inside")
+    assert(peel(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 2, 3) === Map.empty,
+      "a path fully peels: no 2-core survives three rounds")
+    // monotonicity: each extra round only shrinks the survivor set
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 3L), (1L, 6L))
+    val r1 = peel(g, 2, 1).keySet
+    val r2 = peel(g, 2, 2).keySet
+    assert(r2.subsetOf(r1), s"rounds=2 survivors $r2 not within rounds=1 $r1")
+  }
+
+  test("q176: dupShingleFraction counts cross-document shingles only") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
+    )).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupShingleFraction(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // docs 1/2 share exactly the shingle "a b c" (1 of their 2 shingles);
+    // doc 3 shares nothing
+    assert(got === Map(1L -> ((2L, 0.5)), 2L -> ((2L, 0.5)), 3L -> ((2L, 0.0))), s"$got")
+  }
+
+  test("q177: tokenDiversity — ttr and inverse Simpson on known distributions") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a a b"),    // n=4, types=2, ssq=10 -> ttr .5, invS 1.6
+      (2L, "a b c d")     // uniform singletons: invS = n_types
+    )).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tokenDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((4L, 2L, 0.5, 1.6)), s"skewed doc: ${got(1L)}")
+    assert(got(2L) === ((4L, 4L, 1.0, 4.0)), s"uniform doc: ${got(2L)}")
+  }
+
+  test("q179: collocationLift marginals come from the bigram event space") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "new york is big"), (2L, "i love new york")
+    )).toDF("doc_id", "text")
+    // 6 bigrams total; (new,york) occurs 2x, "new" starts 2 bigrams,
+    // "york" ends 2 -> lift = 2*6/(2*2) = 3.0
+    val got = graft.operators.TextAnalysis
+      .collocationLift(docs, "text", minCount = 2L, minLift = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("new york", 2L, 3.0)), s"${got.toSeq}")
+  }
+
+  test("q176-q179 plans: no cartesian joins, no windows, no driver loops") {
+    for (name <- Seq("q176_dup_ngram_frac", "q177_token_diversity",
+        "q178_kcore", "q179_collocation_lift")) {
+      val p = Queries.queryMap(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$name plans a window:\n$p")
+    }
+  }
+
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
     val rows = Queries.queryMap("q158_txlog_time_travel")(spark, sf0001).count()
     val (zone, gen1) = Round6Queries.timeTravelZone(spark, sf0001)
