@@ -1,0 +1,27 @@
+package graft
+
+/** Dev-only: isolate where the graph-family time goes at a given sf —
+  * the shared fulfillment-edge build vs each operator's own work. */
+object PerfProbe3 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+    time("edges build (cached)") {
+      AnalyticsQueries.fulfillmentEdges(spark, d).count()
+    }
+    time("q178 kcore") { Queries.queryMap("q178_kcore")(spark, d).count() }
+    time("q178 kcore again") { Queries.queryMap("q178_kcore")(spark, d).count() }
+    time("q172 labelprop") {
+      Queries.queryMap("q172_label_propagation")(spark, d).count()
+    }
+    time("q172 labelprop again") {
+      Queries.queryMap("q172_label_propagation")(spark, d).count()
+    }
+    spark.stop()
+  }
+}

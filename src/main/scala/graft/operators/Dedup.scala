@@ -177,7 +177,13 @@ object Dedup {
     * so the hash gate holds cross-engine. */
   def dupShingleFraction(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3): DataFrame = {
+    // Same exchange barrier as pairStats: the index subtree feeds two
+    // consumers (df build + join probe); pinning ONE shingle-hash exchange
+    // makes the plans identical so ReuseExchange runs tokenize+shingle
+    // once. Without it the df build's partial-agg-below-exchange differs
+    // from the probe's raw exchange and the scan runs twice.
     val idx = shingleIndex(docs, idCol, textCol, n)
+      .repartition(col("shingle"))
     val dfRel = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
     idx.join(dfRel, "shingle")
       .groupBy("doc_id")

@@ -41,17 +41,18 @@ object LabelProp {
     require(idTypes.forall(Seq(ByteType, ShortType, IntegerType, LongType).contains),
       s"LabelProp needs integral node ids (got ${idTypes.mkString(", ")}); " +
         "map other id types to longs first")
-    // The doubled edge list is iteration-INVARIANT: without materializing
-    // it, every round's join (plus the label init) re-derives the caller's
-    // upstream lineage — cheap when the caller passes an already-
-    // checkpointed relation (q172's cached fulfillment edges), but a
-    // full re-execution per round for an arbitrary caller. Same
-    // discipline as PageRank.buildGraph: checkpoint the invariant
-    // relations once, loop over the small mutable one.
+    // CONTRACT: pass a MATERIALIZED edge relation (checkpointed/cached),
+    // like q172's session-cached fulfillment edges. The doubled list is
+    // iteration-invariant and is re-derived from `edges` each round —
+    // two scans of a materialized parent, which an sf1 A/B measured as
+    // cheaper than eagerly checkpointing the 2|E|-row union here (the
+    // doubling is a zero-copy projection; materializing it again only
+    // doubles executor storage). An UN-materialized caller re-executes
+    // its upstream lineage rounds+1 times — that caller should
+    // checkpoint before calling, not this operator unconditionally.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"), col(wCol).as("w"))
       .unionByName(
         edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))
-      .localCheckpoint(true)
     var lbl = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {

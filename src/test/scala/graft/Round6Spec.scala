@@ -312,6 +312,32 @@ class Round6Spec extends SparkSpec {
     assert(r2.subsetOf(r1), s"rounds=2 survivors $r2 not within rounds=1 $r1")
   }
 
+  test("q178: incremental degree peeling equals the edge-rebuild reference on random graphs") {
+    import graft.operators.KCore
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 12
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)
+      val k = 2 + trial % 2
+      val rounds = 1 + trial % 3
+      // reference: the literal synchronized formulation — rebuild the
+      // doubled edge set per round from the keep-list
+      var es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      for (_ <- 1 to rounds) {
+        val deg = es.groupBy(_._1).map { case (nd, v) => nd -> v.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      val want = es.groupBy(_._1).map { case (nd, v) => nd -> v.size.toLong }
+      val got = KCore.peel(
+          spark.createDataFrame(edges).toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial (k=$k rounds=$rounds): $got vs $want")
+    }
+  }
+
   test("q176: dupShingleFraction counts cross-document shingles only") {
     import org.apache.spark.sql.functions._
     val docs = spark.createDataFrame(Seq(
