@@ -984,5 +984,49 @@ object Round6Queries {
         .collocationLift(Tables.documents(s, d), "text",
           minCount = 5L, minLift = 1.2)
         .orderBy("bigram"))
+  ) ++ Seq(
+
+    Q("q180_cdc_chunk_dedup",
+      // Content-defined chunking + chunk-level dedup: boundaries fall
+      // where the md5-derived token hash ≡ 0 mod 16 (expected span 16
+      // tokens), so an insertion only reshapes the chunks around the
+      // edit and every other boundary re-synchronizes — the storage-CDC
+      // idea applied to passage-level text dedup, extending the tier to
+      // SUB-document granularity (q32/q45 whole-doc exact, q36+ n-gram
+      // approximate, this one exact-on-spans). Per doc: chunk count and
+      // the fraction of its chunk instances whose chunk hash occurs >= 2
+      // times corpus-wide. Boundary selection and span slicing are pure
+      // HOFs (map-side, no shuffle); the dup stats are one chunk-hash
+      // count agg + a linear join — nothing pairwise. Exact longs into
+      // one division, ROUND 4.
+      Some(s"""WITH t AS (SELECT doc_id, ${TrainingQueries.toksSql} AS t
+              |           FROM documents),
+              |b AS (SELECT doc_id, t,
+              |        LIST_TRANSFORM(t, x -> ${TrainingQueries.h32Sql.format("x")}) AS hs
+              |      FROM t WHERE LEN(t) >= 1),
+              |s1 AS (SELECT doc_id, t,
+              |         LIST_FILTER(GENERATE_SERIES(1, LEN(t)),
+              |                     i -> hs[i] % 16 = 0) AS brks
+              |       FROM b),
+              |s2 AS (SELECT doc_id, t,
+              |         CASE WHEN brks[-1] = LEN(t) THEN brks
+              |              ELSE LIST_APPEND(brks, LEN(t)) END AS bnds
+              |       FROM s1),
+              |ch AS (SELECT doc_id,
+              |         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(bnds)),
+              |           j -> ARRAY_TO_STRING(LIST_SLICE(t,
+              |                  (CASE WHEN j = 1 THEN 0 ELSE bnds[j - 1] END) + 1,
+              |                  bnds[j]), ' '))) AS chunk
+              |       FROM s2),
+              |hh AS (SELECT doc_id, MD5(chunk) AS h FROM ch),
+              |cnt AS (SELECT h, COUNT(*) AS cnt FROM hh GROUP BY h)
+              |SELECT hh.doc_id, COUNT(*) AS n_chunks,
+              |       ROUND(SUM(CASE WHEN cnt.cnt >= 2 THEN 1.0 ELSE 0.0 END)
+              |             / COUNT(*), 4) AS dup_chunk_frac
+              |FROM hh JOIN cnt USING (h)
+              |GROUP BY hh.doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Dedup
+        .cdcChunkDupStats(Tables.documents(s, d), "doc_id", "text", modulus = 16)
+        .orderBy("doc_id"))
   )
 }

@@ -192,6 +192,62 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Content-defined chunking: split each document into variable-length
+    * token spans whose boundaries are picked by the CONTENT (token-hash
+    * mod `modulus` == 0, expected span length = `modulus`), not by fixed
+    * offsets — an insertion or deletion only reshapes the chunks around
+    * the edit while every other boundary re-synchronizes, which is what
+    * makes chunk-level dedup robust to local edits (the storage-dedup
+    * CDC idea applied to passage-level text dedup). Output: one
+    * (doc_id, chunk) row per span, chunk text = space-joined tokens, in
+    * document order. All map-side: token hashes are the shared
+    * md5-derived h32 (oracle-reproducible), boundary selection and span
+    * slicing are HOFs over the per-row arrays — no shuffle at all. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    // hashes in their OWN projection (the shingleIndex lesson): inlining
+    // h32 into the filter lambda would re-derive md5 per index probe
+    spread(docs, idCol)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("hs", TextAnalysis.tokenHashes(col("toks")))
+      .withColumn("inner", filter(sequence(lit(1), size(col("toks"))),
+        i => element_at(col("hs"), i) % modulus === 0))
+      // close the tail span; get() is null-safe on the empty boundary
+      // list (null === n -> null -> otherwise), unlike element_at(-1)
+      // which raises under ANSI semantics
+      .withColumn("bnds",
+        when(get(col("inner"), size(col("inner")) - 1) === size(col("toks")),
+          col("inner"))
+          .otherwise(concat(col("inner"), array(size(col("toks"))))))
+      .withColumn("starts",
+        concat(array(lit(0)), slice(col("bnds"), lit(1), size(col("bnds")) - 1)))
+      .select(col("doc_id"), explode(zip_with(col("starts"), col("bnds"),
+        (s, e) => concat_ws(" ", slice(col("toks"), s + 1, e - s)))).as("chunk"))
+  }
+
+  /** Chunk-level corpus-duplication stats per document: of a doc's
+    * [[cdcChunks]] spans, the fraction whose chunk hash occurs >= 2
+    * times corpus-wide (counting every occurrence, so a passage repeated
+    * WITHIN one document counts too — this is the passage-reuse signal,
+    * the sub-document sibling of [[dupShingleFraction]]). Same linear
+    * scale shape: one chunk-hash count aggregation (map-side combine, a
+    * viral boilerplate chunk is one register per partition) and one
+    * linear join back over the shared exchange. */
+  def cdcChunkDupStats(docs: DataFrame, idCol: String, textCol: String,
+                       modulus: Int = 16): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, modulus)
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+      .repartition(col("h"))
+    val cnt = ch.groupBy("h").agg(count(lit(1)).as("cnt"))
+    ch.join(cnt, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        round(sum(when(col("cnt") >= 2L, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("dup_chunk_frac"))
+  }
+
   /** MinHash signature column (array<long> of `numHashes` mins) from a
     * distinct-shingle array column. One md5 per shingle, then the codegen'd
     * one-pass permutation kernel [[graft.functions.MinHashSig]] — all

@@ -338,6 +338,43 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q180: CDC chunks match the reference split, reassemble, and re-sync after an edit") {
+    import graft.operators.Dedup
+    // plain-Scala reference of the boundary rule (h32(token) % m == 0)
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def chunksOf(toks: Seq[String], m: Int): Seq[String] = {
+      val brks = (1 to toks.length).filter(i => h32(toks(i - 1)) % m == 0)
+      val bnds =
+        if (brks.nonEmpty && brks.last == toks.length) brks
+        else brks :+ toks.length
+      val starts = 0 +: bnds.init
+      starts.zip(bnds).map { case (s, e) => toks.slice(s, e).mkString(" ") }
+    }
+    val orig = (0 until 80).map(i => s"tok$i")
+    val edited = (orig.take(5) :+ "INSERTED") ++ orig.drop(5)
+    val docs = spark.createDataFrame(Seq(
+      (1L, orig.mkString(" ")), (2L, edited.mkString(" "))
+    )).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text", modulus = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val gotByDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(gotByDoc(1L) === chunksOf(orig, 16), "doc 1 chunks differ from reference")
+    assert(gotByDoc(2L) === chunksOf(edited, 16), "doc 2 chunks differ from reference")
+    // chunks reassemble the document losslessly
+    assert(gotByDoc(1L).mkString(" ") === orig.mkString(" "))
+    // the CDC property: an early insertion leaves the chunk streams
+    // sharing their suffix (boundaries re-synchronize past the edit)
+    val shared = gotByDoc(1L).toSet.intersect(gotByDoc(2L).toSet)
+    assert(shared.nonEmpty,
+      s"no shared chunks after a 1-token edit — boundaries failed to re-sync")
+    assert(gotByDoc(1L).last === gotByDoc(2L).last,
+      "tail chunks should be identical once boundaries re-sync")
+  }
+
   test("q176: dupShingleFraction counts cross-document shingles only") {
     import org.apache.spark.sql.functions._
     val docs = spark.createDataFrame(Seq(
@@ -374,9 +411,9 @@ class Round6Spec extends SparkSpec {
     assert(got.toSeq === Seq(("new york", 2L, 3.0)), s"${got.toSeq}")
   }
 
-  test("q176-q179 plans: no cartesian joins, no windows, no driver loops") {
+  test("q176-q180 plans: no cartesian joins, no windows, no driver loops") {
     for (name <- Seq("q176_dup_ngram_frac", "q177_token_diversity",
-        "q178_kcore", "q179_collocation_lift")) {
+        "q178_kcore", "q179_collocation_lift", "q180_cdc_chunk_dedup")) {
       val p = Queries.queryMap(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
