@@ -11,17 +11,11 @@ object PerfProbe3 {
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
     }
-    time("edges build (cached)") {
-      AnalyticsQueries.fulfillmentEdges(spark, d).count()
+    time("q180 warm @sf0.001") {
+      Queries.queryMap("q180_cdc_chunk_dedup")(spark, "/root/testdata/sf0.001").count()
     }
-    time("q178 kcore") { Queries.queryMap("q178_kcore")(spark, d).count() }
-    time("q178 kcore again") { Queries.queryMap("q178_kcore")(spark, d).count() }
-    time("q172 labelprop") {
-      Queries.queryMap("q172_label_propagation")(spark, d).count()
-    }
-    time("q172 labelprop again") {
-      Queries.queryMap("q172_label_propagation")(spark, d).count()
-    }
+    time("q180 timed") { Queries.queryMap("q180_cdc_chunk_dedup")(spark, d).count() }
+    time("q180 timed again") { Queries.queryMap("q180_cdc_chunk_dedup")(spark, d).count() }
     spark.stop()
   }
 }
