@@ -127,17 +127,20 @@ object PageRank {
   def fixedPointWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                          weightCol: String, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
-      .groupBy("src", "dst").agg(sum(col("w")).as("w")).localCheckpoint(true)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    // the out-weight total is iteration-invariant like the edges
+    // themselves — fold it INTO the edge relation once (one extra long
+    // per edge) instead of re-joining a wdeg relation every round
+    val wdeg = e0.groupBy("src").agg(sum(col("w")).as("tw"))
+    val e = e0.join(wdeg, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val wdeg = e.groupBy("src").agg(sum(col("w")).as("tw")).localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(Scale))
     for (i <- 0 until iterations) {
       val contribs = e
         .join(ranks, col("src") === col("node"))
-        .join(wdeg, "src")
         .select(col("dst"),
           floor((col("rank") * 85L * col("w")) / (col("tw") * 100L)).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
