@@ -47,8 +47,8 @@ object Round5Queries {
               |             4) AS lm_score
               |FROM d, tot ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val toks = TrainingQueries.cachedDocToks(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
         toks.join(vocab, "tok")
@@ -84,8 +84,8 @@ object Round5Queries {
               |ORDER BY doc_id, rn""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val toks = TrainingQueries.cachedDocToks(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val dd = toks.agg(countDistinct(col("doc_id")).as("d"))
@@ -129,11 +129,10 @@ object Round5Queries {
               |         AS contamination
               |FROM t ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        // tokenize in its OWN projection (the Dedup.shingleIndex lesson):
-        // inlined, element_at inside the shingle lambda re-splits the
-        // text once per accessed element — O(doc_len²) per document
-        val sh = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        // the shared tokenized corpus (already its own projection — the
+        // Dedup.shingleIndex lesson; inlined, element_at inside the shingle
+        // lambda would re-split the text once per accessed element)
+        val sh = TrainingQueries.cachedDocToks(s, d)
           .select(col("doc_id"),
             explode(TextAnalysis.shingles(col("toks"), 3)).as("shingle"))
           .withColumn("is_test", Splits.hashBucket(col("doc_id")) >= 90)
@@ -502,9 +501,9 @@ object Round5Queries {
            |ORDER BY exact_cnt DESC, token""".stripMargin
       },
       (s, d) => {
-        import graft.operators.{Sketch, TextAnalysis}
-        val toks = Tables.documents(s, d)
-          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        import graft.operators.Sketch
+        val toks = TrainingQueries.cachedDocToks(s, d)
+          .select(explode(col("toks")).as("tok"))
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         val top = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
         val sketch = Sketch.countMin(toks, "tok")

@@ -372,9 +372,8 @@ object Round6Queries {
               |             / CAST(n_grams AS DOUBLE), 4) AS rep
               |FROM g ORDER BY rep DESC, doc_id LIMIT 20""".stripMargin),
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("toks"))
+        TrainingQueries.cachedDocToks(s, d)
+          .select(col("doc_id"), col("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
             (size(col("toks")) - 2).cast("long").as("n_grams"),
@@ -409,8 +408,8 @@ object Round6Queries {
               |       ROUND(CAST(w AS DOUBLE) / CAST(sm AS DOUBLE), 4) AS mix_weight
               |FROM w, sw ORDER BY source""".stripMargin),
       (s, d) => {
-        val dd = Tables.documents(s, d)
-          .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+        val dd = TrainingQueries.cachedDocToks(s, d)
+          .select(col("source"), size(col("toks")).cast("long").as("ntok"))
         val src = dd.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").cast("long").as("n_tokens"))
         val tot = src.agg(sum("n_tokens").cast("long").as("t"))
@@ -502,11 +501,10 @@ object Round6Queries {
               |             / CAST(d.n_bg * (tot.nb + tot.vb) AS DOUBLE), 4) AS lm2_score
               |FROM d, tot ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        // tokenize in its OWN projection (the Dedup.shingleIndex lesson):
-        // inlined, element_at inside the bigram lambda re-splits the text
-        // once per accessed element — O(doc_len²) per document
-        val bg = Tables.documents(s, d)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        // the shared tokenized corpus (already its own projection — the
+        // Dedup.shingleIndex lesson; inlined, element_at inside the bigram
+        // lambda would re-split the text once per accessed element)
+        val bg = TrainingQueries.cachedDocToks(s, d)
           .select(col("doc_id"),
             explode(TextAnalysis.ngramStream(col("toks"), 2)).as("g"))
         val vocab = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
@@ -559,9 +557,8 @@ object Round6Queries {
               |             4) AS importance
               |FROM d, tots, tott ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tok = TrainingQueries.cachedDocToks(s, d)
+          .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
         val vs = tok.groupBy("tok").agg(count(lit(1)).as("cnt_s"))
         val vt = tok.filter(col("source") === "src0")
           .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
@@ -855,9 +852,8 @@ object Round6Queries {
               |             4) AS flesch
               |FROM c ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        import graft.operators.TextAnalysis
-        val counted = Tables.documents(s, d)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"), col("text"))
+        val counted = TrainingQueries.cachedDocToks(s, d)
+          .select(col("doc_id"), col("toks").as("t"), col("text"))
           .filter(size(col("t")) >= 1)
           .select(col("doc_id"),
             size(col("t")).cast("long").as("n_words"),
@@ -886,12 +882,12 @@ object Round6Queries {
       Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
               |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
               |SELECT s.doc_id, COUNT(*) AS n_sh,
-              |       ROUND(SUM(CASE WHEN df.df >= 2 THEN 1.0 ELSE 0.0 END)
+              |       ROUND(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
               |             / COUNT(*), 4) AS dup_frac
               |FROM sh s JOIN df ON s.shingle = df.shingle
               |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
       (s, d) => graft.operators.Dedup
-        .dupShingleFraction(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .dupShingleFractionFromToks(TrainingQueries.cachedDocToks(s, d), n = 3)
         .orderBy("doc_id")),
 
     Q("q177_token_diversity",
@@ -913,11 +909,11 @@ object Round6Queries {
               |        FROM cnt GROUP BY doc_id)
               |SELECT doc_id, n_tok, n_types,
               |       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS ttr,
-              |       ROUND(CAST(n_tok * n_tok AS DOUBLE) / CAST(ssq AS DOUBLE), 4)
-              |         AS inv_simpson
+              |       ROUND(CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+              |             / CAST(ssq AS DOUBLE), 4) AS inv_simpson
               |FROM per ORDER BY doc_id""".stripMargin),
       (s, d) => TextAnalysis
-        .tokenDiversity(Tables.documents(s, d), "doc_id", "text")
+        .tokenDiversityFromToks(TrainingQueries.cachedDocToks(s, d))
         .orderBy("doc_id")),
 
     Q("q178_kcore",
@@ -981,7 +977,7 @@ object Round6Queries {
               |WHERE c_ab >= 5 AND lift >= 1.2
               |ORDER BY bigram""".stripMargin),
       (s, d) => TextAnalysis
-        .collocationLift(Tables.documents(s, d), "text",
+        .collocationLiftFromToks(TrainingQueries.cachedDocToks(s, d),
           minCount = 5L, minLift = 1.2)
         .orderBy("bigram"))
   ) ++ Seq(
@@ -1021,12 +1017,13 @@ object Round6Queries {
               |hh AS (SELECT doc_id, MD5(chunk) AS h FROM ch),
               |cnt AS (SELECT h, COUNT(*) AS cnt FROM hh GROUP BY h)
               |SELECT hh.doc_id, COUNT(*) AS n_chunks,
-              |       ROUND(SUM(CASE WHEN cnt.cnt >= 2 THEN 1.0 ELSE 0.0 END)
+              |       ROUND(CAST(SUM(CASE WHEN cnt.cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
               |             / COUNT(*), 4) AS dup_chunk_frac
               |FROM hh JOIN cnt USING (h)
               |GROUP BY hh.doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.Dedup
-        .cdcChunkDupStats(Tables.documents(s, d), "doc_id", "text", modulus = 16)
+        .cdcChunkDupStatsFromToks(TrainingQueries.cachedDocToks(s, d),
+          modulus = 16)
         .orderBy("doc_id"))
   )
 }

@@ -122,6 +122,38 @@ object TrainingQueries {
       Dedup.pairStats(Tables.documents(s, d), "doc_id", "text",
         n = 3, maxShingleDf = 256L).localCheckpoint(true))
 
+  /** The tokenized corpus (doc_id, source, text, toks, hs) shared by the
+    * per-document text-stats family (q164/q167/q168/q175–q180): splitting
+    * and md5-hashing every token is the dominant cost of each member, and
+    * every member needs the SAME arrays — so the relation is built once
+    * per (session, sf dir), spread across cores, and checkpointed. The
+    * raw text rides along (it is no larger than the token arrays) so
+    * sentence-level regexes (q175) read the same relation instead of
+    * re-scanning parquet. At 100 TB this is the standard materialize-once
+    * pattern: a filtering pipeline computes (toks, hs) in ONE pass and
+    * every metric is a projection of it.
+    *
+    * persist(), NOT localCheckpoint: the checkpoint path materializes
+    * wide UnsafeRows that every consumer must deserialize IN FULL (no
+    * column pruning on a scanned RDD — measured: the narrow consumers
+    * got SLOWER behind a checkpointed cache), while the columnar
+    * InMemoryRelation serves each query only the columns it references
+    * (q179 reads toks alone, q180 adds hs, q175 text). The eager count()
+    * keeps the builder's one-pass contract — the first caller pays the
+    * build, everyone else only reads. */
+  private val docToksCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  private[graft] def cachedDocToks(s: SparkSession, d: String): DataFrame =
+    docToksCache.getOrElseUpdate(s, d) {
+      val t = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("hs", TextAnalysis.tokenHashes(col("toks")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }
+
   def all: Seq[Q] = Seq(
 
     Q("q36_dedup_ngram_jaccard",

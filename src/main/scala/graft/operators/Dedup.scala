@@ -36,21 +36,40 @@ object Dedup {
     * moves raw (id, text) rows only — the expensive derived columns are
     * computed after, in parallel. Explicit partition count so AQE cannot
     * coalesce the small shuffle back to one task. */
-  private def spread(docs: DataFrame, idCol: String): DataFrame =
+  private[operators] def spread(docs: DataFrame, idCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+
+  /** The (doc_id, toks) relation the `FromToks` operator variants below
+    * consume. Tokenizing is the step EVERY text operator repeats — a
+    * caller running several of them over one corpus (the inventory, a
+    * real filtering pipeline) should build this once (optionally with
+    * `hs` = [[TextAnalysis.tokenHashes]] for the chunking tier), persist
+    * or checkpoint it, and fan out; at 100 TB that is the difference
+    * between one tokenize pass and one per metric. */
+  def docToks(docs: DataFrame, idCol: String, textCol: String,
+              withHashes: Boolean = false): DataFrame = {
+    val t = spread(docs, idCol)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+    if (withHashes) t.withColumn("hs", TextAnalysis.tokenHashes(col("toks"))) else t
+  }
 
   /** doc -> distinct shingle rows (the inverted index), with optional
     * document-frequency cap on shingles (skew guard; 0 = no cap). */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
+                   n: Int = 3, maxShingleDf: Long = 0L): DataFrame =
     // Tokenize in its OWN projection: element_at inside the shingle lambda
     // would otherwise inline and re-split the text once per shingle (3x per
     // 3-gram) — Catalyst has no loop-invariant hoisting inside HOF lambdas,
     // and CollapseProject keeps non-cheap multiply-referenced expressions
     // in their own step, so this materializes the token array once per row.
-    val idx = spread(docs, idCol)
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), n)).as("shingle"))
+    shingleIndexFromToks(docToks(docs, idCol, textCol), n, maxShingleDf)
+
+  /** [[shingleIndex]] over a pre-tokenized [[docToks]] relation. */
+  def shingleIndexFromToks(toks: DataFrame, n: Int = 3,
+                           maxShingleDf: Long = 0L): DataFrame = {
+    val idx = toks.select(col("doc_id"),
+      explode(TextAnalysis.shingles(col("toks"), n)).as("shingle"))
     if (maxShingleDf <= 0) idx
     else {
       val rare = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -172,24 +191,28 @@ object Dedup {
     * operators are quadratic: no pair ever materializes, just one df
     * aggregation over shingle keys (map-side partial count — a viral
     * shingle is ONE register per partition, not k² rows) and one join
-    * back that stays linear in the index size. The numerator and
-    * denominator are exact longs; dup_frac is one IEEE division, rounded,
+    * back that stays linear in the index size. The numerator is summed as
+    * exact longs (cast to double only for the one IEEE division, rounded),
     * so the hash gate holds cross-engine. */
   def dupShingleFraction(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3): DataFrame = {
+                         n: Int = 3): DataFrame =
+    dupShingleFractionFromToks(docToks(docs, idCol, textCol), n)
+
+  /** [[dupShingleFraction]] over a pre-tokenized [[docToks]] relation. */
+  def dupShingleFractionFromToks(toks: DataFrame, n: Int = 3): DataFrame = {
     // Same exchange barrier as pairStats: the index subtree feeds two
     // consumers (df build + join probe); pinning ONE shingle-hash exchange
     // makes the plans identical so ReuseExchange runs tokenize+shingle
     // once. Without it the df build's partial-agg-below-exchange differs
     // from the probe's raw exchange and the scan runs twice.
-    val idx = shingleIndex(docs, idCol, textCol, n)
+    val idx = shingleIndexFromToks(toks, n)
       .repartition(col("shingle"))
     val dfRel = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
     idx.join(dfRel, "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-        round(sum(when(col("df") >= 2L, 1.0).otherwise(0.0)) / count(lit(1)), 4)
-          .as("dup_frac"))
+        round(sum(when(col("df") >= 2L, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("dup_frac"))
   }
 
   /** Content-defined chunking: split each document into variable-length
@@ -204,14 +227,18 @@ object Dedup {
     * md5-derived h32 (oracle-reproducible), boundary selection and span
     * slicing are HOFs over the per-row arrays — no shuffle at all. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                modulus: Int = 16): DataFrame = {
-    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+                modulus: Int = 16): DataFrame =
     // hashes in their OWN projection (the shingleIndex lesson): inlining
     // h32 into the filter lambda would re-derive md5 per index probe
-    spread(docs, idCol)
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    cdcChunksFromToks(docToks(docs, idCol, textCol, withHashes = true), modulus)
+
+  /** [[cdcChunks]] over a pre-tokenized [[docToks]] relation carrying the
+    * `hs` token-hash column (`withHashes = true`) — the md5 pass is the
+    * expensive step, so a caller sharing the relation pays it once. */
+  def cdcChunksFromToks(toks: DataFrame, modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    toks.select(col("doc_id"), col("toks"), col("hs"))
       .filter(size(col("toks")) >= 1)
-      .withColumn("hs", TextAnalysis.tokenHashes(col("toks")))
       .withColumn("inner", filter(sequence(lit(1), size(col("toks"))),
         i => element_at(col("hs"), i) % modulus === 0))
       // close the tail span; get() is null-safe on the empty boundary
@@ -236,16 +263,22 @@ object Dedup {
     * viral boilerplate chunk is one register per partition) and one
     * linear join back over the shared exchange. */
   def cdcChunkDupStats(docs: DataFrame, idCol: String, textCol: String,
-                       modulus: Int = 16): DataFrame = {
-    val ch = cdcChunks(docs, idCol, textCol, modulus)
+                       modulus: Int = 16): DataFrame =
+    cdcChunkDupStatsFromToks(docToks(docs, idCol, textCol, withHashes = true),
+      modulus)
+
+  /** [[cdcChunkDupStats]] over a pre-tokenized [[docToks]] relation
+    * (with `hs`). */
+  def cdcChunkDupStatsFromToks(toks: DataFrame, modulus: Int = 16): DataFrame = {
+    val ch = cdcChunksFromToks(toks, modulus)
       .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
       .repartition(col("h"))
     val cnt = ch.groupBy("h").agg(count(lit(1)).as("cnt"))
     ch.join(cnt, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        round(sum(when(col("cnt") >= 2L, 1.0).otherwise(0.0)) / count(lit(1)), 4)
-          .as("dup_chunk_frac"))
+        round(sum(when(col("cnt") >= 2L, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("dup_chunk_frac"))
   }
 
   /** MinHash signature column (array<long> of `numHashes` mins) from a

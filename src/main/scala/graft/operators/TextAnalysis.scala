@@ -139,19 +139,29 @@ object TextAnalysis {
     * rounded — both engines agree bit-for-bit. Scale shape: one
     * (doc, token) count aggregation and one per-doc roll-up, both
     * two-phase with map-side combine; no arrays cross a shuffle. */
-  def tokenDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+  def tokenDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // spread-by-id first (the Dedup lesson): a single-file corpus is ONE
+    // input partition, and without the shuffle the whole tokenize+explode
+    // runs on one core
+    tokenDiversityFromToks(Dedup.docToks(docs, idCol, textCol))
+
+  /** [[tokenDiversity]] over a pre-tokenized [[Dedup.docToks]] relation. */
+  def tokenDiversityFromToks(toks: DataFrame): DataFrame = {
+    val counts = toks
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    // n² as double·double, not long·long: the factors are exact doubles
+    // below 2^26 tokens/doc, and the long product would WRAP silently on a
+    // pathological document while the oracle's BIGINT multiply aborts —
+    // the double form keeps both engines on the same (finite) arithmetic.
     counts.groupBy("doc_id")
       .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
         sum(col("c") * col("c")).as("ssq"))
       .select(col("doc_id"), col("n_tok"), col("n_types"),
         round(col("n_types").cast("double") / col("n_tok").cast("double"), 4)
           .as("ttr"),
-        round((col("n_tok") * col("n_tok")).cast("double")
+        round(col("n_tok").cast("double") * col("n_tok").cast("double")
           / col("ssq").cast("double"), 4).as("inv_simpson"))
   }
 
@@ -172,10 +182,21 @@ object TextAnalysis {
     * tokens make big groups but only LINEAR join fan-out — nothing
     * quadratic anywhere). */
   def collocationLift(docs: DataFrame, textCol: String,
-                      minCount: Long, minLift: Double): DataFrame = {
-    // tokenize in its OWN projection (the Dedup.shingleIndex lesson)
-    val pairs = docs
-      .select(tokens(col(textCol)).as("t"))
+                      minCount: Long, minLift: Double): DataFrame =
+    // tokenize in its OWN projection (the Dedup.shingleIndex lesson), and
+    // round-robin-spread the scan first (no id column here): a single-file
+    // corpus otherwise tokenizes on one core
+    collocationLiftFromToks(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(tokens(col(textCol)).as("toks")),
+      minCount, minLift)
+
+  /** [[collocationLift]] over a pre-tokenized [[Dedup.docToks]] relation
+    * (only the `toks` column is read). */
+  def collocationLiftFromToks(toks: DataFrame,
+                              minCount: Long, minLift: Double): DataFrame = {
+    val pairs = toks
+      .select(col("toks").as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
         i => struct(element_at(col("t"), i).as("a"),
