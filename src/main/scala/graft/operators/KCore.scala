@@ -50,7 +50,10 @@ object KCore {
     // (node, degree) — the only relation that loops; |V| rows.
     var aliveDeg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    val spark = edges.sparkSession
+    var converged = false
+    var round = 0
+    while (!converged && round < rounds) {
       // Synchronized semantics: this round's removals are judged on the
       // degrees entering the round; survivors' degrees then shed their
       // edges INTO the removed set (edges between two removed nodes
@@ -58,11 +61,25 @@ object KCore {
       val removed = aliveDeg.filter(col("deg") < k).select(col("node").as("rm"))
       val dec = e.join(removed, col("b") === col("rm"))
         .groupBy(col("a").as("dn")).agg(count(lit(1)).as("dec"))
-      aliveDeg = aliveDeg.filter(col("deg") >= k)
+      // Early exit, one action per round (the CC accumulator trick): the
+      // survivor filter sees EVERY degree row during the materializing
+      // checkpoint pass, so riding the removal signal on its predicate
+      // costs no extra job. A round that removes nothing leaves degrees
+      // unchanged, so every further round is a no-op — the round budget
+      // is a CAP, not a cost, on an already-converged graph. Checking
+      // `dec` emptiness instead would be wrong: a node whose neighbors
+      // were ALL removed with it decrements no survivor. (Accumulator
+      // caveat: task retries can double-count, but only `== 0` is
+      // consulted, so convergence detection stays exact.)
+      val acc = spark.sparkContext.longAccumulator("kcore_removed")
+      val survives = udf { (deg: Long) => { if (deg < k) acc.add(1L); deg >= k } }
+      aliveDeg = aliveDeg.filter(survives(col("deg")))
         .join(dec, col("node") === col("dn"), "left")
         .select(col("node"),
           (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint(true)
+      converged = acc.value == 0L
+      round += 1
     }
     aliveDeg.filter(col("deg") >= 1)
   }

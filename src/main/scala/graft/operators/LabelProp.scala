@@ -55,7 +55,10 @@ object LabelProp {
         edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))
     var lbl = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to rounds) {
+    val spark = edges.sparkSession
+    var converged = false
+    var round = 0
+    while (!converged && round < rounds) {
       val votes = e.join(lbl, e("b") === lbl("node"))
         .select(e("a").as("vnode"), col("lbl"), col("w"))
         .groupBy("vnode", "lbl").agg(sum("w").as("wt"))
@@ -66,12 +69,32 @@ object LabelProp {
       // map-side partial combine while the window must SORT every vote
       // row inside its node partition (measured 16.3 s -> agg form at
       // sf1 on the q172 fulfillment graph).
-      lbl = votes
+      val winners = votes
         .groupBy(col("vnode").as("node"))
         .agg(max(struct(col("wt"), (-col("lbl")).as("nl"), col("lbl"))).as("m"))
         .select(col("node"), col("m.lbl").as("lbl"))
+      // Early exit at a true fixpoint (the CC accumulator trick): compare
+      // against the incoming labels during the same materializing pass —
+      // one |V|⋈|V| equi-join of checkpointed scalar relations, trivial
+      // beside the vote join. Synchronous LP is a pure function of the
+      // label relation, so an unchanged round proves every further round
+      // identical (a bipartite 2-cycle never reads as converged — labels
+      // differ each round). Round budget stays a CAP on converged graphs.
+      // Accumulator retries can double-count; only `== 0` is consulted.
+      val acc = spark.sparkContext.longAccumulator("labelprop_changed")
+      val flagged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
+      // chg must ride THROUGH the checkpoint (dropped only after): pruned
+      // before materialization, the udf would never run and every round
+      // would read as converged.
+      lbl = winners.as("w")
+        .join(lbl.as("p"), col("w.node") === col("p.node"))
+        .select(col("w.node").as("node"), col("w.lbl").as("lbl"),
+          flagged(col("w.lbl") =!= col("p.lbl")).as("chg"))
         // one materialized |nodes|-row relation per round, flat lineage
         .localCheckpoint(true)
+        .drop("chg")
+      converged = acc.value == 0L
+      round += 1
     }
     lbl
   }
