@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * video travel as opaque `binary` columns with typed metadata, and
   * decode/featurize/frame-sample run as partition-wise batch operators.
   *
-  * The DEFAULT decode is a STUB in this environment (no image/audio
-  * libraries in the container — clearly marked below with a
-  * deterministic fake), but the boundary is proven real by
-  * [[BmpCodec]]: a pure-JVM uncompressed-24-bit-BMP decoder that runs
-  * through the same [[MediaCodec]] trait and the same operators
-  * (MultimodalSpec drives both). The Spark-side plumbing is real and
+  * The DEFAULT decode is a STUB (a clearly-marked deterministic fake,
+  * kept for plumbing tests and for the formats the JDK cannot decode —
+  * MP3/video), but the boundary is proven real by three codecs through
+  * the same [[MediaCodec]] trait and the same operators: [[BmpCodec]]
+  * (from-scratch 24-bit BMP), [[WavCodec]] (PCM16 WAV), and
+  * [[ImageIoCodec]] (JPEG/PNG/GIF/BMP via the JDK's own
+  * `javax.imageio` — real compressed-image decode with no external
+  * library). MultimodalSpec drives all of them. The Spark-side plumbing is real and
   * tested: schema contract, partition-wise iterator batching (the Scala
   * analogue of `mapInPandas` — one buffer per partition, no per-row
   * JNI/process round-trips), partition sizing, and zero-copy
@@ -59,12 +61,14 @@ object Multimodal {
                targetW: Int, targetH: Int, bytesPerPixel: Int): Array[Byte]
   }
 
-  /** STUB codec — the default in this container (no image/audio libraries
-    * available): deterministic fakes so the distributed plumbing around
+  /** STUB codec — deterministic fakes so the distributed plumbing around
     * the codec (schema contract, batching, partition sizing, metadata
-    * updates) is fully testable and stable across runs/partitionings. */
+    * updates) is testable independently of any real decode, and the
+    * stand-in for formats with no JDK decoder (MP3, video). For actual
+    * images use [[ImageIoCodec]] (JPEG/PNG/GIF/BMP, JDK-only); for a
+    * from-scratch reference, [[BmpCodec]]/[[WavCodec]]. */
   object StubMediaCodec extends MediaCodec {
-    // ??? <- real codec goes here (e.g. JPEG decode -> pooled CNN features)
+    // ??? <- real MP3/video codec goes here (needs a library the JDK lacks)
     override def decodeToFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       var h = 1125899906842597L // deterministic FNV-ish fold over the bytes

@@ -147,6 +147,72 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).isNullAt(2), "null content must yield null features")
   }
 
+  // ---- ImageIoCodec: JPEG/PNG via the JDK's own javax.imageio ----
+
+  test("ImageIoCodec: PNG round-trip pools exact grid luminance; resize is nearest-neighbor") {
+    import graft.operators.ImageIoCodec
+    // 4x4 left-black right-white, PNG (lossless -> exact features)
+    val rgb = Array.tabulate(16)(i => if (i % 4 < 2) 0x000000 else 0xffffff)
+    val png = ImageIoCodec.encode(4, 4, rgb, "png")
+    assert(ImageIoCodec.decodeToFeatures(png, "png", 4).toSeq ===
+      Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    val small = ImageIoCodec.resize(png, "png", 2, 2, bytesPerPixel = 3)
+    assert(ImageIoCodec.dimensions(small) === ((2, 2)))
+    assert(ImageIoCodec.decodeToFeatures(small, "png", 4).toSeq ===
+      Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    // garbage fails loudly (ImageIO returns null readers, codec throws)
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decodeToFeatures(Array.fill[Byte](64)(9), "png", 4)
+    }
+  }
+
+  test("ImageIoCodec: a REAL JPEG decodes and resizes through the boundary") {
+    import graft.operators.ImageIoCodec
+    // solid mid-gray: JPEG is lossy but a flat field survives the DCT
+    // almost exactly, so the pooled luminance is pinned within tolerance
+    val gray = Array.fill(64)(0x808080)
+    val jpeg = ImageIoCodec.encode(8, 8, gray, "jpeg")
+    // JFIF magic: this really is a JPEG, not a renamed bitmap
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8,
+      "missing JPEG SOI marker")
+    val f = ImageIoCodec.decodeToFeatures(jpeg, "jpeg", 4)
+    val want = (0x80 * 3) / 765.0f
+    assert(f.forall(v => math.abs(v - want) < 0.05), s"gray pooled to ${f.toSeq}")
+    val small = ImageIoCodec.resize(jpeg, "jpeg", 4, 4, bytesPerPixel = 3)
+    assert((small(0) & 0xff) === 0xff && (small(1) & 0xff) === 0xd8,
+      "resize must re-encode as JPEG")
+    assert(ImageIoCodec.dimensions(small) === ((4, 4)))
+    val f2 = ImageIoCodec.decodeToFeatures(small, "jpeg", 4)
+    assert(f2.forall(v => math.abs(v - want) < 0.05), s"resized gray: ${f2.toSeq}")
+  }
+
+  test("ImageIoCodec and BmpCodec agree bit-for-bit on the same BMP bytes") {
+    import graft.operators.{BmpCodec, ImageIoCodec}
+    val bmp = halfAndHalfBmp
+    assert(ImageIoCodec.decodeToFeatures(bmp, "bmp", 4).toSeq ===
+      BmpCodec.decodeToFeatures(bmp, "bmp", 4).toSeq,
+      "the two decoders pool the same pixels with the same arithmetic")
+  }
+
+  test("ImageIoCodec drives the distributed featurize operator on real JPEGs") {
+    import org.apache.spark.sql.Row
+    import graft.operators.ImageIoCodec
+    val jpeg = ImageIoCodec.encode(8, 8, Array.fill(64)(0x808080), "jpeg")
+    val png = ImageIoCodec.encode(4, 4,
+      Array.tabulate(16)(i => if (i % 4 < 2) 0x000000 else 0xffffff), "png")
+    val rows = java.util.Arrays.asList(
+      Row(1L, jpeg, Row("jpeg", 8, 8, null)),
+      Row(2L, png, Row("png", 4, 4, null)),
+      Row(3L, null, Row("jpeg", 0, 0, null)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val feats = Multimodal.featurize(media, dim = 4, codec = ImageIoCodec)
+      .orderBy("media_id").collect()
+    val want = (0x80 * 3) / 765.0f
+    assert(feats(0).getSeq[Float](2).forall(v => math.abs(v - want) < 0.05))
+    assert(feats(1).getSeq[Float](2) === Seq(0.0f, 1.0f, 0.0f, 1.0f))
+    assert(feats(2).isNullAt(2), "null content must yield null features")
+  }
+
   test("codec header validation: bad BMP pixel offset and short WAV fmt chunk fail loudly") {
     import java.nio.{ByteBuffer, ByteOrder}
     // valid BMP, then corrupt the pixel-array offset to point INSIDE the
