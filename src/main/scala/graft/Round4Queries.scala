@@ -645,9 +645,12 @@ object Round4Queries {
       (s, d) => {
         val bands = Tables.part(s, d).select(col("p_brand"),
           (col("p_retailprice") * 0.97).as("lo"), (col("p_retailprice") * 1.03).as("hi"))
-        RangeJoin.pointInInterval(
+        // width from the data, not a constant: the regenerated testdata
+        // packed the bands ~10x denser and a fixed w=100 paid 2.4x the
+        // irreducible candidate count (see RangeJoin.pointInIntervalAuto)
+        RangeJoin.pointInIntervalAuto(
             Tables.lineitem(s, d).select("l_extendedprice"), "l_extendedprice",
-            bands, "lo", "hi", bucketWidth = 100.0)
+            bands, "lo", "hi")
           .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
           .orderBy("p_brand")
       }),

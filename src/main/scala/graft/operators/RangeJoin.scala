@@ -76,4 +76,41 @@ object RangeJoin {
         col(pointCol).between(col(loCol), col(hiCol)), "inner")
       .drop(BucketCol)
   }
+
+  /** [[pointInInterval]] with the bucket width derived from the DATA at
+    * plan time instead of guessed by the caller — one tiny aggregation
+    * over the interval side (median width via an approximate quantile
+    * sketch), then `w = medianWidth / 4`.
+    *
+    * Why a fraction of the typical width: a candidate pair that fails the
+    * exact BETWEEN exists only when the interval overlaps the point's
+    * BUCKET but not the point — that waste is LINEAR in `w` — while the
+    * interval-side inflation is `width/w + 1` rows per interval, tiny
+    * until `w` drops far below the typical width. At w = medW/4 a typical
+    * interval expands to ~5 bucket rows (cheap scalars) and the rounding
+    * waste is ~1/8 of what w = medW pays; past that the curve is flat.
+    * A fixed width is the classic trap this closes: the round-6 testdata
+    * regeneration packed the q130 price bands ~10x denser and the
+    * unchanged w=100 paid 2.4x the irreducible candidates — adapting at
+    * plan time is what survives a data-distribution change. The width
+    * affects ONLY the plan: the exact BETWEEN recheck makes any width
+    * return identical rows.
+    *
+    * Degenerate stats fall back loudly sane: all zero-width intervals
+    * (lo == hi) make any width exact, so w = 1; an empty interval side
+    * joins nothing either way. */
+  def pointInIntervalAuto(points: DataFrame, pointCol: String,
+                          intervals: DataFrame, loCol: String, hiCol: String,
+                          maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    val stats = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .select(percentile_approx(
+        finiteOrRaise(col(hiCol), "hi") - finiteOrRaise(col(loCol), "lo"),
+        lit(0.5), lit(1000)).as("med_w"))
+      .head()
+    val medW = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val w = if (medW > 0.0) medW / 4.0 else 1.0
+    pointInInterval(points, pointCol, intervals, loCol, hiCol,
+      bucketWidth = w, maxBucketsPerInterval = maxBucketsPerInterval)
+  }
 }

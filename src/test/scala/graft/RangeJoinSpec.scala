@@ -43,6 +43,26 @@ class RangeJoinSpec extends SparkSpec {
       s"banding failed to produce an equi-join:\n$plan")
   }
 
+  test("auto width equals the naive join, derives w from interval stats, stays equi-join") {
+    val naive = points.join(intervals, $"v".between($"lo", $"hi"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    val auto = RangeJoin.pointInIntervalAuto(points, "v", intervals, "lo", "hi")
+    assert(auto.select("pid", "iid").orderBy("pid", "iid").collect().toSeq === naive)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"auto banding failed to produce an equi-join:\n$plan")
+    // degenerate stats: all zero-width intervals (median width 0) fall
+    // back to w=1 and still answer exactly
+    val pts = Seq((1L, 5.0), (2L, 7.5)).toDF("pid", "v")
+    val zw = Seq((1L, 5.0, 5.0), (2L, 6.0, 6.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInIntervalAuto(pts, "v", zw, "lo", "hi")
+      .select("pid", "iid").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((1L, 1L)))
+    // empty interval side joins nothing rather than failing on null stats
+    assert(RangeJoin.pointInIntervalAuto(pts, "v", zw.filter($"iid" < 0L),
+      "lo", "hi").count() === 0L)
+  }
+
   test("guards: bad width and colliding schemas are loud") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 0.0)
