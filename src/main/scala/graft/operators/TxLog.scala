@@ -690,22 +690,50 @@ object TxLog {
       .filter(col(column).isNotNull)
   }
 
+  /** Thrown by [[replace]] when `expectedBase` validation fails: the head
+    * generation moved past the snapshot this replacement was computed
+    * from. The staged data files are already cleaned up when this
+    * propagates; the caller re-reads the head, recomputes, and retries —
+    * or uses [[replaceCas]], which runs exactly that loop. */
+  final class SnapshotMovedException(val zone: String,
+                                     val expected: Long, val found: Long)
+    extends RuntimeException(
+      s"txlog replace of $zone: base generation moved ($expected -> $found); " +
+        "recompute against the new head and retry")
+
   /** Atomically REPLACE the zone's content with `df` as a new generation
     * — the transactional form of `mode("overwrite")`: a reader holding
     * the previous snapshot keeps reading its (immutable) files; a reader
     * arriving mid-write sees the previous complete generation until the
-    * single publish flips the head. Lost publish races retry against the
-    * new head (replace is last-writer-wins by intent, so rebasing is just
-    * re-claiming the next generation number). */
+    * single publish flips the head.
+    *
+    * Concurrency is the caller's choice via `expectedBase`:
+    *  - None (default): last-writer-wins by intent — a lost publish race
+    *    just rebases on the new head and re-claims the next number. Right
+    *    when `df` does not depend on the zone's current content (a full
+    *    reload from an upstream source).
+    *  - Some(gen): OPTIMISTIC concurrency — publish only while the head
+    *    is still `gen`; a moved head (a rival replace/append/compact
+    *    landed after this caller read its snapshot) deletes the staged
+    *    files and throws [[SnapshotMovedException]] instead of silently
+    *    overwriting the rival's commit with content computed from a
+    *    STALE read. Blind last-write-wins here is the lost-update
+    *    anomaly; aborting is what makes read-modify-write transforms
+    *    safe. [[replaceCas]] is the retry loop packaged. */
   def replace(spark: SparkSession, zone: String, df: DataFrame,
               maxRetries: Int = 5,
               meta: Map[String, String] = Map.empty,
               statsCol: Option[String] = None,
-              statsCols: Seq[String] = Nil): Snapshot = {
+              statsCols: Seq[String] = Nil,
+              expectedBase: Option[Long] = None): Snapshot = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
     val head0 = latest(spark, zone).getOrElse(init(spark, zone))
+    expectedBase.filter(_ != head0.gen).foreach { eg =>
+      // moved before any data was even staged — cheapest abort
+      throw new SnapshotMovedException(zone, eg, head0.gen)
+    }
     df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
     val files = listRel(f, root, dataDir)
     val cName = statsCol.orElse(head0.meta.get("stats.col"))
@@ -717,6 +745,14 @@ object TxLog {
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = latest(spark, zone).getOrElse(head0)
+      expectedBase.filter(_ != head.gen).foreach { eg =>
+        // read-snapshot validation: the head moved past the generation
+        // this replacement was computed from — clean up and abort (the
+        // staged dir was never referenced by any manifest, so the delete
+        // can strand no reader)
+        f.delete(dataDir, true)
+        throw new SnapshotMovedException(zone, eg, head.gen)
+      }
       val m = head.meta ++ statsMeta ++ meta
       publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats) match {
         case Some(g) =>
@@ -728,6 +764,41 @@ object TxLog {
     }
     f.delete(dataDir, true)
     sys.error(s"txlog replace of $zone lost the publish race $maxRetries times")
+  }
+
+  /** Compare-and-swap replace: read the head, compute the replacement
+    * FROM that snapshot, publish only if the head has not moved; on a
+    * conflict re-read, recompute, retry — the packaged retry hook for
+    * read-modify-write transforms (dedupe-in-place, retention deletes,
+    * GDPR scrubs) where last-writer-wins would silently drop a rival's
+    * commit. `compute` receives the head snapshot each attempt (None on
+    * a virgin zone) and must derive its output from THAT read — that is
+    * the invariant the validation protects. */
+  def replaceCas(spark: SparkSession, zone: String,
+                 compute: Option[Snapshot] => DataFrame,
+                 maxAttempts: Int = 5,
+                 meta: Map[String, String] = Map.empty,
+                 statsCol: Option[String] = None,
+                 statsCols: Seq[String] = Nil): Snapshot = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var lastMove: SnapshotMovedException = null
+    while (attempt < maxAttempts) {
+      val head = latest(spark, zone)
+      val base = head.map(_.gen).getOrElse {
+        init(spark, zone).gen // virgin zone: pin the freshly-created gen 0
+      }
+      try {
+        return replace(spark, zone, compute(head), meta = meta,
+          statsCol = statsCol, statsCols = statsCols,
+          expectedBase = Some(base))
+      } catch {
+        case e: SnapshotMovedException => lastMove = e
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"txlog replaceCas of $zone conflicted $maxAttempts times", lastMove)
   }
 
   /** Exactly-once micro-batch append for Structured Streaming: commit

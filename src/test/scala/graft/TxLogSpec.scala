@@ -499,6 +499,63 @@ class TxLogSpec extends SparkSpec {
     assert(dDirs.length === 1, s"aborted replay left its write dir: ${dDirs.mkString(",")}")
   }
 
+  test("optimistic replace: a racing replacer aborts cleanly, no lost update, no stray files") {
+    val zone = freshZone()
+    spark.range(10L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    // replacer A reads its snapshot (gen 0)...
+    val baseA = TxLog.latest(spark, zone).get.gen
+    // ...then rival B lands a replace first (last-writer-wins mode is fine
+    // for B — its content does not derive from the zone)
+    val sB = TxLog.replace(spark, zone, spark.range(100L, 110L).toDF("id"))
+    assert(sB.gen === baseA + 1)
+    // A's publish validates its read snapshot and must ABORT — committing
+    // would overwrite B with content computed from the stale gen-0 read
+    val e = intercept[TxLog.SnapshotMovedException] {
+      TxLog.replace(spark, zone, spark.range(200L, 210L).toDF("id"),
+        expectedBase = Some(baseA))
+    }
+    assert(e.expected === baseA && e.found === sB.gen)
+    // B's commit is intact and A left nothing behind: every d-* dir on
+    // disk is referenced by some manifest (A's staged dir was deleted)
+    assert(ids(zone) === (100L until 110L).toSet, "rival's commit was lost")
+    assert(TxLog.latest(spark, zone).get.gen === sB.gen, "head moved past B")
+    val referenced = TxLog.latest(spark, zone).get.files
+      .map(_.split("/")(0)).toSet
+    val onDisk = new java.io.File(zone).listFiles()
+      .filter(_.getName.startsWith("d-")).map(_.getName).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"aborted replacer left stray data dirs: ${onDisk -- referenced}")
+  }
+
+  test("replaceCas: the retry hook recomputes from the NEW head and lands") {
+    val zone = freshZone()
+    spark.range(5L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    var raced = false
+    val s = TxLog.replaceCas(spark, zone, { head =>
+      attempts.incrementAndGet()
+      if (!raced) {
+        // a rival replace slips in between this read and the publish —
+        // exactly the lost-update window the validation closes
+        raced = true
+        TxLog.replace(spark, zone, spark.range(50L, 55L).toDF("id"))
+      }
+      // read-modify-write: shift every CURRENT id by 1000 (derives from
+      // the snapshot `compute` was handed, so a stale read is visible)
+      val cur = head.map(h => TxLog.readSnapshot(spark, zone, h))
+        .getOrElse(spark.range(0L).toDF("id"))
+      cur.select(($"id" + 1000L).as("id"))
+    })
+    // first attempt conflicted (computed from gen 0, rival landed gen 1);
+    // second recomputed from the rival's rows and committed
+    assert(attempts.get === 2, s"expected conflict+retry, got ${attempts.get} attempts")
+    assert(ids(zone) === (1050L until 1055L).toSet,
+      "the committed transform must derive from the RIVAL's rows, not the stale read")
+    assert(s.base === 1L && s.gen === 2L)
+  }
+
   test("vacuum drops only generations past retention; kept snapshots stay readable") {
     val zone = freshZone()
     spark.range(100L).toDF("id").repartition(8).write.parquet(zone)
