@@ -421,6 +421,60 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  // ---- int8 scalar quantization — the memory/shuffle scale path ---------
+
+  /** Per-DIMENSION (min, max) of an `array<float>` column — the training
+    * step of scalar quantization. One posexplode aggregation with
+    * map-side partial min/max, then dim pairs of doubles collect to the
+    * driver (bounded state, the kmeans-centroid discipline: 64 dims =
+    * 1 KB). Float inputs widen to double EXACTLY, so the returned bounds
+    * are engine-portable. */
+  def dimMinMax(vectors: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = vectors
+      .select(posexplode(col(vecCol)))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** Quantize an `array<float>` to `array<int>` codes in [-128, 127]:
+    * `q_i = floor((v_i - mn_i) / (mx_i - mn_i) * 255 + 0.5) - 128`,
+    * clamped; a degenerate dimension (mx == mn) codes to 0. floor(x+0.5)
+    * rather than round(): half-even vs half-up conventions differ across
+    * engines, floor does not. Every step is IEEE double arithmetic on
+    * exactly-widened floats — DuckDB replays it bit-for-bit, so the
+    * CODES (not just the scores) are oracle-checkable.
+    *
+    * Why this tier exists: at 100 TB the float32 corpus is the memory —
+    * int8 codes are 4× smaller in cache/shuffle/scan, and candidate
+    * scoring becomes an integer dot product (no dequantize), with exact
+    * re-ranking only on the short candidate list. This is the standard
+    * SQ8 design every vector engine ships. */
+  def quantizeInt8(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    require(mins.length == maxs.length, "mins/maxs length mismatch")
+    val mnLit = array(mins.map(lit): _*)
+    val mxLit = array(maxs.map(lit): _*)
+    transform(vec, (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      val scaled = floor((x.cast("double") - mn) / (mx - mn) * 255.0 + 0.5) - 128.0
+      when(mx === mn, lit(0))
+        .otherwise(greatest(lit(-128.0), least(lit(127.0), scaled)).cast("int"))
+    })
+  }
+
+  /** Integer dot product of two int8 code arrays — the dequantize-free
+    * candidate score (same ranking signal as dot on the dequantized
+    * values up to the per-dim affine map). Exact long arithmetic: 64
+    * dims × 128² is far below 2^53, so the oracle agrees bit-for-bit. */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), _ + _)
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:
