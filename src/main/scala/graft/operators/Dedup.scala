@@ -300,12 +300,18 @@ object Dedup {
     * self-join to a nested-loop over all banded rows (measured 4x the whole
     * query's runtime at sf0.1). A scalar key keeps it a shuffled hash join
     * on well-distributed 32-bit-pair keys. */
+  /** The LSH band keys of a signature, flattened to SCALAR strings
+    * ("b|slot1|slot2") — shared by the batch candidate join and the
+    * streaming first-seen filter so the two tiers band identically. */
+  def bandKeyArray(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|", (lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(sigCol, b * rowsPerBand + r + 1))): _*)
+    }: _*)
+
   def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
                     bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKeys = array((0 until bands).map { b =>
-      concat_ws("|", (lit(b) +: (0 until rowsPerBand).map(r =>
-        element_at(col(sigCol), b * rowsPerBand + r + 1))): _*)
-    }: _*)
+    val bandKeys = bandKeyArray(col(sigCol), bands, rowsPerBand)
     // Exchange barrier BEFORE the band explode: Generate has no common-
     // subexpression elimination, so without it Catalyst collapses the
     // signature projection into the explode and recomputes the full
