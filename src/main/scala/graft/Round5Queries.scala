@@ -47,8 +47,11 @@ object Round5Queries {
               |             4) AS lm_score
               |FROM d, tot ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val toks = TrainingQueries.cachedDocToks(s, d)
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        // direct scan, NOT cachedDocToks: row-exploding consumers decode
+        // the cached token arrays slower than they re-split the text
+        // (same-machine A/B q144 0.76 -> 1.63 s behind the cache)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
         toks.join(vocab, "tok")
@@ -84,8 +87,9 @@ object Round5Queries {
               |ORDER BY doc_id, rn""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = TrainingQueries.cachedDocToks(s, d)
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        // direct scan — the row-explode consumer rule (see q144)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val dd = toks.agg(countDistinct(col("doc_id")).as("d"))
@@ -502,8 +506,9 @@ object Round5Queries {
       },
       (s, d) => {
         import graft.operators.Sketch
-        val toks = TrainingQueries.cachedDocToks(s, d)
-          .select(explode(col("toks")).as("tok"))
+        // direct scan — the row-explode consumer rule (see q144)
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         val top = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
         val sketch = Sketch.countMin(toks, "tok")

@@ -408,8 +408,10 @@ object Round6Queries {
               |       ROUND(CAST(w AS DOUBLE) / CAST(sm AS DOUBLE), 4) AS mix_weight
               |FROM w, sw ORDER BY source""".stripMargin),
       (s, d) => {
-        val dd = TrainingQueries.cachedDocToks(s, d)
-          .select(col("source"), size(col("toks")).cast("long").as("ntok"))
+        // direct scan — even size(toks) pays the cached-array decode
+        // (same-machine A/B q165 0.44 -> 0.96 s behind the cache)
+        val dd = Tables.documents(s, d)
+          .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
         val src = dd.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").cast("long").as("n_tokens"))
         val tot = src.agg(sum("n_tokens").cast("long").as("t"))
@@ -501,10 +503,12 @@ object Round6Queries {
               |             / CAST(d.n_bg * (tot.nb + tot.vb) AS DOUBLE), 4) AS lm2_score
               |FROM d, tot ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        // the shared tokenized corpus (already its own projection — the
-        // Dedup.shingleIndex lesson; inlined, element_at inside the bigram
-        // lambda would re-split the text once per accessed element)
-        val bg = TrainingQueries.cachedDocToks(s, d)
+        // tokenize in its OWN projection (the Dedup.shingleIndex lesson):
+        // inlined, element_at inside the bigram lambda re-splits the text
+        // once per accessed element. Direct scan, not cachedDocToks — the
+        // row-explode consumer rule (see q144).
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             explode(TextAnalysis.ngramStream(col("toks"), 2)).as("g"))
         val vocab = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
@@ -557,8 +561,10 @@ object Round6Queries {
               |             4) AS importance
               |FROM d, tots, tott ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val tok = TrainingQueries.cachedDocToks(s, d)
-          .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+        // direct scan — the row-explode consumer rule (see q144)
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val vs = tok.groupBy("tok").agg(count(lit(1)).as("cnt_s"))
         val vt = tok.filter(col("source") === "src0")
           .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
@@ -976,8 +982,11 @@ object Round6Queries {
               |SELECT bigram, c_ab, lift FROM sel
               |WHERE c_ab >= 5 AND lift >= 1.2
               |ORDER BY bigram""".stripMargin),
+      // direct scan (collocationLift spreads + tokenizes itself) — the
+      // row-explode consumer rule (A/B q179 1.01 -> 2.17 s behind the
+      // cache: the bigram explode decodes every cached array)
       (s, d) => TextAnalysis
-        .collocationLiftFromToks(TrainingQueries.cachedDocToks(s, d),
+        .collocationLift(Tables.documents(s, d), "text",
           minCount = 5L, minLift = 1.2)
         .orderBy("bigram"))
   ) ++ Seq(

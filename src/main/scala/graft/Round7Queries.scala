@@ -15,6 +15,24 @@ import graft.sources.Tables
   */
 object Round7Queries {
 
+  /** DuckDB twin of [[Similarity.quantizeInt8]] over list `v`, with
+    * `mns`/`mxs` lists in scope — ONE copy (bit-parity-critical: the
+    * floor/clamp/cast chain must not fork between q181 and q182). */
+  private def quantSql(v: String): String =
+    s"""LIST_TRANSFORM(GENERATE_SERIES(1, LEN($v)), i ->
+       |           CASE WHEN mxs[i] = mns[i] THEN 0
+       |                ELSE CAST(GREATEST(-128.0, LEAST(127.0,
+       |                  FLOOR((CAST($v[i] AS DOUBLE) - mns[i])
+       |                        / (mxs[i] - mns[i]) * 255.0 + 0.5) - 128.0))
+       |                  AS INT) END)""".stripMargin
+
+  /** DuckDB twin of [[Similarity.int8Dot]] over two code lists. */
+  private def int8DotSql(a: String, b: String): String =
+    s"""CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+       |               GENERATE_SERIES(1, LEN($a)),
+       |               i -> CAST($a[i] AS BIGINT) * $b[i]), 'sum')
+       |               AS BIGINT)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("q181_int8_recall",
@@ -45,27 +63,14 @@ object Round7Queries {
               |mm AS (SELECT LIST(mn ORDER BY pos) AS mns,
               |              LIST(mx ORDER BY pos) AS mxs FROM st),
               |cc AS (SELECT vec_id, embedding,
-              |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)), i ->
-              |           CASE WHEN mxs[i] = mns[i] THEN 0
-              |                ELSE CAST(GREATEST(-128.0, LEAST(127.0,
-              |                  FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i])
-              |                        / (mxs[i] - mns[i]) * 255.0 + 0.5) - 128.0))
-              |                  AS INT) END) AS code
+              |         ${quantSql("embedding")} AS code
               |       FROM c, mm),
               |qq AS (SELECT q_id, qe,
-              |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qe)), i ->
-              |           CASE WHEN mxs[i] = mns[i] THEN 0
-              |                ELSE CAST(GREATEST(-128.0, LEAST(127.0,
-              |                  FLOOR((CAST(qe[i] AS DOUBLE) - mns[i])
-              |                        / (mxs[i] - mns[i]) * 255.0 + 0.5) - 128.0))
-              |                  AS INT) END) AS qcode
+              |         ${quantSql("qe")} AS qcode
               |       FROM q, mm),
               |scored AS (SELECT q_id, vec_id,
               |             ROUND(${TrainingQueries.cosOf("cc.embedding", "qq.qe")}, 4) AS sim,
-              |             CAST(LIST_AGGREGATE(LIST_TRANSFORM(
-              |               GENERATE_SERIES(1, LEN(code)),
-              |               i -> CAST(code[i] AS BIGINT) * qcode[i]), 'sum')
-              |               AS BIGINT) AS iscore
+              |             ${int8DotSql("code", "qcode")} AS iscore
               |           FROM cc, qq),
               |ranked AS (SELECT q_id, vec_id, sim, iscore,
               |             ROW_NUMBER() OVER (PARTITION BY q_id
@@ -128,6 +133,68 @@ object Round7Queries {
             round(coalesce(col("h_rr"), lit(0L)).cast("double") / 10.0, 4)
               .as("recall_rerank"))
           .orderBy("q_id")
+      }),
+
+    Q("q182_knn_ivf_int8",
+      // The COMPOSED modern ANN stack (q159 × q181): IVF cell blocking
+      // (shared deterministic k=16 training), int8 candidate scoring
+      // inside the probed cells (only the quarter-byte CODES ride the
+      // cell join), exact-cosine re-rank of each query's top-20 integer
+      // candidates to top-5. The oracle replays the identical unrolled
+      // k-means, quantization (floor-pinned) and both rankings — exact
+      // integer scores and rounded cosines, lowest-id ties everywhere.
+      // Scale shape: candidates = |q|·nProbe·(n/16) CODE rows; float
+      // vectors are fetched only for the |q|·20 refine winners via a
+      // broadcast join back to the corpus — at 100 TB the float corpus
+      // never rides a shuffle.
+      Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
+              |cor AS (SELECT vec_id, embedding, cid FROM afinal WHERE vec_id >= 20),
+              |st AS (SELECT i AS pos,
+              |              MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+              |              MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+              |       FROM cor, (SELECT UNNEST(GENERATE_SERIES(1,
+              |              (SELECT MAX(LEN(embedding)) FROM cor))) AS i)
+              |       GROUP BY i),
+              |mm AS (SELECT LIST(mn ORDER BY pos) AS mns,
+              |              LIST(mx ORDER BY pos) AS mxs FROM st),
+              |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM v WHERE vec_id < 20),
+              |qprob AS (SELECT q_id, qe, cid FROM (
+              |  SELECT q.q_id, q.qe, c.cid,
+              |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+              |           ORDER BY ROUND(${TrainingQueries.cosOf("q.qe", "c.ce")}, 4) DESC,
+              |                    c.cid) AS rn
+              |  FROM qs q CROSS JOIN c2 c) r WHERE rn <= 3),
+              |cc AS (SELECT vec_id, cid,
+              |         ${quantSql("embedding")} AS code
+              |       FROM cor, mm),
+              |qq AS (SELECT q_id, cid,
+              |         ${quantSql("qe")} AS qcode
+              |       FROM qprob, mm),
+              |win AS (SELECT q_id, vec_id FROM (
+              |  SELECT qq.q_id, cc.vec_id,
+              |         ROW_NUMBER() OVER (PARTITION BY qq.q_id
+              |           ORDER BY ${int8DotSql("cc.code", "qq.qcode")} DESC,
+              |                    cc.vec_id) AS rr
+              |  FROM qq JOIN cc ON qq.cid = cc.cid) t WHERE rr <= 20),
+              |ranked AS (SELECT w.q_id, w.vec_id,
+              |             ROUND(${TrainingQueries.cosOf("cv.embedding", "q.qe")}, 4) AS sim,
+              |             CAST(ROW_NUMBER() OVER (PARTITION BY w.q_id
+              |               ORDER BY ROUND(${TrainingQueries.cosOf("cv.embedding", "q.qe")}, 4) DESC,
+              |                        w.vec_id) AS BIGINT) AS rank
+              |           FROM win w JOIN v cv ON cv.vec_id = w.vec_id
+              |                      JOIN qs q ON q.q_id = w.q_id)
+              |SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val corpus = emb.filter(col("vec_id") >= 20)
+        val (mins, maxs) = Similarity.dimMinMax(corpus)
+        Similarity.knnJoinIvfInt8(corpus, queries,
+            ExtendedQueries.trainedCentroids16(s, d), mins, maxs,
+            k = 5, nProbe = 3, refine = 20)
+          .orderBy("q_id", "rank")
       })
   )
 }

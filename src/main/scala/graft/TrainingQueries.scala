@@ -123,24 +123,25 @@ object TrainingQueries {
         n = 3, maxShingleDf = 256L).localCheckpoint(true))
 
   /** The tokenized corpus (doc_id, source, text, toks, hs) shared by the
-    * per-document text-stats family (q164/q167/q168/q175–q180): splitting
-    * and md5-hashing every token is the dominant cost of each member, and
-    * every member needs the SAME arrays — so the relation is built once
-    * per (session, sf dir), spread across cores, and checkpointed. The
-    * raw text rides along (it is no larger than the token arrays) so
-    * sentence-level regexes (q175) read the same relation instead of
-    * re-scanning parquet. At 100 TB this is the standard materialize-once
-    * pattern: a filtering pipeline computes (toks, hs) in ONE pass and
-    * every metric is a projection of it.
+    * ARRAY-SIDE members of the per-document text family (q146, q164,
+    * q175-q177, q180): the md5 token-hash pass and the tokenize are paid
+    * once per (session, sf dir) and each metric is a projection.
     *
-    * persist(), NOT localCheckpoint: the checkpoint path materializes
-    * wide UnsafeRows that every consumer must deserialize IN FULL (no
-    * column pruning on a scanned RDD — measured: the narrow consumers
-    * got SLOWER behind a checkpointed cache), while the columnar
-    * InMemoryRelation serves each query only the columns it references
-    * (q179 reads toks alone, q180 adds hs, q175 text). The eager count()
-    * keeps the builder's one-pass contract — the first caller pays the
-    * build, everyone else only reads. */
+    * Two measured boundaries (same-machine full-inventory A/Bs):
+    *  - persist(), NOT localCheckpoint: the checkpoint path materializes
+    *    wide UnsafeRows every consumer deserializes IN FULL (no column
+    *    pruning on a scanned RDD), while the columnar InMemoryRelation
+    *    serves each query only the columns it references.
+    *  - Only consumers that keep the arrays ARRAY-SIDE (size, HOFs,
+    *    shingle explode feeding an immediate agg) read from here. The
+    *    row-EXPLODING consumers (q144/q145/q155/q165/q167/q168/q179)
+    *    scan parquet directly: decoding a cached array column per output
+    *    row costs more than re-splitting the text (q179 1.01 -> 2.17 s,
+    *    q144 0.76 -> 1.63 s when they read the cache), so sharing is a
+    *    loss exactly where the explode multiplies the decode count. At
+    *    100 TB the same rule holds: materialize derived arrays for the
+    *    operators that consume arrays; let row-stream operators scan the
+    *    columnar source with pruning. */
   private val docToksCache = new SessionCache[org.apache.spark.sql.DataFrame]
   private[graft] def cachedDocToks(s: SparkSession, d: String): DataFrame =
     docToksCache.getOrElseUpdate(s, d) {

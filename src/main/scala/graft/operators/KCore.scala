@@ -70,16 +70,24 @@ object KCore {
       // `dec` emptiness instead would be wrong: a node whose neighbors
       // were ALL removed with it decrements no survivor. (Accumulator
       // caveat: task retries can double-count, but only `== 0` is
-      // consulted, so convergence detection stays exact.)
-      val acc = spark.sparkContext.longAccumulator("kcore_removed")
-      val survives = udf { (deg: Long) => { if (deg < k) acc.add(1L); deg >= k } }
-      aliveDeg = aliveDeg.filter(survives(col("deg")))
+      // consulted, so convergence detection stays exact.) The LAST round
+      // skips the instrumentation — its signal could only gate rounds
+      // that no longer exist, and the plain comparison keeps the filter
+      // inside whole-stage codegen.
+      round += 1
+      def decremented(survivors: DataFrame): DataFrame = survivors
         .join(dec, col("node") === col("dn"), "left")
         .select(col("node"),
           (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint(true)
-      converged = acc.value == 0L
-      round += 1
+      if (round == rounds) {
+        aliveDeg = decremented(aliveDeg.filter(col("deg") >= k))
+      } else {
+        val acc = spark.sparkContext.longAccumulator("kcore_removed")
+        val survives = udf { (deg: Long) => { if (deg < k) acc.add(1L); deg >= k } }
+        aliveDeg = decremented(aliveDeg.filter(survives(col("deg"))))
+        converged = acc.value == 0L
+      }
     }
     aliveDeg.filter(col("deg") >= 1)
   }

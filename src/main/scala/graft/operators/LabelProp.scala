@@ -81,20 +81,28 @@ object LabelProp {
       // identical (a bipartite 2-cycle never reads as converged — labels
       // differ each round). Round budget stays a CAP on converged graphs.
       // Accumulator retries can double-count; only `== 0` is consulted.
-      val acc = spark.sparkContext.longAccumulator("labelprop_changed")
-      val flagged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
-      // chg must ride THROUGH the checkpoint (dropped only after): pruned
-      // before materialization, the udf would never run and every round
-      // would read as converged.
-      lbl = winners.as("w")
-        .join(lbl.as("p"), col("w.node") === col("p.node"))
-        .select(col("w.node").as("node"), col("w.lbl").as("lbl"),
-          flagged(col("w.lbl") =!= col("p.lbl")).as("chg"))
-        // one materialized |nodes|-row relation per round, flat lineage
-        .localCheckpoint(true)
-        .drop("chg")
-      converged = acc.value == 0L
+      // The LAST round skips the instrumentation entirely: its signal
+      // could only gate rounds that no longer exist, so a caller whose
+      // graph never converges (q172's bipartite 2 rounds) pays the
+      // comparison join rounds-1 times, not rounds.
       round += 1
+      if (round == rounds) {
+        lbl = winners.localCheckpoint(true)
+      } else {
+        val acc = spark.sparkContext.longAccumulator("labelprop_changed")
+        val flagged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
+        // chg must ride THROUGH the checkpoint (dropped only after):
+        // pruned before materialization, the udf would never run and
+        // every round would read as converged.
+        lbl = winners.as("w")
+          .join(lbl.as("p"), col("w.node") === col("p.node"))
+          .select(col("w.node").as("node"), col("w.lbl").as("lbl"),
+            flagged(col("w.lbl") =!= col("p.lbl")).as("chg"))
+          // one materialized |nodes|-row relation per round, flat lineage
+          .localCheckpoint(true)
+          .drop("chg")
+        converged = acc.value == 0L
+      }
     }
     lbl
   }

@@ -475,6 +475,66 @@ object Similarity {
   def int8Dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), _ + _)
 
+  /** The composed modern ANN stack — IVF blocking + SQ8 candidate
+    * scoring + exact re-rank ([[knnJoinIvf]] × [[quantizeInt8]]): corpus
+    * rows are cell-assigned once (zero-shuffle literal argmax) and carry
+    * only their int8 CODES through the cell equi-join; candidates are
+    * scored by the exact integer dot product; each query's top-`refine`
+    * candidates join BACK to the corpus for their float vectors and are
+    * re-ranked by exact rounded cosine to top-k.
+    *
+    * Why the join-back instead of carrying embeddings through the cell
+    * join (what [[knnJoinIvf]] does): at 100 TB the float corpus
+    * dominates every shuffle it rides — the code column is 1/4 the
+    * bytes, and exact vectors are fetched for only |q|·refine winner
+    * rows (a broadcastable relation), never for the full candidate set.
+    * Recall follows the q181 study: int8 ordering alone loses tail
+    * neighbors, the exact re-rank of a small multiple of k recovers
+    * them. Deterministic end to end (exact integer scores, rounded
+    * cosines, lowest-id ties) — oracle-checkable. */
+  def knnJoinIvfInt8(corpus: DataFrame, queries: DataFrame,
+                     centroids: Seq[(Long, Array[Float])],
+                     mins: Array[Double], maxs: Array[Double],
+                     k: Int, nProbe: Int, refine: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
+    require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}], got $nProbe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // codes ride the cell join; floats stay home
+    val assigned = assignToCentroidsLocal(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cent_id"),
+        quantizeInt8(col(vecCol), mins, maxs).as("_code"))
+    val centsDf = centroids.toDF("cent_id", "ce")
+    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_cs").desc, col("cent_id"))
+    val probed = queries.crossJoin(broadcast(centsDf))
+      .select(col(qIdCol), col(qVecCol), col("cent_id"),
+        round(cosine(col(qVecCol), col("ce")), 4).as("_cs"))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qIdCol), quantizeInt8(col(qVecCol), mins, maxs).as("_qcode"),
+        col("cent_id"))
+    val wRef = Window.partitionBy(col(qIdCol)).orderBy(col("_is").desc, col(idCol))
+    val winners = probed.join(assigned, "cent_id")
+      .select(col(qIdCol), col(idCol), int8Dot(col("_code"), col("_qcode")).as("_is"))
+      .withColumn("_rr", row_number().over(wRef))
+      .filter(col("_rr") <= refine)
+      .select(col(qIdCol), col(idCol))
+    // exact vectors only for the winner rows: broadcast |q|·refine ids
+    // against the corpus/query relations
+    val wk = Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(winners), idCol)
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        round(cosine(col(vecCol), col(qVecCol)), 4).as("sim"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:

@@ -183,13 +183,18 @@ object TextAnalysis {
     * quadratic anywhere). */
   def collocationLift(docs: DataFrame, textCol: String,
                       minCount: Long, minLift: Double): DataFrame =
-    // tokenize in its OWN projection (the Dedup.shingleIndex lesson), and
-    // round-robin-spread the scan first (no id column here): a single-file
-    // corpus otherwise tokenizes on one core
+    // tokenize in its OWN projection (the Dedup.shingleIndex lesson). NO
+    // up-front spread repartition here, unlike Dedup's operators: a
+    // measured A/B (sf0.1, 32 cores) ran the spread form 2x SLOWER (0.7
+    // -> 1.5 s) — the extra exchange + 32 near-empty tasks cost more
+    // than single-partition tokenization of a small corpus, and the
+    // first aggregation shuffle parallelizes everything downstream
+    // anyway. A corpus big enough to need pre-agg parallelism arrives
+    // in many input partitions already; callers that DO want an
+    // explicit spread pass a repartitioned frame to
+    // [[collocationLiftFromToks]].
     collocationLiftFromToks(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select(tokens(col(textCol)).as("toks")),
-      minCount, minLift)
+      docs.select(tokens(col(textCol)).as("toks")), minCount, minLift)
 
   /** [[collocationLift]] over a pre-tokenized [[Dedup.docToks]] relation
     * (only the `toks` column is read). */

@@ -36,17 +36,20 @@ class Round7Spec extends SparkSpec {
 
   test("k-core peeling exits early on an already-converged graph") {
     // K6: every node has degree 5 >= k, so round 1 removes nothing and
-    // the loop must stop — 8 budgeted rounds cost exactly what 1 does.
+    // the loop must stop — any budget past 2 costs exactly what 2 does
+    // (the last budgeted round runs uninstrumented, so the comparison
+    // pair must both stop EARLY, i.e. before their final round).
     val edges = (for { a <- 1 to 6; b <- (a + 1) to 6 } yield (a.toLong, b.toLong))
       .toDF("src", "dst")
     def run(rounds: Int) = KCore.peel(edges, "src", "dst", k = 2, rounds = rounds)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val r1 = run(1)
     assert(r1 === (1 to 6).map(n => (n.toLong, 5L)), s"K6 2-core wrong: $r1")
-    val j1 = countJobs { run(1) }
+    assert(run(8) === r1)
+    val j2 = countJobs { run(2) }
     val j8 = countJobs { run(8) }
-    assert(j8 === j1,
-      s"8-round budget on a converged graph ran extra jobs: $j8 vs $j1")
+    assert(j8 === j2,
+      s"8-round budget on a converged graph ran extra jobs: $j8 vs $j2")
   }
 
   test("k-core early exit never fires while a cascade is still peeling") {
@@ -60,15 +63,18 @@ class Round7Spec extends SparkSpec {
 
   test("label propagation exits early at a fixpoint") {
     // Equal-weight triangle: labels go (2,1,1) -> (1,1,1) -> unchanged, a
-    // true fixpoint at round 3 — a 10-round budget must run 3 rounds.
+    // true fixpoint detected at round 3 — any budget past 4 runs exactly
+    // rounds 1-3 and stops, so a 4-round and a 10-round budget must cost
+    // the same jobs (both stop before their uninstrumented final round).
     val tri = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w")
     def run(rounds: Int) = LabelProp.run(tri, "src", "dst", "w", rounds)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(10) === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
-    val j3 = countJobs { run(3) }
+    assert(run(4) === run(10))
+    val j4 = countJobs { run(4) }
     val j10 = countJobs { run(10) }
-    assert(j10 === j3,
-      s"10-round budget past the fixpoint ran extra jobs: $j10 vs $j3")
+    assert(j10 === j4,
+      s"10-round budget past the fixpoint ran extra jobs: $j10 vs $j4")
   }
 
   test("label propagation early exit does not misread a 2-cycle as converged") {
