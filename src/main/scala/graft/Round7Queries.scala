@@ -195,6 +195,122 @@ object Round7Queries {
             ExtendedQueries.trainedCentroids16(s, d), mins, maxs,
             k = 5, nProbe = 3, refine = 20)
           .orderBy("q_id", "rank")
+      }),
+
+    Q("q183_pq_recall",
+      // Product quantization — the sub-byte ANN representation beside
+      // q181's SQ8: dim-64 vectors become m=8 codes over a k=16-entry
+      // per-subspace codebook (seeded deterministically from the 16
+      // lowest-id corpus vectors — random-sample codebooks, the RNG-free
+      // PQ training flavor). Scoring is classic ADC: per query, a
+      // |q|·m·k lookup table of subspace dots (broadcast), then one
+      // equi-join of exploded codes against it and an ORDER-FREE decimal
+      // sum per (query, vector) — the float corpus never rides the
+      // scoring join, codes are ~16× smaller than the vectors. The study
+      // mirrors q181: recall@10 of the ADC ranking against the exact
+      // rounded inner-product ranking, and of the top-40 ADC candidates
+      // exactly re-ranked. Every step is engine-pinned: encode distances
+      // and subspace dots are left-to-right double folds over exactly
+      // widened floats (ties to the lowest code index), the ADC sum goes
+      // through DECIMAL(25,10) (a binary double is never an exact
+      // decimal midpoint, so the engines' rounding modes cannot
+      // diverge), and rankings tie-break by vec_id.
+      Some(s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+              |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              |sd AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding
+              |       FROM (SELECT vec_id, embedding FROM c ORDER BY vec_id LIMIT 16)),
+              |sub AS (SELECT ss.s, sd.j,
+              |               LIST_SLICE(sd.embedding, ss.s*8+1, ss.s*8+8) AS sub
+              |        FROM sd, (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s) ss),
+              |enc AS (SELECT vec_id, s, j AS code FROM (
+              |  SELECT c.vec_id, sub.s, sub.j,
+              |         ROW_NUMBER() OVER (PARTITION BY c.vec_id, sub.s ORDER BY
+              |           LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, 8), i ->
+              |             (CAST(c.embedding[sub.s*8+i] AS DOUBLE) - CAST(sub.sub[i] AS DOUBLE))
+              |             * (CAST(c.embedding[sub.s*8+i] AS DOUBLE) - CAST(sub.sub[i] AS DOUBLE))),
+              |             'sum'),
+              |           sub.j) AS rn
+              |  FROM c, sub) t WHERE rn = 1),
+              |lut AS (SELECT q.q_id, sub.s, sub.j,
+              |               ${TrainingQueries.dotSql("LIST_SLICE(q.qe, sub.s*8+1, sub.s*8+8)", "sub.sub")} AS pd
+              |        FROM q, sub),
+              |adc AS (SELECT l.q_id, e.vec_id,
+              |               CAST(SUM(CAST(l.pd AS DECIMAL(25,10))) AS DOUBLE) AS adc
+              |        FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+              |        GROUP BY l.q_id, e.vec_id),
+              |ex AS (SELECT q.q_id, c.vec_id,
+              |              ROUND(${TrainingQueries.dotSql("c.embedding", "q.qe")}, 4) AS sim
+              |       FROM c, q),
+              |ranked AS (SELECT ex.q_id, ex.vec_id, ex.sim, adc.adc,
+              |             ROW_NUMBER() OVER (PARTITION BY ex.q_id
+              |               ORDER BY ex.sim DESC, ex.vec_id) AS re,
+              |             ROW_NUMBER() OVER (PARTITION BY ex.q_id
+              |               ORDER BY adc.adc DESC, ex.vec_id) AS ra
+              |           FROM ex JOIN adc ON adc.q_id = ex.q_id AND adc.vec_id = ex.vec_id),
+              |exact10 AS (SELECT q_id, vec_id FROM ranked WHERE re <= 10),
+              |adc10 AS (SELECT q_id, vec_id FROM ranked WHERE ra <= 10),
+              |rr10 AS (SELECT q_id, vec_id FROM (
+              |          SELECT q_id, vec_id, ROW_NUMBER() OVER (
+              |            PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r2
+              |          FROM ranked WHERE ra <= 40) t WHERE r2 <= 10),
+              |ha AS (SELECT a.q_id, COUNT(*) AS h FROM exact10 a JOIN adc10 b
+              |       ON a.q_id = b.q_id AND a.vec_id = b.vec_id GROUP BY a.q_id),
+              |hrr AS (SELECT a.q_id, COUNT(*) AS h FROM exact10 a JOIN rr10 b
+              |        ON a.q_id = b.q_id AND a.vec_id = b.vec_id GROUP BY a.q_id)
+              |SELECT q.q_id,
+              |       ROUND(CAST(COALESCE(ha.h, 0) AS DOUBLE) / 10.0, 4) AS recall_adc,
+              |       ROUND(CAST(COALESCE(hrr.h, 0) AS DOUBLE) / 10.0, 4) AS recall_rerank
+              |FROM q LEFT JOIN ha ON q.q_id = ha.q_id
+              |       LEFT JOIN hrr ON q.q_id = hrr.q_id
+              |ORDER BY q.q_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.VectorFunctions.dot
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") >= 5).select("vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val m = 8
+        val seeds = Similarity.pqSeeds(corpus, 16)
+        // map-side encode: the codebook is literal state in one projection
+        val codes = corpus
+          .select(col("vec_id"), Similarity.pqEncode(col("embedding"), seeds, m).as("codes"))
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        // the classic ADC lookup table: |q|·m·k subspace dots, broadcast
+        val lut = queries
+          .crossJoin(broadcast(Similarity.pqCodebookRelation(s, seeds, m)))
+          .select(col("q_id"), col("s").as("ls"), col("j"),
+            dot(slice(col("qe"), col("s") * 8 + 1, lit(8)), col("sub")).as("pd"))
+        val adc = codes.join(broadcast(lut),
+            col("s") === col("ls") && col("code") === col("j"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("pd").cast("decimal(25,10)")).cast("double").as("adc"))
+        val ex = corpus.crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"),
+            round(dot(col("embedding"), col("qe")), 4).as("sim"))
+        val joined = ex.join(adc, Seq("q_id", "vec_id"))
+        val wE = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+        val wA = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+        val ranked = joined
+          .withColumn("re", row_number().over(wE))
+          .withColumn("ra", row_number().over(wA))
+        val exact10 = ranked.filter(col("re") <= 10).select("q_id", "vec_id")
+        val adc10 = ranked.filter(col("ra") <= 10).select("q_id", "vec_id")
+        val rr10 = ranked.filter(col("ra") <= 40)
+          .withColumn("r2", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("r2") <= 10).select("q_id", "vec_id")
+        val ha = exact10.join(adc10, Seq("q_id", "vec_id")).groupBy("q_id")
+          .agg(count(lit(1)).as("h_adc"))
+        val hrr = exact10.join(rr10, Seq("q_id", "vec_id")).groupBy("q_id")
+          .agg(count(lit(1)).as("h_rr"))
+        queries.select("q_id")
+          .join(ha, Seq("q_id"), "left").join(hrr, Seq("q_id"), "left")
+          .select(col("q_id"),
+            round(coalesce(col("h_adc"), lit(0L)).cast("double") / 10.0, 4)
+              .as("recall_adc"),
+            round(coalesce(col("h_rr"), lit(0L)).cast("double") / 10.0, 4)
+              .as("recall_rerank"))
+          .orderBy("q_id")
       })
   )
 }

@@ -535,6 +535,70 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- product quantization (PQ) — the sub-byte-per-dim scale path ----
+
+  /** Deterministic PQ codebook seeds: the `k` lowest-id vectors, whose
+    * per-subspace slices ARE the codebook (random-sample codebooks, the
+    * RNG-free flavor of PQ training — k-means-refined codebooks sharpen
+    * the cells but the encode/ADC machinery is identical). k×dim floats
+    * collect to the driver: the kmeans-centroid bounded-state
+    * discipline. */
+  def pqSeeds(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Seq[Array[Float]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1).map(_._2)
+  }
+
+  /** PQ-encode a vector into `m` sub-byte codes: subspace `s` gets the
+    * index of the seed whose slice minimizes squared L2 distance (ties
+    * to the lowest index). Entirely map-side — the codebook is literal
+    * state inside one codegen'd projection, the [[assignToCentroidsLocal]]
+    * topology per subspace. Distances accumulate left-to-right in
+    * doubles over exactly-widened floats, so a SQL replay agrees
+    * bit-for-bit. At dim=64, m=8, k=16 the code array is 8 small ints
+    * (4 bits of information each) — ~16× smaller than the float vector,
+    * the representation that makes billion-scale in-memory ANN fit. */
+  def pqEncode(vec: Column, seeds: Seq[Array[Float]], m: Int): Column = {
+    require(seeds.nonEmpty, "need at least one seed")
+    val dim = seeds.head.length
+    require(seeds.forall(_.length == dim), "ragged seeds")
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    array((0 until m).map { s =>
+      val best = array_min(array(seeds.zipWithIndex.map { case (seed, j) =>
+        val dist = (0 until dsub).map { i =>
+          val diff = element_at(vec, s * dsub + i + 1).cast("double") -
+            lit(seed(s * dsub + i).toDouble)
+          diff * diff
+        }.reduce(_ + _) // left-associated, matches the SQL fold
+        struct(dist.as("d"), lit(j).as("j"))
+      }: _*))
+      best.getField("j")
+    }: _*)
+  }
+
+  /** The ADC lookup table: dot(query slice s, codebook entry (s, j)) for
+    * every (query, subspace, entry) — |q|·m·k rows, the broadcastable
+    * relation ADC scoring joins against. `cbRelation` builds the (s, j,
+    * sub) side from the seeds. Asymmetric-distance scoring is then one
+    * equi-join of exploded codes against this table and one ORDER-FREE
+    * decimal sum per (query, vector) — no float vector ever rides the
+    * scoring join (see q183). */
+  def pqCodebookRelation(spark: org.apache.spark.sql.SparkSession,
+                         seeds: Seq[Array[Float]], m: Int): DataFrame = {
+    import spark.implicits._
+    val dim = seeds.head.length
+    val dsub = dim / m
+    (for {
+      s <- 0 until m
+      (seed, j) <- seeds.zipWithIndex
+    } yield (s, j, seed.slice(s * dsub, (s + 1) * dsub)))
+      .toDF("s", "j", "sub")
+  }
+
   /** Exact all-pairs cosine >= threshold (self-join on id inequality).
     *
     * Scale/efficiency shape:
