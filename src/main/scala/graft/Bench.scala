@@ -148,6 +148,8 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q188_consistent_sample", "q187_shared_span",
+      "q186_token_budget_select", "q185_vocab_oov", "q184_semdedup",
       "q183_pq_recall", "q182_knn_ivf_int8", "q181_int8_recall",
       "q180_cdc_chunk_dedup",
       "q179_collocation_lift", "q178_kcore", "q177_token_diversity",

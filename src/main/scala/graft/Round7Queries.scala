@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity, Skew, Splits, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-7 additions: the int8 scalar-quantization tier of the ANN
@@ -311,6 +311,151 @@ object Round7Queries {
             round(coalesce(col("h_rr"), lit(0L)).cast("double") / 10.0, 4)
               .as("recall_rerank"))
           .orderBy("q_id")
-      })
+      }),
+
+    Q("q184_semdedup",
+      // SemDeDup (Abbas et al. 2023): within each IVF cell of the shared
+      // deterministic k=16 training, drop every vector whose cosine to a
+      // LOWER-id cell-mate reaches 0.45 — the lowest-id member of each
+      // semantic group survives. The keep/drop DECISION relation is what
+      // a corpus-pruning pipeline anti-joins against; q170 lists the
+      // pairs, this query settles them. Oracle replays the identical
+      // unrolled k-means (cells bit-stable), the same rounded-cosine
+      // pair predicate, and the same left-join verdict. Scale shape:
+      // candidates bounded per cell, decision is a distinct projection
+      // + one scalar-id left join — nothing vector-sized past the cell
+      // join.
+      Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
+              |p AS (SELECT b.vec_id AS b_id
+              |      FROM afinal a JOIN afinal b
+              |        ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |      WHERE ROUND(${TrainingQueries.cosOf("a.embedding", "b.embedding")}, 4) >= 0.45
+              |      GROUP BY b.vec_id)
+              |SELECT f.vec_id, f.cid AS cent_id,
+              |       CAST(p.b_id IS NULL AS INT) AS kept
+              |FROM afinal f LEFT JOIN p ON f.vec_id = p.b_id
+              |ORDER BY f.vec_id""".stripMargin),
+      (s, d) => Similarity.semDedupKeep(Tables.embeddings(s, d), 0.45,
+          ExtendedQueries.trainedCentroids16(s, d))
+        .orderBy("vec_id")),
+
+    Q("q185_vocab_oov",
+      // Vocabulary coverage: build the top-16 tokens by corpus frequency
+      // (ties lexicographic — the boundary is deterministic on both
+      // engines) and score every document's out-of-vocabulary token
+      // fraction — the "does this tokenizer vocabulary cover the corpus"
+      // check beside q39's quality score and q175's readability. All
+      // counts exact longs, one IEEE division, rounded. Scale shape:
+      // vocab = two-phase count agg + global top-16
+      // (TakeOrderedAndProject, driver holds 16 rows); scoring = explode
+      // + broadcast left join + two-phase agg.
+      Some("""WITH tr AS (SELECT doc_id,
+             |              UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+             |            FROM documents),
+             |v AS (SELECT tok FROM (
+             |        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+             |        FROM tr GROUP BY tok) s WHERE rn <= 16)
+             |SELECT tr.doc_id, COUNT(*) AS n_tok,
+             |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(COUNT(*) AS DOUBLE), 4) AS oov_frac
+             |FROM tr LEFT JOIN v ON tr.tok = v.tok
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+      (s, d) => TextAnalysis.oovStats(Tables.documents(s, d), "doc_id", "text", 16)
+        .orderBy("doc_id")),
+
+    Q("q186_token_budget_select",
+      // Token-budget corpus selection — fill each source's quota with its
+      // biggest documents: rank docs per source by (n_tok DESC, doc_id)
+      // and keep rows while the INCLUSIVE cumulative token count stays
+      // within 600. The oracle is the textbook per-source running-sum
+      // window; the engine rides GlobalOrder's range-partitioned prefix
+      // scan over the composite (source, n_tok DESC, doc_id) order and
+      // subtracts per-source base offsets — one range shuffle, fully
+      // parallel, no single task ever owns a whole source (the window
+      // form hands each source's ENTIRE membership to one task — the
+      // 100 TB trap this operator exists to avoid).
+      Some("""WITH t AS (SELECT doc_id, source,
+             |             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+             |           FROM documents),
+             |c AS (SELECT doc_id, source, n_tok,
+             |             SUM(n_tok) OVER (PARTITION BY source
+             |               ORDER BY n_tok DESC, doc_id
+             |               ROWS UNBOUNDED PRECEDING) AS cum_n_tok
+             |      FROM t)
+             |SELECT doc_id, source, n_tok, CAST(cum_n_tok AS BIGINT) AS cum_n_tok
+             |FROM c WHERE cum_n_tok <= 600
+             |ORDER BY source, doc_id""".stripMargin),
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        Splits.budgetSelect(t, "source",
+            Seq(col("n_tok").desc, col("doc_id")), "n_tok", 600L)
+          .select("doc_id", "source", "n_tok", "cum_n_tok")
+          .orderBy("source", "doc_id")
+      }),
+
+    Q("q187_shared_span",
+      // Exact-substring duplication (Lee et al. 2022): per document pair
+      // sharing at least one 8-token gram with corpus df in [2, 64], the
+      // longest VERBATIM shared token span, found by chaining gram
+      // position matches along alignment diagonals (runs of consecutive
+      // positions at constant pa - pb; span = run + 7). The order-aware
+      // complement of q36's set-overlap Jaccard — boilerplate quotes and
+      // copied passages surface here even when the rest of the docs
+      // differ completely. Pairs below 12 tokens are noise and dropped.
+      // Scale shape: linear gram explode (positions ride as ints), one
+      // df agg, df-capped equi-join (the pairStats skew guard), and run
+      // windows partitioned by (pair, diagonal) — never global.
+      Some("""WITH t AS (SELECT doc_id, toks FROM (
+             |       SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+             |       FROM documents) s WHERE LEN(toks) >= 8),
+             |g AS (SELECT doc_id,
+             |             UNNEST(GENERATE_SERIES(1, LEN(toks) - 7)) AS p,
+             |             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 7),
+             |               i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 7), ' '))) AS gram
+             |      FROM t),
+             |keep AS (SELECT gram FROM g GROUP BY gram
+             |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+             |gg AS (SELECT g.doc_id, g.p, g.gram FROM g JOIN keep USING (gram)),
+             |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa, a.p - b.p AS diag
+             |       FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |runs AS (SELECT a_id, b_id, diag,
+             |                pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+             |                                        ORDER BY pa) AS grp
+             |         FROM pr),
+             |rl AS (SELECT a_id, b_id, diag, grp, COUNT(*) AS run
+             |       FROM runs GROUP BY 1, 2, 3, 4)
+             |SELECT a_id, b_id, CAST(MAX(run) + 7 AS BIGINT) AS span
+             |FROM rl GROUP BY a_id, b_id HAVING MAX(run) + 7 >= 12
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => Dedup.sharedSpanPairs(TrainingQueries.cachedDocToks(s, d),
+          n = 8, maxGramDf = 64L, minSpan = 12)
+        .orderBy("a_id", "b_id")),
+
+    Q("q188_consistent_sample",
+      // Fixed-k consistent sampling per source: the 10 docs with the
+      // smallest md5('smp|' || doc_id) priority — reproducible across
+      // runs/engines AND stable under corpus growth (a doc's priority
+      // never changes, so adding docs can only displace, never reshuffle,
+      // the sample — the property rand() and fraction-based q118 lack for
+      // fixed-size quotas). The oracle is the textbook per-source
+      // ROW_NUMBER window; the engine runs Skew.topKPerKey's two-level
+      // tournament (local top-10 per (source, input-partition), then
+      // top-10 of that bounded union), equal to the window form because
+      // (priority, doc_id) totally orders each source — and skew-safe
+      // where the window form gives a giant source to ONE task.
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY source
+             |    ORDER BY MD5('smp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) t WHERE rn <= 10
+             |ORDER BY source, doc_id""".stripMargin),
+      (s, d) => Skew.topKPerKey(
+          Tables.documents(s, d).select(col("source"), col("doc_id"),
+            md5(concat(lit("smp|"), col("doc_id").cast("string"))).as("pri")),
+          Seq(col("source")), Seq(col("pri"), col("doc_id")), k = 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id"))
   )
 }

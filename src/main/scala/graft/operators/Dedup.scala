@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions._
 
@@ -531,5 +532,59 @@ object Dedup {
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Longest shared contiguous token SPAN per document pair — the
+    * exact-substring duplication signal (the suffix-array finding of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022: verbatim-copied passages matter beyond set-overlap
+    * metrics like [[jaccardPairs]], which are blind to ORDER). A full
+    * distributed suffix array is not a Spark-shaped object; the
+    * equivalent bounded form is gram-position chaining: index every
+    * n-token gram with its POSITION, join pairs on shared grams, and on
+    * each alignment diagonal (pa - pb constant) a run of CONSECUTIVE
+    * pa values of length L is a verbatim shared span of L + n - 1
+    * tokens. The run-length itself is the classic islands trick
+    * (pa - row_number per diagonal is constant within a run).
+    *
+    * Scale shape: one explode (linear in corpus tokens, positions ride
+    * as ints), one df aggregation, and an equi-join on gram whose
+    * fan-out `maxGramDf` caps exactly like [[pairStats]]' shingle cap —
+    * a boilerplate gram shared by k docs would otherwise materialize
+    * k²/2 rows. The cap drops ubiquitous grams from chaining (df-capped
+    * runs can SPLIT at a viral gram, shortening reported spans — a
+    * sound under-approximation, deterministic and mirrored by the
+    * oracle); grams unique to one doc never join. The run windows
+    * partition by (pair, diagonal) — thousands of small partitions,
+    * never a global or hot-key window. */
+  def sharedSpanPairs(toks: DataFrame, n: Int = 8, maxGramDf: Long = 64L,
+                      minSpan: Int = 12): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    require(minSpan >= n, s"minSpan $minSpan below gram length $n is unmeasurable")
+    // grams with 1-based start positions; concat_ws over a slice keeps the
+    // gram key a scalar string (same key shape as the shingle tier)
+    val grams = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("gram"))
+    val shared = grams.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxGramDf)
+      .select("gram")
+    val g = grams.join(shared, "gram")
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
+    // (a_id, b_id, diag, pa) is unique: a position holds ONE gram, and pb
+    // is determined by (pa, diag) — so the islands row_number is total
+    val w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    pairs.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("a_id", "b_id", "diag", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("a_id", "b_id")
+      .agg((max(col("run")) + lit(n - 1)).as("span"))
+      .filter(col("span") >= minSpan)
   }
 }

@@ -421,6 +421,34 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, and within each cluster keep ONE representative of every
+    * semantic near-dup group — here the lowest-id member, the house
+    * deterministic stand-in for the paper's keep-farthest-from-centroid
+    * choice. A vector is dropped iff some LOWER-id cell-mate reaches
+    * `threshold` cosine; the decision relation (vec_id, cent_id, kept)
+    * is what a corpus-pruning pipeline anti-joins against.
+    *
+    * Built on [[ivfCellNearDupPairs]]: candidates stay bounded per cell,
+    * the drop set is one distinct projection of the pair relation's
+    * b-side, and the verdict is a broadcast-able left join of scalar
+    * ids — no vector rides past the cell join. At 100 TB the cluster
+    * count k scales with the corpus so cells stay bounded; the decision
+    * join is linear either way. */
+  def semDedupKeep(vectors: DataFrame, threshold: Double,
+                   centroids: Seq[(Long, Array[Float])],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroidsLocal(vectors, centroids, idCol, vecCol)
+    val dropped = ivfCellNearDupPairs(vectors, threshold, centroids, idCol, vecCol)
+      .select(col("b_id").as(idCol)).distinct()
+      .withColumn("__drop", lit(1))
+    assigned.select(col(idCol), col("cent_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cent_id"),
+        col("__drop").isNull.cast("int").as("kept"))
+  }
+
   // ---- int8 scalar quantization — the memory/shuffle scale path ---------
 
   /** Per-DIMENSION (min, max) of an `array<float>` column — the training

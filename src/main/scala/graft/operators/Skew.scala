@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins with hot keys (SURVEY §4 / builder brief:
@@ -59,6 +60,41 @@ object Skew {
         salted(factKey) === exploded(dimKey) && salted(SaltCol) === exploded(SaltCol),
         joinType)
       .drop(SaltCol)
+  }
+
+  /** Skew-safe per-key top-k — the two-level tournament replacement for
+    * `row_number().over(Window.partitionBy(key).orderBy(sort)) <= k`.
+    * The single-window form hands each key's ENTIRE group to one task;
+    * with a handful of giant keys (languages, sources, domains) that is
+    * the same one-task collapse GlobalOrder exists to avoid on global
+    * windows. Round 1 tags each row with its arrival partition id and
+    * keeps the local top-k per (key, partition) — the exchange key is
+    * (key, bucket), spread over every input partition, and at most k·P
+    * rows per key survive. Round 2 runs the per-key window over that
+    * bounded union only. Top-k of a union of per-bucket top-ks is the
+    * global top-k under ANY row-to-bucket assignment, so the result is
+    * deterministic (and equal to the window form) whenever `sortCols` is
+    * a total order within each key — the same tie contract as the window
+    * it replaces. `spark_partition_id()` is materialized through a
+    * projection before the window so task retries cannot re-deal rows
+    * mid-window. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], sortCols: Seq[Column],
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(keyCols.nonEmpty, "topKPerKey needs at least one key column")
+    val bucket = "__graft_bucket"
+    val rn = "__graft_rn"
+    require(!df.columns.contains(bucket) && !df.columns.contains(rn),
+      s"input already has a $bucket/$rn column; rename it first")
+    val w1 = Window.partitionBy(keyCols :+ col(bucket): _*).orderBy(sortCols: _*)
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(sortCols: _*)
+    df.withColumn(bucket, spark_partition_id())
+      .withColumn(rn, row_number().over(w1))
+      .filter(col(rn) <= k)
+      .drop(bucket, rn)
+      .withColumn(rn, row_number().over(w2))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 
   /** Two-phase salted aggregation: count/sum per key without a single

@@ -41,4 +41,47 @@ object Splits {
     }
     df.withColumn("split", expr)
   }
+
+  /** Token-budget corpus selection — the "fill each source's quota" step
+    * of a training-data mixing pipeline: within each `groupCol` value,
+    * rank rows by `sortCols` and keep rows while the cumulative
+    * `weightCol` (inclusive of the current row) stays within `budget`.
+    * Returns the kept rows plus a `cum_<weightCol>` column.
+    *
+    * The textbook form is
+    * `sum(w).over(Window.partitionBy(group).orderBy(sort))` — which hands
+    * each group's ENTIRE membership to one task; with a handful of big
+    * sources that is a single-task collapse at lake scale. This
+    * implementation instead runs [[GlobalOrder.exclusiveRunningSum]] once
+    * over the composite (group, sort...) total order — one range shuffle,
+    * fully parallel, driver state = numPartitions longs — and recovers
+    * the per-group cumulative sum by subtracting each group's base offset
+    * (the sum of all PRECEDING groups' totals, itself a tiny two-phase
+    * aggregate prefix-scanned the same scalable way and joined back by
+    * group key). Equal to the window form whenever (sortCols) is a total
+    * order within each group.
+    *
+    * `weightCol` must already be LongType (GlobalOrder's contract); null
+    * weights add 0 to the running sum but keep `cum` non-null. */
+  def budgetSelect(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+                   weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val cumExcl = "__graft_cum_excl"
+    val outCol = s"cum_$weightCol"
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists; rename it first")
+    val ranked = GlobalOrder.exclusiveRunningSum(
+      df, col(groupCol) +: sortCols, weightCol, cumExcl)
+    val bases = GlobalOrder.exclusiveRunningSum(
+      df.groupBy(groupCol).agg(sum(col(weightCol)).as("__grp_total")),
+      Seq(col(groupCol)), "__grp_total", "__grp_base")
+      .select(col(groupCol), col("__grp_base"))
+    // group-count rows only; the hint is advisory — Spark falls back to a
+    // shuffle join if the group relation outgrows the broadcast threshold
+    ranked.join(broadcast(bases), Seq(groupCol))
+      .withColumn(outCol,
+        col(cumExcl) - col("__grp_base") + coalesce(col(weightCol), lit(0L)))
+      .filter(col(outCol) <= budget)
+      .drop(cumExcl, "__grp_base")
+  }
 }

@@ -220,6 +220,36 @@ object TextAnalysis {
       .filter(col("c_ab") >= minCount && col("lift") >= minLift)
   }
 
+  /** Vocabulary coverage / OOV-rate profiling — the "how well does a
+    * fixed vocabulary cover this corpus" check run before committing to
+    * a tokenizer: build the top-`vocabSize` tokens by corpus frequency
+    * (ties broken lexicographically, so the boundary is deterministic),
+    * then score every document by its out-of-vocabulary token fraction.
+    * Documents with zero tokens have no coverage to measure and are
+    * absent from the output.
+    *
+    * Scale shape: the vocabulary is a two-phase count aggregation ending
+    * in TakeOrderedAndProject (vocabSize rows to the driver — bounded
+    * state, the centroid discipline), re-broadcast as a build side; the
+    * per-doc score is one explode + broadcast left-join + two-phase agg.
+    * Nothing bigger than the vocabulary ever leaves an executor. */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tok").cast("double"), 4)
+          .as("oov_frac"))
+  }
+
   /** One-scan text profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
