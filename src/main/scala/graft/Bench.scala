@@ -148,6 +148,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q191_bpe_merges", "q190_k_anonymity", "q189_gopher_rules",
       "q188_consistent_sample", "q187_shared_span",
       "q186_token_budget_select", "q185_vocab_oov", "q184_semdedup",
       "q183_pq_recall", "q182_knn_ivf_int8", "q181_int8_recall",

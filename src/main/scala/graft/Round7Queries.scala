@@ -456,6 +456,102 @@ object Round7Queries {
             md5(concat(lit("smp|"), col("doc_id").cast("string"))).as("pri")),
           Seq(col("source")), Seq(col("pri"), col("doc_id")), k = 10)
         .select("source", "doc_id")
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    Q("q189_gopher_rules",
+      // Gopher-style composite quality gate (Rae et al. 2021 App. A1.1):
+      // per-doc flags for token-count bounds, mean-word-length bounds
+      // (INTEGER cross-multiplied — no float quotient at the boundary),
+      // and minimum stopword occurrences, plus their conjunction. The
+      // flags stay separate so a pipeline can tune the gate without
+      // re-scanning. Pure map-side integer logic in ONE projection — the
+      // scale shape of a filter that must run before anything expensive.
+      Some("""SELECT doc_id,
+             |  CAST(LEN(t) BETWEEN 50 AND 100000 AS INT) AS wc_ok,
+             |  CAST(LEN(t) > 0 AND 3 * LEN(t) <= LEN(ARRAY_TO_STRING(t, ''))
+             |       AND LEN(ARRAY_TO_STRING(t, '')) <= 10 * LEN(t) AS INT) AS mwl_ok,
+             |  CAST(LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in'))) >= 2
+             |       AS INT) AS stop_ok,
+             |  CAST(LEN(t) BETWEEN 50 AND 100000
+             |       AND (LEN(t) > 0 AND 3 * LEN(t) <= LEN(ARRAY_TO_STRING(t, ''))
+             |            AND LEN(ARRAY_TO_STRING(t, '')) <= 10 * LEN(t))
+             |       AND LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in'))) >= 2
+             |       AS INT) AS pass
+             |FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+             |      FROM documents) d
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.gopherFlags(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    Q("q190_k_anonymity",
+      // k-anonymity release gate over the (lang, source) quasi-identifier
+      // projection: a document may be released only if >= 5 docs share
+      // its full QI combination (Sweeney's suppression rule) — the
+      // row-level privacy counterpart of q74's value-level redaction.
+      // Scale shape: one two-phase QI count + one equi-join back (each
+      // row matches exactly ONE group row — a hot QI combo is a big
+      // group, never join fan-out); the distinct-QI relation is small
+      // enough that Spark broadcasts it on its own.
+      Some("""SELECT d.doc_id, d.lang, d.source, g.qi_n,
+             |       CAST(g.qi_n >= 5 AS INT) AS released
+             |FROM documents d
+             |JOIN (SELECT lang, source, COUNT(*) AS qi_n
+             |      FROM documents GROUP BY lang, source) g
+             |  USING (lang, source)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => graft.operators.Privacy.kAnonymity(
+          Tables.documents(s, d).select("doc_id", "lang", "source"),
+          Seq("lang", "source"), k = 5L)
+        .select("doc_id", "lang", "source", "qi_n", "released")
+        .orderBy("doc_id")),
+
+    Q("q191_bpe_merges",
+      // BPE vocabulary induction (Sennrich et al. 2016): 3 merge rounds
+      // over the corpus-weighted token-frequency table — each round
+      // counts adjacent symbol pairs, merges the winner everywhere, and
+      // records (round, pair, merged, cnt). The sentinel-wrapped string
+      // encoding makes merge application a plain REPLACE with identical
+      // left-to-right non-overlapping semantics on both engines, so the
+      // whole training loop sits under the hash gate; ties break to the
+      // lexicographically smallest pair. The oracle unrolls the same 3
+      // rounds as CTEs (the k-means discipline).
+      Some(Round7Queries.bpeOracleSql(3)),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        graft.operators.Bpe.merges(toks, rounds = 3).orderBy("round")
+      })
   )
+
+  /** DuckDB twin of [[graft.operators.Bpe.merges]]: the same sentinel
+    * encoding, pair counting, tie rule, and REPLACE-based merge apply,
+    * unrolled round by round. */
+  private[graft] def bpeOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |       SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+         |       FROM documents) z GROUP BY tok),
+         |s0 AS (SELECT c,
+         |         '<' || ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tok)),
+         |                  i -> SUBSTR(tok, i, 1)), '><') || '>' AS s
+         |       FROM tc)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+         |  SELECT c, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(sy) - 1),
+         |           i -> '<' || sy[i] || '><' || sy[i+1] || '>')) AS pair
+         |  FROM (SELECT c, STRING_SPLIT(SUBSTR(s, 2, LEN(s) - 2), '><') AS sy
+         |        FROM s${r - 1}) q) z GROUP BY pair),
+         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (SELECT c, REPLACE(s, b.pair, REPLACE(b.pair, '><', '')) AS s
+         |        FROM s${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  REPLACE(REPLACE(REPLACE(pair, '><', ' '), '<', ''), '>', '') AS pair,
+         |  REPLACE(REPLACE(REPLACE(pair, '><', ''), '<', ''), '>', '') AS merged,
+         |  cnt FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head,\n$roundsSql\n$out\nORDER BY round"
+  }
 }

@@ -250,6 +250,40 @@ object TextAnalysis {
           .as("oov_frac"))
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1): the document-level
+    * heuristic gate a pretraining pipeline applies before any model-based
+    * filter. Three of the canonical rules are expressible over this
+    * corpus's whitespace tokens, each emitted as its own flag so a
+    * pipeline can tune the gate without re-scanning:
+    *  - wc_ok: token count within [minTok, maxTok];
+    *  - mwl_ok: mean word length within [minMwl, maxMwl] — compared by
+    *    INTEGER cross-multiplication (minMwl·n <= Σlen <= maxMwl·n), so
+    *    the boundary is exact on both engines, no float quotient;
+    *  - stop_ok: at least `minStop` stopword occurrences (the house
+    *    6-word list, [[Stopwords]]).
+    * `pass` is their conjunction. All map-side integer logic in one
+    * projection — the scale shape of a filter that runs before anything
+    * expensive. Σlen rides as length(concat_ws('', toks)): the exact sum
+    * of token lengths without a per-token aggregate. */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+                  minTok: Long = 50L, maxTok: Long = 100000L,
+                  minMwl: Long = 3L, maxMwl: Long = 10L,
+                  minStop: Long = 2L): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("long")
+    val sumLen = length(concat_ws("", t)).cast("long")
+    val stops = stopwordCount(t).cast("long")
+    val wcOk = (n >= minTok) && (n <= maxTok)
+    val mwlOk = (n > 0) && (lit(minMwl) * n <= sumLen) && (sumLen <= lit(maxMwl) * n)
+    val stopOk = stops >= minStop
+    docs.select(col(idCol).as("doc_id"),
+      wcOk.cast("int").as("wc_ok"),
+      mwlOk.cast("int").as("mwl_ok"),
+      stopOk.cast("int").as("stop_ok"),
+      (wcOk && mwlOk && stopOk).cast("int").as("pass"))
+  }
+
   /** One-scan text profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, Skew, Splits, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Privacy, Similarity, Skew, Splits, TextAnalysis}
 
 /** Round-7 LLM-pipeline operator pack: skew-safe per-key top-k,
   * token-budget selection, exact-substring shared spans, SemDeDup
@@ -161,6 +161,69 @@ class Round7OpsSpec extends SparkSpec {
       s"q185 vocabulary is not broadcast:\n$p185")
     assert(p185.contains("TakeOrderedAndProject"),
       s"q185 top-16 vocab plans as a global sort:\n$p185")
+  }
+
+  test("Bpe.merges learns hand-checkable merges with greedy left-to-right apply") {
+    // "aaa"x2: pairs (a,a) weight 4; "ab"x3: (a,b) weight 3
+    val tc = Seq(("aaa", 2L), ("ab", 3L)).toDF("tok", "c")
+    val got = Bpe.merges(tc, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1 merges (a,a) -> "aaa" becomes [aa, a] (GREEDY: never [a, aa]);
+    // round 2 merges (a,b); round 3 the leftover (aa, a)
+    assert(got.toSeq === Seq((1, "a a", "aa", 4L), (2, "a b", "ab", 3L),
+      (3, "aa a", "aaa", 2L)))
+  }
+
+  test("Bpe.merges: disjoint adjacent occurrences all merge in one round") {
+    // <a><b><a><b>: both (a,b) occurrences must merge in round 1 (the
+    // sentinel encoding's whole point — no boundary-consumption skips),
+    // leaving (ab, ab) as round 2's only pair
+    val tc = Seq(("abab", 5L)).toDF("tok", "c")
+    val got = Bpe.merges(tc, rounds = 2).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "ab", 10L), (2, "abab", 5L)))
+  }
+
+  test("Bpe.merges rejects tokens containing sentinel characters") {
+    val tc = Seq(("a<b", 1L)).toDF("tok", "c")
+    val e = intercept[Exception] {
+      Bpe.merges(tc, rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("sentinel") ||
+      e.getCause != null && e.getCause.getMessage.contains("sentinel"))
+  }
+
+  test("gopherFlags: each rule trips independently") {
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") + " the the"
+    val fixtures = Seq(
+      (1L, longDoc),                                   // all rules pass
+      (2L, "the the short doc"),                       // wc fails (4 < 50)
+      (3L, ((1 to 60).map(_ => "extraordinarily").mkString(" ")) + " the the"),
+      (4L, (1 to 60).map(i => s"word$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(fixtures, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got(0) === ((1L, 1, 1, 1, 1)))
+    assert(got(1) === ((2L, 0, 1, 1, 0)))  // only word count fails
+    assert(got(2)._3 === 0, "17-char words must fail mean-word-length")
+    assert(got(2)._5 === 0)
+    assert(got(3) === ((4L, 1, 1, 0, 0))) // only stopwords fail
+  }
+
+  test("kAnonymity: suppression threshold is inclusive and per-combination") {
+    val rows = Seq(
+      (1L, "en", "a"), (2L, "en", "a"),          // group of 2
+      (3L, "en", "b"),                            // singleton
+      (4L, "fr", "a"), (5L, "fr", "a"), (6L, "fr", "a")) // group of 3
+    val df = rows.toDF("id", "lang", "src")
+    val got = Privacy.kAnonymity(df, Seq("lang", "src"), k = 2L)
+      .select("id", "qi_n", "released").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1), (2L, 2L, 1), (3L, 1L, 0),
+      (4L, 3L, 1), (5L, 3L, 1), (6L, 3L, 1)))
+    // row count is preserved: the gate annotates, it never drops
+    assert(Privacy.kAnonymity(df, Seq("lang"), k = 100L).count() === 6L)
   }
 
   test("oovStats vocab boundary ties break lexicographically") {
