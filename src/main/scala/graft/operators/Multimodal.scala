@@ -194,6 +194,63 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) per media row — the image-dedup
+    * fingerprint: decode to the codec's 8x8 mean-luminance grid (the
+    * SAME `decodeToFeatures(dim=64)` path every codec already
+    * implements), threshold each cell against the image's own mean, and
+    * pack the 64 bits MSB-first into one long. Robust to re-encoding,
+    * resizing, and small edits — the things that defeat exact byte
+    * hashing on a scraped image corpus. Null/empty blobs drop out (no
+    * pixels, no hash). The threshold+pack is a pure HOF fold — the
+    * binary column dies at featurize, and only (id, format, one long)
+    * ride onward. */
+  def perceptualHash(media: DataFrame, codec: MediaCodec = StubMediaCodec): DataFrame = {
+    val feats = featurize(media, dim = 64, codec)
+    feats.filter(col("features").isNotNull)
+      .withColumn("__m", expr(
+        "aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) / 64.0"))
+      // shiftleft, not acc * 2: the 64th fold wraps into the sign bit by
+      // DESIGN, and ANSI mode (the session default) rejects a wrapping
+      // multiply; the bitwise shift wraps silently and the +1 lands on a
+      // cleared low bit, so no checked op can overflow
+      .withColumn("phash", expr(
+        "aggregate(features, 0L, (acc, x) -> shiftleft(acc, 1) + " +
+          "(CASE WHEN CAST(x AS DOUBLE) > __m THEN 1L ELSE 0L END))"))
+      .select(col("media_id"), col("format"), col("phash"))
+  }
+
+  /** Near-duplicate image pairs from a [[perceptualHash]] relation: the
+    * 64-bit twin of [[Dedup.simhashNearDups]]' band join. Pigeonhole:
+    * two hashes within `maxHamming` bits share at least one of the
+    * `bands` equal bands whenever maxHamming < bands (default 6 < 8), so
+    * the band self-join is a candidate generator with NO false
+    * negatives, and the exact `bit_count(xor)` verify runs only on
+    * collisions. Band keys mask with bitwiseAND, not `%`: a 64-bit hash
+    * goes negative when cell 0 is above the mean, and an arithmetic
+    * modulo would split equal band bits across sign classes. */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 6,
+                    bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
+    val width = 64 / bands
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }: _*)
+    val banded = hashes
+      .select(col("media_id"), col("phash"))
+      .repartition(col("media_id"))
+      .select(col("media_id"), col("phash"), explode(bandArr).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic synthetic media table for tests/demos. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame =
     spark.range(n.toLong).select(

@@ -226,6 +226,44 @@ class Round7OpsSpec extends SparkSpec {
     assert(Privacy.kAnonymity(df, Seq("lang"), k = 100L).count() === 6L)
   }
 
+  test("perceptualHash: hand-checkable bits, re-encode robustness, near-dup pairs") {
+    import org.apache.spark.sql.Row
+    import graft.operators.{ImageIoCodec, Multimodal}
+    def png(px: (Int, Int) => Int) =
+      ImageIoCodec.encode(16, 16, Array.tabulate(256)(i => px(i % 16, i / 16)), "png")
+    val white = 0xffffff
+    val a = png((x, _) => if (x < 8) 0 else white) // left black, right white
+    val aBmp = ImageIoCodec.encode(16, 16,
+      Array.tabulate(256)(i => if (i % 16 < 8) 0 else white), "bmp")
+    // b: top-left 2x2 grid cell flipped to white -> exactly 1 phash bit
+    val b = png((x, y) => if (x < 2 && y < 2) white else if (x < 8) 0 else white)
+    val c = png((x, _) => if (x < 8) white else 0) // inverted: negative hash
+    val c2 = png((x, _) => if (x < 8) white else 0)
+    val rows = new java.util.ArrayList[Row]()
+    Seq((1L, a, "png"), (2L, aBmp, "bmp"), (3L, b, "png"),
+      (4L, c, "png"), (5L, c2, "png"), (6L, null, "png")).foreach {
+      case (id, bytes, fmt) => rows.add(Row(id, bytes, Row(fmt, 16, 16, null)))
+    }
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val hashed = Multimodal.perceptualHash(media, ImageIoCodec)
+    val byId = hashed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId.size === 5, "null-content row must drop out")
+    // 8x8 cells, left 4 black right 4 white, MSB-first: 0x0F per cell row
+    assert(byId(1L) === 0x0f0f0f0f0f0f0f0fL)
+    assert(byId(1L) === byId(2L), "same pixels via PNG and BMP must hash equal")
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(3L)) === 1)
+    assert(byId(4L) === byId(5L))
+    assert(byId(4L) < 0L, "inverted image must exercise the negative-hash path")
+    val pairs = Multimodal.phashNearDups(hashed, maxHamming = 6)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // {1,2,3} mutually within 1 bit; {4,5} identical; no cross pairs
+    assert(pairs.toSeq === Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1), (4L, 5L, 0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(hashed, maxHamming = 8, bands = 8)
+    }
+  }
+
   test("oovStats vocab boundary ties break lexicographically") {
     // a=2, b=2, c=2: top-2 is {a, b} by the (count desc, token asc) order
     val docs = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
