@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.TrainingQueries.{h32Sql, toksSql}
+import graft.operators.{Dedup, GlobalOrder, Splits, TextAnalysis, TextCat, Winnow}
+import graft.sources.Tables
+
+/** Round-7 additions, second block: the trained-classifier /
+  * corpus-curation tier of the LLM-pipeline surface — TextCat
+  * rank-profile language ID (q192), CCNet-style quality tiering
+  * (q193), cross-split near-dup leakage (q194), MOSS winnowing
+  * fingerprints (q195), and length-bucketed batching stats (q196).
+  * Same determinism discipline as everywhere: integer counts/ranks,
+  * total tie orders, at most one IEEE division per output value,
+  * ROUND 4.
+  */
+object Round7bQueries {
+
+  /** The q70 split assignment as oracle SQL — ONE copy of the
+    * md5-bucket CASE (bit-parity-critical with
+    * [[Splits.assignSplit]]'s 80/10/10 buckets). */
+  private val splitSql =
+    """CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+      |     WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'valid'
+      |     ELSE 'test' END""".stripMargin
+
+  /** The q196 bucket ladder (powers of two, 16 .. 65536; longer docs
+    * clamp to the top bucket). Declared once, rendered into BOTH
+    * engines from the same Seq. */
+  private val LengthBuckets: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L,
+      16384L, 32768L, 65536L)
+
+  def all: Seq[Q] = Seq(
+
+    Q("q192_textcat_langid",
+      // TextCat (Cavnar & Trenkle 1994): TRAIN per-language top-20
+      // char-trigram rank profiles from the corpus's own labels, then
+      // classify every doc by integer out-of-place distance — the
+      // trained counterpart of q40's fixed marker-word heuristic. All
+      // ranks are (count DESC, gram ASC) total orders; distance is
+      // integer; argmin ties go to the smaller language code — fully
+      // engine-deterministic. Scale: the model is 5 langs x 20 rows,
+      // broadcast; per-doc windows partition by doc_id; the lang rank
+      // window runs over per-lang DISTINCT-gram counts (charset^3
+      // bounded). See [[TextCat]] for the full shape.
+      Some("""WITH g AS (SELECT doc_id, lang,
+             |             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 2),
+             |                    i -> SUBSTR(text, i, 3))) AS gram
+             |           FROM documents WHERE LENGTH(text) >= 3),
+             |dgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+             |dg AS (SELECT doc_id, gram, rd FROM (
+             |         SELECT doc_id, gram,
+             |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rd
+             |         FROM dgc) WHERE rd <= 20),
+             |lgc AS (SELECT lang, gram, COUNT(*) AS c FROM g GROUP BY lang, gram),
+             |lp AS (SELECT lang, gram, rl FROM (
+             |         SELECT lang, gram,
+             |                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rl
+             |         FROM lgc) WHERE rl <= 20),
+             |sizes AS (SELECT doc_id, COUNT(*) AS nd FROM dg GROUP BY doc_id),
+             |langs AS (SELECT DISTINCT lang FROM lp),
+             |m AS (SELECT dg.doc_id, lp.lang,
+             |             SUM(ABS(dg.rd - lp.rl)) AS msum, COUNT(*) AS mcnt
+             |      FROM dg JOIN lp USING (gram) GROUP BY dg.doc_id, lp.lang),
+             |dist AS (SELECT s.doc_id, l.lang,
+             |           COALESCE(m.msum, 0) + (s.nd - COALESCE(m.mcnt, 0)) * 20 AS dist
+             |         FROM sizes s CROSS JOIN langs l
+             |         LEFT JOIN m ON m.doc_id = s.doc_id AND m.lang = l.lang),
+             |pred AS (SELECT doc_id, lang AS pred_lang FROM (
+             |           SELECT doc_id, lang,
+             |                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+             |           FROM dist) WHERE rn = 1)
+             |SELECT p.doc_id, p.pred_lang,
+             |       CAST(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+             |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+             |ORDER BY p.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextCat.classify(docs, "doc_id", "lang", "text", k = 20)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("pred_lang"),
+            (col("lang") === col("pred_lang")).cast("long").as("is_match"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q193_quality_tiers",
+      // CCNet-style corpus tiering (Wenzek et al. 2020): rank every
+      // document by its q144 LM quality score and cut the corpus into
+      // head/middle/tail thirds — the step that decides what a
+      // pretraining run keeps, samples, or drops. The global cut uses
+      // GlobalOrder.ntile (two-pass prefix scan — the scalable form of
+      // NTILE() OVER (ORDER BY ...), no single-partition window), over
+      // the ROUNDED score with doc_id tiebreak — a total order, so the
+      // tier boundary is engine-exact.
+      Some(s"""WITH tok AS (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+              |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+              |               COUNT(*) AS v_size FROM vocab),
+              |d AS (SELECT t.doc_id, CAST(SUM(v.cnt + 1) AS BIGINT) AS s,
+              |             COUNT(*) AS n_tok
+              |      FROM tok t JOIN vocab v USING (tok) GROUP BY t.doc_id),
+              |sc AS (SELECT d.doc_id, d.n_tok,
+              |         ROUND(CAST(d.s * 1000000 AS DOUBLE)
+              |               / CAST(d.n_tok * (tot.n_total + tot.v_size) AS DOUBLE),
+              |               4) AS lm_score
+              |       FROM d, tot),
+              |t AS (SELECT doc_id, n_tok, lm_score,
+              |        NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS t FROM sc)
+              |SELECT doc_id, n_tok, lm_score,
+              |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+              |FROM t ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        // the q144 score, inline (direct scan — the row-explode consumer
+        // rule), then the scalable global cut
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+        val sc = toks.join(vocab, "tok")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") + 1L).as("s"), count(lit(1)).as("n_tok"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_tok"),
+            round((col("s") * 1000000L).cast("double")
+              / (col("n_tok") * (col("n_total") + col("v_size"))).cast("double"),
+              4).as("lm_score"))
+        GlobalOrder.ntile(sc, 3, Seq(col("lm_score").desc, col("doc_id")), "t")
+          .select(col("doc_id"), col("n_tok"), col("lm_score"),
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail").as("tier"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q194_split_leakage",
+      // Test-set decontamination audit (the near-dup face of q146's
+      // n-gram contamination check): exact-Jaccard near-dup pairs
+      // (q36's shared pair-stats relation, threshold 0.8) that CROSS
+      // the q70 train/valid/test hash split — each row is a test or
+      // valid document whose near-twin sits in train, i.e. leaked
+      // evaluation signal. Composes two cached relations (pair-stats +
+      // the md5 split assignment); the split join is an equi-join on
+      // doc_id against the (small) pair list — at 100 TB the pair side
+      // is the broadcast side.
+      Some(s"""WITH jp AS (${TrainingQueries.jaccardPairsSql}),
+              |sp AS (SELECT doc_id, $splitSql AS split FROM documents)
+              |SELECT jp.a_id, jp.b_id, sa.split AS split_a, sb.split AS split_b,
+              |       jp.jaccard
+              |FROM jp
+              |JOIN sp sa ON sa.doc_id = jp.a_id
+              |JOIN sp sb ON sb.doc_id = jp.b_id
+              |WHERE sa.split <> sb.split
+              |ORDER BY jp.a_id, jp.b_id""".stripMargin),
+      (s, d) => {
+        val pairs = Dedup.jaccardFromStats(
+          TrainingQueries.cachedPairStats(s, d), threshold = 0.8)
+        val sp = Splits.assignSplit(
+            Tables.documents(s, d).select("doc_id"), "doc_id",
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(sp.as("sa"), col("a_id") === col("sa.doc_id"))
+          .join(sp.as("sb"), col("b_id") === col("sb.doc_id"))
+          .filter(col("sa.split") =!= col("sb.split"))
+          .select(col("a_id"), col("b_id"),
+            col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+            col("jaccard"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    Q("q195_winnowing_pairs",
+      // MOSS winnowing fingerprints (Schleimer et al. 2003): window-of-4
+      // minima over the ordered 3-gram hash stream, distinct per doc,
+      // then pairs sharing >= 2 fingerprints — LOCAL-overlap detection
+      // (shared boilerplate runs, partial plagiarism) with a guaranteed
+      // floor: any shared run of >= 6 tokens yields a shared
+      // fingerprint, at ~2/(w+1) the index size of the full q36 shingle
+      // index. Integer end to end; skew-capped inverted index (df <=
+      // 256) with the pairStats internal-consistency contract. See
+      // [[Winnow]].
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |hg AS (SELECT doc_id,
+              |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+              |           i -> ${h32Sql.format("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}) AS hg
+              |       FROM t WHERE LEN(t) >= 3),
+              |fps AS (SELECT doc_id,
+              |          CASE WHEN LEN(hg) >= 4 THEN
+              |            LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(hg) - 3),
+              |              p -> LIST_AGGREGATE(hg[p:p+3], 'min')))
+              |          ELSE [LIST_AGGREGATE(hg, 'min')] END AS fps
+              |        FROM hg),
+              |idx AS (SELECT doc_id, UNNEST(fps) AS fp FROM fps),
+              |cap AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM idx GROUP BY fp)
+              |        WHERE df <= 256),
+              |ci AS (SELECT doc_id, fp FROM idx JOIN cap USING (fp))
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fp
+              |FROM ci a JOIN ci b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2
+              |HAVING COUNT(*) >= 2
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, d) => Winnow
+        .sharedFingerprintPairs(TrainingQueries.cachedDocToks(s, d),
+          n = 3, w = 4, maxFpDf = 256L, minShared = 2L)
+        .orderBy("a_id", "b_id")),
+
+    Q("q196_length_buckets",
+      // Length-bucketed batching stats: assign every document to the
+      // smallest power-of-two token bucket (16..65536, clamp at top)
+      // and report per-bucket doc count, real tokens, padding tokens,
+      // and the padding-waste fraction — the table a trainer reads to
+      // size batch shapes (the static-shape counterpart of q123's
+      // first-fit packing). Map-side CASE ladder + one two-phase agg;
+      // exact longs, one IEEE division per bucket.
+      Some(s"""WITH d AS (SELECT CAST(LEN($toksSql) AS BIGINT) AS n_tok FROM documents),
+              |b AS (SELECT n_tok,
+              |        CASE ${LengthBuckets.init.map(t => s"WHEN n_tok <= $t THEN $t")
+                               .mkString(" ")}
+              |             ELSE ${LengthBuckets.last} END AS bucket
+              |      FROM d WHERE n_tok >= 1)
+              |SELECT bucket, COUNT(*) AS n_docs,
+              |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              |       CAST(SUM(bucket - n_tok) AS BIGINT) AS n_pad,
+              |       ROUND(CAST(SUM(bucket - n_tok) AS DOUBLE)
+              |             / CAST(bucket * COUNT(*) AS DOUBLE), 4) AS waste_frac
+              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val n = col("n_tok")
+        val bucket = LengthBuckets.init.reverse
+          .foldLeft(lit(LengthBuckets.last): org.apache.spark.sql.Column)(
+            (acc, t) => when(n <= t, lit(t)).otherwise(acc))
+        Tables.documents(s, d)
+          .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(n >= 1)
+          .withColumn("bucket", bucket)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(n).cast("long").as("n_tokens"),
+            sum(col("bucket") - n).cast("long").as("n_pad"),
+            round(sum(col("bucket") - n).cast("double")
+              / (col("bucket") * count(lit(1))).cast("double"), 4).as("waste_frac"))
+          .orderBy("bucket")
+      })
+  )
+}

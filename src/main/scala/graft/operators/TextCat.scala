@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram rank-profile text categorization (Cavnar & Trenkle
+  * 1994, "N-Gram-Based Text Categorization" — the classic TextCat
+  * algorithm): TRAIN a per-class profile (the top-k character trigrams
+  * by corpus frequency, in rank order) from labeled documents, then
+  * classify a document by the "out-of-place" distance between its own
+  * trigram rank profile and each class profile. The trained counterpart
+  * of the fixed marker-word heuristic in
+  * [[TextAnalysis.predictedLang]] — no hand-picked word lists, the
+  * model IS the corpus statistics.
+  *
+  * Everything is INTEGER arithmetic (counts, ranks, absolute rank
+  * differences) — deterministic on any engine, no probabilities, no
+  * logs — and ranks are totally ordered by (count DESC, gram ASC) so
+  * profile boundaries never depend on aggregation order.
+  *
+  * Scale shape: training is one (class, gram) two-phase count
+  * aggregation; the rank window runs over the per-class DISTINCT-gram
+  * counts (bounded by |charset|³, not the corpus — a few hundred K rows
+  * at any corpus size), and the finished model is |classes| × k rows —
+  * broadcast everywhere it is used. Classification is one (doc, gram)
+  * count aggregation, a per-doc rank window (partitioned by doc — never
+  * global), a broadcast join against the model, and a per-doc argmin.
+  * The corpus is scanned exactly twice (train + classify); nothing
+  * wider than k scalars per document crosses a shuffle.
+  */
+object TextCat {
+
+  /** All character trigram occurrences of `text` in order (spaces
+    * included — word boundaries are signal in this model). Texts
+    * shorter than 3 chars yield the empty array. */
+  def charTrigrams(text: Column): Column = {
+    val grams = transform(sequence(lit(1), length(text) - 2),
+      i => text.substr(i, lit(3)))
+    when(length(text) >= 3, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** The trained model: per class label, the top-`k` character trigrams
+    * by frequency as (`lang`, `gram`, `rl`) rank rows, rl in 1..k,
+    * ties broken by gram — a total order, so the profile is unique. */
+  def langProfiles(docs: DataFrame, langCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, s"profile size must be positive, got $k")
+    val g = docs
+      .select(col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+    // the window input is the (class, DISTINCT gram) count relation —
+    // |charset|³-bounded per class, not corpus-sized
+    val counts = g.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("gram"))
+    counts.withColumn("rl", row_number().over(w))
+      .filter(col("rl") <= k)
+      .select("lang", "gram", "rl")
+  }
+
+  /** Per-document rank profiles, same total order as [[langProfiles]]:
+    * (`doc_id`, `gram`, `rd`). Documents with no trigrams (< 3 chars)
+    * are absent. */
+  def docProfiles(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, s"profile size must be positive, got $k")
+    val g = docs
+      .select(col(idCol).as("doc_id"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+    val counts = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+    counts.withColumn("rd", row_number().over(w))
+      .filter(col("rd") <= k)
+      .select("doc_id", "gram", "rd")
+  }
+
+  /** Classify every document against the model trained on the same
+    * frame's `langCol` labels: out-of-place distance
+    * dist(d, L) = Σ_{g ∈ profile(d)} |r_d(g) − r_L(g)|, with the
+    * standard maximum penalty k for a gram absent from L's profile;
+    * prediction = argmin over classes, ties to the lexicographically
+    * smallest class. Output: (doc_id, pred_lang) for every document
+    * with a non-empty profile.
+    *
+    * The distance join is doc-profile rows (≤ k per doc) against the
+    * BROADCAST model; the absent-gram penalty is recovered from the
+    * matched-row count ((n_d − matched) · k), so no outer join and no
+    * per-(doc, class, gram) materialization beyond the matches. */
+  def classify(docs: DataFrame, idCol: String, langCol: String,
+               textCol: String, k: Int = 20): DataFrame = {
+    val lp = langProfiles(docs, langCol, textCol, k)
+    val dg = docProfiles(docs, idCol, textCol, k)
+    val sizes = dg.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    val langs = lp.select("lang").distinct()
+    val matched = dg.join(broadcast(lp), "gram")
+      .groupBy("doc_id", "lang")
+      .agg(sum(abs(col("rd") - col("rl"))).as("msum"),
+        count(lit(1)).as("mcnt"))
+    val dists = sizes.crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (coalesce(col("msum"), lit(0L)) +
+          (col("nd") - coalesce(col("mcnt"), lit(0L))) * k).as("dist"))
+    // argmin with class tiebreak: min of (dist, lang) struct — field
+    // order IS the comparison order
+    dists.groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("lang"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("pred_lang"))
+  }
+}
