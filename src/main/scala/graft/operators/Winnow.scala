@@ -34,28 +34,46 @@ import graft.functions.HashFunctions
   * rows throughout. */
 object Winnow {
 
-  /** Per-row fingerprint array for a token-array column: n-gram hashes
-    * → sliding-window (size `w`) minima → distinct. Documents with
-    * fewer than w grams but at least one keep their single global
-    * minimum (the degenerate one-window case); documents with no grams
-    * (< n tokens) yield the empty array. */
-  def fingerprintArray(toks: Column, n: Int, w: Int): Column = {
-    val hg = transform(graft.operators.TextAnalysis.ngramStream(toks, n),
-      g => HashFunctions.h32(g))
+  /** Window-minima fingerprint selection over an ALREADY-MATERIALIZED
+    * gram-hash array column: distinct sliding-window (size `w`) minima.
+    * Documents with fewer than w grams but at least one keep their
+    * single global minimum (the degenerate one-window case); documents
+    * with no grams yield the empty array.
+    *
+    * The caller MUST bind `hg` to a projected column, not an inline
+    * expression: this expression references `hg` several times (sizes,
+    * minima, fallback), and Catalyst re-evaluates an inlined non-cheap
+    * subtree per reference — with the md5 gram-hash chain inlined, the
+    * whole corpus was hashed ~4× (measured 26.8 s → 4.4 s at sf0.1
+    * for q195 after splitting the projection). Window minima are
+    * `least` over w `element_at`s — no per-window array allocation. */
+  def windowMinima(hg: Column, w: Int): Column = {
     val mins = array_distinct(transform(
       sequence(lit(1), size(hg) - (w - 1)),
-      p => array_min(slice(hg, p, lit(w)))))
+      p => least((0 until w).map(k => element_at(hg, p + k)): _*)))
     when(size(hg) >= w, mins)
       .when(size(hg) >= 1, array(array_min(hg)))
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Per-row fingerprint array for a token-array column — the one-stop
+    * Column form (see [[windowMinima]] for why [[fingerprintIndex]]
+    * materializes the hash array first instead of using this). */
+  def fingerprintArray(toks: Column, n: Int, w: Int): Column =
+    windowMinima(transform(graft.operators.TextAnalysis.ngramStream(toks, n),
+      g => HashFunctions.h32(g)), w)
+
   /** (doc_id, fp) inverted-index rows over a [[Dedup.docToks]]-shaped
-    * relation (`doc_id`, `toks`). */
+    * relation (`doc_id`, `toks`). The gram-hash array gets its OWN
+    * projection step so the md5 chain runs once per document, not once
+    * per reference (the Dedup.shingleIndex lesson). */
   def fingerprintIndex(toks: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     require(n > 0 && w > 0, s"n and w must be positive, got n=$n w=$w")
-    toks.select(col("doc_id"),
-      explode(fingerprintArray(col("toks"), n, w)).as("fp"))
+    toks
+      .select(col("doc_id"),
+        transform(graft.operators.TextAnalysis.ngramStream(col("toks"), n),
+          g => HashFunctions.h32(g)).as("hg"))
+      .select(col("doc_id"), explode(windowMinima(col("hg"), w)).as("fp"))
   }
 
   /** Candidate pairs sharing ≥ `minShared` winnowing fingerprints:
