@@ -390,7 +390,69 @@ object TxLog {
   def readSnapshot(spark: SparkSession, zone: String, s: Snapshot): DataFrame = {
     val paths = s.resolve(zone)
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.format(s.format).load(paths: _*)
+    else loadFiles(spark, s, paths)
+  }
+
+  // ---- schema tracking / evolution -----------------------------------------
+
+  /** The zone's committed schema, if the log tracks one (the `schema`
+    * meta key, written by every [[append]]/[[replace]] since schema
+    * tracking landed; zones last written before that read by per-file
+    * inference, exactly as before). */
+  def zoneSchema(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    s.meta.get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Load data files under a snapshot's tracked schema (Delta-style: the
+    * schema lives in the LOG, so an evolved zone never pays per-file
+    * footer merging — `mergeSchema` at 100 TB reads every footer on
+    * every plan; this reads none). Files written before a column was
+    * added simply surface it as null. Falls back to source inference for
+    * pre-tracking zones. */
+  private def loadFiles(spark: SparkSession, s: Snapshot,
+                        paths: Seq[String]): DataFrame = {
+    val r = spark.read.format(s.format)
+    zoneSchema(s).fold(r)(r.schema).load(paths: _*)
+  }
+
+  /** Merge an incoming write's schema into the zone's: matched columns
+    * must keep their exact type (no silent widening — a type change is a
+    * rewrite, not an append), new columns append at the end as nullable
+    * (old files lack them → null), and columns the write omits stay,
+    * nullable (its new files lack them → null). Field names match
+    * case-sensitively — the manifest is the single source of truth, so
+    * there is no engine-config ambiguity to respect. */
+  private[graft] def mergeSchemas(base: org.apache.spark.sql.types.StructType,
+                                  next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val kept = base.fields.map { bf =>
+      next.fields.find(_.name == bf.name) match {
+        case Some(nf) =>
+          require(nf.dataType == bf.dataType,
+            s"schema evolution cannot change column '${bf.name}' from " +
+              s"${bf.dataType.simpleString} to ${nf.dataType.simpleString} — " +
+              "rewrite the zone (replace) to retype")
+          bf.copy(nullable = bf.nullable || nf.nullable)
+        case None => bf.copy(nullable = true)
+      }
+    }
+    val baseNames = base.fieldNames.toSet
+    val added = next.fields.filterNot(f => baseNames(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
+  /** The schema this append commits: the head's tracked schema (or, for
+    * a pre-tracking zone with data, its inferred read schema — one-time
+    * bootstrap) merged with the incoming frame's. */
+  private def evolvedSchema(spark: SparkSession, zone: String, head: Snapshot,
+                            df: DataFrame)
+      : org.apache.spark.sql.types.StructType = {
+    val base = zoneSchema(head).orElse(
+      if (head.files.nonEmpty) Some(readSnapshot(spark, zone, head).schema)
+      else None)
+    base.fold(df.schema)(mergeSchemas(_, df.schema))
   }
 
   /** Per-file stats over the files just written to `dataDir` — the legacy
@@ -518,8 +580,14 @@ object TxLog {
       // our `added` files forward already — re-listing them here would
       // read every appended row twice (data files are uuid-named, so
       // distinct never merges genuinely different files)
+      // schema evolves against the CURRENT head each attempt — a rival
+      // append that won the race may have added its own columns, and the
+      // rebase must merge with those, not with the stale head0 view
+      val schemaMeta =
+        Map("schema" -> evolvedSchema(spark, zone, head, df).json)
       val next = Snapshot(head.gen + 1, head.format,
-        (head.files ++ added).distinct.sorted, head.meta ++ statsMeta ++ meta,
+        (head.files ++ added).distinct.sorted,
+        head.meta ++ statsMeta ++ schemaMeta ++ meta,
         head.stats ++ addedStats, head.colStats ++ addedColStats,
         base = head.gen)
       publish(spark, zone, next.gen, next.format, next.files, next.meta,
@@ -565,8 +633,7 @@ object TxLog {
     val pred = col(cName).cast("double") >= lo && col(cName).cast("double") <= hi
     val keep = prunedFiles(head, lo, hi)
     if (keep.isEmpty) readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.format(head.format)
-      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+    else loadFiles(spark, head, keep.map(f => zone.stripSuffix("/") + "/" + f))
       .filter(pred)
   }
 
@@ -640,8 +707,7 @@ object TxLog {
     if (keep.isEmpty)
       readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
     else {
-      val df = spark.read.format(head.format)
-        .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      val df = loadFiles(spark, head, keep.map(f => zone.stripSuffix("/") + "/" + f))
       df.filter(nativeRangePred(df, column, lo, hi))
     }
   }
@@ -664,8 +730,7 @@ object TxLog {
     if (keep.isEmpty)
       readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
     else {
-      val df = spark.read.format(head.format)
-        .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+      val df = loadFiles(spark, head, keep.map(f => zone.stripSuffix("/") + "/" + f))
       df.filter(preds.map { case (c, lo, hi) => nativeRangePred(df, c, lo, hi) }
         .reduce(_ && _))
     }
@@ -685,8 +750,7 @@ object TxLog {
     }
     if (keep.isEmpty)
       readSnapshot(spark, zone, head).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.format(head.format)
-      .load(keep.map(f => zone.stripSuffix("/") + "/" + f): _*)
+    else loadFiles(spark, head, keep.map(f => zone.stripSuffix("/") + "/" + f))
       .filter(col(column).isNotNull)
   }
 
@@ -753,7 +817,10 @@ object TxLog {
         f.delete(dataDir, true)
         throw new SnapshotMovedException(zone, eg, head.gen)
       }
-      val m = head.meta ++ statsMeta ++ meta
+      // replace RESETS the tracked schema: every live file is new, so the
+      // zone's schema IS the replacement frame's (the retype path the
+      // append-side merge guard points at)
+      val m = head.meta ++ statsMeta ++ Map("schema" -> df.schema.json) ++ meta
       publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats) match {
         case Some(g) =>
           return Snapshot(g, head.format, files, m, stats, colStats, base = head.gen)

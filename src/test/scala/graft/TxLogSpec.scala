@@ -572,4 +572,71 @@ class TxLogSpec extends SparkSpec {
     val liveRel = TxLog.latest(spark, zone).get.files.toSet
     assert(s1.files.exists(f => f.startsWith("d-") && !liveRel.contains(f)))
   }
+
+  // ---- schema evolution ----------------------------------------------------
+
+  test("schema evolution: an added column reads as null from pre-evolution files") {
+    val zone = freshZone()
+    spark.range(5L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    // bootstrap: first append infers the pre-tracking zone's schema
+    TxLog.append(spark, zone, spark.range(5L, 8L).toDF("id"))
+    // evolution: new column lands; the log's schema grows
+    TxLog.append(spark, zone,
+      spark.range(8L, 10L).select($"id", concat(lit("t"), $"id").as("tag")))
+    val df = TxLog.read(spark, zone)
+    assert(df.columns.toSeq === Seq("id", "tag"))
+    assert(df.count() === 10L)
+    assert(df.filter($"tag".isNull).select($"id").as[Long].collect().toSet
+      === (0L until 8L).toSet)
+    assert(df.filter($"tag" === "t9").count() === 1L)
+  }
+
+  test("schema evolution: a write omitting a tracked column keeps the column") {
+    val zone = freshZone()
+    spark.range(3L).select($"id", lit("a").as("tag")).write.parquet(zone)
+    TxLog.init(spark, zone)
+    TxLog.append(spark, zone, spark.range(3L, 5L).toDF("id")) // no tag
+    val df = TxLog.read(spark, zone)
+    assert(df.columns.toSeq === Seq("id", "tag"))
+    assert(df.filter($"tag".isNull).select($"id").as[Long].collect().toSet
+      === Set(3L, 4L))
+  }
+
+  test("schema evolution: a type change is rejected; replace retypes") {
+    val zone = freshZone()
+    spark.range(3L).select($"id", $"id".cast("int").as("v")).write.parquet(zone)
+    TxLog.init(spark, zone)
+    TxLog.append(spark, zone,
+      spark.range(3L, 4L).select($"id", $"id".cast("int").as("v")))
+    val bad = spark.range(4L, 5L).select($"id", $"id".cast("string").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, zone, bad)
+    }
+    assert(e.getMessage.contains("cannot change column 'v'"))
+    // the documented retype path: replace rewrites every live file
+    val s = TxLog.replace(spark, zone,
+      TxLog.read(spark, zone).select($"id", $"v".cast("string").as("v")))
+    assert(TxLog.zoneSchema(s).get("v").dataType
+      === org.apache.spark.sql.types.StringType)
+    assert(TxLog.read(spark, zone).count() === 4L)
+    // and appends of the new type flow again
+    TxLog.append(spark, zone,
+      spark.range(4L, 5L).select($"id", lit("s4").as("v")))
+    assert(TxLog.read(spark, zone).count() === 5L)
+  }
+
+  test("schema evolution: compaction rewrites under the evolved schema and keeps it") {
+    val zone = freshZone()
+    spark.range(4L).toDF("id").repartition(4).write.parquet(zone)
+    TxLog.init(spark, zone)
+    TxLog.append(spark, zone,
+      spark.range(4L, 6L).select($"id", lit(1.5).as("score")))
+    val stats = TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    assert(stats.rewritten)
+    val df = TxLog.read(spark, zone)
+    assert(df.columns.toSeq === Seq("id", "score"))
+    assert(df.filter($"score".isNull).count() === 4L)
+    assert(TxLog.zoneSchema(TxLog.latest(spark, zone).get).isDefined)
+  }
 }
