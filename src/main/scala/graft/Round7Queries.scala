@@ -524,15 +524,20 @@ object Round7Queries {
       })
   )
 
-  /** DuckDB twin of [[graft.operators.Bpe.merges]]: the same sentinel
-    * encoding, pair counting, tie rule, and REPLACE-based merge apply,
-    * unrolled round by round. */
-  private[graft] def bpeOracleSql(rounds: Int): String = {
+  /** The shared BPE training CTE chain (tc, s0, p_r/b_r/s_r per round):
+    * the bit-parity-critical fragment of q191 AND q197 — ONE copy, so
+    * the two oracles can never train divergent merges. `keepTok` rides
+    * the token identity through the rewrite chain for the APPLY side
+    * (q197 joins per-token symbol counts back to the corpus); it cannot
+    * change what trains — pair counts group the same (c, s) rows either
+    * way. */
+  private[graft] def bpeChainSql(rounds: Int, keepTok: Boolean): String = {
+    val tokCol = if (keepTok) "tok, " else ""
     val head =
       s"""WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
          |       SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
          |       FROM documents) z GROUP BY tok),
-         |s0 AS (SELECT c,
+         |s0 AS (SELECT ${tokCol}c,
          |         '<' || ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tok)),
          |                  i -> SUBSTR(tok, i, 1)), '><') || '>' AS s
          |       FROM tc)""".stripMargin
@@ -543,15 +548,22 @@ object Round7Queries {
          |  FROM (SELECT c, STRING_SPLIT(SUBSTR(s, 2, LEN(s) - 2), '><') AS sy
          |        FROM s${r - 1}) q) z GROUP BY pair),
          |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |s$r AS (SELECT c, REPLACE(s, b.pair, REPLACE(b.pair, '><', '')) AS s
+         |s$r AS (SELECT ${tokCol}c, REPLACE(s, b.pair, REPLACE(b.pair, '><', '')) AS s
          |        FROM s${r - 1}, b$r b)""".stripMargin
     }.mkString(",\n")
+    s"$head,\n$roundsSql"
+  }
+
+  /** DuckDB twin of [[graft.operators.Bpe.merges]]: the same sentinel
+    * encoding, pair counting, tie rule, and REPLACE-based merge apply,
+    * unrolled round by round. */
+  private[graft] def bpeOracleSql(rounds: Int): String = {
     val out = (1 to rounds).map { r =>
       s"""SELECT $r AS round,
          |  REPLACE(REPLACE(REPLACE(pair, '><', ' '), '<', ''), '>', '') AS pair,
          |  REPLACE(REPLACE(REPLACE(pair, '><', ''), '<', ''), '>', '') AS merged,
          |  cnt FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"$head,\n$roundsSql\n$out\nORDER BY round"
+    s"${bpeChainSql(rounds, keepTok = false)}\n$out\nORDER BY round"
   }
 }

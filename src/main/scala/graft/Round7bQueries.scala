@@ -240,6 +240,46 @@ object Round7bQueries {
             round(sum(col("bucket") - n).cast("double")
               / (col("bucket") * count(lit(1))).cast("double"), 4).as("waste_frac"))
           .orderBy("bucket")
+      }),
+
+    Q("q197_bpe_apply",
+      // The APPLY side of q191's trained tokenizer: encode the corpus
+      // under the 3 learned merges and report per-source compression —
+      // tokens, symbols before (= characters), symbols after, and the
+      // after/before ratio a tokenizer team reads to judge a vocabulary.
+      // Training and application both run over the DISTINCT-token table
+      // (|vocab|·|word| work); the corpus-weighted roll-up is one
+      // equi-join of the token stream against the vocab-sized
+      // (tok, n_sym) relation and a two-phase agg. The oracle reuses
+      // the ONE training CTE chain (bpeChainSql) so q191/q197 can never
+      // train divergent merges; all sums are exact longs, one IEEE
+      // division per source.
+      Some(s"""${Round7Queries.bpeChainSql(3, keepTok = true)},
+              |v AS (SELECT tok, CAST(LEN(tok) AS BIGINT) AS n_chr,
+              |        CAST(LEN(s) - LEN(REPLACE(s, '<', '')) AS BIGINT) AS n_sym
+              |      FROM s3),
+              |d AS (SELECT source, UNNEST($toksSql) AS tok FROM documents)
+              |SELECT source, COUNT(*) AS n_tok,
+              |       CAST(SUM(v.n_chr) AS BIGINT) AS n_sym_before,
+              |       CAST(SUM(v.n_sym) AS BIGINT) AS n_sym_after,
+              |       ROUND(CAST(SUM(v.n_sym) AS DOUBLE)
+              |             / CAST(SUM(v.n_chr) AS DOUBLE), 4) AS compression
+              |FROM d JOIN v USING (tok)
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val v = graft.operators.Bpe.appliedSymbolCounts(tc, rounds = 3)
+        toks.join(v, "tok")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(length(col("tok")).cast("long")).cast("long").as("n_sym_before"),
+            sum(col("n_sym")).cast("long").as("n_sym_after"),
+            round(sum(col("n_sym")).cast("double")
+              / sum(length(col("tok")).cast("long")).cast("double"), 4)
+              .as("compression"))
+          .orderBy("source")
       })
   )
 }

@@ -39,7 +39,31 @@ object Bpe {
     * "ab", and the weighted pair count that won the round. Ties break to
     * the lexicographically smallest pair — deterministic on both
     * engines. */
-  def merges(tokenCounts: DataFrame, rounds: Int): DataFrame = {
+  def merges(tokenCounts: DataFrame, rounds: Int): DataFrame =
+    trainLoop(tokenCounts, rounds)._2.select(col("round"),
+      replace(replace(replace(col("pair"), lit("><"), lit(" ")),
+        lit("<"), lit("")), lit(">"), lit("")).as("pair"),
+      replace(replace(replace(col("pair"), lit("><"), lit("")),
+        lit("<"), lit("")), lit(">"), lit("")).as("merged"),
+      col("cnt"))
+
+  /** Per-token symbol counts AFTER `rounds` trained merges — the APPLY
+    * side of the tokenizer: (tok, n_sym), where n_sym is how many BPE
+    * symbols the token encodes to under the learned vocabulary
+    * (= sentinel count of the rewritten sequence — one exact integer
+    * per token). Runs over the DISTINCT-token table, so applying a
+    * 3-merge vocabulary to a 100 TB corpus costs |vocab|·|word| here
+    * plus one equi-join wherever the caller weights by corpus counts. */
+  def appliedSymbolCounts(tokenCounts: DataFrame, rounds: Int): DataFrame = {
+    val seqs = trainLoop(tokenCounts, rounds)._1
+    seqs.select(col("tok"),
+      (length(col("s")) - length(replace(col("s"), lit("<"), lit("")))).as("n_sym"))
+  }
+
+  /** The shared training loop: returns (final rewritten sequences with
+    * their token identity, the (round, pair, cnt) merge records). */
+  private def trainLoop(tokenCounts: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // sentinel safety: a '<' or '>' inside a token would let a match
     // start mid-symbol and silently corrupt the merge — fail loudly
@@ -48,7 +72,7 @@ object Bpe {
         raise_error(lit("Bpe.merges: token contains sentinel '<'/'>'")))
         .otherwise(col("tok")).as("tok"),
       col("c"))
-    var seqs = guarded.select(col("c"),
+    var seqs = guarded.select(col("tok"), col("c"),
       concat(lit("<"),
         concat_ws("><",
           expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")),
@@ -69,15 +93,10 @@ object Bpe {
         .select(lit(r).as("round"), col("pair"), col("cnt"))
       out = Some(out.fold(best)(_.unionByName(best)))
       seqs = seqs.crossJoin(broadcast(best.select(col("pair").as("__bp"))))
-        .select(col("c"),
+        .select(col("tok"), col("c"),
           replace(col("s"), col("__bp"),
             replace(col("__bp"), lit("><"), lit(""))).as("s"))
     }
-    out.get.select(col("round"),
-      replace(replace(replace(col("pair"), lit("><"), lit(" ")),
-        lit("<"), lit("")), lit(">"), lit("")).as("pair"),
-      replace(replace(replace(col("pair"), lit("><"), lit("")),
-        lit("<"), lit("")), lit(">"), lit("")).as("merged"),
-      col("cnt"))
+    (seqs, out.get)
   }
 }

@@ -184,6 +184,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "ab", 10L), (2, "abab", 5L)))
   }
 
+  test("Bpe.appliedSymbolCounts: greedy apply yields hand-checkable symbol counts") {
+    // same corpus as the merges test; after 2 rounds ((a,a) then (a,b)):
+    // "aaa" -> [aa, a] = 2 symbols, "ab" -> [ab] = 1 symbol
+    val tc = Seq(("aaa", 2L), ("ab", 3L)).toDF("tok", "c")
+    val got = Bpe.appliedSymbolCounts(tc, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("aaa" -> 2, "ab" -> 1))
+    // rounds=1: only (a,a) trained -> "ab" stays 2 symbols
+    val one = Bpe.appliedSymbolCounts(tc, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(one === Map("aaa" -> 2, "ab" -> 2))
+  }
+
   test("Bpe.merges rejects tokens containing sentinel characters") {
     val tc = Seq(("a<b", 1L)).toDF("tok", "c")
     val e = intercept[Exception] {
