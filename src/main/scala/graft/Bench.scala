@@ -148,7 +148,8 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
-      "q197_bpe_apply",
+      "q200_mmr_rerank", "q199_cluster_balanced_select",
+      "q198_matryoshka_recall", "q197_bpe_apply",
       "q196_length_buckets", "q195_winnowing_pairs", "q194_split_leakage",
       "q193_quality_tiers", "q192_textcat_langid",
       "q191_bpe_merges", "q190_k_anonymity", "q189_gopher_rules",

@@ -1,9 +1,10 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.TrainingQueries.{h32Sql, toksSql}
-import graft.operators.{Dedup, GlobalOrder, Splits, TextAnalysis, TextCat, Winnow}
+import graft.operators.{Dedup, GlobalOrder, Skew, Splits, TextAnalysis, TextCat, Winnow}
 import graft.sources.Tables
 
 /** Round-7 additions, second block: the trained-classifier /
@@ -280,6 +281,166 @@ object Round7bQueries {
               / sum(length(col("tok")).cast("long")).cast("double"), 4)
               .as("compression"))
           .orderBy("source")
+      }),
+
+    Q("q198_matryoshka_recall",
+      // Matryoshka-style truncation recall (Kusupati et al. 2022): can
+      // the first 8 / 16 of the 64 embedding dims stand in for the full
+      // vector? Per query (the 5 lowest vec_ids, q181's protocol),
+      // recall@10 of the truncated-cosine ranking against the full-dim
+      // exact ranking — the study a pipeline runs before committing to
+      // a cheaper prefix index. Rankings use UNROUNDED sims with vec_id
+      // tie-breaks (the q140 discipline — both engines' cosine is
+      // bit-identical, so the order is too). Scale shape: one broadcast
+      // of 5 query rows against the corpus scan, per-query windows
+      // (never global); at 100 TB a d=8 prefix scan moves 1/8 the bytes
+      // — exactly what this query quantifies the cost of.
+      Some(s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+              |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              |scored AS (SELECT q.q_id, c.vec_id,
+              |             ${TrainingQueries.cosOf("c.embedding", "q.qe")} AS sf,
+              |             ${TrainingQueries.cosOf("c.embedding[1:8]", "q.qe[1:8]")} AS s8,
+              |             ${TrainingQueries.cosOf("c.embedding[1:16]", "q.qe[1:16]")} AS s16
+              |           FROM c CROSS JOIN q),
+              |r AS (SELECT q_id, vec_id,
+              |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sf DESC, vec_id) AS rf,
+              |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s8 DESC, vec_id) AS r8,
+              |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s16 DESC, vec_id) AS r16
+              |      FROM scored)
+              |SELECT q_id,
+              |       ROUND(SUM(CASE WHEN rf <= 10 AND r8 <= 10 THEN 1 ELSE 0 END) / 10.0, 4) AS recall_d8,
+              |       ROUND(SUM(CASE WHEN rf <= 10 AND r16 <= 10 THEN 1 ELSE 0 END) / 10.0, 4) AS recall_d16
+              |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosine
+        val emb = Tables.embeddings(s, d)
+        val c = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val scored = c.crossJoin(broadcast(q)).select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("qe")).as("sf"),
+          cosine(slice(col("embedding"), 1, 8), slice(col("qe"), 1, 8)).as("s8"),
+          cosine(slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16)).as("s16"))
+        val w = Window.partitionBy("q_id")
+        val r = scored.select(col("q_id"), col("vec_id"),
+          row_number().over(w.orderBy(col("sf").desc, col("vec_id"))).as("rf"),
+          row_number().over(w.orderBy(col("s8").desc, col("vec_id"))).as("r8"),
+          row_number().over(w.orderBy(col("s16").desc, col("vec_id"))).as("r16"))
+        r.groupBy("q_id").agg(
+            round(sum(when(col("rf") <= 10 && col("r8") <= 10, 1L).otherwise(0L))
+              / 10.0, 4).as("recall_d8"),
+            round(sum(when(col("rf") <= 10 && col("r16") <= 10, 1L).otherwise(0L))
+              / 10.0, 4).as("recall_d16"))
+          .orderBy("q_id")
+      }),
+
+    Q("q199_cluster_balanced_select",
+      // Cluster-balanced corpus selection: 5 representatives per IVF
+      // cell by md5 priority — the diversity-preserving counterpart of
+      // q186's quality-ranked budget select (SemDeDup prunes WITHIN
+      // cells; this KEEPS a balanced cross-section of every cell).
+      // Reuses the session-shared 16-cell k-means (q69/q140/q153) and
+      // the q188 consistent-sampling rule: md5(vec_id) priority with
+      // vec_id tie-break is a total order, growth-stable, and
+      // engine-exact; the per-cell top-5 runs as the skew-safe
+      // two-level tournament, never a giant-cell single window task.
+      Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix}
+              |SELECT cid, vec_id FROM (
+              |  SELECT a.cid, a.vec_id,
+              |         ROW_NUMBER() OVER (PARTITION BY a.cid
+              |           ORDER BY MD5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+              |  FROM afinal a) t WHERE rn <= 5
+              |ORDER BY cid, vec_id""".stripMargin),
+      (s, d) => {
+        val assigned = graft.operators.Similarity.assignToCentroidsLocal(
+            Tables.embeddings(s, d), ExtendedQueries.trainedCentroids16(s, d))
+          .select(col("cent_id").cast("long").as("cid"), col("vec_id"))
+        Skew.topKPerKey(assigned, Seq(col("cid")),
+            Seq(md5(col("vec_id").cast("string")), col("vec_id")), k = 5)
+          .select(col("cid"), col("vec_id"))
+          .orderBy("cid", "vec_id")
+      }),
+
+    Q("q200_mmr_rerank",
+      // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+      // 1998): from the top-20 cosine candidates of query vec 0, pick 5
+      // greedily by mmr = 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s) — the
+      // classic diversity re-ranker between retrieval and display. The
+      // candidate list is BOUNDED BY CONTRACT (rerank always works on a
+      // top-k, never the corpus — that is its scale shape: the corpus
+      // pays one broadcast-scan top-k; everything after is 20 rows, so
+      // the 20×20 pair matrix and 5 unrolled argmax rounds are noise at
+      // any corpus size). Greedy rounds unroll as cumulative CTEs (the
+      // k-means discipline); rankings use unrounded sims, vec_id ties.
+      Some(mmrOracleSql(rounds = 5)),
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosine
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        // bounded: 20 rows; checkpointed so the corpus top-k runs ONCE,
+        // not once per greedy round
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            cosine(col("embedding"), col("qe")).as("sq"))
+          .orderBy(col("sq").desc, col("vec_id")).limit(20)
+          .localCheckpoint(true)
+        val p = cand.as("a")
+          .join(cand.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            cosine(col("a.embedding"), col("b.embedding")).as("s"))
+          .localCheckpoint(true)
+        var sel = cand.orderBy(col("sq").desc, col("vec_id")).limit(1)
+          .select(lit(1).as("round"), col("vec_id"),
+            (lit(0.7) * col("sq")).as("mmr"))
+        for (r <- 2 to 5) {
+          val ms = p.join(sel.select(col("vec_id").as("b_id")), "b_id")
+            .groupBy("a_id").agg(max("s").as("ms"))
+          val next = cand.join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .join(ms, col("vec_id") === col("a_id"))
+            .select(col("vec_id"),
+              (lit(0.7) * col("sq") - lit(0.3) * col("ms")).as("m"))
+            .orderBy(col("m").desc, col("vec_id")).limit(1)
+            .select(lit(r).as("round"), col("vec_id"), col("m").as("mmr"))
+          sel = sel.unionByName(next)
+        }
+        sel.select(col("round"), col("vec_id"),
+          round(col("mmr"), 4).as("mmr_score")).orderBy("round")
       })
   )
+
+  /** DuckDB twin of the q200 greedy MMR loop, unrolled: cumulative
+    * selected-set CTEs S1..S{rounds}, each round's winner by
+    * (mmr DESC, vec_id) over the not-yet-selected candidates. */
+  private def mmrOracleSql(rounds: Int): String = {
+    val cos = TrainingQueries.cosOf _
+    val head =
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, embedding, sq FROM (
+         |  SELECT v.vec_id, v.embedding, ${cos("v.embedding", "q.qe")} AS sq,
+         |         ROW_NUMBER() OVER (ORDER BY ${cos("v.embedding", "q.qe")} DESC, v.vec_id) AS rn
+         |  FROM embeddings v CROSS JOIN qv q WHERE v.vec_id <> 0) t WHERE rn <= 20),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |        ${cos("a.embedding", "b.embedding")} AS s
+         |      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT 1 AS round, vec_id, 0.7 * sq AS mmr FROM (
+         |  SELECT vec_id, sq, ROW_NUMBER() OVER (ORDER BY sq DESC, vec_id) AS rn
+         |  FROM cand) t WHERE rn = 1),
+         |acc1 AS (SELECT * FROM s1)""".stripMargin
+    val rest = (2 to rounds).map { r =>
+      s"""s$r AS (SELECT $r AS round, vec_id, mmr FROM (
+         |  SELECT c.vec_id, 0.7 * c.sq - 0.3 * m.ms AS mmr,
+         |         ROW_NUMBER() OVER (ORDER BY (0.7 * c.sq - 0.3 * m.ms) DESC, c.vec_id) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT p.a_id, MAX(p.s) AS ms FROM p
+         |        JOIN acc${r - 1} a ON p.b_id = a.vec_id GROUP BY p.a_id) m
+         |    ON m.a_id = c.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${r - 1})) t WHERE rn = 1),
+         |acc$r AS (SELECT * FROM acc${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rest
+       |SELECT round, vec_id, ROUND(mmr, 4) AS mmr_score
+       |FROM acc$rounds ORDER BY round""".stripMargin
+  }
 }

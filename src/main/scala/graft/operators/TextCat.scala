@@ -88,8 +88,26 @@ object TextCat {
     * per-(doc, class, gram) materialization beyond the matches. */
   def classify(docs: DataFrame, idCol: String, langCol: String,
                textCol: String, k: Int = 20): DataFrame = {
-    val lp = langProfiles(docs, langCol, textCol, k)
-    val dg = docProfiles(docs, idCol, textCol, k)
+    // ONE explode for both profile builds: the (doc, lang, gram) counts
+    // feed the doc rank window directly, and the class counts are a
+    // roll-up of the same pre-aggregate (every doc carries exactly one
+    // label, so summing per-doc counts IS the per-class gram count) —
+    // identical subtrees, so the explode+count exchange is computed once
+    // and reused. Local sf0.1 timing is flat vs the two-scan form (the
+    // (doc, gram) shuffle dominates and is the same size either way);
+    // the win is one corpus scan + one explode instead of two, which is
+    // what matters when the scan is 100 TB, not 50 MB.
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("c"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+    val dg = base.withColumn("rd", row_number().over(wd))
+      .filter(col("rd") <= k).select("doc_id", "gram", "rd")
+    val lc = base.groupBy("lang", "gram").agg(sum("c").as("c"))
+    val wl = Window.partitionBy("lang").orderBy(col("c").desc, col("gram"))
+    val lp = lc.withColumn("rl", row_number().over(wl))
+      .filter(col("rl") <= k).select("lang", "gram", "rl")
     val sizes = dg.groupBy("doc_id").agg(count(lit(1)).as("nd"))
     val langs = lp.select("lang").distinct()
     val matched = dg.join(broadcast(lp), "gram")
