@@ -868,6 +868,171 @@ object TxLog {
       s"txlog replaceCas of $zone conflicted $maxAttempts times", lastMove)
   }
 
+  /** `inserted`/`updated` are row counts; `filesTouched` of `filesTotal`
+    * is how many live files the key-range stats made the merge rewrite —
+    * the number the whole design exists to keep small. */
+  final case class MergeStats(gen: Long, filesTouched: Long, filesTotal: Long,
+                              updatedRows: Long, insertedRows: Long)
+
+  /** Conform `df` to `schema` column-for-column: present columns pass
+    * through (types already match — [[mergeSchemas]] rejects retypes),
+    * absent ones surface as typed nulls. The projection that lets a
+    * merge union survivors (old schema) with updates (possibly wider). */
+  private def conform(df: DataFrame,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { fd =>
+      if (have(fd.name)) col(fd.name).cast(fd.dataType).as(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }: _*)
+  }
+
+  /** Keyed MERGE (upsert): rows of `updates` replace zone rows with the
+    * same `key` value; keys the zone lacks are inserted — Delta's
+    * `MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`, built
+    * on this log's primitives. `updates` must be unique per key (the
+    * standard multiple-match ambiguity is rejected, like Delta's).
+    *
+    * The 100 TB shape is the point: only files whose committed [min, max]
+    * for `key` OVERLAPS the updates' key range are read and rewritten
+    * (the [[prunedFilesFor]] skip used in reverse — as a WRITE
+    * amplification bound); every other live file is carried into the new
+    * generation untouched, stats and all. A CDC upsert batch touching one
+    * day of a year-partitioned corpus rewrites that day, not the year.
+    * Zones without tracked stats for `key` fall back to rewriting every
+    * file (correct, just unpruned) — write with `statsCols` to get the
+    * bound.
+    *
+    * Concurrency is OPTIMISTIC like [[replaceCas]]: the survivors are
+    * computed FROM the head snapshot, so a rival commit landing first
+    * aborts the publish, deletes the staged files, and the whole
+    * read-merge-write recomputes against the new head — last-writer-wins
+    * here would resurrect deleted rows or drop the rival's. Schema
+    * evolves by the append rules ([[mergeSchemas]]): updates may add
+    * columns, never retype.
+    *
+    * Reference anchor: the reference lake only ever APPENDS CDC deltas
+    * (`lib/dynamodb-streaming-datalake-stack.ts:199-203`) and rebuilds
+    * current state by full-scan compaction jobs; merge is the
+    * incremental form of that snapshot (`Cdc.snapshot`'s LWW winner,
+    * maintained in place). */
+  def merge(spark: SparkSession, zone: String, updates: DataFrame, key: String,
+            maxAttempts: Int = 5,
+            prePublishHook: () => Unit = () => ()): MergeStats =
+    mergeImpl(spark, zone, updates, key, maxAttempts, prePublishHook,
+      batchId = None)
+      .getOrElse(sys.error("unreachable: merge without a batchId never skips"))
+
+  private def mergeImpl(spark: SparkSession, zone: String, updates: DataFrame,
+                        key: String, maxAttempts: Int,
+                        prePublishHook: () => Unit,
+                        batchId: Option[Long]): Option[MergeStats] = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val f = fs(spark, zone)
+    val root = f.makeQualified(new Path(zone))
+    // bounded driver state: two key bounds + three row counts
+    val updRows = updates.persist()
+    try {
+      val kr = updRows
+        .agg(min(col(key)), max(col(key)), count(lit(1)), countDistinct(col(key)))
+        .first()
+      if (kr.isNullAt(0))
+        return Some(MergeStats(latest(spark, zone).map(_.gen).getOrElse(0L),
+          0L, latest(spark, zone).map(_.files.size.toLong).getOrElse(0L), 0L, 0L))
+      require(kr.getLong(2) == kr.getLong(3),
+        s"merge updates must be unique per '$key': ${kr.getLong(2)} rows over " +
+          s"${kr.getLong(3)} distinct keys (resolve duplicates first — e.g. " +
+          "Cdc.snapshot's last-writer-wins)")
+      val (lo, hi) = (kr.get(0), kr.get(1))
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val head = latest(spark, zone).getOrElse(init(spark, zone))
+        // exactly-once re-check against the CURRENT head each attempt —
+        // the same check-then-act closure appendImpl uses: a rival
+        // replaying this batch that won an earlier race committed the
+        // mark, so this attempt must become a no-op, not a double-merge
+        if (batchId.exists(b =>
+          head.meta.get("batchId").exists(_.toLong >= b))) return None
+        val tracked = head.meta.getOrElse("stats.cols", "").split(",").contains(key)
+        val touched =
+          if (tracked) prunedFilesFor(head, key, lo, hi) else head.files
+        val untouchedSet = head.files.toSet -- touched
+        val schema = {
+          val base = zoneSchema(head).orElse(
+            if (head.files.nonEmpty) Some(readSnapshot(spark, zone, head).schema)
+            else None)
+          base.fold(updates.schema)(mergeSchemas(_, updates.schema))
+        }
+        val updKeys = updRows.select(col(key)).distinct()
+        val touchedDf =
+          if (touched.isEmpty)
+            conform(updRows, schema).filter(lit(false))
+          else loadFiles(spark, head, touched.map(p => zone.stripSuffix("/") + "/" + p))
+        val survivors = touchedDf.join(updKeys, Seq(key), "left_anti")
+        val updatedRows = touchedDf.join(updKeys, Seq(key), "left_semi").count()
+        val insertedRows = kr.getLong(2) - updatedRows
+        val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
+        conform(survivors, schema).unionByName(conform(updRows, schema))
+          .write.mode(SaveMode.ErrorIfExists).format(head.format)
+          .save(dataDir.toString)
+        val newFiles = listRel(f, root, dataDir)
+        val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
+          head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+        val nextFiles = (head.files.filter(untouchedSet) ++ newFiles).sorted
+        // untouched files keep their committed stats; touched files' entries drop
+        val nextStats = head.stats.filter { case (p, _) => untouchedSet(p) } ++ newStats
+        val nextColStats =
+          head.colStats.filter { case (p, _) => untouchedSet(p) } ++ newColStats
+        prePublishHook()
+        val batchMeta =
+          batchId.map(b => Map("batchId" -> b.toString)).getOrElse(Map.empty)
+        publish(spark, zone, head.gen + 1, head.format, nextFiles,
+          head.meta ++ Map("schema" -> schema.json) ++ batchMeta,
+          nextStats, nextColStats) match {
+          case Some(g) =>
+            return Some(MergeStats(g, touched.size.toLong, head.files.size.toLong,
+              updatedRows, insertedRows))
+          case None =>
+            // rival landed: the survivors were computed from a stale head —
+            // discard the staged rewrite and recompute from the new one
+            f.delete(dataDir, true)
+        }
+        attempt += 1
+        Thread.sleep(math.min(200L, 10L * attempt))
+      }
+      sys.error(s"txlog merge into $zone conflicted $maxAttempts times")
+    } finally updRows.unpersist()
+  }
+
+  /** Exactly-once streaming MERGE: the upsert twin of
+    * [[exactlyOnceAppend]] — skip batches at or below the committed
+    * high-water mark, and stamp the mark IN the merge's own publish so
+    * data + mark flip atomically. `foreachBatch(TxLog.mergeSink(zone,
+    * key))` turns a CDC stream into an incrementally-maintained current-
+    * state table: the reference's append-then-recompact lake
+    * (`firehose_transformation.py` + batch snapshot jobs) collapsed into
+    * one idempotent sink. Returns true when the batch merged. */
+  def mergeExactlyOnce(spark: SparkSession, zone: String, updates: DataFrame,
+                       key: String, batchId: Long): Boolean = {
+    // fast path: skip before any compute; the authoritative check re-runs
+    // against the head inside mergeImpl's publish loop, so two writers
+    // replaying the same batchId cannot both commit (the mark rides in
+    // the merge's OWN publish — data + mark flip in one atomic commit)
+    val committed = latest(spark, zone).flatMap(_.meta.get("batchId")).map(_.toLong)
+    if (committed.exists(_ >= batchId)) false
+    else mergeImpl(spark, zone, updates, key, maxAttempts = 5,
+      prePublishHook = () => (), batchId = Some(batchId)).isDefined
+  }
+
+  /** `writeStream.foreachBatch(TxLog.mergeSink(zone, key))` — the
+    * exactly-once keyed-upsert lake sink. */
+  def mergeSink(zone: String, key: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      mergeExactlyOnce(df.sparkSession, zone, df, key, batchId): Unit
+    }
+
   /** Exactly-once micro-batch append for Structured Streaming: commit
     * `df` tagged with `batchId`, skipping batches at or below the zone's
     * committed high-water mark — a replayed batch (restart re-running the
