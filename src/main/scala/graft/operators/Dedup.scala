@@ -587,4 +587,29 @@ object Dedup {
       .agg((max(col("run")) + lit(n - 1)).as("span"))
       .filter(col("span") >= minSpan)
   }
+
+  /** Cross-source n-gram sharing matrix: for every ordered source pair,
+    * the number of DISTINCT n-token grams both emit — the corpus-level
+    * contamination map (q146's train/test split check widened to all
+    * source pairs; which crawls/dumps overlap enough that
+    * keeping both double-counts their text). Scale shape: the distinct
+    * (source, gram) projection bounds every gram's join fan-out by the
+    * NUMBER OF SOURCES — a viral gram contributes C(s,2) ≤ C(|sources|,2)
+    * pair rows no matter how many documents carry it, so unlike the
+    * per-document pair tiers no df cap is needed; the output is at most
+    * C(|sources|,2) rows. One explode, one distinct agg, one equi-join on
+    * gram, one count agg. */
+  def crossSourceGramShare(toks: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    val grams = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
 }

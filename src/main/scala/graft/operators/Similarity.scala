@@ -664,4 +664,55 @@ object Similarity {
     a.join(b, col("a_id") < col("b_id") && simR >= threshold)
       .select(col("a_id"), col("b_id"), simR.as("sim"))
   }
+
+  /** Per-group L2-norm statistics — the embedding-QA pass a pipeline runs
+    * before trusting a vector column (collapsed or exploded norms are the
+    * classic symptom of a broken encoder export). Determinism discipline:
+    * the per-vector norm is a sequential in-order fold over the dims
+    * (engine-exact), the MEAN goes through exact micro-unit longs
+    * (`round(norm·10⁴)` summed as integers — never an order-dependent
+    * float sum across rows), min/max are selections, and every output is
+    * rounded. One map-side projection + one two-phase agg; nothing
+    * vector-sized shuffles (the norm replaces the array before the agg). */
+  def normStatsByGroup(vectors: DataFrame, groupCol: String,
+                       vecCol: String = "embedding"): DataFrame = {
+    val nrm = norm(col(vecCol))
+    vectors
+      .select(col(groupCol), nrm.as("nv"),
+        round(nrm * lit(10000.0), 0).cast("long").as("micro"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(min(col("nv")), 4).as("min_norm"),
+        round(max(col("nv")), 4).as("max_norm"),
+        round(sum(col("micro")).cast("double")
+          / (count(lit(1)).cast("double") * lit(10000.0)), 4).as("mean_norm"))
+  }
+
+  /** Per-dimension mean/variance screen — finds dead (zero-variance) and
+    * degenerate dimensions before an ANN index or a Matryoshka truncation
+    * (q198) commits to them. Scale shape: one posexplode (linear in
+    * corpus·dims, value rides as ONE long), one dims-row two-phase agg —
+    * the driver never sees more than `dims` rows. Determinism: values are
+    * quantized to exact 10⁻⁴ longs at the source, so the sums are exact
+    * integers at any row count (|v|≤1 ⇒ Σv² ≤ 10⁸·n — overflow at ~10¹⁰
+    * rows, far past any per-job corpus here); mean and variance are then
+    * a fixed chain of IEEE ops over those exact inputs, identical on both
+    * engines. */
+  def dimScreen(vectors: DataFrame, vecCol: String = "embedding",
+                deadVarThreshold: Double = 1e-4): DataFrame = {
+    val q = vectors
+      .select(posexplode(col(vecCol)).as(Seq("p0", "v")))
+      .select((col("p0") + 1).as("pos"),
+        round(col("v").cast("double") * lit(10000.0), 0).cast("long").as("v4"))
+    val meanD = sum(col("v4")).cast("double") /
+      (count(lit(1)).cast("double") * lit(10000.0))
+    val varD = sum(col("v4") * col("v4")).cast("double") /
+      (count(lit(1)).cast("double") * lit(100000000.0)) - meanD * meanD
+    q.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        round(meanD, 6).as("mean_v"),
+        round(varD, 6).as("var_v"),
+        (round(varD, 6) < deadVarThreshold).cast("int").as("is_dead"))
+      .orderBy("pos")
+  }
 }

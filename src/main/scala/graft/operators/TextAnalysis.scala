@@ -284,6 +284,33 @@ object TextAnalysis {
       (wcOk && mwlOk && stopOk).cast("int").as("pass"))
   }
 
+  /** Blocklist gate, summarized per source: how many documents contain
+    * at least one listed token, and how many listed-token occurrences
+    * there are — the C4-style bad-words filter's dry-run report (run the
+    * report first; the gate itself is the same predicate as a filter).
+    * The list is compiled INTO the projection as an array-HOF literal
+    * chain (codegen'd, no join, no UDF) — the right shape while the list
+    * is small; a 10⁵-term list would switch to a broadcast semi-join on
+    * exploded tokens. One scan, one two-phase agg. */
+  def blocklistStats(docs: DataFrame, srcCol: String, textCol: String,
+                     blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    require(blocklist.forall(t => t.nonEmpty && !t.contains("'")),
+      s"blocklist terms must be non-empty and quote-free: $blocklist")
+    val toks = tokens(col(textCol))
+    val pred = blocklist.map(t => s"x = '$t'").mkString(" OR ")
+    val hits = size(expr(s"filter(${"__toks"}, x -> $pred)"))
+    docs
+      .select(col(srcCol).as("source"), toks.as("__toks"))
+      .select(col("source"), hits.cast("long").as("n_hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_hits") > 0).cast("long")).as("flagged_docs"),
+        sum(col("n_hits")).as("total_hits"),
+        round(sum((col("n_hits") > 0).cast("long")).cast("double")
+          / count(lit(1)).cast("double"), 4).as("flag_rate"))
+  }
+
   /** One-scan text profile of a documents table. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
