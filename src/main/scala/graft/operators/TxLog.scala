@@ -1027,10 +1027,41 @@ object TxLog {
   }
 
   /** `writeStream.foreachBatch(TxLog.mergeSink(zone, key))` — the
-    * exactly-once keyed-upsert lake sink. */
+    * exactly-once keyed-upsert lake sink. The batch must be unique per
+    * key (use [[cdcMergeSink]] for raw CDC batches). */
   def mergeSink(zone: String, key: String): (DataFrame, Long) => Unit =
     (df, batchId) => {
       mergeExactlyOnce(df.sparkSession, zone, df, key, batchId): Unit
+    }
+
+  /** The CDC current-state sink: each micro-batch is first reduced to its
+    * per-key LAST-WRITER-WINS row (greatest `ordCol`, remaining columns
+    * as a deterministic tiebreak — one hash agg over a max-struct, the
+    * same no-window winner shape as `Cdc.snapshot`), then upserted
+    * exactly-once. This maintains the compacted current-state table
+    * INCREMENTALLY — the reference computes it by full-scan snapshot
+    * jobs over the appended delta lake (`Cdc.snapshot` replaying
+    * `firehose_transformation.py` output); at 100 TB the full rebuild
+    * reads everything ever written, this reads the files one batch's
+    * keys touch.
+    *
+    * Ordering contract: batches are assumed key-ordered ACROSS batches —
+    * exactly the reference transport's guarantee (Kinesis per-shard
+    * ordering: one key rides one shard, `lib/dynamodb-streaming-
+    * datalake-stack.ts:59-64`), so a later batch's row for a key
+    * supersedes the stored one unconditionally. A transport without that
+    * guarantee needs a compare-on-`ordCol` merge variant instead. */
+  def cdcMergeSink(zone: String, key: String,
+                   ordCol: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val others = df.columns.filterNot(c => c == key || c == ordCol).toSeq
+      val packed = df.groupBy(col(key))
+        .agg(max(struct((ordCol +: others).map(col): _*)).as("__w"))
+      val lww = packed
+        .select(col(key) +: (ordCol +: others).map(c => col("__w." + c).as(c)): _*)
+        .select(df.columns.toSeq.map(col): _*)
+      mergeExactlyOnce(df.sparkSession, zone, lww, key, batchId): Unit
     }
 
   /** Exactly-once micro-batch append for Structured Streaming: commit
