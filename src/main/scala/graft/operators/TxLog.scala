@@ -1064,6 +1064,107 @@ object TxLog {
       mergeExactlyOnce(df.sparkSession, zone, lww, key, batchId): Unit
     }
 
+  /** `deletedRows` is exact; `filesTouched` of `filesTotal` is how many
+    * live files the range stats made the delete rewrite. */
+  final case class DeleteStats(gen: Long, filesTouched: Long, filesTotal: Long,
+                               deletedRows: Long)
+
+  /** Targeted DELETE: remove every row where `column` ∈ [lo, hi],
+    * rewriting ONLY the files whose committed stats overlap the range —
+    * the retention/GDPR-scrub primitive [[replaceCas]]'s scaladoc points
+    * at, with the same write-amplification bound as [[merge]]: a scrub
+    * of one user's key touches that key's files, never the zone. A file
+    * whose stats sit ENTIRELY inside [lo, hi] could in principle be
+    * dropped without reading; it is rewritten anyway so `deletedRows` is
+    * exact and stat-less edge files stay correct — the dominant cost is
+    * unchanged (files the range misses are never read). Optimistic
+    * concurrency like merge: a rival commit mid-delete aborts the
+    * publish and the delete recomputes from the new head. Zones without
+    * stats for `column` rewrite every file (correct, unpruned). */
+  def deleteWhereCol(spark: SparkSession, zone: String, column: String,
+                     lo: Any, hi: Any, maxAttempts: Int = 5,
+                     prePublishHook: () => Unit = () => ()): DeleteStats = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val f = fs(spark, zone)
+    val root = f.makeQualified(new Path(zone))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = latest(spark, zone).getOrElse(init(spark, zone))
+      val tracked = head.meta.getOrElse("stats.cols", "").split(",").contains(column)
+      val touched = if (tracked) prunedFilesFor(head, column, lo, hi) else head.files
+      val untouchedSet = head.files.toSet -- touched
+      if (touched.isEmpty)
+        return DeleteStats(head.gen, 0L, head.files.size.toLong, 0L)
+      val touchedDf =
+        loadFiles(spark, head, touched.map(p => zone.stripSuffix("/") + "/" + p))
+      val survivors = touchedDf.filter(!nativeRangePred(touchedDf, column, lo, hi))
+      val deleted = touchedDf.count() - survivors.count()
+      val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
+      survivors.write.mode(SaveMode.ErrorIfExists).format(head.format)
+        .save(dataDir.toString)
+      val newFiles = listRel(f, root, dataDir)
+      val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
+        head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+      val nextFiles = (head.files.filter(untouchedSet) ++ newFiles).sorted
+      val nextStats = head.stats.filter { case (p, _) => untouchedSet(p) } ++ newStats
+      val nextColStats =
+        head.colStats.filter { case (p, _) => untouchedSet(p) } ++ newColStats
+      prePublishHook()
+      publish(spark, zone, head.gen + 1, head.format, nextFiles, head.meta,
+        nextStats, nextColStats) match {
+        case Some(g) =>
+          return DeleteStats(g, touched.size.toLong, head.files.size.toLong, deleted)
+        case None =>
+          f.delete(dataDir, true)
+      }
+      attempt += 1
+      Thread.sleep(math.min(200L, 10L * attempt))
+    }
+    sys.error(s"txlog delete from $zone conflicted $maxAttempts times")
+  }
+
+  /** The complete snapshot of generation `gen`, if its manifest still
+    * exists (i.e. within [[vacuum]] retention) — explicit time travel by
+    * generation number, beyond the pinned-snapshot form [[readSnapshot]]
+    * already serves. */
+  def snapshotAt(spark: SparkSession, zone: String, gen: Long): Option[Snapshot] = {
+    val f = fs(spark, zone)
+    val p = genPath(zone, gen)
+    if (!f.exists(p)) None else readManifest(f, p)
+  }
+
+  /** Change feed for APPEND-ONLY zones: the rows committed after
+    * `fromGen`, up to and including `toGen` (default: the head) — read
+    * by FILE DIFF, so an incremental consumer (a maintained aggregate, a
+    * downstream sync) pays for the delta, never the zone. This is sound
+    * only while every intervening commit strictly ADDED files; a
+    * replace/compact/merge/delete in the window rewrites history and the
+    * diff would double- or under-count — detected (the old generation
+    * holds a file the new one dropped) and rejected loudly. Both
+    * manifests must still be within vacuum retention. */
+  def appendedBetween(spark: SparkSession, zone: String, fromGen: Long,
+                      toGen: Long = Long.MaxValue): DataFrame = {
+    val head = latest(spark, zone).getOrElse(
+      sys.error(s"$zone has no transaction log"))
+    val to =
+      if (toGen == Long.MaxValue || toGen == head.gen) head
+      else snapshotAt(spark, zone, toGen).getOrElse(
+        sys.error(s"$zone generation $toGen is gone (vacuumed?) — cannot diff"))
+    val from = snapshotAt(spark, zone, fromGen).getOrElse(
+      sys.error(s"$zone generation $fromGen is gone (vacuumed?) — cannot diff"))
+    val toSet = to.files.toSet
+    val dropped = from.files.filterNot(toSet)
+    require(dropped.isEmpty,
+      s"$zone is not append-only between gen $fromGen and gen ${to.gen}: " +
+        s"${dropped.size} file(s) were rewritten (compact/replace/merge/delete) — " +
+        "an incremental file-diff read would be wrong; re-read the full snapshot")
+    val fromSet = from.files.toSet
+    val added = to.files.filterNot(fromSet)
+    if (added.isEmpty)
+      readSnapshot(spark, zone, to).filter(org.apache.spark.sql.functions.lit(false))
+    else loadFiles(spark, to, added.map(p => zone.stripSuffix("/") + "/" + p))
+  }
+
   /** Exactly-once micro-batch append for Structured Streaming: commit
     * `df` tagged with `batchId`, skipping batches at or below the zone's
     * committed high-water mark — a replayed batch (restart re-running the
