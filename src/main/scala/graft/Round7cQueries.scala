@@ -49,6 +49,45 @@ object Round7cQueries {
       zone
     })
 
+  /** One deleted-orders zone per (JVM, sf dir): base = the same 8-file
+    * range-clustered layout as q201, then one range DELETE over the
+    * [500, 699] key band — two of eight files rewritten, six carried
+    * (TxLogDeleteSpec pins the touch count on its own fixture). */
+  private val deletedZones = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def deletedOrdersZone(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String =
+    deletedZones.getOrElseUpdate(d, {
+      val zone = java.nio.file.Files
+        .createTempDirectory("graft_q209").toString + "/zone"
+      TxLog.replace(s, zone,
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      TxLog.deleteWhereCol(s, zone, "o_orderkey", 500, 699)
+      zone
+    })
+
+  /** One append-only zone + pinned first generation per (JVM, sf dir):
+    * gen 1 = low-key orders (replace), then two appends. q210 reads the
+    * CHANGE FEED from gen 1 — exactly the appended rows, by file diff. */
+  private val feedZones = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Long)]
+  private[graft] def changeFeedZone(s: org.apache.spark.sql.SparkSession,
+                                    d: String): (String, Long) =
+    feedZones.getOrElseUpdate(d, {
+      val zone = java.nio.file.Files
+        .createTempDirectory("graft_q210").toString + "/zone"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val g1 = TxLog.replace(s, zone, base.filter(col("o_orderkey") < 5000)).gen
+      TxLog.append(s, zone,
+        base.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 9000))
+      TxLog.append(s, zone, base.filter(col("o_orderkey") >= 9000))
+      (zone, g1)
+    })
+
   /** The q38/q46 simhash CTE (bit-parity-critical — same construction). */
   private val simhashShSql =
     s"""sh AS (
@@ -257,6 +296,38 @@ object Round7cQueries {
              |             6) < 0.0001 AS INT) AS is_dead
              |FROM x GROUP BY pos ORDER BY pos""".stripMargin),
       (s, d) => Similarity.dimScreen(Tables.embeddings(s, d))),
+
+    Q("q209_txlog_delete",
+      // The targeted DELETE under the hash gate: a range scrub over one
+      // key band, read back in full and hash-compared to the plain
+      // NOT-BETWEEN filter — the GDPR/retention write path proven the
+      // same way q201 proves merge. TxLogDeleteSpec pins that only the
+      // stats-overlapping files were rewritten; the hash pins that the
+      // rewrite lost and invented nothing.
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey NOT BETWEEN 500 AND 699
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => TxLog.read(s, deletedOrdersZone(s, d))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    Q("q210_txlog_change_feed",
+      // The append-only change feed under the hash gate: two appends
+      // after the pinned base generation, served by FILE DIFF — the
+      // incremental-consumer read (a maintained aggregate pays for the
+      // delta, never the zone; TxLogDeleteSpec pins the incremental-agg
+      // equivalence and the rewrite refusal). Equality with the plain
+      // key-range filter proves the diff is exactly the delta.
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_orderkey >= 5000
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val (zone, g1) = changeFeedZone(s, d)
+        TxLog.appendedBetween(s, zone, g1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      }),
 
     Q("q208_simhash_hamming_hist",
       // The SimHash distance histogram that justifies a near-dup
