@@ -329,6 +329,91 @@ object Round7cQueries {
           .orderBy("o_orderkey")
       }),
 
+    Q("q211_hard_negatives",
+      // Hard-negative mining for contrastive embedding training: per
+      // query vector, the 5 most-similar vectors with a DIFFERENT label
+      // — the "looks close, should be far" pairs a triplet/InfoNCE run
+      // feeds beside its positives. Rounded-cosine + vec_id total order;
+      // the top-5 pick is the skew-safe two-level tournament, not a
+      // per-query window over the whole corpus. Scale shape: 5 query
+      // rows broadcast against the corpus scan (the label filter rides
+      // in the join), candidates never leave their partition until the
+      // bounded local top-5s union.
+      Some(s"""WITH c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 5),
+              |q AS (SELECT vec_id AS q_id, label AS ql, embedding AS qe
+              |      FROM embeddings WHERE vec_id < 5),
+              |s AS (SELECT q.q_id, c.vec_id,
+              |             ROUND(${TrainingQueries.cosOf("c.embedding", "q.qe")}, 4) AS sim
+              |      FROM c CROSS JOIN q WHERE c.label <> q.ql)
+              |SELECT q_id, vec_id, sim FROM (
+              |  SELECT q_id, vec_id, sim, ROW_NUMBER() OVER (
+              |    PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM s) t
+              |WHERE rn <= 5 ORDER BY q_id, vec_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosine
+        val emb = Tables.embeddings(s, d)
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("label").as("ql"),
+            col("embedding").as("qe"))
+        val scored = c.join(broadcast(q), col("label") =!= col("ql"))
+          .select(col("q_id"), col("vec_id"),
+            round(cosine(col("embedding"), col("qe")), 4).as("sim"))
+        Skew.topKPerKey(scored, Seq(col("q_id")),
+            Seq(col("sim").desc, col("vec_id")), k = 5)
+          .select("q_id", "vec_id", "sim")
+          .orderBy("q_id", "vec_id")
+      }),
+
+    Q("q212_incremental_agg",
+      // Incremental view maintenance under the hash gate: the per-key
+      // (count, decimal sum) aggregate over the q210 zone computed as
+      // BASE-SNAPSHOT AGG ⊎ CHANGE-FEED AGG (partial aggs combined by a
+      // second agg — the maintained-view update step), hash-equal to the
+      // oracle's flat GROUP BY over everything. Works because count and
+      // decimal sum are commutative monoids — the exactness the dsum
+      // discipline exists for (float sums would drift between the
+      // incremental and flat forms). At 100 TB the view update reads
+      // one batch's files, never the zone.
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+              |       ${Queries.dsumSql("o_totalprice")} AS total
+              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      (s, d) => {
+        val (zone, g1) = changeFeedZone(s, d)
+        val base = TxLog.readSnapshot(s, zone,
+          TxLog.snapshotAt(s, zone, g1).getOrElse(
+            sys.error(s"q212: base generation $g1 vacuumed")))
+        val delta = TxLog.appendedBetween(s, zone, g1)
+        def part(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+            Queries.dsum(col("o_totalprice")).as("t"))
+        part(base).unionByName(part(delta))
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("t")).cast("decimal(18,4)").cast("double").as("total"))
+          .orderBy("o_custkey")
+      }),
+
+    Q("q213_metadata_count",
+      // COUNT(*) answered from the manifest's per-file row stats — zero
+      // data files read (the plan is a 1-row LocalRelation; Round7cSpec
+      // pins that metadataCount needs no scan and agrees after merge and
+      // delete). The aggregate-pushdown path every lake format serves
+      // from metadata; the hash gate proves the committed stats carry
+      // the EXACT count through replace + merge + merge.
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
+      (s, d) => {
+        // the q201 zone: base orders + one update merge (row count
+        // unchanged) + one insert merge (100 new keys) - so the
+        // metadata count must equal |orders| + 100; subtracting the
+        // known insert count yields |orders| for the oracle comparison
+        val n = TxLog.metadataCount(s, mergedOrdersZone(s, d)).getOrElse(
+          sys.error("q213: zone lost its stats - metadataCount fell back"))
+        import s.implicits._
+        Seq(n - 100L).toDF("n")
+      }),
+
     Q("q208_simhash_hamming_hist",
       // The SimHash distance histogram that justifies a near-dup
       // threshold choice: pair counts by hamming distance up to 7, found

@@ -1123,6 +1123,21 @@ object TxLog {
     sys.error(s"txlog delete from $zone conflicted $maxAttempts times")
   }
 
+  /** Exact row count from manifest stats alone — ZERO data files read:
+    * the aggregate-pushdown answer Delta/Iceberg serve from file-level
+    * metadata, and at 100 TB the difference between a catalog lookup and
+    * a full scan. Every [[ColStat]] carries the file's row count (all
+    * columns of a file agree), so any tracked column serves. None when
+    * some live file predates stats tracking — the caller falls back to a
+    * scan rather than trusting a partial count. */
+  def metadataCount(spark: SparkSession, zone: String): Option[Long] = {
+    val head = latest(spark, zone).getOrElse(return None)
+    if (head.files.isEmpty) return Some(0L)
+    val perFile = head.files.map(f =>
+      head.colStats.get(f).flatMap(_.values.headOption).map(_.rows))
+    if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+  }
+
   /** The complete snapshot of generation `gen`, if its manifest still
     * exists (i.e. within [[vacuum]] retention) — explicit time travel by
     * generation number, beyond the pinned-snapshot form [[readSnapshot]]

@@ -162,6 +162,39 @@ class TxLogMergeSpec extends SparkSpec {
     assert(TxLog.latest(spark, zone).get.meta("batchId") === "2")
   }
 
+  test("two racing merges on disjoint key ranges both land — nothing lost") {
+    val zone = bandedZone()
+    val u1 = Seq((10L, "m1"), (1000L, "i1")).toDF("id", "payload")
+    val u2 = Seq((350L, "m2"), (2000L, "i2")).toDF("id", "payload")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(TxLog.merge(spark, zone, u1, "id"))
+    val f2 = Future(TxLog.merge(spark, zone, u2, "id"))
+    val (s1, s2) = (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    assert(Set(s1.gen, s2.gen).size === 2, "racing merges must claim distinct generations")
+    val r = rows(zone)
+    assert(r(10L) === "m1" && r(350L) === "m2", "an update was lost to the race")
+    assert(r(1000L) === "i1" && r(2000L) === "i2", "an insert was lost to the race")
+    assert(r.size === 402)
+  }
+
+  test("metadataCount: exact through replace + merge + delete, zero files read") {
+    val zone = bandedZone()
+    assert(TxLog.metadataCount(spark, zone) === Some(400L))
+    TxLog.merge(spark, zone,
+      Seq((10L, "u"), (1000L, "n")).toDF("id", "payload"), "id")
+    assert(TxLog.metadataCount(spark, zone) === Some(401L))
+    TxLog.deleteWhereCol(spark, zone, "id", 0, 49)
+    assert(TxLog.metadataCount(spark, zone) === Some(351L))
+    assert(TxLog.metadataCount(spark, zone).get ===
+      TxLog.read(spark, zone).count())
+    // a zone without tracked stats must refuse, not guess
+    val bare = freshZone()
+    TxLog.replace(spark, bare, spark.range(10L).toDF("id"))
+    assert(TxLog.metadataCount(spark, bare).isEmpty)
+  }
+
   test("empty updates frame is a no-op merge") {
     val zone = bandedZone()
     val genBefore = TxLog.latest(spark, zone).get.gen
