@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import graft.operators.TxLog
+
+/** The TxLog streaming-source contract: initial snapshot then per-
+  * generation deltas with no duplicates, checkpoint restart resumes from
+  * the committed generation, and a history rewrite inside a batch window
+  * fails the stream loudly instead of corrupting the diff. */
+class TxLogStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshZone(): String =
+    java.nio.file.Files.createTempDirectory("graft_zsrc").toString + "/zone"
+
+  private val fmt = "graft.sources.TxLogStreamProvider"
+
+  test("initial snapshot + appended generations arrive exactly once") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
+    val q = spark.readStream.format(fmt).option("zone", zone).load()
+      .writeStream.format("memory").queryName("zsrc1").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("zsrc1").as[Long].collect().toSet === (0L until 10L).toSet,
+      "first batch must serve the initial snapshot")
+    TxLog.append(spark, zone, spark.range(10L, 25L).toDF("id"))
+    TxLog.append(spark, zone, spark.range(25L, 30L).toDF("id"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("zsrc1").as[Long].collect()
+    assert(got.length === 30, s"expected 30 rows exactly once, got ${got.length}")
+    assert(got.toSet === (0L until 30L).toSet)
+  }
+
+  test("startingGen skips history: only post-start generations stream") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
+    val g = TxLog.latest(spark, zone).get.gen
+    TxLog.append(spark, zone, spark.range(10L, 15L).toDF("id"))
+    val q = spark.readStream.format(fmt)
+      .option("zone", zone).option("startingGen", g.toString).load()
+      .writeStream.format("memory").queryName("zsrc2").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("zsrc2").as[Long].collect().toSet === (10L until 15L).toSet)
+  }
+
+  test("checkpoint restart resumes from the committed generation") {
+    val zone = freshZone()
+    val ckpt = java.nio.file.Files.createTempDirectory("zsrc_ckpt").toString
+    TxLog.replace(spark, zone, spark.range(5L).toDF("id"))
+
+    // batches land in a per-run buffer via foreachBatch (the memory sink
+    // does not support checkpoint recovery)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format(fmt).option("zone", zone).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          seen.synchronized {
+            seen += batchId -> df.select("id").as[Long].collect().toSet
+          }: Unit
+        }
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce()
+    assert(seen.map(_._2).reduce(_ ++ _) === (0L until 5L).toSet)
+    seen.clear()
+    TxLog.append(spark, zone, spark.range(5L, 12L).toDF("id"))
+    // a fresh query on the same checkpoint must serve ONLY the delta
+    runOnce()
+    val got = seen.map(_._2).foldLeft(Set.empty[Long])(_ ++ _)
+    assert(got === (5L until 12L).toSet,
+      s"restart must resume from the committed generation, got $got")
+  }
+
+  test("a compaction inside a batch window fails the stream loudly") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(100L).toDF("id").repartition(8))
+    val q = spark.readStream.format(fmt).option("zone", zone).load()
+      .writeStream.format("memory").queryName("zsrc4").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // rewrite history: appends + a compact that collapses them
+    TxLog.append(spark, zone, spark.range(100L, 120L).toDF("id"))
+    TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    val e = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.stop()
+    }
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")),
+      s"expected the append-only refusal, got: ${e.getMessage}")
+  }
+
+  test("streaming out composes with merge-sink streaming in (zone-to-zone)") {
+    // the full lake loop: an append-only staging zone streams into a
+    // merged current-state zone through the exactly-once upsert sink
+    val staging = freshZone()
+    val state = freshZone()
+    TxLog.replace(spark, staging,
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "seq", "payload"))
+    val q = spark.readStream.format(fmt).option("zone", staging).load()
+      .writeStream
+      .foreachBatch(TxLog.cdcMergeSink(state, "id", "seq"))
+      .outputMode("update").start()
+    q.processAllAvailable()
+    TxLog.append(spark, staging,
+      Seq((1L, 2L, "a2"), (3L, 1L, "c")).toDF("id", "seq", "payload"))
+    q.processAllAvailable()
+    q.stop()
+    val got = TxLog.read(spark, state)
+      .select($"id", $"seq", $"payload").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((2L, "a2")), 2L -> ((1L, "b")), 3L -> ((1L, "c"))))
+  }
+}
