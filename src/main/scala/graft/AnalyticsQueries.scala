@@ -42,8 +42,8 @@ object AnalyticsQueries {
     * and q142 — the two unweighted variants differ only in dangling-mass
     * treatment, which is derived inside the iteration. */
   private val graphCache = new SessionCache[graft.operators.PageRank.Graph]
-  private def fulfillmentGraph(s: org.apache.spark.sql.SparkSession,
-                               d: String): graft.operators.PageRank.Graph =
+  private[graft] def fulfillmentGraph(s: org.apache.spark.sql.SparkSession,
+                                      d: String): graft.operators.PageRank.Graph =
     graphCache.getOrElseUpdate(s, d)(
       graft.operators.PageRank.buildGraph(fulfillmentEdges(s, d), "src", "dst"))
 

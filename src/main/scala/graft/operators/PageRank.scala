@@ -174,6 +174,66 @@ object PageRank {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin
   }
 
+  /** PERSONALIZED fixed-point PageRank: teleport mass lands only on the
+    * `seeds` — r₀ = Scale on seeds / 0 elsewhere, per-round base = Base
+    * on seeds / 0 elsewhere, contributions as in [[fixedPoint]]. The
+    * random-walk-with-restart relevance measure data-selection pipelines
+    * use to rank a corpus graph around a trusted seed set (the
+    * link-based cousin of q168's DSIR importance weighting). Same
+    * all-integer arithmetic (bit-stable in any shuffle order), same
+    * two-shuffle-per-round loop and checkpoint lineage discipline;
+    * dangling nodes absorb. The seed list is a broadcast literal —
+    * driver state is |seeds| longs. */
+  def fixedPointPersonalized(g: Graph, seeds: Seq[Long],
+                             iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val Graph(e, nodes, deg) = g
+    def isSeed = col("node").isin(seeds: _*)
+    var ranks = nodes.withColumn("rank",
+      when(isSeed, lit(Scale)).otherwise(lit(0L)))
+    for (i <- 0 until iterations) {
+      val contribs = e
+        .join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          floor((col("rank") * 85L) / (col("deg") * 100L)).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      val next = nodes
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (when(isSeed, lit(Base)).otherwise(lit(0L))
+            + coalesce(col("in_sum"), lit(0L))).as("rank"))
+      ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Oracle twin of [[fixedPointPersonalized]] — generated beside the
+    * Scala so the constants and the seed handling cannot drift. */
+  def fixedPointPersonalizedSql(edgesSql: String, seeds: Seq[Long],
+                                iterations: Int): String = {
+    val seedList = seeds.mkString(", ")
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CASE WHEN n.node IN ($seedList) THEN $Base ELSE 0 END + COALESCE((
+         |           SELECT SUM(CAST(FLOOR((r.rank * 85) / (d.deg * 100)) AS BIGINT))
+         |           FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN deg d ON d.src = e.src
+         |           WHERE e.dst = n.node), 0) AS rank
+         |  FROM nodes n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |         CAST(CASE WHEN node IN ($seedList) THEN $Scale ELSE 0 END AS BIGINT) AS rank
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin
+  }
+
   /** Oracle-SQL twin (DuckDB dialect): the same iterations unrolled as
     * chained CTEs over an `edges(src, dst)` CTE that the caller provides
     * as `edgesSql`. Generated beside the Scala so the constants cannot

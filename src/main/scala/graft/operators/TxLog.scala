@@ -517,7 +517,24 @@ object TxLog {
         }.toMap
         rel -> perCol
       }.toMap
-    (legacy, typed)
+    // ZERO-ROW files (an empty write partition — e.g. a merge whose
+    // touched side vanished entirely) never appear in the
+    // groupBy(input_file_name) result, which would leave them stat-less:
+    // every stats read then treats them as "unknown, must scan" and
+    // metadataCount refuses the zone. Record them explicitly as
+    // rows=0 / all-null stats — pruning then correctly always skips them
+    // and the row count stays exact.
+    val typedFilled =
+      if (typedCols.isEmpty) typed
+      else {
+        val seen = typed.keySet
+        val empties = listRel(
+          dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          root, dataDir).filterNot(seen)
+        typed ++ empties.map(rel =>
+          rel -> typedCols.map(c => c -> ColStat(kinds(c), 0L, 0L, None, None)).toMap)
+      }
+    (legacy, typedFilled)
   }
 
   /** The stats columns a zone tracks: this write's request, else the
@@ -974,8 +991,13 @@ object TxLog {
         val updatedRows = touchedDf.join(updKeys, Seq(key), "left_semi").count()
         val insertedRows = kr.getLong(2) - updatedRows
         val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
-        conform(survivors, schema).unionByName(conform(updRows, schema))
-          .write.mode(SaveMode.ErrorIfExists).format(head.format)
+        // insert-only fast path: no touched files -> no survivors side, so
+        // don't union an empty frame in (its empty write partitions would
+        // become zero-row data files)
+        val newData =
+          if (touched.isEmpty) conform(updRows, schema)
+          else conform(survivors, schema).unionByName(conform(updRows, schema))
+        newData.write.mode(SaveMode.ErrorIfExists).format(head.format)
           .save(dataDir.toString)
         val newFiles = listRel(f, root, dataDir)
         val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
