@@ -1,9 +1,10 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.TrainingQueries.toksSql
-import graft.operators.PageRank
+import graft.operators.{PageRank, Profile, Similarity}
 import graft.sources.Tables
 
 /** Round-7 additions, fourth block: graph-relevance and co-occurrence
@@ -80,6 +81,170 @@ object Round7dQueries {
         offset(1).unionByName(offset(2))
           .groupBy("ta", "tb").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("ta"), col("tb")).limit(30)
-      })
+      }),
+
+    Q("q216_overlap_chunks",
+      // RAG-style overlapping chunker: windows of 32 tokens at stride 24
+      // (8-token overlap carries context across chunk boundaries — the
+      // retrieval-chunking counterpart of q122's disjoint chunks). Pure
+      // map-side sequence-explode: chunk starts ride one
+      // posexplode(sequence(1, n, 24)), lengths clamp at the tail —
+      // nothing shuffles until the output sort. Emitted per chunk:
+      // position, clamped length, and the head token (the dedup/debug
+      // anchor).
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |c AS (SELECT doc_id,
+              |             UNNEST(GENERATE_SERIES(1, LEN(toks), 24)) AS sp,
+              |             toks
+              |      FROM t WHERE LEN(toks) >= 1)
+              |SELECT doc_id,
+              |       CAST((sp - 1) / 24 AS BIGINT) AS chunk_idx,
+              |       CAST(sp AS BIGINT) AS start_p,
+              |       CAST(LEAST(32, LEN(toks) - sp + 1) AS BIGINT) AS n_tok,
+              |       toks[sp] AS head_tok
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, d) => TrainingQueries.cachedDocToks(s, d)
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(1, size(toks), 24)")).as(Seq("i0", "sp")))
+        .select(col("doc_id"),
+          col("i0").cast("long").as("chunk_idx"),
+          col("sp").cast("long").as("start_p"),
+          least(lit(32), size(col("toks")) - col("sp") + 1).cast("long").as("n_tok"),
+          element_at(col("toks"), col("sp")).as("head_tok"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    Q("q217_binary_recall",
+      // Binary-quantization recall study (the 1-bit extreme of the
+      // q181/q183/q198 quantization family): 64-dim vectors compress to
+      // TWO sign-bit 32-bit codes (2⁶³ would overflow BIGINT — same
+      // 32-bit discipline as SimHash), candidates rank by integer
+      // hamming distance, the top-40 re-rank by exact cosine, and both
+      // recalls@10 are reported against the exact ranking. 32× smaller
+      // than float32 — the shuffle/memory scale path when even int8 is
+      // too wide; the study quantifies what that costs. All-integer
+      // candidate scoring, rounded-cosine re-rank, vec_id ties.
+      Some({
+        def lo(e: String) =
+          s"""CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(LEN($e), 32)),
+             |  i -> CASE WHEN $e[i] > 0 THEN CAST(POWER(2, i - 1) AS BIGINT)
+             |            ELSE 0 END)) AS BIGINT)""".stripMargin
+        def hi(e: String) =
+          s"""CASE WHEN LEN($e) < 33 THEN 0 ELSE
+             |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(33, LEAST(LEN($e), 64)),
+             |    i -> CASE WHEN $e[i] > 0 THEN CAST(POWER(2, i - 33) AS BIGINT)
+             |              ELSE 0 END)) AS BIGINT) END""".stripMargin
+        s"""WITH c AS (SELECT vec_id, embedding, ${lo("embedding")} AS blo,
+           |                  ${hi("embedding")} AS bhi
+           |           FROM embeddings WHERE vec_id >= 5),
+           |q AS (SELECT vec_id AS q_id, embedding AS qe, ${lo("embedding")} AS qlo,
+           |             ${hi("embedding")} AS qhi
+           |      FROM embeddings WHERE vec_id < 5),
+           |s AS (SELECT q.q_id, c.vec_id,
+           |             ROUND(${TrainingQueries.cosOf("c.embedding", "q.qe")}, 4) AS sim,
+           |             BIT_COUNT(XOR(c.blo, q.qlo)) + BIT_COUNT(XOR(c.bhi, q.qhi)) AS ham
+           |      FROM c CROSS JOIN q),
+           |r AS (SELECT q_id, vec_id, sim, ham,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS re,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rb
+           |      FROM s),
+           |ex AS (SELECT q_id, vec_id FROM r WHERE re <= 10),
+           |bi AS (SELECT q_id, vec_id FROM r WHERE rb <= 10),
+           |rr AS (SELECT q_id, vec_id FROM (
+           |         SELECT q_id, vec_id, ROW_NUMBER() OVER (
+           |           PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r2
+           |         FROM r WHERE rb <= 40) t WHERE r2 <= 10),
+           |hb AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN bi
+           |       ON ex.q_id = bi.q_id AND ex.vec_id = bi.vec_id GROUP BY ex.q_id),
+           |hr AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN rr
+           |       ON ex.q_id = rr.q_id AND ex.vec_id = rr.vec_id GROUP BY ex.q_id)
+           |SELECT q.q_id,
+           |       ROUND(CAST(COALESCE(hb.h, 0) AS DOUBLE) / 10.0, 4) AS recall_binary,
+           |       ROUND(CAST(COALESCE(hr.h, 0) AS DOUBLE) / 10.0, 4) AS recall_rerank
+           |FROM q LEFT JOIN hb ON q.q_id = hb.q_id
+           |       LEFT JOIN hr ON q.q_id = hr.q_id
+           |ORDER BY q.q_id""".stripMargin
+      }: String),
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosine
+        val emb = Tables.embeddings(s, d)
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.signBitCode("embedding", 1, 32).as("blo"),
+            Similarity.signBitCode("embedding", 33, 32).as("bhi"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            Similarity.signBitCode("embedding", 1, 32).as("qlo"),
+            Similarity.signBitCode("embedding", 33, 32).as("qhi"))
+        val scored = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            round(cosine(col("embedding"), col("qe")), 4).as("sim"),
+            (bit_count(col("blo").bitwiseXOR(col("qlo")))
+              + bit_count(col("bhi").bitwiseXOR(col("qhi")))).as("ham"))
+        val wE = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+        val wB = Window.partitionBy("q_id").orderBy(col("ham"), col("vec_id"))
+        val ranked = scored
+          .withColumn("re", row_number().over(wE))
+          .withColumn("rb", row_number().over(wB))
+        val ex = ranked.filter(col("re") <= 10).select("q_id", "vec_id")
+        val bi = ranked.filter(col("rb") <= 10).select("q_id", "vec_id")
+        val rr = ranked.filter(col("rb") <= 40)
+          .withColumn("r2", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("r2") <= 10).select("q_id", "vec_id")
+        val hb = ex.join(bi, Seq("q_id", "vec_id")).groupBy("q_id")
+          .agg(count(lit(1)).as("h_bin"))
+        val hr = ex.join(rr, Seq("q_id", "vec_id")).groupBy("q_id")
+          .agg(count(lit(1)).as("h_rr"))
+        q.select("q_id")
+          .join(hb, Seq("q_id"), "left").join(hr, Seq("q_id"), "left")
+          .select(col("q_id"),
+            round(coalesce(col("h_bin"), lit(0L)).cast("double") / 10.0, 4)
+              .as("recall_binary"),
+            round(coalesce(col("h_rr"), lit(0L)).cast("double") / 10.0, 4)
+              .as("recall_rerank"))
+          .orderBy("q_id")
+      }),
+
+    Q("q218_profile_table",
+      // One-pass table profiling (SUMMARIZE/ANALYZE-style): per column,
+      // exact row/null/distinct counts and numeric min/max — the
+      // arrival-QA report. ONE aggregation over one scan computes every
+      // measure (the multi-distinct expands internally); min/max ride
+      // try_cast(double) so the string column profiles as null bounds
+      // under ANSI instead of failing, and no engine-specific
+      // number-to-string formatting enters the result.
+      Some("""WITH w AS (SELECT COUNT(*) AS n,
+             |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+             |  COUNT(DISTINCT o_orderkey) AS d1,
+             |  MIN(TRY_CAST(o_orderkey AS DOUBLE)) AS mn1,
+             |  MAX(TRY_CAST(o_orderkey AS DOUBLE)) AS mx1,
+             |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+             |  COUNT(DISTINCT o_custkey) AS d2,
+             |  MIN(TRY_CAST(o_custkey AS DOUBLE)) AS mn2,
+             |  MAX(TRY_CAST(o_custkey AS DOUBLE)) AS mx2,
+             |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+             |  COUNT(DISTINCT o_orderstatus) AS d3,
+             |  MIN(TRY_CAST(o_orderstatus AS DOUBLE)) AS mn3,
+             |  MAX(TRY_CAST(o_orderstatus AS DOUBLE)) AS mx3,
+             |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu4,
+             |  COUNT(DISTINCT o_totalprice) AS d4,
+             |  MIN(TRY_CAST(o_totalprice AS DOUBLE)) AS mn4,
+             |  MAX(TRY_CAST(o_totalprice AS DOUBLE)) AS mx4
+             |  FROM orders)
+             |SELECT col_name, n AS n_rows, n_nulls, n_distinct, min_num, max_num
+             |FROM (
+             |  SELECT 'o_orderkey' AS col_name, n, CAST(nu1 AS BIGINT) AS n_nulls,
+             |         d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM w
+             |  UNION ALL
+             |  SELECT 'o_custkey', n, CAST(nu2 AS BIGINT), d2, mn2, mx2 FROM w
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', n, CAST(nu3 AS BIGINT), d3, mn3, mx3 FROM w
+             |  UNION ALL
+             |  SELECT 'o_totalprice', n, CAST(nu4 AS BIGINT), d4, mn4, mx4 FROM w)
+             |ORDER BY col_name""".stripMargin),
+      (s, d) => Profile.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("col_name"))
   )
 }

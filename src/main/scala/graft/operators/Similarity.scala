@@ -665,6 +665,25 @@ object Similarity {
       .select(col("a_id"), col("b_id"), simR.as("sim"))
   }
 
+  /** Sign-bit binary code over dims [from, from+width) (1-based,
+    * clamped to the vector length): bit j set iff `vecCol[from+j] > 0`.
+    * Two 32-bit halves cover a 64-dim vector without touching the BIGINT
+    * sign bit (2⁶³ overflows — the same reason [[Dedup.simhash32]] stays
+    * at 32 bits). Codegen'd HOF — no UDF. */
+  def signBitCode(vecCol: String, from: Int, width: Int): Column = {
+    require(from >= 1 && width >= 1 && width <= 62,
+      s"signBitCode needs 1-based from and width in [1,62], got ($from, $width)")
+    val hi = from + width - 1
+    expr(
+      s"""IF(size($vecCol) < $from, CAST(0 AS BIGINT),
+         |   aggregate(
+         |     sequence($from, int(least(size($vecCol), $hi))),
+         |     CAST(0 AS BIGINT),
+         |     (acc, i) -> acc + IF(element_at($vecCol, int(i)) > CAST(0 AS DOUBLE),
+         |                          shiftleft(CAST(1 AS BIGINT), int(i) - $from),
+         |                          CAST(0 AS BIGINT))))""".stripMargin)
+  }
+
   /** Per-group L2-norm statistics — the embedding-QA pass a pipeline runs
     * before trusting a vector column (collapsed or exploded norms are the
     * classic symptom of a broken encoder export). Determinism discipline:
