@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.TrainingQueries.toksSql
-import graft.operators.{PageRank, Profile, Similarity}
+import graft.operators.{PageRank, Profile, Similarity, TxLog}
 import graft.sources.Tables
 
 /** Round-7 additions, fourth block: graph-relevance and co-occurrence
@@ -245,6 +245,94 @@ object Round7dQueries {
              |ORDER BY col_name""".stripMargin),
       (s, d) => Profile.profile(Tables.orders(s, d),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    Q("q219_txlog_restore",
+      // RESTORE under the hash gate: replace → range delete → restore to
+      // the pre-delete generation; reading the head back must equal the
+      // untouched source table — a manifest-level rollback that copies
+      // no data (the restored files are the ORIGINAL immutable files,
+      // re-referenced by a new commit; TxLogDeleteSpec's sibling spec
+      // pins history and retention behavior). The recovery story every
+      // bad-deploy postmortem asks for, at manifest cost.
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => TxLog.read(s, restoredOrdersZone(s, d))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    Q("q220_assortativity",
+      // Newman degree assortativity of the fulfillment graph: the
+      // Pearson correlation between source out-degree and destination
+      // in-degree across edges — the one-number answer to "do busy
+      // suppliers serve busy customers", and the graph-QA check run
+      // before trusting degree-targeted sampling. All sums are exact
+      // integer aggregates (products < 2^53 through sf1 — the documented
+      // exact-double-conversion bound); the final r is one fixed IEEE
+      // expression over those exact sums, identical on both engines;
+      // zero variance on either side reports 0. One distinct-edge agg,
+      // two degree aggs, two equi-joins, a 1-row reduce.
+      Some("""WITH e AS (SELECT DISTINCT src, dst FROM (
+             |  SELECT l_suppkey AS src, 1000000 + o_custkey AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+             |od AS (SELECT src, COUNT(*) AS x FROM e GROUP BY src),
+             |idg AS (SELECT dst, COUNT(*) AS y FROM e GROUP BY dst),
+             |j AS (SELECT od.x, idg.y FROM e
+             |      JOIN od USING (src) JOIN idg USING (dst)),
+             |s AS (SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             |             SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             |             SUM(y * y) AS syy FROM j)
+             |SELECT CAST(m AS BIGINT) AS m_edges,
+             |  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+             |         OR (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+             |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+             |       THEN 0.0
+             |       ELSE ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |            / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |               * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+             |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             |  END AS assortativity
+             |FROM s""".stripMargin),
+      (s, d) => assortativity(AnalyticsQueries.fulfillmentGraph(s, d).e))
   )
+
+  /** One restored-orders zone per (JVM, sf dir): replace → range delete
+    * → restore to the pre-delete generation. */
+  private val restoreZones = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def restoredOrdersZone(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String =
+    restoreZones.getOrElseUpdate(d, {
+      val zone = java.nio.file.Files
+        .createTempDirectory("graft_q219").toString + "/zone"
+      val g = TxLog.replace(s, zone,
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey")).gen
+      TxLog.deleteWhereCol(s, zone, "o_orderkey", 200, 399)
+      TxLog.restore(s, zone, g)
+      zone
+    })
+
+  /** Newman degree assortativity over a distinct edge list — see q220. */
+  private[graft] def assortativity(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val od = e.groupBy("src").agg(count(lit(1)).as("x"))
+    val idg = e.groupBy("dst").agg(count(lit(1)).as("y"))
+    val s = e.join(od, "src").join(idg, "dst")
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val varX = d("m") * d("sxx") - d("sx") * d("sx")
+    val varY = d("m") * d("syy") - d("sy") * d("sy")
+    val r = round((d("m") * d("sxy") - d("sx") * d("sy"))
+      / (sqrt(varX) * sqrt(varY)), 4)
+    s.select(col("m").as("m_edges"),
+      when(varX <= 0.0 || varY <= 0.0, lit(0.0)).otherwise(r)
+        .as("assortativity"))
+  }
 }

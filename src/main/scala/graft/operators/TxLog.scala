@@ -1170,6 +1170,43 @@ object TxLog {
     if (!f.exists(p)) None else readManifest(f, p)
   }
 
+  /** RESTORE the zone to a past generation's content, committed as a NEW
+    * generation — Delta's RESTORE: a manifest-level rollback referencing
+    * the old generation's (immutable) files, no data copied or rewritten.
+    * History stays intact (the rolled-back generations remain readable
+    * until vacuum), and because the restored files are referenced by the
+    * new head again, retention keeps them alive going forward. Fails if
+    * `gen`'s manifest is already vacuumed. A lost publish race rebases
+    * and retries — restore names a FIXED generation's content, so unlike
+    * merge/delete there is nothing stale to recompute (rivals committed
+    * after the race simply lose that race's rows to the rollback, which
+    * is restore's stated meaning). */
+  def restore(spark: SparkSession, zone: String, gen: Long,
+              maxRetries: Int = 5): Snapshot = {
+    val target = snapshotAt(spark, zone, gen).getOrElse(
+      sys.error(s"$zone generation $gen is gone (vacuumed?) — cannot restore"))
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val head = latest(spark, zone).getOrElse(init(spark, zone))
+      if (head.gen == gen) return head // restoring to the head is a no-op
+      // carry the head's operational meta (e.g. the streaming batchId
+      // high-water mark) but the TARGET's schema and stats — the content
+      // is the target's, the transport bookkeeping is the present's
+      val meta = head.meta ++
+        target.meta.get("schema").map("schema" -> _).toMap
+      publish(spark, zone, head.gen + 1, target.format, target.files,
+        meta, target.stats, target.colStats) match {
+        case Some(g) =>
+          return Snapshot(g, target.format, target.files, meta,
+            target.stats, target.colStats, base = head.gen)
+        case None => ()
+      }
+      attempt += 1
+      Thread.sleep(math.min(200L, 10L * attempt))
+    }
+    sys.error(s"txlog restore of $zone lost the publish race $maxRetries times")
+  }
+
   /** Change feed for APPEND-ONLY zones: the rows committed after
     * `fromGen`, up to and including `toGen` (default: the head) — read
     * by FILE DIFF, so an incremental consumer (a maintained aggregate, a

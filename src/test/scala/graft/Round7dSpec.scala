@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{PageRank, Profile, Similarity}
+import graft.operators.{PageRank, Profile, Similarity, TxLog}
 
 /** Round-7 fourth block semantics: personalized-PageRank seed locality,
   * sign-bit code edges, the overlap-chunker guarantee, and the one-pass
@@ -48,6 +48,37 @@ class Round7dSpec extends SparkSpec {
     val full = rows.filter(_.getLong(3) === 32L)
     if (full.length >= 2)
       assert(full(0).getLong(2) + 32L - full(1).getLong(2) === 8L)
+  }
+
+  test("restore: manifest-level rollback, history intact, no-op on head") {
+    val zone = java.nio.file.Files.createTempDirectory("r7d_restore")
+      .toString + "/zone"
+    val g1 = TxLog.replace(spark, zone,
+      spark.range(100L).toDF("id").repartitionByRange(4, $"id"),
+      statsCols = Seq("id")).gen
+    TxLog.deleteWhereCol(spark, zone, "id", 0, 49)
+    assert(TxLog.read(spark, zone).count() === 50L)
+    val restored = TxLog.restore(spark, zone, g1)
+    assert(TxLog.read(spark, zone).count() === 100L, "restore must revive the rows")
+    assert(restored.gen > g1 + 1, "restore commits a NEW generation")
+    // the deleted-state generation is still time-travelable
+    val mid = TxLog.snapshotAt(spark, zone, restored.gen - 1).get
+    assert(TxLog.readSnapshot(spark, zone, mid).count() === 50L)
+    // restoring to the current head is a no-op
+    assert(TxLog.restore(spark, zone, restored.gen).gen === restored.gen)
+    // stats came back with the restored files: pruning works
+    assert(TxLog.metadataCount(spark, zone) === Some(100L))
+    intercept[RuntimeException] { TxLog.restore(spark, zone, 999L) }
+  }
+
+  test("assortativity: hand-checked triangle, zero-variance guard") {
+    // 1->2, 1->3, 2->3: x=(2,2,1), y=(1,2,2) -> r = -1/2
+    val e1 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Round7dQueries.assortativity(e1).as[(Long, Double)].head()
+    assert(r1 === ((3L, -0.5)))
+    // a star has zero out-degree variance -> guarded 0
+    val e2 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(Round7dQueries.assortativity(e2).as[(Long, Double)].head() === ((3L, 0.0)))
   }
 
   test("profiler: exact counts, null bounds for strings, one scan") {
