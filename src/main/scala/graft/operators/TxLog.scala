@@ -1306,6 +1306,52 @@ object TxLog {
     }
   }
 
+  /** Compact AND re-cluster in one rewrite — Delta's `OPTIMIZE ... ZORDER
+    * BY`: the zone's live rows are Z-ordered on `cols`
+    * ([[Layout.clusterByZ]]) into ~`targetBytes` files and published as
+    * a new generation with fresh per-file stats. Appends scatter a key
+    * space across files over time (every file's min/max widens until
+    * range pruning degenerates to a full scan — exactly at the scale it
+    * matters); this maintenance pass restores TIGHT per-file bounds on
+    * every clustered column at once, so [[readWhereCols]]' stats
+    * intersection prunes sharply again. `bits` is the per-column budget
+    * of the interleaved z-value; columns must be numeric and
+    * non-negative after the caller's own bucketing (the [[Layout]]
+    * contract). Unlike [[compact]] this always rewrites (re-clustering
+    * is the point, not file-count reduction); the same lost-race abort
+    * applies. */
+  def compactClustered(spark: SparkSession, zone: String, cols: Seq[String],
+                       bits: Int = 10, targetBytes: Long = 128L << 20): CompactStats = {
+    require(cols.nonEmpty, "compactClustered needs at least one cluster column")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val f = fs(spark, zone)
+    val root = f.makeQualified(new Path(zone))
+    val head = latest(spark, zone).getOrElse(init(spark, zone))
+    if (head.files.isEmpty)
+      return CompactStats(head.gen, 0L, 0L, 0L, rewritten = false)
+    val bytes = head.resolve(zone).map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val wantFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+    val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
+    Layout.clusterByZ(readSnapshot(spark, zone, head), cols, bits, wantFiles)
+      .write.mode(SaveMode.ErrorIfExists).format(head.format).save(dataDir.toString)
+    val newFiles = listRel(f, root, dataDir)
+    val statsCols = (effectiveStatsCols(Nil, head.meta) ++ cols).distinct
+    val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
+      head.format, head.meta.get("stats.col"), statsCols)
+    val meta = head.meta ++
+      (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(",")) else Map.empty)
+    publish(spark, zone, head.gen + 1, head.format, newFiles, meta,
+      newStats, newColStats) match {
+      case Some(g) =>
+        CompactStats(g, head.files.size.toLong, newFiles.size.toLong, bytes,
+          rewritten = true)
+      case None =>
+        f.delete(dataDir, true)
+        CompactStats(head.gen, head.files.size.toLong, head.files.size.toLong,
+          bytes, rewritten = false)
+    }
+  }
+
   /** Delete data files referenced ONLY by generations older than the
     * newest `keepGens`, plus those generations' manifests. Never touches
     * the files of a kept snapshot, and never touches files younger than

@@ -109,6 +109,48 @@ class TxLogDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("not append-only"))
   }
 
+  test("compactClustered restores sharp two-column pruning after scattering appends") {
+    import graft.operators.TxLog.{prunedFilesFor, latest}
+    val zone = freshZone()
+    // 4 appends, each spanning the WHOLE (a, b) space: every file's
+    // min/max covers everything -> range pruning degenerates
+    TxLog.init(spark, zone)
+    (0 until 4).foreach { i =>
+      TxLog.append(spark, zone,
+        spark.range(1000L).select(
+          (($"id" * 7 + i) % 100).as("a"), (($"id" * 13 + i) % 100).as("b"),
+          $"id".as("payload")),
+        statsCols = Seq("a", "b"))
+    }
+    val before = latest(spark, zone).get
+    val keepBefore = Seq(("a", 10, 19), ("b", 10, 19))
+      .foldLeft(before.files) { case (fs0, (c, lo, hi)) =>
+        val k = prunedFilesFor(before, c, lo, hi).toSet; fs0.filter(k)
+      }
+    assert(keepBefore.size === before.files.size,
+      "scattered appends should defeat pruning (every file overlaps)")
+    val rowsBefore = TxLog.read(spark, zone).count()
+
+    val st = TxLog.compactClustered(spark, zone, Seq("a", "b"),
+      bits = 7, targetBytes = 2L << 10)
+    assert(st.rewritten && st.filesAfter >= 8,
+      s"need enough files for pruning to show: $st")
+    val after = latest(spark, zone).get
+    val keepAfter = Seq(("a", 10, 19), ("b", 10, 19))
+      .foldLeft(after.files) { case (fs0, (c, lo, hi)) =>
+        val k = prunedFilesFor(after, c, lo, hi).toSet; fs0.filter(k)
+      }
+    assert(keepAfter.size < after.files.size / 2,
+      s"z-clustering must restore pruning: ${keepAfter.size}/${after.files.size} files kept")
+    // content is untouched by the rewrite
+    assert(TxLog.read(spark, zone).count() === rowsBefore)
+    assert(TxLog.readWhereCols(spark, zone,
+        Seq(("a", 10, 19), ("b", 10, 19)))
+      .count() ===
+      TxLog.readSnapshot(spark, zone, before)
+        .filter($"a".between(10, 19) && $"b".between(10, 19)).count())
+  }
+
   test("appendedBetween with no new commits is empty") {
     val zone = bandedZone()
     val g = TxLog.latest(spark, zone).get.gen
