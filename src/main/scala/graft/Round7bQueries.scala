@@ -33,6 +33,48 @@ object Round7bQueries {
     Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L,
       16384L, 32768L, 65536L)
 
+  /** The q192 TextCat prediction CTE chain (train profiles + classify),
+    * ending in `pred(doc_id, pred_lang)` — shared with q222's confusion
+    * matrix so the two oracles can never train divergent profiles. */
+  private[graft] val textcatPredCtes =
+    """g AS (SELECT doc_id, lang,
+      |             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 2),
+      |                    i -> SUBSTR(text, i, 3))) AS gram
+      |           FROM documents WHERE LENGTH(text) >= 3),
+      |dgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+      |dg AS (SELECT doc_id, gram, rd FROM (
+      |         SELECT doc_id, gram,
+      |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rd
+      |         FROM dgc) WHERE rd <= 20),
+      |lgc AS (SELECT lang, gram, COUNT(*) AS c FROM g GROUP BY lang, gram),
+      |lp AS (SELECT lang, gram, rl FROM (
+      |         SELECT lang, gram,
+      |                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rl
+      |         FROM lgc) WHERE rl <= 20),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nd FROM dg GROUP BY doc_id),
+      |langs AS (SELECT DISTINCT lang FROM lp),
+      |m AS (SELECT dg.doc_id, lp.lang,
+      |             SUM(ABS(dg.rd - lp.rl)) AS msum, COUNT(*) AS mcnt
+      |      FROM dg JOIN lp USING (gram) GROUP BY dg.doc_id, lp.lang),
+      |dist AS (SELECT s.doc_id, l.lang,
+      |           COALESCE(m.msum, 0) + (s.nd - COALESCE(m.mcnt, 0)) * 20 AS dist
+      |         FROM sizes s CROSS JOIN langs l
+      |         LEFT JOIN m ON m.doc_id = s.doc_id AND m.lang = l.lang),
+      |pred AS (SELECT doc_id, lang AS pred_lang FROM (
+      |           SELECT doc_id, lang,
+      |                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+      |           FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** One classified-corpus relation per (session, sf dir) — the TextCat
+    * training + classification is the expensive part of BOTH q192 and
+    * q222, and the result is a |docs|-row scalar table. */
+  private val predCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+  private[graft] def cachedTextcatPred(s: org.apache.spark.sql.SparkSession,
+                                       d: String): org.apache.spark.sql.DataFrame =
+    predCache.getOrElseUpdate(s, d)(
+      TextCat.classify(Tables.documents(s, d), "doc_id", "lang", "text", k = 20)
+        .localCheckpoint(true))
+
   def all: Seq[Q] = Seq(
 
     Q("q192_textcat_langid",
@@ -46,40 +88,14 @@ object Round7bQueries {
       // broadcast; per-doc windows partition by doc_id; the lang rank
       // window runs over per-lang DISTINCT-gram counts (charset^3
       // bounded). See [[TextCat]] for the full shape.
-      Some("""WITH g AS (SELECT doc_id, lang,
-             |             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 2),
-             |                    i -> SUBSTR(text, i, 3))) AS gram
-             |           FROM documents WHERE LENGTH(text) >= 3),
-             |dgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
-             |dg AS (SELECT doc_id, gram, rd FROM (
-             |         SELECT doc_id, gram,
-             |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rd
-             |         FROM dgc) WHERE rd <= 20),
-             |lgc AS (SELECT lang, gram, COUNT(*) AS c FROM g GROUP BY lang, gram),
-             |lp AS (SELECT lang, gram, rl FROM (
-             |         SELECT lang, gram,
-             |                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rl
-             |         FROM lgc) WHERE rl <= 20),
-             |sizes AS (SELECT doc_id, COUNT(*) AS nd FROM dg GROUP BY doc_id),
-             |langs AS (SELECT DISTINCT lang FROM lp),
-             |m AS (SELECT dg.doc_id, lp.lang,
-             |             SUM(ABS(dg.rd - lp.rl)) AS msum, COUNT(*) AS mcnt
-             |      FROM dg JOIN lp USING (gram) GROUP BY dg.doc_id, lp.lang),
-             |dist AS (SELECT s.doc_id, l.lang,
-             |           COALESCE(m.msum, 0) + (s.nd - COALESCE(m.mcnt, 0)) * 20 AS dist
-             |         FROM sizes s CROSS JOIN langs l
-             |         LEFT JOIN m ON m.doc_id = s.doc_id AND m.lang = l.lang),
-             |pred AS (SELECT doc_id, lang AS pred_lang FROM (
-             |           SELECT doc_id, lang,
-             |                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
-             |           FROM dist) WHERE rn = 1)
-             |SELECT p.doc_id, p.pred_lang,
-             |       CAST(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
-             |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
-             |ORDER BY p.doc_id""".stripMargin),
+      Some(s"""WITH $textcatPredCtes
+              |SELECT p.doc_id, p.pred_lang,
+              |       CAST(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+              |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+              |ORDER BY p.doc_id""".stripMargin),
       (s, d) => {
         val docs = Tables.documents(s, d)
-        TextCat.classify(docs, "doc_id", "lang", "text", k = 20)
+        cachedTextcatPred(s, d)
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
           .select(col("doc_id"), col("pred_lang"),
             (col("lang") === col("pred_lang")).cast("long").as("is_match"))

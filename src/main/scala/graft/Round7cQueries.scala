@@ -89,7 +89,7 @@ object Round7cQueries {
     })
 
   /** The q38/q46 simhash CTE (bit-parity-critical — same construction). */
-  private val simhashShSql =
+  private[graft] val simhashShSql =
     s"""sh AS (
        |  SELECT doc_id,
        |         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->

@@ -296,7 +296,103 @@ object Round7dQueries {
              |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
              |  END AS assortativity
              |FROM s""".stripMargin),
-      (s, d) => assortativity(AnalyticsQueries.fulfillmentGraph(s, d).e))
+      (s, d) => assortativity(AnalyticsQueries.fulfillmentGraph(s, d).e)),
+
+    Q("q221_source_lang_gini",
+      // Per-source language Gini impurity (1 − Σ pᵢ²) + dominant
+      // language: the mixture diagnostic that flags a "monolingual"
+      // source leaking other languages before per-language quotas are
+      // computed from it. Exact integer counts and squared sums (Gini
+      // is the log-free diversity metric — entropy's log is not
+      // engine-portable, Σn²/N² is); one two-phase agg + the skew-safe
+      // majority tournament.
+      Some("""WITH lc AS (SELECT source, lang, COUNT(*) AS c
+             |        FROM documents GROUP BY source, lang),
+             |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             |              CAST(SUM(c * c) AS BIGINT) AS ss
+             |       FROM lc GROUP BY source),
+             |top AS (SELECT source, lang AS top_lang FROM (
+             |   SELECT source, lang, ROW_NUMBER() OVER (
+             |     PARTITION BY source ORDER BY c DESC, lang) AS rn FROM lc) t
+             |   WHERE rn = 1)
+             |SELECT s.source, s.n AS n_docs, t.top_lang,
+             |       ROUND(1.0 - CAST(s.ss AS DOUBLE)
+             |             / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)), 4) AS gini
+             |FROM st s JOIN top t USING (source) ORDER BY s.source""".stripMargin),
+      (s, d) => {
+        val lc = Tables.documents(s, d).groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+        val st = lc.groupBy("source")
+          .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+        val top = graft.operators.Skew.topKPerKey(lc, Seq(col("source")),
+            Seq(col("c").desc, col("lang")), k = 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        st.join(top, "source")
+          .select(col("source"), col("n").as("n_docs"), col("top_lang"),
+            round(lit(1.0) - col("ss").cast("double")
+              / (col("n").cast("double") * col("n").cast("double")), 4).as("gini"))
+          .orderBy("source")
+      }),
+
+    Q("q222_langid_confusion",
+      // The confusion matrix of q192's trained TextCat classifier
+      // against the gold labels — the eval table a pipeline inspects
+      // before trusting language quotas to the classifier. Reuses the
+      // session-cached classification AND the one shared oracle CTE
+      // chain (the two queries can never train divergent profiles).
+      // |langs|² cells at most; exact counts.
+      Some(s"""WITH ${Round7bQueries.textcatPredCtes}
+              |SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+              |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+              |GROUP BY d.lang, p.pred_lang
+              |ORDER BY true_lang, pred_lang""".stripMargin),
+      (s, d) => Round7bQueries.cachedTextcatPred(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          col("lang").as("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")),
+
+    Q("q223_simhash_proxy_eval",
+      // Precision/recall of SimHash hamming ≤ 3 (q46's near-dup proxy)
+      // against exact Jaccard ≥ 0.8 pairs (q36's ground truth) — the
+      // one-row report that justifies (or indicts) shipping the cheap
+      // 32-bit proxy instead of the shingle pipeline at 100 TB. Exact
+      // pair-set intersection counts; guarded divisions.
+      Some(s"""WITH ${Round7cQueries.simhashShSql},
+              |sp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |       WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),
+              |jp AS (SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |c AS (SELECT
+              |        (SELECT COUNT(*) FROM sp JOIN jp USING (a_id, b_id)) AS tp,
+              |        (SELECT COUNT(*) FROM sp) AS np,
+              |        (SELECT COUNT(*) FROM jp) AS nt)
+              |SELECT CAST(tp AS BIGINT) AS tp,
+              |       CAST(np - tp AS BIGINT) AS fp,
+              |       CAST(nt - tp AS BIGINT) AS fn,
+              |       CASE WHEN np = 0 THEN 0.0
+              |            ELSE ROUND(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 4) END AS precision_,
+              |       CASE WHEN nt = 0 THEN 0.0
+              |            ELSE ROUND(CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE), 4) END AS recall_
+              |FROM c""".stripMargin),
+      (s, d) => {
+        import graft.operators.Dedup
+        val sp = Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3, bands = 4).select("a_id", "b_id")
+        val jp = Dedup.jaccardFromStats(TrainingQueries.cachedPairStats(s, d),
+          threshold = 0.8).select("a_id", "b_id")
+        val counts = sp.agg(count(lit(1)).as("np"))
+          .crossJoin(jp.agg(count(lit(1)).as("nt")))
+          .crossJoin(sp.join(jp, Seq("a_id", "b_id")).agg(count(lit(1)).as("tp")))
+        counts.select(col("tp"), (col("np") - col("tp")).as("fp"),
+          (col("nt") - col("tp")).as("fn"),
+          when(col("np") === 0L, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / col("np").cast("double"), 4))
+            .as("precision_"),
+          when(col("nt") === 0L, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / col("nt").cast("double"), 4))
+            .as("recall_"))
+      })
   )
 
   /** One restored-orders zone per (JVM, sf dir): replace → range delete
