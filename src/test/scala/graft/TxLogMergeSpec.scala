@@ -195,6 +195,30 @@ class TxLogMergeSpec extends SparkSpec {
     assert(TxLog.metadataCount(spark, bare).isEmpty)
   }
 
+  test("merge property: a random merge sequence equals the Map-fold reference") {
+    val rnd = new scala.util.Random(20260814L)
+    val zone = freshZone()
+    TxLog.replace(spark, zone,
+      spark.range(40L).select($"id", concat(lit("v"), $"id").as("payload"))
+        .repartitionByRange(4, $"id"),
+      statsCols = Seq("id"))
+    var ref: Map[Long, String] =
+      (0L until 40L).map(i => i -> s"v$i").toMap
+    for (round <- 1 to 6) {
+      val n = 1 + rnd.nextInt(8)
+      val batch = Seq.fill(n)((rnd.nextInt(60).toLong, s"r$round-${rnd.nextInt(1000)}"))
+        .distinctBy(_._1) // merge requires key-unique updates
+      val st = TxLog.merge(spark, zone, batch.toDF("id", "payload"), "id")
+      val expectUpd = batch.count(b => ref.contains(b._1))
+      assert(st.updatedRows === expectUpd.toLong, s"round $round updated")
+      assert(st.insertedRows === (batch.size - expectUpd).toLong, s"round $round inserted")
+      ref = ref ++ batch.toMap
+      assert(rows(zone) === ref, s"round $round diverged from the reference fold")
+      assert(TxLog.metadataCount(spark, zone) === Some(ref.size.toLong),
+        s"round $round metadata count")
+    }
+  }
+
   test("empty updates frame is a no-op merge") {
     val zone = bandedZone()
     val genBefore = TxLog.latest(spark, zone).get.gen
