@@ -392,6 +392,66 @@ object Round7dQueries {
           when(col("nt") === 0L, lit(0.0))
             .otherwise(round(col("tp").cast("double") / col("nt").cast("double"), 4))
             .as("recall_"))
+      }),
+
+    Q("q224_group_quantiles",
+      // Exact per-source length quantiles (median / p90, linear
+      // interpolation — QUANTILE_CONT semantics on both engines): the
+      // length-distribution summary behind batch-shape decisions (q196's
+      // bucket ladder picks its powers from exactly these numbers). The
+      // EXACT percentile is the point: both engines interpolate
+      // (1-f)·lo + f·hi over integer inputs — a fixed IEEE expression —
+      // where approximate sketches (GK/KLL/t-digest) are
+      // implementation-defined and could never sit under a cross-engine
+      // hash. Scale shape: one hash shuffle by group; each group's sort
+      // is partition-local (groups are the parallelism unit — the right
+      // shape while no single group outgrows an executor; past that,
+      // the GlobalOrder two-pass form computes exact ranks per group).
+      Some("""SELECT source, COUNT(*) AS n,
+             |       ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS med_chars,
+             |       ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS p90_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("med_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+        .orderBy("source")),
+
+    Q("q225_global_quantiles",
+      // CORPUS-WIDE exact quantiles without a single-partition sort —
+      // the scale path q224's comment points at: GlobalOrder's
+      // range-partitioned two-pass row numbering assigns every doc its
+      // exact global rank by (n_chars, doc_id), the two rows bracketing
+      // each quantile rank are filtered out (a pushdown-friendly
+      // predicate, not a window), and one bounded 1-row reduce applies
+      // the same (1-f)·lo + f·hi interpolation QUANTILE_CONT defines.
+      // At 100 TB: one range shuffle, no task ever holds the corpus;
+      // the per-engine comparison is bit-exact because every rank and
+      // bracket row is integer-determined.
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |       ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS med_chars,
+             |       ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS p90_chars
+             |FROM documents""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val ranked = graft.operators.GlobalOrder.rowNumber(docs,
+          Seq(col("n_chars"), col("doc_id")), "pos")
+        val n = docs.count() // one scalar to the driver (job-count parity
+        // with the prefix-scan pass GlobalOrder already runs)
+        def quantile(q: Double) = {
+          val r = (n - 1).toDouble * q
+          val (loR, hiR) = (math.floor(r).toLong + 1L, math.ceil(r).toLong + 1L)
+          val f = r - math.floor(r)
+          val b = ranked.filter(col("pos") === loR || col("pos") === hiR)
+            .agg(min(when(col("pos") === loR, col("n_chars"))).as("lo"),
+              min(when(col("pos") === hiR, col("n_chars"))).as("hi"))
+          b.select((col("lo").cast("double") * (1.0 - f)
+            + col("hi").cast("double") * f).as("v"))
+        }
+        quantile(0.5).crossJoin(quantile(0.9).withColumnRenamed("v", "v9"))
+          .select(lit(n).as("n"), round(col("v"), 4).as("med_chars"),
+            round(col("v9"), 4).as("p90_chars"))
       })
   )
 
