@@ -421,6 +421,12 @@ object Round7cQueries {
       // one of 8 bands identical — the banded join IS exhaustive, so the
       // oracle's full self-join agrees). q46 lists the ≤3 pairs; this is
       // the distribution a pipeline inspects before picking that 3.
+      // Scale contract: exhaustiveness at ≤7 FORCES 4-bit band keys (16
+      // values), whose buckets grow with n²/16 — fine at sf1 (14 s quiet,
+      // measured), but at corpus scale this DIAGNOSTIC runs over a
+      // consistent sample (q188's md5-priority machinery) like any
+      // distribution estimate; the production FILTER stays q46's ≤3 with
+      // 8-bit bands.
       Some(s"""WITH $simhashShSql
               |SELECT CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming,
               |       COUNT(*) AS n_pairs

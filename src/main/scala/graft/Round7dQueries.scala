@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.TrainingQueries.toksSql
-import graft.operators.{PageRank, Profile, Similarity, TxLog}
+import graft.operators.{Dedup, PageRank, Profile, Similarity, TextAnalysis, TxLog}
 import graft.sources.Tables
 
 /** Round-7 additions, fourth block: graph-relevance and co-occurrence
@@ -452,6 +452,98 @@ object Round7dQueries {
         quantile(0.5).crossJoin(quantile(0.9).withColumnRenamed("v", "v9"))
           .select(lit(n).as("n"), round(col("v"), 4).as("med_chars"),
             round(col("v9"), 4).as("p90_chars"))
+      }),
+
+    Q("q226_jaccard_histogram",
+      // The exact-Jaccard distribution over the LSH candidate pairs,
+      // binned by 0.1 — the threshold-choice diagnostic beside q208's
+      // hamming histogram: where the mass sits decides whether 0.8 is a
+      // cliff or a ridge. Rides the session-cached inverted-index pair
+      // stats (zero extra candidate generation in an inventory pass);
+      // bins are exact integer floor(j*10) over the rounded jaccard, so
+      // the bin edges cannot fork between engines.
+      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+              |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT ROUND(i::DOUBLE / (ca.n_sh + cb.n_sh - i), 4) AS jac
+              |      FROM inter
+              |      JOIN cnt ca ON ca.doc_id = a_id
+              |      JOIN cnt cb ON cb.doc_id = b_id),
+              |b AS (SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS bin FROM j)
+              |SELECT bin, COUNT(*) AS n_pairs
+              |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+      (s, d) => Dedup.jaccardFromStats(TrainingQueries.cachedPairStats(s, d),
+          threshold = 0.0)
+        .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")),
+
+    Q("q227_cross_source_prefix_dups",
+      // Cross-source LEAD-IN fingerprint sharing: source pairs whose
+      // documents open with the same 32-char prefix — the boilerplate/
+      // template/syndication detector (copied headers surface here even
+      // when bodies diverge; full-text md5 finds nothing on this corpus
+      // and a real crawl's exact copies are the easy subset anyway).
+      // The byte-prefix complement of q202's n-gram sharing; distinct
+      // (hash, source) bounds fan-out by the source count, output ≤
+      // C(|sources|,2).
+      Some("""WITH h AS (SELECT DISTINCT MD5(SUBSTR(text, 1, 32)) AS th, source
+             |           FROM documents)
+             |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_prefixes
+             |FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+             |GROUP BY a.source, b.source
+             |ORDER BY src_a, src_b""".stripMargin),
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(md5(substring(col("text"), 1, 32)).as("th"), col("source"))
+          .distinct()
+        h.as("a").join(h.as("b"),
+            col("a.th") === col("b.th") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared_prefixes"))
+          .orderBy("src_a", "src_b")
+      }),
+
+    Q("q228_vocab_coverage_curve",
+      // Cumulative token-mass coverage of the top-k vocabulary at
+      // k = 1, 2, 4, 8, 16: "how much of the corpus does a k-entry
+      // vocabulary explain" — the budget curve behind q185's single-size
+      // OOV rate and q204's decay ratios. The cumulative sum runs over
+      // the SAME count-of-better rank join as q204 (bounded 16-row
+      // relation, no partition-less window); masses are exact longs, one
+      // division per row.
+      Some(s"""WITH v AS (SELECT tok, COUNT(*) AS freq FROM (
+              |             SELECT UNNEST($toksSql) AS tok FROM documents) s GROUP BY tok),
+              |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM v),
+              |r AS (SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM v),
+              |c AS (SELECT rank, SUM(freq) OVER (ORDER BY rank
+              |        ROWS UNBOUNDED PRECEDING) AS cum FROM r)
+              |SELECT CAST(rank AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
+              |       ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS coverage
+              |FROM c CROSS JOIN tot WHERE rank IN (1, 2, 4, 8, 16)
+              |ORDER BY k""".stripMargin),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val freqs = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        val tot = freqs.agg(sum(col("freq")).as("t"))
+        val top = freqs.orderBy(col("freq").desc, col("tok")).limit(16)
+        // rank and cumulative mass by count-of-better-or-equal over the
+        // bounded top-16 (b covers a's whole prefix, so SUM(b.freq) IS
+        // the cumulative mass at a's rank)
+        val ranked = top.as("a").join(broadcast(top.as("b")),
+            col("b.freq") > col("a.freq") ||
+              (col("b.freq") === col("a.freq") && col("b.tok") <= col("a.tok")))
+          .groupBy(col("a.tok").as("tok"))
+          .agg(count(lit(1)).as("k"), sum(col("b.freq")).as("cum_tokens"))
+        ranked.crossJoin(broadcast(tot))
+          .filter(col("k").isin(1L, 2L, 4L, 8L, 16L))
+          .select(col("k"), col("cum_tokens"),
+            round(col("cum_tokens").cast("double") / col("t").cast("double"), 4)
+              .as("coverage"))
+          .orderBy("k")
       })
   )
 
