@@ -544,6 +544,116 @@ object Round7dQueries {
             round(col("cum_tokens").cast("double") / col("t").cast("double"), 4)
               .as("coverage"))
           .orderBy("k")
+      }),
+
+    Q("q229_delta_novelty",
+      // Incremental-corpus novelty: treating sources 0-9 as the BASE
+      // crawl and 10-19 as the NEW batch, the fraction of the new
+      // batch's distinct 3-gram shingles never seen in the base — the
+      // "is this crawl additive or a rehash" gate run before paying to
+      // process an increment (the corpus-level twin of q210's row-level
+      // change feed). Exact distinct counts, one anti-join on the
+      // shingle key, one division.
+      Some(s"""WITH t AS (SELECT CAST(SUBSTR(source, 4) AS INT) AS sid, $toksSql AS t
+              |           FROM documents),
+              |g AS (SELECT sid, UNNEST(LIST_DISTINCT(CASE WHEN LEN(t) >= 3 THEN
+              |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+              |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |       ELSE [] END)) AS sh
+              |      FROM t),
+              |b AS (SELECT DISTINCT sh FROM g WHERE sid < 10),
+              |dl AS (SELECT DISTINCT sh FROM g WHERE sid >= 10),
+              |novel AS (SELECT COUNT(*) AS nn FROM dl
+              |          WHERE sh NOT IN (SELECT sh FROM b))
+              |SELECT (SELECT COUNT(*) FROM b) AS base_grams,
+              |       (SELECT COUNT(*) FROM dl) AS delta_grams,
+              |       CAST(nn AS BIGINT) AS novel_grams,
+              |       ROUND(CAST(nn AS DOUBLE)
+              |             / CAST((SELECT COUNT(*) FROM dl) AS DOUBLE), 4) AS novelty
+              |FROM novel""".stripMargin),
+      (s, d) => {
+        val g = TrainingQueries.cachedDocToks(s, d)
+          .select(substring(col("source"), 4, 10).cast("int").as("sid"),
+            col("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("sid"), explode(array_distinct(expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("sh"))
+        val base = g.filter(col("sid") < 10).select("sh").distinct()
+        val delta = g.filter(col("sid") >= 10).select("sh").distinct()
+        val novel = delta.join(base, Seq("sh"), "left_anti")
+        base.agg(count(lit(1)).as("base_grams"))
+          .crossJoin(delta.agg(count(lit(1)).as("delta_grams")))
+          .crossJoin(novel.agg(count(lit(1)).as("novel_grams")))
+          .select(col("base_grams"), col("delta_grams"), col("novel_grams"),
+            round(col("novel_grams").cast("double")
+              / col("delta_grams").cast("double"), 4).as("novelty"))
+      }),
+
+    Q("q230_centroid_drift",
+      // Embedding-batch drift monitor: per label, the cosine between the
+      // even-id and odd-id batches' centroid DIRECTIONS — the "did the
+      // encoder or the data shift between exports" check. Scale-
+      // invariance does the heavy determinism lifting: cos(Σᵉ/nᵉ, Σᵒ/nᵒ)
+      // = cos(Σᵉ, Σᵒ), so the engine compares EXACT per-dim integer sums
+      // of 10⁻⁴-quantized values (the q207 discipline) and only the
+      // final cosine touches IEEE — a fixed in-order fold both engines
+      // share. Shapes: one posexplode, a (label, parity, dim) two-phase
+      // agg, ordered-array assembly, |labels| rows out.
+      Some("""WITH x AS (SELECT label, vec_id % 2 AS par, i AS pos,
+             |             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000.0, 0) AS BIGINT) AS v4
+             |           FROM embeddings, (SELECT UNNEST(GENERATE_SERIES(1,
+             |                (SELECT MAX(LEN(embedding)) FROM embeddings))) AS i)),
+             |s AS (SELECT label, par, pos, SUM(v4) AS sv FROM x GROUP BY 1, 2, 3),
+             |a AS (SELECT label, par, LIST(sv ORDER BY pos) AS vec FROM s GROUP BY 1, 2),
+             |e AS (SELECT label,
+             |        MAX(CASE WHEN par = 0 THEN vec END) AS ve,
+             |        MAX(CASE WHEN par = 1 THEN vec END) AS vo
+             |      FROM a GROUP BY label),
+             |n AS (SELECT label,
+             |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+             |        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+             |      FROM embeddings GROUP BY label)
+             |SELECT n.label, n.n_even, n.n_odd,
+             |       ROUND((CASE WHEN SQRT(LIST_AGGREGATE(LIST_TRANSFORM(ve, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |                        * SQRT(LIST_AGGREGATE(LIST_TRANSFORM(vo, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) = 0.0
+             |                   THEN 0.0
+             |                   ELSE LIST_AGGREGATE(LIST_TRANSFORM(
+             |                          GENERATE_SERIES(1, LEN(ve)),
+             |                          i -> CAST(ve[i] AS DOUBLE) * CAST(vo[i] AS DOUBLE)), 'sum')
+             |                        / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM(ve, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |                           * SQRT(LIST_AGGREGATE(LIST_TRANSFORM(vo, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             |              END), 4) AS drift_cos
+             |FROM n JOIN e ON e.label = n.label
+             |ORDER BY n.label""".stripMargin),
+      (s, d) => {
+        // double-array cosine with the oracle's exact op order (the
+        // float kernel would quantize the exact integer sums past 2^24)
+        def ddot(a: String, b: String) = expr(
+          s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        def cosD(a: String, b: String) = {
+          val den = sqrt(ddot(a, a)) * sqrt(ddot(b, b))
+          when(den === 0.0, lit(0.0)).otherwise(ddot(a, b) / den)
+        }
+        val emb = Tables.embeddings(s, d)
+        val x = emb.select(col("label"), (col("vec_id") % 2).as("par"),
+            posexplode(col("embedding")).as(Seq("p0", "v")))
+          .select(col("label"), col("par"), (col("p0") + 1).as("pos"),
+            round(col("v").cast("double") * lit(10000.0), 0).cast("long").as("v4"))
+        val sums = x.groupBy("label", "par", "pos").agg(sum(col("v4")).as("sv"))
+        val arrs = sums.groupBy("label", "par")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), p -> cast(p.sv as double))")
+            .as("vec"))
+        val e = arrs.groupBy("label")
+          .agg(max(when(col("par") === 0, col("vec"))).as("ve"),
+            max(when(col("par") === 1, col("vec"))).as("vo"))
+        val n = emb.groupBy("label")
+          .agg(sum((col("vec_id") % 2 === 0).cast("long")).as("n_even"),
+            sum((col("vec_id") % 2 === 1).cast("long")).as("n_odd"))
+        n.join(e, "label")
+          .select(col("label"), col("n_even"), col("n_odd"),
+            round(cosD("ve", "vo"), 4).as("drift_cos"))
+          .orderBy("label")
       })
   )
 
