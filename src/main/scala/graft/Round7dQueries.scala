@@ -654,6 +654,148 @@ object Round7dQueries {
           .select(col("label"), col("n_even"), col("n_odd"),
             round(cosD("ve", "vo"), 4).as("drift_cos"))
           .orderBy("label")
+      }),
+
+    Q("q231_bpe_fertility",
+      // Tokenizer FERTILITY per language: mean BPE symbols per
+      // whitespace word under q191's trained merges — the multilingual
+      // fairness metric ("tokenizer premium": a language with 2× the
+      // fertility pays 2× the sequence length for the same text). Same
+      // shared training chain as q191/q197 (profiles can never diverge);
+      // exact long sums, one division per language.
+      Some(s"""${Round7Queries.bpeChainSql(3, keepTok = true)},
+              |v AS (SELECT tok,
+              |        CAST(LEN(s) - LEN(REPLACE(s, '<', '')) AS BIGINT) AS n_sym
+              |      FROM s3),
+              |d AS (SELECT lang, UNNEST($toksSql) AS tok FROM documents)
+              |SELECT lang, COUNT(*) AS n_tok,
+              |       CAST(SUM(v.n_sym) AS BIGINT) AS n_sym,
+              |       ROUND(CAST(SUM(v.n_sym) AS DOUBLE)
+              |             / CAST(COUNT(*) AS DOUBLE), 4) AS fertility
+              |FROM d JOIN v USING (tok)
+              |GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val v = graft.operators.Bpe.appliedSymbolCounts(tc, rounds = 3)
+        toks.join(v, "tok")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("n_sym")).cast("long").as("n_sym"),
+            round(sum(col("n_sym")).cast("double")
+              / count(lit(1)).cast("double"), 4).as("fertility"))
+          .orderBy("lang")
+      }),
+
+    Q("q232_packing_efficiency",
+      // The one-row efficiency report over q123's greedy sequence
+      // packing (capacity 500): bin count, token totals, mean fill, and
+      // the straddle overflow — what fraction of capacity the packer
+      // wastes or overhangs. Everything derives from the same
+      // GlobalOrder prefix scan as q123 (no single-task window), then
+      // ONE bounded 1-row reduce; fills are exact rationals rounded.
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM t),
+             |b AS (SELECT CAST(FLOOR(cum_before / 500.0) AS BIGINT) AS bin,
+             |             CAST(SUM(n_tok) AS BIGINT) AS tt
+             |      FROM c GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             |       CAST(SUM(tt) AS BIGINT) AS total_tokens,
+             |       CAST(MIN(tt) AS BIGINT) AS min_bin_tokens,
+             |       CAST(MAX(tt) AS BIGINT) AS max_bin_tokens,
+             |       ROUND(CAST(SUM(tt) AS DOUBLE)
+             |             / (CAST(COUNT(*) AS DOUBLE) * 500.0), 4) AS mean_fill
+             |FROM b""".stripMargin),
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        graft.operators.GlobalOrder
+          .exclusiveRunningSum(toks, Seq(col("doc_id")), "n_tok", "cum_before")
+          .groupBy(floor(col("cum_before") / lit(500.0)).cast("long").as("bin"))
+          .agg(sum(col("n_tok")).as("tt"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("tt")).cast("long").as("total_tokens"),
+            min(col("tt")).cast("long").as("min_bin_tokens"),
+            max(col("tt")).cast("long").as("max_bin_tokens"),
+            round(sum(col("tt")).cast("double")
+              / (count(lit(1)).cast("double") * lit(500.0)), 4).as("mean_fill"))
+      }),
+
+    Q("q233_dedup_reduction",
+      // The corpus-reduction REPORT of the full dedup pipeline: per
+      // source, how many documents and tokens survive q174's resolution
+      // (LSH candidates → exact verify → connected components → best-
+      // quality survivor per cluster). The number a data lead actually
+      // reads — "dedup cost us X% of source Y" — and the composition
+      // capstone of the q36/q37/q56/q174 chain, all off the one
+      // session-cached cluster relation. Exact counts, one division.
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION ALL SELECT b_id, a_id FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node),
+              |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+              |       FROM reach GROUP BY node),
+              |q AS (SELECT doc_id,
+              |        ROUND(LEAST(LEN(t) / 100.0, 1.0) *
+              |          (1.0 - LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+              |           / LEN(t)), 4) AS quality
+              |      FROM (SELECT doc_id, $toksSql AS t FROM documents) d),
+              |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+              |      FROM cl JOIN q USING (doc_id)),
+              |w AS (SELECT doc_id FROM (
+              |        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |          ORDER BY quality DESC, doc_id) AS rn FROM m) t WHERE rn = 1),
+              |dropped AS (SELECT doc_id FROM m
+              |            WHERE doc_id NOT IN (SELECT doc_id FROM w)),
+              |t AS (SELECT doc_id, source, CAST(LEN($toksSql) AS BIGINT) AS n_tok
+              |      FROM documents)
+              |SELECT source, COUNT(*) AS docs_total,
+              |       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
+              |       CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+              |       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN t.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+              |       ROUND(CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN t.n_tok ELSE 0 END) AS DOUBLE)
+              |             / CAST(SUM(t.n_tok) AS DOUBLE), 4) AS keep_ratio
+              |FROM t LEFT JOIN dropped dr ON dr.doc_id = t.doc_id
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val cl = ExtendedQueries.cachedDupClusters(s, d)
+        val q = Tables.documents(s, d).select(col("doc_id"),
+          round(TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))), 4)
+            .as("quality"))
+        val winners = cl.join(q, "doc_id")
+          .groupBy("cluster_id")
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"),
+            col("doc_id").as("sid"))).as("w"))
+          .select(col("w.sid").as("doc_id"))
+        val dropped = cl.select("doc_id")
+          .join(winners, Seq("doc_id"), "left_anti")
+          .withColumn("is_dropped", lit(1L))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs_total"),
+            sum(coalesce(col("is_dropped"), lit(0L))).cast("long").as("docs_dropped"),
+            sum(col("n_tok")).cast("long").as("tokens_total"),
+            sum(when(col("is_dropped").isNull, col("n_tok")).otherwise(0L))
+              .cast("long").as("tokens_kept"),
+            round(sum(when(col("is_dropped").isNull, col("n_tok")).otherwise(0L))
+              .cast("double") / sum(col("n_tok")).cast("double"), 4)
+              .as("keep_ratio"))
+          .orderBy("source")
       })
   )
 
