@@ -34,6 +34,16 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(got.toSet === (0L until 30L).toSet)
   }
 
+  test("the provider resolves by its registered short name") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(3L).toDF("id"))
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .writeStream.format("memory").queryName("zsrc_short").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("zsrc_short").count() === 3L)
+  }
+
   test("startingGen skips history: only post-start generations stream") {
     val zone = freshZone()
     TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
