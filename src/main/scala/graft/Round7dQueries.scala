@@ -796,8 +796,72 @@ object Round7dQueries {
               .cast("double") / sum(col("n_tok")).cast("double"), 4)
               .as("keep_ratio"))
           .orderBy("source")
-      })
+      }),
+
+    Q("q234_cdc_stream_pipeline",
+      // The reference's ENTIRE architecture as one hash-checked query:
+      // three overlapping keyed CDC batches land in a staging zone, a
+      // real Structured Streaming query reads them through the txlog
+      // SOURCE and upserts into a current-state zone through the
+      // exactly-once merge SINK (per-key last-writer-wins by seq), and
+      // the state zone is read back — it must hash-equal the relational
+      // LWW over the batch union. Stream-in/stream-out, offsets,
+      // batch-LWW reduce, stats-pruned merges, and the manifest commit
+      // protocol all sit under the same gate as a GROUP BY. (The
+      // micro-batch CUT is engine-timing-dependent — one batch may carry
+      // one or three generations — but LWW is associative across any
+      // cut, so the final state is cut-invariant; that invariance is
+      // exactly what the hash pins.)
+      Some("""WITH b1 AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, o_totalprice
+             |            FROM orders WHERE o_orderkey < 1000),
+             |b2 AS (SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice
+             |       FROM orders WHERE o_orderkey BETWEEN 500 AND 1499),
+             |b3 AS (SELECT o_orderkey, CAST(3 AS BIGINT), o_totalprice
+             |       FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999),
+             |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+             |      UNION ALL SELECT * FROM b3)
+             |SELECT o_orderkey, seq, o_totalprice FROM (
+             |  SELECT o_orderkey, seq, o_totalprice, ROW_NUMBER() OVER (
+             |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM u) t
+             |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin),
+      (s, d) => TxLog.read(s, cdcLoopZone(s, d))
+        .select(col("o_orderkey"), col("seq"), col("o_totalprice"))
+        .orderBy("o_orderkey"))
   )
+
+  /** The full lake loop per (JVM, sf dir), for q234: a staging zone
+    * accumulates three overlapping keyed batches (replace + 2 appends,
+    * seq-stamped), a REAL Structured Streaming query reads it through
+    * the txlog source and upserts into a state zone via the exactly-once
+    * CDC merge sink, and the builder returns the state zone — the
+    * reference's entire architecture (CDC stream → lake → current
+    * state), executed, then hash-checked against the relational LWW. */
+  private val loopZones = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def cdcLoopZone(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String =
+    loopZones.getOrElseUpdate(d, {
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_q234s").toString + "/zone"
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q234t").toString + "/zone"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      TxLog.replace(s, staging,
+        base.filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"), lit(1L).as("seq"), col("o_totalprice")))
+      TxLog.append(s, staging,
+        base.filter(col("o_orderkey").between(500, 1499))
+          .select(col("o_orderkey"), lit(2L).as("seq"), col("o_totalprice")))
+      TxLog.append(s, staging,
+        base.filter(col("o_orderkey").between(1000, 1999))
+          .select(col("o_orderkey"), lit(3L).as("seq"), col("o_totalprice")))
+      val q = s.readStream.format("txlog").option("zone", staging).load()
+        .writeStream
+        .foreachBatch(TxLog.cdcMergeSink(state, "o_orderkey", "seq"))
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      state
+    })
 
   /** One restored-orders zone per (JVM, sf dir): replace → range delete
     * → restore to the pre-delete generation. */
