@@ -108,6 +108,29 @@ class TxLogStreamSourceSpec extends SparkSpec {
       s"expected the append-only refusal, got: ${e.getMessage}")
   }
 
+  test("a vacuumed-away consumer offset fails loudly, never serves a partial diff") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
+    val g1 = TxLog.latest(spark, zone).get.gen
+    TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"))
+    TxLog.append(spark, zone, spark.range(20L, 30L).toDF("id"))
+    // retention passes the consumer's generation: keepGens=1, no grace
+    TxLog.vacuum(spark, zone, keepGens = 1, graceMs = 0L)
+    assert(TxLog.snapshotAt(spark, zone, g1).isEmpty, "fixture: g1 should be gone")
+    val q = spark.readStream.format(fmt)
+      .option("zone", zone).option("startingGen", g1.toString).load()
+      .writeStream.format("memory").queryName("zsrc_vac").outputMode("append")
+      .start()
+    val e = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("vacuumed"),
+      s"expected the vacuumed-offset refusal, got: $msgs")
+  }
+
   test("streaming out composes with merge-sink streaming in (zone-to-zone)") {
     // the full lake loop: an append-only staging zone streams into a
     // merged current-state zone through the exactly-once upsert sink
