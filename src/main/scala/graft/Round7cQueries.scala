@@ -23,9 +23,16 @@ object Round7cQueries {
     * second merge must touch zero existing files). Built once per
     * process; every fresh JVM (each Verify run) rebuilds from source, so
     * the hash gate always checks a from-scratch build + merge + read. */
-  private val mergedZones = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mergedZones =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
   private[graft] def mergedOrdersZone(s: org.apache.spark.sql.SparkSession,
                                       d: String): String =
+    mergedOrdersZoneWithInserts(s, d)._1
+  /** The zone plus the EXACT insert-batch row count (the second merge's
+    * `insertedRows` — not a hardcoded keyspace assumption, so a sparse
+    * orderkey space keeps q213's subtraction honest). */
+  private[graft] def mergedOrdersZoneWithInserts(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, Long) =
     mergedZones.getOrElseUpdate(d, {
       val zone = java.nio.file.Files
         .createTempDirectory("graft_q201").toString + "/zone"
@@ -41,12 +48,12 @@ object Round7cQueries {
             lit("U").as("o_orderstatus"), col("o_totalprice")),
         key = "o_orderkey")
       // inserts: keys shifted past any scale factor's range
-      TxLog.merge(s, zone,
+      val ins = TxLog.merge(s, zone,
         base.filter(col("o_orderkey").between(100, 199))
           .select((col("o_orderkey") + lit(1000000000000L)).as("o_orderkey"),
             col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice")),
         key = "o_orderkey")
-      zone
+      (zone, ins.insertedRows)
     })
 
   /** One deleted-orders zone per (JVM, sf dir): base = the same 8-file
@@ -405,13 +412,15 @@ object Round7cQueries {
       Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
       (s, d) => {
         // the q201 zone: base orders + one update merge (row count
-        // unchanged) + one insert merge (100 new keys) - so the
-        // metadata count must equal |orders| + 100; subtracting the
-        // known insert count yields |orders| for the oracle comparison
-        val n = TxLog.metadataCount(s, mergedOrdersZone(s, d)).getOrElse(
+        // unchanged) + one insert merge - so the metadata count must
+        // equal |orders| + insertedRows; subtracting the merge's OWN
+        // reported insert count (not a keyspace assumption) yields
+        // |orders| for the oracle comparison
+        val (zone, inserted) = mergedOrdersZoneWithInserts(s, d)
+        val n = TxLog.metadataCount(s, zone).getOrElse(
           sys.error("q213: zone lost its stats - metadataCount fell back"))
         import s.implicits._
-        Seq(n - 100L).toDF("n")
+        Seq(n - inserted).toDF("n")
       }),
 
     Q("q208_simhash_hamming_hist",

@@ -295,11 +295,13 @@ object TextAnalysis {
   def blocklistStats(docs: DataFrame, srcCol: String, textCol: String,
                      blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    require(blocklist.forall(t => t.nonEmpty && !t.contains("'")),
-      s"blocklist terms must be non-empty and quote-free: $blocklist")
+    require(blocklist.forall(_.nonEmpty), "blocklist terms must be non-empty")
     val toks = tokens(col(textCol))
-    val pred = blocklist.map(t => s"x = '$t'").mkString(" OR ")
-    val hits = size(expr(s"filter(${"__toks"}, x -> $pred)"))
+    // Column-built predicate, never string interpolation: a term holding
+    // a quote or backslash is matched literally instead of escaping the
+    // generated SQL (the lit() path has no parser to escape out of).
+    val hits = size(filter(col("__toks"),
+      x => blocklist.map(t => x === lit(t)).reduce(_ || _)))
     docs
       .select(col(srcCol).as("source"), toks.as("__toks"))
       .select(col("source"), hits.cast("long").as("n_hits"))

@@ -906,9 +906,12 @@ object TxLog {
   }
 
   /** Keyed MERGE (upsert): rows of `updates` replace zone rows with the
-    * same `key` value; keys the zone lacks are inserted — Delta's
-    * `MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`, built
-    * on this log's primitives. `updates` must be unique per key (the
+    * same `key` value; keys the zone lacks are inserted — upsert-BY-KEY
+    * semantics built on this log's primitives: a target zone holding
+    * multiple rows for one key has ALL of them collapsed to the single
+    * update row for that key (Delta's `WHEN MATCHED UPDATE SET *` is
+    * cardinality-preserving instead; this merge treats `key` as the
+    * primary key it prunes on). `updates` must be unique per key (the
     * standard multiple-match ambiguity is rejected, like Delta's).
     *
     * The 100 TB shape is the point: only files whose committed [min, max]
@@ -988,7 +991,14 @@ object TxLog {
             conform(updRows, schema).filter(lit(false))
           else loadFiles(spark, head, touched.map(p => zone.stripSuffix("/") + "/" + p))
         val survivors = touchedDf.join(updKeys, Seq(key), "left_anti")
-        val updatedRows = touchedDf.join(updKeys, Seq(key), "left_semi").count()
+        // count distinct MATCHED KEYS, not matched target rows: a zone
+        // holding duplicate rows for one key would overcount updates and
+        // push insertedRows negative. (Those duplicate target rows are
+        // collapsed to the single update row for their key — upsert-by-key
+        // semantics; updates are unique per key by the require above, so
+        // updatedRows <= total update rows and insertedRows >= 0.)
+        val updatedRows =
+          updKeys.join(touchedDf.select(col(key)), Seq(key), "left_semi").count()
         val insertedRows = kr.getLong(2) - updatedRows
         val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
         // insert-only fast path: no touched files -> no survivors side, so

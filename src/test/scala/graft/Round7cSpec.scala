@@ -51,9 +51,12 @@ class Round7cSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect()
     assert(r(0) == (("s1", 2L, 1L, 2L, 0.5)))
     assert(r(1) == (("s2", 1L, 0L, 0L, 0.0)))
-    intercept[IllegalArgumentException] {
-      TextAnalysis.blocklistStats(docs, "source", "text", Seq("it's"))
-    }
+    // terms holding quote/backslash metacharacters match LITERALLY (the
+    // predicate is Column-built, not interpolated SQL — nothing to escape)
+    val meta = Seq(("s1", "it's x \\ y")).toDF("source", "text")
+    val m = TextAnalysis.blocklistStats(meta, "source", "text", Seq("it's", "\\"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(m(0) == (("s1", 1L, 1L, 2L, 1.0)))
     intercept[IllegalArgumentException] {
       TextAnalysis.blocklistStats(docs, "source", "text", Nil)
     }
