@@ -12,12 +12,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `lib/dynamodb-streaming-datalake-stack.ts:199-203`).
   *
   * Protocol (a one-file Delta/Iceberg-shaped core, no dependencies):
-  *  - The LIVE state of a zone is the newest complete manifest under
-  *    `zone/_txlog/gen-<N>` — a text file listing the zone-relative data
-  *    files of generation N. Data files are immutable once referenced;
-  *    every writer writes NEW files into a fresh `d-<uuid>/` subdir and
-  *    then publishes a manifest. Nothing ever renames or rewrites the
-  *    files a concurrent reader may be holding.
+  *  - The LIVE state of a zone is the newest complete commit under
+  *    `zone/_txlog/gen-<N>`: either a FULL manifest (the zone-relative
+  *    data-file list of generation N with per-file stats) or, for
+  *    ordinary appends/merges/deletes, a DELTA commit recording only
+  *    the files generation N added and removed relative to its base —
+  *    Delta-Lake-style actions, so commit metadata is O(touched files),
+  *    never O(table). Data files are immutable once referenced; every
+  *    writer writes NEW files into a fresh `d-<uuid>/` subdir and then
+  *    publishes a commit. Nothing ever renames or rewrites the files a
+  *    concurrent reader may be holding.
+  *  - Every [[CheckpointInterval]]-th generation also writes `chk-<N>`,
+  *    the full resolved state at N, and advances the `_last_checkpoint`
+  *    pointer (temp+atomic-rename; advisory — stale falls back to one
+  *    listing). Readers resolve the head by probing forward from the
+  *    pointer and folding ≤ interval tail deltas onto the nearest
+  *    anchor, so head resolution is O(pointer + tail), not O(history).
+  *  - [[vacuum]] folds history into the retention boundary: it anchors
+  *    the oldest kept generation with a checkpoint, then drops every
+  *    older delta commit, manifest, and checkpoint — a year of 60 s
+  *    streaming commits stays a bounded log dir.
   *  - Publish claims the generation number with create-exclusive
   *    (`FileSystem.create(path, overwrite = false)`): two racing writers
   *    cannot both own gen N — the loser aborts (compact) or recomputes
@@ -31,11 +45,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    publishes ago remain readable (time travel within the retention
   *    window, like Delta's VACUUM).
   *
-  * Scale shape: the manifest is O(live files) — at 100 TB with 128 MB
+  * Scale shape: a CHECKPOINT is O(live files) — at 100 TB with 128 MB
   * targets that is ~800k lines (~60 MB), read once per query plan on the
-  * driver, never shuffled; production formats shard manifests past that
-  * point, and [[compact]] is exactly the operation that keeps the count
-  * bounded. Create-exclusive is atomic on HDFS and POSIX; an
+  * driver, never shuffled, and paid once per [[CheckpointInterval]]
+  * commits rather than per commit (production formats shard checkpoints
+  * past that point — Delta's multi-part checkpoint; the same refinement
+  * applies here). A streaming merge commit writes only its touched-file
+  * actions. Create-exclusive is atomic on HDFS and POSIX; an
   * eventually-consistent object store needs a conditional-put primitive
   * here (the same LogStore caveat Delta documents).
   */
@@ -70,23 +86,102 @@ object TxLog {
   private val LogDir = "_txlog"
   private val Header = "graft-txlog v1"
 
+  /** Every `CheckpointInterval`-th generation also writes a `chk-<N>`
+    * checkpoint manifest (the FULL resolved state at N) and bumps the
+    * `_last_checkpoint` pointer — the Delta-style bound that keeps head
+    * resolution at one pointer read + ≤ interval tail commits instead of
+    * an O(history) chain walk. */
+  private[graft] val CheckpointInterval = 10L
+
   private def fs(spark: SparkSession, zone: String): FileSystem =
     new Path(zone).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDirPath(zone: String) =
+    new Path(zone.stripSuffix("/"), LogDir)
 
   private def genPath(zone: String, gen: Long) =
     new Path(zone.stripSuffix("/") + "/" + LogDir, f"gen-$gen%020d")
 
-  /** Newest complete snapshot, skipping any manifest whose `end` marker
-    * (or header/count) does not parse — i.e. one being written right now
-    * or truncated by a crash. */
+  private def chkPath(zone: String, gen: Long) =
+    new Path(zone.stripSuffix("/") + "/" + LogDir, f"chk-$gen%020d")
+
+  private def pointerPath(zone: String) =
+    new Path(zone.stripSuffix("/") + "/" + LogDir, "_last_checkpoint")
+
+  /** Best-effort checkpoint pointer: the generation of a checkpoint (or
+    * vacuum anchor) known to exist. Advisory only — a stale or missing
+    * pointer falls back to a directory listing, never to a wrong head. */
+  private def readPointer(f: FileSystem, zone: String): Option[Long] =
+    try {
+      val in = f.open(pointerPath(zone))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .nextOption().flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Pointer update via temp-file + atomic move (the pointer is the one
+    * mutable file in the log; a torn overwrite must never be readable).
+    * Best-effort: any failure leaves the old pointer, which is merely
+    * slower, not wrong. Never moves the pointer backwards. */
+  private def writePointer(f: FileSystem, zone: String, gen: Long): Unit =
+    try {
+      if (readPointer(f, zone).exists(_ >= gen)) return
+      val dst = pointerPath(zone)
+      val tmp = new Path(dst.getParent, s"._last_checkpoint.tmp-${UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write((gen.toString + "\n").getBytes("UTF-8")) finally out.close()
+      val qualified = f.makeQualified(dst)
+      if (qualified.toUri.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(qualified.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        f.delete(dst, false)
+        f.rename(tmp, dst)
+      }
+    } catch { case _: Exception => () }
+
+  /** The head GENERATION NUMBER without listing the whole log dir: start
+    * at the checkpoint pointer and probe forward — claimed generation
+    * numbers are contiguous above any complete commit (skip-forward only
+    * skips numbers whose torn file EXISTS, and vacuum deletes only below
+    * its anchor), so the first missing `gen-(g+1)` marks the frontier.
+    * Falls back to one full listing when the pointer is missing/stale —
+    * after GC the dir is bounded anyway, so the fallback stays cheap. */
+  private def findHeadGen(f: FileSystem, zone: String): Long = {
+    readPointer(f, zone) match {
+      case Some(p) if f.exists(genPath(zone, p)) || f.exists(chkPath(zone, p)) =>
+        var g = p
+        while (f.exists(genPath(zone, g + 1))) g += 1
+        g
+      case _ =>
+        val dir = logDirPath(zone)
+        if (!f.exists(dir)) -1L
+        else f.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("gen-"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption)
+          .sorted.lastOption.getOrElse(-1L)
+    }
+  }
+
+  /** Newest complete, fully-resolvable snapshot: find the head number,
+    * resolve its delta chain back to the nearest anchor (a full manifest
+    * or a `chk-` checkpoint), and fold forward. Torn or unresolvable
+    * heads step down one number at a time — readers always land on some
+    * complete historical state, never a partial one. */
   def latest(spark: SparkSession, zone: String): Option[Snapshot] = {
-    val dir = new Path(zone.stripSuffix("/"), LogDir)
     val f = fs(spark, zone)
-    if (!f.exists(dir)) return None
-    val gens = f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("gen-"))
-      .sortBy(_.getName)(Ordering[String].reverse)
-    gens.iterator.flatMap(p => readManifest(f, p)).nextOption()
+    if (!f.exists(logDirPath(zone))) return None
+    var g = findHeadGen(f, zone)
+    while (g >= 0L) {
+      resolveSnapshot(f, zone, g) match {
+        case Some(s) => return Some(s)
+        case None => g -= 1L
+      }
+    }
+    None
   }
 
   // typed-stat value encoding: URL-encode with a "v" prefix so the None
@@ -96,7 +191,37 @@ object TxLog {
   private def decV(s: String): Option[String] =
     if (s == "-") None else Some(java.net.URLDecoder.decode(s.substring(1), "UTF-8"))
 
-  private def readManifest(f: FileSystem, p: Path): Option[Snapshot] = {
+  /** One parsed, COMPLETE log entry: either a full snapshot manifest
+    * (gen-0 inits, checkpoints, rewrite-everything commits) or a
+    * delta commit recording only the files this generation added and
+    * removed relative to its base — the O(touched-files) encoding that
+    * keeps a streaming merge sink's commit metadata proportional to the
+    * batch, never the table. */
+  private[graft] sealed trait Commit { def gen: Long; def baseGen: Long }
+  private[graft] final case class FullCommit(s: Snapshot) extends Commit {
+    def gen: Long = s.gen; def baseGen: Long = s.baseGen
+  }
+  private[graft] final case class DeltaCommit(
+      gen: Long, base: Long, format: String,
+      adds: Vector[String], removes: Vector[String],
+      meta: Map[String, String],
+      stats: Map[String, (Double, Double)],
+      colStats: Map[String, Map[String, ColStat]]) extends Commit {
+    def baseGen: Long = base
+  }
+
+  /** The generation number a manifest path CLAIMS via its filename; a
+    * complete body whose recorded gen disagrees (e.g. a stray copy of
+    * another generation's bytes) is treated as invalid, not trusted. */
+  private def pathGen(p: Path): Option[Long] = {
+    val n = p.getName
+    val num = if (n.startsWith("gen-")) n.stripPrefix("gen-")
+              else if (n.startsWith("chk-")) n.stripPrefix("chk-")
+              else return None
+    scala.util.Try(num.toLong).toOption
+  }
+
+  private def readCommit(f: FileSystem, p: Path): Option[Commit] = {
     val in = try f.open(p) catch { case _: java.io.IOException => return None }
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -104,9 +229,11 @@ object TxLog {
       val body = lines.tail.init
       val kv = body.filterNot(l =>
         l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ") ||
-          l.startsWith("t ")).map { l =>
+          l.startsWith("t ") || l.startsWith("r ")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
+      val gen = kv("gen").toLong
+      if (!pathGen(p).contains(gen)) return None
       val meta = body.filter(_.startsWith("m ")).map { l =>
         val i = l.indexOf('=', 2); (l.substring(2, i), l.substring(i + 1))
       }.toMap
@@ -129,13 +256,90 @@ object TxLog {
         file -> ts.map(t => t._2 -> t._3).toMap
       }
       val files = body.filter(_.startsWith("f ")).map(_.substring(2))
-      if (kv.get("count").map(_.toLong).contains(files.size.toLong))
-        Some(Snapshot(kv("gen").toLong, kv("format"), files, meta, stats, colStats,
-          base = kv.get("base").map(_.toLong).getOrElse(-1L)))
-      else None
+      val base = kv.get("base").map(_.toLong).getOrElse(-1L)
+      if (kv.get("kind").contains("delta")) {
+        val removes = body.filter(_.startsWith("r ")).map(_.substring(2))
+        // completeness: BOTH counts must match (a truncated delta could
+        // otherwise drop its tail removes and resurrect deleted files)
+        if (kv.get("addcount").map(_.toLong).contains(files.size.toLong) &&
+            kv.get("rmcount").map(_.toLong).contains(removes.size.toLong) &&
+            base >= 0L)
+          Some(DeltaCommit(gen, base, kv("format"), files.toVector,
+            removes.toVector, meta, stats, colStats))
+        else None
+      } else {
+        if (kv.get("count").map(_.toLong).contains(files.size.toLong))
+          Some(FullCommit(Snapshot(gen, kv("format"), files, meta, stats,
+            colStats, base = base)))
+        else None
+      }
     } catch { case _: Exception => None }
     finally in.close()
   }
+
+  /** Fold one delta onto its resolved base state. Per-file stats are
+    * immutable once committed (data files never change), so a delta's
+    * stat entries cover exactly its added files. */
+  private def applyDelta(s: Snapshot, d: DeltaCommit): Snapshot = {
+    val rm = d.removes.toSet
+    Snapshot(d.gen, d.format,
+      (s.files.filterNot(rm) ++ d.adds).distinct.sorted, d.meta,
+      (s.stats -- rm) ++ d.stats, (s.colStats -- rm) ++ d.colStats,
+      base = d.base)
+  }
+
+  /** The complete state at generation `gen`: walk base pointers back
+    * through delta commits until an ANCHOR — a full manifest, or a
+    * `chk-` checkpoint standing in for one — then fold the deltas
+    * forward. Bounded by the checkpoint interval in steady state; None
+    * when `gen` is torn, missing, or its chain is broken (the caller
+    * steps down or reports the generation as gone). */
+  private def resolveSnapshot(f: FileSystem, zone: String, gen: Long): Option[Snapshot] = {
+    var deltas = List.empty[DeltaCommit]
+    var g = gen
+    var anchor: Option[Snapshot] = None
+    // hard bound: a chain longer than this means checkpoints were never
+    // written (legacy zone) — still resolved, just linearly
+    var steps = 0
+    while (anchor.isEmpty && steps < 1000000) {
+      steps += 1
+      readCommit(f, genPath(zone, g)) match {
+        case Some(FullCommit(s)) => anchor = Some(s)
+        case Some(d: DeltaCommit) =>
+          readCommit(f, chkPath(zone, g)) match {
+            // a checkpoint AT g short-circuits the walk; keep the delta's
+            // true base so fork accounting survives reconstruction
+            case Some(FullCommit(c)) => anchor = Some(c.copy(base = d.base))
+            case _ => deltas ::= d; g = d.base
+          }
+        case None =>
+          // gen file gone (GC'd below a vacuum anchor) but its checkpoint
+          // kept: the checkpoint IS the state
+          readCommit(f, chkPath(zone, g)) match {
+            case Some(FullCommit(c)) => anchor = Some(c)
+            case _ => return None
+          }
+      }
+    }
+    anchor.map(a => deltas.foldLeft(a)(applyDelta))
+  }
+
+  /** Write the FULL resolved state at `gen` as a `chk-<gen>` checkpoint
+    * manifest (create-exclusive — racing checkpointers write identical
+    * content, so the loser just skips) and advance the pointer.
+    * Best-effort: a failed checkpoint costs chain-walk length, never
+    * correctness. */
+  private def writeCheckpoint(f: FileSystem, zone: String, s: Snapshot): Unit =
+    try {
+      tryCreate(f, chkPath(zone, s.gen)).foreach { out =>
+        try out.write(manifestBody(delta = false, gen = s.gen,
+          base = s.baseGen, format = s.format, files = s.files,
+          removes = Nil, meta = s.meta, stats = s.stats,
+          colStats = s.colStats).getBytes("UTF-8"))
+        finally out.close()
+      }
+      writePointer(f, zone, s.gen)
+    } catch { case _: Exception => () }
 
   /** A writer that crashes between claiming a generation (create-exclusive)
     * and completing the manifest body leaves a TORN manifest occupying the
@@ -186,7 +390,7 @@ object TxLog {
   private def occupant(f: FileSystem, p: Path): Occupant =
     try {
       val st = f.getFileStatus(p)
-      if (readManifest(f, p).nonEmpty) Owned
+      if (readCommit(f, p).nonEmpty) Owned
       else if (st.getModificationTime <
         System.currentTimeMillis() - TornManifestGraceMs) TornExpired
       else Owned
@@ -194,6 +398,43 @@ object TxLog {
       case _: java.io.FileNotFoundException => Vanished
       case _: java.io.IOException => Owned
     }
+
+  /** Serialize one manifest body. A FULL manifest (`delta = false`)
+    * lists every live file with its stats; a DELTA commit lists only
+    * `files` = the generation's ADDED files (with their stats) and
+    * `removes` = the files it dropped, each count pinned so a truncated
+    * tail can never parse as complete. */
+  private def manifestBody(delta: Boolean, gen: Long, base: Long,
+                           format: String, files: Seq[String],
+                           removes: Seq[String], meta: Map[String, String],
+                           stats: Map[String, (Double, Double)],
+                           colStats: Map[String, Map[String, ColStat]]): String = {
+    val body = new StringBuilder(Header).append('\n')
+      .append("gen=").append(gen).append('\n')
+      .append("base=").append(base).append('\n')
+    if (delta) body.append("kind=delta\n")
+    body.append("format=").append(format).append('\n')
+    if (delta)
+      body.append("addcount=").append(files.size).append('\n')
+        .append("rmcount=").append(removes.size).append('\n')
+    else
+      body.append("count=").append(files.size).append('\n')
+    meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      body.append("m ").append(k).append('=').append(v).append('\n') }
+    stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+      body.append("s ").append(k).append('=')
+        .append(mn).append(',').append(mx).append('\n') }
+    colStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
+      perCol.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        body.append("t ").append(file).append('|').append(c).append('=')
+          .append(st.kind).append(',').append(st.rows).append(',')
+          .append(st.nulls).append(',').append(encV(st.min)).append(',')
+          .append(encV(st.max)).append('\n') } }
+    files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
+    removes.sorted.foreach(fl => body.append("r ").append(fl).append('\n'))
+    body.append("end\n")
+    body.toString
+  }
 
   /** Atomically publish a new generation at number `gen` (rebased on head
     * `gen - 1`) — or, when that number is occupied by a crash-torn
@@ -244,7 +485,8 @@ object TxLog {
                       format: String, files: Seq[String],
                       meta: Map[String, String] = Map.empty,
                       stats: Map[String, (Double, Double)] = Map.empty,
-                      colStats: Map[String, Map[String, ColStat]] = Map.empty): Option[Long] = {
+                      colStats: Map[String, Map[String, ColStat]] = Map.empty,
+                      base: Option[Snapshot] = None): Option[Long] = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       s"manifest meta keys must be =-free and values newline-free: $meta")
@@ -281,7 +523,7 @@ object TxLog {
       f.listStatus(dir0).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("gen-") &&
           scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption.exists(_ > g))
-        .exists(p => readManifest(f, p).isDefined)
+        .exists(p => readCommit(f, p).isDefined)
     } catch { case e: Throwable =>
       // best-effort each step: a close() that ALSO throws (same flaky FS)
       // must not skip the delete or mask the original error
@@ -295,25 +537,31 @@ object TxLog {
       return None
     }
     try {
-      val body = new StringBuilder(Header).append('\n')
-        .append("gen=").append(g).append('\n')
-        .append("base=").append(baseGen).append('\n')
-        .append("format=").append(format).append('\n')
-        .append("count=").append(files.size).append('\n')
-      meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        body.append("m ").append(k).append('=').append(v).append('\n') }
-      stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
-        body.append("s ").append(k).append('=')
-          .append(mn).append(',').append(mx).append('\n') }
-      colStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
-        perCol.toSeq.sortBy(_._1).foreach { case (c, st) =>
-          body.append("t ").append(file).append('|').append(c).append('=')
-            .append(st.kind).append(',').append(st.rows).append(',')
-            .append(st.nulls).append(',').append(encV(st.min)).append(',')
-            .append(encV(st.max)).append('\n') } }
-      files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
-      body.append("end\n")
-      out.write(body.toString.getBytes("UTF-8"))
+      // DELTA ENCODING: commit metadata must be O(touched files), never
+      // O(table) — at a streaming merge sink's cadence a full-snapshot
+      // manifest per commit writes the whole live-file list every 60 s.
+      // When the diff against the rebased head is no smaller than the
+      // full list (replace/compact/restore-far), write a FULL manifest
+      // instead: same bytes, and it doubles as a chain ANCHOR.
+      val body = base match {
+        case Some(b) =>
+          val baseSet = b.files.toSet
+          val nextSet = files.toSet
+          val adds = files.filterNot(baseSet)
+          val removes = b.files.filterNot(nextSet)
+          if (adds.size + removes.size >= files.size)
+            manifestBody(delta = false, g, baseGen, format, files, Nil,
+              meta, stats, colStats)
+          else
+            manifestBody(delta = true, g, baseGen, format, adds, removes,
+              meta,
+              stats.filter { case (k, _) => !baseSet(k) || !b.stats.get(k).contains(stats(k)) },
+              colStats.filter { case (k, _) => !baseSet(k) || !b.colStats.get(k).contains(colStats(k)) })
+        case None =>
+          manifestBody(delta = false, g, baseGen, format, files, Nil,
+            meta, stats, colStats)
+      }
+      out.write(body.getBytes("UTF-8"))
     } finally out.close()
     // fork check (see scaladoc): a rival complete manifest that was also
     // rebased on our base (or older) means two chains — yield ours. The
@@ -327,12 +575,22 @@ object TxLog {
           scala.util.Try(p.getName.stripPrefix("gen-").toLong).toOption
             .exists(_ > baseGen)
       }
-      .flatMap(p => readManifest(f, p))
-      .filter(m => isForkRival(m, baseGen))
+      .flatMap(p => readCommit(f, p))
+      .filter(c => isForkRivalGen(c.gen, c.baseGen, baseGen))
     if (rivals.nonEmpty) {
       f.delete(genPath(zone, g), false)
       None
-    } else Some(g)
+    } else {
+      // CHECKPOINT HOOK: every CheckpointInterval-th generation also
+      // writes its full resolved state as chk-<g> and bumps the pointer,
+      // bounding every later reader's chain walk. The publisher holds the
+      // complete next state in memory, so this is one extra small write —
+      // and best-effort: a crash here only lengthens chains.
+      if (g > 0L && g % CheckpointInterval == 0L)
+        writeCheckpoint(f, zone, Snapshot(g, format, files, meta, stats,
+          colStats, base = baseGen))
+      Some(g)
+    }
   }
 
   /** The fork-check predicate, factored for direct testing (the claim
@@ -343,7 +601,10 @@ object TxLog {
     * generation has `baseGen >= our gen > our base` and is never a
     * rival; our own base and its ancestors are numbered <= our base. */
   private[graft] def isForkRival(m: Snapshot, ourBase: Long): Boolean =
-    m.gen > ourBase && m.baseGen <= ourBase
+    isForkRivalGen(m.gen, m.baseGen, ourBase)
+
+  private def isForkRivalGen(gen: Long, base: Long, ourBase: Long): Boolean =
+    gen > ourBase && base <= ourBase
 
   /** Zone-relative data files currently under `dir` (one `d-<uuid>`
     * write dir), skipping Spark's _SUCCESS/hidden files. */
@@ -608,7 +869,7 @@ object TxLog {
         head.stats ++ addedStats, head.colStats ++ addedColStats,
         base = head.gen)
       publish(spark, zone, next.gen, next.format, next.files, next.meta,
-        next.stats, next.colStats) match {
+        next.stats, next.colStats, base = Some(head)) match {
         // base stays head.gen even when publish skip-forwarded past a
         // corpse (g > head.gen + 1) — it names the REBASED head, exactly
         // what the on-disk manifest records
@@ -838,7 +1099,8 @@ object TxLog {
       // zone's schema IS the replacement frame's (the retype path the
       // append-side merge guard points at)
       val m = head.meta ++ statsMeta ++ Map("schema" -> df.schema.json) ++ meta
-      publish(spark, zone, head.gen + 1, head.format, files, m, stats, colStats) match {
+      publish(spark, zone, head.gen + 1, head.format, files, m, stats,
+        colStats, base = Some(head)) match {
         case Some(g) =>
           return Snapshot(g, head.format, files, m, stats, colStats, base = head.gen)
         case None => ()
@@ -1022,7 +1284,7 @@ object TxLog {
           batchId.map(b => Map("batchId" -> b.toString)).getOrElse(Map.empty)
         publish(spark, zone, head.gen + 1, head.format, nextFiles,
           head.meta ++ Map("schema" -> schema.json) ++ batchMeta,
-          nextStats, nextColStats) match {
+          nextStats, nextColStats, base = Some(head)) match {
           case Some(g) =>
             return Some(MergeStats(g, touched.size.toLong, head.files.size.toLong,
               updatedRows, insertedRows))
@@ -1143,7 +1405,7 @@ object TxLog {
         head.colStats.filter { case (p, _) => untouchedSet(p) } ++ newColStats
       prePublishHook()
       publish(spark, zone, head.gen + 1, head.format, nextFiles, head.meta,
-        nextStats, nextColStats) match {
+        nextStats, nextColStats, base = Some(head)) match {
         case Some(g) =>
           return DeleteStats(g, touched.size.toLong, head.files.size.toLong, deleted)
         case None =>
@@ -1174,11 +1436,8 @@ object TxLog {
     * exists (i.e. within [[vacuum]] retention) — explicit time travel by
     * generation number, beyond the pinned-snapshot form [[readSnapshot]]
     * already serves. */
-  def snapshotAt(spark: SparkSession, zone: String, gen: Long): Option[Snapshot] = {
-    val f = fs(spark, zone)
-    val p = genPath(zone, gen)
-    if (!f.exists(p)) None else readManifest(f, p)
-  }
+  def snapshotAt(spark: SparkSession, zone: String, gen: Long): Option[Snapshot] =
+    resolveSnapshot(fs(spark, zone), zone, gen)
 
   /** RESTORE the zone to a past generation's content, committed as a NEW
     * generation — Delta's RESTORE: a manifest-level rollback referencing
@@ -1205,7 +1464,7 @@ object TxLog {
       val meta = head.meta ++
         target.meta.get("schema").map("schema" -> _).toMap
       publish(spark, zone, head.gen + 1, target.format, target.files,
-        meta, target.stats, target.colStats) match {
+        meta, target.stats, target.colStats, base = Some(head)) match {
         case Some(g) =>
           return Snapshot(g, target.format, target.files, meta,
             target.stats, target.colStats, base = head.gen)
@@ -1305,7 +1564,7 @@ object TxLog {
     // meta carries forward: compaction must not erase e.g. the streaming
     // sink's batchId high-water mark
     publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta,
-      newStats, newColStats) match {
+      newStats, newColStats, base = Some(head)) match {
       case Some(g) =>
         CompactStats(g, head.files.size.toLong, newFiles.size.toLong,
           bytes, rewritten = true)
@@ -1351,7 +1610,7 @@ object TxLog {
     val meta = head.meta ++
       (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(",")) else Map.empty)
     publish(spark, zone, head.gen + 1, head.format, newFiles, meta,
-      newStats, newColStats) match {
+      newStats, newColStats, base = Some(head)) match {
       case Some(g) =>
         CompactStats(g, head.files.size.toLong, newFiles.size.toLong, bytes,
           rewritten = true)
@@ -1378,8 +1637,11 @@ object TxLog {
     val root = f.makeQualified(new Path(zone))
     val dir = new Path(root, LogDir)
     if (!f.exists(dir)) return 0L
-    val manifests = f.listStatus(dir).toSeq
+    val listing = f.listStatus(dir).toSeq
+    val manifests = listing
       .filter(_.getPath.getName.startsWith("gen-")).sortBy(_.getPath.getName)
+    val chks = listing
+      .filter(_.getPath.getName.startsWith("chk-")).sortBy(_.getPath.getName)
     val cutoff = System.currentTimeMillis() - graceMs
     // torn manifests get the PUBLISH-side grace floor regardless of the
     // caller's graceMs: a torn-looking file younger than that window may
@@ -1393,21 +1655,56 @@ object TxLog {
     // generation's data). Torn manifests are not snapshots — they are
     // GC'd once past the torn grace floor (fresher ones may be a publish
     // in progress; the publish-side skip-forward handles the wedge case).
-    val parsed = manifests.map(st => (st, readManifest(f, st.getPath)))
-    val complete = parsed.collect { case (st, Some(s)) => (st, s) }
-    val keep = complete.takeRight(keepGens)
-    val keepNames = keep.map(_._1.getPath.getName).toSet
-    val live: Set[String] = keep.flatMap(_._2.files).toSet
-    val dropManifests = parsed.collect {
-      case (st, Some(_)) if !keepNames(st.getPath.getName) => st.getPath
+    val parsed = manifests.map(st => (st, readCommit(f, st.getPath)))
+    val complete = parsed.collect { case (st, Some(c)) => (st, c) }
+    val tornDrops = parsed.collect {
       case (st, None) if st.getModificationTime < tornCutoff => st.getPath
     }
     // with no complete manifest at all, liveness is unknowable — GC torn
-    // manifests but leave every data file in place
+    // manifests but leave every data file and checkpoint in place
     if (complete.isEmpty) {
-      dropManifests.foreach(f.delete(_, false))
+      tornDrops.foreach(f.delete(_, false))
       return 0L
     }
+    val keep = complete.takeRight(keepGens)
+    val oldestKept = keep.head._2.gen
+    // RESOLVE every kept generation up front: the live set and the GC
+    // anchor both come from full reconstructions, and if any kept chain
+    // is unreadable the only safe move is to delete nothing but torn
+    // corpses (a partial live set would GC referenced data files).
+    val keptSnaps = keep.map { case (_, c) => resolveSnapshot(f, zone, c.gen) }
+    if (keptSnaps.exists(_.isEmpty)) {
+      tornDrops.foreach(f.delete(_, false))
+      return 0L
+    }
+    // LOG GC (the checkpoint-fold): make the oldest kept generation an
+    // ANCHOR — if it is a delta commit without a checkpoint, write
+    // chk-<oldestKept> from its resolved state NOW, before anything
+    // below it is dropped — then every older delta commit, full
+    // manifest, and checkpoint is fold-superseded and can go. This is
+    // what bounds the log dir: a year of 60 s streaming commits stays
+    // ≤ keepGens + interval manifests after each vacuum, and `latest`
+    // stays O(pointer + tail) instead of O(history).
+    val oldestSnap = keptSnaps.head.get
+    val needAnchor = keep.head._2 match {
+      case _: DeltaCommit => readCommit(f, chkPath(zone, oldestKept)).isEmpty
+      case _ => false
+    }
+    if (needAnchor) writeCheckpoint(f, zone, oldestSnap)
+    else writePointer(f, zone, oldestKept)
+    // verify the anchor actually landed before dropping the chain below
+    val anchored = keep.head._2.isInstanceOf[FullCommit] ||
+      readCommit(f, chkPath(zone, oldestKept)).nonEmpty
+    val dropManifests =
+      if (anchored) complete.collect {
+        case (st, c) if c.gen < oldestKept => st.getPath
+      } ++ tornDrops
+      else tornDrops
+    val dropChks =
+      if (anchored) chks.map(_.getPath)
+        .filter(p => pathGen(p).exists(_ < oldestKept))
+      else Nil
+    val live: Set[String] = keptSnaps.flatMap(_.get.files).toSet
     // only files under d-* write dirs are vacuum-managed; gen-0 root files
     // from init() predate the log and are left alone
     var removed = 0L
@@ -1426,7 +1723,7 @@ object TxLog {
         }
         if (listRel(f, root, d.getPath).isEmpty) f.delete(d.getPath, true)
       }
-    dropManifests.foreach(f.delete(_, false))
+    (dropManifests ++ dropChks).foreach(f.delete(_, false))
     removed
   }
 }

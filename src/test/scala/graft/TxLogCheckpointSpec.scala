@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+
+/** The delta-commit + checkpoint layer's contract — the 100 TB metadata
+  * bound: commit bytes are O(touched files) not O(table), head
+  * resolution needs only the checkpoint plus the tail commits after it,
+  * and vacuum folds history so the log dir stays bounded no matter how
+  * many generations a streaming sink has published. */
+class TxLogCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshZone(): String =
+    java.nio.file.Files.createTempDirectory("graft_txchk").toString + "/zone"
+
+  private def logFiles(zone: String): Seq[java.io.File] =
+    Option(new java.io.File(zone, "_txlog").listFiles()).map(_.toSeq)
+      .getOrElse(Nil)
+
+  private def genFile(zone: String, gen: Long): java.io.File =
+    new java.io.File(new java.io.File(zone, "_txlog"), "gen-" + "%020d".format(gen))
+
+  private def chkFile(zone: String, gen: Long): java.io.File =
+    new java.io.File(new java.io.File(zone, "_txlog"), "chk-" + "%020d".format(gen))
+
+  private def ids(zone: String): Set[Long] =
+    TxLog.read(spark, zone).select($"id").as[Long].collect().toSet
+
+  test("a merge commit's manifest bytes scale with touched files, not table size") {
+    val zone = freshZone()
+    // 32-file range-clustered zone with per-file key stats
+    TxLog.replace(spark, zone,
+      spark.range(32000L).toDF("id").repartitionByRange(32, col("id")),
+      statsCols = Seq("id"))
+    val fullBytes = genFile(zone, 1L).length()
+    // a merge touching ONE key band rewrites ~1 of 32 files
+    val st = TxLog.merge(spark, zone,
+      spark.range(100L, 200L).toDF("id"), key = "id")
+    assert(st.filesTouched <= 2L,
+      s"stats pruning should bound the rewrite, touched ${st.filesTouched}")
+    val deltaBytes = genFile(zone, st.gen).length()
+    // the replace wrote a FULL manifest (every file new); the merge must
+    // have written a DELTA commit several times smaller (the carried
+    // schema meta is the constant floor) — the property that keeps a
+    // 60 s streaming sink from writing O(table) metadata per batch
+    assert(deltaBytes * 4 < fullBytes,
+      s"merge commit is not delta-sized: $deltaBytes vs full $fullBytes")
+    // and INDEPENDENT of zone width: the same one-band merge against a
+    // zone with 4x the files must not grow the commit (O(touched), not
+    // O(table) — the bound itself, not a ratio proxy)
+    val wide = freshZone()
+    TxLog.replace(spark, wide,
+      spark.range(128000L).toDF("id").repartitionByRange(128, col("id")),
+      statsCols = Seq("id"))
+    val stw = TxLog.merge(spark, wide,
+      spark.range(100L, 200L).toDF("id"), key = "id")
+    val wideDelta = genFile(wide, stw.gen).length()
+    assert(wideDelta < deltaBytes * 2,
+      s"delta grew with zone width: $wideDelta vs $deltaBytes")
+    val body = new String(
+      java.nio.file.Files.readAllBytes(genFile(zone, st.gen).toPath), "UTF-8")
+    assert(body.contains("kind=delta"), "merge should commit as a delta")
+    // the delta lists only the touched adds/removes, never the zone
+    val fLines = body.linesIterator.count(_.startsWith("f "))
+    val rLines = body.linesIterator.count(_.startsWith("r "))
+    assert(rLines <= 2 && fLines <= 34,
+      s"delta actions should cover touched files only: $fLines adds, $rLines removes")
+    assert(ids(zone) === (0L until 32000L).toSet)
+  }
+
+  test("appends write deltas; every 10th generation checkpoints and bumps the pointer") {
+    val zone = freshZone()
+    spark.range(10L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    for (i <- 1 to 22)
+      TxLog.append(spark, zone,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id"))
+    // gen 1..22 are deltas; chk-10 and chk-20 exist; pointer says 20
+    assert(new String(java.nio.file.Files.readAllBytes(
+      genFile(zone, 5L).toPath), "UTF-8").contains("kind=delta"))
+    assert(chkFile(zone, 10L).exists() && chkFile(zone, 20L).exists(),
+      "interval checkpoints missing")
+    assert(!chkFile(zone, 15L).exists(), "off-interval checkpoint written")
+    val ptr = new java.io.File(new java.io.File(zone, "_txlog"), "_last_checkpoint")
+    assert(ptr.exists() &&
+      new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim == "20")
+    assert(ids(zone) === (0L until 230L).toSet)
+    assert(TxLog.latest(spark, zone).exists(_.gen === 22L))
+  }
+
+  test("head resolution reads checkpoint + tail only: history below the checkpoint can vanish") {
+    val zone = freshZone()
+    spark.range(10L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    for (i <- 1 to 13)
+      TxLog.append(spark, zone,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id"))
+    // simulate deep history GC: every commit BELOW the chk-10 anchor gone
+    for (g <- 0L until 10L) assert(!genFile(zone, g).exists() || genFile(zone, g).delete())
+    // latest() must still resolve gen 13 = chk-10 + deltas 11..13 — the
+    // O(pointer + tail) bound, proven by construction (nothing below the
+    // checkpoint exists to read)
+    val head = TxLog.latest(spark, zone)
+    assert(head.exists(_.gen === 13L), s"head did not resolve from checkpoint: $head")
+    assert(ids(zone) === (0L until 140L).toSet)
+    // time travel to the checkpointed generation itself also works
+    assert(TxLog.snapshotAt(spark, zone, 10L).exists(_.gen === 10L))
+    // but a generation whose chain is gone reports gone, never garbage
+    assert(TxLog.snapshotAt(spark, zone, 5L).isEmpty)
+  }
+
+  test("vacuum folds history: long streaming history leaves a bounded log dir") {
+    val zone = freshZone()
+    spark.range(4L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    for (i <- 1 to 30)
+      TxLog.append(spark, zone,
+        spark.range(i * 4L, i * 4L + 4L).toDF("id"))
+    assert(logFiles(zone).count(_.getName.startsWith("gen-")) === 31)
+    TxLog.vacuum(spark, zone, keepGens = 2, graceMs = 0L)
+    val after = logFiles(zone).map(_.getName)
+    // kept: gen-29, gen-30, their anchor chk-29, the interval chk-30,
+    // and the pointer — the log dir is BOUNDED by keepGens + interval
+    // regardless of history length (the #1 design gap the delta layer
+    // closes: head resolution and commit cost no longer grow with age)
+    assert(after.count(_.startsWith("gen-")) === 2, s"log dir not folded: $after")
+    assert(after.count(_.startsWith("chk-")) <= 2, s"stale checkpoints kept: $after")
+    assert(TxLog.latest(spark, zone).exists(_.gen === 30L))
+    assert(ids(zone) === (0L until 124L).toSet)
+    // time travel INSIDE retention still works...
+    assert(TxLog.snapshotAt(spark, zone, 29L).exists(_.gen === 29L))
+    val s29 = TxLog.readSnapshot(spark, zone,
+      TxLog.snapshotAt(spark, zone, 29L).get)
+    assert(s29.count() === 120L)
+    // ...and OUTSIDE retention refuses loudly (gone, not wrong)
+    assert(TxLog.snapshotAt(spark, zone, 7L).isEmpty)
+    intercept[RuntimeException] {
+      TxLog.appendedBetween(spark, zone, 7L)
+    }
+    // a second vacuum after more commits keeps folding
+    for (i <- 31 to 40)
+      TxLog.append(spark, zone, spark.range(i * 4L, i * 4L + 4L).toDF("id"))
+    TxLog.vacuum(spark, zone, keepGens = 2, graceMs = 0L)
+    assert(logFiles(zone).count(_.getName.startsWith("gen-")) === 2)
+    assert(TxLog.latest(spark, zone).exists(_.gen === 40L))
+    assert(ids(zone) === (0L until 164L).toSet)
+  }
+
+  test("reconstructed state equals the state a full-manifest log would carry") {
+    val zone = freshZone()
+    // mixed history: replace (full), appends (delta), merge (delta),
+    // delete (delta), compact (full) — stats and meta must survive every
+    // fold exactly, because readWhereCol/metadataCount read them
+    TxLog.replace(spark, zone,
+      spark.range(1000L).toDF("id").repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    TxLog.append(spark, zone,
+      spark.range(1000L, 1500L).toDF("id").repartitionByRange(2, col("id")))
+    TxLog.merge(spark, zone,
+      spark.range(100L, 150L).select(($"id" + 10000L).as("id")), key = "id")
+    TxLog.deleteWhereCol(spark, zone, "id", 200L, 299L)
+    val head = TxLog.latest(spark, zone).get
+    // metadataCount: every live file carries row stats through the folds
+    assert(TxLog.metadataCount(spark, zone) ===
+      Some(1000L + 500L + 50L - 100L))
+    // stats-pruned read agrees with the exact predicate over a full scan
+    val got = TxLog.readWhereCol(spark, zone, "id", 1100L, 1199L)
+      .select($"id").as[Long].collect().toSet
+    assert(got === (1100L to 1199L).toSet)
+    // schema + stats.cols meta survived the delta folds
+    assert(head.meta("stats.cols") === "id")
+    assert(TxLog.zoneSchema(head).isDefined)
+    // pinned old snapshot (pre-delete) still reconstructs exactly
+    val pre = TxLog.snapshotAt(spark, zone, head.gen - 1).get
+    assert(TxLog.readSnapshot(spark, zone, pre).count() === 1550L)
+  }
+}
