@@ -18,10 +18,16 @@ import graft.operators.TxLog
   * pipeline) pays for the delta, never the zone. Semantics of Delta's
   * streaming source, built on this log's primitives:
   *
-  *  - Offsets are generation numbers. The first batch serves everything
-  *    from `startingGen` (default 0 — initial-snapshot-then-deltas, like
-  *    Delta) to the head; each later batch serves exactly the files the
-  *    new generations added.
+  *  - Offsets are generation numbers. With no `startingGen` option the
+  *    first batch serves the FULL head snapshot — including files
+  *    already live in the zone's start generation, so a zone brought
+  *    under the log via `TxLog.init` over an existing directory streams
+  *    its complete initial state (true Delta semantics: snapshot, then
+  *    deltas). An EXPLICIT `startingGen=G` means "changes after
+  *    generation G" (Delta's `startingVersion` + 1): the first batch is
+  *    the file diff from G to the head, skipping history at and before
+  *    G. Each later batch serves exactly the files the new generations
+  *    added.
   *  - APPEND-ONLY contract, enforced loudly: a compact/replace/merge/
   *    delete inside a batch's generation window rewrites history — a
   *    file-level diff would double- or under-count, so the batch fails
@@ -75,13 +81,13 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
     val zone = zoneOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new TxLogSource(sqlContext, zone, fixed,
-      parameters.get("startingGen").map(_.toLong).getOrElse(0L))
+      parameters.get("startingGen").map(_.toLong))
   }
 }
 
 class TxLogSource(sqlContext: SQLContext, zone: String,
                   override val schema: StructType,
-                  startingGen: Long) extends Source with Logging {
+                  startingGen: Option[Long]) extends Source with Logging {
 
   private val spark = sqlContext.sparkSession
 
@@ -92,18 +98,36 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
   }
 
   override def getOffset: Option[Offset] =
-    TxLog.latest(spark, zone).map(_.gen).filter(_ > startingGen)
+    TxLog.latest(spark, zone).map(_.gen)
+      // default mode must fire even at the start generation itself — the
+      // initial snapshot is a batch; explicit startingGen=G streams only
+      // generations AFTER G
+      .filter(h => startingGen.forall(h > _))
       .map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromGen = start.map(genOf).getOrElse(startingGen)
     val toGen = genOf(end)
-    // the file diff between the two committed generations — loudly
-    // append-only (see class doc); an empty diff still needs a valid
-    // (empty) STREAMING frame, hence the bridge in both branches
-    val batch = TxLog.appendedBetween(spark, zone, fromGen, toGen)
-    // project to the pinned source schema (the diff read already applies
-    // the log schema, so evolved-away or added columns surface correctly)
+    val batch = (start, startingGen) match {
+      // first batch, default mode: the FULL snapshot at `end` — serves a
+      // non-empty start generation (init over an existing directory)
+      // instead of silently dropping it, and needs no append-only window
+      // (a full read diffs nothing)
+      case (None, None) =>
+        TxLog.readSnapshot(spark, zone,
+          TxLog.snapshotAt(spark, zone, toGen).getOrElse(
+            sys.error(s"txlog source: $zone generation $toGen is gone " +
+              "(vacuumed?) — cannot serve the initial snapshot")))
+      // explicit changes-after-G, and every later batch: the file diff
+      // between the two committed generations — loudly append-only (see
+      // class doc)
+      case (_, _) =>
+        val fromGen = start.map(genOf).orElse(startingGen).get
+        TxLog.appendedBetween(spark, zone, fromGen, toGen)
+    }
+    // project to the pinned source schema (the read already applies the
+    // log schema, so evolved-away or added columns surface correctly);
+    // an empty diff still needs a valid (empty) STREAMING frame, hence
+    // the bridge in all branches
     val conformed = batch.selectExpr(schema.fieldNames.map(n => s"`$n`").toSeq: _*)
     StreamBridge.streamingDataFrame(spark,
       conformed.queryExecution.toRdd, schema)
@@ -111,5 +135,6 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"TxLogSource[$zone from gen $startingGen]"
+  override def toString: String =
+    s"TxLogSource[$zone${startingGen.fold("")(g => s" after gen $g")}]"
 }

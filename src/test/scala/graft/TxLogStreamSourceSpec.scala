@@ -34,6 +34,27 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(got.toSet === (0L until 30L).toSet)
   }
 
+  test("a non-empty start generation streams its snapshot (init over an existing dir)") {
+    // the migration path: a plain parquet directory brought under the log
+    // — gen 0 itself holds every file, and a file-diff-only source would
+    // silently drop the entire initial state (round-7 ADVICE finding)
+    val zone = freshZone()
+    spark.range(20L).toDF("id").repartition(4).write.parquet(zone)
+    TxLog.init(spark, zone)
+    assert(TxLog.latest(spark, zone).exists(s => s.gen === 0L && s.files.nonEmpty),
+      "fixture: gen 0 must be the non-empty start generation")
+    val q = spark.readStream.format(fmt).option("zone", zone).load()
+      .writeStream.format("memory").queryName("zsrc_init").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("zsrc_init").as[Long].collect().toSet === (0L until 20L).toSet,
+      "initial snapshot must include the start generation's own files")
+    TxLog.append(spark, zone, spark.range(20L, 26L).toDF("id"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("zsrc_init").as[Long].collect().toSet === (0L until 26L).toSet)
+    assert(spark.table("zsrc_init").count() === 26L, "snapshot+delta must not duplicate")
+  }
+
   test("the provider resolves by its registered short name") {
     val zone = freshZone()
     TxLog.replace(spark, zone, spark.range(3L).toDF("id"))
