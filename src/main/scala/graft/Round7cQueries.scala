@@ -95,8 +95,10 @@ object Round7cQueries {
       (zone, g1)
     })
 
-  /** The q38/q46 simhash CTE (bit-parity-critical — same construction). */
-  private[graft] val simhashShSql =
+  /** The q38/q46 simhash CTE (bit-parity-critical — same construction),
+    * parameterized on the source relation so q208 can run it over its
+    * consistent sample while q234 keeps the full-corpus form. */
+  private[graft] def simhashShSqlOver(table: String): String =
     s"""sh AS (
        |  SELECT doc_id,
        |         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31), b ->
@@ -106,7 +108,15 @@ object Round7cQueries {
        |                THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
        |  FROM (SELECT doc_id,
        |               LIST_TRANSFORM($toksSql, t -> ${h32Sql.format("t")}) AS hs
-       |        FROM documents) d)""".stripMargin
+       |        FROM $table) d)""".stripMargin
+
+  private[graft] val simhashShSql = simhashShSqlOver("documents")
+
+  /** q208's deterministic diagnostic sample size: a fixed-priority
+    * (md5-keyed) top-N, so the histogram's candidate cost is N²/16 —
+    * CONSTANT in corpus size — while any corpus at or below N (sf0.01's
+    * 500 docs, where the hash gate runs) is sampled in full. */
+  private[graft] val SimhashSampleN = 2000
 
   def all: Seq[Q] = Seq(
 
@@ -427,25 +437,44 @@ object Round7cQueries {
       // The SimHash distance histogram that justifies a near-dup
       // threshold choice: pair counts by hamming distance up to 7, found
       // via 8 × 4-bit rotating bands (pigeonhole: hamming ≤ 7 ⇒ at least
-      // one of 8 bands identical — the banded join IS exhaustive, so the
-      // oracle's full self-join agrees). q46 lists the ≤3 pairs; this is
-      // the distribution a pipeline inspects before picking that 3.
-      // Scale contract: exhaustiveness at ≤7 FORCES 4-bit band keys (16
-      // values), whose buckets grow with n²/16 — fine at sf1 (14 s quiet,
-      // measured), but at corpus scale this DIAGNOSTIC runs over a
-      // consistent sample (q188's md5-priority machinery) like any
-      // distribution estimate; the production FILTER stays q46's ≤3 with
-      // 8-bit bands.
-      Some(s"""WITH $simhashShSql
+      // one of 8 bands identical — the banded join IS exhaustive over
+      // its input). q46 lists the ≤3 pairs; this is the distribution a
+      // pipeline inspects before picking that 3.
+      // Scale contract: exhaustiveness at ≤7 forces 4-bit band keys (16
+      // values), whose buckets grow n²/16 — quadratic in corpus size, so
+      // the DECLARED diagnostic runs over a [[SimhashSampleN]]-doc
+      // CONSISTENT sample (md5-priority, the q188 machinery): a doc's
+      // priority never changes, so the sample — and the histogram — is
+      // reproducible across runs and engines, and the candidate cost is
+      // constant in corpus size. Corpora at or below the sample size
+      // (sf0.01, where the hash gate runs) are sampled in FULL, so the
+      // oracle checks the exact exhaustive histogram there
+      // (Round7cSpec pins sampled == full at that scale). The full-
+      // corpus form stays available as Dedup.simhashNearDups for the
+      // production ≤3 filter (8-bit bands, linear buckets).
+      Some(s"""WITH smp AS (SELECT doc_id, text FROM documents
+              |             ORDER BY MD5('shs|' || CAST(doc_id AS VARCHAR)), doc_id
+              |             LIMIT $SimhashSampleN),
+              |${simhashShSqlOver("smp")}
               |SELECT CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming,
               |       COUNT(*) AS n_pairs
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 7
               |GROUP BY 1 ORDER BY hamming""".stripMargin),
-      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 7, bands = 8)
-        .groupBy(col("hamming").cast("long").as("hamming"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("hamming"))
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // TakeOrderedAndProject: per-partition top-N, merged once — the
+        // global-limit plan that never single-partition-sorts the corpus
+        val smp = docs
+          .select(col("doc_id"), col("text"),
+            md5(concat(lit("shs|"), col("doc_id").cast("string"))).as("__pri"))
+          .orderBy(col("__pri"), col("doc_id"))
+          .limit(SimhashSampleN)
+          .select("doc_id", "text")
+        Dedup.simhashNearDups(smp, "doc_id", "text", maxHamming = 7, bands = 8)
+          .groupBy(col("hamming").cast("long").as("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("hamming")
+      })
   )
 }

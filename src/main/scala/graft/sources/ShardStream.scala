@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.graft.StreamBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Cdc
+
+/** Structured Streaming source over a [[ShardStore]] — the emulated
+  * Kinesis transport the reference ingests from (`lib/dynamodb-streaming-
+  * datalake-stack.ts:59-64,199-203`), with the transport's REAL
+  * semantics wired through, not a file glob:
+  *
+  *  - The streaming Offset is the per-shard cursor map (shardId -> last
+  *    consumed sequence number), serialized as canonical sorted JSON —
+  *    restart resumes every shard exactly where the last COMMITTED batch
+  *    left it (checkpointed resume, the Kinesis consumer contract).
+  *  - Each batch serves, per shard, the records in (cursor, head] in
+  *    sequence order. Ordering is PER SHARD ONLY: the batch frame carries
+  *    (shard, seq) so a downstream that needs per-key order uses the
+  *    shard routing guarantee (one key, one shard), never a global
+  *    arrival order the transport does not promise.
+  *  - Resharding is discovered at offset time: new child shards simply
+  *    appear in the cursor map at 0. A closed parent's records all
+  *    precede every child record (puts stop at split/merge), so reading
+  *    parents and children to head in the same batch preserves per-key
+  *    order across the reshard boundary.
+  *  - Record bodies are read on EXECUTORS (the per-shard (from, to] spec
+  *    is what ships, one task per shard) — the driver holds cursors,
+  *    never data, exactly the shape a real consumer library has.
+  *
+  * Usage: `spark.readStream.format("shardstore").option("dir", path)
+  * .load()` → rows (shard STRING, seq LONG, value STRING). */
+class ShardStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "shardstore"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (s"shardstore[${parameters.getOrElse("dir", "?")}]", ShardStreamSource.schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val dir = parameters.getOrElse("dir",
+      throw new IllegalArgumentException(
+        "shardstore source requires option 'dir' (the shard store path)"))
+    new ShardStreamSource(sqlContext, dir)
+  }
+}
+
+object ShardStreamSource {
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Canonical offset JSON: shard ids sorted, `{"s0":12,"s1":7}`. Shard
+    * ids are [A-Za-z0-9.-] by construction, so the grammar needs no
+    * escaping and the parse below is total on what serialize emits. */
+  private[graft] def serialize(cursors: Map[String, Long]): String =
+    cursors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private[graft] def parse(json: String): Map[String, Long] = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"") ->
+        kv.substring(i + 1).trim.toLong
+    }.toMap
+  }
+}
+
+final case class ShardOffset(cursors: Map[String, Long]) extends Offset {
+  override def json: String = ShardStreamSource.serialize(cursors)
+}
+
+class ShardStreamSource(sqlContext: SQLContext, dir: String)
+    extends Source with Logging {
+
+  private val spark = sqlContext.sparkSession
+  override val schema: StructType = ShardStreamSource.schema
+
+  private def store = new ShardStore(dir)
+
+  private def cursorsOf(o: Offset): Map[String, Long] = o match {
+    case ShardOffset(c) => c
+    case s: SerializedOffset => ShardStreamSource.parse(s.json)
+    case other => sys.error(s"shardstore source: unexpected offset type $other")
+  }
+
+  override def getOffset: Option[Offset] = {
+    val st = store
+    val heads = st.shards().map(s => s.id -> st.maxSeq(s.id)).toMap
+    if (heads.values.forall(_ == 0L)) None else Some(ShardOffset(heads))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(cursorsOf).getOrElse(Map.empty)
+    val to = cursorsOf(end)
+    // one (shard, from, to] spec per shard with news; executors read the
+    // record files — the driver never materializes a record body
+    val specs = to.toSeq.sorted.flatMap { case (shard, hi) =>
+      val lo = from.getOrElse(shard, 0L)
+      if (hi > lo) Some((shard, lo, hi)) else None
+    }
+    val d = dir
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    import spark.implicits._
+    val raw = spark.createDataset(specs)
+      .repartition(math.max(1, specs.size))
+      .flatMap { case (shard, lo, hi) =>
+        new ShardStore(d).get(shard, lo, hi).iterator
+          .map { case (seq, value) => Row(shard, seq, value) }
+      }(enc)
+    StreamBridge.streamingDataFrame(spark,
+      raw.toDF().queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ShardStreamSource[$dir]"
+}
+
+/** [[CdcSource]] member over the emulated shard transport: the parsed-
+  * envelope contract the CDC pipeline consumes, now carried by a
+  * transport with real shard semantics instead of a file glob — closing
+  * the reference boundary `stack.ts:59-64` (Kinesis) the way
+  * [[SegmentedScan]] closes `ddb_full_load.py:56-65` (DynamoDB scan). */
+final case class ShardCdcSource(dir: String) extends CdcSource {
+  override def stream(spark: SparkSession): DataFrame =
+    Cdc.parse(
+      spark.readStream.format("shardstore").option("dir", dir).load()
+        .select("value"),
+      "value")
+}

@@ -38,6 +38,29 @@ class Round7cSpec extends SparkSpec {
     assert(got.length == 3 && got.forall(_.getLong(2) == 1L))
   }
 
+  // ---- q208 sampled diagnostic ---------------------------------------------
+
+  test("q208 sample covers corpora at or below SimhashSampleN in full — sampled == exhaustive") {
+    // the scale contract: the declared histogram runs over a consistent
+    // md5-priority sample of SimhashSampleN docs; any corpus at or below
+    // that size (the sf0.01 hash-gate scale included) is sampled in FULL,
+    // so the sampled form must equal the exhaustive full-corpus form
+    // there — the equivalence that lets the oracle stay exact while the
+    // declared plan's candidate cost stays constant in corpus size.
+    val d = "/root/testdata/sf0.001"
+    assert(graft.sources.Tables.documents(spark, d).count()
+      <= Round7cQueries.SimhashSampleN, "fixture must fit inside the sample")
+    val sampled = Queries.queryMap("q208_simhash_hamming_hist")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val full = Dedup.simhashNearDups(
+        graft.sources.Tables.documents(spark, d), "doc_id", "text",
+        maxHamming = 7, bands = 8)
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs")).orderBy("hamming")
+      .as[(Long, Long)].collect().toSeq
+    assert(sampled === full, "sampled histogram diverged from the exhaustive form")
+  }
+
   // ---- blocklistStats ------------------------------------------------------
 
   test("blocklistStats: hit counting, flag rate, and list hygiene") {
