@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Warmup dir = the sf0.001 sibling of the target dir, loudly falling
-    * back to the target itself (shared with PerfProbe2 so the fallback
+    * back to the target itself (kept here so the fallback
     * warning cannot drift out of one of the copies). */
   def warmDirFor(sfDir: String): String = {
     val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

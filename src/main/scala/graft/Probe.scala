@@ -1,0 +1,53 @@
+package graft
+
+/** The one dev probe main (replaces the round-5/6/7 PerfProbe{,2..5} and
+  * Scratch one-offs — same capabilities, parameterized):
+  *
+  *  - `runMain graft.Probe entry`
+  *    Drives `SparkEntry.entry` like the driver's smoke check; prints
+  *    `entry rows=N`.
+  *  - `runMain graft.Probe time <sfDir> <q1,q2,...> [reps]`
+  *    Quiet per-query timing: runs each named declared query `reps`
+  *    times (default 3) on a fresh session and prints every rep plus the
+  *    min — the quiet-subset A/B tool the bench-interference protocol
+  *    (SURVEY "bench protocol") prescribes for cross-round comparisons.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "entry" :: Nil =>
+      val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val df = SparkEntry.entry(spark)
+      val n = df.count()
+      df.show(5, truncate = false)
+      println(s"entry rows=$n")
+      spark.stop()
+
+    case "time" :: sfDir :: names :: rest =>
+      val reps = rest.headOption.map(_.toInt).getOrElse(3)
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.functions.GraftFunctions.registerAll(spark)
+      val qs = SparkEntry.queries
+      names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+        val fn = qs.getOrElse(name,
+          sys.error(s"unknown query '$name' — declared: ${qs.keys.toSeq.sorted.take(5).mkString(", ")}..."))
+        val times = (1 to reps).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-32s min=${times.min}%7.3f s  reps=${times.map(t => f"$t%.3f").mkString(",")}")
+      }
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""usage: graft.Probe entry
+           |       graft.Probe time <sfDir> <q1,q2,...> [reps]
+           |got: ${other.mkString(" ")}""".stripMargin)
+      sys.exit(2)
+  }
+}
