@@ -171,6 +171,8 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q240_doc_keywords", "q239_centroid_confusion", "q238_winsor_trim",
+      "q237_vocab_growth", "q236_stratified_quota", "q235_decayed_activity",
       "q200_mmr_rerank", "q199_cluster_balanced_select",
       "q198_matryoshka_recall", "q197_bpe_apply",
       "q196_length_buckets", "q195_winnowing_pairs", "q194_split_leakage",

@@ -609,7 +609,8 @@ object Queries {
     all ++ TrainingQueries.all ++ ExtendedQueries.all ++ MoreQueries.all ++
       Round4Queries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
       Round5Queries.all ++ Round6Queries.all ++ Round7Queries.all ++
-      Round7bQueries.all ++ Round7cQueries.all ++ Round7dQueries.all
+      Round7bQueries.all ++ Round7cQueries.all ++ Round7dQueries.all ++
+      Round8Queries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.Q
+import graft.TrainingQueries.toksSql
+import graft.operators.{GlobalOrder, Skew}
+import graft.sources.Tables
+
+/** Round-8 additions: corpus-curation planning operators — decay-weighted
+  * activity, exact largest-remainder quota allocation, vocabulary-growth
+  * (Heaps) curves, winsorized length gating, an integer-exact nearest-
+  * centroid classifier screen, and per-document keyword extraction.
+  * Same determinism discipline as the whole inventory: integer or
+  * power-of-two-exact arithmetic everywhere, ONE IEEE division per
+  * output value at most, total tie orders, no log/exp. */
+object Round8Queries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("q235_decayed_activity",
+      // Half-life-decayed per-user activity score: weight 2^(20-age)
+      // where age = weeks before the corpus's newest day, clamped at 20
+      // — the recency prior a feed/retention pipeline ranks by. EXACT:
+      // weights are powers of two summed as BIGINT (no float decay —
+      // exp() is neither portable nor needed), the anchor is
+      // data-derived (max event date), and the top-100 order is total.
+      // Scale shape: one scan -> map-side weight -> hash agg by user ->
+      // TakeOrdered 100; the 1-row anchor broadcasts.
+      Some("""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+             |w AS (SELECT user_id,
+             |        CAST(POWER(2, 20 - LEAST(DATE_DIFF('day', CAST(ts AS DATE), mx.d) // 7,
+             |                                 20)) AS BIGINT) AS wt
+             |      FROM events, mx)
+             |SELECT user_id, CAST(SUM(wt) AS BIGINT) AS decayed_score
+             |FROM w GROUP BY user_id
+             |ORDER BY decayed_score DESC, user_id LIMIT 100""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("dt"))
+        val mx = ev.agg(max(col("dt")).as("d"))
+        ev.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            pow(lit(2.0), lit(20) - least(expr("datediff(d, dt) div 7"), lit(20)))
+              .cast("long").as("wt"))
+          .groupBy("user_id")
+          .agg(sum(col("wt")).as("decayed_score"))
+          .orderBy(col("decayed_score").desc, col("user_id"))
+          .limit(100)
+      }),
+
+    Q("q236_stratified_quota",
+      // Largest-remainder (Hamilton) allocation of a 1000-doc sampling
+      // budget across sources proportional to size — the exact-integer
+      // way to turn mixture weights into per-source quotas that sum to
+      // the budget (floor everything, then give the +1s to the largest
+      // remainders; ties broken by source name). The allocation a
+      // training-mix sampler (q165's weights, q199's balancer) actually
+      // executes. All integer; the rank is a count-of-better self-join
+      // over the ~|sources| aggregate, never a window.
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+             |b AS (SELECT source, n_docs,
+             |        (1000 * n_docs) // total AS base,
+             |        (1000 * n_docs) % total AS rem
+             |      FROM c, t),
+             |e AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS extra FROM b),
+             |r AS (SELECT b.source, b.n_docs, b.base, b.rem,
+             |        (SELECT COUNT(*) FROM b b2 WHERE b2.rem > b.rem
+             |           OR (b2.rem = b.rem AND b2.source < b.source)) AS rk
+             |      FROM b)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |       CAST(base + CASE WHEN rk < e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |FROM r, e ORDER BY source""".stripMargin),
+      (s, d) => {
+        val c = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val t = c.agg(sum(col("n_docs")).cast("long").as("total"))
+        val b = c.crossJoin(broadcast(t))
+          .select(col("source"), col("n_docs"),
+            expr("(1000 * n_docs) div total").as("base"),
+            expr("(1000 * n_docs) % total").as("rem"))
+        val e = b.agg((lit(1000) - sum(col("base")).cast("long")).as("extra"))
+        val b2 = b.select(col("source").as("s2"), col("rem").as("rem2"))
+        val rk = b.join(broadcast(b2),
+            col("rem2") > col("rem") ||
+              (col("rem2") === col("rem") && col("s2") < col("source")),
+            "left")
+          .groupBy("source", "n_docs", "base", "rem")
+          .agg(count(col("s2")).as("rk"))
+        rk.crossJoin(broadcast(e))
+          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+            (col("base") + when(col("rk") < col("extra"), 1L).otherwise(0L))
+              .cast("long").as("quota"))
+          .orderBy("source")
+      }),
+
+    Q("q237_vocab_growth",
+      // Heaps-law vocabulary growth curve: distinct-token counts after
+      // the first n/4, n/2, 3n/4, and n documents (in doc_id order) —
+      // the diagnostic that says whether more data still buys new
+      // vocabulary. Each token contributes its FIRST-occurrence ordinal
+      // only (one row per distinct token, not per occurrence), and the
+      // ordinal comes from GlobalOrder's two-pass row number — no
+      // single-partition window at any size. The four thresholds
+      // broadcast against the token relation.
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |            ROW_NUMBER() OVER (ORDER BY doc_id) AS ord FROM documents),
+              |tok AS (SELECT t AS token, MIN(ord) AS first_ord
+              |        FROM d, UNNEST($toksSql) AS u(t)
+              |        GROUP BY t),
+              |n AS (SELECT COUNT(*) AS nd FROM documents),
+              |ks AS (SELECT CAST((nd * k) // 4 AS BIGINT) AS k
+              |       FROM n, UNNEST([1, 2, 3, 4]) AS kk(k))
+              |SELECT k, CAST((SELECT COUNT(*) FROM tok WHERE first_ord <= k) AS BIGINT) AS vocab
+              |FROM ks ORDER BY k""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ordered = GlobalOrder.rowNumber(docs, Seq(col("doc_id")), "ord")
+        val firstOrd = ordered
+          .select(col("ord"),
+            explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(min(col("ord")).as("first_ord"))
+        val n = docs.agg(count(lit(1)).as("nd"))
+        val ks = n.select(explode(array(lit(1), lit(2), lit(3), lit(4))).as("kk"),
+            col("nd"))
+          .select(expr("(nd * kk) div 4").cast("long").as("k"))
+        firstOrd.join(broadcast(ks), col("first_ord") <= col("k"))
+          .groupBy("k").agg(count(lit(1)).cast("long").as("vocab"))
+          .orderBy("k")
+      }),
+
+    Q("q238_winsor_trim",
+      // Winsorized length gate: per source, the nearest-rank p10/p90
+      // token-length bounds and how many docs survive trimming to them —
+      // the outlier fence a curation pipeline applies before length
+      // statistics mean anything. Ranks come from a window PARTITIONED
+      // by source (each source's lengths sort within its own tasks;
+      // nothing is single-partition), and the per-source bounds
+      // broadcast back against the lengths.
+      Some(s"""WITH l AS (SELECT source, doc_id,
+              |            CAST(LEN($toksSql) AS BIGINT) AS len FROM documents),
+              |r AS (SELECT source, len,
+              |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rk,
+              |        COUNT(*) OVER (PARTITION BY source) AS n
+              |      FROM l),
+              |b AS (SELECT source,
+              |        MAX(CASE WHEN rk = (n + 9) // 10 THEN len END) AS lo,
+              |        MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN len END) AS hi
+              |      FROM r GROUP BY source)
+              |SELECT b.source, lo, hi,
+              |       CAST(SUM(CASE WHEN l.len BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM b JOIN l ON l.source = b.source
+              |GROUP BY b.source, lo, hi ORDER BY b.source""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val l = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("long").as("len"))
+        val w = Window.partitionBy("source").orderBy(col("len"), col("doc_id"))
+        val wc = Window.partitionBy("source")
+        val r = l.select(col("source"), col("len"),
+          row_number().over(w).as("rk"), count(lit(1)).over(wc).as("n"))
+        val b = r.groupBy("source").agg(
+          max(when(col("rk") === expr("(n + 9) div 10"), col("len"))).as("lo"),
+          max(when(col("rk") === expr("(9 * n + 9) div 10"), col("len"))).as("hi"))
+        l.join(broadcast(b), Seq("source"))
+          .groupBy("source", "lo", "hi")
+          .agg(sum(when(col("len").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).cast("long").as("n_kept"))
+          .select("source", "lo", "hi", "n_kept")
+          .orderBy("source")
+      }),
+
+    Q("q239_centroid_confusion",
+      // Nearest-centroid classifier screen over the embedding table: the
+      // label-vs-predicted confusion counts that say whether the
+      // embedding space separates the labels at all (the 1-NN-to-
+      // centroid baseline every probing paper reports first). INTEGER-
+      // EXACT end to end: values quantize to floor((x+2)*1024) (shift
+      // keeps them non-negative so truncating and flooring division
+      // agree across engines; *1024 is a power of two, exact on floats),
+      // centroids are integer-divided sums, distances are BIGINT sums of
+      // squares, and argmin ties break to the smaller label. Scale
+      // shape: quantized codes explode to (vec, dim) rows once; the 640-
+      // row centroid table broadcasts; no float ever rides the shuffle.
+      Some("""WITH q AS (SELECT vec_id, label, i,
+             |        CAST(FLOOR((embedding[i] + 2) * 1024) AS BIGINT) AS qv
+             |      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS s(i)),
+             |cent AS (SELECT label AS clabel, i, SUM(qv) // COUNT(*) AS cq
+             |         FROM q GROUP BY label, i),
+             |dist AS (SELECT q.vec_id, q.label, cent.clabel,
+             |           SUM((q.qv - cent.cq) * (q.qv - cent.cq)) AS d2
+             |         FROM q JOIN cent USING (i) GROUP BY q.vec_id, q.label, cent.clabel),
+             |p AS (SELECT vec_id, label, clabel,
+             |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+             |      FROM dist)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS pred,
+             |       COUNT(*) AS n
+             |FROM p WHERE rn = 1 GROUP BY label, clabel ORDER BY label, pred""".stripMargin),
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i0", "val")))
+          .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+            floor((col("val").cast("double") + lit(2.0)) * lit(1024.0))
+              .cast("long").as("qv"))
+        val cent = q.groupBy(col("label").as("clabel"), col("i"))
+          .agg(expr("sum(qv) div count(*)").as("cq"))
+        val dist = q.join(broadcast(cent), Seq("i"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq"))).as("d2"))
+        dist.groupBy("vec_id", "label")
+          .agg(min(struct(col("d2"), col("clabel"))).as("w"))
+          .select(col("label").cast("long").as("label"),
+            col("w.clabel").cast("long").as("pred"))
+          .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred")
+      }),
+
+    Q("q240_doc_keywords",
+      // Per-document keyword extraction: the top-3 tokens by tf/df (term
+      // frequency over corpus document frequency — the idf-flavored
+      // salience score with NO log, so it stays engine-portable). One
+      // IEEE division per (doc, token) score; the (score desc, token)
+      // tie order is total. The engine runs the skew-safe fixed-k
+      // tournament (topKPerKey) instead of a per-doc window over the
+      // full score relation; the 3-row-per-doc result then ranks in a
+      // partitioned window that touches 3 rows per task.
+      Some(s"""WITH tok AS (SELECT doc_id, t AS token
+              |             FROM documents, UNNEST($toksSql) AS u(t)),
+              |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+              |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+              |sc AS (SELECT doc_id, token, CAST(tf AS DOUBLE) / df AS score
+              |       FROM tf JOIN df USING (token)),
+              |r AS (SELECT doc_id, token, score,
+              |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+              |      FROM sc)
+              |SELECT doc_id, token, CAST(rn AS BIGINT) AS rn
+              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val sc = tf.join(df, Seq("token"))
+          .select(col("doc_id"), col("token"),
+            (col("tf").cast("double") / col("df")).as("score"))
+        val top = Skew.topKPerKey(sc, Seq(col("doc_id")),
+          Seq(col("score").desc, col("token")), k = 3)
+        top.select(col("doc_id"), col("token"),
+            row_number().over(Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("token"))).cast("long").as("rn"))
+          .orderBy("doc_id", "rn")
+      })
+  )
+}
