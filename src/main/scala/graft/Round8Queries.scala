@@ -15,6 +15,51 @@ import graft.sources.Tables
   * output value at most, total tie orders, no log/exp. */
 object Round8Queries {
 
+  /** Largest-remainder (Hamilton) allocation of `budget` over a
+    * per-source count CTE named `c(source, n_docs)` — shared by q236
+    * (raw counts) and q243 (deduped counts) so the twins can never
+    * fork. All integer: floor quotas, then +1 to the largest remainders
+    * (ties by source name), via a count-of-better self-join over the
+    * ~|sources| aggregate — no window. */
+  private def hamiltonSql(cCte: String, budget: Int): String =
+    s"""WITH c AS ($cCte),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+       |b AS (SELECT source, n_docs,
+       |        ($budget * n_docs) // total AS base,
+       |        ($budget * n_docs) % total AS rem
+       |      FROM c, t),
+       |e AS (SELECT $budget - CAST(SUM(base) AS BIGINT) AS extra FROM b),
+       |r AS (SELECT b.source, b.n_docs, b.base, b.rem,
+       |        (SELECT COUNT(*) FROM b b2 WHERE b2.rem > b.rem
+       |           OR (b2.rem = b.rem AND b2.source < b.source)) AS rk
+       |      FROM b)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(base + CASE WHEN rk < e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM r, e ORDER BY source""".stripMargin
+
+  /** The Spark twin of [[hamiltonSql]]: `c` must be (source, n_docs). */
+  private def hamilton(c: org.apache.spark.sql.DataFrame,
+                       budget: Int): org.apache.spark.sql.DataFrame = {
+    val t = c.agg(sum(col("n_docs")).cast("long").as("total"))
+    val b = c.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"),
+        expr(s"($budget * n_docs) div total").as("base"),
+        expr(s"($budget * n_docs) % total").as("rem"))
+    val e = b.agg((lit(budget) - sum(col("base")).cast("long")).as("extra"))
+    val b2 = b.select(col("source").as("s2"), col("rem").as("rem2"))
+    val rk = b.join(broadcast(b2),
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("s2") < col("source")),
+        "left")
+      .groupBy("source", "n_docs", "base", "rem")
+      .agg(count(col("s2")).as("rk"))
+    rk.crossJoin(broadcast(e))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        (col("base") + when(col("rk") < col("extra"), 1L).otherwise(0L))
+          .cast("long").as("quota"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("q235_decayed_activity",
@@ -57,42 +102,12 @@ object Round8Queries {
       // training-mix sampler (q165's weights, q199's balancer) actually
       // executes. All integer; the rank is a count-of-better self-join
       // over the ~|sources| aggregate, never a window.
-      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
-             |b AS (SELECT source, n_docs,
-             |        (1000 * n_docs) // total AS base,
-             |        (1000 * n_docs) % total AS rem
-             |      FROM c, t),
-             |e AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS extra FROM b),
-             |r AS (SELECT b.source, b.n_docs, b.base, b.rem,
-             |        (SELECT COUNT(*) FROM b b2 WHERE b2.rem > b.rem
-             |           OR (b2.rem = b.rem AND b2.source < b.source)) AS rk
-             |      FROM b)
-             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-             |       CAST(base + CASE WHEN rk < e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
-             |FROM r, e ORDER BY source""".stripMargin),
-      (s, d) => {
-        val c = Tables.documents(s, d).groupBy("source")
-          .agg(count(lit(1)).as("n_docs"))
-        val t = c.agg(sum(col("n_docs")).cast("long").as("total"))
-        val b = c.crossJoin(broadcast(t))
-          .select(col("source"), col("n_docs"),
-            expr("(1000 * n_docs) div total").as("base"),
-            expr("(1000 * n_docs) % total").as("rem"))
-        val e = b.agg((lit(1000) - sum(col("base")).cast("long")).as("extra"))
-        val b2 = b.select(col("source").as("s2"), col("rem").as("rem2"))
-        val rk = b.join(broadcast(b2),
-            col("rem2") > col("rem") ||
-              (col("rem2") === col("rem") && col("s2") < col("source")),
-            "left")
-          .groupBy("source", "n_docs", "base", "rem")
-          .agg(count(col("s2")).as("rk"))
-        rk.crossJoin(broadcast(e))
-          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
-            (col("base") + when(col("rk") < col("extra"), 1L).otherwise(0L))
-              .cast("long").as("quota"))
-          .orderBy("source")
-      }),
+      Some(hamiltonSql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+        budget = 1000)),
+      (s, d) => hamilton(
+        Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs")),
+        budget = 1000)),
 
     Q("q237_vocab_growth",
       // Heaps-law vocabulary growth curve: distinct-token counts after
@@ -254,6 +269,102 @@ object Round8Queries {
             row_number().over(Window.partitionBy("doc_id")
               .orderBy(col("score").desc, col("token"))).cast("long").as("rn"))
           .orderBy("doc_id", "rn")
-      })
+      }),
+
+    Q("q241_novelty_curve",
+      // Per-decile novelty curve: processing docs in doc_id order, what
+      // fraction of each decile's distinct 3-gram shingles was never
+      // seen in ANY earlier doc — the marginal-value-of-more-data curve
+      // (q229 answers it once for one base/delta split; this is the
+      // whole trajectory). A gram charges its FIRST doc only (min
+      // ordinal), ordinals come from GlobalOrder (no single-partition
+      // window), and the doc count broadcasts for the decile bucketing.
+      // ROUND at the edge, one division per decile.
+      Some(s"""WITH d AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS ord,
+              |            $toksSql AS t FROM documents),
+              |g AS (SELECT ord, UNNEST(LIST_DISTINCT(CASE WHEN LEN(t) >= 3 THEN
+              |         LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+              |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |       ELSE [] END)) AS sh
+              |      FROM d),
+              |f AS (SELECT sh, MIN(ord) AS first_ord FROM g GROUP BY sh),
+              |n AS (SELECT COUNT(*) AS nd FROM documents),
+              |p AS (SELECT g.ord, COUNT(*) AS total,
+              |        SUM(CASE WHEN f.first_ord = g.ord THEN 1 ELSE 0 END) AS novel
+              |      FROM g JOIN f USING (sh) GROUP BY g.ord)
+              |SELECT CAST(((ord - 1) * 10) // nd AS BIGINT) AS decile,
+              |       CAST(SUM(novel) AS BIGINT) AS novel_grams,
+              |       CAST(SUM(total) AS BIGINT) AS total_grams,
+              |       ROUND(CAST(SUM(novel) AS DOUBLE) / SUM(total), 4) AS novelty
+              |FROM p, n GROUP BY decile ORDER BY decile""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ordered = GlobalOrder.rowNumber(docs, Seq(col("doc_id")), "ord")
+        val g = ordered
+          .select(col("ord"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("ord"), explode(array_distinct(
+            graft.operators.TextAnalysis.shingles(col("t"), 3))).as("sh"))
+        val f = g.groupBy("sh").agg(min(col("ord")).as("first_ord"))
+        val n = docs.agg(count(lit(1)).as("nd"))
+        g.join(f, Seq("sh"))
+          .groupBy("ord")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("first_ord") === col("ord"), 1L).otherwise(0L)).as("novel"))
+          .crossJoin(broadcast(n))
+          .groupBy(expr("((ord - 1) * 10) div nd").cast("long").as("decile"))
+          .agg(sum(col("novel")).cast("long").as("novel_grams"),
+            sum(col("total")).cast("long").as("total_grams"),
+            round(sum(col("novel")).cast("double") / sum(col("total")), 4)
+              .as("novelty"))
+          .orderBy("decile")
+      }),
+
+    Q("q242_simpson_diversity",
+      // Corpus-level Simpson diversity per source: 1 - sum(c·(c-1)) /
+      // (N·(N-1)) over token occurrence counts — the no-log diversity
+      // index (Shannon needs log, which is not engine-portable; Simpson
+      // is exact integer sums with ONE division), the per-source twin of
+      // q177's per-doc diversity. Two hash aggs, map-side partials all
+      // the way; a repeated-token-heavy source scores low.
+      Some(s"""WITH tok AS (SELECT source, t AS token
+              |             FROM documents, UNNEST($toksSql) AS u(t)),
+              |c AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token),
+              |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+              |        CAST(SUM(c * (c - 1)) AS BIGINT) AS s2 FROM c GROUP BY source)
+              |SELECT source, n AS n_tokens,
+              |       ROUND(1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 4)
+              |         AS simpson_diversity
+              |FROM a ORDER BY source""".stripMargin),
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+        val c = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        c.groupBy("source")
+          .agg(sum(col("c")).cast("long").as("n"),
+            sum(col("c") * (col("c") - 1)).cast("long").as("s2"))
+          .select(col("source"), col("n").as("n_tokens"),
+            round(lit(1.0) - col("s2").cast("double")
+              / (col("n").cast("double") * (col("n") - 1)), 4)
+              .as("simpson_diversity"))
+          .orderBy("source")
+      }),
+
+    Q("q243_dedup_quota",
+      // The q236 allocation recomputed over DEDUPED counts (distinct
+      // md5(text) per source) — quotas must follow what a source
+      // CONTRIBUTES, not what it ships, or a heavily-duplicated source
+      // buys sampling weight with copies (the q233 reduction report
+      // feeding the q236 allocator, composed). Shares the Hamilton
+      // fragment with q236 so the two allocators can never fork.
+      Some(hamiltonSql(
+        "SELECT source, COUNT(DISTINCT MD5(text)) AS n_docs FROM documents GROUP BY source",
+        budget = 1000)),
+      (s, d) => hamilton(
+        Tables.documents(s, d).groupBy("source")
+          .agg(countDistinct(md5(col("text"))).as("n_docs")),
+        budget = 1000))
   )
 }

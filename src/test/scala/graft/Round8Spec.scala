@@ -9,16 +9,39 @@ import org.apache.spark.sql.functions._
 class Round8Spec extends SparkSpec {
   import spark.implicits._
 
-  test("q236: quotas sum exactly to the budget and differ from plain floor by at most 1") {
-    val rows = Queries.queryMap("q236_stratified_quota")(spark, sf0001)
-      .as[(String, Long, Long)].collect()
-    assert(rows.map(_._3).sum === 1000L, "largest-remainder must hit the budget exactly")
-    val total = rows.map(_._2).sum
-    rows.foreach { case (src, n, q) =>
-      val base = 1000L * n / total
-      assert(q == base || q == base + 1L,
-        s"$src got $q, outside [floor, floor+1] = [$base, ${base + 1}]")
+  test("q236/q243: quotas sum exactly to the budget and differ from plain floor by at most 1") {
+    for (name <- Seq("q236_stratified_quota", "q243_dedup_quota")) {
+      val rows = Queries.queryMap(name)(spark, sf0001)
+        .as[(String, Long, Long)].collect()
+      assert(rows.map(_._3).sum === 1000L,
+        s"$name: largest-remainder must hit the budget exactly")
+      val total = rows.map(_._2).sum
+      rows.foreach { case (src, n, q) =>
+        val base = 1000L * n / total
+        assert(q == base || q == base + 1L,
+          s"$name/$src got $q, outside [floor, floor+1] = [$base, ${base + 1}]")
+      }
     }
+  }
+
+  test("q242: a duplicate-heavy source scores strictly lower Simpson diversity") {
+    val docs = Seq(
+      ("rep", "a a a a a a a a b b"),
+      ("div", "a b c d e f g h i j")
+    ).toDF("source", "text").withColumn("doc_id", lit(1L))
+    import graft.operators.TextAnalysis
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val c = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val a = c.groupBy("source")
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("s2"))
+      .select(col("source"),
+        (lit(1.0) - col("s2").cast("double")
+          / (col("n").cast("double") * (col("n") - 1))).as("sd"))
+      .as[(String, Double)].collect().toMap
+    assert(a("div") === 1.0, "all-distinct tokens must score exactly 1")
+    assert(a("rep") < 0.5, s"repeated-token source must score low, got ${a("rep")}")
   }
 
   test("q237: vocabulary growth is monotone and ends at the full distinct-token count") {
