@@ -630,7 +630,8 @@ object TxLog {
       val files =
         if (!f.exists(root)) Seq.empty
         else listRel(f, root, root).filterNot(_.startsWith(LogDir))
-      publish(spark, zone, 0L, format, files) match {
+      publish(spark, zone, 0L, format, files,
+        meta = Map("op" -> "init")) match {
         case Some(g) => Snapshot(g, format, files)
         // lost the init race: someone else published first — read them
         case None => latest(spark, zone).getOrElse(
@@ -865,7 +866,7 @@ object TxLog {
         Map("schema" -> evolvedSchema(spark, zone, head, df).json)
       val next = Snapshot(head.gen + 1, head.format,
         (head.files ++ added).distinct.sorted,
-        head.meta ++ statsMeta ++ schemaMeta ++ meta,
+        head.meta ++ statsMeta ++ schemaMeta ++ meta ++ Map("op" -> "append"),
         head.stats ++ addedStats, head.colStats ++ addedColStats,
         base = head.gen)
       publish(spark, zone, next.gen, next.format, next.files, next.meta,
@@ -1098,7 +1099,8 @@ object TxLog {
       // replace RESETS the tracked schema: every live file is new, so the
       // zone's schema IS the replacement frame's (the retype path the
       // append-side merge guard points at)
-      val m = head.meta ++ statsMeta ++ Map("schema" -> df.schema.json) ++ meta
+      val m = head.meta ++ statsMeta ++ Map("schema" -> df.schema.json) ++
+        meta ++ Map("op" -> "replace")
       publish(spark, zone, head.gen + 1, head.format, files, m, stats,
         colStats, base = Some(head)) match {
         case Some(g) =>
@@ -1283,7 +1285,8 @@ object TxLog {
         val batchMeta =
           batchId.map(b => Map("batchId" -> b.toString)).getOrElse(Map.empty)
         publish(spark, zone, head.gen + 1, head.format, nextFiles,
-          head.meta ++ Map("schema" -> schema.json) ++ batchMeta,
+          head.meta ++ Map("schema" -> schema.json) ++ batchMeta ++
+            Map("op" -> "merge"),
           nextStats, nextColStats, base = Some(head)) match {
           case Some(g) =>
             return Some(MergeStats(g, touched.size.toLong, head.files.size.toLong,
@@ -1404,7 +1407,8 @@ object TxLog {
       val nextColStats =
         head.colStats.filter { case (p, _) => untouchedSet(p) } ++ newColStats
       prePublishHook()
-      publish(spark, zone, head.gen + 1, head.format, nextFiles, head.meta,
+      publish(spark, zone, head.gen + 1, head.format, nextFiles,
+        head.meta ++ Map("op" -> "delete"),
         nextStats, nextColStats, base = Some(head)) match {
         case Some(g) =>
           return DeleteStats(g, touched.size.toLong, head.files.size.toLong, deleted)
@@ -1439,6 +1443,35 @@ object TxLog {
   def snapshotAt(spark: SparkSession, zone: String, gen: Long): Option[Snapshot] =
     resolveSnapshot(fs(spark, zone), zone, gen)
 
+  /** Commit history within retention — Delta's DESCRIBE HISTORY: one row
+    * per surviving commit, newest first, with the operation that
+    * produced it (every write path stamps `op` into its commit meta),
+    * the commit kind (full manifest vs delta actions), and the action
+    * counts. Reads ONLY commit files (bounded by vacuum's log GC), never
+    * data; the audit surface an operator checks before a RESTORE. */
+  def history(spark: SparkSession, zone: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, zone)
+    val dir = logDirPath(zone)
+    val rows: Seq[(Long, Long, String, String, Long, Long, Option[Long])] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("gen-"))
+        .flatMap(p => readCommit(f, p))
+        .sortBy(-_.gen)
+        .map {
+          case FullCommit(s) =>
+            (s.gen, s.baseGen, "full",
+              s.meta.getOrElse("op", ""), s.files.size.toLong, 0L,
+              s.meta.get("batchId").map(_.toLong))
+          case d: DeltaCommit =>
+            (d.gen, d.base, "delta",
+              d.meta.getOrElse("op", ""), d.adds.size.toLong,
+              d.removes.size.toLong, d.meta.get("batchId").map(_.toLong))
+        }
+    rows.toDF("gen", "base", "kind", "op", "num_added", "num_removed", "batch_id")
+  }
+
   /** RESTORE the zone to a past generation's content, committed as a NEW
     * generation — Delta's RESTORE: a manifest-level rollback referencing
     * the old generation's (immutable) files, no data copied or rewritten.
@@ -1462,7 +1495,8 @@ object TxLog {
       // high-water mark) but the TARGET's schema and stats — the content
       // is the target's, the transport bookkeeping is the present's
       val meta = head.meta ++
-        target.meta.get("schema").map("schema" -> _).toMap
+        target.meta.get("schema").map("schema" -> _).toMap ++
+        Map("op" -> "restore")
       publish(spark, zone, head.gen + 1, target.format, target.files,
         meta, target.stats, target.colStats, base = Some(head)) match {
         case Some(g) =>
@@ -1563,7 +1597,8 @@ object TxLog {
     prePublishHook()
     // meta carries forward: compaction must not erase e.g. the streaming
     // sink's batchId high-water mark
-    publish(spark, zone, head.gen + 1, head.format, newFiles, head.meta,
+    publish(spark, zone, head.gen + 1, head.format, newFiles,
+      head.meta ++ Map("op" -> "compact"),
       newStats, newColStats, base = Some(head)) match {
       case Some(g) =>
         CompactStats(g, head.files.size.toLong, newFiles.size.toLong,
@@ -1609,7 +1644,8 @@ object TxLog {
       head.format, head.meta.get("stats.col"), statsCols)
     val meta = head.meta ++
       (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(",")) else Map.empty)
-    publish(spark, zone, head.gen + 1, head.format, newFiles, meta,
+    publish(spark, zone, head.gen + 1, head.format, newFiles,
+      meta ++ Map("op" -> "compactClustered"),
       newStats, newColStats, base = Some(head)) match {
       case Some(g) =>
         CompactStats(g, head.files.size.toLong, newFiles.size.toLong, bytes,

@@ -50,7 +50,8 @@ class ShardStreamProvider extends StreamSourceProvider with DataSourceRegister {
     val dir = parameters.getOrElse("dir",
       throw new IllegalArgumentException(
         "shardstore source requires option 'dir' (the shard store path)"))
-    new ShardStreamSource(sqlContext, dir)
+    new ShardStreamSource(sqlContext, dir,
+      parameters.get("maxRecordsPerShard").map(_.toLong))
   }
 }
 
@@ -82,13 +83,27 @@ final case class ShardOffset(cursors: Map[String, Long]) extends Offset {
   override def json: String = ShardStreamSource.serialize(cursors)
 }
 
-class ShardStreamSource(sqlContext: SQLContext, dir: String)
+class ShardStreamSource(sqlContext: SQLContext, dir: String,
+                        maxRecordsPerShard: Option[Long] = None)
     extends Source with Logging {
+
+  require(maxRecordsPerShard.forall(_ >= 1L),
+    s"maxRecordsPerShard must be >= 1, got $maxRecordsPerShard")
 
   private val spark = sqlContext.sparkSession
   override val schema: StructType = ShardStreamSource.schema
 
   private def store = new ShardStore(dir)
+
+  /** Cursors of the last batch this source OFFERED — the backpressure
+    * anchor for `maxRecordsPerShard` (the GetRecords page-size limit a
+    * real consumer lives under: a consumer behind a deep shard drains
+    * it in bounded bites, per shard, instead of one giant batch).
+    * Unknown until the first getBatch of a run, and the first offer
+    * after a (re)start is UNCAPPED: capping from zero could offer an
+    * offset BELOW a checkpoint-committed cursor (offset regression) —
+    * the same best-effort contract as maxFilesPerTrigger. */
+  private var lastEnd: Option[Map[String, Long]] = None
 
   private def cursorsOf(o: Offset): Map[String, Long] = o match {
     case ShardOffset(c) => c
@@ -98,13 +113,20 @@ class ShardStreamSource(sqlContext: SQLContext, dir: String)
 
   override def getOffset: Option[Offset] = {
     val st = store
-    val heads = st.shards().map(s => s.id -> st.maxSeq(s.id)).toMap
+    val heads = st.shards().map { s =>
+      val h = st.maxSeq(s.id)
+      s.id -> ((maxRecordsPerShard, lastEnd) match {
+        case (Some(m), Some(base)) => math.min(h, base.getOrElse(s.id, 0L) + m)
+        case _ => h
+      })
+    }.toMap
     if (heads.values.forall(_ == 0L)) None else Some(ShardOffset(heads))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(cursorsOf).getOrElse(Map.empty)
     val to = cursorsOf(end)
+    lastEnd = Some(to)
     // one (shard, from, to] spec per shard with news; executors read the
     // record files — the driver never materializes a record body
     val specs = to.toSeq.sorted.flatMap { case (shard, hi) =>

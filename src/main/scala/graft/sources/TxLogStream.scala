@@ -81,15 +81,30 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
     val zone = zoneOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new TxLogSource(sqlContext, zone, fixed,
-      parameters.get("startingGen").map(_.toLong))
+      parameters.get("startingGen").map(_.toLong),
+      parameters.get("maxGensPerBatch").map(_.toLong))
   }
 }
 
 class TxLogSource(sqlContext: SQLContext, zone: String,
                   override val schema: StructType,
-                  startingGen: Option[Long]) extends Source with Logging {
+                  startingGen: Option[Long],
+                  maxGensPerBatch: Option[Long] = None) extends Source with Logging {
+
+  require(maxGensPerBatch.forall(_ >= 1L),
+    s"maxGensPerBatch must be >= 1, got $maxGensPerBatch")
 
   private val spark = sqlContext.sparkSession
+
+  /** The newest generation this source has OFFERED as a batch end —
+    * the anchor the `maxGensPerBatch` backpressure caps against (the
+    * A11 rate-limit analog: a consumer restarted after a long gap
+    * catches up in bounded bites instead of one giant batch). Unknown
+    * until the first getBatch of a run; the first offer after a cold
+    * start is uncapped (the initial snapshot is one batch by design) —
+    * the same best-effort contract as the file source's
+    * maxFilesPerTrigger. */
+  private var lastEnd: Option[Long] = None
 
   private def genOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -103,10 +118,21 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
       // initial snapshot is a batch; explicit startingGen=G streams only
       // generations AFTER G
       .filter(h => startingGen.forall(h > _))
+      .map { h =>
+        // cap only against an end this RUN has offered: anchoring on
+        // startingGen after a restart could offer an offset below the
+        // checkpoint-committed one (offset regression) — so the first
+        // offer of a run is uncapped, like maxFilesPerTrigger
+        (maxGensPerBatch, lastEnd) match {
+          case (Some(m), Some(b)) => math.min(h, b + m)
+          case _ => h
+        }
+      }
       .map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toGen = genOf(end)
+    lastEnd = Some(toGen)
     val batch = (start, startingGen) match {
       // first batch, default mode: the FULL snapshot at `end` — serves a
       // non-empty start generation (init over an existing directory)

@@ -161,6 +161,31 @@ class ShardStoreSpec extends SparkSpec {
       s"per-key last-writer state is wrong: $got")
   }
 
+  test("maxRecordsPerShard: a deep shard drains in bounded per-shard bites") {
+    val dir = freshStore()
+    val st = new ShardStore(dir)
+    st.createStream(2)
+    st.put("k0", "seed")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("shardstore").option("dir", dir)
+      .option("maxRecordsPerShard", "5").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }: Unit
+      }.start()
+    q.processAllAvailable()
+    assert(batches.toSeq === Seq(1L))
+    // 40 records land while the query runs: with 2 shards and a 5-record
+    // per-shard cap, catch-up batches carry <= 10 records each and it
+    // takes >= 4 of them — the GetRecords page-size shape
+    for (i <- 0 until 40) st.put(s"key-$i", s"v$i")
+    q.processAllAvailable(); q.stop()
+    assert(batches.sum === 41L, s"records must arrive exactly once: $batches")
+    val catchUp = batches.drop(1)
+    assert(catchUp.size >= 4 && catchUp.forall(_ <= 10L),
+      s"catch-up must be bounded per-shard bites: $batches")
+  }
+
   test("resharding mid-stream: child shards are discovered and drained after parents") {
     val dir = freshStore()
     val st = new ShardStore(dir)

@@ -147,6 +147,63 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(ids(zone) === (0L until 164L).toSet)
   }
 
+  test("history: one row per surviving commit with its operation, newest first") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone,
+      spark.range(1000L).toDF("id").repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    TxLog.append(spark, zone, spark.range(1000L, 1100L).toDF("id"))
+    TxLog.merge(spark, zone, spark.range(50L).select(($"id" + 5000L).as("id")),
+      key = "id")
+    TxLog.deleteWhereCol(spark, zone, "id", 0L, 99L)
+    assert(TxLog.compact(spark, zone, targetBytes = 1L << 30).rewritten)
+    TxLog.restore(spark, zone, 3L)
+    val h = TxLog.history(spark, zone)
+      .select($"gen", $"kind", $"op").as[(Long, String, String)].collect().toSeq
+    assert(h.map(_._1) === Seq(6L, 5L, 4L, 3L, 2L, 1L, 0L), "newest first, contiguous")
+    assert(h.map(_._3) === Seq("restore", "compact", "delete", "merge",
+      "append", "replace", "init"))
+    // kinds: full rewrites anchor as full manifests; touched-file
+    // commits are deltas
+    val kinds = h.map(x => x._1 -> x._2).toMap
+    assert(kinds(1L) === "full" && kinds(5L) === "full")
+    assert(kinds(2L) === "delta" && kinds(3L) === "delta" && kinds(4L) === "delta")
+    // vacuum truncates history to retention
+    TxLog.vacuum(spark, zone, keepGens = 2, graceMs = 0L)
+    assert(TxLog.history(spark, zone).select($"gen").as[Long].collect().toSet
+      === Set(5L, 6L))
+  }
+
+  test("maxGensPerBatch: a deep backlog drains in bounded bites, exactly once") {
+    val zone = freshZone()
+    spark.range(10L).toDF("id").write.parquet(zone)
+    TxLog.init(spark, zone)
+    TxLog.append(spark, zone, spark.range(10L, 20L).toDF("id"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("txlog")
+      .option("zone", zone).option("startingGen", "0")
+      .option("maxGensPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }: Unit
+      }.start()
+    q.processAllAvailable()
+    assert(batches.toSeq === Seq(10L))
+    // a 6-generation backlog lands while the query runs: with the cap it
+    // must drain in >= 3 bites of <= 2 generations (20 rows) each — the
+    // catch-up shape a consumer behind a busy zone actually needs
+    for (i <- 2 to 7)
+      TxLog.append(spark, zone, spark.range(i * 10L, i * 10L + 10L).toDF("id"))
+    q.processAllAvailable(); q.stop()
+    // 70 = gens 1..7 (startingGen=0 streams changes AFTER gen 0; the
+    // init generation's own rows are excluded by the explicit-start
+    // contract)
+    assert(batches.sum === 70L, s"backlog must drain exactly once: $batches")
+    val catchUp = batches.drop(1)
+    assert(catchUp.size >= 3 && catchUp.forall(_ <= 20L),
+      s"catch-up must be bounded bites of <= 2 gens: $batches")
+  }
+
   test("reconstructed state equals the state a full-manifest log would carry") {
     val zone = freshZone()
     // mixed history: replace (full), appends (delta), merge (delta),
