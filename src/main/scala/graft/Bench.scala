@@ -171,6 +171,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q246_cluster_span", "q245_source_token_overlap", "q244_lsh_calibration",
       "q243_dedup_quota", "q242_simpson_diversity", "q241_novelty_curve",
       "q240_doc_keywords", "q239_centroid_confusion", "q238_winsor_trim",
       "q237_vocab_growth", "q236_stratified_quota", "q235_decayed_activity",

@@ -365,6 +365,105 @@ object Round8Queries {
       (s, d) => hamilton(
         Tables.documents(s, d).groupBy("source")
           .agg(countDistinct(md5(col("text"))).as("n_docs")),
-        budget = 1000))
+        budget = 1000)),
+
+    Q("q244_lsh_calibration",
+      // The calibration curve that licenses estimate-only dedup at
+      // 100 TB: q137's LSH candidate pairs bucketed by their SIGNATURE
+      // estimate (floor(est·8), clamped), with the count of pairs whose
+      // EXACT Jaccard clears the 0.8 production threshold and the exact
+      // mean per bucket — if high-estimate buckets are pure, the
+      // expensive exact-verify stage can be skipped above a cutoff.
+      // Mean-of-rounded-doubles is summed as scaled LONGS (×10⁴ exact
+      // integers; summing 4dp doubles in engine-specific order could
+      // flip the ROUND edge), one division at the edge.
+      Some(s"""WITH est AS (${TrainingQueries.minhashEstimateSql})
+              |SELECT LEAST(CAST(FLOOR(est_jaccard * 8) AS BIGINT), 7) AS bucket,
+              |       COUNT(*) AS n_pairs,
+              |       CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_true_08,
+              |       ROUND(SUM(CAST(ROUND(jaccard * 10000) AS BIGINT))
+              |             / (10000.0 * COUNT(*)), 4) AS mean_jaccard
+              |FROM est GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val est = graft.operators.Dedup.minhashEstimatePairs(
+          Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16)
+        est.groupBy(least(floor(col("est_jaccard") * 8).cast("long"), lit(7L))
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).cast("long")
+              .as("n_true_08"),
+            round(sum(round(col("jaccard") * 10000).cast("long"))
+              / (lit(10000.0) * count(lit(1))), 4).as("mean_jaccard"))
+          .orderBy("bucket")
+      }),
+
+    Q("q245_source_token_overlap",
+      // Source-vocabulary affinity matrix: |top-100 tokens of a ∩ top-100
+      // of b| for every source pair — the cheap integer screen for "are
+      // these two crawls the same distribution" run before the expensive
+      // content-level contamination pass (q202). Top-100 per source is a
+      // partitioned rank (WindowGroupLimit pushdown); the pair join fans
+      // out by sources-per-token, bounded by the source count.
+      Some(s"""WITH tok AS (SELECT source, t AS token
+              |             FROM documents, UNNEST($toksSql) AS u(t)),
+              |c AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token),
+              |r AS (SELECT source, token,
+              |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, token) AS rk
+              |      FROM c),
+              |top AS (SELECT source, token FROM r WHERE rk <= 100)
+              |SELECT a.source AS a_src, b.source AS b_src,
+              |       CAST(COUNT(*) AS BIGINT) AS shared
+              |FROM top a JOIN top b ON a.token = b.token AND a.source < b.source
+              |GROUP BY a.source, b.source ORDER BY a_src, b_src""".stripMargin),
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        val top = Skew.topKPerKey(c, Seq(col("source")),
+          Seq(col("c").desc, col("token")), k = 100)
+          .select(col("source"), col("token"))
+        top.select(col("source").as("a_src"), col("token"))
+          .join(top.select(col("source").as("b_src"), col("token")), Seq("token"))
+          .filter(col("a_src") < col("b_src"))
+          .groupBy("a_src", "b_src").agg(count(lit(1)).cast("long").as("shared"))
+          .orderBy("a_src", "b_src")
+      }),
+
+    Q("q246_cluster_span",
+      // Do near-dup clusters cross sources? Per cluster-span (distinct
+      // source count), how many clusters and docs — the single-source
+      // spans are within-crawl duplication (dedup locally), the multi-
+      // source spans are syndication/mirroring (the contamination
+      // signal). Reuses the session-cached q56 cluster relation; the
+      // oracle extends q56's recursive closure with the source join.
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION ALL SELECT b_id, a_id FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node),
+              |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+              |       FROM reach GROUP BY node),
+              |pc AS (SELECT cluster_id, COUNT(*) AS sz,
+              |         COUNT(DISTINCT d.source) AS ns
+              |       FROM cl JOIN documents d USING (doc_id) GROUP BY cluster_id)
+              |SELECT CAST(ns AS BIGINT) AS n_sources,
+              |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              |       CAST(SUM(sz) AS BIGINT) AS n_docs
+              |FROM pc GROUP BY ns ORDER BY n_sources""".stripMargin),
+      (s, d) => ExtendedQueries.cachedDupClusters(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("ns"))
+        .groupBy(col("ns").cast("long").as("n_sources"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(col("sz")).cast("long").as("n_docs"))
+        .orderBy("n_sources"))
   )
 }

@@ -74,7 +74,7 @@ object TrainingQueries {
     * Dedup.lshCandidates, self-join for candidates, then emit the
     * slot-agreement estimate beside the exact Jaccard. Generated, so the
     * permutation coefficients can never drift from HashFunctions. */
-  private val minhashEstimateSql: String = {
+  private[graft] val minhashEstimateSql: String = {
     val P = graft.functions.HashFunctions.P
     val sigTerms = (0 until 32).map { k =>
       val a = graft.functions.HashFunctions.permA(k)
