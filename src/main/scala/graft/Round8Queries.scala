@@ -425,8 +425,11 @@ object Round8Queries {
         val top = Skew.topKPerKey(c, Seq(col("source")),
           Seq(col("c").desc, col("token")), k = 100)
           .select(col("source"), col("token"))
+        // the top relation is |sources| x 100 rows — broadcast the probe
+        // side so the pair join never shuffles the token lists
         top.select(col("source").as("a_src"), col("token"))
-          .join(top.select(col("source").as("b_src"), col("token")), Seq("token"))
+          .join(broadcast(top.select(col("source").as("b_src"), col("token"))),
+            Seq("token"))
           .filter(col("a_src") < col("b_src"))
           .groupBy("a_src", "b_src").agg(count(lit(1)).cast("long").as("shared"))
           .orderBy("a_src", "b_src")
@@ -456,7 +459,10 @@ object Round8Queries {
               |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
               |       CAST(SUM(sz) AS BIGINT) AS n_docs
               |FROM pc GROUP BY ns ORDER BY n_sources""".stripMargin),
-      (s, d) => ExtendedQueries.cachedDupClusters(s, d)
+      // the cluster relation (dup docs only) is tiny next to the corpus:
+      // broadcast it so the source join is a map-side lookup over the
+      // documents scan, never a corpus shuffle
+      (s, d) => broadcast(ExtendedQueries.cachedDupClusters(s, d))
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .groupBy("cluster_id")
