@@ -161,6 +161,40 @@ class ShardStoreSpec extends SparkSpec {
       s"per-key last-writer state is wrong: $got")
   }
 
+  test("shard transport through the A13 CDC pipeline equals the batch transform") {
+    // ShardCdcSource -> CdcStream.pipeline: the reference's ingest path
+    // (Kinesis -> Lambda transform -> hour-partitioned gzip JSON lake)
+    // over the emulated transport, checked against the batch transform
+    // of the same envelopes
+    import graft.operators.Cdc
+    val dir = freshStore()
+    val st = new ShardStore(dir)
+    st.createStream(3)
+    def env(id: Long, seq: Long): String =
+      s"""{"eventName":"${if (seq == 0) "INSERT" else "MODIFY"}","dynamodb":{""" +
+        s""""ApproximateCreationDateTime":${1687310000 + id * 10 + seq}.0,""" +
+        s""""Keys":{"id":{"S":"$id"},"name":{"S":"n$id"}},""" +
+        s""""NewImage":{"id":{"S":"$id"},"name":{"S":"n$id"},"Designation":{"S":"d$id-$seq"}}}}"""
+    val lines = for { id <- 0L until 20L; seq <- 0L until 2L } yield env(id, seq)
+    for ((l, i) <- lines.zipWithIndex) st.put((i % 20).toString, l)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_shard_a13").toString
+    val q = graft.streaming.CdcStream.pipeline(
+      graft.sources.ShardCdcSource(dir).stream(spark),
+      s"$base/lake", s"$base/err", s"$base/ckpt").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.read.json(s"$base/lake/year=*/month=*/day=*/hour=*")
+      .select("id", "name", "Event")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val batch = Cdc.transform(Cdc.parse(lines.toDF("value")))
+      .select(col("id"), col("name"), col("event").as("Event"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed === batch,
+      "shard-streamed A13 lake content must equal the batch transform")
+    assert(streamed.values.sum === 40)
+  }
+
   test("maxRecordsPerShard: a deep shard drains in bounded per-shard bites") {
     val dir = freshStore()
     val st = new ShardStore(dir)
