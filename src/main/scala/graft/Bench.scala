@@ -171,6 +171,8 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q250_local_clustering", "q249_mode_per_group", "q248_weighted_median",
+      "q247_interval_coverage",
       "q246_cluster_span", "q245_source_token_overlap", "q244_lsh_calibration",
       "q243_dedup_quota", "q242_simpson_diversity", "q241_novelty_curve",
       "q240_doc_keywords", "q239_centroid_confusion", "q238_winsor_trim",
