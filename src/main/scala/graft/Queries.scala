@@ -610,7 +610,8 @@ object Queries {
       Round4Queries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
       Round5Queries.all ++ Round6Queries.all ++ Round7Queries.all ++
       Round7bQueries.all ++ Round7cQueries.all ++ Round7dQueries.all ++
-      Round8Queries.all ++ Round8bQueries.all
+      Round8Queries.all ++ Round8bQueries.all ++ Round8cQueries.all ++
+      Round8dQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap

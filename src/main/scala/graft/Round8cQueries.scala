@@ -1,0 +1,337 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Queries.Q
+import graft.operators.GlobalOrder
+import graft.sources.Tables
+
+/** Round-8 third batch: the classical statistics / data-profiling tier a
+  * curation pipeline leans on before any modeling decision — a one-pass
+  * Pearson correlation matrix, a chi-square independence test with
+  * Cramer's V, a two-sample Kolmogorov-Smirnov distance, robust
+  * median/MAD dispersion with outlier gating, and A-Priori-pruned
+  * frequent-pair mining with association rules. Determinism discipline
+  * unchanged: every aggregate is an exact integer (cents / counts /
+  * cross-products summed as decimal(38,0) vs DuckDB HUGEINT), float
+  * enters only in the final closed-form formula written with IDENTICAL
+  * association in both engines, one ROUND at the edge, total tie
+  * orders. */
+object Round8cQueries {
+
+  /** Exact decimal(38,0) sum of a long product column, surfaced as the
+    * correctly-rounded double — the Spark twin of DuckDB's
+    * SUM(BIGINT)->HUGEINT->DOUBLE. A plain sum(long) would overflow:
+    * sum of price-cents squared is ~6e19 at sf1 already. */
+  private def hsum(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+
+  /** Sample-free Pearson correlation from exact sums (the n-cancelling
+    * closed form; scale-invariant, so integer cents/percent units give
+    * the same value as the raw doubles). Written as one explicitly
+    * parenthesized double expression so Spark and DuckDB execute the
+    * same IEEE operation tree. */
+  private def corrOf(n: Column, sx: Column, sy: Column, sxy: Column,
+                     sxx: Column, syy: Column): Column =
+    round((n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+
+  def all: Seq[Q] = Seq(
+
+    Q("q251_corr_matrix",
+      // Pearson correlation matrix over lineitem's four measures in ONE
+      // pass: quantities/cents/percent units are exact integers, all 14
+      // moments accumulate as decimal(38,0) (DuckDB HUGEINT) so the
+      // shuffle carries one 15-number row per partition (map-side
+      // partial agg), and the 6 pairwise coefficients come out of the
+      // closed form at the driver-visible edge. The profiling step that
+      // decides which columns are redundant before feature selection.
+      Some("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) q,
+             |        CAST(ROUND(l_extendedprice*100) AS BIGINT) p,
+             |        CAST(ROUND(l_discount*100) AS BIGINT) dc,
+             |        CAST(ROUND(l_tax*100) AS BIGINT) tx FROM lineitem),
+             |a AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+             |        CAST(SUM(q) AS DOUBLE) sq, CAST(SUM(p) AS DOUBLE) sp,
+             |        CAST(SUM(dc) AS DOUBLE) sd, CAST(SUM(tx) AS DOUBLE) st,
+             |        CAST(SUM(q*q) AS DOUBLE) sqq, CAST(SUM(p*p) AS DOUBLE) spp,
+             |        CAST(SUM(dc*dc) AS DOUBLE) sdd, CAST(SUM(tx*tx) AS DOUBLE) stt,
+             |        CAST(SUM(q*p) AS DOUBLE) sqp, CAST(SUM(q*dc) AS DOUBLE) sqd,
+             |        CAST(SUM(q*tx) AS DOUBLE) sqt, CAST(SUM(p*dc) AS DOUBLE) spd,
+             |        CAST(SUM(p*tx) AS DOUBLE) spt, CAST(SUM(dc*tx) AS DOUBLE) sdt
+             |      FROM v)
+             |SELECT x_col, y_col, corr FROM (
+             |  SELECT 'qty' x_col, 'price' y_col,
+             |    ROUND((n*sqp - sq*sp)/(SQRT(n*sqq - sq*sq)*SQRT(n*spp - sp*sp)),6) corr FROM a
+             |  UNION ALL SELECT 'qty','disc', ROUND((n*sqd - sq*sd)/(SQRT(n*sqq - sq*sq)*SQRT(n*sdd - sd*sd)),6) FROM a
+             |  UNION ALL SELECT 'qty','tax', ROUND((n*sqt - sq*st)/(SQRT(n*sqq - sq*sq)*SQRT(n*stt - st*st)),6) FROM a
+             |  UNION ALL SELECT 'price','disc', ROUND((n*spd - sp*sd)/(SQRT(n*spp - sp*sp)*SQRT(n*sdd - sd*sd)),6) FROM a
+             |  UNION ALL SELECT 'price','tax', ROUND((n*spt - sp*st)/(SQRT(n*spp - sp*sp)*SQRT(n*stt - st*st)),6) FROM a
+             |  UNION ALL SELECT 'disc','tax', ROUND((n*sdt - sd*st)/(SQRT(n*sdd - sd*sd)*SQRT(n*stt - st*st)),6) FROM a
+             |) ORDER BY x_col, y_col""".stripMargin),
+      (s, d) => {
+        val v = Tables.lineitem(s, d).select(
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("p"),
+          round(col("l_discount") * 100).cast("long").as("dc"),
+          round(col("l_tax") * 100).cast("long").as("tx"))
+        val a = v.agg(
+          count(lit(1)).cast("double").as("n"),
+          hsum(col("q")).as("sq"), hsum(col("p")).as("sp"),
+          hsum(col("dc")).as("sd"), hsum(col("tx")).as("st"),
+          hsum(col("q") * col("q")).as("sqq"), hsum(col("p") * col("p")).as("spp"),
+          hsum(col("dc") * col("dc")).as("sdd"), hsum(col("tx") * col("tx")).as("stt"),
+          hsum(col("q") * col("p")).as("sqp"), hsum(col("q") * col("dc")).as("sqd"),
+          hsum(col("q") * col("tx")).as("sqt"), hsum(col("p") * col("dc")).as("spd"),
+          hsum(col("p") * col("tx")).as("spt"), hsum(col("dc") * col("tx")).as("sdt"))
+        def pair(x: String, y: String, sxy: String, sx: String, sy: String,
+                 sxx: String, syy: String) =
+          struct(lit(x).as("x_col"), lit(y).as("y_col"),
+            corrOf(col("n"), col(sx), col(sy), col(sxy), col(sxx), col(syy)).as("corr"))
+        a.select(explode(array(
+            pair("qty", "price", "sqp", "sq", "sp", "sqq", "spp"),
+            pair("qty", "disc", "sqd", "sq", "sd", "sqq", "sdd"),
+            pair("qty", "tax", "sqt", "sq", "st", "sqq", "stt"),
+            pair("price", "disc", "spd", "sp", "sd", "spp", "sdd"),
+            pair("price", "tax", "spt", "sp", "st", "spp", "stt"),
+            pair("disc", "tax", "sdt", "sd", "st", "sdd", "stt"))).as("r"))
+          .select("r.*").orderBy("x_col", "y_col")
+      }),
+
+    Q("q252_chi2_independence",
+      // Chi-square independence of source x lang over documents, plus
+      // Cramer's V. The contingency cube is ONE hash agg (bounded by
+      // the source x lang domain, never by rows); marginals re-derive
+      // from it (identical subplans -> exchange reuse = one scan).
+      // Per-cell contribution = (o*n - r*c)^2 / (n*r*c): numerator is
+      // an exact BIGINT, ONE deterministic double division per cell,
+      // the total then re-enters exact arithmetic as decimal(28,12) so
+      // the sum is order-free — no float accumulation anywhere. The
+      // cell relation is the FULL r x l grid (marginal cross join, both
+      // sides bounded by the category domain): a zero cell still
+      // contributes rs*cs/n — dropping it understates the statistic.
+      Some("""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) o
+             |           FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, SUM(o) rs FROM c GROUP BY 1),
+             |l AS (SELECT lang, SUM(o) cs FROM c GROUP BY 1),
+             |t AS (SELECT SUM(o) n, CAST(COUNT(DISTINCT source) AS BIGINT) nr,
+             |             CAST(COUNT(DISTINCT lang) AS BIGINT) nc FROM c),
+             |cell AS (SELECT CAST(COALESCE(c.o, 0)*t.n - r.rs*l.cs AS DOUBLE) num,
+             |                CAST(t.n AS DOUBLE)*CAST(r.rs AS DOUBLE)*CAST(l.cs AS DOUBLE) den
+             |         FROM r CROSS JOIN l
+             |                LEFT JOIN c ON c.source = r.source AND c.lang = l.lang
+             |                CROSS JOIN t),
+             |s AS (SELECT CAST(SUM(CAST((num*num)/den AS DECIMAL(28,12))) AS DOUBLE) chi2
+             |      FROM cell)
+             |SELECT CAST(t.n AS BIGINT) n_docs, t.nr n_sources, t.nc n_langs,
+             |       (t.nr-1)*(t.nc-1) dof, ROUND(s.chi2, 6) chi2,
+             |       ROUND(SQRT(s.chi2/(CAST(t.n AS DOUBLE)*LEAST(t.nr-1, t.nc-1))), 6) cramers_v
+             |FROM t CROSS JOIN s""".stripMargin),
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy("source", "lang").agg(count(lit(1)).cast("long").as("o"))
+        val r = c.groupBy("source").agg(sum("o").as("rs"))
+        val l = c.groupBy("lang").agg(sum("o").as("cs"))
+        val t = c.agg(sum("o").as("n"),
+          countDistinct("source").as("nr"), countDistinct("lang").as("nc"))
+        val cell = r.crossJoin(broadcast(l))
+          .join(c, Seq("source", "lang"), "left")
+          .crossJoin(broadcast(t))
+          .select(
+            (coalesce(col("o"), lit(0L)) * col("n") - col("rs") * col("cs"))
+              .cast("double").as("num"),
+            (col("n").cast("double") * col("rs").cast("double") *
+              col("cs").cast("double")).as("den"))
+        val chi = cell
+          .agg(sum(((col("num") * col("num")) / col("den"))
+            .cast("decimal(28,12)")).cast("double").as("chi2"))
+        broadcast(t).crossJoin(broadcast(chi))
+          .select(col("n").cast("long").as("n_docs"), col("nr").as("n_sources"),
+            col("nc").as("n_langs"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            round(col("chi2"), 6).as("chi2"),
+            round(sqrt(col("chi2") / (col("n").cast("double")
+              * least(col("nr") - 1, col("nc") - 1))), 6).as("cramers_v"))
+      }),
+
+    Q("q253_ks_two_sample",
+      // Two-sample Kolmogorov-Smirnov distance between the length
+      // distributions of the even- and odd-numbered sources (the drift
+      // check run between any two corpus snapshots). Counts aggregate
+      // per DISTINCT length first — the running sums then walk a
+      // relation bounded by the value domain, via GlobalOrder's range-
+      // partitioned prefix scan (never a partition-less window). The
+      // max |F1-F2| gap stays integer (cum0*n1 - cum1*n0); the one
+      // division normalizes at the very end.
+      Some("""WITH g AS (SELECT n_chars v, CAST(SUBSTR(source, 4) AS INT) % 2 grp
+             |           FROM documents),
+             |c AS (SELECT v, CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) c0,
+             |             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) c1
+             |      FROM g GROUP BY v),
+             |w AS (SELECT v, SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum0,
+             |             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum1 FROM c),
+             |t AS (SELECT SUM(c0) n0, SUM(c1) n1 FROM c)
+             |SELECT CAST(t.n0 AS BIGINT) n0, CAST(t.n1 AS BIGINT) n1,
+             |       CAST(MAX(ABS(w.cum0*t.n1 - w.cum1*t.n0)) AS BIGINT) d_num,
+             |       ROUND(CAST(MAX(ABS(w.cum0*t.n1 - w.cum1*t.n0)) AS DOUBLE)
+             |             /(CAST(t.n0 AS DOUBLE)*CAST(t.n1 AS DOUBLE)), 6) ks_d
+             |FROM w CROSS JOIN t GROUP BY t.n0, t.n1""".stripMargin),
+      (s, d) => {
+        val g = Tables.documents(s, d).select(col("n_chars").as("v"),
+          (substring(col("source"), 4, 10).cast("int") % 2).as("grp"))
+        val c = g.groupBy("v").agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"))
+        val t = c.agg(sum("c0").as("n0"), sum("c1").as("n1"))
+        val cum = GlobalOrder.exclusiveRunningSum(
+          GlobalOrder.exclusiveRunningSum(c, Seq(col("v")), "c0", "ex0"),
+          Seq(col("v")), "c1", "ex1")
+          .select((col("ex0") + col("c0")).as("cum0"),
+            (col("ex1") + col("c1")).as("cum1"))
+        cum.crossJoin(broadcast(t))
+          .groupBy("n0", "n1")
+          .agg(max(abs(col("cum0") * col("n1") - col("cum1") * col("n0"))).as("dn"))
+          .select(col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+            col("dn").cast("long").as("d_num"),
+            round(col("dn").cast("double")
+              / (col("n0").cast("double") * col("n1").cast("double")), 6).as("ks_d"))
+      }),
+
+    Q("q254_robust_mad",
+      // Robust center/spread per order status: exact (lower-)median and
+      // MAD of per-order total cents, plus the count beyond the classic
+      // 3-MAD outlier fence — the dispersion report a mean/stddev pair
+      // misstates under skew. Medians use the 2*cum >= tot trick over
+      // status-PARTITIONED windows (three bounded partitions, never
+      // global); both join-backs broadcast a 3-row aggregate. All
+      // integers end to end — no division at all.
+      Some("""WITH v AS (SELECT o.o_orderstatus f, l.l_orderkey k,
+             |         CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) c
+             |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |       GROUP BY o.o_orderstatus, l.l_orderkey),
+             |m AS (SELECT f, MIN(c) med FROM (
+             |        SELECT f, c,
+             |          SUM(1) OVER (PARTITION BY f ORDER BY c, k ROWS UNBOUNDED PRECEDING) cum,
+             |          COUNT(*) OVER (PARTITION BY f) tot
+             |        FROM v) WHERE 2*cum >= tot GROUP BY f),
+             |dv AS (SELECT v.f, ABS(v.c - m.med) dev FROM v JOIN m ON v.f = m.f),
+             |md AS (SELECT f, MIN(dev) mad FROM (
+             |        SELECT f, dev,
+             |          SUM(1) OVER (PARTITION BY f ORDER BY dev ROWS UNBOUNDED PRECEDING) cum,
+             |          COUNT(*) OVER (PARTITION BY f) tot
+             |        FROM dv) WHERE 2*cum >= tot GROUP BY f)
+             |SELECT dv.f o_orderstatus, CAST(m.med AS BIGINT) med_cents,
+             |       CAST(md.mad AS BIGINT) mad_cents, CAST(COUNT(*) AS BIGINT) n_orders,
+             |       CAST(SUM(CASE WHEN dv.dev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) n_outliers
+             |FROM dv JOIN m ON dv.f = m.f JOIN md ON dv.f = md.f
+             |GROUP BY dv.f, m.med, md.mad ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => {
+        val v = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus").as("f"), col("l_orderkey").as("k"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("long").as("c"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                        tieCols: Seq[Column], outCol: String) = {
+          val wc = Window.partitionBy("f")
+            .orderBy(col(valueCol) +: tieCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wt = Window.partitionBy("f")
+          df.select(col("f"), col(valueCol),
+              sum(lit(1L)).over(wc).as("cum"), count(lit(1)).over(wt).as("tot"))
+            .filter(col("cum") * 2 >= col("tot"))
+            .groupBy("f").agg(min(valueCol).as(outCol))
+        }
+        val m = lowerMedian(v, "c", Seq(col("k")), "med")
+        val dv = v.join(broadcast(m), "f")
+          .select(col("f"), abs(col("c") - col("med")).as("dev"))
+        val md = lowerMedian(dv, "dev", Nil, "mad")
+        dv.join(broadcast(m), "f").join(broadcast(md), "f")
+          .groupBy(col("f").as("o_orderstatus"), col("med"), col("mad"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+              .cast("long").as("n_outliers"))
+          .select(col("o_orderstatus"), col("med").cast("long").as("med_cents"),
+            col("mad").cast("long").as("mad_cents"), col("n_orders"),
+            col("n_outliers"))
+          .orderBy("o_orderstatus")
+      }),
+
+    Q("q255_frequent_pairs",
+      // Market-basket frequent pairs over (order, part) baskets with
+      // A-Priori pruning: only items meeting the ITEM support floor
+      // enter the per-basket self-join (the monotonicity bound that
+      // keeps the candidate space linear-ish), the join key is the
+      // basket id with its naturally bounded fan-out (TPC-H orders hold
+      // <= 7 lines), and pairs below the PAIR floor drop at the agg.
+      // Top-30 under a total (support desc, pair) order.
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey o, l_partkey i FROM lineitem),
+             |freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 5),
+             |fi AS (SELECT o, items.i FROM items JOIN freq USING (i)),
+             |pairs AS (SELECT a.i ia, b.i ib, CAST(COUNT(*) AS BIGINT) np
+             |          FROM fi a JOIN fi b ON a.o = b.o AND a.i < b.i
+             |          GROUP BY a.i, b.i HAVING COUNT(*) >= 2)
+             |SELECT ia, ib, np FROM pairs ORDER BY np DESC, ia, ib LIMIT 30""".stripMargin),
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+        val freq = items.groupBy("i").agg(count(lit(1)).as("ni"))
+          .filter(col("ni") >= 5).select("i")
+        val fi = items.join(freq, "i")
+        val pairs = fi.as("a").join(fi.as("b"),
+            col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+          .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+          .agg(count(lit(1)).cast("long").as("np"))
+          .filter(col("np") >= 2)
+        pairs.orderBy(col("np").desc, col("ia"), col("ib")).limit(30)
+      }),
+
+    Q("q256_assoc_rules",
+      // Association rules over the q255 pairs, both directions:
+      // confidence and lift as EXACT scaled integers (np*1e6 div na;
+      // np*N*1e6 div na*nb) — the rule-quality report with no float in
+      // sight, so the oracle can never drift. Basket total N rides as a
+      // broadcast 1-row aggregate. Top-20 by lift under a total order.
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey o, l_partkey i FROM lineitem),
+             |nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) nt FROM items),
+             |freq AS (SELECT i, CAST(COUNT(*) AS BIGINT) ni FROM items
+             |         GROUP BY i HAVING COUNT(*) >= 5),
+             |fi AS (SELECT o, items.i, freq.ni FROM items JOIN freq USING (i)),
+             |pairs AS (SELECT a.i ia, b.i ib, MIN(a.ni) na, MIN(b.ni) nbi,
+             |                 CAST(COUNT(*) AS BIGINT) np
+             |          FROM fi a JOIN fi b ON a.o = b.o AND a.i < b.i
+             |          GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+             |rules AS (
+             |  SELECT ia ante, ib cons, np, na n_ante, nbi n_cons FROM pairs
+             |  UNION ALL SELECT ib, ia, np, nbi, na FROM pairs)
+             |SELECT ante, cons, np n_pair, n_ante, n_cons,
+             |       np*1000000//n_ante conf_e6,
+             |       np*nt*1000000//(n_ante*n_cons) lift_e6
+             |FROM rules CROSS JOIN nb
+             |ORDER BY lift_e6 DESC, ante, cons LIMIT 20""".stripMargin),
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+        val nb = items.agg(countDistinct("o").as("nt"))
+        val freq = items.groupBy("i").agg(count(lit(1)).cast("long").as("ni"))
+          .filter(col("ni") >= 5)
+        val fi = items.join(freq, "i")
+        val pairs = fi.as("a").join(fi.as("b"),
+            col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+          .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+          .agg(min(col("a.ni")).as("na"), min(col("b.ni")).as("nbi"),
+            count(lit(1)).cast("long").as("np"))
+          .filter(col("np") >= 2)
+        val rules = pairs.select(col("ia").as("ante"), col("ib").as("cons"),
+            col("np"), col("na").as("n_ante"), col("nbi").as("n_cons"))
+          .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
+            col("np"), col("nbi").as("n_ante"), col("na").as("n_cons")))
+        rules.crossJoin(broadcast(nb))
+          .select(col("ante"), col("cons"), col("np").as("n_pair"),
+            col("n_ante"), col("n_cons"),
+            expr("np * 1000000 div n_ante").as("conf_e6"),
+            expr("np * nt * 1000000 div (n_ante * n_cons)").as("lift_e6"))
+          .orderBy(col("lift_e6").desc, col("ante"), col("cons")).limit(20)
+      })
+  )
+}
