@@ -78,21 +78,17 @@ object Round8bQueries {
              |SELECT f AS l_returnflag, MIN(cents) AS wmedian_cents
              |FROM t WHERE 2 * cum >= tot GROUP BY f ORDER BY l_returnflag""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        // NOT a flag-partitioned window: three group values would mean
+        // three whole-table tasks at 100 TB. GroupMedian runs the same
+        // 2*cum >= tot walk over ONE range-partitioned prefix scan.
         val v = Tables.lineitem(s, d)
           .select(col("l_returnflag").as("f"),
             round(col("l_extendedprice") * 100).cast("long").as("cents"),
             col("l_quantity").cast("long").as("w"),
             col("l_orderkey"), col("l_linenumber"))
-        val wr = Window.partitionBy("f")
-          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wt = Window.partitionBy("f")
-        v.select(col("f"), col("cents"),
-            sum(col("w")).over(wr).as("cum"), sum(col("w")).over(wt).as("tot"))
-          .filter(col("cum") * 2 >= col("tot"))
-          .groupBy(col("f").as("l_returnflag"))
-          .agg(min(col("cents")).as("wmedian_cents"))
+        graft.operators.GroupMedian.weightedLowerMedian(v, "f", "cents", "w",
+            Seq(col("l_orderkey"), col("l_linenumber")), "wmedian_cents")
+          .select(col("f").as("l_returnflag"), col("wmedian_cents"))
           .orderBy("l_returnflag")
       }),
 

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Queries.Q
 import graft.operators.GlobalOrder
 import graft.sources.Tables
@@ -225,27 +224,26 @@ object Round8cQueries {
              |FROM dv JOIN m ON dv.f = m.f JOIN md ON dv.f = md.f
              |GROUP BY dv.f, m.med, md.mad ORDER BY o_orderstatus""".stripMargin),
       (s, d) => {
+        // materialized once: four downstream jobs (two prefix scans per
+        // median pass) would otherwise each replay the join + agg
         val v = Tables.lineitem(s, d)
           .join(Tables.orders(s, d),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderstatus").as("f"), col("l_orderkey").as("k"))
           .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
             .cast("long").as("c"))
-        def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
-                        tieCols: Seq[Column], outCol: String) = {
-          val wc = Window.partitionBy("f")
-            .orderBy(col(valueCol) +: tieCols: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wt = Window.partitionBy("f")
-          df.select(col("f"), col(valueCol),
-              sum(lit(1L)).over(wc).as("cum"), count(lit(1)).over(wt).as("tot"))
-            .filter(col("cum") * 2 >= col("tot"))
-            .groupBy("f").agg(min(valueCol).as(outCol))
-        }
-        val m = lowerMedian(v, "c", Seq(col("k")), "med")
+          .localCheckpoint(true)
+        // status-partitioned windows would funnel a third of the table
+        // through each of three tasks at scale; GroupMedian's
+        // range-partitioned prefix scan keeps parallelism independent
+        // of the group count (same 2*cum >= tot lower-median contract).
+        import graft.operators.GroupMedian
+        val m = GroupMedian.lowerMedian(v, "f", "c", Seq(col("k")), "med")
         val dv = v.join(broadcast(m), "f")
-          .select(col("f"), abs(col("c") - col("med")).as("dev"))
-        val md = lowerMedian(dv, "dev", Nil, "mad")
+          .select(col("f"), abs(col("c") - col("med")).as("dev"),
+            col("k"))
+          .localCheckpoint(true)
+        val md = GroupMedian.lowerMedian(dv, "f", "dev", Seq(col("k")), "mad")
         dv.join(broadcast(m), "f").join(broadcast(md), "f")
           .groupBy(col("f").as("o_orderstatus"), col("med"), col("mad"))
           .agg(count(lit(1)).cast("long").as("n_orders"),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact per-group (weighted) lower medians at any group size.
+  *
+  * The obvious form — a running-sum window PARTITIONED BY the group —
+  * is only scale-safe while every group fits one task: with a
+  * low-cardinality group key (order status, return flag: 3 values) the
+  * window funnels a third of the TABLE through each of three tasks,
+  * the same cliff the partition-less-window rule exists for, just one
+  * notch up. This operator keeps the semantics and fixes the shape:
+  * ONE GlobalOrder range-partitioned prefix scan over the composite
+  * (group, value, ties) order yields global cumulative weights; the
+  * per-group cumulative is then the global one minus the group's
+  * starting offset, where the offsets come from a second prefix scan
+  * over the GROUP-DOMAIN-bounded totals relation (broadcast back).
+  * Parallelism is the range partitioning — independent of how few
+  * groups there are.
+  *
+  * "Lower median" = the smallest value whose in-group cumulative
+  * weight w satisfies 2w >= total — integer-exact, no interpolation,
+  * the same contract as the 2*cum >= tot SQL idiom it replaces. */
+object GroupMedian {
+
+  /** Per-group weighted lower median of `valueCol` (LongType), weights
+    * in `weightCol` (LongType, must be positive). `tieCols` must make
+    * the composite (group, value, ties) order TOTAL — equal weights on
+    * tied rows make the median itself deterministic regardless, but a
+    * total order keeps the two GlobalOrder jobs replay-identical.
+    * Returns one row per group: (groupCol, outCol). */
+  def weightedLowerMedian(df: DataFrame, groupCol: String, valueCol: String,
+                          weightCol: String, tieCols: Seq[Column],
+                          outCol: String): DataFrame = {
+    val totals = df.groupBy(groupCol).agg(sum(weightCol).as("_gm_tot"))
+    // group starting offsets: exclusive running sum over the tiny
+    // group-totals relation, in the SAME group order as the composite
+    // sort below (groups are range-partitioned by key, so the global
+    // prefix decomposes per group).
+    val offsets = GlobalOrder.exclusiveRunningSum(
+      totals, Seq(col(groupCol)), "_gm_tot", "_gm_off")
+    val cum = GlobalOrder.exclusiveRunningSum(
+      df, col(groupCol) +: col(valueCol) +: tieCols, weightCol, "_gm_cum")
+    cum.join(broadcast(offsets), groupCol)
+      .filter((col("_gm_cum") + col(weightCol) - col("_gm_off")) * 2 >= col("_gm_tot"))
+      .groupBy(groupCol).agg(min(valueCol).as(outCol))
+  }
+
+  /** Unweighted per-group lower median (each row weighs 1). */
+  def lowerMedian(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCols: Seq[Column], outCol: String): DataFrame = {
+    val withW = df.withColumn("_gm_w", lit(1L))
+    weightedLowerMedian(withW, groupCol, valueCol, "_gm_w", tieCols, outCol)
+  }
+}

@@ -105,6 +105,41 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("q248/q254 plan: group medians run window-free (no per-status funnel)") {
+    // A window PARTITIONED BY a 3-value status is three whole-table
+    // tasks at 100 TB; the GroupMedian rewrite must leave NO WindowExec
+    // in either plan (q224 documents the same scale position).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (name <- Seq("q248_weighted_median", "q254_robust_mad")) {
+      val plan = Queries.queryMap(name)(spark, sf0001).queryExecution.executedPlan
+      val inner = plan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      assert(inner.collect { case w: WindowExec => w }.isEmpty,
+        s"$name still plans a WindowExec")
+    }
+  }
+
+  test("GroupMedian: weighted lower median equals brute force on random groups") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(50).toLong, 1L + rnd.nextInt(5).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "w", "id")
+    val got = graft.operators.GroupMedian
+      .weightedLowerMedian(df, "g", "v", "w", Seq(col("id")), "med")
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._4))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val expected = sorted.find { x => cum += x._3; 2 * cum >= tot }.get._2
+      assert(got(g) === expected, s"group $g")
+    }
+  }
+
   test("q255: A-Priori item pruning is lossless for the declared pair floor") {
     // Every pair with support >= 2 whose items BOTH meet the item floor
     // survives pruning by construction; verify against the unpruned
