@@ -381,13 +381,16 @@ object Round4Queries {
              |WHERE (rn - 1) * 5 < n
              |ORDER BY lang, doc_id""".stripMargin),
       (s, d) => {
-        val ord = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        val all = Window.partitionBy(col("lang"))
-        Tables.documents(s, d)
+        // per-LANG rank: five langs would be five whole-table window
+        // tasks — GroupPrefix ranks over the range-partitioned
+        // composite (lang, md5, doc_id) order instead, with the lang
+        // totals riding along broadcast.
+        val base = Tables.documents(s, d)
           .select(col("lang"), col("doc_id"),
-            row_number().over(ord).as("rn"), count(lit(1)).over(all).as("n"))
-          .filter((col("rn") - 1) * 5 < col("n"))
+            md5(col("doc_id").cast("string")).as("_k"))
+        graft.operators.GroupPrefix.rowNumber(base, "lang",
+            Seq(col("_k"), col("doc_id")), "rn", keepTotals = true)
+          .filter((col("rn") - 1) * 5 < col("_gp_tot"))
           .select("lang", "doc_id")
           .orderBy("lang", "doc_id")
       }),

@@ -269,18 +269,22 @@ object Round5Queries {
              |GROUP BY c.event_type, mx.max_concurrent
              |ORDER BY c.event_type""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val iv = Tables.events(s, d).select(col("event_type"),
           col("ts").as("s"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"), col("event_id"))
         val pts = iv.select(col("event_type"), col("s").as("t"),
-            lit(1).as("d"), col("event_id"))
+            lit(1L).as("d"), col("event_id"))
           .unionByName(iv.select(col("event_type"), col("e").as("t"),
-            lit(-1).as("d"), col("event_id")))
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("t"), col("d"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val c = pts.withColumn("conc", sum(col("d")).over(w).cast("long"))
+            lit(-1L).as("d"), col("event_id")))
+        // the sweep's running sum per event TYPE (5 values) must not be
+        // a type-partitioned window — that is one whole-stream task per
+        // type at scale; GroupPrefix range-partitions the composite
+        // (type, t) order instead. Materialized once for the two
+        // downstream consumers (peak agg + first-peak join).
+        val c = graft.operators.GroupPrefix.exclusiveRunningSum(pts,
+            "event_type", Seq(col("t"), col("d"), col("event_id")), "d", "ex")
+          .withColumn("conc", (col("ex") + col("d")).cast("long"))
+          .localCheckpoint(true)
         val mx = c.groupBy("event_type")
           .agg(max(col("conc")).as("max_concurrent"))
           .withColumnRenamed("event_type", "et")

@@ -148,10 +148,11 @@ object Round8Queries {
       // Winsorized length gate: per source, the nearest-rank p10/p90
       // token-length bounds and how many docs survive trimming to them —
       // the outlier fence a curation pipeline applies before length
-      // statistics mean anything. Ranks come from a window PARTITIONED
-      // by source (each source's lengths sort within its own tasks;
-      // nothing is single-partition), and the per-source bounds
-      // broadcast back against the lengths.
+      // statistics mean anything. Ranks come from GroupPrefix's
+      // range-partitioned composite (source, len) order — NOT a
+      // source-partitioned window, which would be one whole-table task
+      // per source — and the per-source bounds broadcast back against
+      // the lengths.
       Some(s"""WITH l AS (SELECT source, doc_id,
               |            CAST(LEN($toksSql) AS BIGINT) AS len FROM documents),
               |r AS (SELECT source, len,
@@ -167,15 +168,19 @@ object Round8Queries {
               |FROM b JOIN l ON l.source = b.source
               |GROUP BY b.source, lo, hi ORDER BY b.source""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        // per-SOURCE ranks via GroupPrefix (20 sources would be 20
+        // whole-table window tasks at scale; the range-partitioned
+        // composite order keeps parallelism independent of the source
+        // count). Tokenized lengths materialize once for the rank pass
+        // and the final trim count.
         val l = Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
             size(graft.operators.TextAnalysis.tokens(col("text")))
               .cast("long").as("len"))
-        val w = Window.partitionBy("source").orderBy(col("len"), col("doc_id"))
-        val wc = Window.partitionBy("source")
-        val r = l.select(col("source"), col("len"),
-          row_number().over(w).as("rk"), count(lit(1)).over(wc).as("n"))
+          .localCheckpoint(true)
+        val r = graft.operators.GroupPrefix.rowNumber(l, "source",
+            Seq(col("len"), col("doc_id")), "rk", keepTotals = true)
+          .withColumnRenamed("_gp_tot", "n")
         val b = r.groupBy("source").agg(
           max(when(col("rk") === expr("(n + 9) div 10"), col("len"))).as("lo"),
           max(when(col("rk") === expr("(9 * n + 9) div 10"), col("len"))).as("hi"))

@@ -32,20 +32,11 @@ object GroupMedian {
     * Returns one row per group: (groupCol, outCol). */
   def weightedLowerMedian(df: DataFrame, groupCol: String, valueCol: String,
                           weightCol: String, tieCols: Seq[Column],
-                          outCol: String): DataFrame = {
-    val totals = df.groupBy(groupCol).agg(sum(weightCol).as("_gm_tot"))
-    // group starting offsets: exclusive running sum over the tiny
-    // group-totals relation, in the SAME group order as the composite
-    // sort below (groups are range-partitioned by key, so the global
-    // prefix decomposes per group).
-    val offsets = GlobalOrder.exclusiveRunningSum(
-      totals, Seq(col(groupCol)), "_gm_tot", "_gm_off")
-    val cum = GlobalOrder.exclusiveRunningSum(
-      df, col(groupCol) +: col(valueCol) +: tieCols, weightCol, "_gm_cum")
-    cum.join(broadcast(offsets), groupCol)
-      .filter((col("_gm_cum") + col(weightCol) - col("_gm_off")) * 2 >= col("_gm_tot"))
+                          outCol: String): DataFrame =
+    GroupPrefix.exclusiveRunningSum(df, groupCol,
+        col(valueCol) +: tieCols, weightCol, "_gm_cum", keepTotals = true)
+      .filter((col("_gm_cum") + col(weightCol)) * 2 >= col("_gp_tot"))
       .groupBy(groupCol).agg(min(valueCol).as(outCol))
-  }
 
   /** Unweighted per-group lower median (each row weighs 1). */
   def lowerMedian(df: DataFrame, groupCol: String, valueCol: String,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-GROUP prefix scans at any group size — the scalable form of
+  * `sum(v).over(Window.partitionBy(g).orderBy(...))` and
+  * `row_number().over(Window.partitionBy(g).orderBy(...))` when the
+  * group key is LOW-cardinality (status, language, event type): a
+  * partitioned window hands each group's whole slice to ONE task, so a
+  * 3-value key at 100 TB means three whole-table sorts. Here the
+  * per-group cumulative is the GLOBAL cumulative over the composite
+  * (group, sort...) order — one GlobalOrder range-partitioned prefix
+  * scan whose parallelism is the range partitioning — minus the
+  * group's starting offset, which comes from a second prefix scan over
+  * the GROUP-DOMAIN-bounded totals relation and broadcasts back.
+  *
+  * High-cardinality group keys should keep the plain window (the
+  * groups themselves are the parallelism, and a window is one shuffle
+  * where this is three jobs); this operator is for the low-cardinality
+  * end where the window shape collapses. */
+object GroupPrefix {
+
+  /** Appends `outCol` = sum of `valueCol` (LongType) over rows strictly
+    * before this one WITHIN its group, ordered by `sortExprs`. When
+    * `keepTotals` is set the group's total also rides along as column
+    * `_gp_tot` (saves the caller a second aggregation of `df`). */
+  def exclusiveRunningSum(df: DataFrame, groupCol: String,
+                          sortExprs: Seq[Column], valueCol: String,
+                          outCol: String, keepTotals: Boolean = false): DataFrame = {
+    val totals = df.groupBy(groupCol).agg(sum(valueCol).as("_gp_tot"))
+    val offsets = GlobalOrder.exclusiveRunningSum(
+      totals, Seq(col(groupCol)), "_gp_tot", "_gp_off")
+    val cum = GlobalOrder.exclusiveRunningSum(
+      df, col(groupCol) +: sortExprs, valueCol, "_gp_gcum")
+    val joined = cum.join(broadcast(offsets), groupCol)
+      .withColumn(outCol, col("_gp_gcum") - col("_gp_off"))
+      .drop("_gp_gcum", "_gp_off")
+    if (keepTotals) joined else joined.drop("_gp_tot")
+  }
+
+  /** Appends `outCol` = 1-based rank within the group under
+    * `sortExprs` order (the scalable per-group ROW_NUMBER; make the
+    * order total for determinism, exactly like the window form). With
+    * `keepTotals`, the group's row count rides along as `_gp_tot`. */
+  def rowNumber(df: DataFrame, groupCol: String, sortExprs: Seq[Column],
+                outCol: String, keepTotals: Boolean = false): DataFrame =
+    exclusiveRunningSum(df.withColumn("_gp_one", lit(1L)), groupCol,
+      sortExprs, "_gp_one", outCol, keepTotals)
+      .withColumn(outCol, col(outCol) + 1L)
+      .drop("_gp_one")
+}

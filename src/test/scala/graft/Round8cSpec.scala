@@ -105,13 +105,15 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
-  test("q248/q254 plan: group medians run window-free (no per-status funnel)") {
-    // A window PARTITIONED BY a 3-value status is three whole-table
-    // tasks at 100 TB; the GroupMedian rewrite must leave NO WindowExec
-    // in either plan (q224 documents the same scale position).
+  test("low-cardinality group scans plan window-free (no per-group funnel)") {
+    // A window PARTITIONED BY a 3-value status (or 5 langs/types, or 20
+    // sources) is that many whole-table tasks at 100 TB; the
+    // GroupMedian/GroupPrefix rewrites must leave NO WindowExec in any
+    // of these plans (q224 documents the same scale position).
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    for (name <- Seq("q248_weighted_median", "q254_robust_mad")) {
+    for (name <- Seq("q248_weighted_median", "q254_robust_mad",
+        "q118_stratified_sample", "q150_max_concurrency", "q238_winsor_trim")) {
       val plan = Queries.queryMap(name)(spark, sf0001).queryExecution.executedPlan
       val inner = plan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
