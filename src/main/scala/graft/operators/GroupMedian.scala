@@ -33,10 +33,21 @@ object GroupMedian {
   def weightedLowerMedian(df: DataFrame, groupCol: String, valueCol: String,
                           weightCol: String, tieCols: Seq[Column],
                           outCol: String): DataFrame =
+    weightedLowerQuantile(df, groupCol, valueCol, weightCol, tieCols, outCol, 1, 2)
+
+  /** Per-group weighted lower p-quantile for p = pNum/pDen: the
+    * smallest value whose in-group cumulative weight w satisfies
+    * w * pDen >= total * pNum — all-integer (nearest-rank, no
+    * interpolation); median is p = 1/2, p90 is 9/10. */
+  def weightedLowerQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                            weightCol: String, tieCols: Seq[Column],
+                            outCol: String, pNum: Int, pDen: Int): DataFrame = {
+    require(pNum > 0 && pNum <= pDen, s"quantile $pNum/$pDen outside (0, 1]")
     GroupPrefix.exclusiveRunningSum(df, groupCol,
         col(valueCol) +: tieCols, weightCol, "_gm_cum", keepTotals = true)
-      .filter((col("_gm_cum") + col(weightCol)) * 2 >= col("_gp_tot"))
+      .filter((col("_gm_cum") + col(weightCol)) * pDen >= col("_gp_tot") * pNum)
       .groupBy(groupCol).agg(min(valueCol).as(outCol))
+  }
 
   /** Unweighted per-group lower median (each row weighs 1). */
   def lowerMedian(df: DataFrame, groupCol: String, valueCol: String,
