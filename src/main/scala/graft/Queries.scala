@@ -611,7 +611,8 @@ object Queries {
       Round5Queries.all ++ Round6Queries.all ++ Round7Queries.all ++
       Round7bQueries.all ++ Round7cQueries.all ++ Round7dQueries.all ++
       Round8Queries.all ++ Round8bQueries.all ++ Round8cQueries.all ++
-      Round8dQueries.all ++ Round8eQueries.all ++ Round8fQueries.all
+      Round8dQueries.all ++ Round8eQueries.all ++ Round8fQueries.all ++
+      Round8gQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap
