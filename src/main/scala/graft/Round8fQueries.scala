@@ -48,9 +48,10 @@ object Round8fQueries {
           .groupBy("user_id").agg(min("ts").as("s_ts"))
         val pu = ev.filter(col("event_type") === "purchase")
           .groupBy("user_id").agg(min("ts").as("p_ts"))
+          .withColumnRenamed("user_id", "p_uid") // explicit: su/pu share lineage
         val j = su.join(pu,
-            su("user_id") === pu("user_id") && pu("p_ts") >= su("s_ts"), "left")
-          .select(su("user_id"),
+            col("user_id") === col("p_uid") && col("p_ts") >= col("s_ts"), "left")
+          .select(col("user_id"),
             date_trunc("week", col("s_ts")).cast("date").as("cohort"),
             expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000").as("lat_s"))
         val c = j.filter(col("lat_s").isNotNull)
