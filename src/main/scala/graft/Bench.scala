@@ -171,6 +171,17 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q280_pending_order_aging", "q279_dup_graph_degrees", "q278_trending_terms",
+      "q277_snapshot_diff", "q276_mutual_nn", "q275_path_trigrams",
+      "q274_dedup_method_agreement", "q273_unique_passage_ratio",
+      "q272_token_burstiness", "q271_lorenz_curve", "q270_rfm_segments",
+      "q269_conversion_latency", "q268_tvd_drift", "q267_wow_rate_shift",
+      "q266_prefix_topk", "q265_expectations", "q264_edit_distance_join",
+      "q263_gap_quantiles", "q262_key_skew_report", "q261_log2_histogram",
+      "q260_grid_density_cores", "q259_hour_of_week", "q258_user_ewma",
+      "q257_harmonic_centrality", "q256_assoc_rules", "q255_frequent_pairs",
+      "q254_robust_mad", "q253_ks_two_sample", "q252_chi2_independence",
+      "q251_corr_matrix",
       "q250_local_clustering", "q249_mode_per_group", "q248_weighted_median",
       "q247_interval_coverage",
       "q246_cluster_span", "q245_source_token_overlap", "q244_lsh_calibration",
