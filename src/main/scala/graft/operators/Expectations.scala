@@ -37,7 +37,10 @@ object Expectations {
           .cast("long").as("n_violations"))
       .select(lit(name).as("check"), col("n_checked"), col("n_violations"))
 
-  /** Referential-integrity check: child keys with no parent row. */
+  /** Referential-integrity check: child keys with no parent row. NOTE:
+    * a NULL child key counts as an orphan here (the anti-join keeps it)
+    * — stricter than SQL FK semantics, where NULL is exempt. Pair with
+    * a not-null rowCheck when the distinction matters. */
   def referential(name: String, child: DataFrame, childKey: String,
                   parent: DataFrame, parentKey: String): DataFrame = {
     val orphans = child.join(parent.select(col(parentKey)).distinct(),

@@ -24,7 +24,10 @@ object GroupPrefix {
   /** Appends `outCol` = sum of `valueCol` (LongType) over rows strictly
     * before this one WITHIN its group, ordered by `sortExprs`. When
     * `keepTotals` is set the group's total also rides along as column
-    * `_gp_tot` (saves the caller a second aggregation of `df`). */
+    * `_gp_tot` (saves the caller a second aggregation of `df`).
+    * Group keys must be non-null: the offsets join back on the group
+    * column, and SQL join semantics would silently DROP null-keyed rows
+    * — filter or coalesce nulls into a sentinel first. */
   def exclusiveRunningSum(df: DataFrame, groupCol: String,
                           sortExprs: Seq[Column], valueCol: String,
                           outCol: String, keepTotals: Boolean = false): DataFrame = {
