@@ -49,15 +49,13 @@ object Round8eQueries {
           .select(col("event_type"),
             expr("(us - pus) div 1000000").as("gap_s"),
             col("user_id"), col("event_id"), lit(1L).as("one"))
-          .localCheckpoint(true) // three downstream passes share it
-        val ties = Seq(col("user_id"), col("event_id"))
-        val med = GroupMedian.weightedLowerQuantile(
-          g, "event_type", "gap_s", "one", ties, "med_gap_s", 1, 2)
-        val p90 = GroupMedian.weightedLowerQuantile(
-          g, "event_type", "gap_s", "one", ties, "p90_gap_s", 9, 10)
+          .localCheckpoint(true) // count + shared quantile pass reuse it
+        val qs = GroupMedian.weightedLowerQuantiles(
+          g, "event_type", "gap_s", "one",
+          Seq(col("user_id"), col("event_id")),
+          Seq(("med_gap_s", 1, 2), ("p90_gap_s", 9, 10)))
         g.groupBy("event_type").agg(count(lit(1)).cast("long").as("n_gaps"))
-          .join(broadcast(med), "event_type")
-          .join(broadcast(p90), "event_type")
+          .join(broadcast(qs), "event_type")
           .select("event_type", "n_gaps", "med_gap_s", "p90_gap_s")
           .orderBy("event_type")
       }),

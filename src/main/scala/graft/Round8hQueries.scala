@@ -117,15 +117,12 @@ object Round8hQueries {
             datediff(col("d"), col("o_orderdate").cast("date")).cast("long").as("age_d"),
             col("o_orderkey"))
           .localCheckpoint(true) // count + two quantile passes share it
-        val ties = Seq(col("o_orderkey"))
-        val med = GroupMedian.weightedLowerQuantile(
-          a.withColumn("one", lit(1L)), "pri", "age_d", "one", ties,
-          "med_age_days", 1, 2)
-        val p90 = GroupMedian.weightedLowerQuantile(
-          a.withColumn("one", lit(1L)), "pri", "age_d", "one", ties,
-          "p90_age_days", 9, 10)
+        val qs = GroupMedian.weightedLowerQuantiles(
+          a.withColumn("one", lit(1L)), "pri", "age_d", "one",
+          Seq(col("o_orderkey")),
+          Seq(("med_age_days", 1, 2), ("p90_age_days", 9, 10)))
         a.groupBy("pri").agg(count(lit(1)).cast("long").as("n_pending"))
-          .join(broadcast(med), "pri").join(broadcast(p90), "pri")
+          .join(broadcast(qs), "pri")
           .select(col("pri").as("o_orderpriority"), col("n_pending"),
             col("med_age_days"), col("p90_age_days"))
           .orderBy("o_orderpriority")

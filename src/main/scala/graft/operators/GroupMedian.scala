@@ -41,12 +41,29 @@ object GroupMedian {
     * interpolation); median is p = 1/2, p90 is 9/10. */
   def weightedLowerQuantile(df: DataFrame, groupCol: String, valueCol: String,
                             weightCol: String, tieCols: Seq[Column],
-                            outCol: String, pNum: Int, pDen: Int): DataFrame = {
-    require(pNum > 0 && pNum <= pDen, s"quantile $pNum/$pDen outside (0, 1]")
-    GroupPrefix.exclusiveRunningSum(df, groupCol,
-        col(valueCol) +: tieCols, weightCol, "_gm_cum", keepTotals = true)
-      .filter((col("_gm_cum") + col(weightCol)) * pDen >= col("_gp_tot") * pNum)
-      .groupBy(groupCol).agg(min(valueCol).as(outCol))
+                            outCol: String, pNum: Int, pDen: Int): DataFrame =
+    weightedLowerQuantiles(df, groupCol, valueCol, weightCol, tieCols,
+      Seq((outCol, pNum, pDen)))
+
+  /** Several nearest-rank quantiles of ONE value column off a SINGLE
+    * prefix scan: the cumulative-weight relation is computed once and
+    * each requested (outCol, pNum, pDen) becomes one conditional-min
+    * aggregate over it — asking for median + p90 costs the same two
+    * GlobalOrder jobs as asking for either alone. */
+  def weightedLowerQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                             weightCol: String, tieCols: Seq[Column],
+                             quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (name, n, dd) =>
+      require(n > 0 && n <= dd, s"quantile $name = $n/$dd outside (0, 1]")
+    }
+    val cum = GroupPrefix.exclusiveRunningSum(df, groupCol,
+      col(valueCol) +: tieCols, weightCol, "_gm_cum", keepTotals = true)
+    val aggs = quantiles.map { case (name, pNum, pDen) =>
+      min(when((col("_gm_cum") + col(weightCol)) * pDen >= col("_gp_tot") * pNum,
+        col(valueCol))).as(name)
+    }
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Unweighted per-group lower median (each row weighs 1). */
