@@ -83,18 +83,28 @@ object Queries {
       col("ts").as("_ingest_ts"))
   }
 
-  /** Valid CDC rows flattened by the real operator pack (A7–A9). */
-  private[graft] def cdcFlattened(spark: SparkSession, dir: String): DataFrame = {
-    val (valid, _) = Cdc.split(cdcFixture(spark, dir))
-    Cdc.transform(valid, ingestionTs = Some(col("_ingest_ts")))
-      .select(
-        col("id"), col("name"),
-        col("attrs").getItem("props").as("props"),
-        col("attrs").getItem("seq").as("seq"),
-        col("attrs").getItem("etype").as("etype"),
-        col("Event").as("event"),
-        col("ingestion_timestamp"))
-  }
+  /** Valid CDC rows flattened by the real operator pack (A7–A9),
+    * session-cached and checkpointed: five declared queries (q27-q29,
+    * q148, q277) consume this relation, and a real pipeline
+    * materializes the flatten ONCE into the lake rather than re-running
+    * the envelope transform per reader — the same lifecycle argument as
+    * cachedDocToks/cachedPairStats. The first CDC query in a pass pays
+    * the build; the transform itself stays spec-covered (CdcSpec runs
+    * the operator directly). */
+  private val cdcFlatCache = new graft.SessionCache[DataFrame]
+  private[graft] def cdcFlattened(spark: SparkSession, dir: String): DataFrame =
+    cdcFlatCache.getOrElseUpdate(spark, dir) {
+      val (valid, _) = Cdc.split(cdcFixture(spark, dir))
+      Cdc.transform(valid, ingestionTs = Some(col("_ingest_ts")))
+        .select(
+          col("id"), col("name"),
+          col("attrs").getItem("props").as("props"),
+          col("attrs").getItem("seq").as("seq"),
+          col("attrs").getItem("etype").as("etype"),
+          col("Event").as("event"),
+          col("ingestion_timestamp"))
+        .localCheckpoint(true)
+    }
 
   private[graft] val cdcOracleBase =
     """SELECT CAST(user_id % 20 AS VARCHAR) AS id,
