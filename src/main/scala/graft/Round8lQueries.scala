@@ -91,6 +91,80 @@ object Round8lQueries {
           .select(col("brand"), col("n_sup"), col("tot").as("tot_cents"),
             round(col("hhi"), 6).as("hhi"))
           .orderBy("brand")
+      }),
+
+    Q("q290_conversion_ladder",
+      // Time-bound conversion ladder: of all signups, how many first-
+      // purchased within 1 h / 24 h / 7 d / ever — the windowed funnel
+      // q269's unbounded cohort view cannot give (a 7-day conversion
+      // SLA reads off this table directly). Firsts are min-aggs, the
+      // ladder is one conditional-sum pass, the rate an exact ppm floor.
+      Some("""WITH su AS (SELECT user_id, MIN(ts) s_ts FROM events
+             |           WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (SELECT user_id, MIN(ts) p_ts FROM events
+             |       WHERE event_type = 'purchase' GROUP BY 1),
+             |j AS (SELECT su.user_id, (epoch_us(pu.p_ts) - epoch_us(su.s_ts))//1000000 lat_s
+             |      FROM su LEFT JOIN pu ON su.user_id = pu.user_id AND pu.p_ts >= su.s_ts)
+             |SELECT CAST(COUNT(*) AS BIGINT) n_signups,
+             |  CAST(SUM(CASE WHEN lat_s <= 3600 THEN 1 ELSE 0 END) AS BIGINT) within_1h,
+             |  CAST(SUM(CASE WHEN lat_s <= 86400 THEN 1 ELSE 0 END) AS BIGINT) within_24h,
+             |  CAST(SUM(CASE WHEN lat_s <= 604800 THEN 1 ELSE 0 END) AS BIGINT) within_7d,
+             |  CAST(SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) ever,
+             |  CAST(SUM(CASE WHEN lat_s <= 604800 THEN 1 ELSE 0 END)*1000000//COUNT(*) AS BIGINT) rate_7d_e6
+             |FROM j""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("s_ts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+          .withColumnRenamed("user_id", "p_uid")
+        su.join(pu, col("user_id") === col("p_uid") && col("p_ts") >= col("s_ts"),
+            "left")
+          .select(expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000")
+            .as("lat_s"))
+          .agg(count(lit(1)).cast("long").as("n_signups"),
+            sum(when(col("lat_s") <= 3600, 1L).otherwise(0L)).cast("long").as("within_1h"),
+            sum(when(col("lat_s") <= 86400, 1L).otherwise(0L)).cast("long").as("within_24h"),
+            sum(when(col("lat_s") <= 604800, 1L).otherwise(0L)).cast("long").as("within_7d"),
+            sum(when(col("lat_s").isNotNull, 1L).otherwise(0L)).cast("long").as("ever"))
+          .select(col("n_signups"), col("within_1h"), col("within_24h"),
+            col("within_7d"), col("ever"),
+            expr("within_7d * 1000000 div n_signups").as("rate_7d_e6"))
+      }),
+
+    Q("q291_transition_baseline",
+      // Majority-class next-event predictor accuracy per current type:
+      // the always-predict-the-modal-successor baseline every sequence
+      // model must beat, read exactly off q161's transition counts
+      // (accuracy = modal count / total, ppm floor). High accuracy here
+      // means the stream is near-deterministic and sequence modeling is
+      // cheap; ~1/|types| means transitions are uninformative.
+      Some("""WITH o AS (SELECT user_id, event_type e,
+             |        LEAD(event_type) OVER (PARTITION BY user_id
+             |                               ORDER BY ts, event_id) nx
+             |      FROM events),
+             |tr AS (SELECT e, nx, CAST(COUNT(*) AS BIGINT) n FROM o
+             |       WHERE nx IS NOT NULL GROUP BY 1, 2),
+             |best AS (SELECT e, MAX(n) bn, SUM(n) tn FROM tr GROUP BY e)
+             |SELECT e AS event_type, CAST(best.tn AS BIGINT) n_transitions,
+             |       CAST(best.bn AS BIGINT) n_correct,
+             |       CAST(best.bn*1000000//best.tn AS BIGINT) accuracy_e6
+             |FROM best ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tr = Tables.events(s, d)
+          .select(col("event_type").as("e"),
+            lead(col("event_type"), 1).over(w).as("nx"))
+          .filter(col("nx").isNotNull)
+          .groupBy("e", "nx").agg(count(lit(1)).cast("long").as("n"))
+        tr.groupBy("e")
+          .agg(max("n").as("bn"), sum("n").as("tn"))
+          .select(col("e").as("event_type"), col("tn").cast("long").as("n_transitions"),
+            col("bn").cast("long").as("n_correct"),
+            expr("bn * 1000000 div tn").as("accuracy_e6"))
+          .orderBy("event_type")
       })
   )
 }

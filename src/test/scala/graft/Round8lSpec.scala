@@ -46,4 +46,32 @@ class Round8lSpec extends SparkSpec {
     }.sum
     assert(math.abs(hhi - expected) < 1e-6)
   }
+
+  test("q290: the ladder is monotone and consistent with q269's totals") {
+    val (n, h1, h24, d7, ever, rate) =
+      Queries.queryMap("q290_conversion_ladder")(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].first()
+    assert(h1 <= h24 && h24 <= d7 && d7 <= ever && ever <= n)
+    assert(rate === d7 * 1000000L / n)
+    val q269 = Queries.queryMap("q269_conversion_latency")(spark, sf0001)
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(n === q269.map(_._2).sum, "same signup population as q269")
+    assert(ever === q269.map(_._3).sum, "same ever-converted count as q269")
+  }
+
+  test("q291: the baseline accuracy is the modal transition share") {
+    val rows = Queries.queryMap("q291_transition_baseline")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, tn, bn, acc) =>
+      assert(bn <= tn)
+      assert(acc === bn * 1000000L / tn)
+      // modal share is at least 1/|successor types| (5 types here)
+      assert(acc >= 1000000L / 5 - 1)
+    }
+    // transitions must total events minus one per active user
+    val perUser = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum === perUser.map(_._2 - 1).sum)
+  }
 }
