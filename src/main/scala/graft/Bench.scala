@@ -171,6 +171,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q294_kendall_tau", "q293_mann_whitney_u", "q292_pairwise_diff_scale",
       "q291_transition_baseline", "q290_conversion_ladder",
       "q289_brand_hhi", "q288_label_balance",
       "q287_order_fanout", "q286_revenue_gini", "q285_upper_quartile_segment",
