@@ -623,7 +623,8 @@ object Queries {
       Round8Queries.all ++ Round8bQueries.all ++ Round8cQueries.all ++
       Round8dQueries.all ++ Round8eQueries.all ++ Round8fQueries.all ++
       Round8gQueries.all ++ Round8hQueries.all ++ Round8iQueries.all ++
-      Round8jQueries.all ++ Round8kQueries.all ++ Round8lQueries.all ++ Round8mQueries.all
+      Round8jQueries.all ++ Round8kQueries.all ++ Round8lQueries.all ++ Round8mQueries.all ++
+      Round8nQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap
