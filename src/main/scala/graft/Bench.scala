@@ -171,6 +171,7 @@ object Bench {
     // the driver's per-query record (round 5 lost q154/q155 this way).
     // When adding a query, prepend it here.
     val headline = Vector(
+      "q300_contingency_lift", "q299_seasonality_strength", "q298_acf_lag1",
       "q297_spearman_rho", "q296_benford_gate", "q295_wilcoxon_signed_rank",
       "q294_kendall_tau", "q293_mann_whitney_u", "q292_pairwise_diff_scale",
       "q291_transition_baseline", "q290_conversion_ladder",

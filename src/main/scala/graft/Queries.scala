@@ -624,7 +624,7 @@ object Queries {
       Round8dQueries.all ++ Round8eQueries.all ++ Round8fQueries.all ++
       Round8gQueries.all ++ Round8hQueries.all ++ Round8iQueries.all ++
       Round8jQueries.all ++ Round8kQueries.all ++ Round8lQueries.all ++ Round8mQueries.all ++
-      Round8nQueries.all
+      Round8nQueries.all ++ Round8oQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap
