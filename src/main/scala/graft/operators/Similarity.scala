@@ -485,8 +485,8 @@ object Similarity {
     * SQ8 design every vector engine ships. */
   def quantizeInt8(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
     require(mins.length == maxs.length, "mins/maxs length mismatch")
-    val mnLit = array(mins.map(lit): _*)
-    val mxLit = array(maxs.map(lit): _*)
+    val mnLit = array(mins.toIndexedSeq.map(lit): _*)
+    val mxLit = array(maxs.toIndexedSeq.map(lit): _*)
     transform(vec, (x, i) => {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
