@@ -30,7 +30,7 @@ object Round8hQueries {
               |        CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) c1,
               |        CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) c2
               |      FROM t GROUP BY tok),
-              |tt AS (SELECT SUM(c1) t1, SUM(c2) t2 FROM c)
+              |tt AS (SELECT CAST(SUM(c1) AS BIGINT) t1, CAST(SUM(c2) AS BIGINT) t2 FROM c)
               |SELECT tok, c1, c2,
               |       c1*1000000//tt.t1 f1_e6, c2*1000000//tt.t2 f2_e6,
               |       c2*1000000//tt.t2 - c1*1000000//tt.t1 delta_e6

@@ -30,7 +30,12 @@ object Expectations {
       .select("r.*")
   }
 
-  /** Duplicate-key check: n_violations = rows beyond the first per key. */
+  /** Duplicate-key check: n_violations = rows beyond the first per key.
+    * NOTE on NULLs: countDistinct skips tuples with any NULL component,
+    * so EVERY row whose key contains a NULL counts as a violation here —
+    * stricter than SQL UNIQUE-constraint semantics, where NULL-keyed rows
+    * are exempt. Pair with a not-null rowCheck (or pre-filter NULL keys)
+    * when the SQL behavior is wanted — same contract as referential(). */
   def unique(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.agg(count(lit(1)).cast("long").as("n_checked"),
         (count(lit(1)) - countDistinct(keyCols.head, keyCols.tail: _*))
@@ -43,8 +48,12 @@ object Expectations {
     * a not-null rowCheck when the distinction matters. */
   def referential(name: String, child: DataFrame, childKey: String,
                   parent: DataFrame, parentKey: String): DataFrame = {
-    val orphans = child.join(parent.select(col(parentKey)).distinct(),
-        child(childKey) === col(parentKey), "left_anti")
+    // Alias the parent key before joining: with the common FK shape where
+    // childKey and parentKey share a name (both "id"), an unqualified
+    // col(parentKey) is ambiguous against the joined plan.
+    val orphans = child.join(
+        parent.select(col(parentKey).as("_ex_pk")).distinct(),
+        child(childKey) === col("_ex_pk"), "left_anti")
       .agg(count(lit(1)).cast("long").as("n_violations"))
     child.agg(count(lit(1)).cast("long").as("n_checked"))
       .crossJoin(broadcast(orphans))

@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   * end where the window shape collapses. */
 object GroupPrefix {
 
+  /** Internal scratch columns; inputs carrying any of these would be
+    * silently clobbered by withColumn / dropped at the end, so reject
+    * them up front (mirrors GlobalOrder.checkOutCol). */
+  private val internalCols = Seq("_gp_tot", "_gp_gcum", "_gp_off", "_gp_one")
+
+  private def checkCols(df: DataFrame, outCol: String): Unit = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists")
+    val clash = df.columns.toSet.intersect(internalCols.toSet)
+    require(clash.isEmpty,
+      s"input must not contain GroupPrefix internal columns: ${clash.mkString(", ")}")
+  }
+
   /** Appends `outCol` = sum of `valueCol` (LongType) over rows strictly
     * before this one WITHIN its group, ordered by `sortExprs`. When
     * `keepTotals` is set the group's total also rides along as column
@@ -31,6 +44,13 @@ object GroupPrefix {
   def exclusiveRunningSum(df: DataFrame, groupCol: String,
                           sortExprs: Seq[Column], valueCol: String,
                           outCol: String, keepTotals: Boolean = false): DataFrame = {
+    checkCols(df, outCol)
+    runImpl(df, groupCol, sortExprs, valueCol, outCol, keepTotals)
+  }
+
+  private def runImpl(df: DataFrame, groupCol: String, sortExprs: Seq[Column],
+                      valueCol: String, outCol: String,
+                      keepTotals: Boolean): DataFrame = {
     val totals = df.groupBy(groupCol).agg(sum(valueCol).as("_gp_tot"))
     val offsets = GlobalOrder.exclusiveRunningSum(
       totals, Seq(col(groupCol)), "_gp_tot", "_gp_off")
@@ -47,9 +67,11 @@ object GroupPrefix {
     * order total for determinism, exactly like the window form). With
     * `keepTotals`, the group's row count rides along as `_gp_tot`. */
   def rowNumber(df: DataFrame, groupCol: String, sortExprs: Seq[Column],
-                outCol: String, keepTotals: Boolean = false): DataFrame =
-    exclusiveRunningSum(df.withColumn("_gp_one", lit(1L)), groupCol,
+                outCol: String, keepTotals: Boolean = false): DataFrame = {
+    checkCols(df, outCol)
+    runImpl(df.withColumn("_gp_one", lit(1L)), groupCol,
       sortExprs, "_gp_one", outCol, keepTotals)
       .withColumn(outCol, col(outCol) + 1L)
       .drop("_gp_one")
+  }
 }
