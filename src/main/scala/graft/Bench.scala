@@ -46,8 +46,12 @@ object Bench {
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var warmFailures = 0
-    queries.foreach { case (_, fn) =>
+    queries.zipWithIndex.foreach { case ((_, fn), i) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
+      // periodic GC lets the ContextCleaner reclaim dead per-query
+      // localCheckpoint blocks (driver heap in local mode) before they
+      // pile up across the ~1000 executions of a full double-drive
+      if (i % 25 == 24) System.gc()
     }
     if (warmFailures > 0)
       System.err.println(s"[bench] WARNING: $warmFailures/${queries.size} " +
@@ -73,12 +77,14 @@ object Bench {
     // A throwing query gets time = -1 (visibly broken, never a plausible
     // tiny wall-time) and an entry in the errors map — a regression must
     // not be reportable as a speedup.
-    val runs = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable =>
                   Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)) }
       val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed window: reclaim dead checkpoint blocks
+      if (i % 25 == 24) System.gc()
       (name, secs, err)
     }
     // Maintenance-path entry: small-file compaction of an A13-layout CDC

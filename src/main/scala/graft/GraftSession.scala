@@ -35,6 +35,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
+      // Long drives (a full bench is ~1000 query executions in one JVM)
+      // otherwise accumulate per-execution status data — the SQL status
+      // store keeps each execution's physical-plan description string
+      // (default cap 1000 executions; some of our plans stringify to
+      // MBs), and the app status store keeps per-job/stage/task rows.
+      // These caps bound that to a fixed few-hundred-MB ceiling; they do
+      // not affect query execution, only post-hoc introspection depth.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.ui.dagGraph.retainedRootRDDs", "100")
       .withExtensions(new graft.plans.GraftExtensions)
 
   def get(): SparkSession = {

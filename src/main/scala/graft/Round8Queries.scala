@@ -380,15 +380,19 @@ object Round8Queries {
       // mean per bucket — if high-estimate buckets are pure, the
       // expensive exact-verify stage can be skipped above a cutoff.
       // Mean-of-rounded-doubles is summed as scaled LONGS (×10⁴ exact
-      // integers; summing 4dp doubles in engine-specific order could
-      // flip the ROUND edge), one division at the edge.
+      // integers), and the mean stays in INTEGER space end to end:
+      // round-half-up(S/n) = (2S + n) div (2n) — a final ROUND(double, 4)
+      // hit the .00005 tie at sf0.001 where Spark's HALF_UP-on-decimal-
+      // repr and DuckDB's true-binary rounding disagree (the float twin
+      // of the HUGEINT trap). `mean_jaccard_e4` is the mean in 1e-4
+      // units, exact in both engines at any scale.
       Some(s"""WITH est AS (${TrainingQueries.minhashEstimateSql})
               |SELECT LEAST(CAST(FLOOR(est_jaccard * 8) AS BIGINT), 7) AS bucket,
               |       COUNT(*) AS n_pairs,
               |       CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
               |         AS n_true_08,
-              |       ROUND(SUM(CAST(ROUND(jaccard * 10000) AS BIGINT))
-              |             / (10000.0 * COUNT(*)), 4) AS mean_jaccard
+              |       CAST((2*CAST(SUM(CAST(ROUND(jaccard * 10000) AS BIGINT)) AS BIGINT)
+              |             + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS mean_jaccard_e4
               |FROM est GROUP BY bucket ORDER BY bucket""".stripMargin),
       (s, d) => {
         val est = graft.operators.Dedup.minhashEstimatePairs(
@@ -399,8 +403,9 @@ object Round8Queries {
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).cast("long")
               .as("n_true_08"),
-            round(sum(round(col("jaccard") * 10000).cast("long"))
-              / (lit(10000.0) * count(lit(1))), 4).as("mean_jaccard"))
+            sum(round(col("jaccard") * 10000).cast("long")).as("_s"))
+          .select(col("bucket"), col("n_pairs"), col("n_true_08"),
+            expr("(2*_s + n_pairs) div (2*n_pairs)").as("mean_jaccard_e4"))
           .orderBy("bucket")
       }),
 

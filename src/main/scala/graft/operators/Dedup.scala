@@ -464,6 +464,9 @@ object Dedup {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // handle on the checkpoint BACKING `labels` (after round 1 `labels`
+    // itself is a projection over it, which Lineage.free won't touch)
+    var labelsCp = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -486,6 +489,10 @@ object Dedup {
       // `== 0` is consulted, so convergence detection stays exact — zero
       // means NO task saw a label shrink during the materializing pass
       converged = acc.value == 0L
+      // the superseded generation's blocks are dead now that `updated`
+      // is materialized — free them instead of waiting on GC+cleaner
+      Lineage.free(labelsCp)
+      labelsCp = updated
       labels = updated.drop("chg")
       iter += 1
     }

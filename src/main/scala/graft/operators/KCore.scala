@@ -80,6 +80,7 @@ object KCore {
         .select(col("node"),
           (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint(true)
+      val prevDeg = aliveDeg
       if (round == rounds) {
         aliveDeg = decremented(aliveDeg.filter(col("deg") >= k))
       } else {
@@ -88,6 +89,9 @@ object KCore {
         aliveDeg = decremented(aliveDeg.filter(survives(col("deg"))))
         converged = acc.value == 0L
       }
+      // decremented() checkpointed the new generation eagerly, so the
+      // superseded one's blocks are dead — free, don't wait on GC
+      Lineage.free(prevDeg)
     }
     aliveDeg.filter(col("deg") >= 1)
   }

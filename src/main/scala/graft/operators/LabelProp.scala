@@ -55,6 +55,10 @@ object LabelProp {
         edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))
     var lbl = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    // handle on the checkpoint backing `lbl` (after a round `lbl` is a
+    // projection over it, which Lineage.free deliberately won't touch);
+    // null until the first round checkpoints
+    var lblCp: DataFrame = null
     val spark = edges.sparkSession
     var converged = false
     var round = 0
@@ -88,20 +92,24 @@ object LabelProp {
       round += 1
       if (round == rounds) {
         lbl = winners.localCheckpoint(true)
+        if (lblCp != null) Lineage.free(lblCp)
+        lblCp = lbl
       } else {
         val acc = spark.sparkContext.longAccumulator("labelprop_changed")
         val flagged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
         // chg must ride THROUGH the checkpoint (dropped only after):
         // pruned before materialization, the udf would never run and
         // every round would read as converged.
-        lbl = winners.as("w")
+        val newCp = winners.as("w")
           .join(lbl.as("p"), col("w.node") === col("p.node"))
           .select(col("w.node").as("node"), col("w.lbl").as("lbl"),
             flagged(col("w.lbl") =!= col("p.lbl")).as("chg"))
           // one materialized |nodes|-row relation per round, flat lineage
           .localCheckpoint(true)
-          .drop("chg")
+        lbl = newCp.drop("chg")
         converged = acc.value == 0L
+        if (lblCp != null) Lineage.free(lblCp)
+        lblCp = newCp
       }
     }
     lbl

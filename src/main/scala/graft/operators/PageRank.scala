@@ -108,7 +108,10 @@ object PageRank {
           .select(col("node"), (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
       // cut lineage between rounds; leave the LAST round lazy so callers
       // compose (top-k, filters) without a forced extra materialization
-      ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
+      // free the superseded round's checkpoint blocks once the new round
+      // has materialized (no-op on round 0's lazy initial relation)
+      ranks = if (i == iterations - 1) next
+        else { val cp = next.localCheckpoint(true); Lineage.free(ranks); cp }
     }
     ranks
   }
@@ -147,7 +150,10 @@ object PageRank {
       val next = nodes
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"), (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
-      ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
+      // free the superseded round's checkpoint blocks once the new round
+      // has materialized (no-op on round 0's lazy initial relation)
+      ranks = if (i == iterations - 1) next
+        else { val cp = next.localCheckpoint(true); Lineage.free(ranks); cp }
     }
     ranks
   }
@@ -204,7 +210,10 @@ object PageRank {
         .select(col("node"),
           (when(isSeed, lit(Base)).otherwise(lit(0L))
             + coalesce(col("in_sum"), lit(0L))).as("rank"))
-      ranks = if (i == iterations - 1) next else next.localCheckpoint(true)
+      // free the superseded round's checkpoint blocks once the new round
+      // has materialized (no-op on round 0's lazy initial relation)
+      ranks = if (i == iterations - 1) next
+        else { val cp = next.localCheckpoint(true); Lineage.free(ranks); cp }
     }
     ranks
   }

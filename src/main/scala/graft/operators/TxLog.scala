@@ -86,6 +86,20 @@ object TxLog {
   private val LogDir = "_txlog"
   private val Header = "graft-txlog v1"
 
+  /** Highest manifest protocol this reader/writer understands. Writers
+    * stamp it into every commit (`protocol=N`); readers REFUSE any
+    * manifest claiming a higher one — a future format must fail loudly,
+    * never be half-parsed as the fields this version happens to know
+    * (Delta's minReaderVersion contract). Manifests written before the
+    * stamp existed read as protocol 1. */
+  private[graft] val ProtocolVersion = 1L
+
+  /** Loud forward-compat refusal — deliberately NOT an IOException /
+    * parse failure, so the torn-manifest recovery paths (which treat
+    * unreadable bytes as a crash corpse to skip) can never swallow it. */
+  final class UnsupportedProtocolException(msg: String)
+      extends RuntimeException(msg)
+
   /** Every `CheckpointInterval`-th generation also writes a `chk-<N>`
     * checkpoint manifest (the FULL resolved state at N) and bumps the
     * `_last_checkpoint` pointer — the Delta-style bound that keeps head
@@ -225,6 +239,14 @@ object TxLog {
     val in = try f.open(p) catch { case _: java.io.IOException => return None }
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      // a HIGHER header version is a complete future manifest, not a torn
+      // one — refuse loudly before any field is trusted
+      if (lines.nonEmpty && lines.head != Header &&
+          lines.head.startsWith("graft-txlog v"))
+        throw new UnsupportedProtocolException(
+          s"$p was written by a newer txlog format ('${lines.head}'; this " +
+            s"reader understands '$Header') — upgrade the reader; refusing " +
+            "to half-parse a future manifest")
       if (lines.isEmpty || lines.head != Header || lines.last != "end") return None
       val body = lines.tail.init
       val kv = body.filterNot(l =>
@@ -232,6 +254,12 @@ object TxLog {
           l.startsWith("t ") || l.startsWith("r ")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
+      val proto = kv.get("protocol").map(_.toLong).getOrElse(1L)
+      if (proto > ProtocolVersion)
+        throw new UnsupportedProtocolException(
+          s"$p claims txlog protocol $proto; this reader understands up to " +
+            s"$ProtocolVersion — upgrade the reader; refusing to half-parse " +
+            "a future manifest")
       val gen = kv("gen").toLong
       if (!pathGen(p).contains(gen)) return None
       val meta = body.filter(_.startsWith("m ")).map { l =>
@@ -273,7 +301,11 @@ object TxLog {
             colStats, base = base)))
         else None
       }
-    } catch { case _: Exception => None }
+    } catch {
+      // the protocol refusal must escape the torn-corpse tolerance below
+      case e: UnsupportedProtocolException => throw e
+      case _: Exception => None
+    }
     finally in.close()
   }
 
@@ -410,6 +442,7 @@ object TxLog {
                            stats: Map[String, (Double, Double)],
                            colStats: Map[String, Map[String, ColStat]]): String = {
     val body = new StringBuilder(Header).append('\n')
+      .append("protocol=").append(ProtocolVersion).append('\n')
       .append("gen=").append(gen).append('\n')
       .append("base=").append(base).append('\n')
     if (delta) body.append("kind=delta\n")
@@ -1521,6 +1554,20 @@ object TxLog {
     * manifests must still be within vacuum retention. */
   def appendedBetween(spark: SparkSession, zone: String, fromGen: Long,
                       toGen: Long = Long.MaxValue): DataFrame = {
+    val (to, added) = appendedFilesBetween(spark, zone, fromGen, toGen)
+    if (added.isEmpty)
+      readSnapshot(spark, zone, to).filter(org.apache.spark.sql.functions.lit(false))
+    else loadFiles(spark, to, added.map(p => zone.stripSuffix("/") + "/" + p))
+  }
+
+  /** File-level form of [[appendedBetween]]: the `to` snapshot plus the
+    * RELATIVE paths of the files generations (fromGen, toGen] added —
+    * same resolution and same loud append-only contract. The streaming
+    * source consumes this form so its scan can prune the added-file list
+    * against the snapshot's committed column stats before opening
+    * anything. */
+  def appendedFilesBetween(spark: SparkSession, zone: String, fromGen: Long,
+                           toGen: Long = Long.MaxValue): (Snapshot, Seq[String]) = {
     val head = latest(spark, zone).getOrElse(
       sys.error(s"$zone has no transaction log"))
     val to =
@@ -1536,10 +1583,7 @@ object TxLog {
         s"${dropped.size} file(s) were rewritten (compact/replace/merge/delete) — " +
         "an incremental file-diff read would be wrong; re-read the full snapshot")
     val fromSet = from.files.toSet
-    val added = to.files.filterNot(fromSet)
-    if (added.isEmpty)
-      readSnapshot(spark, zone, to).filter(org.apache.spark.sql.functions.lit(false))
-    else loadFiles(spark, to, added.map(p => zone.stripSuffix("/") + "/" + p))
+    (to, to.files.filterNot(fromSet))
   }
 
   /** Exactly-once micro-batch append for Structured Streaming: commit
@@ -1553,7 +1597,7 @@ object TxLog {
     * when the batch was appended, false when skipped as already
     * committed. */
   def exactlyOnceAppend(spark: SparkSession, zone: String, df: DataFrame,
-                        batchId: Long): Boolean = {
+                        batchId: Long, statsCols: Seq[String] = Nil): Boolean = {
     // fast path: skip before staging any data files; the authoritative
     // check is re-run against the head inside appendImpl's publish loop,
     // so two writers replaying the same batchId cannot both commit
@@ -1561,7 +1605,7 @@ object TxLog {
     if (committed.exists(_ >= batchId)) false
     else appendImpl(spark, zone, df, maxRetries = 5,
       meta = Map("batchId" -> batchId.toString), statsCol = None,
-      statsCols = Nil, batchId = Some(batchId)).isDefined
+      statsCols = statsCols, batchId = Some(batchId)).isDefined
   }
 
   /** `writeStream.foreachBatch(TxLog.streamSink(zone))` — the

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.sources
+
+/** Filter pushdown from the STREAMING query plan into graft's v1
+  * sources (SURVEY §4's promised Catalyst hook, made real).
+  *
+  * A v1 `Source.getBatch` never sees the query plan: the micro-batch
+  * planner splices whatever DataFrame it returns under the query's
+  * operators, so a `.filter(...)` in the streaming query runs AFTER the
+  * source has already read every shard record / zone file of the batch
+  * window. At 100 TB that inverts the economics of the lake: the
+  * manifest and the shard cursors know exactly which units a predicate
+  * can touch, but the plan boundary hides the predicate.
+  *
+  * The hook closes that boundary with the standard custom-operator kit:
+  *
+  *  - sources return a [[GraftScan]] LEAF (streaming) from getBatch,
+  *    carrying a [[PrunableScan]] — the unit-pruning capability (shard
+  *    specs, stats-tracked files) without any plan machinery;
+  *  - [[PushFiltersIntoGraftScan]] (injected optimizer rule) finds
+  *    `Filter` directly above the leaf — the built-in PushDownPredicates
+  *    has already moved it through the splice's Project — translates the
+  *    conjuncts through Spark's own catalyst→`sources.Filter` path, and
+  *    records the ones the scan [[PrunableScan.accepts]];
+  *  - [[GraftScanStrategy]] (injected planner strategy) plans the leaf
+  *    into [[GraftScanExec]], whose doExecute asks the scan for the RDD
+  *    of only the matching units.
+  *
+  * Pruning is a SUPERSET contract (exactly parquet's PushedFilters): the
+  * original Filter stays in the plan, so a pushed predicate can only
+  * skip units that provably contain no qualifying row — results are
+  * bit-identical with and without the hook. */
+trait PrunableScan {
+
+  /** Can this scan use `f` to skip whole units (shards / files)?
+    * Only `accept`ed filters are recorded on the plan and passed to
+    * [[buildRDD]]; everything else stays Filter-only. */
+  def accepts(f: sources.Filter): Boolean
+
+  /** The batch's rows, reading only units that can match `pushed`
+    * (`pushed` is empty for an unfiltered stream). Rows must follow the
+    * owning [[GraftScan]]'s output order. */
+  def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow]
+
+  /** Short scan identity for explain output. */
+  def describe: String
+}
+
+/** Streaming leaf carrying a prunable source batch; `pushed` is filled
+  * in by [[PushFiltersIntoGraftScan]]. */
+case class GraftScan(output: Seq[Attribute], scan: PrunableScan,
+                     pushed: Seq[sources.Filter] = Nil) extends LeafNode {
+  override def isStreaming: Boolean = true
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = conf.defaultSizeInBytes)
+  override def simpleString(maxFields: Int): String =
+    s"GraftScan ${scan.describe}${
+      if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"}"
+}
+
+/** Optimizer rule: fold the conjuncts of a Filter sitting directly on a
+  * [[GraftScan]] into the scan (keeping the Filter — superset
+  * semantics). Runs in the operator-optimization fixpoint, so built-in
+  * predicate pushdown has already moved eligible filters adjacent to
+  * the leaf; idempotent via the `pushed.isEmpty` guard. */
+object PushFiltersIntoGraftScan extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, g: GraftScan) if g.pushed.isEmpty =>
+      val usable = splitConjunctivePredicates(cond)
+        .filter(_.deterministic)
+        .flatMap(PlanBridge.translateFilter)
+        .filter(g.scan.accepts)
+      if (usable.isEmpty) f else f.copy(child = g.copy(pushed = usable))
+  }
+}
+
+/** Plans [[GraftScan]] — the only custom strategy this engine needs. */
+object GraftScanStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GraftScan => GraftScanExec(g.output, g.scan, g.pushed) :: Nil
+    case _            => Nil
+  }
+}
+
+case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,
+                         pushed: Seq[sources.Filter]) extends LeafExecNode {
+  override protected def doExecute(): RDD[InternalRow] = scan.buildRDD(pushed)
+  override def simpleString(maxFields: Int): String =
+    s"GraftScanExec ${scan.describe}${
+      if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"}"
+}
+
+/** Dev/test introspection: each scan records (units served, units
+  * total, records served estimate) per probe key at buildRDD time, so
+  * specs can assert the pruned stream genuinely read less. Not part of
+  * the engine contract. */
+object PushdownProbe {
+  private val log =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  def record(key: String, served: Long, total: Long): Unit =
+    log.put(key, (served, total))
+  def get(key: String): Option[(Long, Long)] = Option(log.get(key))
+}

@@ -1,14 +1,21 @@
 package graft.sources
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.graft.StreamBridge
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Cdc
+import graft.plans.{PrunableScan, PushdownProbe}
 
 /** Structured Streaming source over a [[ShardStore]] — the emulated
   * Kinesis transport the reference ingests from (`lib/dynamodb-streaming-
@@ -128,27 +135,90 @@ class ShardStreamSource(sqlContext: SQLContext, dir: String,
     val to = cursorsOf(end)
     lastEnd = Some(to)
     // one (shard, from, to] spec per shard with news; executors read the
-    // record files — the driver never materializes a record body
+    // record files — the driver never materializes a record body. The
+    // batch is a GraftScan leaf so the session extension can fold the
+    // query's shard/seq predicates into the spec list (serve only
+    // matching shards) — see graft.plans.PushFiltersIntoGraftScan.
     val specs = to.toSeq.sorted.flatMap { case (shard, hi) =>
       val lo = from.getOrElse(shard, 0L)
       if (hi > lo) Some((shard, lo, hi)) else None
     }
-    val d = dir
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    import spark.implicits._
-    val raw = spark.createDataset(specs)
-      .repartition(math.max(1, specs.size))
-      .flatMap { case (shard, lo, hi) =>
-        new ShardStore(d).get(shard, lo, hi).iterator
-          .map { case (seq, value) => Row(shard, seq, value) }
-      }(enc)
-    StreamBridge.streamingDataFrame(spark,
-      raw.toDF().queryExecution.toRdd, schema)
+    PlanBridge.dataFrame(spark,
+      graft.plans.GraftScan(DataTypeUtils.toAttributes(schema),
+        ShardPrunableScan(spark, dir, specs)))
   }
 
   override def stop(): Unit = ()
 
   override def toString: String = s"ShardStreamSource[$dir]"
+}
+
+/** The shard batch as a [[PrunableScan]]: a query-plan predicate on
+  * `shard` prunes whole shard specs before any record file is opened,
+  * and `seq` bounds tighten each spec's (lo, hi] window — the Kinesis
+  * consumer shape where a reader of one shard's slice never touches the
+  * other nine shards' data. Every record the RDD produces is still
+  * filtered by the full original predicate above (superset contract),
+  * so an unsupported or partially-supported filter only costs skipped
+  * pruning, never correctness. */
+final case class ShardPrunableScan(spark: SparkSession, dir: String,
+                                   specs: Seq[(String, Long, Long)])
+    extends PrunableScan {
+
+  override def describe: String = s"shardstore[$dir]"
+
+  override def accepts(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo("shard", _: String)            => true
+    case sources.In("shard", vs)                        => vs.forall(_.isInstanceOf[String])
+    case sources.EqualTo("seq", _: Long)                => true
+    case sources.GreaterThan("seq", _: Long)            => true
+    case sources.GreaterThanOrEqual("seq", _: Long)     => true
+    case sources.LessThan("seq", _: Long)               => true
+    case sources.LessThanOrEqual("seq", _: Long)        => true
+    case _                                              => false
+  }
+
+  /** Conjunctive narrowing of the spec list; windows stay (lo, hi]. */
+  private def prune(pushed: Seq[sources.Filter]): Seq[(String, Long, Long)] = {
+    var keep = specs
+    pushed.foreach {
+      case sources.EqualTo("shard", v: String) => keep = keep.filter(_._1 == v)
+      case sources.In("shard", vs) =>
+        val s = vs.collect { case x: String => x }.toSet
+        keep = keep.filter(t => s(t._1))
+      case sources.EqualTo("seq", v: Long) =>
+        keep = keep.map { case (sh, lo, hi) => (sh, math.max(lo, v - 1), math.min(hi, v)) }
+      case sources.GreaterThan("seq", v: Long) =>
+        keep = keep.map { case (sh, lo, hi) => (sh, math.max(lo, v), hi) }
+      case sources.GreaterThanOrEqual("seq", v: Long) =>
+        keep = keep.map { case (sh, lo, hi) => (sh, math.max(lo, v - 1), hi) }
+      case sources.LessThan("seq", v: Long) =>
+        keep = keep.map { case (sh, lo, hi) => (sh, lo, math.min(hi, v - 1)) }
+      case sources.LessThanOrEqual("seq", v: Long) =>
+        keep = keep.map { case (sh, lo, hi) => (sh, lo, math.min(hi, v)) }
+      case _ => ()
+    }
+    keep.filter { case (_, lo, hi) => hi > lo }
+  }
+
+  override def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] = {
+    val served = prune(pushed)
+    // sequence windows are dense, so (hi - lo) IS the record count
+    PushdownProbe.record(s"shardstore:$dir",
+      served.map(t => t._3 - t._2).sum, specs.map(t => t._3 - t._2).sum)
+    val d = dir
+    if (served.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
+    else spark.sparkContext.parallelize(served, served.size).mapPartitions { it =>
+      val proj = UnsafeProjection.create(
+        Array[DataType](StringType, LongType, StringType))
+      it.flatMap { case (shard, lo, hi) =>
+        val sh = UTF8String.fromString(shard)
+        new ShardStore(d).get(shard, lo, hi).iterator.map { case (seq, value) =>
+          proj(InternalRow(sh, seq, UTF8String.fromString(value)))
+        }
+      }
+    }
+  }
 }
 
 /** [[CdcSource]] member over the emulated shard transport: the parsed-

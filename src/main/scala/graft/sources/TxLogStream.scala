@@ -1,14 +1,19 @@
 package graft.sources
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.graft.StreamBridge
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.TxLog
+import graft.plans.{PrunableScan, PushdownProbe}
 
 /** TxLog zone as a Structured Streaming SOURCE — the read half of the
   * lake's streaming loop ([[graft.operators.TxLog.cdcMergeSink]] streams
@@ -133,34 +138,111 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toGen = genOf(end)
     lastEnd = Some(toGen)
-    val batch = (start, startingGen) match {
+    // Resolve the batch's FILE LIST (not a DataFrame): the batch goes out
+    // as a GraftScan leaf over (snapshot, files), so the session
+    // extension can fold the query's range predicates on stats-tracked
+    // columns into the scan — each micro-batch then opens only the files
+    // whose committed min/max overlap the predicate (manifest pruning,
+    // now reachable from a STREAMING plan).
+    val (snap, relFiles) = (start, startingGen) match {
       // first batch, default mode: the FULL snapshot at `end` — serves a
       // non-empty start generation (init over an existing directory)
       // instead of silently dropping it, and needs no append-only window
       // (a full read diffs nothing)
       case (None, None) =>
-        TxLog.readSnapshot(spark, zone,
-          TxLog.snapshotAt(spark, zone, toGen).getOrElse(
-            sys.error(s"txlog source: $zone generation $toGen is gone " +
-              "(vacuumed?) — cannot serve the initial snapshot")))
+        val s = TxLog.snapshotAt(spark, zone, toGen).getOrElse(
+          sys.error(s"txlog source: $zone generation $toGen is gone " +
+            "(vacuumed?) — cannot serve the initial snapshot"))
+        (s, s.files)
       // explicit changes-after-G, and every later batch: the file diff
       // between the two committed generations — loudly append-only (see
       // class doc)
       case (_, _) =>
         val fromGen = start.map(genOf).orElse(startingGen).get
-        TxLog.appendedBetween(spark, zone, fromGen, toGen)
+        TxLog.appendedFilesBetween(spark, zone, fromGen, toGen)
     }
-    // project to the pinned source schema (the read already applies the
-    // log schema, so evolved-away or added columns surface correctly);
-    // an empty diff still needs a valid (empty) STREAMING frame, hence
-    // the bridge in all branches
-    val conformed = batch.selectExpr(schema.fieldNames.map(n => s"`$n`").toSeq: _*)
-    StreamBridge.streamingDataFrame(spark,
-      conformed.queryExecution.toRdd, schema)
+    PlanBridge.dataFrame(spark,
+      graft.plans.GraftScan(DataTypeUtils.toAttributes(schema),
+        TxLogPrunableScan(spark, zone, snap, relFiles, schema)))
   }
 
   override def stop(): Unit = ()
 
   override def toString: String =
     s"TxLogSource[$zone${startingGen.fold("")(g => s" after gen $g")}]"
+}
+
+/** A TxLog micro-batch (snapshot + its window's file list) as a
+  * [[PrunableScan]]: query-plan predicates on the zone's STATS-TRACKED
+  * columns prune the file list against the committed per-file min/max
+  * (exactly [[TxLog.prunedFilesFor]]'s batch skip, now reachable from a
+  * streaming plan) before any parquet footer is opened. Supported
+  * shapes: equality on any tracked column; range bounds on numerically
+  * tracked columns (a one-sided string range cannot be expressed in the
+  * prefix-stat comparison, so it is declined and stays Filter-only).
+  * Strict bounds prune as their non-strict widening — superset
+  * semantics, the full predicate still runs above. */
+final case class TxLogPrunableScan(spark: SparkSession, zone: String,
+                                   snap: TxLog.Snapshot,
+                                   relFiles: Seq[String],
+                                   pinned: StructType) extends PrunableScan {
+
+  override def describe: String = s"txlog[$zone gen ${snap.gen}]"
+
+  private def tracked: Set[String] =
+    snap.meta.getOrElse("stats.cols", "").split(",").filter(_.nonEmpty).toSet
+
+  /** The column's committed stat kind ("num" | "str"), from any file
+    * that has one. */
+  private def kindOf(c: String): Option[String] =
+    snap.colStats.valuesIterator.flatMap(_.get(c)).map(_.kind).nextOption()
+
+  private def numeric(v: Any): Boolean = v match {
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+         _: java.math.BigDecimal | _: BigDecimal => true
+    case _ => false
+  }
+
+  /** Translate one accepted filter to the [lo, hi] range
+    * [[TxLog.prunedFilesFor]] understands. */
+  private def rangeOf(f: sources.Filter): Option[(String, Any, Any)] = f match {
+    case sources.EqualTo(c, v) => Some((c, v, v))
+    case sources.GreaterThan(c, v) if numeric(v) =>
+      Some((c, v, Double.PositiveInfinity))
+    case sources.GreaterThanOrEqual(c, v) if numeric(v) =>
+      Some((c, v, Double.PositiveInfinity))
+    case sources.LessThan(c, v) if numeric(v) =>
+      Some((c, Double.NegativeInfinity, v))
+    case sources.LessThanOrEqual(c, v) if numeric(v) =>
+      Some((c, Double.NegativeInfinity, v))
+    case _ => None
+  }
+
+  override def accepts(f: sources.Filter): Boolean = rangeOf(f) match {
+    case Some((c, lo, hi)) if tracked(c) => kindOf(c) match {
+      case Some("num") => numeric(lo) || numeric(hi) ||
+        // numeric-kind equality on a non-numeric literal can't compare
+        (lo == hi && numeric(lo))
+      case Some(_)     => lo == hi && lo.isInstanceOf[String] // str: equality only
+      case None        => false // no file carries a stat: nothing to prune with
+    }
+    case _ => false
+  }
+
+  override def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] = {
+    var keep = relFiles
+    pushed.flatMap(rangeOf).foreach { case (c, lo, hi) =>
+      val overlap = TxLog.prunedFilesFor(snap, c, lo, hi).toSet
+      keep = keep.filter(overlap)
+    }
+    PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
+    if (keep.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
+    else {
+      val r = spark.read.format(snap.format)
+      val loaded = TxLog.zoneSchema(snap).fold(r)(r.schema)
+        .load(keep.map(p => zone.stripSuffix("/") + "/" + p): _*)
+      loaded.selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
+        .queryExecution.toRdd
+    }
+  }
 }

@@ -48,6 +48,15 @@ object CdcStream {
     * guard. The error write IS replay-idempotent: it lands under a
     * batch-id-keyed directory with overwrite.
     *
+    * CROSS-ZONE contract, pinned: the zones commit INDEPENDENTLY and in
+    * order (ok first, then error). A crash between the two can leave a
+    * batch's ok rows visible with its error rows absent until the
+    * checkpointed replay re-runs the batch and completes both — so
+    * cross-zone consistency is eventual (bounded by one replay), with no
+    * loss on either zone and no duplicates on the error zone. A consumer
+    * that must never observe the half-committed state uses [[pipelineTx]],
+    * which commits both routes in one atomic TxLog generation.
+    *
     * @param ingestionTs injectable clock (None = envelope creation time,
     *   the deterministic default; pass `Some(current_timestamp())` for the
     *   reference's wall-clock behavior).
@@ -78,6 +87,59 @@ object CdcStream {
         } finally batch.unpersist()
         ()
       }
+
+  /** TRANSACTIONAL dual sink: ok rows and error rows commit in ONE
+    * atomic TxLog generation per micro-batch, closing [[pipeline]]'s
+    * residual window (a crash between its two independent directory
+    * writes can land the ok zone without the error zone — or vice versa
+    * — until the replay completes both). Here there is no window: both
+    * routes ride one `exactlyOnceAppend(batchId)`, so a batch is either
+    * fully visible (both routes) or not at all, and a replay is a no-op.
+    *
+    * Layout trade vs the reference-fidelity [[pipeline]]: instead of two
+    * directories this is ONE TxLog zone with a `route` column
+    * ('ok' | 'err'); the two routes are built as separate frames and
+    * unioned WITHOUT a shuffle, so every data file is route-pure by
+    * construction, and `route` rides in `statsCols` —
+    * [[graft.operators.TxLog.readWhereCol]] (or the streaming source's
+    * pushdown) then serves an ok-only or err-only read without opening
+    * the other route's files. Ok payloads are serialized to the same
+    * JSON lines the reference lake stores; error rows keep
+    * (error_reason, raw). */
+  def commitBatchTx(zone: String,
+                    ingestionTs: Option[org.apache.spark.sql.Column] = None)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      val spark = batch.sparkSession
+      val (valid, errors) = Cdc.split(batch)
+      val ok = Cdc.transform(valid, ingestionTs)
+      val okRows = ok.select(
+        lit("ok").as("route"),
+        lit(null).cast("string").as("error_reason"),
+        to_json(struct(ok.columns.map(col).toSeq: _*)).as("line"))
+      val errRows = errors
+        .withColumn("raw", coalesce(col("_corrupt_record"),
+          to_json(struct(col("eventName"), col("dynamodb")))))
+        .select(lit("err").as("route"), col("error_reason"), col("raw").as("line"))
+      // no shuffle: union keeps each child's partitions, and each child is
+      // single-route, so every written file is route-pure (tight stats)
+      graft.operators.TxLog.exactlyOnceAppend(spark, zone,
+        okRows.unionByName(errRows), batchId, statsCols = Seq("route"))
+      ()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** [[pipeline]]'s shape with the transactional sink: one TxLog zone,
+    * atomic cross-route commits. */
+  def pipelineTx(parsed: DataFrame, zone: String, checkpoint: String,
+                 trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                 ingestionTs: Option[org.apache.spark.sql.Column] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    parsed.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commitBatchTx(zone, ingestionTs) _)
 
   /** Convenience: run the pipeline over all currently-available input then
     * stop (test/backfill mode — batch semantics, streaming machinery). */

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+import graft.plans.PushdownProbe
+import graft.sources.ShardStore
+
+/** The streaming filter-pushdown hook (SURVEY §4, round-8 directive #4):
+  * a `.filter(...)` in the STREAMING query plan must reach the v1
+  * source's batch construction — the shard source serves only matching
+  * shards / tightened sequence windows, the txlog source opens only
+  * stats-overlapping files — with results bit-identical to the
+  * unfiltered-source + filter-above plan (superset contract: the
+  * original Filter always still runs). PushdownProbe records
+  * (served, total) units per scan at buildRDD time. */
+class StreamPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- shard transport ------------------------------------------------
+
+  private def shardFixture(): (String, ShardStore) = {
+    val dir = freshDir("graft_push_shards")
+    val st = new ShardStore(dir)
+    st.createStream(3)
+    for (i <- 0 until 60) st.put(s"key-${i % 11}", s"v$i")
+    (dir, st)
+  }
+
+  private def runShardStream(dir: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Set[(String, Long, String)] = {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val q = f(spark.readStream.format("shardstore").option("dir", dir).load())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.as[(String, Long, String)].collect() }: Unit
+      }.start()
+    q.processAllAvailable(); q.stop()
+    seen.toSet
+  }
+
+  test("shard predicate prunes whole shards; rows identical to filter-above") {
+    val (dir, st) = shardFixture()
+    val all = runShardStream(dir, identity)
+    val (servedAll, totalAll) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(servedAll === totalAll && totalAll === 60L,
+      "unfiltered stream must serve every record")
+
+    // pick a shard that actually has records, and one that has fewer than all
+    val target = st.shards().map(s => s.id -> st.maxSeq(s.id))
+      .filter(_._2 > 0L).maxBy(_._2)._1
+    val got = runShardStream(dir, _.filter(col("shard") === target))
+    val (served, total) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(total === 60L)
+    assert(served < total, s"pushed shard filter must read less: $served/$total")
+    assert(served === all.count(_._1 == target).toLong,
+      "pruned scan must serve exactly the target shard's records")
+    assert(got === all.filter(_._1 == target), "rows must be hash-identical")
+  }
+
+  test("seq bounds tighten the per-shard windows; rows identical") {
+    val (dir, _) = shardFixture()
+    val all = runShardStream(dir, identity)
+    val got = runShardStream(dir, _.filter(col("seq") > 2L && col("seq") <= 4L))
+    val (served, total) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(total === 60L)
+    assert(served < total, s"pushed seq range must read less: $served/$total")
+    assert(got === all.filter(r => r._2 > 2L && r._2 <= 4L))
+    // the windows are dense, so the scan serves EXACTLY the matching rows
+    assert(served === got.size.toLong)
+  }
+
+  test("an unsupported predicate prunes nothing and changes nothing") {
+    val (dir, _) = shardFixture()
+    val all = runShardStream(dir, identity)
+    val got = runShardStream(dir, _.filter(col("value").endsWith("7")))
+    val (served, total) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(served === total, "value predicates are not prunable — full scan")
+    assert(got === all.filter(_._3.endsWith("7")))
+  }
+
+  // ---- txlog zone -----------------------------------------------------
+
+  test("txlog stream: stats-tracked range predicate opens only overlapping files") {
+    val zone = freshDir("graft_push_zone") + "/zone"
+    // 4 range-partitioned files per generation -> tight per-file k stats
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+
+    // batch ground truth for the same predicate
+    val expectInit = TxLog.read(spark, zone).filter(col("k") < 25L)
+      .as[Long].collect().toSet
+
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .filter(col("k") < 25L)
+      .writeStream.format("memory").queryName("push_zone").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L, s"fixture must commit 4 files, got $total")
+    assert(served < total, s"initial snapshot must be file-pruned: $served/$total")
+    assert(spark.table("push_zone").as[Long].collect().toSet === expectInit,
+      "pruned initial snapshot must equal the batch filter result")
+
+    // delta batch: only the appended files overlapping the range are opened
+    TxLog.append(spark, zone,
+      spark.range(1000L, 1100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    q.processAllAvailable(); q.stop()
+    val (served2, total2) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total2 === 4L, "the delta window holds the 4 appended files")
+    assert(served2 === 0L,
+      s"no appended file overlaps k < 25 — all pruned, got $served2")
+    assert(spark.table("push_zone").as[Long].collect().toSet === expectInit,
+      "the non-overlapping append must add no rows")
+  }
+
+  test("txlog stream: an untracked column's predicate falls back to full scan") {
+    val zone = freshDir("graft_push_zone2") + "/zone"
+    TxLog.replace(spark, zone,
+      spark.range(40L).selectExpr("id AS k", "id % 4 AS tag")
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .filter(col("tag") === 2L)
+      .writeStream.format("memory").queryName("push_zone2").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(served === total, "tag is not stats-tracked: nothing prunable")
+    assert(spark.table("push_zone2").count() === 10L)
+  }
+}
