@@ -43,10 +43,27 @@ object Probe {
       }
       spark.stop()
 
+    // q187's scale contract (round-8 directive #6): the df-capped
+    // candidate relation's cardinality at a given sf, beside the corpus
+    // size — run at sf0.1 and sf1 to measure candidate growth vs data
+    // growth (recorded in SURVEY §9).
+    case "spanstats" :: sfDir :: Nil =>
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      val toks = TrainingQueries.cachedDocToks(spark, sfDir)
+      val docs = toks.count()
+      val cands = graft.operators.Dedup
+        .sharedSpanCandidates(toks, n = 8, maxGramDf = 64L).count()
+      val spans = graft.operators.Dedup
+        .sharedSpanPairs(toks, n = 8, maxGramDf = 64L, minSpan = 12).count()
+      println(s"spanstats dir=$sfDir docs=$docs candidates=$cands spans=$spans")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""usage: graft.Probe entry
            |       graft.Probe time <sfDir> <q1,q2,...> [reps]
+           |       graft.Probe spanstats <sfDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }

@@ -566,8 +566,30 @@ object Dedup {
     * never a global or hot-key window. */
   def sharedSpanPairs(toks: DataFrame, n: Int = 8, maxGramDf: Long = 64L,
                       minSpan: Int = 12): DataFrame = {
-    require(n >= 2, s"gram length must be >= 2, got $n")
     require(minSpan >= n, s"minSpan $minSpan below gram length $n is unmeasurable")
+    val pairs = sharedSpanCandidates(toks, n, maxGramDf)
+    // (a_id, b_id, diag, pa) is unique: a position holds ONE gram, and pb
+    // is determined by (pa, diag) — so the islands row_number is total
+    val w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    pairs.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("a_id", "b_id", "diag", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("a_id", "b_id")
+      .agg((max(col("run")) + lit(n - 1)).as("span"))
+      .filter(col("span") >= minSpan)
+  }
+
+  /** The df-capped candidate relation [[sharedSpanPairs]] chains runs
+    * over — one (a_id, b_id, pa, diag) row per matched gram-position
+    * pair. Exposed so the scale probe (`Probe spanstats`) can measure
+    * the candidate count directly against its contract: each kept gram
+    * occurrence set O_g (df ∈ [2, maxGramDf] docs) contributes at most
+    * C(|O_g|, 2) rows, so candidates grow with Σ_g |O_g|² — LINEAR in
+    * corpus size while per-gram density is bounded by the df cap, and
+    * superlinear only if the corpus's duplicated-gram density itself
+    * grows (measured sf0.1 → sf1 in SURVEY §9 round 9). */
+  private[graft] def sharedSpanCandidates(toks: DataFrame, n: Int,
+                                          maxGramDf: Long): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
     // grams with 1-based start positions; concat_ws over a slice keeps the
     // gram key a scalar string (same key shape as the shingle tier)
     val grams = toks
@@ -581,18 +603,10 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= maxGramDf)
       .select("gram")
     val g = grams.join(shared, "gram")
-    val pairs = g.as("a").join(g.as("b"),
+    g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
-    // (a_id, b_id, diag, pa) is unique: a position holds ONE gram, and pb
-    // is determined by (pa, diag) — so the islands row_number is total
-    val w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
-    pairs.withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy("a_id", "b_id", "diag", "grp").agg(count(lit(1)).as("run"))
-      .groupBy("a_id", "b_id")
-      .agg((max(col("run")) + lit(n - 1)).as("span"))
-      .filter(col("span") >= minSpan)
   }
 
   /** Cross-source n-gram sharing matrix: for every ordered source pair,

@@ -239,15 +239,20 @@ object TxLog {
     val in = try f.open(p) catch { case _: java.io.IOException => return None }
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      // a HIGHER header version is a complete future manifest, not a torn
-      // one — refuse loudly before any field is trusted
-      if (lines.nonEmpty && lines.head != Header &&
-          lines.head.startsWith("graft-txlog v"))
-        throw new UnsupportedProtocolException(
-          s"$p was written by a newer txlog format ('${lines.head}'; this " +
-            s"reader understands '$Header') — upgrade the reader; refusing " +
-            "to half-parse a future manifest")
-      if (lines.isEmpty || lines.head != Header || lines.last != "end") return None
+      // completeness FIRST: only an `end`-terminated manifest can claim
+      // anything — a file truncated mid-header must read as torn, not as
+      // a future format (the fuzz spec truncates at every byte)
+      if (lines.isEmpty || lines.last != "end") return None
+      // a COMPLETE manifest with a higher header version is a future
+      // format — refuse loudly before any field is trusted
+      if (lines.head != Header) {
+        if (lines.head.startsWith("graft-txlog v"))
+          throw new UnsupportedProtocolException(
+            s"$p was written by a newer txlog format ('${lines.head}'; this " +
+              s"reader understands '$Header') — upgrade the reader; refusing " +
+              "to half-parse a future manifest")
+        return None
+      }
       val body = lines.tail.init
       val kv = body.filterNot(l =>
         l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ") ||
