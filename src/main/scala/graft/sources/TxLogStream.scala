@@ -218,21 +218,50 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     case _ => None
   }
 
-  override def accepts(f: sources.Filter): Boolean = rangeOf(f) match {
-    case Some((c, lo, hi)) if tracked(c) => kindOf(c) match {
-      case Some("num") => numeric(lo) || numeric(hi) ||
-        // numeric-kind equality on a non-numeric literal can't compare
-        (lo == hi && numeric(lo))
-      case Some(_)     => lo == hi && lo.isInstanceOf[String] // str: equality only
-      case None        => false // no file carries a stat: nothing to prune with
+  /** Does one literal fit the column's committed stat kind? */
+  private def fitsKind(c: String, v: Any): Boolean = kindOf(c) match {
+    case Some("num") => numeric(v)
+    case Some(_)     => v.isInstanceOf[String]
+    case None        => false // no file carries a stat: nothing to prune with
+  }
+
+  override def accepts(f: sources.Filter): Boolean = f match {
+    case sources.In(c, vs) =>
+      tracked(c) && vs.nonEmpty && vs.length <= 64 && vs.forall(fitsKind(c, _))
+    case sources.IsNotNull(c) => tracked(c)
+    case _ => rangeOf(f) match {
+      case Some((c, lo, hi)) if tracked(c) => kindOf(c) match {
+        case Some("num") => numeric(lo) && numeric(hi) // both bounds comparable
+        case Some(_)     => lo == hi && lo.isInstanceOf[String] // str: equality only
+        case None        => false
+      }
+      case _ => false
     }
-    case _ => false
+  }
+
+  /** Files the filter can possibly touch (superset keep-set). */
+  private def keepFor(f: sources.Filter): Option[Set[String]] = f match {
+    case sources.In(c, vs) =>
+      // union of per-value equality overlaps — the event-type IN shape
+      Some(vs.flatMap(v => TxLog.prunedFilesFor(snap, c, v, v)).toSet)
+    case sources.IsNotNull(c) =>
+      // null-count skipping: a file whose tracked column is entirely
+      // null cannot produce a row ([[TxLog.readWhereNotNull]]'s rule)
+      Some(snap.files.filter { fl =>
+        snap.colStats.get(fl).flatMap(_.get(c)) match {
+          case Some(st) => st.nulls < st.rows
+          case None     => true
+        }
+      }.toSet)
+    case _ =>
+      rangeOf(f).map { case (c, lo, hi) =>
+        TxLog.prunedFilesFor(snap, c, lo, hi).toSet
+      }
   }
 
   override def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] = {
     var keep = relFiles
-    pushed.flatMap(rangeOf).foreach { case (c, lo, hi) =>
-      val overlap = TxLog.prunedFilesFor(snap, c, lo, hi).toSet
+    pushed.flatMap(keepFor).foreach { overlap =>
       keep = keep.filter(overlap)
     }
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)

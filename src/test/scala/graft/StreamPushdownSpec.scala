@@ -119,6 +119,42 @@ class StreamPushdownSpec extends SparkSpec {
       "the non-overlapping append must add no rows")
   }
 
+  test("txlog stream: IN-list keeps the union of per-value overlaps") {
+    val zone = freshDir("graft_push_in") + "/zone"
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .filter(col("k").isin(3L, 97L))
+      .writeStream.format("memory").queryName("push_in").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L)
+    assert(served === 2L, s"3 and 97 live in different files: $served/$total")
+    assert(spark.table("push_in").as[Long].collect().toSet === Set(3L, 97L))
+  }
+
+  test("txlog stream: IS NOT NULL skips files whose tracked column is all-null") {
+    val zone = freshDir("graft_push_nn") + "/zone"
+    // files range-partitioned by k; v is entirely NULL for k < 50 —
+    // null-count stats let the v-IS-NOT-NULL stream skip those files
+    TxLog.replace(spark, zone,
+      spark.range(100L).selectExpr("id AS k",
+          "CASE WHEN id < 50 THEN NULL ELSE id END AS v")
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("v"))
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .filter(col("v").isNotNull)
+      .writeStream.format("memory").queryName("push_nn").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L)
+    assert(served === 2L, s"the two all-null-v files must be skipped: $served/$total")
+    assert(spark.table("push_nn").count() === 50L)
+  }
+
   test("txlog stream: an untracked column's predicate falls back to full scan") {
     val zone = freshDir("graft_push_zone2") + "/zone"
     TxLog.replace(spark, zone,
