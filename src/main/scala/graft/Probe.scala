@@ -52,10 +52,15 @@ object Probe {
       spark.sparkContext.setLogLevel("WARN")
       val toks = TrainingQueries.cachedDocToks(spark, sfDir)
       val docs = toks.count()
-      val cands = graft.operators.Dedup
-        .sharedSpanCandidates(toks, n = 8, maxGramDf = 64L).count()
+      // one materialized candidate frame feeds BOTH counts (the gram
+      // build + df-filter + self-join dominates; don't pay it twice)
+      val candFrame = graft.operators.Dedup
+        .sharedSpanCandidates(toks, n = 8, maxGramDf = 64L)
+        .localCheckpoint(true)
+      val cands = candFrame.count()
       val spans = graft.operators.Dedup
-        .sharedSpanPairs(toks, n = 8, maxGramDf = 64L, minSpan = 12).count()
+        .spansFromCandidates(candFrame, n = 8, minSpan = 12).count()
+      graft.operators.Lineage.free(candFrame)
       println(s"spanstats dir=$sfDir docs=$docs candidates=$cands spans=$spans")
       spark.stop()
 

@@ -567,7 +567,14 @@ object Dedup {
   def sharedSpanPairs(toks: DataFrame, n: Int = 8, maxGramDf: Long = 64L,
                       minSpan: Int = 12): DataFrame = {
     require(minSpan >= n, s"minSpan $minSpan below gram length $n is unmeasurable")
-    val pairs = sharedSpanCandidates(toks, n, maxGramDf)
+    spansFromCandidates(sharedSpanCandidates(toks, n, maxGramDf), n, minSpan)
+  }
+
+  /** Diagonal run-chaining over an (a_id, b_id, pa, diag) candidate
+    * relation — split out so the scale probe can reuse ONE materialized
+    * candidate frame for both its counts. */
+  private[graft] def spansFromCandidates(pairs: DataFrame, n: Int,
+                                         minSpan: Int): DataFrame = {
     // (a_id, b_id, diag, pa) is unique: a position holds ONE gram, and pb
     // is determined by (pa, diag) — so the islands row_number is total
     val w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")

@@ -29,6 +29,9 @@ object GroupPrefix {
   private def checkCols(df: DataFrame, outCol: String): Unit = {
     require(!df.columns.contains(outCol),
       s"output column $outCol already exists")
+    require(!internalCols.contains(outCol),
+      s"output column $outCol is a GroupPrefix internal name — the final " +
+        "drop would silently remove it; pick another")
     val clash = df.columns.toSet.intersect(internalCols.toSet)
     require(clash.isEmpty,
       s"input must not contain GroupPrefix internal columns: ${clash.mkString(", ")}")

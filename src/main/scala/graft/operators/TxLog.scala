@@ -254,17 +254,23 @@ object TxLog {
         return None
       }
       val body = lines.tail.init
-      val kv = body.filterNot(l =>
-        l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ") ||
-          l.startsWith("t ") || l.startsWith("r ")).map { l =>
-        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-      }.toMap
-      val proto = kv.get("protocol").map(_.toLong).getOrElse(1L)
+      // protocol check BEFORE the generic body parse: a future manifest
+      // may carry line types this parser chokes on (that throw would be
+      // swallowed as a torn corpse below, silently serving an OLDER
+      // generation), so the refusal must not depend on the rest of the
+      // body being parseable
+      val proto = body.collectFirst { case l if l.startsWith("protocol=") =>
+        l.substring("protocol=".length).toLong }.getOrElse(1L)
       if (proto > ProtocolVersion)
         throw new UnsupportedProtocolException(
           s"$p claims txlog protocol $proto; this reader understands up to " +
             s"$ProtocolVersion — upgrade the reader; refusing to half-parse " +
             "a future manifest")
+      val kv = body.filterNot(l =>
+        l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ") ||
+          l.startsWith("t ") || l.startsWith("r ")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
       val gen = kv("gen").toLong
       if (!pathGen(p).contains(gen)) return None
       val meta = body.filter(_.startsWith("m ")).map { l =>
@@ -710,8 +716,8 @@ object TxLog {
     * every plan; this reads none). Files written before a column was
     * added simply surface it as null. Falls back to source inference for
     * pre-tracking zones. */
-  private def loadFiles(spark: SparkSession, s: Snapshot,
-                        paths: Seq[String]): DataFrame = {
+  private[graft] def loadFiles(spark: SparkSession, s: Snapshot,
+                               paths: Seq[String]): DataFrame = {
     val r = spark.read.format(s.format)
     zoneSchema(s).fold(r)(r.schema).load(paths: _*)
   }

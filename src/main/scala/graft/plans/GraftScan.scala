@@ -70,15 +70,19 @@ case class GraftScan(output: Seq[Attribute], scan: PrunableScan,
   * [[GraftScan]] into the scan (keeping the Filter — superset
   * semantics). Runs in the operator-optimization fixpoint, so built-in
   * predicate pushdown has already moved eligible filters adjacent to
-  * the leaf; idempotent via the `pushed.isEmpty` guard. */
+  * the leaf. The push is MONOTONIC (set-union, no-op when nothing new),
+  * so stacked filters that CombineFilters merges in a later fixpoint
+  * pass still contribute their conjuncts, and the fixpoint terminates
+  * (pushed only grows, bounded by the conjunct count). */
 object PushFiltersIntoGraftScan extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, g: GraftScan) if g.pushed.isEmpty =>
+    case f @ Filter(cond, g: GraftScan) =>
       val usable = splitConjunctivePredicates(cond)
         .filter(_.deterministic)
         .flatMap(PlanBridge.translateFilter)
         .filter(g.scan.accepts)
-      if (usable.isEmpty) f else f.copy(child = g.copy(pushed = usable))
+      if (usable.toSet.subsetOf(g.pushed.toSet)) f
+      else f.copy(child = g.copy(pushed = (g.pushed ++ usable).distinct))
   }
 }
 
@@ -88,6 +92,15 @@ object GraftScanStrategy extends SparkStrategy {
     case g: GraftScan => GraftScanExec(g.output, g.scan, g.pushed) :: Nil
     case _            => Nil
   }
+
+  /** Is the strategy registered in this session? Sources fall back to
+    * the plain bridged-RDD batch (correct, just unpruned) when a
+    * vanilla session without [[GraftExtensions]] drives them — a
+    * GraftScan leaf the planner cannot plan would otherwise fail every
+    * micro-batch. */
+  def registeredIn(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies.exists(_ eq this)
 }
 
 case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,
@@ -99,9 +112,12 @@ case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,
 }
 
 /** Dev/test introspection: each scan records (units served, units
-  * total, records served estimate) per probe key at buildRDD time, so
-  * specs can assert the pruned stream genuinely read less. Not part of
-  * the engine contract. */
+  * total) per probe key at buildRDD time, so specs can assert the
+  * pruned stream genuinely read less. LAST-WRITE-WINS per key (the key
+  * is the store/zone path): a reader that needs a specific scan's
+  * numbers must run it sequentially and read the probe before the next
+  * scan of the same store fires — fine for specs, not a metrics API.
+  * Not part of the engine contract. */
 object PushdownProbe {
   private val log =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.graft.{PlanBridge, StreamBridge}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -143,9 +143,14 @@ class ShardStreamSource(sqlContext: SQLContext, dir: String,
       val lo = from.getOrElse(shard, 0L)
       if (hi > lo) Some((shard, lo, hi)) else None
     }
-    PlanBridge.dataFrame(spark,
-      graft.plans.GraftScan(DataTypeUtils.toAttributes(schema),
-        ShardPrunableScan(spark, dir, specs)))
+    val scan = ShardPrunableScan(spark, dir, specs)
+    if (graft.plans.GraftScanStrategy.registeredIn(spark))
+      PlanBridge.dataFrame(spark,
+        graft.plans.GraftScan(DataTypeUtils.toAttributes(schema), scan))
+    else
+      // vanilla session without GraftExtensions: the leaf would be
+      // unplannable — serve the same batch unpruned via the bridge
+      StreamBridge.streamingDataFrame(spark, scan.buildRDD(Nil), schema)
   }
 
   override def stop(): Unit = ()

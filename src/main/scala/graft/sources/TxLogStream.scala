@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.graft.{PlanBridge, StreamBridge}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -161,9 +161,14 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
         val fromGen = start.map(genOf).orElse(startingGen).get
         TxLog.appendedFilesBetween(spark, zone, fromGen, toGen)
     }
-    PlanBridge.dataFrame(spark,
-      graft.plans.GraftScan(DataTypeUtils.toAttributes(schema),
-        TxLogPrunableScan(spark, zone, snap, relFiles, schema)))
+    val scan = TxLogPrunableScan(spark, zone, snap, relFiles, schema)
+    if (graft.plans.GraftScanStrategy.registeredIn(spark))
+      PlanBridge.dataFrame(spark,
+        graft.plans.GraftScan(DataTypeUtils.toAttributes(schema), scan))
+    else
+      // vanilla session without GraftExtensions: the leaf would be
+      // unplannable — serve the same batch unpruned via the bridge
+      StreamBridge.streamingDataFrame(spark, scan.buildRDD(Nil), schema)
   }
 
   override def stop(): Unit = ()
@@ -266,12 +271,9 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     }
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     if (keep.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
-    else {
-      val r = spark.read.format(snap.format)
-      val loaded = TxLog.zoneSchema(snap).fold(r)(r.schema)
-        .load(keep.map(p => zone.stripSuffix("/") + "/" + p): _*)
-      loaded.selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
+    else
+      TxLog.loadFiles(spark, snap, keep.map(p => zone.stripSuffix("/") + "/" + p))
+        .selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
         .queryExecution.toRdd
-    }
   }
 }

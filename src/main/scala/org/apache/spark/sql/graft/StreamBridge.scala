@@ -11,7 +11,12 @@ import org.apache.spark.sql.types.StructType
   * whose `isStreaming` is true — the only public-API way to build one is
   * `readStream` itself, which is exactly what a Source cannot call. Same
   * extension-library pattern as [[ColumnBridge]]; no Spark internals are
-  * modified. */
+  * modified.
+  *
+  * Since the GraftScan pushdown landed this is the FALLBACK batch path:
+  * graft's sources emit a prunable GraftScan leaf when the session
+  * registered [[graft.plans.GraftExtensions]], and this plain bridged
+  * frame (correct, just unpruned) when a vanilla session drives them. */
 object StreamBridge {
   def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
                          schema: StructType): DataFrame =

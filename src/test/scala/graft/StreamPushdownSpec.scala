@@ -73,6 +73,24 @@ class StreamPushdownSpec extends SparkSpec {
     assert(served === got.size.toLong)
   }
 
+  test("the strategy is registered here, and the vanilla-session fallback frame is the full batch") {
+    // graft sessions carry the extension (the GraftScan path); a vanilla
+    // session would take the StreamBridge fallback, whose frame is
+    // buildRDD(Nil) — assert both halves of that dispatch
+    assert(graft.plans.GraftScanStrategy.registeredIn(spark))
+    val (dir, st) = shardFixture()
+    val specs = st.shards().map(s => (s.id, 0L, st.maxSeq(s.id)))
+      .filter(t => t._3 > t._2)
+    val scan = graft.sources.ShardPrunableScan(spark, dir, specs)
+    val fallback = org.apache.spark.sql.graft.StreamBridge
+      .streamingDataFrame(spark, scan.buildRDD(Nil),
+        graft.sources.ShardStreamSource.schema)
+    assert(fallback.isStreaming)
+    // the unpruned fallback scan serves every record
+    val (served, total) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(served === total && total === 60L)
+  }
+
   test("an unsupported predicate prunes nothing and changes nothing") {
     val (dir, _) = shardFixture()
     val all = runShardStream(dir, identity)

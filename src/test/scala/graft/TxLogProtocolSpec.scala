@@ -64,6 +64,24 @@ class TxLogProtocolSpec extends SparkSpec {
     assert(e.getMessage.contains("graft-txlog v9"))
   }
 
+  test("a future manifest with unknown body LINE TYPES still refuses loudly") {
+    // the protocol check must not depend on the rest of the body being
+    // parseable: a protocol-2 manifest adding a new 'd <path>' line type
+    // (no '=', chokes the v1 kv parse) must refuse, not read as torn —
+    // torn would silently serve the OLDER generation
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
+    TxLog.append(spark, zone, spark.range(10L, 15L).toDF("id"))
+    val head = headManifest(zone)
+    Files.writeString(head,
+      Files.readString(head)
+        .replace("\nprotocol=1\n", "\nprotocol=2\nd deletion/vector.bin\n"))
+    val e = intercept[TxLog.UnsupportedProtocolException] {
+      TxLog.read(spark, zone).count()
+    }
+    assert(e.getMessage.contains("protocol 2"))
+  }
+
   test("garbage bytes stay torn-corpse tolerant: prior generation served") {
     val zone = freshZone()
     TxLog.replace(spark, zone, spark.range(10L).toDF("id"))

@@ -116,10 +116,14 @@ def main(sf_dir, out_dir, emit_kinds=None):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     emit = None
-    if "--emit-kinds" in sys.argv:
-        emit = sys.argv[sys.argv.index("--emit-kinds") + 1]
-        if emit in args:
-            args.remove(emit)
-    sys.exit(main(args[0], args[1], emit))
+    if "--emit-kinds" in argv:
+        i = argv.index("--emit-kinds")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> [--emit-kinds FILE]")
+        emit = argv[i + 1]
+        del argv[i:i + 2]  # consume the flag AND its value positionally
+    if len(argv) != 2:
+        sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> [--emit-kinds FILE]")
+    sys.exit(main(argv[0], argv[1], emit))
