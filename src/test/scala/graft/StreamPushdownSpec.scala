@@ -100,6 +100,38 @@ class StreamPushdownSpec extends SparkSpec {
     assert(got === all.filter(_._3.endsWith("7")))
   }
 
+  test("pushdown survives a checkpointed restart: delta batches stay pruned and exact") {
+    val (dir, st) = shardFixture()
+    val ckpt = freshDir("graft_push_ckpt")
+    val target = st.shards().map(s => s.id -> st.maxSeq(s.id))
+      .filter(_._2 > 0L).maxBy(_._2)._1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("shardstore").option("dir", dir).load()
+        .filter(col("shard") === target)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.as[(String, Long, String)].collect() }: Unit
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val firstRun = seen.size
+    assert(firstRun > 0)
+    val (s1, t1) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(s1 < t1, "first run must prune")
+    // restart on the same checkpoint after new puts: only the delta is
+    // served, still shard-pruned, and rows equal the ground truth
+    for (i <- 60 until 90) st.put(s"key-${i % 11}", s"v$i")
+    runOnce()
+    val (s2, _) = PushdownProbe.get(s"shardstore:$dir").get
+    val expected = st.get(target, 0L).map { case (q, v) => (target, q, v) }.toSet
+    assert(seen.toSet === expected,
+      "restart + pushdown must deliver exactly the target shard's records once")
+    assert(s2 <= expected.size.toLong,
+      s"the delta batch must serve at most the target shard's delta, got $s2")
+  }
+
   // ---- txlog zone -----------------------------------------------------
 
   test("txlog stream: stats-tracked range predicate opens only overlapping files") {
