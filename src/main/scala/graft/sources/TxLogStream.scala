@@ -264,6 +264,27 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
       }
   }
 
+  /** Re-express a pushed filter as a Column over the inner read, so the
+    * NESTED plan pushes it into the parquet scan — row-group min/max
+    * skipping INSIDE each kept file, composing with the manifest-level
+    * file pruning above (the same two-level skip the batch
+    * [[TxLog.readWhereCol]] documents). Exactness is unaffected: the
+    * streaming plan's full Filter still runs above the bridge. */
+  private def toColumn(df: DataFrame, f: sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.EqualTo(c, v)            => Some(col(c) === lit(v))
+      case sources.GreaterThan(c, v)        => Some(col(c) > lit(v))
+      case sources.GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case sources.LessThan(c, v)           => Some(col(c) < lit(v))
+      case sources.LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+      case sources.In(c, vs)                => Some(col(c).isin(vs.toSeq: _*))
+      case sources.IsNotNull(c)             => Some(col(c).isNotNull)
+      case _                                => None
+    }
+  }
+
   override def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] = {
     var keep = relFiles
     pushed.flatMap(keepFor).foreach { overlap =>
@@ -271,9 +292,17 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     }
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     if (keep.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
-    else
-      TxLog.loadFiles(spark, snap, keep.map(p => zone.stripSuffix("/") + "/" + p))
-        .selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
-        .queryExecution.toRdd
+    else innerFrame(pushed, keep).queryExecution.toRdd
+  }
+
+  /** The nested batch plan buildRDD executes (exposed for the plan spec:
+    * its parquet scan must carry the pushed predicates as PushedFilters). */
+  private[graft] def innerFrame(pushed: Seq[sources.Filter],
+                                keep: Seq[String]): DataFrame = {
+    val loaded = TxLog
+      .loadFiles(spark, snap, keep.map(p => zone.stripSuffix("/") + "/" + p))
+    val rowGroupSkip = pushed.flatMap(toColumn(loaded, _)).reduceOption(_ && _)
+    rowGroupSkip.fold(loaded)(loaded.filter)
+      .selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
   }
 }

@@ -205,6 +205,23 @@ class StreamPushdownSpec extends SparkSpec {
     assert(spark.table("push_nn").count() === 50L)
   }
 
+  test("pushed txlog filters also reach the parquet row-group scan of kept files") {
+    val zone = freshDir("graft_push_rg") + "/zone"
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val head = TxLog.latest(spark, zone).get
+    val scan = graft.sources.TxLogPrunableScan(spark, zone, head, head.files,
+      TxLog.read(spark, zone).schema)
+    val plan = scan.innerFrame(
+      Seq(org.apache.spark.sql.sources.LessThan("k", 25L)), head.files)
+      .queryExecution.executedPlan.toString
+    // two-level skip: the manifest pruned files ABOVE this plan; inside
+    // it, the parquet scan must carry the predicate for row-group min/max
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,25)"),
+      s"parquet scan must carry the pushed predicate:\n$plan")
+  }
+
   test("txlog stream: an untracked column's predicate falls back to full scan") {
     val zone = freshDir("graft_push_zone2") + "/zone"
     TxLog.replace(spark, zone,
