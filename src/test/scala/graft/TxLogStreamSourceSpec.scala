@@ -55,6 +55,64 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(spark.table("zsrc_init").count() === 26L, "snapshot+delta must not duplicate")
   }
 
+  test("schema evolution mid-stream: the pinned schema holds, new columns wait for a restart") {
+    // direction 1: source created BEFORE the evolution — its schema is
+    // pinned at [id]; generations appended after the zone grew a column
+    // still stream as [id] (the added column is invisible until the
+    // consumer restarts with the new schema)
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(5L).toDF("id"))
+    val q = spark.readStream.format(fmt).option("zone", zone).load()
+      .writeStream.format("memory").queryName("zsrc_evo1").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    TxLog.append(spark, zone,
+      spark.range(5L, 9L).selectExpr("id", "id * 10 AS v"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("zsrc_evo1")
+    assert(got.columns.toSeq === Seq("id"), "pinned schema must hold mid-stream")
+    assert(got.as[Long].collect().toSet === (0L until 9L).toSet)
+
+    // direction 2: source created AFTER the evolution — the initial
+    // snapshot serves pre-evolution files with the evolved schema, the
+    // missing column surfacing as null (the batch reader's contract)
+    val q2 = spark.readStream.format(fmt).option("zone", zone).load()
+      .writeStream.format("memory").queryName("zsrc_evo2").outputMode("append")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    val snap = spark.table("zsrc_evo2")
+    assert(snap.columns.toSeq === Seq("id", "v"))
+    assert(snap.count() === 9L)
+    assert(snap.filter(col("v").isNull).count() === 5L,
+      "pre-evolution rows must surface the new column as null")
+    assert(snap.filter(col("v").isNotNull).as[(Long, Long)].collect().toSet ===
+      (5L until 9L).map(i => (i, i * 10)).toSet)
+  }
+
+  test("a pushed filter on an evolved column keeps stat-less old files (never skips blind)") {
+    val zone = freshZone()
+    val oldFiles = TxLog.replace(spark, zone,
+      spark.range(5L).toDF("id")).files.size.toLong
+    // evolution + stats tracking start TOGETHER: the gen-0 files have no
+    // stats for v at all, so a v-predicate must keep ALL of them while
+    // still pruning the new stat-carrying files outside the range
+    TxLog.append(spark, zone,
+      spark.range(5L, 9L).selectExpr("id", "id * 10 AS v"),
+      statsCols = Seq("v"))
+    val q = spark.readStream.format(fmt).option("zone", zone).load()
+      .filter(col("v") >= 80L)
+      .writeStream.format("memory").queryName("zsrc_evo3").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val (served, total) = graft.plans.PushdownProbe.get(s"txlog:$zone").get
+    assert(served < total, s"new files outside the range must prune: $served/$total")
+    assert(served >= oldFiles,
+      s"stat-less pre-evolution files must never be skipped: " +
+        s"served $served < $oldFiles old files (total $total)")
+    assert(spark.table("zsrc_evo3").selectExpr("id").as[Long].collect().toSet
+      === Set(8L))
+  }
+
   test("the provider resolves by its registered short name") {
     val zone = freshZone()
     TxLog.replace(spark, zone, spark.range(3L).toDF("id"))
