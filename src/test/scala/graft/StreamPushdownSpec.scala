@@ -100,6 +100,37 @@ class StreamPushdownSpec extends SparkSpec {
     assert(got === all.filter(_._3.endsWith("7")))
   }
 
+  test("pushdown composes with maxRecordsPerShard backpressure: capped AND pruned, no loss") {
+    // the cap shapes OFFSETS (offer windows); pruning shapes the BATCH
+    // (which specs get read) — they must compose without either dropping
+    // records or regressing cursors
+    val dir = freshDir("graft_push_cap")
+    val st = new ShardStore(dir)
+    st.createStream(3)
+    st.put("k0", "seed")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    var batches = 0
+    val q = spark.readStream.format("shardstore").option("dir", dir)
+      .option("maxRecordsPerShard", "5").load()
+      .filter(col("seq") > 1L)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.as[(String, Long, String)].collect(); batches += 1
+        }: Unit
+      }.start()
+    q.processAllAvailable()
+    for (i <- 0 until 60) st.put(s"key-${i % 11}", s"v$i")
+    q.processAllAvailable(); q.stop()
+    // ground truth: every record with per-shard seq > 1, exactly once
+    val expected = st.shards().flatMap(s =>
+      st.get(s.id, 1L).map { case (sq, v) => (s.id, sq, v) }).toSet
+    assert(seen.toSet === expected,
+      "capped + pruned stream must still deliver every matching record once")
+    assert(batches >= 4,
+      s"the 5-per-shard cap must split the catch-up into several batches, got $batches")
+  }
+
   test("pushdown survives a checkpointed restart: delta batches stay pruned and exact") {
     val (dir, st) = shardFixture()
     val ckpt = freshDir("graft_push_ckpt")
