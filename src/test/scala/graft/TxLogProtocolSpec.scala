@@ -38,6 +38,27 @@ class TxLogProtocolSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint manifests carry the protocol stamp and a bumped one refuses") {
+    val zone = freshZone()
+    TxLog.replace(spark, zone, spark.range(2L).toDF("id"))
+    for (i <- 0 until 12)
+      TxLog.append(spark, zone, spark.range(10L + i, 11L + i).toDF("id"))
+    val chks = Files.list(Paths.get(zone, "_txlog")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("chk-")).toSeq
+    assert(chks.nonEmpty, "interval checkpoints must exist after 12 appends")
+    chks.foreach { c =>
+      assert(Files.readString(c).contains("\nprotocol=1\n"),
+        s"$c must carry the protocol stamp")
+    }
+    // a future-protocol CHECKPOINT refuses exactly like a gen manifest
+    val c = chks.maxBy(_.getFileName.toString.stripPrefix("chk-").toLong)
+    Files.writeString(c,
+      Files.readString(c).replace("\nprotocol=1\n", "\nprotocol=2\n"))
+    intercept[TxLog.UnsupportedProtocolException] {
+      TxLog.read(spark, zone).count()
+    }
+  }
+
   test("a protocol-bumped manifest is refused loudly, not skipped") {
     val zone = freshZone()
     TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
