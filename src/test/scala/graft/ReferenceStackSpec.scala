@@ -103,5 +103,25 @@ class ReferenceStackSpec extends SparkSpec {
     // the merge path stayed pruned: the zone still tracks id stats and
     // serves metadata-only counts (no stats lost through the merges)
     assert(TxLog.metadataCount(spark, stateZone) === Some(320L))
+
+    // 5) MONITORING CONSUMER with pushdown (round 9): a second reader of
+    //    the SAME shard transport watching one shard only — the query-
+    //    plan filter reaches the source, so the consumer never opens the
+    //    other three shards' record files (the Kinesis per-shard worker
+    //    shape), and its rows equal the transport's ground truth
+    val watched = st.shards().map(s => s.id -> st.maxSeq(s.id))
+      .filter(_._2 > 0L).maxBy(_._2)._1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val mon = spark.readStream.format("shardstore").option("dir", shardDir).load()
+      .filter(col("shard") === watched)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.as[(String, Long, String)].collect() }: Unit
+      }.start()
+    mon.processAllAvailable(); mon.stop()
+    val (served, total) = graft.plans.PushdownProbe.get(s"shardstore:$shardDir").get
+    assert(served < total, s"the one-shard consumer must not read the rest: $served/$total")
+    assert(seen.map(_._2).toSet === st.get(watched, 0L).map(_._1).toSet,
+      "the watched shard's records, exactly")
   }
 }
