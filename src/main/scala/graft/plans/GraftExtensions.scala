@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushFiltersIntoGraftScan)
+    ext.injectOptimizerRule(_ => PruneGraftScanColumns)
     ext.injectPlannerStrategy(_ => GraftScanStrategy)
   }
 }

@@ -50,6 +50,14 @@ trait PrunableScan {
     * owning [[GraftScan]]'s output order. */
   def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow]
 
+  /** A copy of this scan serving ONLY `cols` (in that order), or None
+    * when the scan cannot narrow (the default — e.g. a fixed-record
+    * transport where all columns ride together anyway). Lets
+    * [[PruneGraftScanColumns]] reach parquet column pruning through the
+    * streaming boundary: a consumer selecting 2 of a wide zone's 40
+    * columns should read 2 columns' pages, not 40. */
+  def withRequiredColumns(cols: Seq[String]): Option[PrunableScan] = None
+
   /** Short scan identity for explain output. */
   def describe: String
 }
@@ -83,6 +91,43 @@ object PushFiltersIntoGraftScan extends Rule[LogicalPlan] with PredicateHelper {
         .filter(g.scan.accepts)
       if (usable.toSet.subsetOf(g.pushed.toSet)) f
       else f.copy(child = g.copy(pushed = (g.pushed ++ usable).distinct))
+  }
+}
+
+/** Optimizer rule: narrow a [[GraftScan]] to the columns the plan above
+  * actually reads. Catalyst's ColumnPruning stops at leaf nodes — it
+  * leaves `Project(needed, leaf)` in place — so without this rule the
+  * scan still materializes every column (and the txlog scan's nested
+  * parquet read fetches every column's pages). The rewrite keeps the
+  * surviving attributes' exprIds (resolution is untouched) and asks the
+  * scan for a narrowed copy; scans that cannot narrow decline and the
+  * Project stays as-is. A no-reference Project (count(*) shape) keeps
+  * one column — a zero-arity row is not expressible through the read. */
+object PruneGraftScanColumns extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  /** Narrow `g` to the attributes in `required`, or None if nothing to
+    * do / the scan declines. */
+  private def narrowed(g: GraftScan, required: AttributeSet): Option[GraftScan] = {
+    val needed0 = g.output.filter(required.contains)
+    // a no-reference parent (count(*) shape) still needs arity >= 1
+    val needed = if (needed0.isEmpty) g.output.take(1) else needed0
+    if (needed.size == g.output.size) None
+    else g.scan.withRequiredColumns(needed.map(_.name))
+      .map(n => g.copy(output = needed, scan = n))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, g: GraftScan) if g.output.size > 1 =>
+      narrowed(g, p.references).map(n => p.copy(child = n)).getOrElse(p)
+    // the filtered shape is matched whole: letting ColumnPruning insert
+    // a Project below the Filter instead oscillates with
+    // PushDownPredicates + CollapseProject and never settles on the leaf
+    case p @ Project(_, f @ Filter(cond, g: GraftScan)) if g.output.size > 1 =>
+      narrowed(g, p.references ++ cond.references)
+        .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
   }
 }
 
@@ -121,7 +166,12 @@ case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,
 object PushdownProbe {
   private val log =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val cols =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   def record(key: String, served: Long, total: Long): Unit =
     log.put(key, (served, total))
+  def recordCols(key: String, served: Seq[String]): Unit =
+    cols.put(key, served)
   def get(key: String): Option[(Long, Long)] = Option(log.get(key))
+  def getCols(key: String): Option[Seq[String]] = Option(cols.get(key))
 }

@@ -194,6 +194,15 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
 
   override def describe: String = s"txlog[$zone gen ${snap.gen}]"
 
+  /** Narrow the pinned schema to `cols` — the nested parquet read then
+    * fetches only those columns' pages (ReadSchema pruning), the wide-
+    * zone win [[graft.plans.PruneGraftScanColumns]] exists for. */
+  override def withRequiredColumns(cols: Seq[String])
+      : Option[graft.plans.PrunableScan] = {
+    val byName = pinned.fields.map(f => f.name -> f).toMap
+    Some(copy(pinned = StructType(cols.map(byName))))
+  }
+
   private def tracked: Set[String] =
     snap.meta.getOrElse("stats.cols", "").split(",").filter(_.nonEmpty).toSet
 
@@ -291,6 +300,7 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
       keep = keep.filter(overlap)
     }
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
+    PushdownProbe.recordCols(s"txlog:$zone", pinned.fieldNames.toSeq)
     if (keep.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
     else innerFrame(pushed, keep).queryExecution.toRdd
   }

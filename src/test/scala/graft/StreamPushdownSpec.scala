@@ -253,6 +253,33 @@ class StreamPushdownSpec extends SparkSpec {
       s"parquet scan must carry the pushed predicate:\n$plan")
   }
 
+  test("txlog stream: column pruning narrows the scan to the selected columns") {
+    val zone = freshDir("graft_push_cols") + "/zone"
+    TxLog.replace(spark, zone,
+      spark.range(50L).selectExpr("id AS k", "id * 2 AS v", "id * 3 AS w",
+        "CAST(id AS STRING) AS s"))
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .select(col("v"))
+      .writeStream.format("memory").queryName("push_cols").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(PushdownProbe.getCols(s"txlog:$zone") === Some(Seq("v")),
+      "the scan must serve only the selected column")
+    assert(spark.table("push_cols").as[Long].collect().toSet ===
+      (0L until 50L).map(_ * 2).toSet)
+
+    // filter + narrow select: the scan serves the union of both needs
+    val q2 = spark.readStream.format("txlog").option("zone", zone).load()
+      .filter(col("k") < 10L).select(col("w"))
+      .writeStream.format("memory").queryName("push_cols2").outputMode("append")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(PushdownProbe.getCols(s"txlog:$zone").get.toSet === Set("k", "w"),
+      "the filter's column must survive the narrowing")
+    assert(spark.table("push_cols2").as[Long].collect().toSet ===
+      (0L until 10L).map(_ * 3).toSet)
+  }
+
   test("txlog stream: an untracked column's predicate falls back to full scan") {
     val zone = freshDir("graft_push_zone2") + "/zone"
     TxLog.replace(spark, zone,
