@@ -50,7 +50,13 @@ object Expectations {
                   parent: DataFrame, parentKey: String): DataFrame = {
     // Alias the parent key before joining: with the common FK shape where
     // childKey and parentKey share a name (both "id"), an unqualified
-    // col(parentKey) is ambiguous against the joined plan.
+    // col(parentKey) is ambiguous against the joined plan. The alias must
+    // not itself collide with a child column, or the same ambiguity
+    // returns under the fixed name.
+    require(!child.columns.contains("_ex_pk"),
+      "referential(): the child frame carries a column named '_ex_pk', " +
+        "which collides with the internal parent-key alias — rename it " +
+        "before the check")
     val orphans = child.join(
         parent.select(col(parentKey).as("_ex_pk")).distinct(),
         child(childKey) === col("_ex_pk"), "left_anti")

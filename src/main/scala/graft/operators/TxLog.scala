@@ -260,7 +260,18 @@ object TxLog {
       // generation), so the refusal must not depend on the rest of the
       // body being parseable
       val proto = body.collectFirst { case l if l.startsWith("protocol=") =>
-        l.substring("protocol=".length).toLong }.getOrElse(1L)
+        val raw = l.substring("protocol=".length)
+        // an UNPARSEABLE protocol value on an end-terminated manifest is a
+        // future format too ("protocol=2.0", "protocol=x"): a plain
+        // NumberFormatException here would be swallowed by the torn-corpse
+        // tolerance below and silently serve an OLDER generation — the
+        // exact failure the loud refusal exists to prevent
+        scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new UnsupportedProtocolException(
+            s"$p carries an unparseable txlog protocol value '$raw' (this " +
+              s"reader understands up to $ProtocolVersion) — upgrade the " +
+              "reader; refusing to half-parse a future manifest"))
+      }.getOrElse(1L)
       if (proto > ProtocolVersion)
         throw new UnsupportedProtocolException(
           s"$p claims txlog protocol $proto; this reader understands up to " +

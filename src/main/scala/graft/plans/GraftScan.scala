@@ -142,10 +142,15 @@ object GraftScanStrategy extends SparkStrategy {
     * the plain bridged-RDD batch (correct, just unpruned) when a
     * vanilla session without [[GraftExtensions]] drives them — a
     * GraftScan leaf the planner cannot plan would otherwise fail every
-    * micro-batch. */
+    * micro-batch. The planner peek goes through an internal class
+    * (`classic.SparkSession`), so it is wrapped: if a Spark bump moves
+    * that class, every source degrades to the UNPRUNED fallback (slower,
+    * still correct) instead of failing each micro-batch on a cast. */
   def registeredIn(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.planner.strategies.exists(_ eq this)
+    scala.util.Try(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.planner.strategies.exists(_ eq this)
+    ).getOrElse(false)
 }
 
 case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,

@@ -200,7 +200,13 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
   override def withRequiredColumns(cols: Seq[String])
       : Option[graft.plans.PrunableScan] = {
     val byName = pinned.fields.map(f => f.name -> f).toMap
-    Some(copy(pinned = StructType(cols.map(byName))))
+    val resolved = cols.flatMap(byName.get)
+    // PrunableScan contract: DECLINE (None) when the scan cannot narrow —
+    // a caller asking for a column this schema does not carry must get
+    // the unpruned fallback, not a NoSuchElementException
+    if (resolved.size == cols.size && resolved.nonEmpty)
+      Some(copy(pinned = StructType(resolved)))
+    else None
   }
 
   private def tracked: Set[String] =

@@ -72,6 +72,23 @@ class Round8eSpec extends SparkSpec {
     assert(clean._4 === 1L)
   }
 
+  test("Expectations.referential: a child column colliding with the internal alias is rejected") {
+    import graft.operators.Expectations
+    // same-name FK (both "id") resolves via the _ex_pk alias...
+    val child = Seq((1L, "x"), (7L, "y")).toDF("id", "v")
+    val parent = Seq(1L, 2L).toDF("id")
+    val r = Expectations.referential("c", child, "id", parent, "id")
+      .as[(String, Long, Long)].first()
+    assert(r === (("c", 2L, 1L)))
+    // ...so a child frame already carrying _ex_pk would recreate the
+    // ambiguity under the fixed name — refused loudly, not mis-resolved
+    val bad = Seq((1L, 5L)).toDF("id", "_ex_pk")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.referential("c", bad, "id", parent, "id")
+    }
+    assert(e.getMessage.contains("_ex_pk"))
+  }
+
   test("q266: per-prefix results match a driver-side top-3") {
     val got = Queries.queryMap("q266_prefix_topk")(spark, sf0001)
       .as[(String, String, Long)].collect()

@@ -280,6 +280,26 @@ class StreamPushdownSpec extends SparkSpec {
       (0L until 10L).map(_ * 3).toSet)
   }
 
+  test("withRequiredColumns declines unknown columns instead of crashing") {
+    val zone = freshDir("graft_push_decl") + "/zone"
+    TxLog.replace(spark, zone, spark.range(5L).selectExpr("id AS k", "id*2 AS v"))
+    val head = TxLog.latest(spark, zone).get
+    val scan = graft.sources.TxLogPrunableScan(spark, zone, head, head.files,
+      TxLog.read(spark, zone).schema)
+    // the PrunableScan contract is 'None when the scan cannot narrow' — a
+    // caller naming a column the schema lacks gets a graceful decline
+    assert(scan.withRequiredColumns(Seq("k", "nope")).isEmpty)
+    assert(scan.withRequiredColumns(Nil).isEmpty)
+    assert(scan.withRequiredColumns(Seq("v")).isDefined)
+  }
+
+  test("registeredIn degrades to false when the planner peek throws") {
+    // the peek casts to an internal session class; if a Spark bump (or a
+    // null/foreign session) breaks it, sources must take the unpruned
+    // fallback — registeredIn == false — not fail every micro-batch
+    assert(!graft.plans.GraftScanStrategy.registeredIn(null))
+  }
+
   test("txlog stream: an untracked column's predicate falls back to full scan") {
     val zone = freshDir("graft_push_zone2") + "/zone"
     TxLog.replace(spark, zone,

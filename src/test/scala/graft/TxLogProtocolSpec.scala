@@ -103,6 +103,24 @@ class TxLogProtocolSpec extends SparkSpec {
     assert(e.getMessage.contains("protocol 2"))
   }
 
+  test("an unparseable protocol VALUE on a complete manifest refuses loudly") {
+    // "protocol=2.0" / "protocol=x" parse to no Long; the plain
+    // NumberFormatException would be swallowed by torn-corpse tolerance
+    // and silently serve the OLDER generation — it must refuse instead
+    for (bad <- Seq("2.0", "x")) {
+      val zone = freshZone()
+      TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
+      TxLog.append(spark, zone, spark.range(10L, 15L).toDF("id"))
+      val head = headManifest(zone)
+      Files.writeString(head,
+        Files.readString(head).replace("\nprotocol=1\n", s"\nprotocol=$bad\n"))
+      val e = intercept[TxLog.UnsupportedProtocolException] {
+        TxLog.read(spark, zone).count()
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
   test("garbage bytes stay torn-corpse tolerant: prior generation served") {
     val zone = freshZone()
     TxLog.replace(spark, zone, spark.range(10L).toDF("id"))
