@@ -97,9 +97,14 @@ object Round6Queries {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin),
-      (s, d) => TxLog
-        .readWhereCol(s, shipdateZone(s, d), "l_shipdate",
-          "1996-01-01 00:00:00", "1996-03-31 23:59:59")
+      // the PLAIN read path: spark.read over the zone + an ordinary
+      // filter — the DSv2 table's pushdown hands the range to the
+      // manifest's stats pruning (the round-10 batch twin of the
+      // streaming hook), where this query previously had to call the
+      // explicit readWhereCol API to get the same file skip
+      (s, d) => s.read.format("txlog").option("zone", shipdateZone(s, d)).load()
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") <= lit("1996-03-31 23:59:59").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_shipdate"))
         // (l_orderkey, l_linenumber) is NOT unique in the driver testdata

@@ -54,7 +54,8 @@ import graft.plans.{PrunableScan, PushdownProbe}
   * Reference anchor: the reference's consumers re-scan the raw S3 prefix
   * layout on a schedule (`lib/consumer-components.ts:86-110` Glue jobs);
   * this replaces rescans with manifest-driven incremental delivery. */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister
+    with TxLogBatchSupport {
 
   override def shortName(): String = "txlog"
 
@@ -183,8 +184,15 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
   * (exactly [[TxLog.prunedFilesFor]]'s batch skip, now reachable from a
   * streaming plan) before any parquet footer is opened. Supported
   * shapes: equality on any tracked column; range bounds on numerically
-  * tracked columns (a one-sided string range cannot be expressed in the
-  * prefix-stat comparison, so it is declined and stays Filter-only).
+  * tracked columns; range bounds on STRING-tracked columns when the
+  * bound renders as a stat-comparable string — plain strings, and
+  * timestamps/dates formatted at the SESSION time zone (the zone the
+  * stats were cast-to-string under), with the empty string as the
+  * open-bound sentinel ([[TxLog.prunedFilesFor]]'s common-prefix compare
+  * treats "" as equal-to-everything, i.e. ±∞). Sub-second fractions are
+  * truncated, which only WIDENS a bound under prefix comparison (the
+  * truncation is a string prefix of the full render) — so the CDC-lake
+  * shape `WHERE ingestion_ts BETWEEN t1 AND t2` file-skips soundly.
   * Strict bounds prune as their non-strict widening — superset
   * semantics, the full predicate still runs above. */
 final case class TxLogPrunableScan(spark: SparkSession, zone: String,
@@ -223,25 +231,64 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     case _ => false
   }
 
+  /** A pushed literal rendered in the string form the committed "str"
+    * stats use ([[TxLog.collectFileStats]] casts non-numeric columns to
+    * string under the SESSION time zone). Timestamps go through their
+    * absolute instant, so the render is correct even when the JVM
+    * default zone differs from the session's (the external Timestamp
+    * object Spark hands a v1 filter is built in the JVM zone — its
+    * toString would be unsound here). Fractions truncate to seconds:
+    * the truncation is a string PREFIX of the full render, which the
+    * prefix-stat compare treats as equal — widening, never pruning a
+    * qualifying file. None for literals with no stat-comparable form. */
+  private def statStr(v: Any): Option[String] = {
+    lazy val zone = java.time.ZoneId.of(spark.conf.get(
+      "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    v match {
+      case s: String                 => Some(s)
+      case t: java.sql.Timestamp     =>
+        Some(java.time.LocalDateTime
+          .ofInstant(t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS), zone)
+          .format(fmt))
+      case i: java.time.Instant      =>
+        Some(java.time.LocalDateTime
+          .ofInstant(i.truncatedTo(java.time.temporal.ChronoUnit.SECONDS), zone)
+          .format(fmt))
+      case dt: java.time.LocalDateTime => // TimestampNTZ: no zone math
+        Some(dt.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).format(fmt))
+      case d: java.sql.Date          => Some(d.toLocalDate.toString)
+      case d: java.time.LocalDate    => Some(d.toString)
+      case _                         => None
+    }
+  }
+
   /** Translate one accepted filter to the [lo, hi] range
-    * [[TxLog.prunedFilesFor]] understands. */
-  private def rangeOf(f: sources.Filter): Option[(String, Any, Any)] = f match {
-    case sources.EqualTo(c, v) => Some((c, v, v))
-    case sources.GreaterThan(c, v) if numeric(v) =>
-      Some((c, v, Double.PositiveInfinity))
-    case sources.GreaterThanOrEqual(c, v) if numeric(v) =>
-      Some((c, v, Double.PositiveInfinity))
-    case sources.LessThan(c, v) if numeric(v) =>
-      Some((c, Double.NegativeInfinity, v))
-    case sources.LessThanOrEqual(c, v) if numeric(v) =>
-      Some((c, Double.NegativeInfinity, v))
-    case _ => None
+    * [[TxLog.prunedFilesFor]] understands; "" is the open string bound
+    * (prefix-compares equal to everything). */
+  private def rangeOf(f: sources.Filter): Option[(String, Any, Any)] = {
+    def lower(c: String, v: Any): Option[(String, Any, Any)] =
+      if (numeric(v)) Some((c, v, Double.PositiveInfinity))
+      else statStr(v).map(s => (c, s, ""))
+    def upper(c: String, v: Any): Option[(String, Any, Any)] =
+      if (numeric(v)) Some((c, Double.NegativeInfinity, v))
+      else statStr(v).map(s => (c, "", s))
+    f match {
+      case sources.EqualTo(c, v) =>
+        if (numeric(v)) Some((c, v, v)) else statStr(v).map(s => (c, s, s))
+      case sources.GreaterThan(c, v)        => lower(c, v)
+      case sources.GreaterThanOrEqual(c, v) => lower(c, v)
+      case sources.LessThan(c, v)           => upper(c, v)
+      case sources.LessThanOrEqual(c, v)    => upper(c, v)
+      case _ => None
+    }
   }
 
   /** Does one literal fit the column's committed stat kind? */
   private def fitsKind(c: String, v: Any): Boolean = kindOf(c) match {
     case Some("num") => numeric(v)
-    case Some(_)     => v.isInstanceOf[String]
+    case Some(_)     => statStr(v).isDefined
     case None        => false // no file carries a stat: nothing to prune with
   }
 
@@ -252,7 +299,8 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     case _ => rangeOf(f) match {
       case Some((c, lo, hi)) if tracked(c) => kindOf(c) match {
         case Some("num") => numeric(lo) && numeric(hi) // both bounds comparable
-        case Some(_)     => lo == hi && lo.isInstanceOf[String] // str: equality only
+        case Some(_)     => // str stats: both bounds strings ("" = open)
+          lo.isInstanceOf[String] && hi.isInstanceOf[String]
         case None        => false
       }
       case _ => false
@@ -263,7 +311,11 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
   private def keepFor(f: sources.Filter): Option[Set[String]] = f match {
     case sources.In(c, vs) =>
       // union of per-value equality overlaps — the event-type IN shape
-      Some(vs.flatMap(v => TxLog.prunedFilesFor(snap, c, v, v)).toSet)
+      // (temporal values go through the same stat render as ranges)
+      Some(vs.flatMap { v =>
+        val sv = if (numeric(v)) v else statStr(v).getOrElse(v)
+        TxLog.prunedFilesFor(snap, c, sv, sv)
+      }.toSet)
     case sources.IsNotNull(c) =>
       // null-count skipping: a file whose tracked column is entirely
       // null cannot produce a row ([[TxLog.readWhereNotNull]]'s rule)

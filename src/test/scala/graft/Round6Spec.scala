@@ -8,28 +8,32 @@ import graft.operators.TxLog
 class Round6Spec extends SparkSpec {
 
   test("q156: the TxLog scan reads only shipdate-overlapping files") {
+    // q156 now reads through the PLAIN spark.read.format("txlog") path:
+    // the DSv2 table's pushdown must land the timestamp range on the
+    // manifest's stats pruning without any explicit readWhere* call
     val df = Queries.queryMap("q156_txlog_pruned_read")(spark, sf0001)
     val zone = Round6Queries.shipdateZone(spark, sf0001)
     val head = TxLog.latest(spark, zone).get
     val keep = TxLog.prunedFilesFor(head, "l_shipdate", "1996-01-01 00:00:00", "1996-03-31 23:59:59")
-    assert(df.inputFiles.length === keep.size,
-      s"scan touched ${df.inputFiles.length} files, pruned list has ${keep.size}")
-    assert(keep.size < head.files.size,
-      s"no skipping happened: ${keep.size} of ${head.files.size} files")
     assert(df.count() > 0, "the pruned read returned no rows")
+    val (served, total) = graft.plans.PushdownProbe.get(s"txlog:$zone").get
+    assert(served === keep.size.toLong,
+      s"scan served $served files, pruned list has ${keep.size}")
+    assert(total === head.files.size.toLong && served < total,
+      s"no skipping happened: $served of $total files")
     // every returned row actually satisfies the predicate (pruning is an
     // optimization, never a filter substitute)
     import org.apache.spark.sql.functions.col
     assert(df.filter(col("l_shipdate").cast("string") < "1996-01-01 00:00:00" ||
       col("l_shipdate").cast("string") > "1996-03-31 23:59:59").count() === 0L)
-    // manifest pruning COMPOSES with parquet row-group skipping: the
-    // exact predicate must reach the scan (literal cast to the column's
-    // type, never the column to the literal's)
+    // the range must surface as PushedFilters on the DSv2 scan (and the
+    // inner read re-pushes it into parquet row-group skipping —
+    // StreamPushdownSpec pins that composition on the shared scan)
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     val plan = df.queryExecution.executedPlan.toString
     val pushed = "PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\]".r
     assert(pushed.findFirstIn(plan).isDefined,
-      s"range predicate did not push into the parquet scan:\n$plan")
+      s"range predicate did not push into the txlog scan:\n$plan")
   }
 
   test("q157: the Z-ordered zone prunes on the INTERSECTION of both columns' stats") {

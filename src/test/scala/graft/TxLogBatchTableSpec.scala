@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+import graft.plans.PushdownProbe
+
+/** The DSv2 BATCH table over txlog zones (round-9 directive #1): plain
+  * `spark.read.format("txlog").option("zone", z).load()` + `.filter` /
+  * `.select` / SQL must get the manifest's stats-pruned file list and
+  * the narrowed read schema WITHOUT the caller using the `readWhere*`
+  * APIs — the batch twin of the streaming pushdown hook, sharing
+  * [[graft.sources.TxLogPrunableScan]]. Every test pins both halves:
+  * fewer units served (PushdownProbe) AND rows identical to the
+  * unpruned ground truth. */
+class TxLogBatchTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshZone(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/zone"
+
+  /** 4 range-partitioned files with tight per-file k stats. */
+  private def rangeZone(): String = {
+    val zone = freshZone("graft_btbl")
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    zone
+  }
+
+  private def load(zone: String) =
+    spark.read.format("txlog").option("zone", zone).load()
+
+  test("plain spark.read + filter opens only stats-overlapping files; rows equal full scan") {
+    val zone = rangeZone()
+    val expect = TxLog.read(spark, zone).filter(col("k") < 25L)
+      .as[Long].collect().toSet
+    val got = load(zone).filter(col("k") < 25L).as[Long].collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L, s"fixture must commit 4 files, got $total")
+    // range-partitioner boundaries are sampled, so k < 25 may straddle a
+    // file edge — but it can never need more than half the files
+    assert(served < total && served <= 2L,
+      s"batch read must be file-pruned: $served/$total")
+    assert(got === expect, "pruned batch read must equal the full-scan filter")
+  }
+
+  test("the pushed predicate renders in explain as PushedFilters") {
+    val zone = rangeZone()
+    val plan = load(zone).filter(col("k") < 25L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,25)"),
+      s"the DSv2 scan must surface the pushed predicate:\n$plan")
+  }
+
+  test("SQL over a registered view gets the same pruning") {
+    val zone = rangeZone()
+    load(zone).createOrReplaceTempView("btbl_zone")
+    val got = spark.sql("SELECT k FROM btbl_zone WHERE k >= 75").as[Long]
+      .collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L && served === 1L,
+      s"plain SQL must hit the same file skip: $served/$total")
+    assert(got === (75L until 100L).toSet)
+  }
+
+  test("column pruning narrows the scan to the referenced columns") {
+    val zone = freshZone("graft_btbl_cols")
+    TxLog.replace(spark, zone,
+      spark.range(50L).selectExpr("id AS k", "id * 2 AS v", "id * 3 AS w",
+        "CAST(id AS STRING) AS s"))
+    val got = load(zone).select(col("v")).as[Long].collect().toSet
+    assert(PushdownProbe.getCols(s"txlog:$zone") === Some(Seq("v")),
+      "the scan must serve only the selected column")
+    assert(got === (0L until 50L).map(_ * 2).toSet)
+    // count(*) (no referenced column) still executes — arity-1 fallback
+    assert(load(zone).count() === 50L)
+  }
+
+  test("filter + narrow select: pruned files AND narrowed columns together") {
+    val zone = freshZone("graft_btbl_both")
+    TxLog.replace(spark, zone,
+      spark.range(100L).selectExpr("id AS k", "id * 3 AS w")
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val got = load(zone).filter(col("k") < 10L).select(col("w"))
+      .as[Long].collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L && served === 1L, s"file skip must hold: $served/$total")
+    assert(PushdownProbe.getCols(s"txlog:$zone").get.toSet === Set("k", "w"),
+      "the filter's column must ride along with the projection's")
+    assert(got === (0L until 10L).map(_ * 3).toSet)
+  }
+
+  test("an untracked column's predicate full-scans but stays correct") {
+    val zone = freshZone("graft_btbl_untracked")
+    TxLog.replace(spark, zone,
+      spark.range(40L).selectExpr("id AS k", "id % 4 AS tag")
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val got = load(zone).filter(col("tag") === 2L).count()
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(served === total, "tag is not stats-tracked: nothing prunable")
+    assert(got === 10L)
+  }
+
+  test("timestamp range predicates prune against the string-kind stats") {
+    // the CDC-lake shape: hour-partitioned ingestion timestamps, a
+    // consumer asking for one window — the plan's timestamp literals
+    // must render at the session time zone and file-skip soundly
+    val zone = freshZone("graft_btbl_ts")
+    TxLog.replace(spark, zone,
+      spark.range(96L).selectExpr("id AS k",
+          "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts")
+        .repartitionByRange(4, col("ts")),
+      statsCols = Seq("ts"))
+    val expect = TxLog.read(spark, zone)
+      .filter(col("ts").between("2024-01-02 00:00:00", "2024-01-02 23:00:00"))
+      .select("k").as[Long].collect().toSet
+    assert(expect.nonEmpty)
+    val got = load(zone)
+      .filter(col("ts").between(
+        lit("2024-01-02 00:00:00").cast("timestamp"),
+        lit("2024-01-02 23:00:00").cast("timestamp")))
+      .select("k").as[Long].collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L)
+    assert(served < total, s"one day of four must file-skip: $served/$total")
+    assert(got === expect, "pruned timestamp-range read must equal full scan")
+  }
+
+  test("one-sided string ranges prune via the prefix-stat compare") {
+    val zone = freshZone("graft_btbl_str")
+    TxLog.replace(spark, zone,
+      spark.range(100L).selectExpr("id AS k",
+          "CONCAT('user-', LPAD(CAST(id AS STRING), 4, '0')) AS name")
+        .repartitionByRange(4, col("name")),
+      statsCols = Seq("name"))
+    val expect = TxLog.read(spark, zone).filter(col("name") >= "user-0090")
+      .select("k").as[Long].collect().toSet
+    val got = load(zone).filter(col("name") >= "user-0090")
+      .select("k").as[Long].collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L)
+    assert(served < total, s"the tail range must file-skip: $served/$total")
+    assert(got === expect)
+  }
+
+  test("the snapshot is pinned at load: a later append does not change the frame") {
+    val zone = rangeZone()
+    val df = load(zone)
+    assert(df.count() === 100L)
+    TxLog.append(spark, zone, spark.range(1000L, 1100L).toDF("k"),
+      statsCols = Seq("k"))
+    assert(df.count() === 100L,
+      "a loaded frame must keep reading its pinned generation")
+    assert(load(zone).count() === 200L, "a fresh load sees the new head")
+  }
+
+  test("gen option time-travels within retention") {
+    val zone = rangeZone()
+    val g0 = TxLog.latest(spark, zone).get.gen
+    TxLog.append(spark, zone, spark.range(1000L, 1100L).toDF("k"),
+      statsCols = Seq("k"))
+    val old = spark.read.format("txlog").option("zone", zone)
+      .option("gen", g0.toString).load()
+    assert(old.count() === 100L, "gen pin must serve the old generation")
+    assert(old.agg(max(col("k"))).as[Long].first() === 99L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("txlog").option("zone", zone)
+        .option("gen", "999").load()
+    }
+    assert(e.getMessage.contains("generation 999"))
+  }
+
+  test("a zone without a log refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_btbl_nolog").toString
+    spark.range(5L).write.mode("overwrite").parquet(dir + "/zone")
+    val e = intercept[IllegalArgumentException] {
+      load(dir + "/zone").count()
+    }
+    assert(e.getMessage.contains("no transaction log"))
+  }
+
+  test("streaming still takes the v1 source path under the shared short name") {
+    // the table declares BATCH_READ only, so readStream must fall back to
+    // the v1 StreamSourceProvider — same short name, both engines
+    val zone = rangeZone()
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .filter(col("k") < 25L)
+      .writeStream.format("memory").queryName("btbl_stream").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("btbl_stream").as[Long].collect().toSet ===
+      (0L until 25L).toSet)
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(served < total, "the streaming hook must still prune")
+  }
+
+  test("schema evolution: the batch table serves nulls for pre-evolution files") {
+    val zone = freshZone("graft_btbl_evo")
+    TxLog.replace(spark, zone, spark.range(3L).toDF("k"))
+    TxLog.append(spark, zone,
+      spark.range(3L, 6L).selectExpr("id AS k", "id * 10 AS extra"))
+    val got = load(zone).orderBy("k")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got === (0L until 6L).map(k =>
+      (k, if (k < 3) None else Some(k * 10))),
+      "old files must surface the evolved column as null")
+  }
+}
