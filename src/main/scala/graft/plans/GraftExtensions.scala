@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushFiltersIntoGraftScan)
     ext.injectOptimizerRule(_ => PruneGraftScanColumns)
+    ext.injectOptimizerRule(_ => PushLimitIntoGraftScan)
     ext.injectPlannerStrategy(_ => GraftScanStrategy)
   }
 }

@@ -47,8 +47,16 @@ trait PrunableScan {
 
   /** The batch's rows, reading only units that can match `pushed`
     * (`pushed` is empty for an unfiltered stream). Rows must follow the
-    * owning [[GraftScan]]'s output order. */
-  def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow]
+    * owning [[GraftScan]]'s output order. `onPrune` is invoked once,
+    * driver-side, with (units served, units total) for the batch window
+    * — [[GraftScanExec]] feeds it into its SQLMetrics so the skip is
+    * visible in the Spark UI, not just the dev probe. */
+  def buildRDD(pushed: Seq[sources.Filter],
+               onPrune: (Long, Long) => Unit): RDD[InternalRow]
+
+  /** Report-free convenience for fallback paths and specs. */
+  final def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] =
+    buildRDD(pushed, (_, _) => ())
 
   /** A copy of this scan serving ONLY `cols` (in that order), or None
     * when the scan cannot narrow (the default — e.g. a fixed-record
@@ -58,20 +66,33 @@ trait PrunableScan {
     * columns should read 2 columns' pages, not 40. */
   def withRequiredColumns(cols: Seq[String]): Option[PrunableScan] = None
 
+  /** A copy of this scan serving AT LEAST `n` rows (all rows when fewer
+    * exist) while reading fewer units, or None when the scan cannot cap
+    * (the default). Contract is best-effort SUPERSET: the plan's Limit
+    * still trims above, so serving more than `n` is always sound —
+    * serving fewer than min(n, available) never is. Lets
+    * [[PushLimitIntoGraftScan]] keep a `.limit(5)` preview consumer from
+    * reading a whole 100 TB batch window. */
+  def withLimit(n: Int): Option[PrunableScan] = None
+
   /** Short scan identity for explain output. */
   def describe: String
 }
 
 /** Streaming leaf carrying a prunable source batch; `pushed` is filled
-  * in by [[PushFiltersIntoGraftScan]]. */
+  * in by [[PushFiltersIntoGraftScan]], `cappedAt` by
+  * [[PushLimitIntoGraftScan]] (the folded row cap, recorded so the
+  * fixpoint only re-folds a strictly tighter limit). */
 case class GraftScan(output: Seq[Attribute], scan: PrunableScan,
-                     pushed: Seq[sources.Filter] = Nil) extends LeafNode {
+                     pushed: Seq[sources.Filter] = Nil,
+                     cappedAt: Option[Int] = None) extends LeafNode {
   override def isStreaming: Boolean = true
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = conf.defaultSizeInBytes)
   override def simpleString(maxFields: Int): String =
     s"GraftScan ${scan.describe}${
-      if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"}"
+      if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"}${
+      cappedAt.fold("")(n => s", Limit: $n")}"
 }
 
 /** Optimizer rule: fold the conjuncts of a Filter sitting directly on a
@@ -91,6 +112,30 @@ object PushFiltersIntoGraftScan extends Rule[LogicalPlan] with PredicateHelper {
         .filter(g.scan.accepts)
       if (usable.toSet.subsetOf(g.pushed.toSet)) f
       else f.copy(child = g.copy(pushed = (g.pushed ++ usable).distinct))
+  }
+}
+
+/** Optimizer rule: fold a `LocalLimit` sitting directly on a
+  * [[GraftScan]] into the scan — a `.limit(5)` preview/debug consumer
+  * of a stream then reads ~5 rows' worth of units instead of the whole
+  * batch window. The LocalLimit STAYS above (superset contract: the
+  * scan may serve more than n; the plan trims exactly). Fires only on
+  * the bare limit-over-scan shape: Catalyst never pushes a Limit below
+  * a Filter, so a capped scan can never carry row-discarding pushed
+  * predicates whose selectivity would break the at-least-n contract
+  * (belt-and-braces for that invariant lives in the scan impls too).
+  * Terminates: re-folds only a strictly tighter cap. */
+object PushLimitIntoGraftScan extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+  import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case l @ LocalLimit(IntegerLiteral(n), g: GraftScan)
+        if g.pushed.isEmpty && n >= 0 && g.cappedAt.forall(n < _) =>
+      g.scan.withLimit(n)
+        .map(s => l.copy(child = g.copy(scan = s, cappedAt = Some(n))))
+        .getOrElse(l)
   }
 }
 
@@ -155,7 +200,40 @@ object GraftScanStrategy extends SparkStrategy {
 
 case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,
                          pushed: Seq[sources.Filter]) extends LeafExecNode {
-  override protected def doExecute(): RDD[InternalRow] = scan.buildRDD(pushed)
+
+  import org.apache.spark.sql.execution.SQLExecution
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
+  /** The pruning's production observability (round-9 directive: the
+    * spec-only LWW [[PushdownProbe]] is not a metrics API): units =
+    * shard windows / zone files in the batch window vs actually served;
+    * columns = the leaf's (possibly narrowed) output arity. Driver-set
+    * metrics are posted explicitly so the Spark UI's SQL tab shows them
+    * on the scan node of every micro-batch. */
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "unitsServed" -> SQLMetrics.createMetric(sparkContext, "scan units served"),
+    "unitsTotal" -> SQLMetrics.createMetric(sparkContext, "scan units in batch window"),
+    "columnsServed" -> SQLMetrics.createMetric(sparkContext, "columns served"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val unitsServed = longMetric("unitsServed")
+    val unitsTotal = longMetric("unitsTotal")
+    val columnsServed = longMetric("columnsServed")
+    columnsServed.set(output.size.toLong)
+    val rdd = scan.buildRDD(pushed, (served, total) => {
+      unitsServed.set(served)
+      unitsTotal.set(total)
+      val execId = sparkContext.getLocalProperty(SQLExecution.EXECUTION_ID_KEY)
+      SQLMetrics.postDriverMetricUpdates(sparkContext, execId,
+        Seq(unitsServed, unitsTotal, columnsServed))
+    })
+    rdd.mapPartitions { it =>
+      it.map { r => numOutputRows += 1; r }
+    }
+  }
+
   override def simpleString(maxFields: Int): String =
     s"GraftScanExec ${scan.describe}${
       if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"}"
@@ -167,7 +245,9 @@ case class GraftScanExec(output: Seq[Attribute], scan: PrunableScan,
   * is the store/zone path): a reader that needs a specific scan's
   * numbers must run it sequentially and read the probe before the next
   * scan of the same store fires — fine for specs, not a metrics API.
-  * Not part of the engine contract. */
+  * Not part of the engine contract — production observability is
+  * [[GraftScanExec]]'s SQLMetrics (unitsServed/unitsTotal/columnsServed/
+  * numOutputRows in the Spark UI's SQL tab). */
 object PushdownProbe {
   private val log =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()

@@ -167,10 +167,31 @@ class ShardStreamSource(sqlContext: SQLContext, dir: String,
   * so an unsupported or partially-supported filter only costs skipped
   * pruning, never correctness. */
 final case class ShardPrunableScan(spark: SparkSession, dir: String,
-                                   specs: Seq[(String, Long, Long)])
+                                   specs: Seq[(String, Long, Long)],
+                                   cap: Option[Int] = None)
     extends PrunableScan {
 
   override def describe: String = s"shardstore[$dir]"
+
+  /** Trim the spec list to the first `n` records (windows are dense, so
+    * (hi - lo) IS the record count): a `.limit(5)` preview reads 5
+    * records from the first live shard, never the firehose. */
+  override def withLimit(n: Int): Option[PrunableScan] =
+    Some(copy(cap = Some(cap.fold(n)(math.min(_, n)))))
+
+  private def limitSpecs(in: Seq[(String, Long, Long)], n: Int)
+      : Seq[(String, Long, Long)] = {
+    var remaining = n.toLong
+    val out = Seq.newBuilder[(String, Long, Long)]
+    val it = in.iterator
+    while (it.hasNext && remaining > 0L) {
+      val (sh, lo, hi) = it.next()
+      val take = math.min(hi - lo, remaining)
+      out += ((sh, lo, lo + take))
+      remaining -= take
+    }
+    out.result()
+  }
 
   override def accepts(f: sources.Filter): Boolean = f match {
     case sources.EqualTo("shard", _: String)            => true
@@ -206,9 +227,16 @@ final case class ShardPrunableScan(spark: SparkSession, dir: String,
     keep.filter { case (_, lo, hi) => hi > lo }
   }
 
-  override def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] = {
-    val served = prune(pushed)
+  override def buildRDD(pushed: Seq[sources.Filter],
+                        onPrune: (Long, Long) => Unit): RDD[InternalRow] = {
+    // the cap composes only with an UNFILTERED scan (the rule guarantees
+    // it: a Limit never sits below a Filter) — filtered windows would
+    // discard rows the at-least-n contract still owes
+    val served0 = prune(pushed)
+    val served = cap.filter(_ => pushed.isEmpty)
+      .fold(served0)(limitSpecs(served0, _))
     // sequence windows are dense, so (hi - lo) IS the record count
+    onPrune(served.map(t => t._3 - t._2).sum, specs.map(t => t._3 - t._2).sum)
     PushdownProbe.record(s"shardstore:$dir",
       served.map(t => t._3 - t._2).sum, specs.map(t => t._3 - t._2).sum)
     val d = dir

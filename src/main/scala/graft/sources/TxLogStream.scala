@@ -198,9 +198,33 @@ class TxLogSource(sqlContext: SQLContext, zone: String,
 final case class TxLogPrunableScan(spark: SparkSession, zone: String,
                                    snap: TxLog.Snapshot,
                                    relFiles: Seq[String],
-                                   pinned: StructType) extends PrunableScan {
+                                   pinned: StructType,
+                                   cap: Option[Int] = None) extends PrunableScan {
 
   override def describe: String = s"txlog[$zone gen ${snap.gen}]"
+
+  /** Serve a FILE-LIST PREFIX whose committed row counts reach `n`
+    * (files without row stats count as unknown — kept, not counted), and
+    * cap the inner read at `n` rows: a `.limit(5)` preview of a wide
+    * zone opens one file and reads 5 rows, not the window. */
+  override def withLimit(n: Int): Option[graft.plans.PrunableScan] =
+    Some(copy(cap = Some(cap.fold(n)(math.min(_, n)))))
+
+  /** Shortest prefix of `files` whose known committed rows reach `n`;
+    * the whole list when the stats never get there. */
+  private def limitPrefix(files: Seq[String], n: Int): Seq[String] = {
+    var cum = 0L
+    val keep = Seq.newBuilder[String]
+    val it = files.iterator
+    while (it.hasNext && cum < n) {
+      val f = it.next()
+      keep += f
+      // any tracked column's stat carries the file's row count
+      snap.colStats.get(f).flatMap(_.values.headOption)
+        .foreach(st => cum += st.rows)
+    }
+    keep.result()
+  }
 
   /** Narrow the pinned schema to `cols` — the nested parquet read then
     * fetches only those columns' pages (ReadSchema pruning), the wide-
@@ -352,11 +376,19 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     }
   }
 
-  override def buildRDD(pushed: Seq[sources.Filter]): RDD[InternalRow] = {
+  override def buildRDD(pushed: Seq[sources.Filter],
+                        onPrune: (Long, Long) => Unit): RDD[InternalRow] = {
     var keep = relFiles
     pushed.flatMap(keepFor).foreach { overlap =>
       keep = keep.filter(overlap)
     }
+    // the cap composes only with an UNFILTERED scan (the rule guarantees
+    // it, and a filtered keep-set's row stats would overcount matching
+    // rows — the at-least-n contract could silently break)
+    cap.filter(_ => pushed.isEmpty).foreach { n =>
+      keep = limitPrefix(keep, n)
+    }
+    onPrune(keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", pinned.fieldNames.toSeq)
     if (keep.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
@@ -370,7 +402,11 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     val loaded = TxLog
       .loadFiles(spark, snap, keep.map(p => zone.stripSuffix("/") + "/" + p))
     val rowGroupSkip = pushed.flatMap(toColumn(loaded, _)).reduceOption(_ && _)
-    rowGroupSkip.fold(loaded)(loaded.filter)
+    val selected = rowGroupSkip.fold(loaded)(loaded.filter)
       .selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
+    // cap the inner read too: the file prefix bounds the units opened,
+    // this bounds the ROWS decoded from them (exact trimming still
+    // happens in the outer plan's Limit)
+    cap.filter(_ => pushed.isEmpty).fold(selected)(selected.limit)
   }
 }

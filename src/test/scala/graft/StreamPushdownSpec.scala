@@ -280,6 +280,87 @@ class StreamPushdownSpec extends SparkSpec {
       (0L until 10L).map(_ * 3).toSet)
   }
 
+  test("GraftScanExec exposes the skip as SQLMetrics, not just the dev probe") {
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    // txlog leg: a range predicate over a 4-file zone
+    val zone = freshDir("graft_push_metrics") + "/zone"
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val head = TxLog.latest(spark, zone).get
+    val schema = TxLog.read(spark, zone).schema
+    val scan = graft.sources.TxLogPrunableScan(spark, zone, head, head.files, schema)
+    val exec = graft.plans.GraftScanExec(DataTypeUtils.toAttributes(schema), scan,
+      Seq(org.apache.spark.sql.sources.LessThan("k", 25L)))
+    val rows = exec.execute().count()
+    assert(exec.metrics("unitsTotal").value === 4L)
+    assert(exec.metrics("unitsServed").value < 4L &&
+      exec.metrics("unitsServed").value >= 1L,
+      s"metrics must show the file skip: ${exec.metrics("unitsServed").value}/4")
+    assert(exec.metrics("columnsServed").value === 1L)
+    assert(exec.metrics("numOutputRows").value === rows,
+      "the executor-side row counter must flow back into the metric")
+    assert(rows >= 25L, "superset contract: at least every matching row")
+
+    // shard leg: the same metrics on the shard transport's exec
+    val (dir, st) = shardFixture()
+    val specs = st.shards().map(s => (s.id, 0L, st.maxSeq(s.id)))
+      .filter(t => t._3 > t._2)
+    val target = specs.maxBy(t => t._3 - t._2)._1
+    val sscan = graft.sources.ShardPrunableScan(spark, dir, specs)
+    val sexec = graft.plans.GraftScanExec(
+      DataTypeUtils.toAttributes(graft.sources.ShardStreamSource.schema), sscan,
+      Seq(org.apache.spark.sql.sources.EqualTo("shard", target)))
+    val srows = sexec.execute().count()
+    assert(sexec.metrics("unitsTotal").value === 60L)
+    assert(sexec.metrics("unitsServed").value === srows,
+      "dense windows: served units == served records")
+    assert(srows < 60L, "the shard filter must have pruned")
+  }
+
+  test("limit pushdown: a .limit(5) shard preview reads ~5 records, not the firehose") {
+    val (dir, _) = shardFixture()
+    val all = runShardStream(dir, identity)
+    assert(all.size === 60)
+    val got = runShardStream(dir, _.limit(5))
+    val (served, total) = PushdownProbe.get(s"shardstore:$dir").get
+    assert(total === 60L)
+    assert(served === 5L, s"the capped scan must read 5 records, got $served")
+    assert(got.size === 5 && got.subsetOf(all),
+      "the limited stream must deliver exactly 5 real records")
+  }
+
+  test("limit pushdown: a .limit(5) txlog preview opens one file, not the window") {
+    val zone = freshDir("graft_push_lim") + "/zone"
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val all = TxLog.read(spark, zone).as[Long].collect().toSet
+    val q = spark.readStream.format("txlog").option("zone", zone).load()
+      .limit(5)
+      .writeStream.format("memory").queryName("push_lim").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L)
+    assert(served === 1L, s"5 rows fit the first file: $served/$total")
+    val got = spark.table("push_lim").as[Long].collect().toSet
+    assert(got.size === 5 && got.subsetOf(all),
+      "the limited stream must deliver exactly 5 real rows")
+  }
+
+  test("limit pushdown never composes with a filtered scan (at-least-n stays safe)") {
+    // filter + limit: Catalyst keeps the Limit ABOVE the Filter, so the
+    // scan must serve every matching row and the plan trims to 3 — the
+    // cap folding into a filter-pruned scan would risk under-serving
+    val (dir, _) = shardFixture()
+    val all = runShardStream(dir, identity)
+    val got = runShardStream(dir, _.filter(col("seq") > 2L).limit(3))
+    val expectPool = all.filter(_._2 > 2L)
+    assert(got.size === math.min(3, expectPool.size) && got.subsetOf(expectPool),
+      "limited+filtered stream must emit 3 rows satisfying the predicate")
+  }
+
   test("withRequiredColumns declines unknown columns instead of crashing") {
     val zone = freshDir("graft_push_decl") + "/zone"
     TxLog.replace(spark, zone, spark.range(5L).selectExpr("id AS k", "id*2 AS v"))
