@@ -259,4 +259,7 @@ object PushdownProbe {
     cols.put(key, served)
   def get(key: String): Option[(Long, Long)] = Option(log.get(key))
   def getCols(key: String): Option[Seq[String]] = Option(cols.get(key))
+  /** Spec-side reset, so "no record after this point" can assert a scan
+    * NEVER ran (the manifest-served COUNT path). */
+  def clear(key: String): Unit = { log.remove(key); cols.remove(key): Unit }
 }

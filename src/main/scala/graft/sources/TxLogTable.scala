@@ -5,10 +5,11 @@ import java.util.{Map => JMap}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.TxLog
@@ -118,14 +119,34 @@ final class TxLogTable(spark: SparkSession, zone: String,
 /** Receives the plan's predicates and required columns from Spark's
   * V2ScanRelationPushDown. `pushFilters` keeps the prunable subset
   * (recorded as PushedFilters on the plan) and returns EVERY filter as a
-  * residual — superset semantics, identical to the streaming hook. */
+  * residual — superset semantics, identical to the streaming hook.
+  *
+  * Also accepts a row LIMIT (`SupportsPushDownLimit`, best-effort
+  * superset: the shared scan serves a committed-row-count-bounded file
+  * PREFIX and Spark keeps the exact Limit above — V2ScanRelationPushDown
+  * only offers a limit when no residual Filter sits between it and the
+  * scan, so the cap can never under-serve a predicate) and COUNT
+  * aggregations (`SupportsPushDownAggregates`): an unfiltered, ungrouped
+  * `COUNT(*)` / `COUNT(col)` over a zone whose every file carries
+  * committed row/null counts is answered from the MANIFEST — O(log
+  * head), zero data files opened, the plain-SQL form of
+  * [[TxLog.metadataCount]]. At 100 TB that is the difference between a
+  * catalog lookup and a full-table scan for the most common audit query
+  * there is. MIN/MAX are deliberately DECLINED: the committed stat
+  * encodings (numerics widened through double, temporals through
+  * seconds-truncated session-zone strings) are prune-safe — widening —
+  * but not value-exact, and aggregate pushdown must return the exact
+  * value or nothing. */
 final class TxLogScanBuilder(spark: SparkSession, zone: String,
                              snap: TxLog.Snapshot, full: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var cap: Option[Int] = None
+  private var aggCounts: Option[Seq[Long]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // acceptance is schema-independent; probe with the full schema
@@ -136,6 +157,46 @@ final class TxLogScanBuilder(spark: SparkSession, zone: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Best-effort cap; `isPartiallyPushed` stays at its default `true`,
+    * so Spark keeps the exact LIMIT in the plan (superset contract —
+    * same as the streaming side's [[graft.plans.PushLimitIntoGraftScan]]). */
+  override def pushLimit(n: Int): Boolean = { cap = Some(n); true }
+
+  /** Exact COUNT answers from the committed per-file stats, or None when
+    * any needed stat is missing (a stat-less file makes the manifest
+    * count unknowable — full-scan instead of guessing). */
+  private def countsFor(agg: Aggregation): Option[Seq[Long]] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    // rows per file from ANY tracked column's stat ([[TxLog.metadataCount]]'s rule)
+    def fileRows(f: String): Option[Long] =
+      snap.colStats.get(f).flatMap(_.values.headOption).map(_.rows)
+    def fileNonNull(f: String, c: String): Option[Long] =
+      snap.colStats.get(f).flatMap(_.get(c)).map(st => st.rows - st.nulls)
+    def total(per: String => Option[Long]): Option[Long] = {
+      val xs = snap.files.map(per)
+      if (xs.forall(_.isDefined)) Some(xs.flatten.sum) else None
+    }
+    val each = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => total(fileRows)
+      case c: Count if !c.isDistinct => c.column match {
+        case ref: NamedReference if ref.fieldNames.length == 1 =>
+          total(fileNonNull(_, ref.fieldNames.head))
+        case _ => None
+      }
+      case _ => None // MIN/MAX/SUM/AVG: stats not value-exact (see scaladoc)
+    }
+    if (each.forall(_.isDefined)) Some(each.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countsFor(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    countsFor(agg) match {
+      case Some(counts) => aggCounts = Some(counts); true
+      case None         => false
+    }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // a zero-column request (count(*) shape) still needs arity >= 1
     // through the nested read — keep one column, Spark projects it away
@@ -143,7 +204,10 @@ final class TxLogScanBuilder(spark: SparkSession, zone: String,
       if (requiredSchema.isEmpty) StructType(full.fields.take(1))
       else requiredSchema
 
-  override def build(): Scan = TxLogBatchScan(spark, zone, snap, required, pushed)
+  override def build(): Scan = aggCounts match {
+    case Some(counts) => TxLogCountScan(spark, zone, snap, counts)
+    case None => TxLogBatchScan(spark, zone, snap, required, pushed, cap)
+  }
 }
 
 /** The built scan: a [[V1Scan]], so Spark plans it as a
@@ -151,19 +215,59 @@ final class TxLogScanBuilder(spark: SparkSession, zone: String,
   * straight to the shared [[TxLogPrunableScan]]. */
 final case class TxLogBatchScan(spark: SparkSession, zone: String,
                                 snap: TxLog.Snapshot, required: StructType,
-                                pushed: Array[Filter]) extends V1Scan {
+                                pushed: Array[Filter],
+                                cap: Option[Int] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"txlog[$zone gen ${snap.gen}]" +
-      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
+      cap.fold("")(n => s" Limit: $n")
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val base = TxLogPrunableScan(spark, zone, snap, snap.files, required)
+    // withLimit always accepts on this scan; the inner guard keeps the
+    // cap composing only with an unfiltered read (V2ScanRelationPushDown
+    // already guarantees that — a residual Filter blocks the limit offer)
+    val capped = cap.flatMap(base.withLimit)
+      .collect { case t: TxLogPrunableScan => t }.getOrElse(base)
+    new TxLogV1Relation(context, capped, pushed.toSeq).asInstanceOf[T]
+  }
+}
+
+/** Completely-pushed COUNT scan: the whole aggregate was answered from
+  * the manifest's committed per-file row/null counts, so the "scan" is
+  * one driver-built row — no data file is opened at any scale. Spark's
+  * complete-pushdown path trusts the source for exactness, which
+  * [[TxLogScanBuilder.countsFor]] guarantees (counts are exact in the
+  * log; any missing stat declines the pushdown entirely). */
+final case class TxLogCountScan(spark: SparkSession, zone: String,
+                                snap: TxLog.Snapshot, counts: Seq[Long])
+    extends V1Scan {
+
+  override def readSchema(): StructType = StructType(
+    counts.indices.map(i => StructField(s"count_$i", LongType, nullable = false)))
+
+  override def description(): String =
+    s"txlog[$zone gen ${snap.gen}] PushedAggregates: COUNT -> ${counts.mkString(", ")}"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new TxLogV1Relation(context,
-      TxLogPrunableScan(spark, zone, snap, snap.files, required),
-      pushed.toSeq).asInstanceOf[T]
+    new TxLogCountRelation(context, readSchema(), counts).asInstanceOf[T]
+}
+
+/** One-row relation carrying the manifest-served counts.
+  * `needConversion = true` (the default): Spark converts the external
+  * Row — a one-row cost. */
+final class TxLogCountRelation(ctx: SQLContext, schemaV: StructType,
+                               counts: Seq[Long])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = schemaV
+  override def buildScan(): RDD[Row] =
+    ctx.sparkContext.parallelize(Seq(Row.fromSeq(counts)), 1)
 }
 
 /** V1 leaf serving the pruned scan. `needConversion = false` declares

@@ -207,4 +207,82 @@ class TxLogBatchTableSpec extends SparkSpec {
       (k, if (k < 3) None else Some(k * 10))),
       "old files must surface the evolved column as null")
   }
+
+  test("limit pushdown: a .limit(3) batch preview opens one file, not the zone") {
+    val zone = rangeZone()
+    val all = TxLog.read(spark, zone).as[Long].collect().toSet
+    val got = load(zone).limit(3).as[Long].collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L)
+    assert(served === 1L,
+      s"3 rows fit the first committed file: $served/$total")
+    assert(got.size === 3 && got.subsetOf(all),
+      "the limited read must deliver exactly 3 real rows")
+    // and the cap renders on the scan node for explain readers (Spark's
+    // own RowDataSourceScanExec marker for a DSv2-pushed limit)
+    val plan = load(zone).limit(3).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: LIMIT 3"),
+      s"the capped scan must say so:\n$plan")
+  }
+
+  test("limit never reaches a filtered scan (residual Filter blocks the offer)") {
+    val zone = rangeZone()
+    val got = load(zone).filter(col("k") >= 10L).limit(5)
+      .as[Long].collect().toSet
+    assert(got.size === 5 && got.forall(_ >= 10L),
+      "limit over filter must emit 5 rows all satisfying the predicate")
+  }
+
+  test("COUNT(*) is answered from the manifest: zero data files opened") {
+    val zone = rangeZone()
+    PushdownProbe.clear(s"txlog:$zone")
+    val df = load(zone).agg(count(lit(1)).as("n"))
+    assert(df.as[Long].head() === 100L)
+    // complete pushdown: the one-row count relation replaced the data
+    // scan, so TxLogPrunableScan.buildRDD never ran for this zone
+    assert(PushdownProbe.get(s"txlog:$zone").isEmpty,
+      "a manifest-served count must not open any data file")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"),
+      s"the plan must show the manifest-served aggregate:\n$plan")
+  }
+
+  test("COUNT(col) uses the committed null counts; COUNT(*) vs COUNT(col) differ") {
+    val zone = freshZone("graft_btbl_cnt")
+    // 2 files, tracked column v carries nulls in one of them
+    TxLog.replace(spark, zone,
+      spark.range(10L)
+        .selectExpr("id AS k", "IF(id % 3 = 0, NULL, id) AS v")
+        .repartitionByRange(2, col("k")),
+      statsCols = Seq("k", "v"))
+    PushdownProbe.clear(s"txlog:$zone")
+    val row = load(zone)
+      .agg(count(lit(1)).as("all"), count(col("v")).as("nn"))
+      .as[(Long, Long)].head()
+    assert(row === ((10L, 6L)),
+      "COUNT(*) counts rows, COUNT(v) skips the committed nulls")
+    assert(PushdownProbe.get(s"txlog:$zone").isEmpty,
+      "both counts must come from the manifest, not a data scan")
+  }
+
+  test("COUNT declines honestly: untracked column, filter, group-by all full-scan") {
+    val zone = rangeZone() // tracks only k; file stats exist for k alone
+    // an untracked column's null count is unknowable from the manifest
+    val zone2 = freshZone("graft_btbl_cnt_dec")
+    TxLog.replace(spark, zone2,
+      spark.range(8L).selectExpr("id AS k", "IF(id % 2 = 0, NULL, id) AS v"),
+      statsCols = Seq("k"))
+    assert(load(zone2).agg(count(col("v"))).as[Long].head() === 4L,
+      "COUNT of an untracked column must fall back to a real scan, correct")
+    // a residual predicate blocks aggregate pushdown entirely
+    assert(load(zone).filter(col("k") < 25L).agg(count(lit(1)))
+      .as[Long].head() === 25L)
+    // group-by is never manifest-served
+    assert(load(zone).groupBy((col("k") % 2).as("p")).agg(count(lit(1)).as("n"))
+      .orderBy("p").as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 50L), (1L, 50L)))
+    // MIN/MAX are declined by design (stat encodings widen), still exact
+    assert(load(zone).agg(min(col("k")), max(col("k")))
+      .as[(Long, Long)].head() === ((0L, 99L)))
+  }
 }
