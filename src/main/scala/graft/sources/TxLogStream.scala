@@ -9,7 +9,8 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.{PlanBridge, StreamBridge}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.TxLog
@@ -54,10 +55,55 @@ import graft.plans.{PrunableScan, PushdownProbe}
   * Reference anchor: the reference's consumers re-scan the raw S3 prefix
   * layout on a schedule (`lib/consumer-components.ts:86-110` Glue jobs);
   * this replaces rescans with manifest-driven incremental delivery. */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister
-    with TxLogBatchSupport {
+class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister with TxLogBatchSupport {
 
   override def shortName(): String = "txlog"
+
+  /** `writeStream.format("txlog").option("zone", z)` — the lake SINK
+    * half under the same short name, completing the loop the scaladoc
+    * above describes (zones stream OUT through the source, and now
+    * stream IN through the writer API instead of requiring
+    * `foreachBatch(TxLog.streamSink/mergeSink/cdcMergeSink)`). The v2
+    * table deliberately declares no STREAMING_WRITE, so Spark's
+    * DataStreamWriter falls back here — one short name, batch read,
+    * batch write, stream read, stream write, each on its proper plan
+    * integration. Delivery is exactly-once by the same contract the
+    * foreachBatch sinks pin: the batchId high-water mark rides IN the
+    * commit's own manifest, so a replayed batch is a no-op.
+    *
+    * Options: `statsCols` commits per-file stats per batch; `mergeKey`
+    * switches from append to keyed upsert ([[TxLog.mergeExactlyOnce]] —
+    * batches must be unique per key); `mergeKey` + `ordCol` reduces each
+    * batch to its per-key last-writer-wins row first
+    * ([[TxLog.cdcMergeSink]]'s raw-CDC contract). OutputMode Complete
+    * (a streaming aggregate materialized as a lake table) REPLACES the
+    * zone wholesale each batch, batchId-skipped for idempotence. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val p = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val zone = p.getOrElse("zone", p.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog sink requires option 'zone' (the zone path)")))
+    val statsCols = p.get("statscols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val mergeKey = p.get("mergekey")
+    val ordCol = p.get("ordcol")
+    require(partitionColumns.isEmpty,
+      "txlog sink does not take partitionBy — file layout is the log's concern")
+    require(ordCol.isEmpty || mergeKey.nonEmpty,
+      "txlog sink option 'ordCol' requires 'mergeKey'")
+    val complete = outputMode == OutputMode.Complete()
+    require(!complete || mergeKey.isEmpty,
+      "txlog sink: Complete mode replaces the zone wholesale; " +
+        "'mergeKey' applies to append/update modes")
+    new TxLogSink(sqlContext.sparkSession, zone, statsCols, mergeKey, ordCol,
+      complete)
+  }
 
   private def zoneOf(parameters: Map[String, String]): String =
     parameters.getOrElse("zone",
@@ -409,4 +455,41 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     // happens in the outer plan's Limit)
     cap.filter(_ => pushed.isEmpty).fold(selected)(selected.limit)
   }
+}
+
+/** The v1 lake sink behind `writeStream.format("txlog")` (see
+  * [[TxLogStreamProvider.createSink]] for the option surface). Each
+  * micro-batch frame is first lifted to a batch view
+  * ([[StreamBridge.sinkBatchDataFrame]] — the ForeachBatchSink re-wrap,
+  * nothing recomputed), then committed through the library's own
+  * exactly-once primitives, so the writer-API path and the
+  * foreachBatch path produce bit-identical logs. */
+final class TxLogSink(spark: SparkSession, zone: String,
+                      statsCols: Seq[String], mergeKey: Option[String],
+                      ordCol: Option[String], complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = StreamBridge.sinkBatchDataFrame(data)
+    (mergeKey, ordCol) match {
+      case (Some(k), Some(o)) =>
+        TxLog.cdcMergeSink(zone, k, o)(batch, batchId)
+      case (Some(k), None) =>
+        TxLog.mergeExactlyOnce(spark, zone, batch, k, batchId): Unit
+      case (None, _) if complete =>
+        // Complete mode: the batch IS the whole result — replace, with
+        // the same batchId fast-skip the append sink uses (single
+        // streaming query per zone, Structured Streaming's own model)
+        val committed = TxLog.latest(spark, zone)
+          .flatMap(_.meta.get("batchId")).map(_.toLong)
+        if (!committed.exists(_ >= batchId))
+          TxLog.replace(spark, zone, batch,
+            meta = Map("batchId" -> batchId.toString),
+            statsCols = statsCols): Unit
+      case (None, _) =>
+        TxLog.exactlyOnceAppend(spark, zone, batch, batchId, statsCols): Unit
+    }
+  }
+
+  override def toString: String = s"TxLogSink[$zone]"
 }

@@ -3,12 +3,13 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -64,33 +65,44 @@ import graft.operators.TxLog
 trait TxLogBatchSupport extends TableProvider {
 
   private def zoneOf(m: JMap[String, String]): String = {
-    val z = m.get("zone")
+    // "zone" is the canonical option; "path" (what `.load(p)`/`.save(p)`
+    // set) is accepted as the natural alias
+    val z = if (m.get("zone") != null) m.get("zone") else m.get("path")
     if (z == null) throw new IllegalArgumentException(
       "txlog batch table requires option 'zone' (the zone path)")
     z
   }
 
   /** Head (or `gen`-pinned) snapshot of the zone, resolved on the
-    * driver at load time. */
-  private def snapshotOf(spark: SparkSession, m: JMap[String, String])
-      : TxLog.Snapshot = {
+    * driver at load time. None only when the zone has NO log at all and
+    * no explicit `gen` was requested — the write-create case; an
+    * explicit `gen` that does not resolve is always an error. */
+  private def snapshotOpt(spark: SparkSession, m: JMap[String, String])
+      : Option[TxLog.Snapshot] = {
     val zone = zoneOf(m)
     Option(m.get("gen")).map(_.toLong) match {
-      case Some(g) => TxLog.snapshotAt(spark, zone, g).getOrElse(
+      case Some(g) => Some(TxLog.snapshotAt(spark, zone, g).getOrElse(
         throw new IllegalArgumentException(
           s"txlog batch table: $zone has no resolvable generation $g " +
-            "(vacuumed, torn, or never committed)"))
-      case None => TxLog.latest(spark, zone).getOrElse(
-        throw new IllegalArgumentException(
-          s"txlog batch table: $zone has no transaction log"))
+            "(vacuumed, torn, or never committed)")))
+      case None => TxLog.latest(spark, zone)
     }
   }
 
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val snap = snapshotOf(spark, options)
-    TxLog.zoneSchema(snap)
-      .getOrElse(TxLog.readSnapshot(spark, zoneOf(options), snap).schema)
+    // a log-less zone infers an EMPTY schema instead of refusing here:
+    // the WRITE paths must get a Table back (the batch writer passes the
+    // input schema as external metadata and never consults this; the
+    // streaming writer probes the table before its v1-sink fallback) —
+    // READS of a log-less zone still refuse with the same
+    // "no transaction log" error, at scan build instead of load
+    snapshotOpt(spark, options) match {
+      case Some(snap) => TxLog.zoneSchema(snap)
+        .getOrElse(TxLog.readSnapshot(spark, zoneOf(options), snap).schema)
+      case None => new StructType()
+    }
   }
 
   // a caller may pass an explicit schema (the streaming side always
@@ -100,20 +112,82 @@ trait TxLogBatchSupport extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val spark = SparkSession.active
+    // WRITES reach here directly with the input query's schema
+    // (supportsExternalMetadata), skipping inferSchema — so a FIRST
+    // write to a log-less zone resolves no snapshot and simply creates
+    // the zone on insert. READS resolve through inferSchema first,
+    // which still refuses a log-less zone loudly at load time.
     new TxLogTable(spark, zoneOf(properties),
-      snapshotOf(spark, properties), schema)
+      snapshotOpt(spark, properties), schema)
   }
 }
 
 final class TxLogTable(spark: SparkSession, zone: String,
-                       snap: TxLog.Snapshot, pinned: StructType)
-    extends Table with SupportsRead {
-  override def name(): String = s"txlog[$zone gen ${snap.gen}]"
+                       snapOpt: Option[TxLog.Snapshot], pinned: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"txlog[$zone gen ${snapOpt.map(_.gen.toString).getOrElse("none")}]"
   override def schema(): StructType = pinned
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // BATCH_WRITE must accompany V1_BATCH_WRITE: DataFrameWriter's v2
+    // routing gates on BATCH_WRITE specifically (a table with only the
+    // V1 fallback capability is sent down the v1 CTAS path, which this
+    // provider does not serve); the write itself still builds a V1Write
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // reads normally can't get here snapshot-less (inferSchema refused),
+    // but a user-supplied READ schema skips inferSchema — same refusal
+    val snap = snapOpt.getOrElse(throw new IllegalArgumentException(
+      s"txlog batch table: $zone has no transaction log"))
     new TxLogScanBuilder(spark, zone, snap, pinned)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TxLogWriteBuilder(spark, zone, info)
+}
+
+/** The BATCH WRITE half of the table: `df.write.format("txlog")
+  * .option("zone", z).mode("append"|"overwrite").save()` lands a new
+  * transactional generation through the exact APIs the library exposes —
+  * [[TxLog.append]] / [[TxLog.replace]] — so a plain-writer user gets
+  * the same OCC publish, delta manifests, checkpoints, and committed
+  * stats as an API caller. Shape: a [[V1Write]] (the public fallback,
+  * same as the read side's V1Scan) whose [[InsertableRelation]] routes
+  * on the truncate flag. `mode("overwrite")` arrives as
+  * OverwriteByExpression(true) and Spark calls `truncate()` — replace;
+  * `mode("append")` → append. A first write to a log-less zone CREATES
+  * it (replace's own semantics; the write path hands this builder the
+  * input schema via external metadata, so no snapshot is needed).
+  * `.option("statsCols", "a,b")` requests committed per-file stats;
+  * without it a zone's previously committed choice is inherited
+  * ([[TxLog]]'s effectiveStatsCols rule). Schema evolution rides
+  * append's own rules because validation ran against the INPUT schema.
+  * ErrorIfExists/Ignore modes are refused by Spark itself for
+  * TableProvider sinks (use append or overwrite) — spec-pinned. */
+final class TxLogWriteBuilder(spark: SparkSession, zone: String,
+                              info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ov: Boolean): Unit = {
+          // CaseInsensitiveStringMap lowercases keys
+          val statsCols = Option(info.options.get("statscols"))
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Nil)
+          if (overwrite || ov)
+            TxLog.replace(spark, zone, data, statsCols = statsCols): Unit
+          else
+            TxLog.append(spark, zone, data, statsCols = statsCols): Unit
+        }
+      }
+  }
 }
 
 /** Receives the plan's predicates and required columns from Spark's

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 
@@ -22,4 +22,19 @@ object StreamBridge {
                          schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Batch view of a v1 `Sink.addBatch` DataFrame. The frame a sink
+    * receives wraps the micro-batch's ALREADY-PLANNED incremental
+    * execution and reports `isStreaming = true` — feeding it to a batch
+    * writer (`df.write`, which every TxLog commit stages through) would
+    * re-analyze a plan with streaming leaves and refuse. The fix is the
+    * one Spark's own ForeachBatchSink uses: lift the planned execution's
+    * RDD into a fresh NON-streaming frame (`queryExecution.toRdd` is a
+    * lazy val on the existing execution, so nothing is re-planned or
+    * recomputed). */
+  def sinkBatchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -247,6 +247,16 @@ class TxLogBatchTableSpec extends SparkSpec {
       s"the plan must show the manifest-served aggregate:\n$plan")
   }
 
+  test("plain SQL COUNT(*) over a registered view is manifest-served too") {
+    val zone = rangeZone()
+    load(zone).createOrReplaceTempView("btbl_cnt_sql")
+    PushdownProbe.clear(s"txlog:$zone")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM btbl_cnt_sql")
+      .as[Long].head() === 100L)
+    assert(PushdownProbe.get(s"txlog:$zone").isEmpty,
+      "the SQL form must take the same zero-data-files path")
+  }
+
   test("COUNT(col) uses the committed null counts; COUNT(*) vs COUNT(col) differ") {
     val zone = freshZone("graft_btbl_cnt")
     // 2 files, tracked column v carries nulls in one of them
@@ -263,6 +273,71 @@ class TxLogBatchTableSpec extends SparkSpec {
       "COUNT(*) counts rows, COUNT(v) skips the committed nulls")
     assert(PushdownProbe.get(s"txlog:$zone").isEmpty,
       "both counts must come from the manifest, not a data scan")
+  }
+
+  test("df.write.format(txlog) mode append lands transactional generations") {
+    val zone = freshZone("graft_btbl_w")
+    // first write CREATES the zone (no prior log needed)
+    spark.range(5L).toDF("k").write.format("txlog")
+      .option("zone", zone).mode("append").save()
+    val g1 = TxLog.latest(spark, zone).get.gen
+    spark.range(5L, 10L).toDF("k").write.format("txlog")
+      .option("zone", zone).mode("append").save()
+    assert(TxLog.latest(spark, zone).get.gen === g1 + 1L,
+      "each writer append must claim exactly one generation")
+    assert(load(zone).as[Long].collect().toSet === (0L until 10L).toSet)
+    // time travel still sees the pre-append state: the writer went
+    // through the same OCC publish as the API
+    assert(spark.read.format("txlog").option("zone", zone)
+      .option("gen", g1).load().as[Long].collect().toSet ===
+      (0L until 5L).toSet)
+  }
+
+  test("mode overwrite replaces; statsCols option commits prunable stats") {
+    val zone = freshZone("graft_btbl_wo")
+    spark.range(100L).toDF("k").repartitionByRange(4, col("k"))
+      .write.format("txlog").option("zone", zone).option("statsCols", "k")
+      .mode("overwrite").save()
+    // the committed stats must be immediately prunable by a plain read
+    val got = load(zone).filter(col("k") < 25L).as[Long].collect().toSet
+    val (served, total) = PushdownProbe.get(s"txlog:$zone").get
+    assert(total === 4L && served <= 2L,
+      s"writer-committed stats must prune: $served/$total")
+    assert(got === (0L until 25L).toSet)
+    // second overwrite replaces content wholesale
+    spark.range(7L).toDF("k").write.format("txlog")
+      .option("zone", zone).mode("overwrite").save()
+    assert(load(zone).as[Long].collect().toSet === (0L until 7L).toSet)
+  }
+
+  test("save(path)/load(path) work as the zone alias") {
+    val zone = freshZone("graft_btbl_wp")
+    spark.range(3L).toDF("k").write.format("txlog").mode("append").save(zone)
+    assert(spark.read.format("txlog").load(zone).as[Long].collect().toSet ===
+      Set(0L, 1L, 2L))
+  }
+
+  test("schema evolution flows through the writer append") {
+    val zone = freshZone("graft_btbl_wevo")
+    spark.range(3L).toDF("k").write.format("txlog")
+      .option("zone", zone).mode("append").save()
+    spark.range(3L, 6L).selectExpr("id AS k", "id * 10 AS extra")
+      .write.format("txlog").option("zone", zone).mode("append").save()
+    val got = load(zone).orderBy("k").as[(Long, Option[Long])].collect().toSeq
+    assert(got === (0L until 6L).map(k =>
+      (k, if (k < 3) None else Some(k * 10))),
+      "writer-path evolution must match the API path's null-fill")
+  }
+
+  test("ErrorIfExists/Ignore modes are refused with guidance toward append/overwrite") {
+    val zone = freshZone("graft_btbl_we")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3L).toDF("k").write.format("txlog")
+        .option("zone", zone).save() // default mode = ErrorIfExists
+    }
+    assert(e.getMessage.toLowerCase.contains("append") ||
+      e.getMessage.toLowerCase.contains("overwrite"),
+      s"the refusal must name the supported modes: ${e.getMessage}")
   }
 
   test("COUNT declines honestly: untracked column, filter, group-by all full-scan") {
