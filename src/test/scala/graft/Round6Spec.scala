@@ -224,6 +224,42 @@ class Round6Spec extends SparkSpec {
     info(s"cell recall at 0.30: ${cell.size}/${exact.size}")
   }
 
+  test("q170 scale knob: more cells = strictly fewer candidate pairs, still a subset") {
+    // The sf3 scale audit's one superlinear finding, pinned as a
+    // contract: cell blocking's candidate count is Σ C(|cell|,2), so at
+    // FIXED k it grows quadratically with the corpus (q170 freezes k=16
+    // only for oracle CTE bit-stability). The deployment knob is k ∝ N —
+    // the operator takes centroids as input, so scaling k needs no code
+    // change. This pins the knob's effect: coarsening the SAME trained
+    // partition to 4 cells multiplies candidates; the 16-cell output
+    // stays a subset of the exact pair relation either way (recall is
+    // the documented IVF tradeoff).
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val c16 = ExtendedQueries.trainedCentroids16(spark, sf0001)
+    val c4 = c16.take(4) // a coarser partition over the same space
+    def candidates(cents: Seq[(Long, Array[Float])]): Long =
+      Similarity.assignToCentroidsLocal(emb, cents)
+        .groupBy("cent_id").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+        .as[Long].head()
+    val (cand4, cand16) = (candidates(c4), candidates(c16))
+    assert(cand16 < cand4,
+      s"16 cells must generate fewer candidates than 4: $cand16 vs $cand4")
+    info(s"candidate pairs: k=4 -> $cand4, k=16 -> $cand16")
+    // coarser cells lose no correctness — only efficiency
+    val exact = Similarity.cosineNearDupPairs(emb, 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.ivfCellNearDupPairs(emb, 0.30, c4).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.get(k).contains(r.getDouble(2)),
+        s"coarse-cell pair $k must still match the exact relation")
+    }
+  }
+
   test("q171: joinNearest tie-breaks — equal distance picks prev; one-sided and none arms") {
     import org.apache.spark.sql.functions._
     import graft.operators.AsOf
