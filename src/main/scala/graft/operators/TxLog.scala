@@ -1498,6 +1498,30 @@ object TxLog {
   def snapshotAt(spark: SparkSession, zone: String, gen: Long): Option[Snapshot] =
     resolveSnapshot(fs(spark, zone), zone, gen)
 
+  /** The newest snapshot whose commit LANDED at or before `tsMillis`,
+    * by manifest-file modification time — the same commit clock the
+    * torn-manifest grace window and vacuum already trust, and the same
+    * rule Delta's timestamp time travel uses (the filesystem stamps the
+    * commit; no clock rides in the manifest body). Candidate
+    * generations are tried newest-first so a torn corpse at the cutoff
+    * falls through to the newest RESOLVABLE commit. None when no commit
+    * existed that early (callers distinguish "zone too young" from
+    * "zone has no log"). Within-retention only, like [[snapshotAt]]:
+    * a vacuumed generation's files are gone regardless of what the log
+    * remembers. */
+  def snapshotAsOf(spark: SparkSession, zone: String,
+                   tsMillis: Long): Option[Snapshot] = {
+    val f = fs(spark, zone)
+    val dir = logDirPath(zone)
+    if (!f.exists(dir)) return None
+    val gens = f.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.startsWith("gen-") &&
+        st.getModificationTime <= tsMillis)
+      .flatMap(st => pathGen(st.getPath))
+      .sorted(Ordering[Long].reverse)
+    gens.iterator.flatMap(g => snapshotAt(spark, zone, g)).nextOption()
+  }
+
   /** Commit history within retention — Delta's DESCRIBE HISTORY: one row
     * per surviving commit, newest first, with the operation that
     * produced it (every write path stamps `op` into its commit meta),

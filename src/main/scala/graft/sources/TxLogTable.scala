@@ -73,19 +73,44 @@ trait TxLogBatchSupport extends TableProvider {
     z
   }
 
-  /** Head (or `gen`-pinned) snapshot of the zone, resolved on the
-    * driver at load time. None only when the zone has NO log at all and
-    * no explicit `gen` was requested — the write-create case; an
-    * explicit `gen` that does not resolve is always an error. */
+  /** `asOfTimestamp` accepts epoch millis, "yyyy-MM-dd HH:mm:ss[.SSS]",
+    * or a bare date — wall-clock forms read at the SESSION time zone
+    * (the same convention the committed string stats use). */
+  private def asOfMillis(spark: SparkSession, raw: String): Long =
+    scala.util.Try(raw.trim.toLong).getOrElse {
+      val zone = java.time.ZoneId.of(spark.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+      val t = raw.trim
+      val local =
+        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      local.atZone(zone).toInstant.toEpochMilli
+    }
+
+  /** Head, `gen`-pinned, or `asOfTimestamp`-resolved snapshot of the
+    * zone, resolved on the driver at load time. None only when the zone
+    * has NO log at all and neither travel option was given — the
+    * write-create case; an explicit `gen`/`asOfTimestamp` that does not
+    * resolve is always an error. */
   private def snapshotOpt(spark: SparkSession, m: JMap[String, String])
       : Option[TxLog.Snapshot] = {
     val zone = zoneOf(m)
-    Option(m.get("gen")).map(_.toLong) match {
-      case Some(g) => Some(TxLog.snapshotAt(spark, zone, g).getOrElse(
+    val gen = Option(m.get("gen")).map(_.toLong)
+    val asOf = Option(m.get("asOfTimestamp")).orElse(Option(m.get("asoftimestamp")))
+    require(gen.isEmpty || asOf.isEmpty,
+      "txlog batch table: options 'gen' and 'asOfTimestamp' are mutually exclusive")
+    (gen, asOf) match {
+      case (Some(g), _) => Some(TxLog.snapshotAt(spark, zone, g).getOrElse(
         throw new IllegalArgumentException(
           s"txlog batch table: $zone has no resolvable generation $g " +
             "(vacuumed, torn, or never committed)")))
-      case None => TxLog.latest(spark, zone)
+      case (_, Some(raw)) =>
+        val ts = asOfMillis(spark, raw)
+        Some(TxLog.snapshotAsOf(spark, zone, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"txlog batch table: $zone has no generation committed at or " +
+              s"before '$raw' — the zone is younger than the requested time")))
+      case _ => TxLog.latest(spark, zone)
     }
   }
 

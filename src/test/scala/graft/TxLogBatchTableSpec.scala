@@ -275,6 +275,38 @@ class TxLogBatchTableSpec extends SparkSpec {
       "both counts must come from the manifest, not a data scan")
   }
 
+  test("asOfTimestamp time travel resolves by commit time (Delta's mtime rule)") {
+    val zone = freshZone("graft_btbl_asof")
+    TxLog.replace(spark, zone, spark.range(3L).toDF("k"))
+    Thread.sleep(1100) // clear 1s-granularity mtime clocks on both sides
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    TxLog.append(spark, zone, spark.range(3L, 6L).toDF("k"))
+    def asOf(v: String) = spark.read.format("txlog").option("zone", zone)
+      .option("asOfTimestamp", v).load().as[Long].collect().toSet
+    // epoch-millis form: between the two commits → the first generation
+    assert(asOf(between.toString) === Set(0L, 1L, 2L),
+      "a timestamp between commits must read the earlier one")
+    // wall-clock form, session-zone (UTC-pinned suite)
+    val wall = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(between), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(asOf(wall) === Set(0L, 1L, 2L),
+      "the wall-clock string form must resolve at the session time zone")
+    // now → head
+    assert(asOf(System.currentTimeMillis().toString) === (0L until 6L).toSet)
+    // before the zone existed → loud, specific error
+    val e = intercept[IllegalArgumentException] { asOf("2000-01-01") }
+    assert(e.getMessage.contains("younger"),
+      s"too-early travel must say the zone is younger: ${e.getMessage}")
+    // gen and asOfTimestamp together → refused
+    intercept[IllegalArgumentException] {
+      spark.read.format("txlog").option("zone", zone)
+        .option("gen", "0").option("asOfTimestamp", between.toString).load()
+    }
+  }
+
   test("df.write.format(txlog) mode append lands transactional generations") {
     val zone = freshZone("graft_btbl_w")
     // first write CREATES the zone (no prior log needed)
