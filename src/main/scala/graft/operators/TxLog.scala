@@ -1532,23 +1532,32 @@ object TxLog {
     import spark.implicits._
     val f = fs(spark, zone)
     val dir = logDirPath(zone)
-    val rows: Seq[(Long, Long, String, String, Long, Long, Option[Long])] =
+    val rows: Seq[(Long, Long, String, String, Long, Long, Option[Long],
+        java.sql.Timestamp)] =
       if (!f.exists(dir)) Nil
-      else f.listStatus(dir).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("gen-"))
-        .flatMap(p => readCommit(f, p))
-        .sortBy(-_.gen)
-        .map {
-          case FullCommit(s) =>
-            (s.gen, s.baseGen, "full",
-              s.meta.getOrElse("op", ""), s.files.size.toLong, 0L,
-              s.meta.get("batchId").map(_.toLong))
-          case d: DeltaCommit =>
-            (d.gen, d.base, "delta",
-              d.meta.getOrElse("op", ""), d.adds.size.toLong,
-              d.removes.size.toLong, d.meta.get("batchId").map(_.toLong))
+      else f.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith("gen-"))
+        .flatMap(st => readCommit(f, st.getPath)
+          .map(c => (c, st.getModificationTime)))
+        .sortBy(-_._1.gen)
+        .map { case (c, mt) =>
+          // commit_ts is the manifest's mtime — the clock snapshotAsOf's
+          // timestamp travel resolves against, so a history row's time
+          // is exactly what .option("asOfTimestamp", ...) accepts
+          val ts = new java.sql.Timestamp(mt)
+          c match {
+            case FullCommit(s) =>
+              (s.gen, s.baseGen, "full",
+                s.meta.getOrElse("op", ""), s.files.size.toLong, 0L,
+                s.meta.get("batchId").map(_.toLong), ts)
+            case d: DeltaCommit =>
+              (d.gen, d.base, "delta",
+                d.meta.getOrElse("op", ""), d.adds.size.toLong,
+                d.removes.size.toLong, d.meta.get("batchId").map(_.toLong), ts)
+          }
         }
-    rows.toDF("gen", "base", "kind", "op", "num_added", "num_removed", "batch_id")
+    rows.toDF("gen", "base", "kind", "op", "num_added", "num_removed",
+      "batch_id", "commit_ts")
   }
 
   /** RESTORE the zone to a past generation's content, committed as a NEW

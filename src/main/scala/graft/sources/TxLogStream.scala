@@ -132,8 +132,23 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
                             parameters: Map[String, String]): Source = {
     val zone = zoneOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new TxLogSource(sqlContext, zone, fixed,
-      parameters.get("startingGen").map(_.toLong),
+    require(!(parameters.contains("startingGen") &&
+        parameters.contains("startingTimestamp")),
+      "txlog stream source: options 'startingGen' and 'startingTimestamp' " +
+        "are mutually exclusive")
+    // Delta's startingTimestamp: stream every commit that landed AT OR
+    // AFTER the time. startingGen=G means "changes after G", so the
+    // anchor is the newest generation STRICTLY before the timestamp
+    // (mtime <= ts-1 ⇔ mtime < ts). No commit that early → the whole
+    // history is at-or-after the time, which is exactly the DEFAULT
+    // mode's contract (full snapshot first, then diffs) — resolve to
+    // None rather than inventing an anchor.
+    val startGen = parameters.get("startingGen").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").flatMap { raw =>
+        val ts = asOfMillis(sqlContext.sparkSession, raw)
+        TxLog.snapshotAsOf(sqlContext.sparkSession, zone, ts - 1L).map(_.gen)
+      })
+    new TxLogSource(sqlContext, zone, fixed, startGen,
       parameters.get("maxGensPerBatch").map(_.toLong))
   }
 }

@@ -75,8 +75,9 @@ trait TxLogBatchSupport extends TableProvider {
 
   /** `asOfTimestamp` accepts epoch millis, "yyyy-MM-dd HH:mm:ss[.SSS]",
     * or a bare date — wall-clock forms read at the SESSION time zone
-    * (the same convention the committed string stats use). */
-  private def asOfMillis(spark: SparkSession, raw: String): Long =
+    * (the same convention the committed string stats use). Protected:
+    * the streaming provider reuses it for `startingTimestamp`. */
+  protected def asOfMillis(spark: SparkSession, raw: String): Long =
     scala.util.Try(raw.trim.toLong).getOrElse {
       val zone = java.time.ZoneId.of(spark.conf.get(
         "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
