@@ -51,13 +51,16 @@ import graft.operators.TxLog
   * consistent generation even while writers commit — the same isolation
   * [[TxLog.readSnapshot]] gives. Time travel rides the same option
   * surface: `.option("gen", 5)` reads generation 5 (within vacuum
-  * retention), mirroring [[TxLog.snapshotAt]].
+  * retention), mirroring [[TxLog.snapshotAt]]; `.option("asOfTimestamp",
+  * t)` resolves the newest generation committed at or before `t`
+  * ([[TxLog.snapshotAsOf]]'s manifest-mtime clock).
   *
-  * Streaming is untouched: the table declares only BATCH_READ, so
-  * `spark.readStream.format("txlog")` falls back to the v1
-  * [[TxLogStreamProvider.createSource]] path (Spark's DataStreamReader
-  * falls back to v1 when the v2 table lacks a streaming capability) —
-  * one short name, both engines, each on its proper plan integration.
+  * Streaming reads are untouched: the table declares no streaming
+  * capability, so `spark.readStream.format("txlog")` falls back to the
+  * v1 [[TxLogStreamProvider.createSource]] path (and `writeStream` to
+  * [[TxLogStreamProvider.createSink]]) — one short name, batch read,
+  * batch write ([[TxLogWriteBuilder]]), stream read, stream write, each
+  * on its proper plan integration.
   *
   * Reference anchor: the reference's consumers read raw S3 prefixes via
   * Glue jobs (`lib/consumer-components.ts:86-110`) with no statistics to
