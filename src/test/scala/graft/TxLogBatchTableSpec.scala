@@ -275,6 +275,28 @@ class TxLogBatchTableSpec extends SparkSpec {
       "both counts must come from the manifest, not a data scan")
   }
 
+  test("vacuum vs time travel: within retention reads, past retention refuses at load") {
+    val zone = freshZone("graft_btbl_vac")
+    TxLog.replace(spark, zone, spark.range(5L).toDF("k"))
+    val g1 = TxLog.latest(spark, zone).get.gen
+    for (i <- 0 until 4)
+      TxLog.replace(spark, zone, spark.range(5L * (i + 2)).toDF("k"))
+    // pinned-before-vacuum reads the old generation fine
+    assert(spark.read.format("txlog").option("zone", zone)
+      .option("gen", g1).load().count() === 5L)
+    TxLog.vacuum(spark, zone, keepGens = 2, graceMs = 0L)
+    // past retention: the travel request refuses loudly AT LOAD — the
+    // generation is unresolvable, not silently remapped to a newer one
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("txlog").option("zone", zone)
+        .option("gen", g1).load()
+    }
+    assert(e.getMessage.contains("no resolvable generation"),
+      s"vacuumed travel must refuse, got: ${e.getMessage}")
+    // the head keeps reading
+    assert(spark.read.format("txlog").option("zone", zone).load().count() === 25L)
+  }
+
   test("asOfTimestamp time travel resolves by commit time (Delta's mtime rule)") {
     val zone = freshZone("graft_btbl_asof")
     TxLog.replace(spark, zone, spark.range(3L).toDF("k"))
