@@ -34,6 +34,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the lake catalog: SQL `CREATE TABLE graft.ns.t`, INSERT, DELETE,
+      // VERSION/TIMESTAMP AS OF over txlog zones out of the box; the
+      // warehouse defaults under spark.sql.warehouse.dir/graft and is
+      // overridden per deployment via spark.sql.catalog.graft.warehouse
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
       // Long drives (a full bench is ~1000 query executions in one JVM)
       // otherwise accumulate per-execution status data — the SQL status

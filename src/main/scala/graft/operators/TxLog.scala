@@ -694,6 +694,107 @@ object TxLog {
       }
     }
 
+  /** CREATE an empty zone: one commit carrying the declared `schema`
+    * (and the stats-column choice) with ZERO data files — the lake form
+    * of `CREATE TABLE`, and what [[graft.sources.GraftCatalog]] runs for
+    * the SQL statement. Unlike [[init]] (which adopts a directory's
+    * existing files) or a replace of an empty frame (which writes a
+    * zero-row part file just to carry the schema), the schema here lives
+    * purely in the log — the zone is immediately a readable generation,
+    * and the first append is an ordinary evolution-checked write.
+    * Refuses a zone that already has a log: create is not an overwrite. */
+  def create(spark: SparkSession, zone: String,
+             schema: org.apache.spark.sql.types.StructType,
+             statsCols: Seq[String] = Nil,
+             format: String = "parquet"): Snapshot = {
+    require(latest(spark, zone).isEmpty,
+      s"txlog create: $zone already has a transaction log")
+    val meta = Map("op" -> "create", "schema" -> schema.json) ++
+      (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(","))
+       else Map.empty)
+    publish(spark, zone, 0L, format, Nil, meta) match {
+      case Some(g) => Snapshot(g, format, Nil, meta)
+      case None => sys.error(
+        s"txlog create of $zone lost the publish race — a rival created it first")
+    }
+  }
+
+  /** META-ONLY commit: publish generation head+1 with the SAME file set
+    * and `updatesFor(head)` folded into the meta — the primitive behind
+    * DDL that changes what the log KNOWS without touching data (ALTER
+    * TABLE ADD COLUMNS' schema evolution, stats-column re-targeting).
+    * O(1) in table size: the delta commit records zero file actions,
+    * only the new meta map. OCC like every commit — `updatesFor` runs
+    * against each attempt's fresh head, so validation always sees the
+    * state it will be applied to. */
+  def commitMeta(spark: SparkSession, zone: String, op: String,
+                 updatesFor: Snapshot => Map[String, String],
+                 maxAttempts: Int = 5): Snapshot = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = latest(spark, zone).getOrElse(sys.error(
+        s"txlog commitMeta($op): $zone has no transaction log"))
+      val m = head.meta ++ updatesFor(head) ++ Map("op" -> op)
+      publish(spark, zone, head.gen + 1, head.format, head.files, m,
+        head.stats, head.colStats, base = Some(head)) match {
+        case Some(g) =>
+          return Snapshot(g, head.format, head.files, m, head.stats,
+            head.colStats, base = head.gen)
+        case None => ()
+      }
+      attempt += 1
+      Thread.sleep(math.min(200L, 10L * attempt))
+    }
+    sys.error(s"txlog commitMeta($op) on $zone conflicted $maxAttempts times")
+  }
+
+  /** ALTER TABLE ADD COLUMNS: append `fields` to the tracked schema in
+    * one meta-only commit — no data file is touched; files written
+    * before the evolution surface the new columns as null through the
+    * log-schema read ([[loadFiles]]), exactly like a column added by an
+    * evolved append. Added columns must be NULLABLE (old files cannot
+    * retroactively carry values) and must not collide case-insensitively
+    * (Spark's resolution). Renames/drops/retypes are deliberately NOT
+    * offered: they would change what existing files mean without
+    * rewriting them — that path is [[replaceCas]] (read, retype,
+    * replace), validated by the write. */
+  def addColumns(spark: SparkSession, zone: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
+    require(fields.nonEmpty, "txlog addColumns: no columns given")
+    commitMeta(spark, zone, "add-columns", head => {
+      val current = zoneSchema(head).getOrElse(
+        if (head.files.nonEmpty) readSnapshot(spark, zone, head).schema
+        else sys.error(s"txlog addColumns: $zone tracks no schema and has " +
+          "no files to infer one from"))
+      val existing = current.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      fields.foreach { fl =>
+        require(fl.nullable, s"txlog addColumns: ${fl.name} must be nullable " +
+          "— files written before the evolution surface null")
+        require(!existing(fl.name.toLowerCase(java.util.Locale.ROOT)),
+          s"txlog addColumns: column ${fl.name} already exists")
+      }
+      Map("schema" ->
+        org.apache.spark.sql.types.StructType(current.fields ++ fields).json)
+    })
+  }
+
+  /** Re-target which columns FUTURE commits collect per-file stats for
+    * (the `stats.cols` choice writes otherwise inherit). Meta-only:
+    * already-committed files keep the stats they have; the next
+    * append/replace/compact stamps the new set. Empty = stop tracking. */
+  def setStatsCols(spark: SparkSession, zone: String,
+                   cols: Seq[String]): Snapshot =
+    commitMeta(spark, zone, "set-stats-cols", head => {
+      val schemaNames = zoneSchema(head).map(_.fieldNames.toSet)
+      cols.foreach { c =>
+        require(schemaNames.forall(_.contains(c)),
+          s"txlog setStatsCols: $c is not a column of the tracked schema")
+      }
+      Map("stats.cols" -> cols.mkString(","))
+    })
+
   /** Read the zone at its newest complete snapshot. A zone without a log
     * is read as a plain directory (migration path). */
   def read(spark: SparkSession, zone: String): DataFrame =
@@ -1435,21 +1536,53 @@ object TxLog {
     * stats for `column` rewrite every file (correct, unpruned). */
   def deleteWhereCol(spark: SparkSession, zone: String, column: String,
                      lo: Any, hi: Any, maxAttempts: Int = 5,
-                     prePublishHook: () => Unit = () => ()): DeleteStats = {
+                     prePublishHook: () => Unit = () => ()): DeleteStats =
+    deleteWhereFiles(spark, zone,
+      head => {
+        val tracked =
+          head.meta.getOrElse("stats.cols", "").split(",").contains(column)
+        if (tracked) prunedFilesFor(head, column, lo, hi) else head.files
+      },
+      df => nativeRangePred(df, column, lo, hi),
+      maxAttempts, prePublishHook)
+
+  /** General OCC rewrite DELETE — [[deleteWhereCol]] with the two
+    * predicate-shaped decisions injected, so ANY predicate source (the
+    * range form above; SQL `DELETE FROM` on the DSv2 table, whose WHERE
+    * clause arrives as translated v1 filters) reuses one rewrite loop:
+    *
+    *  - `touchedFor(head)` names the files the predicate might live in —
+    *    a SUPERSET contract (a file omitted here keeps ALL its rows, so
+    *    an under-approximation would silently not-delete); callers prune
+    *    with committed stats when they can, `head.files` when they
+    *    can't.
+    *  - `pred(touchedDf)` is the EXACT delete predicate over the loaded
+    *    touched files; survivors are its complement. Null-safe by
+    *    Column semantics: a NULL predicate row survives (SQL DELETE
+    *    deletes only rows where the condition is TRUE).
+    *
+    * Each attempt re-reads the head (rivals may have landed), rewrites
+    * survivors into a fresh data dir, and publishes op=delete with the
+    * untouched files carried over — write amplification stays
+    * O(touched), the merge/scrub bound. */
+  def deleteWhereFiles(spark: SparkSession, zone: String,
+                       touchedFor: Snapshot => Seq[String],
+                       pred: DataFrame => org.apache.spark.sql.Column,
+                       maxAttempts: Int = 5,
+                       prePublishHook: () => Unit = () => ()): DeleteStats = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = latest(spark, zone).getOrElse(init(spark, zone))
-      val tracked = head.meta.getOrElse("stats.cols", "").split(",").contains(column)
-      val touched = if (tracked) prunedFilesFor(head, column, lo, hi) else head.files
+      val touched = touchedFor(head)
       val untouchedSet = head.files.toSet -- touched
       if (touched.isEmpty)
         return DeleteStats(head.gen, 0L, head.files.size.toLong, 0L)
       val touchedDf =
         loadFiles(spark, head, touched.map(p => zone.stripSuffix("/") + "/" + p))
-      val survivors = touchedDf.filter(!nativeRangePred(touchedDf, column, lo, hi))
+      val survivors = touchedDf.filter(!pred(touchedDf))
       val deleted = touchedDf.count() - survivors.count()
       val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
       survivors.write.mode(SaveMode.ErrorIfExists).format(head.format)

@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PruneGraftScanColumns)
     ext.injectOptimizerRule(_ => PushLimitIntoGraftScan)
     ext.injectPlannerStrategy(_ => GraftScanStrategy)
+    // maintenance-statement grammar (VACUUM / OPTIMIZE / RESTORE) — the
+    // statements vanilla Spark has no words for; everything else
+    // delegates to the session parser untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

@@ -416,33 +416,23 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
       }
   }
 
-  /** Re-express a pushed filter as a Column over the inner read, so the
-    * NESTED plan pushes it into the parquet scan — row-group min/max
-    * skipping INSIDE each kept file, composing with the manifest-level
-    * file pruning above (the same two-level skip the batch
-    * [[TxLog.readWhereCol]] documents). Exactness is unaffected: the
-    * streaming plan's full Filter still runs above the bridge. */
-  private def toColumn(df: DataFrame, f: sources.Filter)
-      : Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    f match {
-      case sources.EqualTo(c, v)            => Some(col(c) === lit(v))
-      case sources.GreaterThan(c, v)        => Some(col(c) > lit(v))
-      case sources.GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
-      case sources.LessThan(c, v)           => Some(col(c) < lit(v))
-      case sources.LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
-      case sources.In(c, vs)                => Some(col(c).isin(vs.toSeq: _*))
-      case sources.IsNotNull(c)             => Some(col(c).isNotNull)
-      case _                                => None
-    }
-  }
-
-  override def buildRDD(pushed: Seq[sources.Filter],
-                        onPrune: (Long, Long) => Unit): RDD[InternalRow] = {
+  /** The file subset a conjunction of ACCEPTED filters can possibly
+    * touch — each filter's keep-set intersected over `relFiles`
+    * (superset contract per filter, so the intersection is a superset of
+    * the files holding any row matching them all). Shared with the SQL
+    * DELETE path ([[TxLogTable.deleteWhere]]), which needs exactly this
+    * "files a predicate might live in" answer before rewriting. */
+  private[graft] def prunedKeep(pushed: Seq[sources.Filter]): Seq[String] = {
     var keep = relFiles
     pushed.flatMap(keepFor).foreach { overlap =>
       keep = keep.filter(overlap)
     }
+    keep
+  }
+
+  override def buildRDD(pushed: Seq[sources.Filter],
+                        onPrune: (Long, Long) => Unit): RDD[InternalRow] = {
+    var keep = prunedKeep(pushed)
     // the cap composes only with an UNFILTERED scan (the rule guarantees
     // it, and a filtered keep-set's row stats would overcount matching
     // rows — the at-least-n contract could silently break)
@@ -462,7 +452,13 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
                                 keep: Seq[String]): DataFrame = {
     val loaded = TxLog
       .loadFiles(spark, snap, keep.map(p => zone.stripSuffix("/") + "/" + p))
-    val rowGroupSkip = pushed.flatMap(toColumn(loaded, _)).reduceOption(_ && _)
+    // re-express pushed filters over the inner read, so the NESTED plan
+    // pushes them into the parquet scan — row-group min/max skipping
+    // INSIDE each kept file, composing with the manifest-level file
+    // pruning above (the same two-level skip the batch
+    // [[TxLog.readWhereCol]] documents). Exactness is unaffected: the
+    // plan's full Filter still runs above the bridge.
+    val rowGroupSkip = pushed.flatMap(TxLogFilters.toColumn).reduceOption(_ && _)
     val selected = rowGroupSkip.fold(loaded)(loaded.filter)
       .selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
     // cap the inner read too: the file prefix bounds the units opened,

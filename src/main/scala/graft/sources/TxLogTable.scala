@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
@@ -153,7 +153,7 @@ trait TxLogBatchSupport extends TableProvider {
 
 final class TxLogTable(spark: SparkSession, zone: String,
                        snapOpt: Option[TxLog.Snapshot], pinned: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     s"txlog[$zone gen ${snapOpt.map(_.gen.toString).getOrElse("none")}]"
   override def schema(): StructType = pinned
@@ -174,6 +174,37 @@ final class TxLogTable(spark: SparkSession, zone: String,
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TxLogWriteBuilder(spark, zone, info)
+
+  /** SQL `DELETE FROM` (and v2 `TRUNCATE TABLE` via [[SupportsDelete]]'s
+    * AlwaysTrue default): Spark translates the WHERE clause to v1
+    * filters and asks `canDeleteWhere` first — accepted iff EVERY
+    * conjunct has an exact Column re-expression (a partial translation
+    * would delete the wrong rows; Spark raises its standard
+    * cannot-translate error instead). The delete itself is
+    * [[TxLog.deleteWhereFiles]]'s OCC rewrite loop: each attempt prunes
+    * the TOUCHED file set against the head's committed stats through
+    * the same [[TxLogPrunableScan]] the reads use — a keyed scrub
+    * rewrites the key's files, never the zone — and survivors are the
+    * exact predicate's complement. Deletes apply to the zone's CURRENT
+    * head (each attempt re-reads it), not this table's load-time pinned
+    * snapshot — the standard lakehouse DELETE contract; rivals landing
+    * mid-delete abort the publish and the rewrite recomputes. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    TxLogFilters.conjunction(filters.toSeq).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    TxLog.deleteWhereFiles(spark, zone,
+      head => {
+        val scan = TxLogPrunableScan(spark, zone, head, head.files,
+          TxLog.zoneSchema(head).getOrElse(pinned))
+        scan.prunedKeep(filters.toSeq.filter(scan.accepts))
+      },
+      _ => TxLogFilters.conjunction(filters.toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"txlog table: untranslatable DELETE filters ${filters.mkString(", ")} " +
+            "— canDeleteWhere must gate this path")))
+    ()
+  }
 }
 
 /** The BATCH WRITE half of the table: `df.write.format("txlog")

@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+import graft.plans.PushdownProbe
+
+/** The `graft` [[graft.sources.GraftCatalog]]: plain SQL must drive the
+  * whole lake lifecycle — CREATE / CTAS / INSERT / SELECT (with the
+  * manifest's pushdown) / DELETE / TRUNCATE / time travel / metadata
+  * tables / DROP / RENAME / namespaces — resolving to the SAME
+  * [[graft.sources.TxLogTable]] the format-reader path builds. Every
+  * data-affecting statement is cross-checked against the library API
+  * view of the same zone ([[TxLog.read]]), pinning that the catalog is
+  * a face, not a fork. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Isolated catalog instance on a throwaway warehouse (runtime
+    * registration — also proves catalogs need no session restart). The
+    * default `graft` catalog stays untouched for other suites. */
+  private val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    dir
+  }
+
+  private var n = 0
+  /** A fresh table name per test (the warehouse is shared). */
+  private def fresh(): String = { n += 1; s"gcat.lake.t$n" }
+  private def zoneOf(t: String): String =
+    wh + "/" + t.stripPrefix("gcat.").replace('.', '/')
+
+  private def sqlRows(q: String): Set[(Long, String)] =
+    spark.sql(q).as[(Long, String)].collect().toSet
+
+  test("the default session registers the graft catalog") {
+    assert(spark.conf.get("spark.sql.catalog.graft") ===
+      "graft.sources.GraftCatalog")
+  }
+
+  test("CREATE TABLE commits the schema; INSERT INTO lands a transactional append") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    assert(spark.sql(s"SELECT * FROM $t").isEmpty,
+      "a freshly created table is an empty, readable generation")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    assert(sqlRows(s"SELECT k, v FROM $t") === Set((1L, "a"), (2L, "b")))
+    // the catalog is a face over the zone's own log: the API reader
+    // sees the same rows, and the commits are ordinary append/replace
+    assert(TxLog.read(spark, zoneOf(t)).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    val ops = TxLog.history(spark, zoneOf(t))
+      .select("op").as[String].collect().toSet
+    assert(ops.contains("create") && ops.contains("append"),
+      s"create=zero-file schema commit, insert=append; got $ops")
+  }
+
+  test("CTAS carries the query's rows and schema") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(id AS STRING) AS v " +
+      "FROM range(10)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 10L)
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("k", "v"))
+  }
+
+  test("INSERT OVERWRITE replaces the content transactionally") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, 'old' AS v FROM range(5)")
+    spark.sql(s"INSERT OVERWRITE $t SELECT id AS k, 'new' AS v FROM range(3)")
+    assert(sqlRows(s"SELECT k, v FROM $t") ===
+      Set((0L, "new"), (1L, "new"), (2L, "new")))
+  }
+
+  test("SELECT through the catalog gets manifest file pruning + PushedFilters") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES ('statsCols'='k')")
+    spark.range(100L).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .repartitionByRange(4, col("k"))
+      .writeTo(t).append()
+    PushdownProbe.clear(s"txlog:${zoneOf(t)}")
+    val got = spark.sql(s"SELECT k FROM $t WHERE k < 25").as[Long].collect().toSet
+    assert(got === (0L until 25L).toSet)
+    val (served, total) = PushdownProbe.get(s"txlog:${zoneOf(t)}").get
+    assert(total === 4L && served <= 2L,
+      s"catalog reads must prune by committed stats: $served/$total")
+    val plan = spark.sql(s"SELECT k FROM $t WHERE k < 25")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,25)"),
+      s"the catalog scan must surface the pushed predicate:\n$plan")
+  }
+
+  test("COUNT(*) through the catalog is manifest-served: zero data files opened") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('statsCols'='k') " +
+      "AS SELECT id AS k FROM range(100)")
+    PushdownProbe.clear(s"txlog:${zoneOf(t)}")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 100L)
+    assert(PushdownProbe.get(s"txlog:${zoneOf(t)}").isEmpty,
+      "a manifest-served count must not open any data file")
+  }
+
+  test("VERSION AS OF time-travels by generation") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(5)")
+    val g1 = TxLog.latest(spark, zoneOf(t)).get.gen
+    spark.sql(s"INSERT INTO $t SELECT id + 100 AS k FROM range(5)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $g1")
+      .as[Long].head() === 5L, "the pinned generation must exclude the insert")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 999").collect()
+    }
+    assert(e.getMessage.contains("generation"), s"got: ${e.getMessage}")
+  }
+
+  test("TIMESTAMP AS OF resolves by history's commit_ts clock") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(5)")
+    val g1 = TxLog.latest(spark, zoneOf(t)).get.gen
+    Thread.sleep(1100) // separate the two commits on the mtime clock
+    spark.sql(s"INSERT INTO $t SELECT id + 100 AS k FROM range(5)")
+    // the time users travel to is discoverable from the audit surface:
+    // history.commit_ts of g1, rendered at the session zone (UTC)
+    val ts = spark.sql(s"SELECT commit_ts FROM $t.history WHERE gen = $g1")
+      .as[java.sql.Timestamp].head()
+    val lit = java.time.LocalDateTime.ofInstant(ts.toInstant,
+      java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+    assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$lit'")
+      .as[Long].head() === 5L,
+      "traveling to g1's commit time must serve g1")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '1999-01-01'").collect()
+    }
+    assert(e.getMessage.contains("younger"), s"got: ${e.getMessage}")
+  }
+
+  test("DELETE FROM rewrites only stats-overlapping files; rows exact") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES ('statsCols'='k')")
+    spark.range(100L).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS v")
+      .repartitionByRange(4, col("k"))
+      .writeTo(t).append()
+    val filesBefore = TxLog.latest(spark, zoneOf(t)).get.files.size
+    spark.sql(s"DELETE FROM $t WHERE k >= 90 AND v = '0'")
+    val expect = (0L until 100L).filterNot(k => k >= 90 && k % 3 == 0)
+      .map(k => (k, (k % 3).toString)).toSet
+    assert(sqlRows(s"SELECT k, v FROM $t") === expect)
+    // write amplification: the k-range prunes to the top file(s) — the
+    // delete's delta commit must remove fewer files than the zone holds
+    val removed = TxLog.history(spark, zoneOf(t))
+      .filter(col("op") === "delete").select("num_removed").as[Long].head()
+    assert(removed < filesBefore && removed >= 1L,
+      s"stats must bound the rewrite: removed $removed of $filesBefore")
+  }
+
+  test("DELETE FROM with an untranslatable predicate refuses instead of approximating") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(10)")
+    intercept[AnalysisException] {
+      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 10L,
+      "a refused delete must leave the table untouched")
+  }
+
+  test("DELETE FROM without WHERE and TRUNCATE TABLE both empty the table") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(10)")
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 0L)
+    spark.sql(s"INSERT INTO $t SELECT id AS k FROM range(7)")
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 0L)
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("k"),
+      "truncate keeps the schema")
+  }
+
+  test("metadata tables: .history audits commits, .files exposes the prune stats") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT) TBLPROPERTIES ('statsCols'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id AS k FROM range(10)")
+    val hist = spark.sql(s"SELECT gen, op FROM $t.history ORDER BY gen")
+      .as[(Long, String)].collect()
+    assert(hist.map(_._2).toSeq === Seq("create", "append"))
+    val files = spark.sql(
+      s"SELECT file, column, rows, min, max FROM $t.files WHERE column = 'k'")
+      .as[(String, String, Long, String, String)].collect()
+    assert(files.nonEmpty && files.map(_._3).sum === 10L,
+      "the .files stats must account for every committed row")
+    assert(files.forall(r => r._4.toDouble >= 0.0 && r._5.toDouble <= 9.0))
+  }
+
+  test("SHOW TABLES / DROP TABLE / RENAME") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    val listed = spark.sql("SHOW TABLES IN gcat.lake")
+      .select("tableName").as[String].collect().toSet
+    assert(listed.contains(t.split('.').last))
+    val renamed = t + "_r"
+    spark.sql(s"ALTER TABLE $t RENAME TO lake.${renamed.split('.').last}")
+    assert(spark.sql(s"SELECT count(*) FROM $renamed").as[Long].head() === 0L)
+    spark.sql(s"DROP TABLE $renamed")
+    intercept[AnalysisException] { spark.table(renamed).collect() }
+  }
+
+  test("namespaces are directories: CREATE / SHOW / DROP") {
+    spark.sql("CREATE NAMESPACE gcat.scratch")
+    val ns = spark.sql("SHOW NAMESPACES IN gcat")
+      .select("namespace").as[String].collect().toSet
+    assert(ns.contains("scratch"))
+    spark.sql("CREATE TABLE gcat.scratch.x (k BIGINT)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE gcat.scratch") }
+    spark.sql("DROP NAMESPACE gcat.scratch CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gcat")
+      .select("namespace").as[String].collect().toSet.contains("scratch"))
+  }
+
+  test("PARTITIONED BY and duplicate CREATE refuse loudly") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    intercept[Exception] { spark.sql(s"CREATE TABLE $t (k BIGINT)") }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (d)")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a meta-only evolution: old files surface null") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(3)")
+    val filesBefore = TxLog.latest(spark, zoneOf(t)).get.files
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)")
+    assert(TxLog.latest(spark, zoneOf(t)).get.files === filesBefore,
+      "the evolution commit must touch zero data files")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(spark.sql(s"SELECT v FROM $t").as[String].collect()
+      .forall(_ == null), "pre-evolution files surface the new column as null")
+    spark.sql(s"INSERT INTO $t VALUES (9, 'x')")
+    assert(sqlRows(s"SELECT k, v FROM $t WHERE k = 9") === Set((9L, "x")))
+  }
+
+  test("ALTER refuses renames/drops; SET TBLPROPERTIES(statsCols) re-targets stats") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN v") }
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(10)")
+    val statCols = spark.sql(s"SELECT column FROM $t.files")
+      .as[String].collect().toSet
+    assert(statCols.contains("k"),
+      "writes after the property change must collect stats for k")
+    intercept[Exception] { // unknown column refused at the commit
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols'='nope')")
+    }
+  }
+
+  test("cross-entry-point parity: a zone written by the writer API is a catalog table") {
+    val t = fresh()
+    val zone = zoneOf(t)
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.format("txlog").option("zone", zone).mode("append").save()
+    assert(sqlRows(s"SELECT k, v FROM $t") === Set((1L, "x"), (2L, "y")),
+      "no registration step: the log IS the catalog state")
+  }
+}
