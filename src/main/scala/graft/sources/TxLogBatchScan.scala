@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graft.FileSourceBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TxLog
+import graft.plans.PushdownProbe
+
+/** The txlog batch table's SCAN, as a real DSv2 [[Batch]] (one
+  * [[InputPartition]] per kept data file, read with Spark's own
+  * parquet/orc per-file reader via [[FileSourceBridge]]) — replacing the
+  * earlier V1Scan fallback so the scan can participate in RUNTIME
+  * filtering:
+  *
+  * [[SupportsRuntimeV2Filtering]] is the dynamic-partition-pruning hook
+  * for v2 sources. In `SELECT ... FROM fact JOIN dim ON fact.k = dim.k
+  * WHERE dim.region = 'x'`, Spark broadcasts the filtered dim, turns its
+  * join keys into an IN-predicate, and hands it to [[filter]] BEFORE
+  * [[planInputPartitions]] — so the fact zone opens only the files whose
+  * committed k-stats overlap the dim's actual keys. At 100 TB this is
+  * the classic star-join cliff: a compile-time-unknowable key set
+  * pruning the big side's scan at run time, file-granular, from the
+  * manifest — no data file opened to decide. `filterAttributes`
+  * advertises exactly the stats-tracked columns; everything else
+  * declines, and runtime pruning keeps the same SUPERSET contract as
+  * static pruning (the join above the scan still evaluates exactly).
+  *
+  * Static pushdown is unchanged in semantics: `pushed` (accepted
+  * predicates) prunes files at plan time and rides into the file reader
+  * for footer-level row-group skipping inside kept files; `cap`
+  * (pushed limit) keeps its committed-row-count file-prefix rule,
+  * composing only with an unfiltered scan. Both reuse
+  * [[TxLogPrunableScan.keptFiles]] — one pruning implementation across
+  * the streaming hook, the v1 paths, and this batch.
+  *
+  * Scale notes: partitions are whole files (the zone's compaction
+  * targets ~128 MB files, one task each — the same granularity Spark's
+  * own scan would pick at the default maxPartitionBytes); per-file
+  * length/mtime come from one driver `getFileStatus` pass over KEPT
+  * files only (a bytes entry in the committed stats would remove even
+  * that — noted refinement). */
+final case class TxLogBatchScan(spark: SparkSession, zone: String,
+                                snap: TxLog.Snapshot, full: StructType,
+                                required: StructType,
+                                pushed: Array[Filter],
+                                cap: Option[Int] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  /** Runtime (join-driven) filters, set by [[filter]] before Spark
+    * re-plans partitions; not part of the case-class identity (two scans
+    * are exchange-reusable iff their STATIC shape matches). */
+  @transient private var runtime: Seq[Filter] = Nil
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"txlog[$zone gen ${snap.gen}]" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
+      cap.fold("")(n => s" Limit: $n") +
+      (if (runtime.isEmpty) "" else s" RuntimeFilters: [${runtime.mkString(", ")}]")
+
+  private def prunable: TxLogPrunableScan =
+    TxLogPrunableScan(spark, zone, snap, snap.files, full, cap)
+
+  /** Only stats-tracked columns can answer a runtime IN-set from the
+    * manifest; advertising anything else would cost a broadcast wait
+    * with nothing to prune by. Restricted to the scan's OUTPUT
+    * (`required`): Spark resolves these against the pruned relation, so
+    * a projected-away column must not be advertised. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val tracked = snap.meta.getOrElse("stats.cols", "")
+      .split(",").filter(_.nonEmpty).toSet
+    required.fieldNames.filter(tracked).map(Expressions.column)
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val p = prunable
+    runtime = FileSourceBridge.predicatesToV1(predicates).toSeq.filter(p.accepts)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // the limit prefix composes only with a scan NOTHING filters — a
+    // runtime filter arriving after a pushed limit must disable the cap
+    // the same way a static filter blocks its offer
+    val p = if (runtime.nonEmpty) prunable.copy(cap = None) else prunable
+    val keep = p.keptFiles(pushed.toSeq ++ runtime)
+    PushdownProbe.record(s"txlog:$zone", keep.size.toLong, snap.files.size.toLong)
+    PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
+    val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())
+    keep.map { rel =>
+      val st = fs.getFileStatus(new Path(zone.stripSuffix("/") + "/" + rel))
+      TxLogFilePartition(st.getPath.toString, st.getLen,
+        st.getModificationTime): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // evolution-safe: dataSchema is the LOG's schema; files predating an
+    // added column surface it as null, exactly like the v1 read
+    val readFunc = FileSourceBridge.readFunc(spark, snap.format,
+      dataSchema = full, requiredSchema = required,
+      filters = pushed.toSeq ++ runtime)
+    new TxLogReaderFactory(readFunc)
+  }
+}
+
+final case class TxLogFilePartition(path: String, length: Long,
+                                    modTime: Long) extends InputPartition
+
+/** Executor-side: wrap the shipped per-file reader as a
+  * [[PartitionReader]], unwrapping vectorized batches to rows. */
+final class TxLogReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[TxLogFilePartition]
+    val it = FileSourceBridge.rows(readFunc(
+      FileSourceBridge.partitionedFile(fp.path, fp.length, fp.modTime)))
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = it.next()
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -430,15 +430,20 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     keep
   }
 
+  /** The composed keep-set: stats pruning, then (for an UNFILTERED scan
+    * only — a filtered keep-set's row stats would overcount matching
+    * rows and the at-least-n contract could silently break) the limit's
+    * committed-row-count file prefix. The one answer both execution
+    * shapes share: [[buildRDD]]'s nested read and the v2 batch's
+    * [[TxLogBatchScan]] per-file partitions. */
+  private[graft] def keptFiles(pushed: Seq[sources.Filter]): Seq[String] = {
+    val pruned = prunedKeep(pushed)
+    cap.filter(_ => pushed.isEmpty).fold(pruned)(limitPrefix(pruned, _))
+  }
+
   override def buildRDD(pushed: Seq[sources.Filter],
                         onPrune: (Long, Long) => Unit): RDD[InternalRow] = {
-    var keep = prunedKeep(pushed)
-    // the cap composes only with an UNFILTERED scan (the rule guarantees
-    // it, and a filtered keep-set's row stats would overcount matching
-    // rows — the at-least-n contract could silently break)
-    cap.filter(_ => pushed.isEmpty).foreach { n =>
-      keep = limitPrefix(keep, n)
-    }
+    val keep = keptFiles(pushed)
     onPrune(keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", pinned.fieldNames.toSeq)

@@ -34,14 +34,17 @@ import graft.operators.TxLog
   *    the streaming side where the v1 Source boundary hides the plan)
   *    hands it the query's predicates and required columns;
   *  - accepted predicates prune the snapshot's file list against the
-  *    committed per-file stats, and required columns narrow the nested
-  *    parquet read's schema — BOTH reusing [[TxLogPrunableScan]], the
-  *    exact scan the streaming hook runs, so batch and streaming prune
-  *    with one shared implementation;
-  *  - the built [[TxLogBatchScan]] is a [[V1Scan]] (the public fallback
-  *    Spark's own JDBC connector uses), planned as a
-  *    RowDataSourceScanExec whose `PushedFilters: [...]` render in
-  *    `.explain()` — observability for free;
+  *    committed per-file stats, and required columns narrow the file
+  *    read's schema — BOTH reusing [[TxLogPrunableScan]], the exact
+  *    scan the streaming hook runs, so batch and streaming prune with
+  *    one shared implementation;
+  *  - the built [[TxLogBatchScan]] is a real DSv2 [[org.apache.spark
+  *    .sql.connector.read.Batch]] (one partition per kept file, read by
+  *    Spark's own per-file reader) — which makes it a
+  *    `SupportsRuntimeV2Filtering` participant: JOIN-driven dynamic
+  *    pruning hands the scan the broadcast dim's actual keys at run
+  *    time and the manifest drops non-overlapping fact files before any
+  *    is opened (see [[TxLogBatchScan]]'s scaladoc);
   *  - every pushed filter is also RETURNED as a residual, so the full
   *    predicate still evaluates above the scan: pruning is a SUPERSET
   *    contract and results are bit-identical with and without it.
@@ -340,34 +343,9 @@ final class TxLogScanBuilder(spark: SparkSession, zone: String,
 
   override def build(): Scan = aggCounts match {
     case Some(counts) => TxLogCountScan(spark, zone, snap, counts)
-    case None => TxLogBatchScan(spark, zone, snap, required, pushed, cap)
-  }
-}
-
-/** The built scan: a [[V1Scan]], so Spark plans it as a
-  * RowDataSourceScanExec over [[TxLogV1Relation]] — which delegates
-  * straight to the shared [[TxLogPrunableScan]]. */
-final case class TxLogBatchScan(spark: SparkSession, zone: String,
-                                snap: TxLog.Snapshot, required: StructType,
-                                pushed: Array[Filter],
-                                cap: Option[Int] = None) extends V1Scan {
-
-  override def readSchema(): StructType = required
-
-  override def description(): String =
-    s"txlog[$zone gen ${snap.gen}]" +
-      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
-      cap.fold("")(n => s" Limit: $n")
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T = {
-    val base = TxLogPrunableScan(spark, zone, snap, snap.files, required)
-    // withLimit always accepts on this scan; the inner guard keeps the
-    // cap composing only with an unfiltered read (V2ScanRelationPushDown
-    // already guarantees that — a residual Filter blocks the limit offer)
-    val capped = cap.flatMap(base.withLimit)
-      .collect { case t: TxLogPrunableScan => t }.getOrElse(base)
-    new TxLogV1Relation(context, capped, pushed.toSeq).asInstanceOf[T]
+    // the data scan is a real DSv2 Batch ([[TxLogBatchScan]]) so it can
+    // participate in runtime (join-driven) file pruning — see its scaladoc
+    case None => TxLogBatchScan(spark, zone, snap, full, required, pushed, cap)
   }
 }
 
@@ -404,16 +382,3 @@ final class TxLogCountRelation(ctx: SQLContext, schemaV: StructType,
     ctx.sparkContext.parallelize(Seq(Row.fromSeq(counts)), 1)
 }
 
-/** V1 leaf serving the pruned scan. `needConversion = false` declares
-  * the RDD already carries InternalRow (what
-  * [[TxLogPrunableScan.buildRDD]] produces) — the same contract Spark's
-  * built-in relations use, skipping a per-row conversion. */
-final class TxLogV1Relation(ctx: SQLContext, scan: TxLogPrunableScan,
-                            pushed: Seq[Filter])
-    extends BaseRelation with TableScan {
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = scan.pinned
-  override def needConversion: Boolean = false
-  override def buildScan(): RDD[Row] =
-    scan.buildRDD(pushed).asInstanceOf[RDD[Row]]
-}

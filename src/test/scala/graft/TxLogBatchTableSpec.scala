@@ -218,10 +218,10 @@ class TxLogBatchTableSpec extends SparkSpec {
       s"3 rows fit the first committed file: $served/$total")
     assert(got.size === 3 && got.subsetOf(all),
       "the limited read must deliver exactly 3 real rows")
-    // and the cap renders on the scan node for explain readers (Spark's
-    // own RowDataSourceScanExec marker for a DSv2-pushed limit)
+    // and the cap renders on the scan node for explain readers (the
+    // BatchScan leaf prints the scan's description)
     val plan = load(zone).limit(3).queryExecution.executedPlan.toString
-    assert(plan.contains("PushedLimit: LIMIT 3"),
+    assert(plan.contains("Limit: 3"),
       s"the capped scan must say so:\n$plan")
   }
 
