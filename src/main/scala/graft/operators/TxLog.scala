@@ -719,6 +719,54 @@ object TxLog {
     }
   }
 
+  /** Publish a COPY-ON-WRITE group rewrite: drop `removed` (zone-relative
+    * file names) and adopt every file already staged under `dataDir` as
+    * ONE new generation — the commit half of SQL UPDATE / MERGE / rewrite
+    * DELETE ([[graft.sources.TxLogTable]]'s row-level operations), where
+    * Spark computes the touched files' full replacement rows and the
+    * executors have written them. Write amplification is O(touched):
+    * untouched files carry over with their stats; new files get stats
+    * collected under the zone's tracked columns before the publish.
+    *
+    * Concurrency is PINNED, not last-writer-wins: the replacement rows
+    * were computed from the snapshot at `expectedGen`, so a head that
+    * moved mid-statement makes them stale — the staged files are deleted
+    * and [[SnapshotMovedException]] thrown (the caller's statement
+    * fails loudly; rerunning recomputes from the new head). The same
+    * lost-update reasoning as [[replaceCas]]. */
+  def commitRewrite(spark: SparkSession, zone: String, expectedGen: Long,
+                    removed: Seq[String], dataDir: String,
+                    op: String): Snapshot = {
+    val f = fs(spark, zone)
+    val root = f.makeQualified(new Path(zone))
+    val dir = new Path(dataDir)
+    def abortMoved(found: Long): Nothing = {
+      f.delete(dir, true)
+      throw new SnapshotMovedException(zone, expectedGen, found)
+    }
+    val head = latest(spark, zone).getOrElse(sys.error(
+      s"txlog commitRewrite: $zone has no transaction log"))
+    if (head.gen != expectedGen) abortMoved(head.gen)
+    val newFiles = if (f.exists(dir)) listRel(f, root, dir) else Nil
+    val (newStats, newColStats) = collectFileStats(spark, root, dir,
+      head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+    val removedSet = removed.toSet
+    val nextFiles = (head.files.filterNot(removedSet) ++ newFiles).sorted
+    val nextStats = head.stats.filter { case (p, _) => !removedSet(p) } ++ newStats
+    val nextColStats =
+      head.colStats.filter { case (p, _) => !removedSet(p) } ++ newColStats
+    publish(spark, zone, head.gen + 1, head.format, nextFiles,
+      head.meta ++ Map("op" -> op), nextStats, nextColStats,
+      base = Some(head)) match {
+      case Some(g) =>
+        Snapshot(g, head.format, nextFiles, head.meta ++ Map("op" -> op),
+          nextStats, nextColStats, base = head.gen)
+      case None =>
+        // a rival landed between the check and the claim
+        abortMoved(latest(spark, zone).map(_.gen).getOrElse(-1L))
+    }
+  }
+
   /** META-ONLY commit: publish generation head+1 with the SAME file set
     * and `updatesFor(head)` folded into the meta — the primitive behind
     * DDL that changes what the log KNOWS without touching data (ALTER

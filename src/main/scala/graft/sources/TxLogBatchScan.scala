@@ -51,7 +51,8 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
                                 snap: TxLog.Snapshot, full: StructType,
                                 required: StructType,
                                 pushed: Array[Filter],
-                                cap: Option[Int] = None)
+                                cap: Option[Int] = None,
+                                recorder: Option[TxLogFileRecorder] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   /** Runtime (join-driven) filters, set by [[filter]] before Spark
@@ -94,6 +95,9 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
     // the same way a static filter blocks its offer
     val p = if (runtime.nonEmpty) prunable.copy(cap = None) else prunable
     val keep = p.keptFiles(pushed.toSeq ++ runtime)
+    // row-level operations replace exactly the files their scan serves —
+    // last plan wins (Spark re-plans after runtime filters arrive)
+    recorder.foreach(_.record(keep))
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, snap.files.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
     val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())

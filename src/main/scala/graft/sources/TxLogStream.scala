@@ -379,7 +379,10 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
 
   override def accepts(f: sources.Filter): Boolean = f match {
     case sources.In(c, vs) =>
-      tracked(c) && vs.nonEmpty && vs.length <= 64 && vs.forall(fitsKind(c, _))
+      // no size cap: small IN-lists prune per value; big ones (a runtime
+      // join-key set can be thousands) collapse to their [min, max]
+      // range — still superset, O(files) instead of O(files · values)
+      tracked(c) && vs.nonEmpty && vs.forall(fitsKind(c, _))
     case sources.IsNotNull(c) => tracked(c)
     case _ => rangeOf(f) match {
       case Some((c, lo, hi)) if tracked(c) => kindOf(c) match {
@@ -394,13 +397,23 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
 
   /** Files the filter can possibly touch (superset keep-set). */
   private def keepFor(f: sources.Filter): Option[Set[String]] = f match {
-    case sources.In(c, vs) =>
+    case sources.In(c, vs) if vs.length <= 64 =>
       // union of per-value equality overlaps — the event-type IN shape
       // (temporal values go through the same stat render as ranges)
       Some(vs.flatMap { v =>
         val sv = if (numeric(v)) v else statStr(v).getOrElse(v)
         TxLog.prunedFilesFor(snap, c, sv, sv)
       }.toSet)
+    case sources.In(c, vs) =>
+      // big IN (runtime join keys): collapse to the value range — one
+      // O(files) pass; per-value membership still re-checks above
+      if (kindOf(c).contains("num")) {
+        val ds = vs.map(v => new java.math.BigDecimal(v.toString).doubleValue())
+        Some(TxLog.prunedFilesFor(snap, c, ds.min, ds.max).toSet)
+      } else {
+        val ss = vs.map(v => statStr(v).getOrElse(v.toString))
+        Some(TxLog.prunedFilesFor(snap, c, ss.min, ss.max).toSet)
+      }
     case sources.IsNotNull(c) =>
       // null-count skipping: a file whose tracked column is entirely
       // null cannot produce a row ([[TxLog.readWhereNotNull]]'s rule)
@@ -463,7 +476,9 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
     // pruning above (the same two-level skip the batch
     // [[TxLog.readWhereCol]] documents). Exactness is unaffected: the
     // plan's full Filter still runs above the bridge.
-    val rowGroupSkip = pushed.flatMap(TxLogFilters.toColumn).reduceOption(_ && _)
+    val rowGroupSkip = pushed
+      .filter { case sources.In(_, vs) => vs.length <= 64; case _ => true }
+      .flatMap(TxLogFilters.toColumn).reduceOption(_ && _)
     val selected = rowGroupSkip.fold(loaded)(loaded.filter)
       .selectExpr(pinned.fieldNames.map(n => s"`$n`").toSeq: _*)
     // cap the inner read too: the file prefix bounds the units opened,

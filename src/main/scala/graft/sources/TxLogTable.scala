@@ -156,7 +156,19 @@ trait TxLogBatchSupport extends TableProvider {
 
 final class TxLogTable(spark: SparkSession, zone: String,
                        snapOpt: Option[TxLog.Snapshot], pinned: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / rewrite-DELETE — see
+    * [[TxLogRowLevelOperation]]'s contract walk-through. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val snap = snapOpt.getOrElse(throw new IllegalArgumentException(
+      s"txlog table: $zone has no transaction log"))
+    () => new TxLogRowLevelOperation(spark, zone, snap,
+      TxLog.zoneSchema(snap).getOrElse(pinned), info.command())
+  }
   override def name(): String =
     s"txlog[$zone gen ${snapOpt.map(_.gen.toString).getOrElse("none")}]"
   override def schema(): StructType = pinned

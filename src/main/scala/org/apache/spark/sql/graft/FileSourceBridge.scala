@@ -64,4 +64,42 @@ object FileSourceBridge {
 
   def predicatesToV1(predicates: Array[Predicate]): Array[Filter] =
     PredicateUtils.toV1(predicates)
+
+  /** The WRITE half: `FileFormat.prepareWrite` — the exact per-file
+    * writer factory FileFormatWriter ships to executors (compression and
+    * format conf from the session, schema stamped into the job conf).
+    * Returns the serializable factory plus the prepared Hadoop conf the
+    * executor-side TaskAttemptContext must carry (prepareWrite mutates
+    * the job's conf; writers built against a fresh conf would lose the
+    * compression/schema settings). */
+  def writeFactory(spark: SparkSession, format: String,
+                   dataSchema: StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.spark.util.SerializableConfiguration) = {
+    val fmt = format match {
+      case "orc" => new OrcFileFormat()
+      case _     => new ParquetFileFormat()
+    }
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      classic.sessionState.newHadoopConfWithOptions(Map.empty))
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[InternalRow])
+    val factory = fmt.prepareWrite(classic, job, Map.empty, dataSchema)
+    (factory, new org.apache.spark.util.SerializableConfiguration(
+      job.getConfiguration))
+  }
+
+  /** Executor-side TaskAttemptContext for an OutputWriter. */
+  def taskAttemptContext(conf: org.apache.spark.util.SerializableConfiguration,
+                         partitionId: Int, taskId: Long)
+      : org.apache.hadoop.mapreduce.TaskAttemptContext = {
+    val attemptId = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID("graft", 0),
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf.value, attemptId)
+  }
 }
