@@ -736,7 +736,8 @@ object TxLog {
     * lost-update reasoning as [[replaceCas]]. */
   def commitRewrite(spark: SparkSession, zone: String, expectedGen: Long,
                     removed: Seq[String], dataDir: String,
-                    op: String): Snapshot = {
+                    op: String,
+                    onlyFiles: Option[Set[String]] = None): Snapshot = {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val dir = new Path(dataDir)
@@ -747,14 +748,28 @@ object TxLog {
     val head = latest(spark, zone).getOrElse(sys.error(
       s"txlog commitRewrite: $zone has no transaction log"))
     if (head.gen != expectedGen) abortMoved(head.gen)
-    val newFiles = if (f.exists(dir)) listRel(f, root, dir) else Nil
-    val (newStats, newColStats) = collectFileStats(spark, root, dir,
-      head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+    // `onlyFiles` (zone-relative) is the writers' own commit report: a
+    // zombie/speculative task finishing its file AFTER the caller's
+    // orphan sweep must not get that file adopted by a directory listing
+    val newFiles = (if (f.exists(dir)) listRel(f, root, dir) else Nil)
+      .filter(p => onlyFiles.forall(_.contains(p)))
+    // a rewrite can legitimately produce ZERO replacement rows (a DELETE
+    // matching every row of the touched files writes nothing — lazy
+    // writers create no files, possibly not even the dir); reading the
+    // empty/missing dir for stats would throw, so skip collection
+    val (newStats, newColStats) =
+      if (newFiles.isEmpty) (Map.empty[String, (Double, Double)],
+        Map.empty[String, Map[String, ColStat]])
+      else collectFileStats(spark, root, dir,
+        head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
     val removedSet = removed.toSet
+    val newSet = newFiles.toSet
     val nextFiles = (head.files.filterNot(removedSet) ++ newFiles).sorted
-    val nextStats = head.stats.filter { case (p, _) => !removedSet(p) } ++ newStats
+    val nextStats = head.stats.filter { case (p, _) => !removedSet(p) } ++
+      newStats.filter { case (p, _) => newSet(p) }
     val nextColStats =
-      head.colStats.filter { case (p, _) => !removedSet(p) } ++ newColStats
+      head.colStats.filter { case (p, _) => !removedSet(p) } ++
+        newColStats.filter { case (p, _) => newSet(p) }
     publish(spark, zone, head.gen + 1, head.format, nextFiles,
       head.meta ++ Map("op" -> op), nextStats, nextColStats,
       base = Some(head)) match {
@@ -1630,7 +1645,14 @@ object TxLog {
         return DeleteStats(head.gen, 0L, head.files.size.toLong, 0L)
       val touchedDf =
         loadFiles(spark, head, touched.map(p => zone.stripSuffix("/") + "/" + p))
-      val survivors = touchedDf.filter(!pred(touchedDf))
+      // SQL DELETE removes only rows where the condition is TRUE: a
+      // NULL-valued predicate row must SURVIVE. A bare !pred would be
+      // NULL for those rows and filter them out of the survivors —
+      // silently deleting them — so the predicate is coalesced to
+      // false before negation.
+      val survivors = touchedDf.filter(
+        !org.apache.spark.sql.functions.coalesce(pred(touchedDf),
+          org.apache.spark.sql.functions.lit(false)))
       val deleted = touchedDf.count() - survivors.count()
       val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
       survivors.write.mode(SaveMode.ErrorIfExists).format(head.format)

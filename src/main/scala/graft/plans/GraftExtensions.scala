@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushFiltersIntoGraftScan)
     ext.injectOptimizerRule(_ => PruneGraftScanColumns)
     ext.injectOptimizerRule(_ => PushLimitIntoGraftScan)
+    ext.injectOptimizerRule(_ => PushFiltersIntoTxLogStream)
     ext.injectPlannerStrategy(_ => GraftScanStrategy)
     // maintenance-statement grammar (VACUUM / OPTIMIZE / RESTORE) — the
     // statements vanilla Spark has no words for; everything else

@@ -95,10 +95,10 @@ object GraftSqlParser {
     }
 
   /** Resolve a statement target to its zone path: a literal path as-is;
-    * identifier parts through the NAMED catalog's warehouse mapping —
-    * the head part must be a registered [[graft.sources.GraftCatalog]]
-    * (same conf the session's catalog manager instantiates from, so the
-    * statement and a SELECT resolve identically). */
+    * identifier parts through the session's REGISTERED catalog instance
+    * (the exact object SELECT resolves through — never a re-derived
+    * conf mapping, which could diverge if the warehouse conf changed
+    * after the catalog's first use). */
   private[graft] def resolveZone(spark: SparkSession, t: Target): String = t match {
     case Left(path) => path
     case Right(parts) =>
@@ -106,18 +106,18 @@ object GraftSqlParser {
         s"maintenance target '${parts.mkString(".")}' must be " +
           "catalog-qualified (catalog.ns….table) or a quoted zone path")
       val cat = parts.head
-      val cls = spark.conf.getOption(s"spark.sql.catalog.$cat")
-      require(cls.contains(classOf[graft.sources.GraftCatalog].getName),
-        s"'$cat' is not a registered graft catalog " +
-          s"(spark.sql.catalog.$cat=${cls.getOrElse("<unset>")})")
-      val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
-        .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
-          .stripSuffix("/") + "/" + cat)
-      parts.tail.foreach { p =>
-        require(p.nonEmpty && !p.contains("/") && p != "." && p != "..",
-          s"invalid identifier segment '$p'")
+      val plugin =
+        try org.apache.spark.sql.graft.PlanBridge.catalogPlugin(spark, cat)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"'$cat' is not a registered catalog", e)
+        }
+      plugin match {
+        case g: graft.sources.GraftCatalog => g.zonePathOf(parts.tail)
+        case other => throw new IllegalArgumentException(
+          s"'$cat' is not a graft catalog (${other.getClass.getName}) — " +
+            "maintenance statements act on graft tables or quoted zone paths")
       }
-      (wh.stripSuffix("/") +: parts.tail).mkString("/")
   }
 
   private[plans] def attr(name: String, dt: DataType): Attribute =

@@ -100,6 +100,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     parts.foldLeft(new Path(warehouse))(new Path(_, _))
   }
 
+  /** The zone a catalog-relative identifier maps to — exposed for the
+    * maintenance grammar ([[graft.plans.GraftSqlParser]]), which must
+    * resolve through THIS instance's warehouse, never a re-derived one. */
+  private[graft] def zonePathOf(parts: Seq[String]): String =
+    pathOf(parts).toString
+
   private def zonePath(ident: Identifier): Path =
     pathOf(ident.namespace.toSeq :+ ident.name)
 
@@ -121,7 +127,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val zone = zonePath(ident).toString
     val schema = TxLog.zoneSchema(snap)
       .getOrElse(TxLog.readSnapshot(spark, zone, snap).schema)
-    new TxLogTable(spark, zone, Some(snap), schema)
+    // streaming = true: catalog tables serve `spark.readStream.table`
+    // natively (snapshot-then-diffs micro-batches, [[TxLogMicroBatchStream]])
+    new TxLogTable(spark, zone, Some(snap), schema, streaming = true)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -174,6 +182,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if k.equalsIgnoreCase("statscols") ||
           k.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + "statscols") => v }
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    statsCols.foreach { c =>
+      // a typo'd stats column would only surface at the FIRST insert's
+      // stats collection, with a confusing missing-field error — refuse
+      // at the DDL instead (mirrors ALTER's validation)
+      require(schema.fieldNames.contains(c),
+        s"$catName catalog: statsCols '$c' is not a column of the declared schema")
+    }
     // one meta-only commit: the declared schema (and stats-column
     // choice) land in the log with ZERO data files — the zone is
     // immediately a readable generation; CTAS appends the query's rows
@@ -191,7 +206,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = zonePath(ident)
     if (!hasLog(p)) throw new NoSuchTableException(ident)
+    // classify EVERY change before committing ANY — a statement mixing a
+    // supported change with an unsupported one must fail whole, never
+    // half-apply (one combined meta commit below keeps it atomic)
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    var statsCols: Option[Seq[String]] = None
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -207,7 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         adds += Option(add.comment()).fold(f0)(f0.withComment)
       case set: TableChange.SetProperty
           if set.property.equalsIgnoreCase("statscols") =>
-        TxLog.setStatsCols(spark, p.toString,
+        statsCols = Some(
           set.value.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       case other =>
         throw new UnsupportedOperationException(
@@ -216,7 +235,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "the log without changing what committed files mean")
     }
     val fields = adds.result()
-    if (fields.nonEmpty) TxLog.addColumns(spark, p.toString, fields)
+    if (fields.nonEmpty || statsCols.isDefined) {
+      TxLog.commitMeta(spark, p.toString, "alter", head => {
+        val current = TxLog.zoneSchema(head).getOrElse(
+          TxLog.readSnapshot(spark, p.toString, head).schema)
+        val existing = current.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        fields.foreach { fl =>
+          require(!existing(fl.name.toLowerCase(java.util.Locale.ROOT)),
+            s"$catName catalog: column ${fl.name} already exists")
+        }
+        val next =
+          org.apache.spark.sql.types.StructType(current.fields ++ fields)
+        // statsCols validate against the POST-add schema, so one
+        // statement can add a column and start tracking it
+        statsCols.foreach(_.foreach { c =>
+          require(next.fieldNames.contains(c),
+            s"$catName catalog: statsCols '$c' is not a column of the schema")
+        })
+        Map("schema" -> next.json) ++
+          statsCols.map(cs => "stats.cols" -> cs.mkString(",")).toMap
+      })
+    }
     loadTable(ident)
   }
 
@@ -255,8 +295,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           TxLog.history(spark, zone)))
       case "files" =>
         Some(new GraftMetaTable(s"$catName.${ident.toString}", filesDf(zone)))
+      case "detail" =>
+        Some(new GraftMetaTable(s"$catName.${ident.toString}", detailDf(zone)))
       case _ => None
     }
+  }
+
+  /** One-row `DESCRIBE DETAIL` analog: the head's identity and shape. */
+  private def detailDf(zone: String): DataFrame = {
+    val head = TxLog.latest(spark, zone).getOrElse(
+      sys.error(s"$catName catalog: $zone lost its log while resolving .detail"))
+    val s = spark
+    import s.implicits._
+    Seq(GraftCatalog.DetailRow(zone, head.gen, head.format,
+      head.files.size.toLong,
+      TxLog.zoneSchema(head).map(_.json),
+      Option(head.meta.getOrElse("stats.cols", "")).filter(_.nonEmpty),
+      head.meta.get("op"))).toDF()
   }
 
   /** One row per (live file, tracked column) of the HEAD snapshot: the
@@ -333,6 +388,12 @@ object GraftCatalog {
                                kind: Option[String], rows: Option[Long],
                                nulls: Option[Long], min: Option[String],
                                max: Option[String])
+
+  /** Row shape of the `.detail` metadata table. */
+  final case class DetailRow(location: String, gen: Long, format: String,
+                             num_files: Long, schema_json: Option[String],
+                             stats_cols: Option[String],
+                             last_op: Option[String])
 }
 
 /** Read-only metadata table serving a driver-built DataFrame (history /

@@ -116,10 +116,106 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
       filters = pushed.toSeq ++ runtime)
     new TxLogReaderFactory(readFunc)
   }
+
+  /** `spark.readStream.table("graft.ns.t")` — catalog tables stream
+    * natively (the v2 twin of the v1 `TxLogSource`, same semantics:
+    * generation offsets, full snapshot first, then per-commit file
+    * diffs, loudly append-only). The static pushed filters and pruned
+    * columns this scan collected at stream START apply to EVERY
+    * micro-batch's file list and reader — a filtered monitoring
+    * consumer of a catalog table reads matching files only, for the
+    * stream's whole life. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TxLogMicroBatchStream(spark, zone, full, required, pushed, snap.format)
 }
 
 final case class TxLogFilePartition(path: String, length: Long,
                                     modTime: Long) extends InputPartition
+
+/** Generation-number stream offset (the v2 form of the v1 source's
+  * LongOffset; -1 = nothing served yet, so the first batch is the full
+  * snapshot — Delta's snapshot-then-diffs contract). */
+final case class TxLogGenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
+
+/** The v2 micro-batch stream behind catalog-table streaming reads.
+  * Offsets are committed generations; batch (a, b] is the full snapshot
+  * at b when a < 0, otherwise the file DIFF the generations in (a, b]
+  * appended ([[TxLog.appendedFilesBetween]] — loudly append-only, the
+  * same contract the v1 source pins: a compaction inside the window
+  * fails the batch instead of double-counting). Static pushed filters
+  * prune every batch's file list against that batch's committed stats,
+  * and ride into the per-file reader for row-group skipping. Restart
+  * resumes from the checkpoint's committed generation — exactly-once
+  * into an idempotent sink. */
+final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
+                                  full: StructType, required: StructType,
+                                  pushed: Array[Filter],
+                                  /** immutable across the zone's life —
+                                    * resolved once at stream start, so
+                                    * per-trigger reader creation costs no
+                                    * log resolution */
+                                  format: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def head: TxLog.Snapshot =
+    TxLog.latest(spark, zone).getOrElse(sys.error(
+      s"txlog stream: $zone has no transaction log"))
+
+  /** Streaming plans get no V2ScanRelationPushDown, so the query's
+    * filters arrive via [[graft.plans.PushFiltersIntoTxLogStream]]
+    * (optimizer-observed each micro-batch, before partition planning) —
+    * folded into every batch's pruning and reader. Superset contract as
+    * always: the plan's Filter still evaluates above. */
+  @volatile private var static: Seq[Filter] = pushed.toSeq
+  private[graft] def pushStatic(filters: Seq[Filter]): Unit =
+    static = (pushed.toSeq ++ filters).distinct
+
+  override def initialOffset(): Offset = TxLogGenOffset(-1L)
+
+  override def latestOffset(): Offset = TxLogGenOffset(head.gen)
+
+  override def deserializeOffset(json: String): Offset =
+    TxLogGenOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[TxLogGenOffset].gen
+    val to = end.asInstanceOf[TxLogGenOffset].gen
+    if (to <= from && from >= 0L) return Array.empty
+    // one log resolution per batch: the diff call already returns the
+    // window-end snapshot it resolved
+    val (snap, relFiles) =
+      if (from < 0L) {
+        val s = TxLog.snapshotAt(spark, zone, to).getOrElse(sys.error(
+          s"txlog stream: $zone generation $to is gone (vacuumed?) — " +
+            "cannot serve the batch window"))
+        (s, s.files)
+      } else TxLog.appendedFilesBetween(spark, zone, from, to)
+    val p = TxLogPrunableScan(spark, zone, snap, relFiles, full)
+    val keep = p.prunedKeep(static.filter(p.accepts))
+    PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
+    PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
+    val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())
+    keep.map { rel =>
+      val st = fs.getFileStatus(new Path(zone.stripSuffix("/") + "/" + rel))
+      TxLogFilePartition(st.getPath.toString, st.getLen,
+        st.getModificationTime): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TxLogReaderFactory(FileSourceBridge.readFunc(spark, format,
+      dataSchema = full, requiredSchema = required, filters = static))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxLogMicroBatchStream[$zone]"
+}
 
 /** Executor-side: wrap the shipped per-file reader as a
   * [[PartitionReader]], unwrapping vectorized batches to rows. */

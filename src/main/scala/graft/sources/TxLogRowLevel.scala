@@ -123,8 +123,10 @@ final class TxLogRewriteBatchWrite(spark: SparkSession, zone: String,
     val committed = messages.collect {
       case TxLogFileCommit(Some(name)) => name }.toSet
     // drop attempt orphans (a retried task's first file) BEFORE stats
-    // collection reads the staged dir — only committed writers' files
-    // may enter the generation
+    // collection reads the staged dir; the commit additionally adopts
+    // ONLY the committed writers' reported names — a zombie task
+    // landing its file between the sweep and the publish stays
+    // unreferenced (vacuum reclaims it)
     val dir = fs.makeQualified(dataDirPath)
     if (fs.exists(dir)) {
       fs.listStatus(dir).map(_.getPath)
@@ -132,7 +134,8 @@ final class TxLogRewriteBatchWrite(spark: SparkSession, zone: String,
         .foreach(fs.delete(_, false))
     }
     TxLog.commitRewrite(spark, zone, expectedGen,
-      removed = recorder.files.toSeq, dataDir = dir.toString, op = op): Unit
+      removed = recorder.files.toSeq, dataDir = dir.toString, op = op,
+      onlyFiles = Some(committed.map(n => s"$dataDirName/$n"))): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

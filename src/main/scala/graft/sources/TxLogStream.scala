@@ -408,8 +408,13 @@ final case class TxLogPrunableScan(spark: SparkSession, zone: String,
       // big IN (runtime join keys): collapse to the value range — one
       // O(files) pass; per-value membership still re-checks above
       if (kindOf(c).contains("num")) {
-        val ds = vs.map(v => new java.math.BigDecimal(v.toString).doubleValue())
-        Some(TxLog.prunedFilesFor(snap, c, ds.min, ds.max).toSet)
+        // toString.toDouble (prunedFilesFor's own convention) parses
+        // NaN/Infinity where BigDecimal would throw; a NaN key makes
+        // the range meaningless (all comparisons false could wrongly
+        // DROP files) — decline pruning for that filter instead
+        val ds = vs.map(_.toString.toDouble)
+        if (ds.exists(_.isNaN)) None
+        else Some(TxLog.prunedFilesFor(snap, c, ds.min, ds.max).toSet)
       } else {
         val ss = vs.map(v => statStr(v).getOrElse(v.toString))
         Some(TxLog.prunedFilesFor(snap, c, ss.min, ss.max).toSet)

@@ -155,7 +155,15 @@ trait TxLogBatchSupport extends TableProvider {
 }
 
 final class TxLogTable(spark: SparkSession, zone: String,
-                       snapOpt: Option[TxLog.Snapshot], pinned: StructType)
+                       snapOpt: Option[TxLog.Snapshot], pinned: StructType,
+                       /** catalog tables additionally stream natively
+                         * (`spark.readStream.table` → MicroBatchStream);
+                         * the FORMAT path keeps `false` so
+                         * `readStream.format("txlog")` stays on the v1
+                         * source whose option surface (startingGen /
+                         * startingTimestamp / maxGensPerBatch) and
+                         * GraftScan pushdown hook are spec-pinned. */
+                       streaming: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
@@ -172,14 +180,17 @@ final class TxLogTable(spark: SparkSession, zone: String,
   override def name(): String =
     s"txlog[$zone gen ${snapOpt.map(_.gen.toString).getOrElse("none")}]"
   override def schema(): StructType = pinned
-  override def capabilities(): java.util.Set[TableCapability] =
+  override def capabilities(): java.util.Set[TableCapability] = {
     // BATCH_WRITE must accompany V1_BATCH_WRITE: DataFrameWriter's v2
     // routing gates on BATCH_WRITE specifically (a table with only the
     // V1 fallback capability is sent down the v1 CTAS path, which this
     // provider does not serve); the write itself still builds a V1Write
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+    if (streaming) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // reads normally can't get here snapshot-less (inferSchema refused),
     // but a user-supplied READ schema skips inferSchema — same refusal

@@ -27,4 +27,13 @@ object PlanBridge {
   def translateFilter(e: Expression): Option[Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** The session's REGISTERED (and cached) catalog instance — the same
+    * object SELECT resolves through, so maintenance statements and
+    * queries can never disagree about where a table lives (a conf
+    * changed after first use affects neither). */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
 }

@@ -165,6 +165,20 @@ class GraftCatalogSpec extends SparkSpec {
       Set(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("DELETE keeps NULL-predicate rows (SQL deletes only where TRUE)") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, NULL), (3, 'b')")
+    spark.sql(s"DELETE FROM $t WHERE v = 'a'")
+    assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().toSet ===
+      Set(2L, 3L),
+      "the NULL-v row's predicate is NULL, not TRUE — it must survive")
+    // negated form too: v != 'b' is NULL for the NULL row — survives
+    spark.sql(s"DELETE FROM $t WHERE v != 'b'")
+    assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().toSet ===
+      Set(2L, 3L))
+  }
+
   test("DELETE FROM without WHERE and TRUNCATE TABLE both empty the table") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(10)")
@@ -190,6 +204,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(files.nonEmpty && files.map(_._3).sum === 10L,
       "the .files stats must account for every committed row")
     assert(files.forall(r => r._4.toDouble >= 0.0 && r._5.toDouble <= 9.0))
+    val (gen, nf, statsCols) = spark.sql(
+      s"SELECT gen, num_files, stats_cols FROM $t.detail")
+      .as[(Long, Long, String)].head()
+    assert(gen === 1L && nf >= 1L && statsCols === "k",
+      s".detail must describe the head: gen=$gen files=$nf stats=$statsCols")
   }
 
   test("SHOW TABLES / DROP TABLE / RENAME") {
