@@ -52,7 +52,8 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
                                 required: StructType,
                                 pushed: Array[Filter],
                                 cap: Option[Int] = None,
-                                recorder: Option[TxLogFileRecorder] = None)
+                                recorder: Option[TxLogFileRecorder] = None,
+                                streamOpts: TxLogStreamOptions = TxLogStreamOptions())
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   /** Runtime (join-driven) filters, set by [[filter]] before Spark
@@ -127,7 +128,8 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
     * stream's whole life. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TxLogMicroBatchStream(spark, zone, full, required, pushed, snap.format)
+    new TxLogMicroBatchStream(spark, zone, full, required, pushed, snap.format,
+      streamOpts)
 }
 
 final case class TxLogFilePartition(path: String, length: Long,
@@ -158,10 +160,12 @@ final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
                                     * resolved once at stream start, so
                                     * per-trigger reader creation costs no
                                     * log resolution */
-                                  format: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+                                  format: String,
+                                  opts: TxLogStreamOptions = TxLogStreamOptions())
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def head: TxLog.Snapshot =
     TxLog.latest(spark, zone).getOrElse(sys.error(
@@ -176,9 +180,24 @@ final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
   private[graft] def pushStatic(filters: Seq[Filter]): Unit =
     static = (pushed.toSeq ++ filters).distinct
 
-  override def initialOffset(): Offset = TxLogGenOffset(-1L)
+  /** Default mode starts at -1 (first batch = full snapshot);
+    * `startingGen`/`startingTimestamp` = "changes after G" — the exact
+    * contract of the v1 source's options. */
+  override def initialOffset(): Offset =
+    TxLogGenOffset(opts.startGen.getOrElse(-1L))
 
   override def latestOffset(): Offset = TxLogGenOffset(head.gen)
+
+  /** `maxGensPerBatch` backpressure (the A11 rate-limit analog): a
+    * consumer restarted after a long gap catches up in bounded bites —
+    * capping against the checkpoint-committed start can never regress
+    * an offset. The capped first batch is still a CONSISTENT read: the
+    * full snapshot at the capped generation, then diffs. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val h = head.gen
+    val s = start.asInstanceOf[TxLogGenOffset].gen
+    TxLogGenOffset(opts.maxGensPerBatch.fold(h)(m => math.min(h, s + m)))
+  }
 
   override def deserializeOffset(json: String): Offset =
     TxLogGenOffset(json.trim.toLong)

@@ -84,15 +84,7 @@ trait TxLogBatchSupport extends TableProvider {
     * (the same convention the committed string stats use). Protected:
     * the streaming provider reuses it for `startingTimestamp`. */
   protected def asOfMillis(spark: SparkSession, raw: String): Long =
-    scala.util.Try(raw.trim.toLong).getOrElse {
-      val zone = java.time.ZoneId.of(spark.conf.get(
-        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-      val t = raw.trim
-      val local =
-        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
-        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-      local.atZone(zone).toInstant.toEpochMilli
-    }
+    TxLogOptions.asOfMillis(spark, raw)
 
   /** Head, `gen`-pinned, or `asOfTimestamp`-resolved snapshot of the
     * zone, resolved on the driver at load time. None only when the zone
@@ -196,7 +188,8 @@ final class TxLogTable(spark: SparkSession, zone: String,
     // but a user-supplied READ schema skips inferSchema — same refusal
     val snap = snapOpt.getOrElse(throw new IllegalArgumentException(
       s"txlog batch table: $zone has no transaction log"))
-    new TxLogScanBuilder(spark, zone, snap, pinned)
+    new TxLogScanBuilder(spark, zone, snap, pinned,
+      TxLogOptions.streamOptions(spark, zone, options))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TxLogWriteBuilder(spark, zone, info)
@@ -297,8 +290,52 @@ final class TxLogWriteBuilder(spark: SparkSession, zone: String,
   * seconds-truncated session-zone strings) are prune-safe — widening —
   * but not value-exact, and aggregate pushdown must return the exact
   * value or nothing. */
+/** Reader options shared by the v1 stream source and the v2 table path.
+  * `startGen` = "changes after G" (resolved from `startingGen` or
+  * `startingTimestamp`); `maxGensPerBatch` = the backpressure cap. */
+private[graft] final case class TxLogStreamOptions(
+    startGen: Option[Long] = None, maxGensPerBatch: Option[Long] = None)
+
+private[graft] object TxLogOptions {
+
+  /** Epoch millis, "yyyy-MM-dd HH:mm:ss[.SSS]", or a bare date —
+    * wall-clock forms read at the SESSION time zone. */
+  def asOfMillis(spark: SparkSession, raw: String): Long =
+    scala.util.Try(raw.trim.toLong).getOrElse {
+      val zone = java.time.ZoneId.of(spark.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+      val t = raw.trim
+      val local =
+        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      local.atZone(zone).toInstant.toEpochMilli
+    }
+
+  /** The v2 reader's streaming options (CaseInsensitiveStringMap keys are
+    * lowercase) — same semantics as the v1 source's createSource:
+    * `startingTimestamp` anchors on the newest generation STRICTLY
+    * before the time (no commit that early = the default
+    * full-snapshot-then-diffs mode). */
+  def streamOptions(spark: SparkSession, zone: String,
+                    options: CaseInsensitiveStringMap): TxLogStreamOptions = {
+    require(!(options.containsKey("startinggen") &&
+        options.containsKey("startingtimestamp")),
+      "txlog stream: options 'startingGen' and 'startingTimestamp' " +
+        "are mutually exclusive")
+    val startGen = Option(options.get("startinggen")).map(_.toLong)
+      .orElse(Option(options.get("startingtimestamp")).flatMap { raw =>
+        TxLog.snapshotAsOf(spark, zone, asOfMillis(spark, raw) - 1L).map(_.gen)
+      })
+    val maxGens = Option(options.get("maxgensperbatch")).map(_.toLong)
+    require(maxGens.forall(_ >= 1L),
+      s"maxGensPerBatch must be >= 1, got $maxGens")
+    TxLogStreamOptions(startGen, maxGens)
+  }
+}
+
 final class TxLogScanBuilder(spark: SparkSession, zone: String,
-                             snap: TxLog.Snapshot, full: StructType)
+                             snap: TxLog.Snapshot, full: StructType,
+                             streamOpts: TxLogStreamOptions = TxLogStreamOptions())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -368,7 +405,8 @@ final class TxLogScanBuilder(spark: SparkSession, zone: String,
     case Some(counts) => TxLogCountScan(spark, zone, snap, counts)
     // the data scan is a real DSv2 Batch ([[TxLogBatchScan]]) so it can
     // participate in runtime (join-driven) file pruning — see its scaladoc
-    case None => TxLogBatchScan(spark, zone, snap, full, required, pushed, cap)
+    case None => TxLogBatchScan(spark, zone, snap, full, required, pushed,
+      cap, streamOpts = streamOpts)
   }
 }
 

@@ -85,6 +85,31 @@ class TxLogStreamTableSpec extends SparkSpec {
       s"a shared stream with an unfiltered consumer must not prune: $served/$total")
   }
 
+  test("startingGen / maxGensPerBatch options mirror the v1 source's contract") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)")
+    val g1 = TxLog.latest(spark, zoneOf(t)).get.gen
+    spark.sql(s"INSERT INTO $t VALUES (2)")
+    spark.sql(s"INSERT INTO $t VALUES (3)")
+    // changes AFTER g1: the snapshot (1) is skipped
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = spark.readStream
+      .option("startingGen", g1.toString)
+      .option("maxGensPerBatch", "1")
+      .table(t).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("k").as[Long].collect()
+        seen.synchronized { seen ++= rows; if (rows.nonEmpty) batches += 1 }: Unit
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.toSet === Set(2L, 3L),
+      "startingGen streams only the commits after it")
+    assert(batches === 2,
+      s"maxGensPerBatch=1 must deliver one commit per batch, got $batches")
+  }
+
   test("a rewrite inside the stream window fails loudly (append-only contract)") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(10)")
