@@ -825,6 +825,12 @@ object TxLog {
   def addColumns(spark: SparkSession, zone: String,
                  fields: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
     require(fields.nonEmpty, "txlog addColumns: no columns given")
+    // duplicates within ONE call would commit a schema with duplicate
+    // columns — corrupt until manually repaired; the per-field check
+    // below only sees the pre-call schema
+    require(fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
+        .distinct.size == fields.size,
+      s"txlog addColumns: duplicate column names in ${fields.map(_.name)}")
     commitMeta(spark, zone, "add-columns", head => {
       val current = zoneSchema(head).getOrElse(
         if (head.files.nonEmpty) readSnapshot(spark, zone, head).schema

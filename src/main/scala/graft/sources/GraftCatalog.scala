@@ -118,7 +118,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = pathOf(namespace.toSeq)
-    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) {
+      // the root namespace always exists (a fresh catalog's warehouse
+      // dir may simply not be created yet) — SHOW TABLES returns empty,
+      // never SCHEMA_NOT_FOUND
+      if (namespaceExists(namespace)) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(hasLog).map(p => Identifier.of(namespace, p.getName))
   }
@@ -235,6 +241,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "the log without changing what committed files mean")
     }
     val fields = adds.result()
+    require(fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
+        .distinct.size == fields.size,
+      s"$catName catalog: duplicate column names in ADD COLUMNS")
     if (fields.nonEmpty || statsCols.isDefined) {
       TxLog.commitMeta(spark, p.toString, "alter", head => {
         val current = TxLog.zoneSchema(head).getOrElse(

@@ -101,12 +101,7 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
     recorder.foreach(_.record(keep))
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, snap.files.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
-    val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())
-    keep.map { rel =>
-      val st = fs.getFileStatus(new Path(zone.stripSuffix("/") + "/" + rel))
-      TxLogFilePartition(st.getPath.toString, st.getLen,
-        st.getModificationTime): InputPartition
-    }.toArray
+    TxLogBatchScan.filePartitions(spark, zone, keep)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -134,6 +129,31 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
 
 final case class TxLogFilePartition(path: String, length: Long,
                                     modTime: Long) extends InputPartition
+
+object TxLogBatchScan {
+  /** One InputPartition per kept file, with length/mtime from ONE
+    * `listStatus` per parent `d-*` directory instead of one RPC per
+    * file — at the 100 TB/~800k-file scale the difference between a
+    * handful of listing calls and 800k sequential driver HEADs before
+    * any task launches. (A bytes entry in the committed stats would
+    * remove even the listings — noted refinement.) */
+  private[sources] def filePartitions(spark: SparkSession, zone: String,
+                                      keep: Seq[String]): Array[InputPartition] = {
+    if (keep.isEmpty) return Array.empty
+    val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(zone))
+    keep.groupBy { p =>
+      val i = p.lastIndexOf('/'); if (i < 0) "" else p.substring(0, i)
+    }.iterator.flatMap { case (dir, files) =>
+      val base = if (dir.isEmpty) root else new Path(root, dir)
+      val wanted = files.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      fs.listStatus(base).iterator
+        .filter(st => wanted(st.getPath.getName))
+        .map(st => TxLogFilePartition(st.getPath.toString, st.getLen,
+          st.getModificationTime): InputPartition)
+    }.toArray
+  }
+}
 
 /** Generation-number stream offset (the v2 form of the v1 source's
   * LongOffset; -1 = nothing served yet, so the first batch is the full
@@ -191,12 +211,17 @@ final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
   /** `maxGensPerBatch` backpressure (the A11 rate-limit analog): a
     * consumer restarted after a long gap catches up in bounded bites —
     * capping against the checkpoint-committed start can never regress
-    * an offset. The capped first batch is still a CONSISTENT read: the
-    * full snapshot at the capped generation, then diffs. */
+    * an offset. The FIRST offer of a default-mode run is uncapped (the
+    * v1 source's rule, and for the same reason with a second bite:
+    * capping against the -1 sentinel would resolve an ancient
+    * generation that vacuum may have folded away, wedging the stream
+    * before it ever starts — the initial snapshot is one batch by
+    * design). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val h = head.gen
     val s = start.asInstanceOf[TxLogGenOffset].gen
-    TxLogGenOffset(opts.maxGensPerBatch.fold(h)(m => math.min(h, s + m)))
+    if (s < 0L) TxLogGenOffset(h)
+    else TxLogGenOffset(opts.maxGensPerBatch.fold(h)(m => math.min(h, s + m)))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -219,12 +244,7 @@ final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
     val keep = p.prunedKeep(static.filter(p.accepts))
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
-    val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())
-    keep.map { rel =>
-      val st = fs.getFileStatus(new Path(zone.stripSuffix("/") + "/" + rel))
-      TxLogFilePartition(st.getPath.toString, st.getLen,
-        st.getModificationTime): InputPartition
-    }.toArray
+    TxLogBatchScan.filePartitions(spark, zone, keep)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -101,6 +101,12 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
     require(!complete || mergeKey.isEmpty,
       "txlog sink: Complete mode replaces the zone wholesale; " +
         "'mergeKey' applies to append/update modes")
+    // Update mode RE-EMITS each changed key every trigger: appending
+    // those re-emissions silently accumulates stale rows per key. A
+    // keyed upsert is the only append-shaped sink that can absorb them.
+    require(outputMode != OutputMode.Update() || mergeKey.nonEmpty,
+      "txlog sink: Update mode re-emits changed rows — give 'mergeKey' " +
+        "(keyed upsert) or use append/complete")
     new TxLogSink(sqlContext.sparkSession, zone, statsCols, mergeKey, ordCol,
       complete)
   }

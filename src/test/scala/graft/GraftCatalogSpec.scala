@@ -224,6 +224,15 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[AnalysisException] { spark.table(renamed).collect() }
   }
 
+  test("SHOW TABLES on a fresh catalog (no warehouse dir yet) returns empty") {
+    val virgin = java.nio.file.Files.createTempDirectory("graft_virgin")
+      .toString + "/nonexistent"
+    spark.conf.set("spark.sql.catalog.gvirgin", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvirgin.warehouse", virgin)
+    assert(spark.sql("SHOW TABLES IN gvirgin").isEmpty,
+      "the root namespace always exists — empty, never SCHEMA_NOT_FOUND")
+  }
+
   test("namespaces are directories: CREATE / SHOW / DROP") {
     spark.sql("CREATE NAMESPACE gcat.scratch")
     val ns = spark.sql("SHOW NAMESPACES IN gcat")

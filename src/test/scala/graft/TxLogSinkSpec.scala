@@ -119,5 +119,12 @@ class TxLogSinkSpec extends SparkSpec {
       provider.createSink(spark.sqlContext,
         Map("zone" -> "/tmp/x"), Seq("p"), am)
     }
+    intercept[IllegalArgumentException] { // Update mode without mergeKey:
+      // re-emitted changed rows appended per trigger would silently
+      // accumulate stale rows per key
+      provider.createSink(spark.sqlContext,
+        Map("zone" -> "/tmp/x"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
   }
 }

@@ -110,6 +110,25 @@ class TxLogStreamTableSpec extends SparkSpec {
       s"maxGensPerBatch=1 must deliver one commit per batch, got $batches")
   }
 
+  test("default-mode + maxGensPerBatch starts on a vacuumed zone (first offer uncapped)") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    (0 until 6).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i)"))
+    spark.conf.set("spark.graft.vacuum.grace.ms", "0")
+    try spark.sql(s"VACUUM $t RETAIN 2 GENERATIONS")
+    finally spark.conf.unset("spark.graft.vacuum.grace.ms")
+    // capping the FIRST offer against the -1 sentinel would resolve a
+    // folded-away generation and wedge the stream before it starts
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("maxGensPerBatch", "2").table(t)
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.select("k").as[Long].collect() }: Unit
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.toSet === (0L until 6L).toSet,
+      "the initial snapshot must arrive whole despite the cap + vacuum")
+  }
+
   test("a rewrite inside the stream window fails loudly (append-only contract)") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(10)")
