@@ -110,6 +110,37 @@ class TxLogRowLevelSpec extends SparkSpec {
     assert(rows(t) === baseline.filter(_._1 < 90))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE reaches unmatched target rows") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, 'keep' AS v FROM range(5)")
+    spark.range(2L).selectExpr("id AS mk").createOrReplaceTempView("rlo_src2")
+    spark.sql(
+      s"""MERGE INTO $t USING rlo_src2 ON k = mk
+         |WHEN MATCHED THEN UPDATE SET v = 'hit'
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""".stripMargin)
+    assert(rows(t) === Set((0L, "hit"), (1L, "hit"),
+      (2L, "stale"), (3L, "stale"), (4L, "stale")),
+      "unmatched target rows must be reachable by the rewrite")
+  }
+
+  test("commitRewrite aborts loudly when the head moved (pinned-snapshot OCC)") {
+    val t = table()
+    val zone = zoneOf(t)
+    val head = TxLog.latest(spark, zone).get
+    // stage a replacement dir, then simulate a rival: expect a gen the
+    // head has already moved past
+    val staged = zone + "/d-occtest"
+    spark.range(3L).toDF("k").write.parquet(staged)
+    intercept[TxLog.SnapshotMovedException] {
+      TxLog.commitRewrite(spark, zone, expectedGen = head.gen - 1,
+        removed = head.files, dataDir = staged, op = "update")
+    }
+    assert(!new java.io.File(staged).exists(),
+      "an aborted rewrite must delete its staged files")
+    assert(TxLog.latest(spark, zone).get.gen === head.gen,
+      "the zone is untouched by the aborted statement")
+  }
+
   test("row-level results survive a reread through every entry point") {
     val t = table()
     spark.sql(s"UPDATE $t SET v = 'u' WHERE k < 10")
