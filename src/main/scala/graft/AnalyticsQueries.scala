@@ -238,7 +238,7 @@ object AnalyticsQueries {
         import graft.functions.VectorFunctions.cosine
         import org.apache.spark.sql.functions.broadcast
         val emb = Tables.embeddings(s, d)
-        val cents = ExtendedQueries.trainedCentroids16(s, d) // shared deterministic training
+        val cents = ExtendedQueries.trainedCentroids(s, d) // shared deterministic training
         val assigned = Similarity.assignToCentroidsLocal(emb, cents)
           .filter(col("vec_id") =!= 0)
         val qe = emb.filter(col("vec_id") === 0)

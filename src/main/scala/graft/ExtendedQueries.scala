@@ -48,14 +48,6 @@ object ExtendedQueries {
        |    GROUP BY a.cid, t.i) g
        |  GROUP BY cid) mm ON mm.cid = p.cid)""".stripMargin
 
-  /** k=16, 2-round Lloyd's centroids over the embeddings table, trained
-    * ONCE per (session, sf dir) and shared by q69/q140/q153 — the
-    * training is deterministic (seeded by the 16 lowest ids, exact-
-    * decimal means), so every caller gets bit-identical centroids and
-    * reuse changes no result; it just stops re-running the same Lloyd's
-    * iterations three times per inventory pass. Keyed by the session
-    * OBJECT (LRU-bounded — see [[SessionCache]]) so a stopped session's plan
-    * state is never reused and dead sessions are not pinned. */
   /** The q56 near-dup cluster relation (LSH candidates -> exact verify ->
     * connected components over the |pairs| edge list), computed once per
     * (session, sf dir) and shared with q174's resolution step: detection
@@ -73,22 +65,52 @@ object ExtendedQueries {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .localCheckpoint(true))
 
-  private val centCache = new SessionCache[Seq[(Long, Array[Float])]]
-  private[graft] def trainedCentroids16(s: org.apache.spark.sql.SparkSession,
-                                        d: String): Seq[(Long, Array[Float])] =
-    centCache.getOrElseUpdate(s, d)(
-      graft.operators.Similarity.collectCentroids(
-        graft.operators.Similarity.kmeans(Tables.embeddings(s, d),
-          k = 16, iterations = 2)))
+  /** The one adaptive-k formula, shared bit-for-bit by the Spark training
+    * and the oracle CTE: k = max(16, N ÷ 1024) (integer division), N = the
+    * embeddings row count. Cells target ~1024 members, so the pairwise
+    * tiers built on the cell partition (q170 near-dup, q184 SemDeDup) do
+    * Σ|cell|²/2 ≈ N·512 work — LINEAR in N — instead of the N²/2k
+    * quadratic a frozen k produces (round-10 sf3 measured that quadratic
+    * at 35× time for 3× data; this knob is the fix). At the oracle's
+    * sf0.01/sf0.1 sizes (N ≤ 2048·16) the formula floors at the historic
+    * k = 16, so every hash-checked result is unchanged. At true 100 TB
+    * (N ~ 10⁹ → k ~ 10⁶) the driver-resident centroid literal and the
+    * N·k Lloyd's assignment both stop scaling — there one trains on a
+    * consistent sample and assigns through a two-level (coarse→fine)
+    * IVF tree; the formula's job is to keep CELLS bounded, which any
+    * such refinement preserves. */
+  private[graft] def adaptiveK(n: Long): Int = math.max(16L, n / 1024L).toInt
 
-  /** The shared CTE chain: 2 Lloyd's rounds from the 16 lowest-id seeds,
+  /** Adaptive-k, 2-round Lloyd's centroids over the embeddings table,
+    * trained ONCE per (session, sf dir) and shared by every kmeans-family
+    * query (q69/q140/q153/q159/q170/q182/q183/q184/q199) — the training
+    * is deterministic (seeded by the k lowest ids, exact-decimal means),
+    * so every caller gets bit-identical centroids and reuse changes no
+    * result; it just stops re-running the same Lloyd's iterations per
+    * inventory pass. Keyed by the session OBJECT (LRU-bounded — see
+    * [[SessionCache]]) so a stopped session's plan state is never reused
+    * and dead sessions are not pinned. */
+  private val centCache = new SessionCache[Seq[(Long, Array[Float])]]
+  private[graft] def trainedCentroids(s: org.apache.spark.sql.SparkSession,
+                                      d: String): Seq[(Long, Array[Float])] =
+    centCache.getOrElseUpdate(s, d) {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.collectCentroids(
+        graft.operators.Similarity.kmeans(emb,
+          k = adaptiveK(emb.count()), iterations = 2))
+    }
+
+  /** The shared CTE chain: 2 Lloyd's rounds from the k lowest-id seeds
+    * (k = GREATEST(16, N//1024), the [[adaptiveK]] formula rendered in
+    * SQL so both engines derive the same cell count from the same corpus),
     * final assignment, and the query vector — the prefix of every
     * kmeans/IVF oracle (q69, q140). */
   private[graft] val kmeansCtePrefix: String =
     s"""v AS (SELECT vec_id, embedding FROM embeddings),
-       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-       |              embedding AS ce
-       |       FROM v ORDER BY vec_id LIMIT 16),
+       |c0 AS (SELECT cid, ce FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |         embedding AS ce, COUNT(*) OVER () AS n
+       |  FROM v) s0 WHERE cid < GREATEST(16, n // 1024)),
        |a0 AS ${assignSql("c0")},
        |c1 AS ${updateSql("a0", "c0")},
        |a1 AS ${assignSql("c1")},
@@ -836,7 +858,7 @@ object ExtendedQueries {
       (s, d) => {
         import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)
-        val cents = trainedCentroids16(s, d) // shared deterministic training
+        val cents = trainedCentroids(s, d) // shared deterministic training
         val assigned = Similarity.assignToCentroidsLocal(emb, cents)
         val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), cents, query, 10,

@@ -406,7 +406,7 @@ object Round5Queries {
       (s, d) => {
         import graft.operators.Similarity
         val emb = Tables.embeddings(s, d)
-        val cents = ExtendedQueries.trainedCentroids16(s, d) // shared deterministic training
+        val cents = ExtendedQueries.trainedCentroids(s, d) // shared deterministic training
         val assigned = Similarity.assignToCentroidsLocal(emb, cents)
           .filter(col("vec_id") =!= 0)
         val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))

@@ -149,7 +149,7 @@ object Round6Queries {
     Q("q159_knn_join",
       // Batch k-NN JOIN: the 20 lowest-id vectors are the query set, the
       // rest the corpus; every query probes its 3 best IVF cells (the
-      // shared deterministic k=16 training) and takes exact cosine top-5
+      // shared deterministic adaptive-k training) and takes exact cosine top-5
       // inside them. Candidates are a cell equi-join — |q|·nProbe·(n/16)
       // rows, never |q|·n — and the oracle replays the identical probe
       // and ranking arithmetic (rounded cosine, lowest-id ties) over the
@@ -180,7 +180,7 @@ object Round6Queries {
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val corpus = emb.filter(col("vec_id") >= 20)
         Similarity.knnJoinIvf(corpus, queries,
-            ExtendedQueries.trainedCentroids16(s, d), k = 5, nProbe = 3)
+            ExtendedQueries.trainedCentroids(s, d), k = 5, nProbe = 3)
           .orderBy("q_id", "rank")
       }),
 
@@ -642,11 +642,14 @@ object Round6Queries {
     Q("q170_ivf_cell_neardup",
       // The DATA-ADAPTIVE block-first near-dup path beside q143's
       // hyperplane bands: exact cosine pairs within each IVF cell of the
-      // shared deterministic k=16 training (q44/q69/q153 centroids).
-      // Candidates ~ Σ|cell|²/2 — clustered corpora get tight cells
-      // exactly where near-dups live. Output ⊆ q43's exact pairs; the
-      // oracle replays the identical unrolled k-means CTEs, so the cell
-      // partition — and therefore the candidate set — is bit-stable.
+      // shared deterministic ADAPTIVE-k training (q44/q69/q153 centroids;
+      // k = max(16, N/1024) derived identically on both engines —
+      // ExtendedQueries.adaptiveK). Candidates ~ Σ|cell|²/2 with cells
+      // bounded near 1024 rows, so pair work stays LINEAR in the corpus
+      // (round 10 measured the frozen-k=16 form at 35× time for 3× data;
+      // this is that fix). Output ⊆ q43's exact pairs; the oracle replays
+      // the identical unrolled k-means CTEs — including the COUNT(*)-
+      // derived k — so the cell partition and candidate set are bit-stable.
       Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
               |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               |             ROUND(${TrainingQueries.cosOf("a.embedding", "b.embedding")}, 4) AS sim
@@ -655,7 +658,7 @@ object Round6Queries {
               |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.45
               |ORDER BY a_id, b_id""".stripMargin),
       (s, d) => graft.operators.Similarity.ivfCellNearDupPairs(
-          Tables.embeddings(s, d), 0.45, ExtendedQueries.trainedCentroids16(s, d))
+          Tables.embeddings(s, d), 0.45, ExtendedQueries.trainedCentroids(s, d))
         .orderBy("a_id", "b_id")),
 
     Q("q171_asof_nearest",

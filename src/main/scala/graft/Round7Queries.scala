@@ -192,7 +192,7 @@ object Round7Queries {
         val corpus = emb.filter(col("vec_id") >= 20)
         val (mins, maxs) = Similarity.dimMinMax(corpus)
         Similarity.knnJoinIvfInt8(corpus, queries,
-            ExtendedQueries.trainedCentroids16(s, d), mins, maxs,
+            ExtendedQueries.trainedCentroids(s, d), mins, maxs,
             k = 5, nProbe = 3, refine = 20)
           .orderBy("q_id", "rank")
       }),
@@ -336,7 +336,7 @@ object Round7Queries {
               |FROM afinal f LEFT JOIN p ON f.vec_id = p.b_id
               |ORDER BY f.vec_id""".stripMargin),
       (s, d) => Similarity.semDedupKeep(Tables.embeddings(s, d), 0.45,
-          ExtendedQueries.trainedCentroids16(s, d))
+          ExtendedQueries.trainedCentroids(s, d))
         .orderBy("vec_id")),
 
     Q("q185_vocab_oov",

@@ -369,7 +369,7 @@ object Round7bQueries {
               |ORDER BY cid, vec_id""".stripMargin),
       (s, d) => {
         val assigned = graft.operators.Similarity.assignToCentroidsLocal(
-            Tables.embeddings(s, d), ExtendedQueries.trainedCentroids16(s, d))
+            Tables.embeddings(s, d), ExtendedQueries.trainedCentroids(s, d))
           .select(col("cent_id").cast("long").as("cid"), col("vec_id"))
         Skew.topKPerKey(assigned, Seq(col("cid")),
             Seq(md5(col("vec_id").cast("string")), col("vec_id")), k = 5)

@@ -404,9 +404,13 @@ object Similarity {
     * cell join (one |n|-row shuffle), no candidate-sized exchange, and
     * no pair dedup at all — each vector has exactly ONE cell, so a pair
     * can only meet once. Each surviving pair pays one codegen'd cosine,
-    * evaluated join-side. k is the blocking knob: pick k ~ sqrt(n) so
-    * cells stay near sqrt(n) rows; 16 cells on the test corpus keeps the
-    * oracle's unrolled-CTE k-means (q44/q69 machinery) tractable. */
+    * evaluated join-side. k is the blocking knob and must GROW with the
+    * corpus: at fixed k, candidates ~ N²/2k (round 10 measured 35× time
+    * at 3× data with k frozen at 16). The declared q170 path derives
+    * k = max(16, N/1024) from the corpus row count
+    * ([[graft.ExtendedQueries.adaptiveK]], mirrored in the oracle's
+    * k-means CTE), bounding cells near 1024 rows → pair work ~ N·512,
+    * linear. */
   def ivfCellNearDupPairs(vectors: DataFrame, threshold: Double,
                           centroids: Seq[(Long, Array[Float])],
                           idCol: String = "vec_id",

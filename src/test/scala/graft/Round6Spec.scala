@@ -58,7 +58,7 @@ class Round6Spec extends SparkSpec {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions.cosine
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
-    val cents = ExtendedQueries.trainedCentroids16(spark, sf0001)
+    val cents = ExtendedQueries.trainedCentroids(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val corpus = emb.filter(col("vec_id") >= 5)
@@ -214,7 +214,7 @@ class Round6Spec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val exact = pairs(Similarity.cosineNearDupPairs(emb, 0.30))
-    val cents = ExtendedQueries.trainedCentroids16(spark, sf0001)
+    val cents = ExtendedQueries.trainedCentroids(spark, sf0001)
     val cell = pairs(Similarity.ivfCellNearDupPairs(emb, 0.30, cents))
     assert(cell.nonEmpty, "cell blocking found no pairs at 0.30 on the test corpus")
     cell.foreach { case (k, sim) =>
@@ -225,21 +225,21 @@ class Round6Spec extends SparkSpec {
   }
 
   test("q170 scale knob: more cells = strictly fewer candidate pairs, still a subset") {
-    // The sf3 scale audit's one superlinear finding, pinned as a
-    // contract: cell blocking's candidate count is Σ C(|cell|,2), so at
-    // FIXED k it grows quadratically with the corpus (q170 freezes k=16
-    // only for oracle CTE bit-stability). The deployment knob is k ∝ N —
-    // the operator takes centroids as input, so scaling k needs no code
-    // change. This pins the knob's effect: coarsening the SAME trained
-    // partition to 4 cells multiplies candidates; the 16-cell output
-    // stays a subset of the exact pair relation either way (recall is
-    // the documented IVF tradeoff).
+    // The round-10 sf3 scale audit's one superlinear finding, now FIXED
+    // in the declared path: cell blocking's candidate count is
+    // Σ C(|cell|,2), quadratic at FIXED k, so q170's training derives
+    // k = max(16, N/1024) from the corpus (ExtendedQueries.adaptiveK,
+    // rendered identically into the oracle's k-means CTE). This pins the
+    // knob's effect: coarsening the SAME trained partition to 4 cells
+    // multiplies candidates; the 16-cell output stays a subset of the
+    // exact pair relation either way (recall is the documented IVF
+    // tradeoff).
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
     import graft.operators.Similarity
     import graft.sources.Tables
     val emb = Tables.embeddings(spark, sf0001)
-    val c16 = ExtendedQueries.trainedCentroids16(spark, sf0001)
+    val c16 = ExtendedQueries.trainedCentroids(spark, sf0001)
     val c4 = c16.take(4) // a coarser partition over the same space
     def candidates(cents: Seq[(Long, Array[Float])]): Long =
       Similarity.assignToCentroidsLocal(emb, cents)
@@ -459,6 +459,24 @@ class Round6Spec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
       assert(!p.contains("Window"), s"$name plans a window:\n$p")
     }
+  }
+
+  test("adaptive k: formula values, oracle parity at test scale, growth at replica scale") {
+    // Round-11 directive #1: q170's IVF cell count is k = max(16, N/1024),
+    // derived from the corpus on BOTH engines. Pin the formula: at every
+    // oracle scale (N <= 16*1024) it floors at the historic 16 -- so all
+    // hash-checked results are unchanged -- and at the ScaleUp replica
+    // sizes it grows, killing the fixed-k quadratic (sf3 20x measured).
+    import ExtendedQueries.adaptiveK
+    assert(adaptiveK(500L) === 16)    // sf0.001 / sf0.01 embeddings
+    assert(adaptiveK(2000L) === 16)   // sf0.1
+    assert(adaptiveK(16L * 1024L) === 16)  // last floor point
+    assert(adaptiveK(20000L) === 19)  // sf1 replica (x10)
+    assert(adaptiveK(60000L) === 58)  // sf3 replica (x30)
+    // the trained centroid count follows the formula for this corpus
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(ExtendedQueries.trainedCentroids(spark, sf0001).size ===
+      adaptiveK(n))
   }
 
   test("q158: the pinned gen-1 snapshot is isolated from the later append") {
