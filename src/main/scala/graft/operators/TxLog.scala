@@ -73,7 +73,17 @@ object TxLog {
                               * corpse); drives the post-publish fork
                               * check. Manifests written before the field
                               * existed read back as gen-1. */
-                            base: Long = -1L) {
+                            base: Long = -1L,
+                            /** per-file (bytes, mtimeMillis), stamped at
+                              * commit time from the listing the committer
+                              * already does — so scan planning needs ZERO
+                              * per-file FS RPCs (at 800k kept files that
+                              * is the difference between a manifest read
+                              * and 800k sequential driver HEADs).
+                              * Manifests written before the field existed
+                              * read back empty; readers fall back to a
+                              * per-directory listing for uncovered files. */
+                            sizes: Map[String, (Long, Long)] = Map.empty) {
     def resolve(zone: String): Seq[String] =
       files.map(f => zone.stripSuffix("/") + "/" + f)
     def baseGen: Long = if (base >= 0L) base else gen - 1L
@@ -220,7 +230,8 @@ object TxLog {
       adds: Vector[String], removes: Vector[String],
       meta: Map[String, String],
       stats: Map[String, (Double, Double)],
-      colStats: Map[String, Map[String, ColStat]]) extends Commit {
+      colStats: Map[String, Map[String, ColStat]],
+      sizes: Map[String, (Long, Long)] = Map.empty) extends Commit {
     def baseGen: Long = base
   }
 
@@ -279,7 +290,7 @@ object TxLog {
             "a future manifest")
       val kv = body.filterNot(l =>
         l.startsWith("f ") || l.startsWith("m ") || l.startsWith("s ") ||
-          l.startsWith("t ") || l.startsWith("r ")).map { l =>
+          l.startsWith("t ") || l.startsWith("r ") || l.startsWith("b ")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
       val gen = kv("gen").toLong
@@ -305,6 +316,13 @@ object TxLog {
       }.groupBy(_._1).map { case (file, ts) =>
         file -> ts.map(t => t._2 -> t._3).toMap
       }
+      // per-file sizes: "b <relpath>=<bytes>,<mtimeMillis>" — optional
+      // (pre-sizes manifests carry none; readers fall back to listing)
+      val sizes = body.filter(_.startsWith("b ")).map { l =>
+        val i = l.lastIndexOf('=')
+        val Array(len, mt) = l.substring(i + 1).split(",", 2)
+        (l.substring(2, i), (len.toLong, mt.toLong))
+      }.toMap
       val files = body.filter(_.startsWith("f ")).map(_.substring(2))
       val base = kv.get("base").map(_.toLong).getOrElse(-1L)
       if (kv.get("kind").contains("delta")) {
@@ -315,12 +333,12 @@ object TxLog {
             kv.get("rmcount").map(_.toLong).contains(removes.size.toLong) &&
             base >= 0L)
           Some(DeltaCommit(gen, base, kv("format"), files.toVector,
-            removes.toVector, meta, stats, colStats))
+            removes.toVector, meta, stats, colStats, sizes))
         else None
       } else {
         if (kv.get("count").map(_.toLong).contains(files.size.toLong))
           Some(FullCommit(Snapshot(gen, kv("format"), files, meta, stats,
-            colStats, base = base)))
+            colStats, base = base, sizes = sizes)))
         else None
       }
     } catch {
@@ -339,7 +357,7 @@ object TxLog {
     Snapshot(d.gen, d.format,
       (s.files.filterNot(rm) ++ d.adds).distinct.sorted, d.meta,
       (s.stats -- rm) ++ d.stats, (s.colStats -- rm) ++ d.colStats,
-      base = d.base)
+      base = d.base, sizes = (s.sizes -- rm) ++ d.sizes)
   }
 
   /** The complete state at generation `gen`: walk base pointers back
@@ -389,7 +407,7 @@ object TxLog {
         try out.write(manifestBody(delta = false, gen = s.gen,
           base = s.baseGen, format = s.format, files = s.files,
           removes = Nil, meta = s.meta, stats = s.stats,
-          colStats = s.colStats).getBytes("UTF-8"))
+          colStats = s.colStats, sizes = s.sizes).getBytes("UTF-8"))
         finally out.close()
       }
       writePointer(f, zone, s.gen)
@@ -462,7 +480,8 @@ object TxLog {
                            format: String, files: Seq[String],
                            removes: Seq[String], meta: Map[String, String],
                            stats: Map[String, (Double, Double)],
-                           colStats: Map[String, Map[String, ColStat]]): String = {
+                           colStats: Map[String, Map[String, ColStat]],
+                           sizes: Map[String, (Long, Long)] = Map.empty): String = {
     val body = new StringBuilder(Header).append('\n')
       .append("protocol=").append(ProtocolVersion).append('\n')
       .append("gen=").append(gen).append('\n')
@@ -485,6 +504,9 @@ object TxLog {
           .append(st.kind).append(',').append(st.rows).append(',')
           .append(st.nulls).append(',').append(encV(st.min)).append(',')
           .append(encV(st.max)).append('\n') } }
+    sizes.toSeq.sortBy(_._1).foreach { case (file, (len, mt)) =>
+      body.append("b ").append(file).append('=')
+        .append(len).append(',').append(mt).append('\n') }
     files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
     removes.sorted.foreach(fl => body.append("r ").append(fl).append('\n'))
     body.append("end\n")
@@ -541,7 +563,8 @@ object TxLog {
                       meta: Map[String, String] = Map.empty,
                       stats: Map[String, (Double, Double)] = Map.empty,
                       colStats: Map[String, Map[String, ColStat]] = Map.empty,
-                      base: Option[Snapshot] = None): Option[Long] = {
+                      base: Option[Snapshot] = None,
+                      sizes: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       s"manifest meta keys must be =-free and values newline-free: $meta")
@@ -606,15 +629,16 @@ object TxLog {
           val removes = b.files.filterNot(nextSet)
           if (adds.size + removes.size >= files.size)
             manifestBody(delta = false, g, baseGen, format, files, Nil,
-              meta, stats, colStats)
+              meta, stats, colStats, sizes)
           else
             manifestBody(delta = true, g, baseGen, format, adds, removes,
               meta,
               stats.filter { case (k, _) => !baseSet(k) || !b.stats.get(k).contains(stats(k)) },
-              colStats.filter { case (k, _) => !baseSet(k) || !b.colStats.get(k).contains(colStats(k)) })
+              colStats.filter { case (k, _) => !baseSet(k) || !b.colStats.get(k).contains(colStats(k)) },
+              sizes.filter { case (k, _) => !baseSet(k) || !b.sizes.get(k).contains(sizes(k)) })
         case None =>
           manifestBody(delta = false, g, baseGen, format, files, Nil,
-            meta, stats, colStats)
+            meta, stats, colStats, sizes)
       }
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
@@ -643,7 +667,7 @@ object TxLog {
       // and best-effort: a crash here only lengthens chains.
       if (g > 0L && g % CheckpointInterval == 0L)
         writeCheckpoint(f, zone, Snapshot(g, format, files, meta, stats,
-          colStats, base = baseGen))
+          colStats, base = baseGen, sizes = sizes))
       Some(g)
     }
   }
@@ -663,18 +687,36 @@ object TxLog {
 
   /** Zone-relative data files currently under `dir` (one `d-<uuid>`
     * write dir), skipping Spark's _SUCCESS/hidden files. */
-  private def listRel(f: FileSystem, zoneRoot: Path, dir: Path): Seq[String] = {
+  /** Recursive data-file listing under `dir`, zone-relative, WITH each
+    * file's (bytes, mtimeMillis) — the committer already pays this
+    * listing, so stamping sizes into the manifest is free here and saves
+    * every later scan plan a per-file `getFileStatus` pass. */
+  private def listRelInfo(f: FileSystem, zoneRoot: Path, dir: Path)
+      : Seq[(String, (Long, Long))] = {
     val it = f.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Long))]
     val rootUri = zoneRoot.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
       if (!n.startsWith("_") && !n.startsWith("."))
-        buf += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        buf += ((st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+          (st.getLen, st.getModificationTime)))
     }
-    buf.toSeq.sorted
+    buf.toSeq.sortBy(_._1)
   }
+
+  private def listRel(f: FileSystem, zoneRoot: Path, dir: Path): Seq[String] =
+    listRelInfo(f, zoneRoot, dir).map(_._1)
+
+  /** Live bytes of a snapshot: from the committed per-file sizes when
+    * they cover every file (zero FS calls), else one `getFileStatus`
+    * per uncovered file (pre-sizes manifests). */
+  private def committedBytes(f: FileSystem, zone: String, s: Snapshot): Long =
+    s.files.map { rel =>
+      s.sizes.get(rel).map(_._1).getOrElse(
+        f.getFileStatus(new Path(zone.stripSuffix("/") + "/" + rel)).getLen)
+    }.sum
 
   /** Bring an EXISTING plain directory zone under the log: gen 0 is the
     * zone's current recursive data-file listing. No-op if a log exists. */
@@ -682,12 +724,14 @@ object TxLog {
     latest(spark, zone).getOrElse {
       val root = fs(spark, zone).makeQualified(new Path(zone))
       val f = fs(spark, zone)
-      val files =
+      val info =
         if (!f.exists(root)) Seq.empty
-        else listRel(f, root, root).filterNot(_.startsWith(LogDir))
+        else listRelInfo(f, root, root).filterNot(_._1.startsWith(LogDir))
+      val files = info.map(_._1)
+      val sizes = info.toMap
       publish(spark, zone, 0L, format, files,
-        meta = Map("op" -> "init")) match {
-        case Some(g) => Snapshot(g, format, files)
+        meta = Map("op" -> "init"), sizes = sizes) match {
+        case Some(g) => Snapshot(g, format, files, sizes = sizes)
         // lost the init race: someone else published first — read them
         case None => latest(spark, zone).getOrElse(
           sys.error(s"txlog init of $zone lost the publish race"))
@@ -751,8 +795,9 @@ object TxLog {
     // `onlyFiles` (zone-relative) is the writers' own commit report: a
     // zombie/speculative task finishing its file AFTER the caller's
     // orphan sweep must not get that file adopted by a directory listing
-    val newFiles = (if (f.exists(dir)) listRel(f, root, dir) else Nil)
-      .filter(p => onlyFiles.forall(_.contains(p)))
+    val newInfo = (if (f.exists(dir)) listRelInfo(f, root, dir) else Nil)
+      .filter { case (p, _) => onlyFiles.forall(_.contains(p)) }
+    val newFiles = newInfo.map(_._1)
     // a rewrite can legitimately produce ZERO replacement rows (a DELETE
     // matching every row of the touched files writes nothing — lazy
     // writers create no files, possibly not even the dir); reading the
@@ -761,7 +806,8 @@ object TxLog {
       if (newFiles.isEmpty) (Map.empty[String, (Double, Double)],
         Map.empty[String, Map[String, ColStat]])
       else collectFileStats(spark, root, dir,
-        head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+        head.format, head.meta.get("stats.col").filter(_.nonEmpty),
+        effectiveStatsCols(Nil, head.meta), colMap(head.meta))
     val removedSet = removed.toSet
     val newSet = newFiles.toSet
     val nextFiles = (head.files.filterNot(removedSet) ++ newFiles).sorted
@@ -770,12 +816,14 @@ object TxLog {
     val nextColStats =
       head.colStats.filter { case (p, _) => !removedSet(p) } ++
         newColStats.filter { case (p, _) => newSet(p) }
+    val nextSizes =
+      head.sizes.filter { case (p, _) => !removedSet(p) } ++ newInfo.toMap
     publish(spark, zone, head.gen + 1, head.format, nextFiles,
       head.meta ++ Map("op" -> op), nextStats, nextColStats,
-      base = Some(head)) match {
+      base = Some(head), sizes = nextSizes) match {
       case Some(g) =>
         Snapshot(g, head.format, nextFiles, head.meta ++ Map("op" -> op),
-          nextStats, nextColStats, base = head.gen)
+          nextStats, nextColStats, base = head.gen, sizes = nextSizes)
       case None =>
         // a rival landed between the check and the claim
         abortMoved(latest(spark, zone).map(_.gen).getOrElse(-1L))
@@ -792,18 +840,25 @@ object TxLog {
     * state it will be applied to. */
   def commitMeta(spark: SparkSession, zone: String, op: String,
                  updatesFor: Snapshot => Map[String, String],
-                 maxAttempts: Int = 5): Snapshot = {
+                 maxAttempts: Int = 5,
+                 /** optional per-attempt stats transform (RENAME/DROP
+                   * COLUMN re-key the logical-named stat entries in the
+                   * same commit — still zero file actions) */
+                 statsFor: Snapshot => Option[(Map[String, (Double, Double)],
+                   Map[String, Map[String, ColStat]])] = _ => None): Snapshot = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = latest(spark, zone).getOrElse(sys.error(
         s"txlog commitMeta($op): $zone has no transaction log"))
       val m = head.meta ++ updatesFor(head) ++ Map("op" -> op)
+      val (st, cst) = statsFor(head).getOrElse((head.stats, head.colStats))
       publish(spark, zone, head.gen + 1, head.format, head.files, m,
-        head.stats, head.colStats, base = Some(head)) match {
+        st, cst, base = Some(head),
+        sizes = head.sizes) match {
         case Some(g) =>
-          return Snapshot(g, head.format, head.files, m, head.stats,
-            head.colStats, base = head.gen)
+          return Snapshot(g, head.format, head.files, m, st,
+            cst, base = head.gen, sizes = head.sizes)
         case None => ()
       }
       attempt += 1
@@ -818,10 +873,10 @@ object TxLog {
     * log-schema read ([[loadFiles]]), exactly like a column added by an
     * evolved append. Added columns must be NULLABLE (old files cannot
     * retroactively carry values) and must not collide case-insensitively
-    * (Spark's resolution). Renames/drops/retypes are deliberately NOT
-    * offered: they would change what existing files mean without
-    * rewriting them — that path is [[replaceCas]] (read, retype,
-    * replace), validated by the write. */
+    * (Spark's resolution). Renames/drops ride the column-mapping layer
+    * ([[renameColumn]]/[[dropColumn]] — meta-only, name-mapped); a
+    * RETYPE is still a rewrite ([[replaceCas]]: read, retype, replace),
+    * because no mapping can change what committed bytes decode to. */
   def addColumns(spark: SparkSession, zone: String,
                  fields: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
     require(fields.nonEmpty, "txlog addColumns: no columns given")
@@ -844,9 +899,119 @@ object TxLog {
         require(!existing(fl.name.toLowerCase(java.util.Locale.ROOT)),
           s"txlog addColumns: column ${fl.name} already exists")
       }
+      // a name RETIRED by a drop/rename may be re-added, but its bytes
+      // must not resurface from old files: map the new logical name to a
+      // fresh physical name (generation-stamped — unique, deterministic)
+      val used = usedPhysical(head.meta)
+      val cmap = colMap(head.meta)
+      val taken = used ++ cmap.values ++ current.fieldNames
+      val freshEntries = fields.collect {
+        case fl if taken(fl.name) => fl.name -> s"${fl.name}__g${head.gen + 1}"
+      }
+      val mapMeta =
+        if (freshEntries.isEmpty) Map.empty[String, String]
+        else Map("colmap" -> encodeColMap(cmap ++ freshEntries))
       Map("schema" ->
-        org.apache.spark.sql.types.StructType(current.fields ++ fields).json)
+        org.apache.spark.sql.types.StructType(current.fields ++ fields).json) ++
+        mapMeta
     })
+  }
+
+  /** ALTER TABLE RENAME COLUMN, without touching a single data file: the
+    * column's bytes keep their on-disk (physical) name; the commit moves
+    * only the LOGICAL name — new schema, a `colmap` entry pointing the
+    * new name at the old physical, a tombstone so the freed name can
+    * never alias old bytes, and the logical-keyed stat entries re-keyed
+    * in place. Reads at any older generation use that generation's own
+    * mapping, so time travel across the rename shows each era's names.
+    * Top-level fields only. */
+  def renameColumn(spark: SparkSession, zone: String,
+                   from: String, to: String): Snapshot = {
+    require(from != to, s"txlog renameColumn: '$from' -> '$to' is a no-op")
+    def updates(head: Snapshot): Map[String, String] = {
+      val current = zoneSchema(head).getOrElse(sys.error(
+        s"txlog renameColumn: $zone tracks no schema"))
+      require(current.fieldNames.contains(from),
+        s"txlog renameColumn: no column '$from' in ${current.fieldNames.mkString(", ")}")
+      require(!current.fieldNames.exists(n => n != from &&
+          n.equalsIgnoreCase(to)),
+        s"txlog renameColumn: column '$to' already exists")
+      val cmap = colMap(head.meta)
+      val phys = cmap.getOrElse(from, from)
+      val nextMap = (cmap - from) ++
+        (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+      // tombstone the freed LOGICAL name iff it is a physical name some
+      // file actually carries (phys == from when never mapped before)
+      val nextUsed = usedPhysical(head.meta) ++
+        (if (phys == from) Set(from) else Set.empty[String])
+      val newSchema = org.apache.spark.sql.types.StructType(
+        current.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      val statsColMeta = head.meta.get("stats.col") match {
+        case Some(c) if c == from => Map("stats.col" -> to)
+        case _ => Map.empty[String, String]
+      }
+      val statsColsMeta = head.meta.get("stats.cols") match {
+        case Some(cs) if cs.split(",").contains(from) =>
+          Map("stats.cols" -> cs.split(",").map(c =>
+            if (c == from) to else c).mkString(","))
+        case _ => Map.empty[String, String]
+      }
+      Map("schema" -> newSchema.json,
+        "colmap" -> encodeColMap(nextMap),
+        "colmap.used" -> nextUsed.toSeq.sorted.map(encName).mkString(",")) ++
+        statsColMeta ++ statsColsMeta
+    }
+    commitMeta(spark, zone, "rename-column", updates,
+      statsFor = head => Some((head.stats,
+        // stats are LOGICAL-keyed: re-key this column's entries so
+        // pruning keeps working under the new name, same commit
+        head.colStats.map { case (file, perCol) =>
+          file -> perCol.map { case (c, st) =>
+            (if (c == from) to else c) -> st }
+        })))
+  }
+
+  /** ALTER TABLE DROP COLUMN, meta-only: the schema shrinks, the bytes
+    * stay in the files (unread — the log schema is what every read
+    * requests), the physical name is tombstoned so a later re-add can
+    * never resurrect them, and the column's stat entries drop. The LAST
+    * column cannot be dropped. */
+  def dropColumn(spark: SparkSession, zone: String, name: String): Snapshot = {
+    def updates(head: Snapshot): Map[String, String] = {
+      val current = zoneSchema(head).getOrElse(sys.error(
+        s"txlog dropColumn: $zone tracks no schema"))
+      require(current.fieldNames.contains(name),
+        s"txlog dropColumn: no column '$name' in ${current.fieldNames.mkString(", ")}")
+      require(current.fields.length > 1,
+        s"txlog dropColumn: cannot drop the last column '$name'")
+      val cmap = colMap(head.meta)
+      val phys = cmap.getOrElse(name, name)
+      val nextUsed = usedPhysical(head.meta) + phys
+      val newSchema = org.apache.spark.sql.types.StructType(
+        current.fields.filterNot(_.name == name))
+      val statsColMeta: Map[String, String] =
+        if (head.meta.get("stats.col").contains(name)) Map.empty
+        else head.meta.get("stats.col").map("stats.col" -> _).toMap
+      val statsColsMeta = head.meta.get("stats.cols") match {
+        case Some(cs) if cs.split(",").contains(name) =>
+          Map("stats.cols" -> cs.split(",").filterNot(_ == name).mkString(","))
+        case _ => Map.empty[String, String]
+      }
+      // NB: meta is MERGED (head.meta ++ updates), so a dropped stats.col
+      // must be erased via the sentinel below, not by omission
+      Map("schema" -> newSchema.json,
+        "colmap" -> encodeColMap(cmap - name),
+        "colmap.used" -> nextUsed.toSeq.sorted.map(encName).mkString(",")) ++
+        statsColMeta ++ statsColsMeta ++
+        (if (head.meta.get("stats.col").contains(name))
+           Map("stats.col" -> "") else Map.empty)
+    }
+    val snap = commitMeta(spark, zone, "drop-column", updates,
+      statsFor = head => Some((
+        if (head.meta.get("stats.col").contains(name)) Map.empty
+        else head.stats,
+        head.colStats.map { case (file, perCol) => file -> (perCol - name) })))
+    snap
   }
 
   /** Re-target which columns FUTURE commits collect per-file stats for
@@ -891,16 +1056,88 @@ object TxLog {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // ---- column mapping (RENAME/DROP without rewriting data) ------------------
+
+  /** Column mapping, the Delta/Iceberg name-mapping idea in its simplest
+    * form: data files keep the column name a field had when it was FIRST
+    * written (its PHYSICAL name, immutable for the file's life); the
+    * manifest's `colmap` meta records `logical -> physical` for every
+    * field whose current (logical) name differs. RENAME COLUMN is then a
+    * meta-only commit (the physical name stays; reads translate), DROP
+    * is a schema shrink, and a column RE-ADDED under a dropped/renamed
+    * name gets a FRESH physical name (`colmap.used` tombstones every
+    * physical name ever retired) so old files' bytes can never resurface
+    * under the new column. Rewrite-everything commits (replace, compact,
+    * OPTIMIZE) write logical names and RESET the mapping — maintenance
+    * normalizes the physical layout for free. Top-level fields only
+    * (nested renames need per-file ID mapping — out of scope). */
+  private[graft] def colMap(meta: Map[String, String]): Map[String, String] =
+    meta.get("colmap").filter(_.nonEmpty).map(_.split(",").iterator.map { p =>
+      val i = p.indexOf(':')
+      (decName(p.substring(0, i)), decName(p.substring(i + 1)))
+    }.toMap).getOrElse(Map.empty)
+
+  private def encodeColMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (l, p) => encName(l) + ":" + encName(p) }
+      .mkString(",")
+
+  /** The encoder, for the catalog's combined ALTER commit (which folds a
+    * fresh-physical ADD into the same meta commit as its statsCols). */
+  private[graft] def encodeColMapPublic(m: Map[String, String]): String =
+    encodeColMap(m)
+
+  /** Physical names no future column may claim: every physical name a
+    * drop or rename retired from its logical slot. */
+  private[graft] def usedPhysical(meta: Map[String, String]): Set[String] =
+    meta.get("colmap.used").filter(_.nonEmpty)
+      .map(_.split(",").iterator.map(decName).toSet).getOrElse(Set.empty)
+
+  private def encName(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decName(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The physical name a logical column's bytes live under. */
+  private[graft] def physicalOf(meta: Map[String, String], logical: String): String =
+    colMap(meta).getOrElse(logical, logical)
+
+  /** The snapshot's schema with every field under its PHYSICAL name —
+    * what the per-file reader must request. */
+  private[graft] def physicalSchema(s: Snapshot)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val m = colMap(s.meta)
+    zoneSchema(s).map { sch =>
+      if (m.isEmpty) sch
+      else org.apache.spark.sql.types.StructType(
+        sch.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    }
+  }
+
+  /** Rename an outgoing frame's columns logical -> physical before the
+    * file write (appends/merges must keep each column's on-disk name
+    * stable across renames so ONE read schema serves every file). */
+  private def toPhysical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty || !df.columns.exists(colmap.contains)) df
+    else df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.col(c)
+        .as(colmap.getOrElse(c, c))).toIndexedSeq: _*)
+
+  private val ColMapMetaKeys = Seq("colmap", "colmap.used")
+
   /** Load data files under a snapshot's tracked schema (Delta-style: the
     * schema lives in the LOG, so an evolved zone never pays per-file
     * footer merging — `mergeSchema` at 100 TB reads every footer on
     * every plan; this reads none). Files written before a column was
     * added simply surface it as null. Falls back to source inference for
-    * pre-tracking zones. */
+    * pre-tracking zones. Under a column mapping the files are requested
+    * by PHYSICAL name and the frame surfaces logical names (a pure
+    * positional rename — zero cost in the plan). */
   private[graft] def loadFiles(spark: SparkSession, s: Snapshot,
                                paths: Seq[String]): DataFrame = {
     val r = spark.read.format(s.format)
-    zoneSchema(s).fold(r)(r.schema).load(paths: _*)
+    val df = physicalSchema(s).fold(r)(r.schema).load(paths: _*)
+    val logical = zoneSchema(s)
+    if (logical.exists(_.fieldNames.toSeq != df.columns.toSeq))
+      df.toDF(logical.get.fieldNames.toIndexedSeq: _*)
+    else df
   }
 
   /** Merge an incoming write's schema into the zone's: matched columns
@@ -954,11 +1191,19 @@ object TxLog {
     * strings order chronologically). */
   private def collectFileStats(spark: SparkSession, root: Path, dataDir: Path,
                                format: String, legacyCol: Option[String],
-                               typedCols: Seq[String])
+                               typedCols: Seq[String],
+                               colmap: Map[String, String] = Map.empty)
       : (Map[String, (Double, Double)], Map[String, Map[String, ColStat]]) = {
     if (legacyCol.isEmpty && typedCols.isEmpty) return (Map.empty, Map.empty)
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
-    val df = spark.read.format(format).load(dataDir.toString)
+    // stats are keyed by LOGICAL column names throughout the manifest;
+    // freshly-written files carry physical names, so surface them
+    // logically before aggregating
+    val dfRaw = spark.read.format(format).load(dataDir.toString)
+    val rev = colmap.map(_.swap)
+    val df =
+      if (rev.isEmpty || !dfRaw.columns.exists(rev.contains)) dfRaw
+      else dfRaw.toDF(dfRaw.columns.map(c => rev.getOrElse(c, c)).toIndexedSeq: _*)
     val kinds = typedCols.map { c =>
       c -> (df.schema(c).dataType match {
         case _: org.apache.spark.sql.types.NumericType => "num"
@@ -1062,12 +1307,29 @@ object TxLog {
     val root = f.makeQualified(new Path(zone))
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
     val head0 = latest(spark, zone).getOrElse(init(spark, zone))
-    df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
-    val added = listRel(f, root, dataDir)
-    val cName = statsCol.orElse(head0.meta.get("stats.col"))
+    // write under PHYSICAL names (stable across renames; a frame column
+    // the mapping doesn't know is new — its physical name IS its name)
+    val cmap = colMap(head0.meta)
+    val used = usedPhysical(head0.meta)
+    if (used.nonEmpty) {
+      // an evolution-append may not claim a RETIRED physical name: old
+      // files still carry those bytes and would resurface under the new
+      // column. ALTER TABLE ADD COLUMNS assigns a fresh physical name.
+      val known = zoneSchema(head0).map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val clash = df.columns.filterNot(known).filter(used)
+      require(clash.isEmpty,
+        s"txlog append: column(s) ${clash.mkString(", ")} reuse a physical " +
+          "name retired by a drop/rename — add them via ALTER TABLE ADD " +
+          "COLUMNS (addColumns), which maps them to a fresh physical name")
+    }
+    toPhysical(df, cmap).write.mode(SaveMode.ErrorIfExists)
+      .format(head0.format).save(dataDir.toString)
+    val addedInfo = listRelInfo(f, root, dataDir)
+    val added = addedInfo.map(_._1)
+    val cName = statsCol.orElse(head0.meta.get("stats.col")).filter(_.nonEmpty)
     val tCols = effectiveStatsCols(statsCols, head0.meta)
     val (addedStats, addedColStats) =
-      collectFileStats(spark, root, dataDir, head0.format, cName, tCols)
+      collectFileStats(spark, root, dataDir, head0.format, cName, tCols, cmap)
     val statsMeta = cName.map(c => Map("stats.col" -> c)).getOrElse(Map.empty) ++
       (if (tCols.nonEmpty) Map("stats.cols" -> tCols.mkString(",")) else Map.empty)
     var attempt = 0
@@ -1093,9 +1355,10 @@ object TxLog {
         (head.files ++ added).distinct.sorted,
         head.meta ++ statsMeta ++ schemaMeta ++ meta ++ Map("op" -> "append"),
         head.stats ++ addedStats, head.colStats ++ addedColStats,
-        base = head.gen)
+        base = head.gen, sizes = head.sizes ++ addedInfo.toMap)
       publish(spark, zone, next.gen, next.format, next.files, next.meta,
-        next.stats, next.colStats, base = Some(head)) match {
+        next.stats, next.colStats, base = Some(head),
+        sizes = next.sizes) match {
         // base stays head.gen even when publish skip-forwarded past a
         // corpse (g > head.gen + 1) — it names the REBASED head, exactly
         // what the on-disk manifest records
@@ -1303,8 +1566,9 @@ object TxLog {
       throw new SnapshotMovedException(zone, eg, head0.gen)
     }
     df.write.mode(SaveMode.ErrorIfExists).format(head0.format).save(dataDir.toString)
-    val files = listRel(f, root, dataDir)
-    val cName = statsCol.orElse(head0.meta.get("stats.col"))
+    val filesInfo = listRelInfo(f, root, dataDir)
+    val files = filesInfo.map(_._1)
+    val cName = statsCol.orElse(head0.meta.get("stats.col")).filter(_.nonEmpty)
     val tCols = effectiveStatsCols(statsCols, head0.meta)
     val (stats, colStats) =
       collectFileStats(spark, root, dataDir, head0.format, cName, tCols)
@@ -1323,13 +1587,15 @@ object TxLog {
       }
       // replace RESETS the tracked schema: every live file is new, so the
       // zone's schema IS the replacement frame's (the retype path the
-      // append-side merge guard points at)
-      val m = head.meta ++ statsMeta ++ Map("schema" -> df.schema.json) ++
-        meta ++ Map("op" -> "replace")
+      // append-side merge guard points at). The column mapping resets
+      // with it — the rewrite wrote logical names everywhere.
+      val m = (head.meta -- ColMapMetaKeys) ++ statsMeta ++
+        Map("schema" -> df.schema.json) ++ meta ++ Map("op" -> "replace")
       publish(spark, zone, head.gen + 1, head.format, files, m, stats,
-        colStats, base = Some(head)) match {
+        colStats, base = Some(head), sizes = filesInfo.toMap) match {
         case Some(g) =>
-          return Snapshot(g, head.format, files, m, stats, colStats, base = head.gen)
+          return Snapshot(g, head.format, files, m, stats, colStats,
+            base = head.gen, sizes = filesInfo.toMap)
         case None => ()
       }
       attempt += 1
@@ -1496,23 +1762,29 @@ object TxLog {
         val newData =
           if (touched.isEmpty) conform(updRows, schema)
           else conform(survivors, schema).unionByName(conform(updRows, schema))
-        newData.write.mode(SaveMode.ErrorIfExists).format(head.format)
+        toPhysical(newData, colMap(head.meta)).write
+          .mode(SaveMode.ErrorIfExists).format(head.format)
           .save(dataDir.toString)
-        val newFiles = listRel(f, root, dataDir)
+        val newInfo = listRelInfo(f, root, dataDir)
+        val newFiles = newInfo.map(_._1)
         val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
-          head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+          head.format, head.meta.get("stats.col").filter(_.nonEmpty),
+          effectiveStatsCols(Nil, head.meta), colMap(head.meta))
         val nextFiles = (head.files.filter(untouchedSet) ++ newFiles).sorted
         // untouched files keep their committed stats; touched files' entries drop
         val nextStats = head.stats.filter { case (p, _) => untouchedSet(p) } ++ newStats
         val nextColStats =
           head.colStats.filter { case (p, _) => untouchedSet(p) } ++ newColStats
+        val nextSizes =
+          head.sizes.filter { case (p, _) => untouchedSet(p) } ++ newInfo.toMap
         prePublishHook()
         val batchMeta =
           batchId.map(b => Map("batchId" -> b.toString)).getOrElse(Map.empty)
         publish(spark, zone, head.gen + 1, head.format, nextFiles,
           head.meta ++ Map("schema" -> schema.json) ++ batchMeta ++
             Map("op" -> "merge"),
-          nextStats, nextColStats, base = Some(head)) match {
+          nextStats, nextColStats, base = Some(head),
+          sizes = nextSizes) match {
           case Some(g) =>
             return Some(MergeStats(g, touched.size.toLong, head.files.size.toLong,
               updatedRows, insertedRows))
@@ -1661,19 +1933,24 @@ object TxLog {
           org.apache.spark.sql.functions.lit(false)))
       val deleted = touchedDf.count() - survivors.count()
       val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
-      survivors.write.mode(SaveMode.ErrorIfExists).format(head.format)
+      toPhysical(survivors, colMap(head.meta)).write
+        .mode(SaveMode.ErrorIfExists).format(head.format)
         .save(dataDir.toString)
-      val newFiles = listRel(f, root, dataDir)
+      val newInfo = listRelInfo(f, root, dataDir)
+      val newFiles = newInfo.map(_._1)
       val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
-        head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+        head.format, head.meta.get("stats.col").filter(_.nonEmpty),
+        effectiveStatsCols(Nil, head.meta), colMap(head.meta))
       val nextFiles = (head.files.filter(untouchedSet) ++ newFiles).sorted
       val nextStats = head.stats.filter { case (p, _) => untouchedSet(p) } ++ newStats
       val nextColStats =
         head.colStats.filter { case (p, _) => untouchedSet(p) } ++ newColStats
+      val nextSizes =
+        head.sizes.filter { case (p, _) => untouchedSet(p) } ++ newInfo.toMap
       prePublishHook()
       publish(spark, zone, head.gen + 1, head.format, nextFiles,
         head.meta ++ Map("op" -> "delete"),
-        nextStats, nextColStats, base = Some(head)) match {
+        nextStats, nextColStats, base = Some(head), sizes = nextSizes) match {
         case Some(g) =>
           return DeleteStats(g, touched.size.toLong, head.files.size.toLong, deleted)
         case None =>
@@ -1789,16 +2066,20 @@ object TxLog {
       val head = latest(spark, zone).getOrElse(init(spark, zone))
       if (head.gen == gen) return head // restoring to the head is a no-op
       // carry the head's operational meta (e.g. the streaming batchId
-      // high-water mark) but the TARGET's schema and stats — the content
-      // is the target's, the transport bookkeeping is the present's
-      val meta = head.meta ++
+      // high-water mark) but the TARGET's schema, stats, and COLUMN
+      // MAPPING (the restored files' physical layout is the target's —
+      // the head's mapping may describe files this commit abandons)
+      val meta = (head.meta -- ColMapMetaKeys) ++
         target.meta.get("schema").map("schema" -> _).toMap ++
+        target.meta.view.filterKeys(ColMapMetaKeys.contains).toMap ++
         Map("op" -> "restore")
       publish(spark, zone, head.gen + 1, target.format, target.files,
-        meta, target.stats, target.colStats, base = Some(head)) match {
+        meta, target.stats, target.colStats, base = Some(head),
+        sizes = target.sizes) match {
         case Some(g) =>
           return Snapshot(g, target.format, target.files, meta,
-            target.stats, target.colStats, base = head.gen)
+            target.stats, target.colStats, base = head.gen,
+            sizes = target.sizes)
         case None => ()
       }
       attempt += 1
@@ -1890,7 +2171,7 @@ object TxLog {
     val f = fs(spark, zone)
     val root = f.makeQualified(new Path(zone))
     val head = latest(spark, zone).getOrElse(init(spark, zone))
-    val bytes = head.resolve(zone).map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val bytes = committedBytes(f, zone, head)
     val wantFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
     if (head.files.size <= wantFiles)
       return CompactStats(head.gen, head.files.size.toLong, head.files.size.toLong,
@@ -1898,16 +2179,19 @@ object TxLog {
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
     readSnapshot(spark, zone, head).repartition(wantFiles.toInt)
       .write.mode(SaveMode.ErrorIfExists).format(head.format).save(dataDir.toString)
-    val newFiles = listRel(f, root, dataDir)
+    val newInfo = listRelInfo(f, root, dataDir)
+    val newFiles = newInfo.map(_._1)
     // a stats-tracked zone recomputes per-file stats for the rewrite
     val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
-      head.format, head.meta.get("stats.col"), effectiveStatsCols(Nil, head.meta))
+      head.format, head.meta.get("stats.col").filter(_.nonEmpty), effectiveStatsCols(Nil, head.meta))
     prePublishHook()
     // meta carries forward: compaction must not erase e.g. the streaming
-    // sink's batchId high-water mark
+    // sink's batchId high-water mark. The column mapping RESETS: the
+    // rewrite read logically and wrote every live file under logical
+    // names — maintenance normalizes the physical layout for free.
     publish(spark, zone, head.gen + 1, head.format, newFiles,
-      head.meta ++ Map("op" -> "compact"),
-      newStats, newColStats, base = Some(head)) match {
+      (head.meta -- ColMapMetaKeys) ++ Map("op" -> "compact"),
+      newStats, newColStats, base = Some(head), sizes = newInfo.toMap) match {
       case Some(g) =>
         CompactStats(g, head.files.size.toLong, newFiles.size.toLong,
           bytes, rewritten = true)
@@ -1941,20 +2225,22 @@ object TxLog {
     val head = latest(spark, zone).getOrElse(init(spark, zone))
     if (head.files.isEmpty)
       return CompactStats(head.gen, 0L, 0L, 0L, rewritten = false)
-    val bytes = head.resolve(zone).map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val bytes = committedBytes(f, zone, head)
     val wantFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
     val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
     Layout.clusterByZ(readSnapshot(spark, zone, head), cols, bits, wantFiles)
       .write.mode(SaveMode.ErrorIfExists).format(head.format).save(dataDir.toString)
-    val newFiles = listRel(f, root, dataDir)
+    val newInfo = listRelInfo(f, root, dataDir)
+    val newFiles = newInfo.map(_._1)
     val statsCols = (effectiveStatsCols(Nil, head.meta) ++ cols).distinct
     val (newStats, newColStats) = collectFileStats(spark, root, dataDir,
-      head.format, head.meta.get("stats.col"), statsCols)
-    val meta = head.meta ++
+      head.format, head.meta.get("stats.col").filter(_.nonEmpty), statsCols)
+    // mapping resets with the rewrite, like compact
+    val meta = (head.meta -- ColMapMetaKeys) ++
       (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(",")) else Map.empty)
     publish(spark, zone, head.gen + 1, head.format, newFiles,
       meta ++ Map("op" -> "compactClustered"),
-      newStats, newColStats, base = Some(head)) match {
+      newStats, newColStats, base = Some(head), sizes = newInfo.toMap) match {
       case Some(g) =>
         CompactStats(g, head.files.size.toLong, newFiles.size.toLong, bytes,
           rewritten = true)

@@ -63,12 +63,19 @@ object GraftSqlParser {
   /** Either a literal zone path or catalog-resolved identifier parts. */
   private type Target = Either[String, Seq[String]]
 
-  // target: '<path>' | "<path>" | multipart identifier (backquotes ok)
-  private val T = """(?:'([^']+)'|"([^"]+)"|([\w`.]+))"""
+  // target: '<path>' | "<path>" | multipart identifier. Backquoted
+  // segments are an explicit alternative (`[^`]+`) rather than backquote-
+  // in-a-char-class, so `my-table`/`my table` segments match — a char
+  // class can't span the quoted content, and a non-matching target would
+  // silently fall through to the delegate parser and die with an
+  // unrelated syntax error (round-10 advice).
+  private val Seg = """(?:`[^`]+`|\w+)"""
+  private val T = s"""(?:'([^']+)'|"([^"]+)"|($Seg(?:\\.$Seg)*))"""
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + T + """(?:\s+RETAIN\s+(\d+)\s+GENERATIONS)?\s*;?\s*$""").r
   private val Optimize =
-    ("""(?is)^\s*OPTIMIZE\s+""" + T + """(?:\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*$""").r
+    ("""(?is)^\s*OPTIMIZE\s+""" + T +
+      """(?:\s+ZORDER\s+BY\s+\(?\s*((?:[\w,\s]|`[^`]+`)+?)\s*\)?)?\s*;?\s*$""").r
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T + """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
 

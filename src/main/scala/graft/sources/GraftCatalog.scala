@@ -117,14 +117,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = hasLog(zonePath(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // Gate on namespaceExists, not bare fs.exists: a TABLE directory
+    // (log-carrying) used as a namespace must raise SCHEMA_NOT_FOUND —
+    // the same exclusion namespaceExists applies — instead of listing
+    // whatever nested log-carrying dirs it happens to contain. The root
+    // namespace always exists (a fresh catalog's warehouse dir may simply
+    // not be created yet) — SHOW TABLES there returns empty.
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     val dir = pathOf(namespace.toSeq)
-    if (!fs.exists(dir)) {
-      // the root namespace always exists (a fresh catalog's warehouse
-      // dir may simply not be created yet) — SHOW TABLES returns empty,
-      // never SCHEMA_NOT_FOUND
-      if (namespaceExists(namespace)) return Array.empty
-      throw new NoSuchNamespaceException(namespace)
-    }
+    if (!fs.exists(dir)) return Array.empty
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(hasLog).map(p => Identifier.of(namespace, p.getName))
   }
@@ -176,18 +177,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"$catName catalog does not take PARTITIONED BY — file layout is the " +
-        "log's concern (compaction / Z-order maintenance cluster data files)")
+    // PARTITIONED BY (col, ...) — identity transforms only — is accepted
+    // as statsCols SUGAR (round-11 directive #7): this format prunes by
+    // per-file stats + Z-order maintenance instead of Hive-style
+    // directories, and what a user porting Hive/Delta DDL means by
+    // "partition by d" is "make predicates on d prune" — which statsCols
+    // delivers (q156/q157 pin the pruning). Transformed partitioning
+    // (bucket/days/...) has no stats equivalent and refuses loudly.
+    val identityCols = partitions.map { t =>
+      val refs = t.references
+      require(t.name == "identity" && refs.length == 1 &&
+          refs.head.fieldNames.length == 1,
+        s"$catName catalog: PARTITIONED BY ${t.describe} is not supported — " +
+          "file layout is the log's concern. Use plain column names " +
+          "(taken as statsCols sugar: stats-based file pruning), " +
+          "TBLPROPERTIES('statsCols'='...'), and OPTIMIZE ... ZORDER BY " +
+          "for clustering")
+      refs.head.fieldNames.head
+    }.toSeq
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val zone = zonePath(ident)
     // namespaces are directories — implicit creation, object-store style
     fs.mkdirs(zone.getParent)
-    val statsCols = properties.asScala
+    val statsCols = (properties.asScala
       .collectFirst { case (k, v)
         if k.equalsIgnoreCase("statscols") ||
           k.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + "statscols") => v }
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil) ++
+      identityCols).distinct
     statsCols.foreach { c =>
       // a typo'd stats column would only surface at the FIRST insert's
       // stats collection, with a confusing missing-field error — refuse
@@ -212,6 +229,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = zonePath(ident)
     if (!hasLog(p)) throw new NoSuchTableException(ident)
+    // RENAME COLUMN / DROP COLUMN are single-change statements riding the
+    // column-mapping layer (TxLog.renameColumn / dropColumn): meta-only
+    // commits — the bytes keep their physical name, reads translate, and
+    // a re-added name maps to a fresh physical so old bytes never
+    // resurface. Top-level fields only.
+    changes.toList match {
+      case (rn: TableChange.RenameColumn) :: Nil =>
+        require(rn.fieldNames.length == 1,
+          s"$catName catalog: nested column renames are not supported")
+        TxLog.renameColumn(spark, p.toString, rn.fieldNames.head, rn.newName)
+        return loadTable(ident)
+      case (del: TableChange.DeleteColumn) :: Nil =>
+        require(del.fieldNames.length == 1,
+          s"$catName catalog: nested column drops are not supported")
+        TxLog.dropColumn(spark, p.toString, del.fieldNames.head)
+        return loadTable(ident)
+      case cs if cs.exists(c => c.isInstanceOf[TableChange.RenameColumn] ||
+          c.isInstanceOf[TableChange.DeleteColumn]) =>
+        throw new UnsupportedOperationException(
+          s"$catName catalog: RENAME/DROP COLUMN must be the statement's " +
+            "only change")
+      case _ => ()
+    }
     // classify EVERY change before committing ANY — a statement mixing a
     // supported change with an unsupported one must fail whole, never
     // half-apply (one combined meta commit below keeps it atomic)
@@ -237,8 +277,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other =>
         throw new UnsupportedOperationException(
           s"$catName catalog: unsupported ALTER ${other.getClass.getSimpleName}" +
-            " — only ADD COLUMNS and SET TBLPROPERTIES('statsCols') change " +
-            "the log without changing what committed files mean")
+            " — supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN, and " +
+            "SET TBLPROPERTIES('statsCols'); a retype is a rewrite " +
+            "(INSERT OVERWRITE with the new types)")
     }
     val fields = adds.result()
     require(fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
@@ -262,8 +303,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(next.fieldNames.contains(c),
             s"$catName catalog: statsCols '$c' is not a column of the schema")
         })
+        // a RETIRED name re-added here maps to a fresh physical name so
+        // old files' bytes never resurface (same rule as TxLog.addColumns)
+        val cmap = TxLog.colMap(head.meta)
+        val taken = TxLog.usedPhysical(head.meta) ++ cmap.values ++
+          current.fieldNames
+        val fresh = fields.collect {
+          case fl if taken(fl.name) => fl.name -> s"${fl.name}__g${head.gen + 1}"
+        }
         Map("schema" -> next.json) ++
-          statsCols.map(cs => "stats.cols" -> cs.mkString(",")).toMap
+          statsCols.map(cs => "stats.cols" -> cs.mkString(",")).toMap ++
+          (if (fresh.isEmpty) Map.empty[String, String]
+           else Map("colmap" -> TxLog.encodeColMapPublic(cmap ++ fresh)))
       })
     }
     loadTable(ident)
@@ -282,8 +333,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!hasLog(from)) throw new NoSuchTableException(oldIdent)
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     fs.mkdirs(to.getParent)
-    // directory rename: atomic on HDFS/POSIX (the same primitive the
-    // log's checkpoint pointer trusts); the zone's log moves with it
+    // Directory rename: atomic ONLY on HDFS/POSIX-rename filesystems
+    // (the same primitive the log's checkpoint pointer trusts); the
+    // zone's log moves with it. On S3-style object stores "rename" is a
+    // non-atomic copy+delete, so concurrent readers could observe a torn
+    // or half-missing table mid-move — refuse there rather than corrupt
+    // silently (the object-store idiom is copy-then-cutover at the
+    // catalog layer, which this format would do via a warehouse-level
+    // pointer; not implemented).
+    val scheme = Option(from.toUri.getScheme).getOrElse("file")
+    require(!Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+        "oss", "cos").contains(scheme),
+      s"$catName catalog: RENAME TABLE needs an atomic directory rename; " +
+        s"'$scheme://' object storage renames are copy+delete and readers " +
+        "could see a torn table. Copy the zone and re-register instead.")
     if (!fs.rename(from, to))
       sys.error(s"$catName catalog: rename $from -> $to failed")
   }

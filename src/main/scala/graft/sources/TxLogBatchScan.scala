@@ -44,9 +44,9 @@ import graft.plans.PushdownProbe
   * Scale notes: partitions are whole files (the zone's compaction
   * targets ~128 MB files, one task each — the same granularity Spark's
   * own scan would pick at the default maxPartitionBytes); per-file
-  * length/mtime come from one driver `getFileStatus` pass over KEPT
-  * files only (a bytes entry in the committed stats would remove even
-  * that — noted refinement). */
+  * length/mtime are served from the MANIFEST's committed sizes (round
+  * 11), so planning touches the filesystem zero times — pre-sizes
+  * manifests fall back to one `listStatus` per parent directory. */
 final case class TxLogBatchScan(spark: SparkSession, zone: String,
                                 snap: TxLog.Snapshot, full: StructType,
                                 required: StructType,
@@ -101,15 +101,19 @@ final case class TxLogBatchScan(spark: SparkSession, zone: String,
     recorder.foreach(_.record(keep))
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, snap.files.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
-    TxLogBatchScan.filePartitions(spark, zone, keep)
+    TxLogBatchScan.filePartitions(spark, zone, keep, snap.sizes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // evolution-safe: dataSchema is the LOG's schema; files predating an
-    // added column surface it as null, exactly like the v1 read
+    // added column surface it as null, exactly like the v1 read. Under a
+    // column mapping the files are requested by PHYSICAL name (rows are
+    // positional, so the logical output schema is untouched).
+    val (physFull, physReq, physFilters) = TxLogBatchScan.toPhysicalRead(
+      snap, full, required, pushed.toSeq ++ runtime)
     val readFunc = FileSourceBridge.readFunc(spark, snap.format,
-      dataSchema = full, requiredSchema = required,
-      filters = pushed.toSeq ++ runtime)
+      dataSchema = physFull, requiredSchema = physReq,
+      filters = physFilters)
     new TxLogReaderFactory(readFunc)
   }
 
@@ -131,18 +135,47 @@ final case class TxLogFilePartition(path: String, length: Long,
                                     modTime: Long) extends InputPartition
 
 object TxLogBatchScan {
-  /** One InputPartition per kept file, with length/mtime from ONE
-    * `listStatus` per parent `d-*` directory instead of one RPC per
-    * file — at the 100 TB/~800k-file scale the difference between a
-    * handful of listing calls and 800k sequential driver HEADs before
-    * any task launches. (A bytes entry in the committed stats would
-    * remove even the listings — noted refinement.) */
-  private[sources] def filePartitions(spark: SparkSession, zone: String,
-                                      keep: Seq[String]): Array[InputPartition] = {
+  /** Translate a read's schemas to PHYSICAL names under the snapshot's
+    * column mapping (identity when the zone was never renamed). Filters
+    * that reference a RENAMED column are dropped from the per-file
+    * reader only — file-level pruning already ran on the logical-keyed
+    * manifest stats, and the plan's Filter node still evaluates exactly
+    * (the superset contract); what's lost is row-group skipping inside
+    * kept files for that one column, until the next OPTIMIZE normalizes
+    * the physical names. */
+  private[graft] def toPhysicalRead(snap: TxLog.Snapshot, full: StructType,
+                                    required: StructType,
+                                    filters: Seq[Filter])
+      : (StructType, StructType, Seq[Filter]) = {
+    val cmap = TxLog.colMap(snap.meta)
+    if (cmap.isEmpty) return (full, required, filters)
+    def phys(s: StructType) = StructType(
+      s.fields.map(f => f.copy(name = cmap.getOrElse(f.name, f.name))))
+    (phys(full), phys(required),
+      filters.filter(_.references.forall(r => !cmap.contains(r))))
+  }
+
+  /** One InputPartition per kept file. Length/mtime come from the
+    * MANIFEST's committed per-file sizes — plan time touches the
+    * filesystem ZERO times for covered files (at 100 TB/~800k kept files
+    * that is the difference between a pure in-memory pass and 800k
+    * driver RPCs before any task launches), and a file whose bytes are
+    * manifest-served plans even if an external actor broke the FS view.
+    * Files a pre-sizes manifest does not cover fall back to ONE
+    * `listStatus` per parent `d-*` directory (never one RPC per file). */
+  private[graft] def filePartitions(spark: SparkSession, zone: String,
+                                    keep: Seq[String],
+                                      sizes: Map[String, (Long, Long)] = Map.empty)
+      : Array[InputPartition] = {
     if (keep.isEmpty) return Array.empty
     val fs = new Path(zone).getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(new Path(zone))
-    keep.groupBy { p =>
+    val (known, unknown) = keep.partition(sizes.contains)
+    val fromManifest = known.iterator.map { rel =>
+      val (len, mt) = sizes(rel)
+      TxLogFilePartition(new Path(root, rel).toString, len, mt): InputPartition
+    }
+    val fromListing = unknown.groupBy { p =>
       val i = p.lastIndexOf('/'); if (i < 0) "" else p.substring(0, i)
     }.iterator.flatMap { case (dir, files) =>
       val base = if (dir.isEmpty) root else new Path(root, dir)
@@ -151,7 +184,8 @@ object TxLogBatchScan {
         .filter(st => wanted(st.getPath.getName))
         .map(st => TxLogFilePartition(st.getPath.toString, st.getLen,
           st.getModificationTime): InputPartition)
-    }.toArray
+    }
+    (fromManifest ++ fromListing).toArray
   }
 }
 
@@ -244,12 +278,18 @@ final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
     val keep = p.prunedKeep(static.filter(p.accepts))
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
-    TxLogBatchScan.filePartitions(spark, zone, keep)
+    TxLogBatchScan.filePartitions(spark, zone, keep, snap.sizes)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // per-trigger: the CURRENT head's column mapping governs how files
+    // are requested (a mid-stream rename keeps physical names stable, so
+    // resolving it here is both cheap and correct)
+    val (physFull, physReq, physFilters) =
+      TxLogBatchScan.toPhysicalRead(head, full, required, static)
     new TxLogReaderFactory(FileSourceBridge.readFunc(spark, format,
-      dataSchema = full, requiredSchema = required, filters = static))
+      dataSchema = physFull, requiredSchema = physReq, filters = physFilters))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

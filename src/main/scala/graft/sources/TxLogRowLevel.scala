@@ -80,10 +80,19 @@ final class TxLogRowLevelOperation(spark: SparkSession, zone: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          // replacement files must carry PHYSICAL column names (rows are
+          // positional; only the parquet footer names change) so one read
+          // schema keeps serving touched and untouched files alike
+          val cmap = TxLog.colMap(snap.meta)
+          val physSchema =
+            if (cmap.isEmpty) info.schema()
+            else StructType(info.schema().fields.map(f =>
+              f.copy(name = cmap.getOrElse(f.name, f.name))))
           new TxLogRewriteBatchWrite(spark, zone, snap.gen, recorder,
-            info.schema(), snap.format,
+            physSchema, snap.format,
             cmd.toString.toLowerCase(java.util.Locale.ROOT))
+        }
         override def description(): String =
           TxLogRowLevelOperation.this.description()
       }

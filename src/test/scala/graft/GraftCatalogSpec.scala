@@ -245,13 +245,32 @@ class GraftCatalogSpec extends SparkSpec {
       .select("namespace").as[String].collect().toSet.contains("scratch"))
   }
 
-  test("PARTITIONED BY and duplicate CREATE refuse loudly") {
+  test("PARTITIONED BY: identity columns become statsCols sugar; transforms refuse") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT)")
     intercept[Exception] { spark.sql(s"CREATE TABLE $t (k BIGINT)") }
-    intercept[Exception] {
-      spark.sql(s"CREATE TABLE ${t}_p (k BIGINT, d STRING) PARTITIONED BY (d)")
+    // identity PARTITIONED BY = statsCols sugar (round-11 directive #7):
+    // the declared column gets per-file stats, so predicates on it prune
+    spark.sql(s"CREATE TABLE ${t}_p (k BIGINT, d BIGINT) PARTITIONED BY (d)")
+    assert(TxLog.latest(spark, zoneOf(s"${t}_p")).get.meta("stats.cols")
+      .split(",").contains("d"))
+    // one INSERT per d value -> one file per d value with tight d stats
+    (0 until 10).foreach(d =>
+      spark.sql(s"INSERT INTO ${t}_p SELECT id, $d FROM range(200)"))
+    graft.plans.PushdownProbe.clear(s"txlog:${zoneOf(s"${t}_p")}")
+    assert(spark.sql(s"SELECT SUM(k) FROM ${t}_p WHERE d = 3")
+      .as[Long].head() === (0L until 200L).sum)
+    val (served, total) =
+      graft.plans.PushdownProbe.get(s"txlog:${zoneOf(s"${t}_p")}").get
+    assert(served < total,
+      s"the sugared partition column must prune: served $served of $total")
+    // a TRANSFORMED partitioning has no stats equivalent: loud refusal
+    // that names the idiom to use instead
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${t}_b (k BIGINT) PARTITIONED BY (bucket(4, k))")
     }
+    assert(e.getMessage.contains("ZORDER") && e.getMessage.contains("statsCols"),
+      s"refusal must point at the idiom: ${e.getMessage}")
   }
 
   test("ALTER TABLE ADD COLUMNS is a meta-only evolution: old files surface null") {
@@ -268,11 +287,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sqlRows(s"SELECT k, v FROM $t WHERE k = 9") === Set((9L, "x")))
   }
 
-  test("ALTER refuses renames/drops; SET TBLPROPERTIES(statsCols) re-targets stats") {
+  test("SET TBLPROPERTIES(statsCols) re-targets stats; retype still refuses") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
-    intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk") }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN v") }
+    intercept[Exception] { // retype = rewrite, never a meta commit
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE STRING") }
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols'='k')")
     spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(10)")
     val statCols = spark.sql(s"SELECT column FROM $t.files")
@@ -282,6 +301,109 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { // unknown column refused at the commit
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols'='nope')")
     }
+  }
+
+  test("SHOW TABLES with a TABLE directory as the namespace raises, never lists") {
+    // Round-10 advice: listTables checked bare fs.exists, so a
+    // log-carrying TABLE dir used as a namespace listed its nested
+    // log-carrying dirs instead of raising SCHEMA_NOT_FOUND like
+    // namespaceExists says it should.
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    val e = intercept[Exception] { spark.sql(s"SHOW TABLES IN $t") }
+    assert(e.getMessage.toLowerCase.contains("schema") ||
+      e.getMessage.toLowerCase.contains("namespace"),
+      s"expected SCHEMA_NOT_FOUND-style error, got: ${e.getMessage}")
+  }
+
+  test("RENAME COLUMN is meta-only: old files read, new writes land, stats keep pruning") {
+    // Round-11 directive #5: column mapping. The rename must not touch a
+    // data file; reads translate physical -> logical; appends after the
+    // rename stay readable alongside pre-rename files; the manifest's
+    // logical-keyed stats keep file pruning alive under the new name.
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('a', id) FROM range(50)")
+    val filesBefore = TxLog.latest(spark, zoneOf(t)).get.files
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key")
+    assert(TxLog.latest(spark, zoneOf(t)).get.files === filesBefore,
+      "the rename must be a zero-file-action commit")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("key", "v"))
+    // pre-rename files read under the new logical name
+    assert(sqlRows(s"SELECT key, v FROM $t WHERE key = 7") ===
+      Set((7L, "a7")))
+    // post-rename appends land under the same physical name
+    spark.sql(s"INSERT INTO $t SELECT id, concat('b', id) FROM range(100, 110)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").as[Long].head() === 60L)
+    assert(sqlRows(s"SELECT key, v FROM $t WHERE key = 105") ===
+      Set((105L, "b105")))
+    // stats keep pruning under the RENAMED name, across old AND new files
+    graft.plans.PushdownProbe.clear(s"txlog:${zoneOf(t)}")
+    assert(spark.sql(s"SELECT key FROM $t WHERE key BETWEEN 100 AND 120")
+      .as[Long].collect().sorted.toSeq === (100L to 109L))
+    val (served, total) = graft.plans.PushdownProbe.get(s"txlog:${zoneOf(t)}").get
+    assert(served < total,
+      s"rename must not kill stats pruning: served $served of $total")
+  }
+
+  test("time travel across a rename shows each era's column names") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5)")
+    val g1 = TxLog.latest(spark, zoneOf(t)).get.gen
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $g1")
+      .schema.fieldNames.toSeq === Seq("k"),
+      "the pre-rename snapshot keeps its own era's name")
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF $g1")
+      .as[Long].collect().sorted.toSeq === (0L until 5L))
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("key"))
+  }
+
+  test("DROP COLUMN then re-ADD: old bytes never resurface; rewrite resets the mapping") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('secret', id) FROM range(10)")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("k"))
+    // re-add the SAME name: the fresh physical mapping must hide the old
+    // files' bytes -- this is the exact failure name-mapping exists for
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)")
+    assert(spark.sql(s"SELECT v FROM $t").as[String].collect().forall(_ == null),
+      "dropped bytes must NOT resurface under the re-added column")
+    spark.sql(s"INSERT INTO $t VALUES (99, 'fresh')")
+    assert(sqlRows(s"SELECT k, v FROM $t WHERE k = 99") === Set((99L, "fresh")))
+    // UPDATE (row-level rewrite) under an active mapping stays consistent
+    spark.sql(s"UPDATE $t SET v = 'upd' WHERE k = 3")
+    assert(sqlRows(s"SELECT k, v FROM $t WHERE k = 3") === Set((3L, "upd")))
+    // OPTIMIZE rewrites every live file under logical names and RESETS
+    // the mapping -- maintenance normalizes the physical layout
+    spark.sql(s"OPTIMIZE $t")
+    val head = TxLog.latest(spark, zoneOf(t)).get
+    assert(!head.meta.contains("colmap") && !head.meta.contains("colmap.used"),
+      s"OPTIMIZE must reset the column mapping: ${head.meta.view.filterKeys(_.startsWith("colmap")).toMap}")
+    assert(sqlRows(s"SELECT k, v FROM $t WHERE k IN (3, 99)") ===
+      Set((3L, "upd"), (99L, "fresh")))
+  }
+
+  test("rename collisions and tombstoned re-appends refuse loudly") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, 'x' FROM range(3)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    intercept[Exception] { // 'k' exists
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN w TO k") }
+    // an evolution-APPEND reclaiming the retired name must refuse and
+    // point at ADD COLUMNS (which maps it to a fresh physical name)
+    val e = intercept[Exception] {
+      TxLog.append(spark, zoneOf(t),
+        spark.range(3).selectExpr("id AS k", "'y' AS w", "'z' AS v"))
+    }
+    assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+    // the blessed path works and surfaces null for old files
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)")
+    assert(spark.sql(s"SELECT v FROM $t").as[String].collect().forall(_ == null))
   }
 
   test("cross-entry-point parity: a zone written by the writer API is a catalog table") {

@@ -119,6 +119,24 @@ class GraftMaintenanceSqlSpec extends SparkSpec {
     intercept[Exception] { spark.sql("VACUUM spark_catalog.db.t") }
   }
 
+  test("backquoted segments with hyphens/spaces resolve as targets") {
+    // Round-10 advice: the old `[\\w`.]+` target pattern could not span a
+    // backquoted segment containing a hyphen, so VACUUM gmnt.m.`my-table`
+    // fell through to the delegate parser and died with an unrelated
+    // syntax error. The segment alternative must capture it.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmnt.m")
+    spark.sql("CREATE TABLE gmnt.m.`my-table` (k BIGINT)")
+    (0 until 3).foreach(_ =>
+      spark.sql("INSERT INTO gmnt.m.`my-table` SELECT id FROM range(5)"))
+    val st = spark.sql("OPTIMIZE gmnt.m.`my-table`")
+      .select("rewritten").as[Boolean].head()
+    assert(st, "OPTIMIZE over a backquoted hyphenated table must run")
+    assert(spark.sql("VACUUM gmnt.m.`my-table` RETAIN 2 GENERATIONS")
+      .columns.nonEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM gmnt.m.`my-table`")
+      .as[Long].head() === 15L)
+  }
+
   test("non-maintenance SQL passes through the delegate parser untouched") {
     assert(spark.sql("SELECT 1 AS vacuum_plan").as[Int].head() === 1)
     // keywords INSIDE a larger statement never match the anchored grammar

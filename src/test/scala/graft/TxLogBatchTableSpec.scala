@@ -414,4 +414,79 @@ class TxLogBatchTableSpec extends SparkSpec {
     assert(load(zone).agg(min(col("k")), max(col("k")))
       .as[(Long, Long)].head() === ((0L, 99L)))
   }
+
+  test("committed per-file sizes cover every live file across commit kinds") {
+    // Round-11 directive #4: every commit path stamps (bytes, mtime) into
+    // the manifest, so scan planning needs zero per-file FS RPCs. Walk a
+    // zone through replace -> append -> delete -> compact -> restore and
+    // pin full sizes coverage with lengths matching the filesystem at
+    // every step.
+    val zone = freshZone("graft_sizes")
+    def check(tag: String): Unit = {
+      val head = TxLog.latest(spark, zone).get
+      assert(head.files.forall(head.sizes.contains),
+        s"$tag: sizes must cover all ${head.files.size} files; " +
+          s"missing ${head.files.filterNot(head.sizes.contains)}")
+      val fs = new org.apache.hadoop.fs.Path(zone)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      head.files.foreach { rel =>
+        val real = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(zone + "/" + rel)).getLen
+        assert(head.sizes(rel)._1 === real,
+          s"$tag: committed byte length of $rel must match the filesystem")
+      }
+    }
+    TxLog.replace(spark, zone,
+      spark.range(100L).toDF("k").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    check("replace")
+    TxLog.append(spark, zone, spark.range(100L, 120L).toDF("k"))
+    check("append")
+    TxLog.deleteWhereFiles(spark, zone, h => h.files, df => df("k") >= 110L)
+    check("delete")
+    TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    check("compact")
+    TxLog.restore(spark, zone, TxLog.latest(spark, zone).get.gen - 1)
+    check("restore")
+    assert(load(zone).count() === 110L)
+  }
+
+  test("plan partitions are manifest-served: a sized file plans without touching the FS") {
+    // The committed sizes make planning FS-free: a file entry whose
+    // bytes are in the manifest yields an InputPartition even when the
+    // file is NOT where the filesystem can see it (mocked/missing-mtime
+    // case) -- the pre-sizes fallback would need a directory listing.
+    val zone = freshZone("graft_sizes_plan")
+    TxLog.replace(spark, zone, spark.range(10L).toDF("k"))
+    val parts = graft.sources.TxLogBatchScan.filePartitions(
+      spark, zone, Seq("d-nowhere/ghost.parquet"),
+      sizes = Map("d-nowhere/ghost.parquet" -> ((1234L, 0L))))
+    assert(parts.length === 1, "a manifest-sized file must plan FS-free")
+    val p = parts.head.asInstanceOf[graft.sources.TxLogFilePartition]
+    assert(p.length === 1234L && p.path.endsWith("d-nowhere/ghost.parquet"))
+    // pre-sizes manifests (empty sizes) still plan via the listing path
+    val head = TxLog.latest(spark, zone).get
+    val legacy = graft.sources.TxLogBatchScan.filePartitions(
+      spark, zone, head.files, sizes = Map.empty)
+    assert(legacy.length === head.files.size,
+      "the pre-sizes listing fallback must still serve every file")
+  }
+
+  test("sizes survive the delta/checkpoint round trip and drop with removed files") {
+    val zone = freshZone("graft_sizes_rt")
+    TxLog.replace(spark, zone, spark.range(20L).toDF("k"),
+      statsCols = Seq("k"))
+    // enough delta commits to cross a checkpoint boundary
+    (0 until 12).foreach(i =>
+      TxLog.append(spark, zone, Seq(100L + i).toDF("k")))
+    val head = TxLog.latest(spark, zone).get
+    assert(head.files.forall(head.sizes.contains),
+      "sizes must survive delta folding across a checkpoint")
+    val before = head.files.toSet
+    TxLog.compact(spark, zone, targetBytes = 1L << 30)
+    val after = TxLog.latest(spark, zone).get
+    assert(after.sizes.keySet === after.files.toSet,
+      "removed files' size entries must drop with them")
+    assert(after.files.toSet.intersect(before).isEmpty)
+  }
 }
