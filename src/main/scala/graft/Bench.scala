@@ -22,9 +22,44 @@ object Bench {
     }
   }
 
+  /** MEMORY PRE-FLIGHT (round-11 directive #6): the round-10 sf3 run
+    * measured the floor — a ~515 MB-parquet inventory OOMs a 8 GiB heap
+    * at 32 threads and completes at 16 GiB, i.e. the full double-drive
+    * needs roughly 24 heap bytes per parquet byte per 32 threads
+    * (decompressed rows + shuffle/agg state + localCheckpoint blocks all
+    * share the one local-mode heap). Rather than dying mid-inventory,
+    * degrade the THREAD count so per-thread state fits: concurrency is
+    * the one knob that scales task-resident state without touching any
+    * query. Returns the thread count to run with, printing the sizing
+    * line loudly when it degrades. */
+  def preflightCores(requested: Int, dataBytes: Long, heapBytes: Long): Int = {
+    val bytesPerParquetBytePer32 = 24.0
+    val required = (dataBytes * bytesPerParquetBytePer32 * requested / 32.0).toLong
+    if (heapBytes >= required || dataBytes <= 0L) requested
+    else {
+      val fit = math.max(2,
+        (requested * heapBytes.toDouble / required).toInt)
+      System.err.println(f"[bench] MEMORY PRE-FLIGHT: heap ${heapBytes / (1L << 20)}%d MiB " +
+        f"< required ~${required / (1L << 20)}%d MiB for ${dataBytes / (1L << 20)}%d MiB " +
+        f"of parquet at $requested%d threads (~24 heap B / parquet B / 32 threads, " +
+        f"the measured sf3 floor) — degrading to $fit%d threads instead of " +
+        "OOMing mid-inventory. Give the JVM more -Xmx to run wider.")
+      fit
+    }
+  }
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = preflightCores(cpusEnv, dirBytes(sfDir),
+      Runtime.getRuntime.maxMemory).toString
     val spark: SparkSession = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
@@ -127,9 +162,19 @@ object Bench {
     // and record min-of-2 as the query's QUIET time. Cross-round
     // per-query comparisons should use these; the in-inventory numbers
     // remain the protocol total.
-    val quietK = 10
-    val quiet = runs.filter(_._3.isEmpty).sortBy(-_._2).take(quietK).map {
-      case (name, _, _) =>
+    // Top-20 (round-11 directive #3: the round-10 q263–q267 "regressions"
+    // had no quiet evidence because only the top-10 got re-timed; 20
+    // covers the 1–3 s mid-band where interference artifacts live) plus
+    // an always-on pin of that quartet so the A/B exists every round
+    // regardless of rank.
+    val quietK = 20
+    val quietPinned = Set("q263_gap_quantiles", "q264_edit_distance_join",
+      "q265_expectations", "q266_prefix_topk", "q267_wow_rate_shift")
+    val quietNames = {
+      val top = runs.filter(_._3.isEmpty).sortBy(-_._2).take(quietK).map(_._1)
+      (top ++ runs.filter(r => r._3.isEmpty && quietPinned(r._1)).map(_._1)).distinct
+    }
+    val quiet = quietNames.map { name =>
         val fn = queries(name)
         System.gc()
         val t = (0 until 2).map { _ =>

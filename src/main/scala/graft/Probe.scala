@@ -43,6 +43,39 @@ object Probe {
       }
       spark.stop()
 
+    // The SHARED pair-stats relation's scale contract (round-11
+    // directive #2, the q36/q147/q173/q194/q223 kernel): per corpus size,
+    // report docs, distinct shingles, CAPPED-OUT shingles (uncapped
+    // df > 256 — the escape-hatch trigger), the candidate-pair
+    // cardinality Σ C(min(df,256), 2) the equi-join materializes, the
+    // post-agg pair count, and the quiet build seconds. Run at sf0.1 /
+    // sf1 / sf3 to measure the growth curve (recorded in SURVEY §9).
+    case "pairstats" :: sfDir :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      val docs = sources.Tables.documents(spark, sfDir)
+      val nDocs = docs.count()
+      val uncapped = graft.operators.Dedup
+        .shingleIndex(docs, "doc_id", "text", n = 3, maxShingleDf = 0L)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("shingles"),
+          sum(when(col("df") > 256L, 1L).otherwise(0L)).as("cappedOut"),
+          max(col("df")).as("maxDf"),
+          sum(least(col("df"), lit(256L)) *
+            (least(col("df"), lit(256L)) - 1) / 2).as("candidates"))
+        .collect().head
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .pairStats(docs, "doc_id", "text", n = 3, maxShingleDf = 256L)
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"pairstats dir=$sfDir docs=$nDocs " +
+        f"shingles=${uncapped.getLong(0)} cappedOut=${uncapped.getLong(1)} " +
+        f"maxDf=${uncapped.getLong(2)} candidates=${uncapped.getLong(3)} " +
+        f"pairs=$pairs quietSecs=$secs%.2f")
+      spark.stop()
+
     // q187's scale contract (round-8 directive #6): the df-capped
     // candidate relation's cardinality at a given sf, beside the corpus
     // size — run at sf0.1 and sf1 to measure candidate growth vs data
@@ -69,6 +102,7 @@ object Probe {
         s"""usage: graft.Probe entry
            |       graft.Probe time <sfDir> <q1,q2,...> [reps]
            |       graft.Probe spanstats <sfDir>
+           |       graft.Probe pairstats <sfDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }
