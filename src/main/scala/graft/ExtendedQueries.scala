@@ -118,6 +118,28 @@ object ExtendedQueries {
        |afinal AS ${assignSql("c2")},
        |qv AS (SELECT embedding AS qe FROM v WHERE vec_id = 0)""".stripMargin
 
+  /** The BLOCKED assignment CTE suffix for the cell-pair tiers (q170
+    * near-dup, q184 SemDeDup): cells above 1024 members split into 2^b
+    * hyperplane sign-bit sub-buckets (b = the integer ladder below,
+    * capped at 8 — mirrors Similarity.ivfCellNearDupPairs bit-for-bit;
+    * the planes are q127's splitmix literals via Round4Queries.bucketSql,
+    * the `&`-mask and `<<` are exact integer ops on both engines). At
+    * every oracle-checked scale no cell exceeds 1024, so blk = 0
+    * everywhere and the join is the pure cell join — hash-stable. */
+  private[graft] lazy val cellBlockCte: String = {
+    val ladder =
+      """CASE WHEN cs.csz > 131072 THEN 8 WHEN cs.csz > 65536 THEN 7
+        |     WHEN cs.csz > 32768 THEN 6 WHEN cs.csz > 16384 THEN 5
+        |     WHEN cs.csz > 8192 THEN 4 WHEN cs.csz > 4096 THEN 3
+        |     WHEN cs.csz > 2048 THEN 2 WHEN cs.csz > 1024 THEN 1
+        |     ELSE 0 END""".stripMargin
+    s"""cs AS (SELECT cid, COUNT(*) AS csz FROM afinal GROUP BY cid),
+       |ablk AS (SELECT a.vec_id, a.embedding, a.cid,
+       |  ${Round4Queries.bucketSql("a.embedding", 64, 8)}
+       |    & ((1 << ($ladder)) - 1) AS blk
+       |  FROM afinal a JOIN cs ON a.cid = cs.cid)""".stripMargin
+  }
+
   private[graft] val kmeansIvfOracleSql: String =
     s"""WITH $kmeansCtePrefix,
        |qcell AS (SELECT cid FROM (

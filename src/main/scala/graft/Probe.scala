@@ -62,8 +62,8 @@ object Probe {
         .agg(count(lit(1)).as("shingles"),
           sum(when(col("df") > 256L, 1L).otherwise(0L)).as("cappedOut"),
           max(col("df")).as("maxDf"),
-          sum(least(col("df"), lit(256L)) *
-            (least(col("df"), lit(256L)) - 1) / 2).as("candidates"))
+          sum((least(col("df"), lit(256L)) *
+            (least(col("df"), lit(256L)) - 1) / 2).cast("long")).as("candidates"))
         .collect().head
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup
@@ -74,6 +74,43 @@ object Probe {
         f"shingles=${uncapped.getLong(0)} cappedOut=${uncapped.getLong(1)} " +
         f"maxDf=${uncapped.getLong(2)} candidates=${uncapped.getLong(3)} " +
         f"pairs=$pairs quietSecs=$secs%.2f")
+      spark.stop()
+
+    // The IVF cell partition's scale shape at a given sf: N, adaptive k,
+    // the cell-size distribution, and the candidate-pair cardinality
+    // sum C(|cell|,2) the q170/q184 cell join materializes — the number
+    // that decides whether the adaptive-k knob is winning (round-11
+    // directive #1's diagnostic: nominal pair work is N^2/2k, but CELL
+    // SKEW can put most of the mass in few cells).
+    case "ivfstats" :: sfDir :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      val emb = sources.Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val cents = ExtendedQueries.trainedCentroids(spark, sfDir)
+      val sizes = graft.operators.Similarity
+        .assignToCentroidsLocal(emb, cents)
+        .groupBy("cent_id").count()
+        .orderBy(col("count").desc)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cand = sizes.map { case (_, c) => c * (c - 1) / 2 }.sum
+      // candidates AFTER the mega-cell hyperplane sub-split (the shape
+      // the q170/q184 join actually pays)
+      val blockSizes = graft.operators.Similarity
+        .ivfCellBlocks(emb, cents)
+        .groupBy("_cell", "_blk").count()
+        .select(col("count")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect()
+      val blockedCand = blockSizes.map(c => c * (c - 1) / 2).sum
+      val outRows = graft.operators.Similarity
+        .ivfCellNearDupPairs(emb, 0.45, cents).count()
+      println(s"ivfstats outRows(>=0.45)=$outRows")
+      println(s"ivfstats dir=$sfDir n=$n k=${cents.size} " +
+        s"cells=${sizes.length} maxCell=${sizes.head._2} " +
+        s"top5=${sizes.take(5).map(_._2).mkString(",")} " +
+        s"candidates=$cand blockedCandidates=$blockedCand " +
+        s"maxBlock=${blockSizes.max} nominalN2over2k=${n * n / (2L * cents.size)}")
       spark.stop()
 
     // q187's scale contract (round-8 directive #6): the df-capped

@@ -651,10 +651,11 @@ object Round6Queries {
       // the identical unrolled k-means CTEs — including the COUNT(*)-
       // derived k — so the cell partition and candidate set are bit-stable.
       Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
+              |${ExtendedQueries.cellBlockCte},
               |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               |             ROUND(${TrainingQueries.cosOf("a.embedding", "b.embedding")}, 4) AS sim
-              |      FROM afinal a JOIN afinal b
-              |        ON a.cid = b.cid AND a.vec_id < b.vec_id)
+              |      FROM ablk a JOIN ablk b
+              |        ON a.cid = b.cid AND a.blk = b.blk AND a.vec_id < b.vec_id)
               |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.45
               |ORDER BY a_id, b_id""".stripMargin),
       (s, d) => graft.operators.Similarity.ivfCellNearDupPairs(

@@ -326,9 +326,10 @@ object Round7Queries {
       // + one scalar-id left join — nothing vector-sized past the cell
       // join.
       Some(s"""WITH ${ExtendedQueries.kmeansCtePrefix},
+              |${ExtendedQueries.cellBlockCte},
               |p AS (SELECT b.vec_id AS b_id
-              |      FROM afinal a JOIN afinal b
-              |        ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |      FROM ablk a JOIN ablk b
+              |        ON a.cid = b.cid AND a.blk = b.blk AND a.vec_id < b.vec_id
               |      WHERE ROUND(${TrainingQueries.cosOf("a.embedding", "b.embedding")}, 4) >= 0.45
               |      GROUP BY b.vec_id)
               |SELECT f.vec_id, f.cid AS cent_id,

@@ -402,24 +402,66 @@ object Similarity {
     *
     * Scale shape mirrors the banded path: the vector rides through the
     * cell join (one |n|-row shuffle), no candidate-sized exchange, and
-    * no pair dedup at all — each vector has exactly ONE cell, so a pair
+    * no pair dedup at all — each vector has exactly ONE block, so a pair
     * can only meet once. Each surviving pair pays one codegen'd cosine,
-    * evaluated join-side. k is the blocking knob and must GROW with the
-    * corpus: at fixed k, candidates ~ N²/2k (round 10 measured 35× time
-    * at 3× data with k frozen at 16). The declared q170 path derives
-    * k = max(16, N/1024) from the corpus row count
-    * ([[graft.ExtendedQueries.adaptiveK]], mirrored in the oracle's
-    * k-means CTE), bounding cells near 1024 rows → pair work ~ N·512,
-    * linear. */
-  def ivfCellNearDupPairs(vectors: DataFrame, threshold: Double,
-                          centroids: Seq[(Long, Array[Float])],
-                          idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+    * evaluated join-side.
+    *
+    * TWO blocking knobs, both corpus-derived (round 10 measured 35× time
+    * at 3× data with everything frozen; round 11 measured the fix):
+    *  1. k must GROW with the corpus — the declared q170 path derives
+    *     k = max(16, N/1024) ([[graft.ExtendedQueries.adaptiveK]],
+    *     mirrored in the oracle's k-means CTE), so AVERAGE cells stay
+    *     near 1024 rows.
+    *  2. k-means does not balance: a mega-cell of size c still pays
+    *     C(c,2) (measured: one 9.6k-row cell = 46M of sf3's 134M
+    *     candidates). Cells above `maxCell` therefore split into
+    *     2^b deterministic hyperplane sign-bit sub-buckets, b = the
+    *     smallest integer with |cell| ≤ maxCell·2^b (integer ladder,
+    *     capped at 8 — engine-exact, no floating log), bounding every
+    *     block near maxCell. The planes are the q127 splitmix planes, so
+    *     the oracle rebuilds identical blocks from SQL literals.
+    *
+    * The sub-split is the standard blocking tradeoff: a near-dup pair
+    * inside a mega-cell lands in different sub-buckets with probability
+    * ~ b·θ/π (θ = their angle — small exactly for near-dups), the same
+    * recall contract as the q143 banded path. Cells at or under
+    * `maxCell` — ALL cells at every oracle-checked scale — are exact:
+    * blk = 0 everywhere and the join degenerates to the pure cell join. */
+  /** The blocked assignment the cell-pair tiers join on: `(_id, _cell,
+    * _blk, _v)` with `_blk` = masked hyperplane sub-bucket (0 for every
+    * cell at or under `maxCell`). Exposed for the scale probe. */
+  def ivfCellBlocks(vectors: DataFrame,
+                    centroids: Seq[(Long, Array[Float])],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxCell: Int = 1024): DataFrame = {
     val assigned = assignToCentroidsLocal(vectors, centroids, idCol, vecCol)
       .select(col(idCol).as("_id"), col("cent_id").as("_cell"),
         col(vecCol).as("_v"))
-    assigned.as("a").join(assigned.as("b"),
-        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+    val cellSizes = assigned.groupBy(col("_cell"))
+      .agg(count(lit(1)).as("_csz"))
+    // integer ladder over the sub-bucket MASK: (1 << b) - 1 for the
+    // smallest b with csz <= maxCell * 2^b, capped at b = 8
+    val mask = (1 to 8).foldLeft(lit(0L)) { case (acc, i) =>
+      when(col("_csz") > lit(maxCell.toLong << (i - 1)),
+        lit((1L << i) - 1L)).otherwise(acc)
+    }
+    assigned
+      .join(broadcast(cellSizes), "_cell")
+      .withColumn("_blk",
+        hyperplaneBucket(col("_v"), dim = 64, nBits = 8).bitwiseAND(mask))
+      .select(col("_id"), col("_cell"), col("_blk"), col("_v"))
+  }
+
+  def ivfCellNearDupPairs(vectors: DataFrame, threshold: Double,
+                          centroids: Seq[(Long, Array[Float])],
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          maxCell: Int = 1024): DataFrame = {
+    val blocked = ivfCellBlocks(vectors, centroids, idCol, vecCol, maxCell)
+    blocked.as("a").join(blocked.as("b"),
+        col("a._cell") === col("b._cell") && col("a._blk") === col("b._blk") &&
+          col("a._id") < col("b._id"))
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
       .filter(col("sim") >= threshold)
