@@ -22,18 +22,20 @@ object Bench {
     }
   }
 
-  /** MEMORY PRE-FLIGHT (round-11 directive #6): the round-10 sf3 run
-    * measured the floor — a ~515 MB-parquet inventory OOMs a 8 GiB heap
-    * at 32 threads and completes at 16 GiB, i.e. the full double-drive
-    * needs roughly 24 heap bytes per parquet byte per 32 threads
-    * (decompressed rows + shuffle/agg state + localCheckpoint blocks all
-    * share the one local-mode heap). Rather than dying mid-inventory,
-    * degrade the THREAD count so per-thread state fits: concurrency is
-    * the one knob that scales task-resident state without touching any
-    * query. Returns the thread count to run with, printing the sizing
-    * line loudly when it degrades. */
+  /** MEMORY PRE-FLIGHT (round-11 directive #6): the sf3 runs measured
+    * the floor — a ~515 MB-parquet inventory OOMs a 8 GiB heap at 32
+    * threads outright; 16 GiB completed round 10's inventory but round
+    * 11 measured a late-run UNABLE_TO_ACQUIRE_MEMORY there too (45 min
+    * of accumulated GC/checkpoint pressure + the grown quiet re-time
+    * set), so the planning constant is ~32 heap bytes per parquet byte
+    * per 32 threads (decompressed rows + shuffle/agg state +
+    * localCheckpoint blocks all share the one local-mode heap). Rather
+    * than dying mid-inventory, degrade the THREAD count so per-thread
+    * state fits: concurrency is the one knob that scales task-resident
+    * state without touching any query. Returns the thread count to run
+    * with, printing the sizing line loudly when it degrades. */
   def preflightCores(requested: Int, dataBytes: Long, heapBytes: Long): Int = {
-    val bytesPerParquetBytePer32 = 24.0
+    val bytesPerParquetBytePer32 = 32.0
     val required = (dataBytes * bytesPerParquetBytePer32 * requested / 32.0).toLong
     if (heapBytes >= required || dataBytes <= 0L) requested
     else {
@@ -41,7 +43,7 @@ object Bench {
         (requested * heapBytes.toDouble / required).toInt)
       System.err.println(f"[bench] MEMORY PRE-FLIGHT: heap ${heapBytes / (1L << 20)}%d MiB " +
         f"< required ~${required / (1L << 20)}%d MiB for ${dataBytes / (1L << 20)}%d MiB " +
-        f"of parquet at $requested%d threads (~24 heap B / parquet B / 32 threads, " +
+        f"of parquet at $requested%d threads (~32 heap B / parquet B / 32 threads, " +
         f"the measured sf3 floor) — degrading to $fit%d threads instead of " +
         "OOMing mid-inventory. Give the JVM more -Xmx to run wider.")
       fit
@@ -174,15 +176,25 @@ object Bench {
       val top = runs.filter(_._3.isEmpty).sortBy(-_._2).take(quietK).map(_._1)
       (top ++ runs.filter(r => r._3.isEmpty && quietPinned(r._1)).map(_._1)).distinct
     }
-    val quiet = quietNames.map { name =>
+    // Guarded: a quiet RE-time failure (e.g. late-run execution-memory
+    // exhaustion after 45 min of accumulated GC pressure — measured at
+    // sf3/16 g in round 11) must cost that one quiet number, never the
+    // whole bench run whose timed results already exist.
+    val quiet = quietNames.flatMap { name =>
         val fn = queries(name)
         System.gc()
-        val t = (0 until 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> t
+        try {
+          val t = (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          Some(name -> t)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] WARNING: quiet re-time of $name " +
+            s"failed (${e.toString.take(120)}) — in-inventory number stands")
+          None
+        }
     }
     val errors = allRuns.collect { case (n, _, Some(e)) => n -> e }
     if (errors.nonEmpty)

@@ -12,13 +12,18 @@ class BenchPreflightSpec extends AnyFunSuite {
   private val MiB = 1L << 20
   private val GiB = 1L << 30
 
-  test("the measured sf3 floor: 16 GiB runs wide, 8 GiB degrades instead of OOMing") {
+  test("the measured sf3 floor: 24 GiB runs wide, 8/16 GiB degrade instead of OOMing") {
     val sf3 = 515L * MiB
-    assert(Bench.preflightCores(32, sf3, 16L * GiB) === 32,
-      "16 GiB completed the sf3 inventory at 32 threads in round 10")
+    assert(Bench.preflightCores(32, sf3, 24L * GiB) === 32,
+      "24 GiB clears the ~32 B/B sf3 requirement at 32 threads")
+    // 16 GiB completed round 10's inventory but round 11 measured a
+    // late-run UNABLE_TO_ACQUIRE_MEMORY there (grown quiet set + 45 min
+    // of GC pressure) -- the planner now shaves concurrency slightly
+    val at16 = Bench.preflightCores(32, sf3, 16L * GiB)
+    assert(at16 < 32 && at16 >= 28, s"16 GiB is the knife edge: $at16")
     val degraded = Bench.preflightCores(32, sf3, 8L * GiB)
-    assert(degraded < 32 && degraded >= 2,
-      s"8 GiB OOMed mid-inventory in round 10 — must degrade, got $degraded")
+    assert(degraded < at16 && degraded >= 2,
+      s"8 GiB OOMed mid-inventory outright -- must degrade hard, got $degraded")
   }
 
   test("small inventories never degrade; pathological inputs floor at 2 threads") {
