@@ -129,6 +129,28 @@ object TxLog {
   private def chkPath(zone: String, gen: Long) =
     new Path(zone.stripSuffix("/") + "/" + LogDir, f"chk-$gen%020d")
 
+  /** One shard of a MULTI-PART checkpoint (Delta's multi-part idea): at
+    * 100 TB a checkpoint is ~800k per-file lines (~60 MB) — one writer
+    * streaming one file serializes the driver on a single PUT and makes
+    * the read a single-threaded scan. Past
+    * [[checkpointShardLines]] per-file lines the per-file payload splits
+    * into `chp-<gen>-<i>-of-<n>` parts (each its own end-terminated,
+    * header-stamped file) and the base `chk-<gen>` carries only the kv
+    * header + `parts=n` + the total count, written LAST as the commit
+    * marker — a crash mid-shard leaves invisible parts, never a
+    * half-readable checkpoint, and any torn/missing part makes the whole
+    * checkpoint read as absent (the chain-walk fallback, same corpse
+    * tolerance as everywhere). */
+  private def chpPath(zone: String, gen: Long, i: Int, n: Int) =
+    new Path(zone.stripSuffix("/") + "/" + LogDir,
+      f"chp-$gen%020d-$i%05d-of-$n%05d")
+
+  /** Shard threshold in per-file LINES (files + stats + sizes). The
+    * system property is the ops/test tuning knob; the default keeps
+    * every part comfortably re-readable in one buffer. */
+  private[graft] def checkpointShardLines: Int =
+    sys.props.get("graft.txlog.chk.shardLines").map(_.toInt).getOrElse(100000)
+
   private def pointerPath(zone: String) =
     new Path(zone.stripSuffix("/") + "/" + LogDir, "_last_checkpoint")
 
@@ -298,32 +320,65 @@ object TxLog {
       val meta = body.filter(_.startsWith("m ")).map { l =>
         val i = l.indexOf('=', 2); (l.substring(2, i), l.substring(i + 1))
       }.toMap
-      // legacy single-column stats: "s <relpath>=<min>,<max>" (doubles)
-      val stats = body.filter(_.startsWith("s ")).map { l =>
-        val i = l.lastIndexOf('=')
-        val Array(mn, mx) = l.substring(i + 1).split(",", 2)
-        (l.substring(2, i), (mn.toDouble, mx.toDouble))
-      }.toMap
-      // typed multi-column stats:
-      // "t <relpath>|<col>=<kind>,<rows>,<nulls>,<minEnc>,<maxEnc>"
-      val colStats = body.filter(_.startsWith("t ")).map { l =>
-        val eq = l.indexOf('=', 2)
-        val key = l.substring(2, eq)
-        val bar = key.lastIndexOf('|')
-        val Array(kind, rows, nulls, mn, mx) = l.substring(eq + 1).split(",", 5)
-        (key.substring(0, bar), key.substring(bar + 1),
-          ColStat(kind, rows.toLong, nulls.toLong, decV(mn), decV(mx)))
-      }.groupBy(_._1).map { case (file, ts) =>
-        file -> ts.map(t => t._2 -> t._3).toMap
+      // per-file line families — shared by the inline body and any
+      // multi-part checkpoint shards spliced in below:
+      // "s <relpath>=<min>,<max>"                         legacy doubles
+      // "t <relpath>|<col>=<kind>,<rows>,<nulls>,<mn>,<mx>"  typed stats
+      // "b <relpath>=<bytes>,<mtimeMillis>"         sizes (optional, new)
+      // "f <relpath>"                                             files
+      def parsePerFile(b: Vector[String]) = {
+        val st = b.filter(_.startsWith("s ")).map { l =>
+          val i = l.lastIndexOf('=')
+          val Array(mn, mx) = l.substring(i + 1).split(",", 2)
+          (l.substring(2, i), (mn.toDouble, mx.toDouble))
+        }.toMap
+        val cst = b.filter(_.startsWith("t ")).map { l =>
+          val eq = l.indexOf('=', 2)
+          val key = l.substring(2, eq)
+          val bar = key.lastIndexOf('|')
+          val Array(kind, rows, nulls, mn, mx) = l.substring(eq + 1).split(",", 5)
+          (key.substring(0, bar), key.substring(bar + 1),
+            ColStat(kind, rows.toLong, nulls.toLong, decV(mn), decV(mx)))
+        }.groupBy(_._1).map { case (file, ts) =>
+          file -> ts.map(t => t._2 -> t._3).toMap
+        }
+        val sz = b.filter(_.startsWith("b ")).map { l =>
+          val i = l.lastIndexOf('=')
+          val Array(len, mt) = l.substring(i + 1).split(",", 2)
+          (l.substring(2, i), (len.toLong, mt.toLong))
+        }.toMap
+        (st, cst, sz, b.filter(_.startsWith("f ")).map(_.substring(2)))
       }
-      // per-file sizes: "b <relpath>=<bytes>,<mtimeMillis>" — optional
-      // (pre-sizes manifests carry none; readers fall back to listing)
-      val sizes = body.filter(_.startsWith("b ")).map { l =>
-        val i = l.lastIndexOf('=')
-        val Array(len, mt) = l.substring(i + 1).split(",", 2)
-        (l.substring(2, i), (len.toLong, mt.toLong))
-      }.toMap
-      val files = body.filter(_.startsWith("f ")).map(_.substring(2))
+      // multi-part checkpoint: splice every shard's per-file lines in
+      // BEFORE the completeness count check — a torn/missing shard makes
+      // the whole checkpoint read as absent
+      val partBody: Vector[String] = kv.get("parts") match {
+        case Some(nStr) =>
+          val n = nStr.toInt
+          val zoneOfP = p.getParent.getParent.toString
+          (1 to n).toVector.flatMap { i =>
+            val pp = chpPath(zoneOfP, gen, i, n)
+            val pin = try f.open(pp) catch {
+              case _: java.io.IOException => return None }
+            val plines =
+              try scala.io.Source.fromInputStream(pin, "UTF-8").getLines().toVector
+              finally pin.close()
+            if (plines.isEmpty || plines.last != "end" ||
+                plines.head != Header) return None
+            val pbody = plines.tail.init
+            val pkv = pbody.filterNot(l => l.startsWith("f ") ||
+                l.startsWith("s ") || l.startsWith("t ") || l.startsWith("b "))
+              .map { l => val j = l.indexOf('='); (l.substring(0, j), l.substring(j + 1)) }
+              .toMap
+            if (!pkv.get("gen").contains(gen.toString) ||
+                !pkv.get("part").contains(i.toString) ||
+                !pkv.get("parts").contains(n.toString)) return None
+            pbody.filter(l => l.startsWith("f ") || l.startsWith("s ") ||
+              l.startsWith("t ") || l.startsWith("b "))
+          }
+        case None => Vector.empty
+      }
+      val (stats, colStats, sizes, files) = parsePerFile(body ++ partBody)
       val base = kv.get("base").map(_.toLong).getOrElse(-1L)
       if (kv.get("kind").contains("delta")) {
         val removes = body.filter(_.startsWith("r ")).map(_.substring(2))
@@ -403,12 +458,49 @@ object TxLog {
     * correctness. */
   private def writeCheckpoint(f: FileSystem, zone: String, s: Snapshot): Unit =
     try {
-      tryCreate(f, chkPath(zone, s.gen)).foreach { out =>
-        try out.write(manifestBody(delta = false, gen = s.gen,
-          base = s.baseGen, format = s.format, files = s.files,
-          removes = Nil, meta = s.meta, stats = s.stats,
-          colStats = s.colStats, sizes = s.sizes).getBytes("UTF-8"))
-        finally out.close()
+      val pf = perFileLines(s.files, s.stats, s.colStats, s.sizes)
+      val shard = checkpointShardLines
+      if (pf.size <= shard) {
+        tryCreate(f, chkPath(zone, s.gen)).foreach { out =>
+          try out.write(manifestBody(delta = false, gen = s.gen,
+            base = s.baseGen, format = s.format, files = s.files,
+            removes = Nil, meta = s.meta, stats = s.stats,
+            colStats = s.colStats, sizes = s.sizes).getBytes("UTF-8"))
+          finally out.close()
+        }
+      } else {
+        // MULTI-PART: per-file lines split deterministically into n
+        // shards (racing checkpointers write byte-identical parts, so
+        // create-exclusive losers just skip); the base chk-<gen> lands
+        // LAST as the commit marker — until it exists no reader sees
+        // the parts, and after it exists a torn part reads as no
+        // checkpoint at all (never a partial state).
+        val n = ((pf.size + shard - 1) / shard)
+        pf.grouped(shard).zipWithIndex.foreach { case (chunk, idx) =>
+          tryCreate(f, chpPath(zone, s.gen, idx + 1, n)).foreach { out =>
+            val b = new StringBuilder(Header).append('\n')
+              .append("protocol=").append(ProtocolVersion).append('\n')
+              .append("gen=").append(s.gen).append('\n')
+              .append("part=").append(idx + 1).append('\n')
+              .append("parts=").append(n).append('\n')
+            chunk.foreach(l => b.append(l).append('\n'))
+            b.append("end\n")
+            try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+          }
+        }
+        tryCreate(f, chkPath(zone, s.gen)).foreach { out =>
+          val b = new StringBuilder(Header).append('\n')
+            .append("protocol=").append(ProtocolVersion).append('\n')
+            .append("gen=").append(s.gen).append('\n')
+            .append("base=").append(s.baseGen).append('\n')
+            .append("format=").append(s.format).append('\n')
+            .append("parts=").append(n).append('\n')
+            .append("count=").append(s.files.size).append('\n')
+          s.meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            b.append("m ").append(k).append('=').append(v).append('\n') }
+          b.append("end\n")
+          try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+        }
       }
       writePointer(f, zone, s.gen)
     } catch { case _: Exception => () }
@@ -495,22 +587,30 @@ object TxLog {
       body.append("count=").append(files.size).append('\n')
     meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
       body.append("m ").append(k).append('=').append(v).append('\n') }
-    stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
-      body.append("s ").append(k).append('=')
-        .append(mn).append(',').append(mx).append('\n') }
-    colStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
-      perCol.toSeq.sortBy(_._1).foreach { case (c, st) =>
-        body.append("t ").append(file).append('|').append(c).append('=')
-          .append(st.kind).append(',').append(st.rows).append(',')
-          .append(st.nulls).append(',').append(encV(st.min)).append(',')
-          .append(encV(st.max)).append('\n') } }
-    sizes.toSeq.sortBy(_._1).foreach { case (file, (len, mt)) =>
-      body.append("b ").append(file).append('=')
-        .append(len).append(',').append(mt).append('\n') }
-    files.sorted.foreach(fl => body.append("f ").append(fl).append('\n'))
+    perFileLines(files, stats, colStats, sizes)
+      .foreach(l => body.append(l).append('\n'))
     removes.sorted.foreach(fl => body.append("r ").append(fl).append('\n'))
     body.append("end\n")
     body.toString
+  }
+
+  /** The per-file line families (s/t/b/f), rendered in the canonical
+    * order — the unit multi-part checkpoints shard on. */
+  private def perFileLines(files: Seq[String],
+                           stats: Map[String, (Double, Double)],
+                           colStats: Map[String, Map[String, ColStat]],
+                           sizes: Map[String, (Long, Long)]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    stats.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+      out += s"s $k=$mn,$mx" }
+    colStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
+      perCol.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        out += s"t $file|$c=${st.kind},${st.rows},${st.nulls}," +
+          s"${encV(st.min)},${encV(st.max)}" } }
+    sizes.toSeq.sortBy(_._1).foreach { case (file, (len, mt)) =>
+      out += s"b $file=$len,$mt" }
+    files.sorted.foreach(fl => out += s"f $fl")
+    out.result()
   }
 
   /** Atomically publish a new generation at number `gen` (rebased on head
@@ -2330,9 +2430,17 @@ object TxLog {
         case (st, c) if c.gen < oldestKept => st.getPath
       } ++ tornDrops
       else tornDrops
+    // multi-part checkpoint shards (`chp-<gen>-<i>-of-<n>`) GC with
+    // their generation, exactly like the base chk- file
+    val chpGen: Path => Option[Long] = p => {
+      val nm = p.getName
+      if (!nm.startsWith("chp-")) None
+      else scala.util.Try(nm.stripPrefix("chp-").take(20).toLong).toOption
+    }
     val dropChks =
-      if (anchored) chks.map(_.getPath)
-        .filter(p => pathGen(p).exists(_ < oldestKept))
+      if (anchored)
+        chks.map(_.getPath).filter(p => pathGen(p).exists(_ < oldestKept)) ++
+          listing.map(_.getPath).filter(p => chpGen(p).exists(_ < oldestKept))
       else Nil
     val live: Set[String] = keptSnaps.flatMap(_.get.files).toSet
     // only files under d-* write dirs are vacuum-managed; gen-0 root files

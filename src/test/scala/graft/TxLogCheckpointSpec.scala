@@ -232,4 +232,56 @@ class TxLogCheckpointSpec extends SparkSpec {
     val pre = TxLog.snapshotAt(spark, zone, head.gen - 1).get
     assert(TxLog.readSnapshot(spark, zone, pre).count() === 1550L)
   }
+
+  test("multi-part checkpoints: shard past the line threshold, read back whole, GC with their gen") {
+    // The 100 TB checkpoint bound: ~800k per-file lines in ONE file is a
+    // 60 MB single-writer PUT and a single-threaded re-read. Past the
+    // shard threshold the per-file payload splits into chp-<gen>-<i>-of-<n>
+    // parts; the base chk-<gen> (written LAST, the commit marker) carries
+    // the header + count. Pinned: the sharded checkpoint resolves
+    // bit-identically, survives history loss below it, reads as ABSENT
+    // when a part is torn, and its parts vacuum with their generation.
+    val zone = freshZone()
+    sys.props("graft.txlog.chk.shardLines") = "25"
+    try {
+      // 10 appends x 4 files with id stats: per-file lines at gen 10 =
+      // 40 f + 40 t + 40 b > 25 -> sharded checkpoint at gen 10
+      TxLog.replace(spark, zone,
+        spark.range(0L, 100L).toDF("id").repartition(4), statsCols = Seq("id"))
+      (1 until 10).foreach(i =>
+        TxLog.append(spark, zone,
+          spark.range(i * 100L, i * 100L + 100L).toDF("id").repartition(4)))
+      val head = TxLog.latest(spark, zone).get
+      assert(head.gen === 10L)
+      val parts = logFiles(zone).map(_.getName).filter(_.startsWith("chp-"))
+      assert(parts.size >= 2, s"expected shards, log dir: ${logFiles(zone).map(_.getName)}")
+      assert(chkFile(zone, 10L).exists, "the base chk- marker must exist")
+      // the sharded checkpoint IS the anchor: the gen-10 manifest (and
+      // everything below) can vanish and the state still reconstructs
+      (1L to 10L).foreach(g => genFile(zone, g).delete())
+      val resolved = TxLog.snapshotAt(spark, zone, 10L).get
+      assert(resolved.files.toSet === head.files.toSet)
+      assert(resolved.colStats === head.colStats, "typed stats must survive sharding")
+      assert(resolved.sizes === head.sizes, "sizes must survive sharding")
+      assert(ids(zone) === (0L until 1000L).toSet)
+      // a torn part = no checkpoint at all (never a partial state)
+      val onePart = logFiles(zone).filter(_.getName.startsWith("chp-")).head
+      val bytes = java.nio.file.Files.readAllBytes(onePart.toPath)
+      java.nio.file.Files.write(onePart.toPath, bytes.dropRight(8))
+      assert(TxLog.snapshotAt(spark, zone, 10L).isEmpty,
+        "a torn shard must make the whole checkpoint read as absent")
+      java.nio.file.Files.write(onePart.toPath, bytes) // repair
+      assert(TxLog.snapshotAt(spark, zone, 10L).isDefined)
+      // parts GC with their generation: advance past a NEWER checkpoint,
+      // then vacuum to it
+      (10 until 21).foreach(i =>
+        TxLog.append(spark, zone,
+          spark.range(i * 100L, i * 100L + 100L).toDF("id").repartition(4)))
+      TxLog.vacuum(spark, zone, keepGens = 2, graceMs = 0L)
+      val after = logFiles(zone).map(_.getName).filter(_.startsWith("chp-"))
+      assert(!after.exists(_.startsWith("chp-00000000000000000010")),
+        s"gen-10 shards must vacuum with their generation: $after")
+      assert(ids(zone) === (0L until 2100L).toSet)
+    } finally sys.props.remove("graft.txlog.chk.shardLines")
+  }
 }
