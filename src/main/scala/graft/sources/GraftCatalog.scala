@@ -56,12 +56,15 @@ import graft.operators.TxLog
   * per-file committed column stats — the prune inputs, one row per
   * (file, column)).
   *
-  * Deliberately unsupported, loudly: partition transforms in CREATE
-  * (file layout is the log's concern — clustering comes from
-  * [[TxLog.compactClustered]]/Z-order maintenance, not a directory
-  * scheme) and ALTER TABLE column changes (the schema evolves through
-  * append/replace's own validated path; an ALTER that edits the log's
-  * schema meta without data would silently bypass those guards).
+  * Schema DDL: `ALTER TABLE ADD COLUMNS` (meta-only evolution),
+  * `RENAME COLUMN` / `DROP COLUMN` (meta-only through the column-mapping
+  * layer — [[TxLog.renameColumn]]/[[TxLog.dropColumn]]: physical names
+  * stay, stats re-key, tombstones protect re-added names), and
+  * `SET TBLPROPERTIES('statsCols')`. `PARTITIONED BY (col)` identity
+  * transforms are statsCols SUGAR (this format prunes by per-file stats
+  * + Z-order maintenance, not directory schemes); transformed
+  * partitioning and column RETYPES refuse loudly (no mapping changes
+  * what committed bytes decode to — retype = INSERT OVERWRITE).
   *
   * Reference anchor: the reference registers its lake output in Glue's
   * catalog via crawler-less table definitions
@@ -379,10 +382,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       sys.error(s"$catName catalog: $zone lost its log while resolving .detail"))
     val s = spark
     import s.implicits._
+    // total_bytes from the committed per-file sizes -- present iff every
+    // live file has a size entry (pre-sizes zones surface null rather
+    // than a driver listing storm)
+    val bytes =
+      if (head.files.nonEmpty && head.files.forall(head.sizes.contains))
+        Some(head.files.map(head.sizes(_)._1).sum)
+      else if (head.files.isEmpty) Some(0L)
+      else None
+    val mapping = Option(TxLog.colMap(head.meta)).filter(_.nonEmpty)
+      .map(_.toSeq.sorted.map { case (l, ph) => s"$l->$ph" }.mkString(", "))
     Seq(GraftCatalog.DetailRow(zone, head.gen, head.format,
-      head.files.size.toLong,
+      head.files.size.toLong, bytes,
       TxLog.zoneSchema(head).map(_.json),
       Option(head.meta.getOrElse("stats.cols", "")).filter(_.nonEmpty),
+      mapping,
       head.meta.get("op"))).toDF()
   }
 
@@ -463,8 +477,10 @@ object GraftCatalog {
 
   /** Row shape of the `.detail` metadata table. */
   final case class DetailRow(location: String, gen: Long, format: String,
-                             num_files: Long, schema_json: Option[String],
+                             num_files: Long, total_bytes: Option[Long],
+                             schema_json: Option[String],
                              stats_cols: Option[String],
+                             column_mapping: Option[String],
                              last_op: Option[String])
 }
 

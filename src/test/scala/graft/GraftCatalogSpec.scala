@@ -204,11 +204,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(files.nonEmpty && files.map(_._3).sum === 10L,
       "the .files stats must account for every committed row")
     assert(files.forall(r => r._4.toDouble >= 0.0 && r._5.toDouble <= 9.0))
-    val (gen, nf, statsCols) = spark.sql(
-      s"SELECT gen, num_files, stats_cols FROM $t.detail")
-      .as[(Long, Long, String)].head()
+    val (gen, nf, statsCols, bytes, mapping) = spark.sql(
+      s"SELECT gen, num_files, stats_cols, total_bytes, column_mapping " +
+        s"FROM $t.detail")
+      .as[(Long, Long, String, Option[Long], Option[String])].head()
     assert(gen === 1L && nf >= 1L && statsCols === "k",
       s".detail must describe the head: gen=$gen files=$nf stats=$statsCols")
+    assert(bytes.exists(_ > 0L),
+      ".detail total_bytes must be served from the committed sizes")
+    assert(mapping.isEmpty, "an unrenamed table carries no column mapping")
+    // a rename surfaces the logical->physical mapping in .detail
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk")
+    assert(spark.sql(s"SELECT column_mapping FROM $t.detail")
+      .as[Option[String]].head().contains("kk->k"))
   }
 
   test("SHOW TABLES / DROP TABLE / RENAME") {
