@@ -395,6 +395,36 @@ class GraftCatalogSpec extends SparkSpec {
       Set((3L, "upd"), (99L, "fresh")))
   }
 
+  test("time travel to a pre-DROP generation resurfaces the dropped column") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'keep')")
+    val g = TxLog.latest(spark, zoneOf(t)).get.gen
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("k"))
+    // the old generation's own meta still maps the column; its bytes
+    // never moved
+    assert(sqlRows(s"SELECT k, v FROM $t VERSION AS OF $g") ===
+      Set((1L, "keep")))
+  }
+
+  test("v1 readWhereCol pruning survives a rename (re-keyed stats, API path)") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT) TBLPROPERTIES ('statsCols'='k')")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO $t SELECT id + ${i * 100} FROM range(100)"))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key")
+    val zone = zoneOf(t)
+    val head = TxLog.latest(spark, zone).get
+    // the logical-keyed stats answer pruning under the NEW name
+    val kept = TxLog.prunedFilesFor(head, "key", 150L, 180L)
+    assert(kept.size < head.files.size,
+      s"re-keyed stats must prune: ${kept.size} of ${head.files.size}")
+    val got = TxLog.readWhereCol(spark, zone, "key", 150L, 180L)
+      .select("key").as[Long].collect().toSet
+    assert(got === (150L to 180L).toSet)
+  }
+
   test("rename collisions and tombstoned re-appends refuse loudly") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
