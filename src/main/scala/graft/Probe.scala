@@ -44,35 +44,38 @@ object Probe {
       spark.stop()
 
     // The SHARED pair-stats relation's scale contract (round-11
-    // directive #2, the q36/q147/q173/q194/q223 kernel): per corpus size,
-    // report docs, distinct shingles, CAPPED-OUT shingles (uncapped
-    // df > 256 — the escape-hatch trigger), the candidate-pair
-    // cardinality Σ C(min(df,256), 2) the equi-join materializes, the
-    // post-agg pair count, and the quiet build seconds. Run at sf0.1 /
-    // sf1 / sf3 to measure the growth curve (recorded in SURVEY §9).
+    // directive #2, round-12 directive #1 — the q36/q147/q173/q194/q223
+    // kernel, now SELF-TUNING): per corpus size, report docs, distinct
+    // shingles, the corpus-derived cap the adaptive solve picked, the
+    // shingles it drops, max df, the candidate-pair cardinality
+    // Σ [df ≤ cap]·C(df, 2) the equi-join materializes under that cap,
+    // the post-agg pair count, and the quiet build seconds. Run at
+    // sf0.1 / sf1 / sf3 to measure the growth curve (SURVEY §9).
     case "pairstats" :: sfDir :: Nil =>
       import org.apache.spark.sql.functions._
       val spark = GraftSession.get()
       spark.sparkContext.setLogLevel("WARN")
       val docs = sources.Tables.documents(spark, sfDir)
       val nDocs = docs.count()
-      val uncapped = graft.operators.Dedup
+      val cap = graft.operators.Dedup
+        .adaptiveShingleDfCap(docs, "doc_id", "text", n = 3)
+      val stats = graft.operators.Dedup
         .shingleIndex(docs, "doc_id", "text", n = 3, maxShingleDf = 0L)
         .groupBy("shingle").agg(count(lit(1)).as("df"))
         .agg(count(lit(1)).as("shingles"),
-          sum(when(col("df") > 256L, 1L).otherwise(0L)).as("cappedOut"),
+          sum(when(col("df") > cap, 1L).otherwise(0L)).as("cappedOut"),
           max(col("df")).as("maxDf"),
-          sum((least(col("df"), lit(256L)) *
-            (least(col("df"), lit(256L)) - 1) / 2).cast("long")).as("candidates"))
+          sum(when(col("df") <= cap, expr("df * (df - 1) div 2"))
+            .otherwise(0L)).as("candidates"))
         .collect().head
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup
-        .pairStats(docs, "doc_id", "text", n = 3, maxShingleDf = 256L)
+        .pairStats(docs, "doc_id", "text", n = 3, maxShingleDf = cap)
         .count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"pairstats dir=$sfDir docs=$nDocs " +
-        f"shingles=${uncapped.getLong(0)} cappedOut=${uncapped.getLong(1)} " +
-        f"maxDf=${uncapped.getLong(2)} candidates=${uncapped.getLong(3)} " +
+      println(f"pairstats dir=$sfDir docs=$nDocs cap=$cap " +
+        f"shingles=${stats.getLong(0)} cappedOut=${stats.getLong(1)} " +
+        f"maxDf=${stats.getLong(2)} candidates=${stats.getLong(3)} " +
         f"pairs=$pairs quietSecs=$secs%.2f")
       spark.stop()
 

@@ -159,7 +159,7 @@ object Round5Queries {
       // boilerplate-wrapped copies) where Jaccard stays low because the
       // union is dominated by the larger doc. Same inverted-index shape
       // as q36; both directions of a mutual near-copy appear.
-      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+      Some(s"""WITH ${TrainingQueries.cappedShingleCtes},
               |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
               |          FROM sh a JOIN sh b
@@ -169,10 +169,11 @@ object Round5Queries {
               |FROM inter JOIN cnt ca ON ca.doc_id = a_id
               |WHERE ROUND(i::DOUBLE / ca.n_sh, 4) >= 0.8
               |ORDER BY a_id, b_id""".stripMargin),
-      // skew guard ON, same cap rationale as q36: 256 >> testdata max df
-      // (25 at sf0.1) keeps the hash oracle-identical while bounding a
-      // viral shingle's candidate blow-up on skewed corpora. Shares the
-      // session-cached pair-stats relation with q36 — containment and
+      // skew guard: the CORPUS-DERIVED df cap (Dedup.adaptiveShingleDfCap,
+      // rendered above) — resolves to 1024 > testdata max df (25 at
+      // sf0.1), keeping the hash oracle-identical, while a skewed corpus
+      // gets a cap that bounds candidate work linear in its size. Shares
+      // the session-cached pair-stats relation with q36 — containment and
       // Jaccard are both projections of (inter, n_a, n_b)
       (s, d) => graft.operators.Dedup
         .containmentFromStats(TrainingQueries.cachedPairStats(s, d), threshold = 0.8)

@@ -773,8 +773,9 @@ object Round6Queries {
       // and the proof that every pairwise set-overlap metric is a pure
       // projection of the ONE shared pair-stats relation: this query adds
       // zero join work to an inventory pass that already ran q36 or q147
-      // (same session-cached (inter, n_a, n_b) kernel, skew cap 256).
-      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+      // (same session-cached (inter, n_a, n_b) kernel, corpus-derived
+      // skew cap).
+      Some(s"""WITH ${TrainingQueries.cappedShingleCtes},
               |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
               |          FROM sh a JOIN sh b

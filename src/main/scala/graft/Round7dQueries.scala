@@ -462,7 +462,7 @@ object Round7dQueries {
       // stats (zero extra candidate generation in an inventory pass);
       // bins are exact integer floor(j*10) over the rounded jaccard, so
       // the bin edges cannot fork between engines.
-      Some(s"""WITH sh AS (${TrainingQueries.shingleRowsSql}),
+      Some(s"""WITH ${TrainingQueries.cappedShingleCtes},
               |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
               |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -222,7 +222,7 @@ object Round8fQueries {
       // containment means the mutual set can only ADD size-skewed pairs
       // the union-diluted jaccard missed. One full-outer join of two
       // projections of (inter, n_a, n_b); agreement in ppm.
-      Some(s"""WITH sh AS ($shingleRowsSql),
+      Some(s"""WITH ${TrainingQueries.cappedShingleCtes},
               |cnt AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) i
               |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

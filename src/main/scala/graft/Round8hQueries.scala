@@ -60,7 +60,7 @@ object Round8hQueries {
       // therefore whether q56's cluster resolution has real work to do.
       // Reuses the session-cached pair stats; the histogram is bounded
       // by the max degree.
-      Some(s"""WITH sh AS ($shingleRowsSql),
+      Some(s"""WITH ${TrainingQueries.cappedShingleCtes},
               |cnt AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) i
               |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -33,10 +33,34 @@ object TrainingQueries {
        |       ELSE [] END)) AS shingle
        |FROM (SELECT doc_id, $toksSql AS t FROM documents) d""".stripMargin
 
-  /** Exact pairwise 3-gram Jaccard >= 0.8 — the oracle for q36 AND q37
-    * (and the edge relation of q56's cluster oracle). */
+  /** The ADAPTIVE-CAPPED shingle relation every pair-stats oracle builds
+    * on — Dedup.adaptiveShingleDfCap rendered in SQL, bit-for-bit: pick
+    * the largest cap c from the ladder {32..1024} whose materialized
+    * candidate count Σ_shingle [df ≤ c]·df·(df−1)//2 fits the
+    * 512-per-doc budget (floor 32), then keep only shingles with
+    * df ≤ cap. Exact integer arithmetic on both engines (`//` / `div`),
+    * so Spark and DuckDB derive the SAME cap from the same corpus at any
+    * scale; at the oracle's sf ≤ 0.1 sizes the solve returns 1024 (max
+    * df 25), the filter keeps everything, and every consumer hash is
+    * unchanged. Ends defining `sh` so consumers splice it where the raw
+    * shingle CTE used to sit. */
+  private[graft] val cappedShingleCtes =
+    s"""sh0 AS ($shingleRowsSql),
+       |dfp AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+       |capl AS (SELECT l.c, SUM(CASE WHEN dfp.df <= l.c
+       |                              THEN dfp.df * (dfp.df - 1) // 2 ELSE 0 END) AS cand
+       |         FROM (VALUES (32),(64),(128),(256),(512),(1024)) l(c)
+       |         CROSS JOIN dfp GROUP BY l.c),
+       |capv AS (SELECT COALESCE(MAX(c), 32) AS cap FROM capl
+       |         WHERE cand <= 512 * (SELECT COUNT(*) FROM documents)),
+       |sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfp USING (shingle)
+       |       WHERE dfp.df <= (SELECT cap FROM capv))""".stripMargin
+
+  /** Exact pairwise 3-gram Jaccard >= 0.8 over the adaptive-capped
+    * shingle relation — the oracle for q36 AND q37 (and the edge
+    * relation of q56's cluster oracle). */
   private[graft] val jaccardPairsSql =
-    s"""WITH sh AS ($shingleRowsSql),
+    s"""WITH $cappedShingleCtes,
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -109,18 +133,22 @@ object TrainingQueries {
   }
 
   /** The co-shingled pair-stats relation (a_id, b_id, inter, n_a, n_b;
-    * n=3, skew cap 256) shared by q36 (Jaccard) and q147 (containment):
-    * both metrics are pure projections of it, and the inverted-index
-    * join that produces it is the expensive part of either query — so it
-    * is computed once per (session, sf dir) and checkpointed (a few
-    * hundred K scalar rows at sf0.1; exact longs, so every derived hash
-    * is unchanged). */
+    * n=3) shared by the eight set-overlap consumers (q36/q147/q173/q194/
+    * q223/q226/q274/q279): every metric is a pure projection of it, and
+    * the inverted-index join that produces it is the expensive part of
+    * any of them — so it is computed once per (session, sf dir) and
+    * checkpointed (a few hundred K scalar rows at sf0.1; exact longs, so
+    * every derived hash is unchanged). The shingle df cap is
+    * CORPUS-DERIVED ([[Dedup.adaptiveShingleDfCap]], mirrored into the
+    * oracles via [[cappedShingleCtes]]): candidate work stays bounded
+    * linear in corpus size instead of riding duplication density
+    * quadratically until a frozen cap bites (the round-11 `weak`). */
   private val pairStatsCache = new SessionCache[org.apache.spark.sql.DataFrame]
   private[graft] def cachedPairStats(s: org.apache.spark.sql.SparkSession,
                                      d: String): org.apache.spark.sql.DataFrame =
     pairStatsCache.getOrElseUpdate(s, d)(
-      Dedup.pairStats(Tables.documents(s, d), "doc_id", "text",
-        n = 3, maxShingleDf = 256L).localCheckpoint(true))
+      Dedup.pairStatsAdaptive(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .localCheckpoint(true))
 
   /** The tokenized corpus (doc_id, source, text, toks, hs) shared by the
     * ARRAY-SIDE members of the per-document text family (q146, q164,
@@ -159,10 +187,13 @@ object TrainingQueries {
 
     Q("q36_dedup_ngram_jaccard",
       Some(jaccardPairsSql),
-      // skew guard ON: 256 is 10x above the testdata's max shingle df (25
-      // at sf0.1), so the oracle (which computes without a cap) matches
-      // bit-for-bit — while a Zipfian corpus's viral shingle is bounded to
-      // 256²/2 candidate rows instead of k²/2 (DedupSkewSpec pins this)
+      // skew guard ON, self-tuning: the corpus-derived df cap
+      // (Dedup.adaptiveShingleDfCap — largest ladder cap whose candidate
+      // count fits 512/doc, floor 32), mirrored bit-for-bit into the
+      // oracle's cappedShingleCtes. On testdata it resolves to 1024 >>
+      // max df 25, so results are unchanged; on a duplication-dense
+      // corpus the cap tightens itself, bounding candidate work linear
+      // in corpus size (DedupSkewSpec pins both behaviors)
       (s, d) => Dedup.jaccardFromStats(cachedPairStats(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 

@@ -109,6 +109,59 @@ object Dedup {
     * (Jaccard, directional containment, overlap/Dice coefficients) is a
     * pure projection of this relation, so a caller running several
     * metrics over the same corpus can compute (or cache) it ONCE. */
+  /** The cap LADDER and per-doc candidate budget [[adaptiveShingleDfCap]]
+    * solves over — shared constants so the Scala solve and the oracle CTE
+    * (TrainingQueries.cappedShingleCtes) can never drift. */
+  private[graft] val capLadder: Seq[Long] = Seq(32L, 64L, 128L, 256L, 512L, 1024L)
+  private[graft] val capBudgetPerDoc: Long = 512L
+
+  /** Corpus-derived shingle df cap — the adaptiveK pattern
+    * (ExtendedQueries.adaptiveK) applied to the pair-stats tier's one
+    * frozen knob. The inverted-index join materializes exactly
+    * cand(c) = Σ_shingle [df ≤ c] · C(df, 2) rows (a shingle above the
+    * cap is DROPPED, so it contributes zero, not C(c,2)); this picks the
+    * LARGEST cap from the fixed ladder {32..1024} whose cand(c) fits a
+    * per-document candidate budget (512·|docs|), floor 32 — so candidate
+    * work is bounded LINEAR in corpus size by construction, instead of
+    * growing with the square of duplication density until a frozen cap
+    * bites (round-11 measured that quadratic: 1.27M → 31.8M → 229M
+    * candidate rows at 5k → 50k → 150k docs under the frozen 256).
+    * Everything is exact integer arithmetic (`div`, df·(df−1) is even),
+    * and the identical formula is rendered into the oracle CTE, so both
+    * engines derive the same cap from the same corpus at ANY scale. On
+    * the oracle-checked corpora (sf ≤ 0.1: max df 25, cand ≤ 1.27M ≤
+    * 512·5000) the solve returns 1024 — above every df — so all eight
+    * consumers' hashes are unchanged; the cap starts biting (and the
+    * capped metrics' documented internal-consistency contract kicks in)
+    * only where the frozen knob used to blow up. One cheap driver-side
+    * collect of a single 6-column row — the df aggregation it rides is
+    * map-side-combined (a viral shingle is one register per partition). */
+  def adaptiveShingleDfCap(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3,
+                           budgetPerDoc: Long = capBudgetPerDoc): Long = {
+    val nDocs = docs.count()
+    val dfRel = shingleIndex(docs, idCol, textCol, n, 0L)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val row = dfRel.select(capLadder.map(c =>
+      sum(when(col("df") <= c,
+        expr("df * (df - 1) div 2")).otherwise(0L)).as(s"c$c")): _*)
+      .collect()(0)
+    val budget = budgetPerDoc * nDocs
+    capLadder.reverse.find { c =>
+      val cand = if (row.isNullAt(row.fieldIndex(s"c$c"))) 0L
+                 else row.getAs[Long](s"c$c")
+      cand <= budget
+    }.getOrElse(capLadder.head)
+  }
+
+  /** [[pairStats]] under the corpus-derived [[adaptiveShingleDfCap]] —
+    * the self-tuning form every shared-relation consumer should use. */
+  def pairStatsAdaptive(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3,
+                        budgetPerDoc: Long = capBudgetPerDoc): DataFrame =
+    pairStats(docs, idCol, textCol, n,
+      adaptiveShingleDfCap(docs, idCol, textCol, n, budgetPerDoc))
+
   def pairStats(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
     // Exchange barrier: the index subtree feeds three consumers (sizes +

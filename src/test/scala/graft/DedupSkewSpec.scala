@@ -75,4 +75,48 @@ class DedupSkewSpec extends SparkSpec {
     assert(run(256L) === run(0L),
       "a cap above the corpus max df must not change any output row")
   }
+
+  // 100 docs sharing a 52-token boilerplate block (50 shingles at df=100
+  // each -> 50 * C(100,2) = 247,500 candidate rows) plus 3 unique tokens:
+  // the duplication-dense regime where the frozen cap used to blow up.
+  private lazy val dense: DataFrame = {
+    val common = (0 until 52).map(j => s"c$j").mkString(" ")
+    (0 until 100).map(i => (i.toLong, s"$common u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+  }
+
+  test("adaptive cap resolves to the ladder max when candidates fit the budget") {
+    // skewed corpus: cand(1024) = cand(uncapped) ~ 1770 + tails, budget =
+    // 512*60 = 30720 -> the solve keeps everything (the oracle regime)
+    assert(Dedup.adaptiveShingleDfCap(skewed, "doc_id", "text", n = 3) === 1024L)
+  }
+
+  test("adaptive cap tightens itself on a duplication-dense corpus") {
+    // dense corpus: budget = 512*100 = 51,200 < 247,500 at any cap >= 100,
+    // so every ladder value that keeps the boilerplate shingles (128..1024)
+    // is rejected and the solve lands on 64 (which drops them; remaining
+    // shingles are unique, cand = 0)
+    val cap = Dedup.adaptiveShingleDfCap(dense, "doc_id", "text", n = 3)
+    assert(cap === 64L, s"expected the solve to tighten to 64, got $cap")
+    // and the resulting join materializes ~zero candidate rows
+    val idx = Dedup.shingleIndex(dense, "doc_id", "text", n = 3, maxShingleDf = cap)
+    assert(candidateRows(idx) < 100L)
+  }
+
+  test("pairStatsAdaptive equals pairStats under the solved cap, bit for bit") {
+    def norm(df: DataFrame) = df.orderBy($"a_id", $"b_id").collect().toSeq
+    val cap = Dedup.adaptiveShingleDfCap(skewed, "doc_id", "text", n = 3)
+    assert(norm(Dedup.pairStatsAdaptive(skewed, "doc_id", "text", n = 3)) ===
+      norm(Dedup.pairStats(skewed, "doc_id", "text", n = 3, maxShingleDf = cap)))
+  }
+
+  test("adaptive cap honors a caller-supplied budget override") {
+    // a huge budget accepts the ladder max even on the dense corpus
+    assert(Dedup.adaptiveShingleDfCap(dense, "doc_id", "text", n = 3,
+      budgetPerDoc = 1000000L) === 1024L)
+    // a zero budget rejects every ladder value that admits any candidate
+    // and floors at 32 (skewed corpus: even df=2 shingles contribute rows)
+    assert(Dedup.adaptiveShingleDfCap(skewed, "doc_id", "text", n = 3,
+      budgetPerDoc = 0L) === 32L)
+  }
 }
