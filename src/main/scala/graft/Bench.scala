@@ -180,20 +180,35 @@ object Bench {
     // exhaustion after 45 min of accumulated GC pressure — measured at
     // sf3/16 g in round 11) must cost that one quiet number, never the
     // whole bench run whose timed results already exist.
+    // NonFatal only: an Error (OOM) leaves the heap in unknown state, so
+    // timing MORE queries on it would record garbage — abort the quiet
+    // pass, keep what it recorded, and let the already-complete
+    // in-inventory numbers carry the round.
+    var quietAborted = false
     val quiet = quietNames.flatMap { name =>
-        val fn = queries(name)
-        System.gc()
-        try {
-          val t = (0 until 2).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          Some(name -> t)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] WARNING: quiet re-time of $name " +
-            s"failed (${e.toString.take(120)}) — in-inventory number stands")
-          None
+        if (quietAborted) None
+        else {
+          val fn = queries(name)
+          System.gc()
+          try {
+            val t = (0 until 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            Some(name -> t)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] WARNING: quiet re-time of $name " +
+                s"failed (${e.toString.take(120)}) — in-inventory number stands")
+              None
+            case e: Throwable =>
+              quietAborted = true
+              System.err.println(s"[bench] WARNING: quiet re-time of $name " +
+                s"hit a fatal ${e.getClass.getSimpleName} — aborting the " +
+                "quiet pass (heap state unknown); in-inventory numbers stand")
+              None
+          }
         }
     }
     val errors = allRuns.collect { case (n, _, Some(e)) => n -> e }

@@ -370,6 +370,21 @@ object TxLog {
                 l.startsWith("s ") || l.startsWith("t ") || l.startsWith("b "))
               .map { l => val j = l.indexOf('='); (l.substring(0, j), l.substring(j + 1)) }
               .toMap
+            // each shard carries its own protocol line and gets the same
+            // loud refusal as the base chk file — a future-protocol shard
+            // must not be half-parsed and spliced silently
+            pkv.get("protocol").foreach { raw =>
+              val pv = scala.util.Try(raw.trim.toLong).getOrElse(
+                throw new UnsupportedProtocolException(
+                  s"$pp carries an unparseable txlog protocol value '$raw' " +
+                    s"(this reader understands up to $ProtocolVersion) — " +
+                    "upgrade the reader; refusing to half-parse a future shard"))
+              if (pv > ProtocolVersion)
+                throw new UnsupportedProtocolException(
+                  s"$pp claims txlog protocol $pv; this reader understands " +
+                    s"up to $ProtocolVersion — upgrade the reader; refusing " +
+                    "to half-parse a future shard")
+            }
             if (!pkv.get("gen").contains(gen.toString) ||
                 !pkv.get("part").contains(i.toString) ||
                 !pkv.get("parts").contains(n.toString)) return None
@@ -1001,12 +1016,17 @@ object TxLog {
       }
       // a name RETIRED by a drop/rename may be re-added, but its bytes
       // must not resurface from old files: map the new logical name to a
-      // fresh physical name (generation-stamped — unique, deterministic)
+      // fresh physical name (generation-stamped — unique, deterministic).
+      // Membership is CASE-INSENSITIVE, matching Spark's default parquet
+      // field resolution: dropping `v` then re-adding `V` would otherwise
+      // bypass the tombstone and read the dropped bytes.
       val used = usedPhysical(head.meta)
       val cmap = colMap(head.meta)
-      val taken = used ++ cmap.values ++ current.fieldNames
+      val takenLc = (used ++ cmap.values ++ current.fieldNames)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
       val freshEntries = fields.collect {
-        case fl if taken(fl.name) => fl.name -> s"${fl.name}__g${head.gen + 1}"
+        case fl if takenLc(fl.name.toLowerCase(java.util.Locale.ROOT)) =>
+          fl.name -> s"${fl.name}__g${head.gen + 1}"
       }
       val mapMeta =
         if (freshEntries.isEmpty) Map.empty[String, String]
@@ -1415,8 +1435,15 @@ object TxLog {
       // an evolution-append may not claim a RETIRED physical name: old
       // files still carry those bytes and would resurface under the new
       // column. ALTER TABLE ADD COLUMNS assigns a fresh physical name.
-      val known = zoneSchema(head0).map(_.fieldNames.toSet).getOrElse(Set.empty)
-      val clash = df.columns.filterNot(known).filter(used)
+      // Case-insensitive on both sides (Spark's parquet resolution): a
+      // case-variant of a tracked column IS that column (not new), and a
+      // case-variant of a tombstoned name would alias the dropped bytes.
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val knownLc = zoneSchema(head0)
+        .map(_.fieldNames.map(lc).toSet).getOrElse(Set.empty)
+      val usedLc = used.map(lc)
+      val clash = df.columns.filterNot(c => knownLc(lc(c)))
+        .filter(c => usedLc(lc(c)))
       require(clash.isEmpty,
         s"txlog append: column(s) ${clash.mkString(", ")} reuse a physical " +
           "name retired by a drop/rename — add them via ALTER TABLE ADD " +
@@ -1495,7 +1522,11 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     val head = latest(spark, zone).getOrElse(
       sys.error(s"$zone has no transaction log"))
-    val cName = head.meta.getOrElse("stats.col",
+    // .filter(_.nonEmpty): dropColumn erases a dropped stats.col via the
+    // "" sentinel (meta is merged, not replaced) — without the filter this
+    // would build col("") and fail with an unresolved-column error instead
+    // of the intended message (same guard as every other read site)
+    val cName = head.meta.get("stats.col").filter(_.nonEmpty).getOrElse(
       sys.error(s"$zone has no stats column — write with statsCol to enable skipping"))
     val pred = col(cName).cast("double") >= lo && col(cName).cast("double") <= hi
     val keep = prunedFiles(head, lo, hi)

@@ -307,12 +307,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"$catName catalog: statsCols '$c' is not a column of the schema")
         })
         // a RETIRED name re-added here maps to a fresh physical name so
-        // old files' bytes never resurface (same rule as TxLog.addColumns)
+        // old files' bytes never resurface (same rule as TxLog.addColumns,
+        // case-insensitive to match Spark's parquet field resolution)
         val cmap = TxLog.colMap(head.meta)
-        val taken = TxLog.usedPhysical(head.meta) ++ cmap.values ++
-          current.fieldNames
+        val takenLc = (TxLog.usedPhysical(head.meta) ++ cmap.values ++
+          current.fieldNames).map(_.toLowerCase(java.util.Locale.ROOT))
         val fresh = fields.collect {
-          case fl if taken(fl.name) => fl.name -> s"${fl.name}__g${head.gen + 1}"
+          case fl if takenLc(fl.name.toLowerCase(java.util.Locale.ROOT)) =>
+            fl.name -> s"${fl.name}__g${head.gen + 1}"
         }
         Map("schema" -> next.json) ++
           statsCols.map(cs => "stats.cols" -> cs.mkString(",")).toMap ++

@@ -278,15 +278,26 @@ final class TxLogMicroBatchStream(spark: SparkSession, zone: String,
     val keep = p.prunedKeep(static.filter(p.accepts))
     PushdownProbe.record(s"txlog:$zone", keep.size.toLong, relFiles.size.toLong)
     PushdownProbe.recordCols(s"txlog:$zone", required.fieldNames.toSeq)
+    batchSnap = Some(snap)
     TxLogBatchScan.filePartitions(spark, zone, keep, snap.sizes)
   }
 
+  /** The end-offset snapshot the CURRENT batch's files were resolved
+    * from — set by planInputPartitions, consumed by createReaderFactory
+    * in the same micro-batch (Spark calls them in that order on the
+    * driver). The reader's column mapping must come from THIS snapshot,
+    * not the live head: a rename followed by a mapping-resetting rewrite
+    * (replace/OPTIMIZE) while pre-rename backlog files are still
+    * unprocessed would otherwise empty the head's colmap and make those
+    * files' renamed column silently read as null. */
+  @volatile private var batchSnap: Option[TxLog.Snapshot] = None
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // per-trigger: the CURRENT head's column mapping governs how files
-    // are requested (a mid-stream rename keeps physical names stable, so
-    // resolving it here is both cheap and correct)
+    // per-trigger: the batch-window snapshot's column mapping governs how
+    // files are requested (physical names are stable across renames, so
+    // the end-offset mapping covers every file the window serves)
     val (physFull, physReq, physFilters) =
-      TxLogBatchScan.toPhysicalRead(head, full, required, static)
+      TxLogBatchScan.toPhysicalRead(batchSnap.getOrElse(head), full, required, static)
     new TxLogReaderFactory(FileSourceBridge.readFunc(spark, format,
       dataSchema = physFull, requiredSchema = physReq, filters = physFilters))
   }

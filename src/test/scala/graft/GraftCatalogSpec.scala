@@ -395,6 +395,37 @@ class GraftCatalogSpec extends SparkSpec {
       Set((3L, "upd"), (99L, "fresh")))
   }
 
+  test("DROP COLUMN then re-ADD under a CASE VARIANT: tombstone still holds") {
+    // Spark's default parquet field resolution is case-insensitive, so a
+    // re-added `V` resolves against the dropped `v`'s bytes unless the
+    // tombstone check is case-insensitive too (round-11 ADVICE, medium).
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('secret', id) FROM range(10)")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (V STRING)")
+    assert(spark.sql(s"SELECT V FROM $t").as[String].collect().forall(_ == null),
+      "dropped bytes must NOT resurface under a case-variant re-add")
+    spark.sql(s"INSERT INTO $t VALUES (99, 'fresh')")
+    assert(sqlRows(s"SELECT k, V FROM $t WHERE k = 99") === Set((99L, "fresh")))
+  }
+
+  test("readWhere after dropping the stats column reports the intended error") {
+    // dropColumn erases stats.col via the "" merge sentinel; readWhere
+    // must surface the no-stats-column message, not col("") resolution
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    val zone = zoneOf(t)
+    TxLog.append(spark,  zone,
+      spark.range(10).selectExpr("id AS k", "id * 2 AS v"), statsCol = Some("v"))
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    val e = intercept[RuntimeException] {
+      TxLog.readWhere(spark, zone, 0.0, 5.0).count()
+    }
+    assert(e.getMessage.contains("no stats column"),
+      s"expected the intended no-stats-column message, got: ${e.getMessage}")
+  }
+
   test("time travel to a pre-DROP generation resurfaces the dropped column") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
