@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index — the IVF + int8-SQ stack ([[Similarity]])
+  * committed to TxLog zones so a FRESH session probes without retraining
+  * the corpus (round-12 directive #2; north-star surface — the reference
+  * lake stores raw prefixes with no index at all,
+  * `lib/dynamodb-streaming-datalake-stack.ts:199-222`).
+  *
+  * Layout under `indexDir` (three TxLog zones, each time-travelable):
+  *  - `centroids`:  (cent_id BIGINT, ce ARRAY<FLOAT>) — the trained
+  *    Lloyd's centroids (deterministic: lowest-id seeds, exact-decimal
+  *    means), k rows.
+  *  - `quant`:      (pos BIGINT, mn DOUBLE, mx DOUBLE) — the per-dim
+  *    scalar-quantization bounds, dim rows.
+  *  - `codes`:      (vec_id BIGINT, cent_id BIGINT, code ARRAY<INT>) —
+  *    every corpus vector's cell assignment + int8 code, clustered by
+  *    cent_id at write (`repartitionByRange`) with per-file `cent_id`
+  *    stats, so a catalog/pruned read of a probe's cells opens only that
+  *    cell's files at 100 TB. Zone meta carries the index contract:
+  *    `ann.src` (the source corpus zone), `ann.srcgen` (the source
+  *    generation the codes cover — the incremental-refresh watermark),
+  *    `ann.k`, `ann.dim`.
+  *
+  * Everything stored round-trips parquet EXACTLY (longs, ints, floats,
+  * doubles — no re-derivation), so a probe served from the stored index
+  * is bit-identical to the session-cached path
+  * ([[Similarity.knnJoinIvfInt8Codes]] is the shared tail; AnnIndexSpec
+  * pins the equality). Refresh is INCREMENTAL: new source rows (the
+  * TxLog change feed between the watermark and the head) are encoded
+  * under the FROZEN centroids/bounds and appended — existing code files
+  * are never rewritten, and only the new vectors' cells gain files. A
+  * source rewrite (compact/replace) fails the incremental diff loudly
+  * ([[TxLog.appendedBetween]]'s append-only contract) — rebuild then.
+  *
+  * Freezing the quantizer on refresh is the standard index contract
+  * (FAISS `IndexIVF.add` after `train`): assignments stay comparable
+  * across generations; drift is handled by a periodic rebuild, which
+  * this operator makes a one-call `build` (replace-commits all three
+  * zones; readers on older generations keep their era via time travel).
+  */
+object AnnIndex {
+
+  final case class Handle(centroids: Seq[(Long, Array[Float])],
+                          mins: Array[Double], maxs: Array[Double],
+                          srcZone: String, srcGen: Long) {
+    def dim: Int = mins.length
+    def k: Int = centroids.size
+  }
+
+  private def z(indexDir: String, name: String): String =
+    indexDir.stripSuffix("/") + "/" + name
+  private[graft] def centroidsZone(indexDir: String): String = z(indexDir, "centroids")
+  private[graft] def quantZone(indexDir: String): String = z(indexDir, "quant")
+  private[graft] def codesZone(indexDir: String): String = z(indexDir, "codes")
+
+  /** Encode a vector frame under a handle's frozen parameters:
+    * (idCol, cent_id, code) — the zero-shuffle literal-argmax assignment
+    * plus the map-side int8 quantization, exactly the session path's
+    * encode step. */
+  private def encode(vectors: DataFrame, h: Handle,
+                     idCol: String, vecCol: String): DataFrame =
+    Similarity.assignToCentroidsLocal(vectors, h.centroids, idCol, vecCol)
+      .select(col(idCol), col("cent_id"),
+        Similarity.quantizeInt8(col(vecCol), h.mins, h.maxs).as("code"))
+
+  /** Cluster codes by cell before the file write so per-file cent_id
+    * stats are tight (each file covers a narrow cell range — the layout
+    * that makes probe-side file pruning real). Partition count scales
+    * with the corpus, floored at the session parallelism. */
+  private def clustered(codes: DataFrame): DataFrame = {
+    val p = codes.sparkSession.sparkContext.defaultParallelism
+    codes.repartitionByRange(p, col("cent_id"), col("vec_id"))
+  }
+
+  /** Train on the source zone's CURRENT snapshot and replace-commit all
+    * three index zones. k defaults to the corpus-derived
+    * [[graft.ExtendedQueries.adaptiveK]] (cells target ~1024 members —
+    * the same knob the declared q170/q184 path derives). Returns the
+    * handle a same-session caller can probe with immediately. */
+  def build(spark: SparkSession, indexDir: String, srcZone: String,
+            iterations: Int = 2, k: Option[Int] = None,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
+    val srcHead = TxLog.latest(spark, srcZone).getOrElse(
+      sys.error(s"annindex build: $srcZone has no transaction log — " +
+        "the index sources a TxLog zone (its generations drive refresh)"))
+    val corpus = TxLog.readSnapshot(spark, srcZone, srcHead)
+    val kk = k.getOrElse(graft.ExtendedQueries.adaptiveK(corpus.count()))
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeans(corpus, kk, iterations, idCol, vecCol))
+    val (mins, maxs) = Similarity.dimMinMax(corpus, idCol, vecCol)
+    val h = Handle(cents, mins, maxs, srcZone, srcHead.gen)
+    import spark.implicits._
+    TxLog.replace(spark, centroidsZone(indexDir),
+      cents.toDF("cent_id", "ce")
+        .select(col("cent_id"), col("ce").cast("array<float>").as("ce")))
+    TxLog.replace(spark, quantZone(indexDir),
+      mins.zip(maxs).zipWithIndex
+        .map { case ((mn, mx), i) => (i.toLong, mn, mx) }.toSeq
+        .toDF("pos", "mn", "mx"))
+    TxLog.replace(spark, codesZone(indexDir),
+      clustered(encode(corpus.select(col(idCol), col(vecCol)), h, idCol, vecCol)),
+      meta = Map("ann.src" -> srcZone, "ann.srcgen" -> srcHead.gen.toString,
+        "ann.k" -> kk.toString, "ann.dim" -> mins.length.toString),
+      statsCols = Seq("cent_id"))
+    h
+  }
+
+  /** Load the index contract from the committed zones — two tiny
+    * collects (k centroids, dim bounds) and one head resolution; the
+    * corpus is never touched. This is all a fresh session needs. */
+  def load(spark: SparkSession, indexDir: String): Handle = {
+    val codesHead = TxLog.latest(spark, codesZone(indexDir)).getOrElse(
+      sys.error(s"annindex load: $indexDir has no committed codes zone"))
+    val cents = Similarity.collectCentroids(
+      TxLog.read(spark, centroidsZone(indexDir)))
+    import spark.implicits._
+    val qb = TxLog.read(spark, quantZone(indexDir))
+      .select(col("pos"), col("mn"), col("mx"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    Handle(cents, qb.map(_._2), qb.map(_._3),
+      codesHead.meta.getOrElse("ann.src",
+        sys.error(s"annindex load: codes zone lacks ann.src meta")),
+      codesHead.meta.getOrElse("ann.srcgen",
+        sys.error(s"annindex load: codes zone lacks ann.srcgen meta")).toLong)
+  }
+
+  /** Batch k-NN join served FROM the stored index: stored codes carry
+    * the cell equi-join, stored centroids/bounds drive probing and query
+    * encoding, and the exact re-rank joins the |q|·refine winner ids
+    * back to the source zone's floats. No training, no corpus-wide
+    * encode — the probe cost is the candidate cells plus the winner
+    * fetch. `corpus` defaults to the source zone's current snapshot
+    * (extra unindexed rows are inert — the re-rank touches winner ids
+    * only, which all come from the codes). */
+  def knnJoin(spark: SparkSession, indexDir: String, queries: DataFrame,
+              k: Int, nProbe: Int, refine: Int,
+              corpus: Option[DataFrame] = None,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
+    val h = load(spark, indexDir)
+    val codes = TxLog.read(spark, codesZone(indexDir))
+      .select(col(idCol), col("cent_id"), col("code").as("_code"))
+    val corp = corpus.getOrElse(TxLog.read(spark, h.srcZone))
+    Similarity.knnJoinIvfInt8Codes(codes, corp, queries, h.centroids,
+      h.mins, h.maxs, k, nProbe, refine, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** Incremental refresh: encode the source rows appended since the
+    * watermark under the FROZEN centroids/bounds and append them to the
+    * codes zone (one commit; existing files untouched — only the new
+    * vectors' cells gain files), advancing `ann.srcgen`. Returns the
+    * number of newly indexed vectors (0 = already current). A source
+    * compact/replace inside the window fails loudly via
+    * [[TxLog.appendedBetween]]'s append-only contract — rebuild then. */
+  def refresh(spark: SparkSession, indexDir: String,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val h = load(spark, indexDir)
+    val srcHead = TxLog.latest(spark, h.srcZone).getOrElse(
+      sys.error(s"annindex refresh: source zone ${h.srcZone} has no log"))
+    if (srcHead.gen == h.srcGen) return 0L
+    val fresh = TxLog.appendedBetween(spark, h.srcZone, h.srcGen, srcHead.gen)
+      .select(col(idCol), col(vecCol))
+    val newCodes = clustered(encode(fresh, h, idCol, vecCol))
+      .localCheckpoint(true)
+    val n = newCodes.count()
+    if (n > 0L)
+      TxLog.append(spark, codesZone(indexDir), newCodes,
+        meta = Map("ann.srcgen" -> srcHead.gen.toString))
+    else
+      TxLog.commitMeta(spark, codesZone(indexDir), "ann-refresh",
+        _ => Map("ann.srcgen" -> srcHead.gen.toString))
+    Lineage.free(newCodes)
+    n
+  }
+}

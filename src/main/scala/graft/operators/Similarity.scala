@@ -572,16 +572,34 @@ object Similarity {
                      k: Int, nProbe: Int, refine: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
+    // codes ride the cell join; floats stay home
+    val assigned = assignToCentroidsLocal(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cent_id"),
+        quantizeInt8(col(vecCol), mins, maxs).as("_code"))
+    knnJoinIvfInt8Codes(assigned, corpus, queries, centroids, mins, maxs,
+      k, nProbe, refine, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** The probe/score/re-rank tail of [[knnJoinIvfInt8]] over an ALREADY
+    * ENCODED `codes` relation (`idCol`, `cent_id`, `_code: array<int>`) —
+    * shared by the session path (which encodes on the fly, above) and
+    * the persisted-index path ([[AnnIndex]], which reads codes committed
+    * to a TxLog zone). Bit-identical results by construction: ints and
+    * the frozen centroid/bounds literals round-trip parquet exactly, and
+    * everything downstream is the same deterministic arithmetic. */
+  def knnJoinIvfInt8Codes(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          centroids: Seq[(Long, Array[Float])],
+                          mins: Array[Double], maxs: Array[Double],
+                          k: Int, nProbe: Int, refine: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
     require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe must be in [1, ${centroids.size}], got $nProbe")
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // codes ride the cell join; floats stay home
-    val assigned = assignToCentroidsLocal(corpus, centroids, idCol, vecCol)
-      .select(col(idCol), col("cent_id"),
-        quantizeInt8(col(vecCol), mins, maxs).as("_code"))
+    val assigned = codes
     val centsDf = centroids.toDF("cent_id", "ce")
     val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_cs").desc, col("cent_id"))
     val probed = queries.crossJoin(broadcast(centsDf))
