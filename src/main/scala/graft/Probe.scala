@@ -116,6 +116,43 @@ object Probe {
         s"maxBlock=${blockSizes.max} nominalN2over2k=${n * n / (2L * cents.size)}")
       spark.stop()
 
+    // The banded embedding near-dup tier's precision contract (round-12
+    // directive #3, the q143 shape; q43 is the brute all-pairs baseline):
+    // candidate pairs the band join materializes (first-agreeing-band
+    // dedup, pre-threshold) vs pairs >= 0.45 (the output) vs — with the
+    // `exact` flag — the true all-pairs count, plus the quiet output
+    // build seconds. precision = output/candidates decides verify-bound
+    // (tune bands) vs output-bound (cost = result cardinality, close the
+    // question); recall = output/true (with `exact`). One aggregation
+    // pass counts both, so the candidate relation never materializes.
+    case "bandstats" :: sfDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      val emb = sources.Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val w = graft.operators.Similarity.adaptiveBandBits(n)
+      val counts = graft.operators.Similarity
+        .lshBandedScoredPairs(emb, dim = 64, nBits = 4 * w, bands = 4)
+        .agg(count(lit(1)).as("cands"),
+          sum(when(col("sim") >= 0.45, 1L).otherwise(0L)).as("out"))
+        .collect().head
+      val (cands, out) = (counts.getLong(0), counts.getLong(1))
+      val t0 = System.nanoTime()
+      val outRows = graft.operators.Similarity
+        .lshBandedNearDupPairs(emb, threshold = 0.45, dim = 64,
+          nBits = 4 * w, bands = 4).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val truePairs =
+        if (rest.contains("exact"))
+          graft.operators.Similarity.cosineNearDupPairs(emb, 0.45).count()
+        else -1L
+      println(f"bandstats dir=$sfDir n=$n bandBits=$w candidates=$cands " +
+        f"out=$out outRows=$outRows truePairs=$truePairs " +
+        f"precision=${if (cands == 0) 0.0 else out.toDouble / cands}%.4f " +
+        f"quietSecs=$secs%.2f")
+      spark.stop()
+
     // q187's scale contract (round-8 directive #6): the df-capped
     // candidate relation's cardinality at a given sf, beside the corpus
     // size — run at sf0.1 and sf1 to measure candidate growth vs data
@@ -143,6 +180,7 @@ object Probe {
            |       graft.Probe time <sfDir> <q1,q2,...> [reps]
            |       graft.Probe spanstats <sfDir>
            |       graft.Probe pairstats <sfDir>
+           |       graft.Probe bandstats <sfDir> [exact]
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }

@@ -779,25 +779,27 @@ object Round4Queries {
   private def lshBandedNearDupQuery: Q = Q("q143_neardup_lsh_banded",
     // q43's embedding near-dup by the BLOCK-FIRST formulation its scaladoc
     // prescribes past the broadcast limit: hyperplane sign bits split into
-    // two 8-BIT bands, candidates = pairs agreeing on at least one band,
+    // four bands, candidates = pairs agreeing on at least one band,
     // exact-verified with the same rounded cosine. Output is a subset of
     // q43's exact pairs (banding recall, SimilaritySpec measures it);
     // the deterministic planes make the candidate set oracle-identical.
-    // Band width is the quadratic-control knob: candidates ~ bands·n²/2^w.
-    // The round-5 shape (two 4-bit bands, 16 buckets) was n²/16 — measured
-    // 130 s on a 10x-replicated sf0.1 (ScaleUp) vs ~n²/64 here; four
-    // 8-bit bands keep recall (4 chances to agree) while each band is
-    // 16x more selective.
+    // Band WIDTH is the quadratic-control knob (candidates ~ bands·n²/2^w)
+    // and is CORPUS-DERIVED (Similarity.adaptiveBandBits: smallest w with
+    // 2^w·8 ≥ n, floor 8, cap 15 — round-12 bandstats measured the frozen
+    // w=8 at 0.03 % precision), rendered below as the same integer
+    // ladder. The oracle computes the bucket at the FULL 60-bit ceiling
+    // (each bit is an independent plane, so low bits match any width)
+    // and masks per the derived width; at every oracle-checked scale the
+    // ladder floors at w=8 — bit-identical to the historic 32-bit form.
     Some(s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
-            |b AS (SELECT vec_id, ${bucketSql("embedding", 64, 32)} AS bkt FROM v),
-            |bands AS (
-            |  SELECT vec_id, 0 AS bi, bkt & 255 AS bv FROM b
-            |  UNION ALL
-            |  SELECT vec_id, 1 AS bi, (bkt >> 8) & 255 FROM b
-            |  UNION ALL
-            |  SELECT vec_id, 2 AS bi, (bkt >> 16) & 255 FROM b
-            |  UNION ALL
-            |  SELECT vec_id, 3 AS bi, (bkt >> 24) & 255 FROM b),
+            |bb AS (SELECT COALESCE(MIN(w), 15) AS w
+            |       FROM (VALUES (8),(9),(10),(11),(12),(13),(14),(15)) l(w)
+            |       WHERE (CAST(1 AS BIGINT) << w) * 8 >= (SELECT COUNT(*) FROM v)),
+            |b AS (SELECT vec_id, ${bucketSql("embedding", 64, 60)} AS bkt FROM v),
+            |bands AS (SELECT vec_id, bi,
+            |                 (bkt >> (bi * bb.w)) & ((CAST(1 AS BIGINT) << bb.w) - 1) AS bv
+            |          FROM b CROSS JOIN bb
+            |          CROSS JOIN (VALUES (0),(1),(2),(3)) t(bi)),
             |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
             |         FROM bands a JOIN bands b2
             |           ON a.bi = b2.bi AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
@@ -807,8 +809,11 @@ object Round4Queries {
             |                  JOIN v vb ON vb.vec_id = c.b_id)
             |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.45
             |ORDER BY a_id, b_id""".stripMargin),
-    (s, d) => Similarity.lshBandedNearDupPairs(
-        Tables.embeddings(s, d), threshold = 0.45, dim = 64,
-        nBits = 32, bands = 4)
-      .orderBy("a_id", "b_id"))
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val w = Similarity.adaptiveBandBits(emb.count())
+      Similarity.lshBandedNearDupPairs(emb, threshold = 0.45, dim = 64,
+          nBits = 4 * w, bands = 4)
+        .orderBy("a_id", "b_id")
+    })
 }

@@ -360,7 +360,38 @@ object Similarity {
   def lshBandedNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
                             nBits: Int = 8, bands: Int = 2,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding"): DataFrame =
+    lshBandedScoredPairs(vectors, dim, nBits, bands, idCol, vecCol)
+      .filter(col("sim") >= threshold)
+
+  /** Corpus-derived band WIDTH for the banded near-dup tier — the
+    * adaptive-knob pattern (adaptiveK, adaptiveShingleDfCap) applied to
+    * the third frozen quadratic: with a fixed width w, per-band
+    * candidates are ~n²/2^w — quadratic in corpus size (measured by
+    * `Probe bandstats`: 90k candidates for 24 output pairs at n=2000,
+    * 0.03 % precision). This picks the smallest width whose 2^w buckets
+    * hold ≤ 8 expected vectors each (2^w · 8 ≥ n), floor 8 (the historic
+    * width — every oracle-checked scale lands there, so hashes are
+    * unchanged), cap 15 (4 bands × 15 = 60 bits, the single-long bucket
+    * encoding's ceiling; past ~2^15·8 ≈ 260k vectors per partition of
+    * the problem, the IVF-cell tier with adaptive k is the declared
+    * path). Bounded occupancy makes candidates ≈ bands · 4n — LINEAR.
+    * Integer ladder, mirrored bit-for-bit into the q143 oracle CTE. */
+  def adaptiveBandBits(n: Long): Int =
+    (8 to 15).find(b => (1L << b) * 8L >= n).getOrElse(15)
+
+  /** The band-join candidate relation UNDER the cosine, pre-threshold —
+    * every (a_id, b_id, sim) pair agreeing on at least one band, emitted
+    * once (first-agreeing-band dedup). Split out so the scale probe
+    * (`Probe bandstats`) can measure candidate count vs output count —
+    * the precision number that says whether the tier is verify-bound
+    * (low precision: candidates dominated by non-dups, tune the bands)
+    * or output-bound (high precision: cost ≈ result cardinality, the
+    * floor). */
+  private[graft] def lshBandedScoredPairs(vectors: DataFrame, dim: Int,
+                                          nBits: Int = 8, bands: Int = 2,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding"): DataFrame = {
     require(nBits % bands == 0, s"nBits=$nBits not divisible by bands=$bands")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
@@ -389,7 +420,6 @@ object Similarity {
           firstAgreeingBand)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 
   /** IVF-cell-blocked exact near-dup pairs — the DATA-ADAPTIVE block-

@@ -1134,6 +1134,62 @@ object TxLog {
     snap
   }
 
+  /** Is `from -> to` a widening every committed byte decodes into
+    * LOSSLESSLY through the parquet readers' type promotion (verified on
+    * this Spark: int family up-casts, int family → double, float →
+    * double, decimal precision/scale-up keeping integer digits)? The
+    * Delta type-widening feature's safe set; long → double is EXCLUDED
+    * (53-bit mantissa truncates large longs). */
+  private[graft] def isSafeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(t) > intRank(f)
+      case (f, DoubleType) if intRank.contains(f) && f != LongType => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE for SAFE WIDENINGS, meta-only (the
+    * Delta type-widening precedent): the tracked schema's field retypes;
+    * not one data file is touched — old files' narrower values promote
+    * losslessly through the parquet readers' type promotion at scan
+    * time, new writes land in the widened type, and time travel shows
+    * each era's type (every generation keeps its own schema meta).
+    * Committed per-file stats stay valid verbatim: a min/max of the old
+    * values bounds the same values under the wider type, and "num"-kind
+    * pruning compares as doubles either way. Narrowing or incompatible
+    * retypes refuse loudly — they change what committed bytes decode to,
+    * which only a rewrite ([[replaceCas]]) can do. Composes with the
+    * column-mapping layer: the physical name (and therefore the files'
+    * bytes) is untouched, so a widen after a rename keeps reading
+    * through the same mapping. */
+  def widenColumn(spark: SparkSession, zone: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Snapshot =
+    commitMeta(spark, zone, "widen-column", head => {
+      val current = zoneSchema(head).getOrElse(sys.error(
+        s"txlog widenColumn: $zone tracks no schema"))
+      val field = current.fields.find(_.name == name).getOrElse(sys.error(
+        s"txlog widenColumn: no column '$name' in ${current.fieldNames.mkString(", ")}"))
+      require(isSafeWidening(field.dataType, to),
+        s"txlog widenColumn: ${field.dataType.simpleString} -> " +
+          s"${to.simpleString} is not a safe widening (safe: integer " +
+          "up-casts, int->double, float->double, decimal precision/scale-up " +
+          "keeping integer digits) — a narrowing/incompatible retype is a " +
+          "rewrite (replaceCas / INSERT OVERWRITE with the new types)")
+      Map("schema" -> org.apache.spark.sql.types.StructType(
+        current.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)).json)
+    })
+
   /** Re-target which columns FUTURE commits collect per-file stats for
     * (the `stats.cols` choice writes otherwise inherit). Meta-only:
     * already-committed files keep the stats they have; the next

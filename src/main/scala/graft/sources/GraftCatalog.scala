@@ -227,8 +227,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * (a meta-only schema-evolution commit — old files surface null, the
     * same contract an evolved append gives) and SET TBLPROPERTIES
     * ('statsCols') re-targeting future stats collection. Renames, drops,
-    * and retypes refuse loudly: they would change what committed files
-    * MEAN without rewriting them. */
+    * and safe type WIDENINGS ride the meta-only layers (column mapping /
+    * schema retype with scan-time promotion); narrowing or incompatible
+    * retypes refuse loudly: they would change what committed files MEAN
+    * without rewriting them. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = zonePath(ident)
     if (!hasLog(p)) throw new NoSuchTableException(ident)
@@ -248,11 +250,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"$catName catalog: nested column drops are not supported")
         TxLog.dropColumn(spark, p.toString, del.fieldNames.head)
         return loadTable(ident)
+      // ALTER COLUMN TYPE: safe widenings only, meta-only (old files
+      // promote at scan time, each generation time-travels with its own
+      // era's type); TxLog.widenColumn refuses narrowing/incompatible
+      case (upd: TableChange.UpdateColumnType) :: Nil =>
+        require(upd.fieldNames.length == 1,
+          s"$catName catalog: nested column retypes are not supported")
+        TxLog.widenColumn(spark, p.toString, upd.fieldNames.head, upd.newDataType)
+        return loadTable(ident)
       case cs if cs.exists(c => c.isInstanceOf[TableChange.RenameColumn] ||
-          c.isInstanceOf[TableChange.DeleteColumn]) =>
+          c.isInstanceOf[TableChange.DeleteColumn] ||
+          c.isInstanceOf[TableChange.UpdateColumnType]) =>
         throw new UnsupportedOperationException(
-          s"$catName catalog: RENAME/DROP COLUMN must be the statement's " +
-            "only change")
+          s"$catName catalog: RENAME/DROP/ALTER COLUMN TYPE must be the " +
+            "statement's only change")
       case _ => ()
     }
     // classify EVERY change before committing ANY — a statement mixing a
@@ -280,8 +291,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other =>
         throw new UnsupportedOperationException(
           s"$catName catalog: unsupported ALTER ${other.getClass.getSimpleName}" +
-            " — supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN, and " +
-            "SET TBLPROPERTIES('statsCols'); a retype is a rewrite " +
+            " — supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN, ALTER " +
+            "COLUMN TYPE (safe widenings), and SET TBLPROPERTIES" +
+            "('statsCols'); a narrowing retype is a rewrite " +
             "(INSERT OVERWRITE with the new types)")
     }
     val fields = adds.result()

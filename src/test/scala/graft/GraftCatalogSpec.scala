@@ -426,6 +426,94 @@ class GraftCatalogSpec extends SparkSpec {
       s"expected the intended no-stats-column message, got: ${e.getMessage}")
   }
 
+  test("ALTER COLUMN TYPE widening is meta-only: old files promote, stats prune, eras travel") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v INT) TBLPROPERTIES ('statsCols'='v')")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO $t SELECT id + ${i * 100}, CAST(id + ${i * 100} AS INT) " +
+        s"FROM range(100)"))
+    val zone = zoneOf(t)
+    val preGen = TxLog.latest(spark, zone).get.gen
+    val filesBefore = TxLog.latest(spark, zone).get.files.toSet
+
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    // meta-only: not one data file touched
+    assert(TxLog.latest(spark, zone).get.files.toSet === filesBefore)
+    assert(spark.table(t).schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // old files' int values promote at scan time
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 7").as[Long].head() === 7L)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t").as[Long].head() ===
+      (0L until 400L).sum)
+    // values only a BIGINT can hold land after the widen
+    spark.sql(s"INSERT INTO $t VALUES (9000000000, 9000000000)")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 9000000000").as[Long].head() ===
+      9000000000L)
+    // committed (int-era) stats still prune under the widened type
+    graft.plans.PushdownProbe.clear(s"txlog:$zone")
+    assert(spark.sql(s"SELECT k FROM $t WHERE v BETWEEN 100 AND 120")
+      .as[Long].collect().sorted.toSeq === (100L to 120L))
+    val (served, total) = graft.plans.PushdownProbe.get(s"txlog:$zone").get
+    assert(served < total,
+      s"widening must not kill stats pruning: served $served of $total")
+    // each era time-travels with its own type
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $preGen")
+      .schema("v").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(spark.table(t).schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("widening composes with column mapping; narrowing refuses") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v INT)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS INT) FROM range(10)")
+    // widen AFTER a rename: the physical name (and the bytes) stay put
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN val TYPE BIGINT")
+    assert(spark.sql(s"SELECT val FROM $t WHERE k = 3").as[Long].head() === 3L)
+    assert(spark.table(t).schema("val").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // narrowing refuses loudly — Spark's analyzer up-cast check fires
+    // first (NOT_SUPPORTED_CHANGE_COLUMN); TxLog.widenColumn backstops
+    // the API path below
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("not a safe widening"),
+      s"narrowing must refuse, got: ${e.getMessage}")
+    val eApi = intercept[Exception] {
+      TxLog.widenColumn(spark, zoneOf(t), "k",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    assert(eApi.getMessage.contains("not a safe widening"))
+    // long -> double is lossy past 2^53: refused by the safe-widening table
+    val e2 = intercept[Exception] {
+      TxLog.widenColumn(spark, zoneOf(t), "k",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    assert(e2.getMessage.contains("not a safe widening"))
+  }
+
+  test("float->double and decimal scale-up widen; the decimal keeps integer digits") {
+    val t = fresh()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, f FLOAT, d DECIMAL(5,2))")
+    spark.sql(s"INSERT INTO $t VALUES (1, CAST(1.5 AS FLOAT), CAST(123.45 AS DECIMAL(5,2)))")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(12,4)")
+    val r = spark.sql(s"SELECT f, d FROM $t").collect().head
+    assert(r.getDouble(0) === 1.5)
+    assert(r.getDecimal(1) === new java.math.BigDecimal("123.4500"))
+    // a scale-up that LOSES integer digits refuses: decimal(5,2) holds
+    // 3 integer digits, decimal(6,4) only 2
+    val e = intercept[Exception] {
+      TxLog.widenColumn(spark, zoneOf(t), "d",
+        org.apache.spark.sql.types.DecimalType(6, 4))
+    }
+    assert(e.getMessage.contains("not a safe widening") ||
+      e.getMessage.toLowerCase.contains("cast"))
+  }
+
   test("time travel to a pre-DROP generation resurfaces the dropped column") {
     val t = fresh()
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
