@@ -257,10 +257,168 @@ object Pipeline {
       } else spark.read.parquet(spec.destPath)
   }
 
+  /** The DURABLE end-to-end training lake (round-12 directive #5): the
+    * reference stack's current-state zone (fake-DDB full load → shard
+    * CDC → merge sink, ReferenceStackSpec's loop) extended with the LLM
+    * tier — quality gate → dedup (exact + adaptive pair-stats
+    * containment + MinHash/LSH clusters) → deterministic splits →
+    * sequence packing — as STAGED TxLog zones under `lakeDir`:
+    *
+    *   <lakeDir>/gated      quality-gate survivors
+    *   <lakeDir>/deduped    three-tier dedup survivors
+    *   <lakeDir>/split=<s>  split-partitioned training corpus
+    *   <lakeDir>/packed     (split, bin, doc_id, n_tok) packing plan
+    *
+    * Every stage is a replace-committed, TIME-TRAVELABLE table, and
+    * every stage records the upstream generation it was computed from
+    * (`stage.srcgen` meta) — re-running the plan is a WATERMARK RESUME:
+    * a stage whose upstream has not moved is skipped (its zone keeps its
+    * generation), so a restart after a crash, or a re-run after new CDC
+    * merges land, recomputes exactly the stale suffix of the DAG.
+    * Dedup survivor policy is lowest id at every tier, deterministic
+    * end to end. */
+  final case class LakeSpec(
+      srcZone: String,
+      lakeDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.0,
+      containment: Double = 0.8,
+      nearDupJaccard: Double = 0.8,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      packCapacity: Long = 512L) {
+    def validate(): Unit = {
+      require(srcZone.nonEmpty && lakeDir.nonEmpty, "paths must be non-empty")
+      require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
+      require(containment > 0.0 && containment <= 1.0, s"containment in (0,1], got $containment")
+      require(nearDupJaccard > 0.0 && nearDupJaccard <= 1.0,
+        s"near-dup threshold in (0,1], got $nearDupJaccard")
+      require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+        "split weights must sum to 1")
+      require(packCapacity >= 1L, s"packCapacity must be >= 1, got $packCapacity")
+    }
+  }
+
+  final class LakePlan private[Pipeline] (spark: SparkSession, spec: LakeSpec) {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, GlobalOrder, Splits, TextAnalysis, TxLog}
+
+    private def zone(name: String): String =
+      spec.lakeDir.stripSuffix("/") + "/" + name
+    def gatedZone: String = zone("gated")
+    def dedupedZone: String = zone("deduped")
+    def splitZone(name: String): String = zone(s"split=$name")
+    def packedZone: String = zone("packed")
+
+    /** Replace-commit `zoneDir` from `compute` UNLESS its recorded
+      * upstream watermark already equals `upstreamGen` — the stage-level
+      * resume that makes the whole plan restartable. Returns the stage's
+      * (possibly pre-existing) head generation, the next stage's
+      * watermark. */
+    private def stage(zoneDir: String, upstreamGen: Long)
+                     (compute: => DataFrame): Long = {
+      val current = TxLog.latest(spark, zoneDir)
+        .filter(_.meta.get("stage.srcgen").contains(upstreamGen.toString))
+      current.map(_.gen).getOrElse {
+        val out = compute
+        TxLog.replace(spark, zoneDir, out,
+          meta = Map("stage.srcgen" -> upstreamGen.toString,
+            "schema.ddl" -> out.schema.toDDL)).gen
+      }
+    }
+
+    /** Run (or resume) the staged pipeline; every stage zone ends
+      * consistent with the source zone's current generation. */
+    def run(): Unit = {
+      val id = col(spec.idCol)
+      val srcHead = TxLog.latest(spark, spec.srcZone).getOrElse(
+        sys.error(s"training lake: ${spec.srcZone} has no transaction log"))
+
+      // 1) quality gate: map-side, shrinks everything downstream
+      val gatedGen = stage(gatedZone, srcHead.gen) {
+        val docs = TxLog.readSnapshot(spark, spec.srcZone, srcHead)
+        if (spec.minQuality <= 0.0) docs
+        else docs.filter(TextAnalysis.qualityScore(
+          TextAnalysis.tokens(col(spec.textCol))) >= spec.minQuality)
+      }
+
+      // 2) three-tier dedup, cheap-first: exact (one hash shuffle), then
+      //    adaptive pair-stats containment (self-tuning df cap — the
+      //    directive-#1 knob), then LSH near-dup clusters; each tier only
+      //    sees the previous tier's survivors
+      val dedupedGen = stage(dedupedZone, gatedGen) {
+        var docs = TxLog.read(spark, gatedZone)
+        val canon = Dedup.exactGroups(docs, spec.idCol, spec.textCol)
+          .select(col("canonical_id").as(spec.idCol))
+        docs = docs.join(canon, spec.idCol :: Nil, "left_semi")
+        // containment: each pair yields at most one loser — the contained
+        // side; a MUTUALLY contained pair keeps the lowest id
+        val st = Dedup.pairStatsAdaptive(docs, spec.idCol, spec.textCol)
+        val ca = round(col("inter").cast("double") / col("n_a"), 4)
+        val cb = round(col("inter").cast("double") / col("n_b"), 4)
+        val t = spec.containment
+        val contained = st.select(
+          when(ca >= t && (cb < t || col("a_id") > col("b_id")), col("a_id"))
+            .when(cb >= t, col("b_id")).as(spec.idCol))
+          .filter(id.isNotNull).distinct()
+        docs = docs.join(contained, spec.idCol :: Nil, "left_anti")
+        val pairs = Dedup.minhashNearDups(docs, spec.idCol, spec.textCol,
+          threshold = spec.nearDupJaccard)
+        val losers = Dedup.connectedComponents(pairs)
+          .filter(col("node") =!= col("label")) // cluster minimum survives
+          .select(col("node").as(spec.idCol))
+        docs.join(losers, spec.idCol :: Nil, "left_anti")
+      }
+
+      // 3) deterministic md5 splits, one zone per split (the lake layout
+      //    consumers prune on); materialize once so the per-split writes
+      //    share one upstream read
+      val assigned = Splits.assignSplit(
+        TxLog.read(spark, dedupedZone), spec.idCol, spec.splits)
+        .localCheckpoint(true)
+      val splitGens = spec.splits.map { case (name, _) =>
+        name -> stage(splitZone(name), dedupedGen) {
+          assigned.filter(col("split") === name).drop("split")
+        }
+      }
+      graft.operators.Lineage.free(assigned)
+
+      // 4) sequence packing per split: bin = exclusive running token sum
+      //    over doc_id order, divided by capacity. The prefix sum is the
+      //    range-partitioned GlobalOrder scan (split-major order), made
+      //    per-split by subtracting each split's own base offset — no
+      //    single-partition window at any width
+      val packWatermark = splitGens.map(_._2).sum
+      stage(packedZone, packWatermark) {
+        val toks = spec.splits.map { case (name, _) =>
+          TxLog.read(spark, splitZone(name))
+            .select(lit(name).as("split"), id.as("doc_id"),
+              size(TextAnalysis.tokens(col(spec.textCol))).cast("long").as("n_tok"))
+        }.reduce(_.unionByName(_))
+        val cum = GlobalOrder.exclusiveRunningSum(toks,
+          Seq(col("split"), col("doc_id")), "n_tok", "cum_g")
+        val base = cum.groupBy("split")
+          .agg(min(col("cum_g")).as("cum_base"))
+        cum.join(broadcast(base), "split")
+          .select(col("split"), col("doc_id"), col("n_tok"),
+            floor((col("cum_g") - col("cum_base")).cast("double")
+              / spec.packCapacity.toDouble).cast("long").as("bin"))
+      }
+      ()
+    }
+
+    /** The packing plan (split, bin, doc_id, n_tok) at the packed zone's
+      * current generation. */
+    def packed(): DataFrame = TxLog.read(spark, packedZone)
+  }
+
   /** synth: validate config and return the lazy plan (plan-time failure for
     * bad config, like CDK synth). */
   def plan(spark: SparkSession, spec: CdcSpec): CdcPlan = {
     spec.validate(); new CdcPlan(spark, spec)
+  }
+  def plan(spark: SparkSession, spec: LakeSpec): LakePlan = {
+    spec.validate(); new LakePlan(spark, spec)
   }
   def plan(spark: SparkSession, spec: FullLoadSpec): FullLoadPlan = {
     spec.validate(); new FullLoadPlan(spark, spec)
