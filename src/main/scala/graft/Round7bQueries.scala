@@ -208,18 +208,29 @@ object Round7bQueries {
               |          ELSE [LIST_AGGREGATE(hg, 'min')] END AS fps
               |        FROM hg),
               |idx AS (SELECT doc_id, UNNEST(fps) AS fp FROM fps),
-              |cap AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM idx GROUP BY fp)
-              |        WHERE df <= 256),
-              |ci AS (SELECT doc_id, fp FROM idx JOIN cap USING (fp))
+              |dfp AS (SELECT fp, COUNT(*) AS df FROM idx GROUP BY fp),
+              |capl AS (SELECT l.c, SUM(CASE WHEN dfp.df <= l.c
+              |                              THEN dfp.df * (dfp.df - 1) // 2 ELSE 0 END) AS cand
+              |         FROM (VALUES (32),(64),(128),(256),(512),(1024)) l(c)
+              |         CROSS JOIN dfp GROUP BY l.c),
+              |capv AS (SELECT COALESCE(MAX(c), 32) AS cap FROM capl
+              |         WHERE cand <= 512 * (SELECT COUNT(*) FROM documents)),
+              |ci AS (SELECT doc_id, fp FROM idx JOIN dfp USING (fp)
+              |       WHERE dfp.df <= (SELECT cap FROM capv))
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fp
               |FROM ci a JOIN ci b ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY 1, 2
               |HAVING COUNT(*) >= 2
               |ORDER BY a_id, b_id""".stripMargin),
-      (s, d) => Winnow
-        .sharedFingerprintPairs(TrainingQueries.cachedDocToks(s, d),
-          n = 3, w = 4, maxFpDf = 256L, minShared = 2L)
-        .orderBy("a_id", "b_id")),
+      // fingerprint df cap: corpus-derived (Winnow.adaptiveFpDfCap, the
+      // shared ladder solve), rendered above — resolves to 1024 >> max
+      // df on testdata, so the hash is unchanged
+      (s, d) => {
+        val toks = TrainingQueries.cachedDocToks(s, d)
+        Winnow.sharedFingerprintPairs(toks, n = 3, w = 4,
+            maxFpDf = Winnow.adaptiveFpDfCap(toks), minShared = 2L)
+          .orderBy("a_id", "b_id")
+      }),
 
     Q("q196_length_buckets",
       // Length-bucketed batching stats: assign every document to the

@@ -138,10 +138,19 @@ object Dedup {
     * map-side-combined (a viral shingle is one register per partition). */
   def adaptiveShingleDfCap(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3,
-                           budgetPerDoc: Long = capBudgetPerDoc): Long = {
-    val nDocs = docs.count()
-    val dfRel = shingleIndex(docs, idCol, textCol, n, 0L)
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
+                           budgetPerDoc: Long = capBudgetPerDoc): Long =
+    capFromDfRel(
+      shingleIndex(docs, idCol, textCol, n, 0L)
+        .groupBy("shingle").agg(count(lit(1)).as("df")),
+      docs.count(), budgetPerDoc)
+
+  /** The ladder SOLVE itself, over ANY inverted index's document-
+    * frequency relation (a `df` column) — shared by the shingle tier
+    * and the winnowing fingerprint tier ([[Winnow]]), so every df-capped
+    * pair join in the engine tunes its cap by the same contract. One
+    * aggregation pass computes all six ladder sums. */
+  private[graft] def capFromDfRel(dfRel: DataFrame, nDocs: Long,
+                                  budgetPerDoc: Long): Long = {
     val row = dfRel.select(capLadder.map(c =>
       sum(when(col("df") <= c,
         expr("df * (df - 1) div 2")).otherwise(0L)).as(s"c$c")): _*)

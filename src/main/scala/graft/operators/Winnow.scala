@@ -76,10 +76,22 @@ object Winnow {
       .select(col("doc_id"), explode(windowMinima(col("hg"), w)).as("fp"))
   }
 
+  /** Corpus-derived fingerprint df cap — [[Dedup.capFromDfRel]]'s
+    * ladder solve applied to the winnowing index (the same self-tuning
+    * contract as the shingle tier's [[Dedup.adaptiveShingleDfCap]];
+    * mirrored into the q195 oracle CTE). At every oracle-checked scale
+    * it resolves above the corpus max df, so results are unchanged. */
+  def adaptiveFpDfCap(toks: DataFrame, n: Int = 3, w: Int = 4,
+                      budgetPerDoc: Long = Dedup.capBudgetPerDoc): Long =
+    Dedup.capFromDfRel(
+      fingerprintIndex(toks, n, w).groupBy("fp").agg(count(lit(1)).as("df")),
+      toks.count(), budgetPerDoc)
+
   /** Candidate pairs sharing ≥ `minShared` winnowing fingerprints:
     * (a_id, b_id, shared_fp). `maxFpDf` caps the document frequency of
     * an indexed fingerprint (0 = no cap) — the same skew guard, with
-    * the same internal-consistency contract, as [[Dedup.pairStats]]. */
+    * the same internal-consistency contract, as [[Dedup.pairStats]];
+    * [[adaptiveFpDfCap]] derives the scale-safe value. */
   def sharedFingerprintPairs(toks: DataFrame, n: Int = 3, w: Int = 4,
                              maxFpDf: Long = 256L,
                              minShared: Long = 2L): DataFrame = {
