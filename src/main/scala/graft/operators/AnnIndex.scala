@@ -148,6 +148,57 @@ object AnnIndex {
       h.mins, h.maxs, k, nProbe, refine, idCol, vecCol, qIdCol, qVecCol)
   }
 
+  /** Single-vector top-k probe served by a PRUNED read of the codes
+    * zone — the 100 TB probe shape: the query's `nProbe` nearest cells
+    * are ranked DRIVER-SIDE against the loaded centroids
+    * ([[Similarity.rankCells]], the same arithmetic as the oracle
+    * cosine), and only the code files whose committed `cent_id` stats
+    * overlap those cells are opened (the cell-clustered write makes the
+    * per-file ranges tight, so a probe touches ~nProbe cells' files out
+    * of the corpus's thousands). Candidates are scored by the exact
+    * int8 dot, the top `refine` join back to the source floats for the
+    * exact rounded-cosine re-rank — the [[Similarity.knnJoinIvfInt8]]
+    * discipline at single-probe granularity. Returns (vec_id, sim)
+    * top-k plus the files-opened/files-total pruning evidence. */
+  def topK(spark: SparkSession, indexDir: String, qe: Array[Float],
+           k: Int, nProbe: Int, refine: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, (Int, Int)) = {
+    require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
+    val h = load(spark, indexDir)
+    require(nProbe >= 1 && nProbe <= h.k,
+      s"nProbe must be in [1, ${h.k}], got $nProbe")
+    val cz = codesZone(indexDir)
+    val head = TxLog.latest(spark, cz).getOrElse(
+      sys.error(s"annindex topK: $indexDir has no committed codes zone"))
+    val cells = Similarity.rankCells(h.centroids, qe).take(nProbe)
+    // union of per-cell keep lists: each probe is a point range on the
+    // committed cent_id stats (file kept iff its [min,max] covers the cell)
+    val keep = cells.flatMap(c => TxLog.prunedFilesFor(head, "cent_id", c, c))
+      .distinct
+    val pruning = (keep.size, head.files.size)
+    if (keep.isEmpty)
+      return (spark.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0.0).as("sim")).limit(0), pruning)
+    val codes = TxLog.loadFiles(spark, head,
+      keep.map(f => cz.stripSuffix("/") + "/" + f))
+      .filter(col("cent_id").isin(cells: _*))
+    val qCode = Similarity.quantizeInt8(
+      typedLit(qe.toSeq).cast("array<float>"), h.mins, h.maxs)
+    val winners = codes
+      .select(col(idCol), Similarity.int8Dot(col("code"), qCode).as("_is"))
+      .orderBy(col("_is").desc, col(idCol))
+      .limit(refine)
+      .select(col(idCol))
+    val corp = TxLog.read(spark, h.srcZone).select(col(idCol), col(vecCol))
+    val out = corp.join(broadcast(winners), idCol)
+      .select(col(idCol), round(graft.functions.VectorFunctions.cosine(
+        col(vecCol), typedLit(qe.toSeq).cast("array<float>")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+    (out, pruning)
+  }
+
   /** Incremental refresh: encode the source rows appended since the
     * watermark under the FROZEN centroids/bounds and append them to the
     * codes zone (one commit; existing files untouched — only the new

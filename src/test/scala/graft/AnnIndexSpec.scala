@@ -117,6 +117,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.load(spark, idxDir).srcGen === h2.srcGen)
   }
 
+  test("single-vector topK serves from a PRUNED read of only the probed cells' files") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    val h = AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    val qe = Array.tabulate(8)(d => (if (d == 2) 0.9f else 0.12f) + d * 0.002f)
+    val (top, (kept, total)) = AnnIndex.topK(spark, idxDir, qe,
+      k = 5, nProbe = 2, refine = 10)
+    // pruning is real: 2 of 4 cells -> strictly fewer files than the zone
+    assert(kept < total, s"probe must not open every code file: $kept/$total")
+    // and the result equals the session-computed path for the same query
+    val q = Seq((0L, qe)).toDF("q_id", "qe")
+      .select(col("q_id"), col("qe").cast("array<float>").as("qe"))
+    val session = Similarity.knnJoinIvfInt8(TxLog.read(spark, srcZone), q,
+        h.centroids, h.mins, h.maxs, k = 5, nProbe = 2, refine = 10)
+      .select(col("vec_id"), col("sim"), col("rank")).orderBy(col("rank"))
+      .as[(Long, Double, Long)].collect().map(t => (t._1, t._2)).toSeq
+    val stored = top.as[(Long, Double)].collect().toSeq
+    assert(stored === session,
+      "pruned-probe topK must equal the session knnJoinIvfInt8 result")
+  }
+
   test("codes zone carries per-file cent_id stats for probe-side pruning") {
     val srcZone = tmp() + "/corpus"
     val idxDir = tmp() + "/idx"
