@@ -378,7 +378,7 @@ object Round7dQueries {
       (s, d) => {
         import graft.operators.Dedup
         val sp = Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 3, bands = 4).select("a_id", "b_id")
+          maxHamming = 3, bands = 8).select("a_id", "b_id")
         val jp = Dedup.jaccardFromStats(TrainingQueries.cachedPairStats(s, d),
           threshold = 0.8).select("a_id", "b_id")
         val counts = sp.agg(count(lit(1)).as("np"))

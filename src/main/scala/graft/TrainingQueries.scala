@@ -344,8 +344,11 @@ object TrainingQueries {
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
               |ORDER BY a_id, b_id""".stripMargin),
+      // bands = 8 -> 56 five-piece subset keys of 20 bits (exhaustive for
+      // hamming <= 3 by pigeonhole; the oracle is the blocking-independent
+      // all-pairs form, so the subset scheme changes cost, never output)
       (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 3, bands = 4)
+          maxHamming = 3, bands = 8)
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("a_id", "b_id")),
 

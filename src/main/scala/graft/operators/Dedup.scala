@@ -577,24 +577,56 @@ object Dedup {
     ColumnBridge.column(graft.functions.SimHash32(ColumnBridge.expression(hs)))
   }
 
-  /** SimHash near-dup pairs: block by rotating bit-bands (any pair within
-    * hamming distance <= bands-1 shares at least one identical band —
-    * pigeonhole), verify with exact popcount. Avoids the n^2 cross join. */
+  /** SimHash near-dup pairs: block by PIECE-SUBSET pigeonhole (the
+    * Manku/Jain/Das Sarma WWW'07 permuted-table idea in its subset
+    * form), verify with exact popcount. The 32-bit code splits into
+    * `bands` equal pieces; a pair at hamming ≤ maxHamming differs in at
+    * most maxHamming pieces, so it AGREES on every piece of SOME
+    * (bands − maxHamming)-subset — blocking on all C(bands, s) subsets
+    * of size s = max(1, bands − maxHamming) is therefore EXHAUSTIVE for
+    * hamming ≤ bands − s, and the popcount verification makes the output
+    * exactly the all-pairs ≤ maxHamming relation (the oracle form),
+    * independent of the blocking. s = 1 degenerates to the classic
+    * rotating-band scheme.
+    *
+    * WHY subsets: selectivity. A 1-piece band key has 32/bands bits, so
+    * per-band candidates grow n²/2^(32/bands) — the frozen-quadratic
+    * shape (measured: ~56M candidate rows at 60k docs with 4×8-bit
+    * bands). An s-piece key has s·32/bands bits: for maxHamming = 3,
+    * bands = 8 gives 56 subset keys of 20 bits — candidates collapse to
+    * near the true-pair count while the per-doc key fan-out stays a
+    * constant 56. Keys pack into ONE long (subset index then the s
+    * piece values), so the self-join stays a shuffled hash join on
+    * scalar keys. Callers keep recall iff bands − s ≥ maxHamming, which
+    * s's definition guarantees whenever bands > maxHamming; for
+    * bands ≤ maxHamming the guarantee covers only hamming ≤ bands − 1
+    * (the legacy contract — such calls should raise `bands`). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && 32 % bands == 0, s"bands must divide 32, got $bands")
+    val width = 32 / bands
+    val s = math.max(1, bands - maxHamming)
+    val subsets = (0 until bands).combinations(s).toIndexedSeq
+    require(subsets.size <= 256,
+      s"simhashNearDups: C($bands, $s) = ${subsets.size} subset keys per doc " +
+        "is past the fan-out budget — lower bands or raise maxHamming")
     // Exchange barrier: same Generate-inlining hazard as lshCandidates —
-    // without it the band explode recomputes the signature per band and the
-    // self-join duplicates the whole subtree. Tiny rows (id + one long).
+    // without it the subset explode recomputes the signature per key and
+    // the self-join duplicates the whole subtree. Tiny rows (id + longs).
     val sh = spread(docs, idCol)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), simhash32(col("toks")).as("sim"))
       .repartition(col("doc_id"))
-    val width = 32 / bands
-    val bandArr = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (shiftright(col("sim"), b * width) % (1L << width)).as("key"))
+    val mask = (1L << width) - 1L
+    val keyArr = array(subsets.zipWithIndex.map { case (ss, i) =>
+      // one scalar long per key: subset index, then each selected piece
+      // (7 bits of index + s·width ≤ 32 bits of pieces — fits easily)
+      ss.foldLeft(lit(i.toLong): Column) { (acc, piece) =>
+        acc * (1L << width) +
+          shiftright(col("sim"), piece * width).bitwiseAND(lit(mask))
+      }
     }: _*)
-    val banded = sh.select(col("doc_id"), col("sim"), explode(bandArr).as("bk"))
+    val banded = sh.select(col("doc_id"), col("sim"), explode(keyArr).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),

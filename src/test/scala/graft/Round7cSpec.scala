@@ -95,6 +95,29 @@ class Round7cSpec extends SparkSpec {
 
   // ---- simhash hamming histogram (pigeonhole exhaustiveness) ---------------
 
+  test("subset-blocked simhash join (bands=8, s=5) finds EVERY pair at hamming <= 3") {
+    // the Manku-style piece-subset scheme: hamming <= 3 flips at most 3 of
+    // 8 pieces, so some 5-piece subset agrees in full — blocking on all
+    // C(8,5)=56 subsets is exhaustive, and popcount verification makes the
+    // output the exact all-pairs relation regardless of blocking
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .limit(80)
+    val blocked = Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, bands = 8)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhash32(TextAnalysis.tokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(blocked == brute,
+      "subset blocking must be exhaustive at hamming <= 3")
+  }
+
   test("8-band simhash join finds EVERY pair at hamming <= 7 (pigeonhole)") {
     val docs = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
