@@ -220,29 +220,51 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs from a [[perceptualHash]] relation: the
-    * 64-bit twin of [[Dedup.simhashNearDups]]' band join. Pigeonhole:
-    * two hashes within `maxHamming` bits share at least one of the
-    * `bands` equal bands whenever maxHamming < bands (default 6 < 8), so
-    * the band self-join is a candidate generator with NO false
+    * 64-bit twin of [[Dedup.simhashNearDups]]' PIECE-SUBSET pigeonhole
+    * blocking. Two hashes within `maxHamming` bits differ in at most
+    * `maxHamming` of the `bands` equal pieces, so they agree in full on
+    * some (bands − maxHamming)-piece subset whenever maxHamming < bands
+    * (default 6 < 8) — blocking on all C(bands, s) subsets of size
+    * s = bands − maxHamming is a candidate generator with NO false
     * negatives, and the exact `bit_count(xor)` verify runs only on
-    * collisions. Band keys mask with bitwiseAND, not `%`: a 64-bit hash
-    * goes negative when cell 0 is above the mean, and an arithmetic
-    * modulo would split equal band bits across sign classes. */
+    * collisions. At the default geometry that is 28 two-piece 16-bit
+    * keys per image instead of 8 one-piece 8-bit bands: 256× more
+    * selective per key — the same candidate-collapse the text simhash
+    * tier measured (−89 % at sf3). Keys pack into one long (subset
+    * index, then the selected pieces); pieces mask with bitwiseAND, not
+    * `%`: a 64-bit hash goes negative when cell 0 is above the mean,
+    * and an arithmetic modulo would split equal piece bits across sign
+    * classes. */
   def phashNearDups(hashes: DataFrame, maxHamming: Int = 6,
                     bands: Int = 8): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
     val width = 64 / bands
-    val bandArr = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("phash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    val s = bands - maxHamming
+    val subsets = (0 until bands).combinations(s).toIndexedSeq
+    require(subsets.size <= 256,
+      s"phashNearDups: C($bands, $s) = ${subsets.size} subset keys per image " +
+        "is past the fan-out budget — lower bands or raise maxHamming")
+    // subset-index prefix (7 bits) + s·width key bits must fit a long;
+    // s·width = (bands − maxHamming)·64/bands can reach 56 at s·width
+    // geometries like (8,1); 7 + 56 = 63 is the exact budget
+    require(s * width <= 56,
+      s"phashNearDups: subset key needs ${s * width} bits + index — " +
+        "raise maxHamming or bands so s*width <= 56")
+    val mask = (1L << width) - 1L
+    val keyArr = array(subsets.zipWithIndex.map { case (ss, i) =>
+      ss.foldLeft(lit(i.toLong): org.apache.spark.sql.Column) { (acc, piece) =>
+        // shiftleft then add: acc * 2^width on a 56-bit prefix would pass
+        // 2^63 under ANSI's checked multiply at extreme geometries
+        shiftleft(acc, width) +
+          shiftright(col("phash"), piece * width).bitwiseAND(lit(mask))
+      }
     }: _*)
     val banded = hashes
       .select(col("media_id"), col("phash"))
       .repartition(col("media_id"))
-      .select(col("media_id"), col("phash"), explode(bandArr).as("bk"))
+      .select(col("media_id"), col("phash"), explode(keyArr).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
