@@ -311,18 +311,23 @@ object Pipeline {
     def packedZone: String = zone("packed")
 
     /** Replace-commit `zoneDir` from `compute` UNLESS its recorded
-      * upstream watermark already equals `upstreamGen` — the stage-level
-      * resume that makes the whole plan restartable. Returns the stage's
-      * (possibly pre-existing) head generation, the next stage's
-      * watermark. */
-    private def stage(zoneDir: String, upstreamGen: Long)
+      * watermark already matches BOTH the upstream generation AND the
+      * stage's config fingerprint — the stage-level resume that makes
+      * the whole plan restartable. The `conf` guard matters: a re-run
+      * with a changed knob (a new containment threshold, different
+      * split weights) must RECOMPUTE, never skip-serve results computed
+      * under the old config. Returns the stage's (possibly
+      * pre-existing) head generation, the next stage's watermark. */
+    private def stage(zoneDir: String, upstreamGen: Long, conf: String)
                      (compute: => DataFrame): Long = {
       val current = TxLog.latest(spark, zoneDir)
-        .filter(_.meta.get("stage.srcgen").contains(upstreamGen.toString))
+        .filter(h => h.meta.get("stage.srcgen").contains(upstreamGen.toString)
+          && h.meta.get("stage.conf").contains(conf))
       current.map(_.gen).getOrElse {
         val out = compute
         TxLog.replace(spark, zoneDir, out,
           meta = Map("stage.srcgen" -> upstreamGen.toString,
+            "stage.conf" -> conf,
             "schema.ddl" -> out.schema.toDDL)).gen
       }
     }
@@ -335,7 +340,8 @@ object Pipeline {
         sys.error(s"training lake: ${spec.srcZone} has no transaction log"))
 
       // 1) quality gate: map-side, shrinks everything downstream
-      val gatedGen = stage(gatedZone, srcHead.gen) {
+      val gatedGen = stage(gatedZone, srcHead.gen,
+          s"minQuality=${spec.minQuality}") {
         val docs = TxLog.readSnapshot(spark, spec.srcZone, srcHead)
         if (spec.minQuality <= 0.0) docs
         else docs.filter(TextAnalysis.qualityScore(
@@ -346,7 +352,8 @@ object Pipeline {
       //    adaptive pair-stats containment (self-tuning df cap — the
       //    directive-#1 knob), then LSH near-dup clusters; each tier only
       //    sees the previous tier's survivors
-      val dedupedGen = stage(dedupedZone, gatedGen) {
+      val dedupedGen = stage(dedupedZone, gatedGen,
+          s"containment=${spec.containment};jaccard=${spec.nearDupJaccard}") {
         var docs = TxLog.read(spark, gatedZone)
         val canon = Dedup.exactGroups(docs, spec.idCol, spec.textCol)
           .select(col("canonical_id").as(spec.idCol))
@@ -377,7 +384,8 @@ object Pipeline {
         TxLog.read(spark, dedupedZone), spec.idCol, spec.splits)
         .localCheckpoint(true)
       val splitGens = spec.splits.map { case (name, _) =>
-        name -> stage(splitZone(name), dedupedGen) {
+        name -> stage(splitZone(name), dedupedGen,
+            spec.splits.map { case (n, w) => s"$n=$w" }.mkString(",")) {
           assigned.filter(col("split") === name).drop("split")
         }
       }
@@ -389,7 +397,8 @@ object Pipeline {
       //    per-split by subtracting each split's own base offset — no
       //    single-partition window at any width
       val packWatermark = splitGens.map(_._2).sum
-      stage(packedZone, packWatermark) {
+      stage(packedZone, packWatermark,
+          s"capacity=${spec.packCapacity}") {
         val toks = spec.splits.map { case (name, _) =>
           TxLog.read(spark, splitZone(name))
             .select(lit(name).as("split"), id.as("doc_id"),

@@ -451,7 +451,8 @@ object Round7cQueries {
       // oracle checks the exact exhaustive histogram there
       // (Round7cSpec pins sampled == full at that scale). The full-
       // corpus form stays available as Dedup.simhashNearDups for the
-      // production ≤3 filter (8-bit bands, linear buckets).
+      // production ≤3 filter (piece-subset pigeonhole keys — 56
+      // twenty-bit subsets at the default geometry).
       Some(s"""WITH smp AS (SELECT doc_id, text FROM documents
               |             ORDER BY MD5('shs|' || CAST(doc_id AS VARCHAR)), doc_id
               |             LIMIT $SimhashSampleN),

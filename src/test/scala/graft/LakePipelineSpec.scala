@@ -156,5 +156,13 @@ class LakePipelineSpec extends SparkSpec {
       TxLog.snapshotAt(spark, plan.dedupedZone, dedupedGen0).get)
       .filter($"id" === 1L).select($"payload").as[String].head()
     assert(was === unique(1L), "time travel must keep the pre-refresh corpus")
+
+    // 6) a changed knob forces recompute — the config fingerprint in the
+    //    stage watermark refuses to skip-serve results computed under the
+    //    old spec (the upstream generation alone has not moved)
+    val dedupedGen1 = TxLog.latest(spark, plan.dedupedZone).get.gen
+    Pipeline.plan(spark, spec.copy(containment = 0.99)).run()
+    assert(TxLog.latest(spark, plan.dedupedZone).get.gen > dedupedGen1,
+      "a containment-threshold change must recompute the dedup stage")
   }
 }
