@@ -93,31 +93,53 @@ object AnnIndex {
     val (mins, maxs) = Similarity.dimMinMax(corpus, idCol, vecCol)
     val h = Handle(cents, mins, maxs, srcZone, srcHead.gen)
     import spark.implicits._
+    // The three zones commit SEPARATELY (TxLog is per-zone atomic), so a
+    // rebuild seals them with one build id, written codes-LAST: a reader
+    // racing the rebuild sees matching ids (all-old or all-new) or a
+    // mismatch — load() refuses loudly rather than probing new centroids
+    // against old codes (silently wrong cells).
+    val buildId = java.util.UUID.randomUUID().toString
+    val seal = Map("ann.build" -> buildId)
     TxLog.replace(spark, centroidsZone(indexDir),
       cents.toDF("cent_id", "ce")
-        .select(col("cent_id"), col("ce").cast("array<float>").as("ce")))
+        .select(col("cent_id"), col("ce").cast("array<float>").as("ce")),
+      meta = seal)
     TxLog.replace(spark, quantZone(indexDir),
       mins.zip(maxs).zipWithIndex
         .map { case ((mn, mx), i) => (i.toLong, mn, mx) }.toSeq
-        .toDF("pos", "mn", "mx"))
+        .toDF("pos", "mn", "mx"),
+      meta = seal)
     TxLog.replace(spark, codesZone(indexDir),
       clustered(encode(corpus.select(col(idCol), col(vecCol)), h, idCol, vecCol)),
-      meta = Map("ann.src" -> srcZone, "ann.srcgen" -> srcHead.gen.toString,
+      meta = seal ++ Map("ann.src" -> srcZone,
+        "ann.srcgen" -> srcHead.gen.toString,
         "ann.k" -> kk.toString, "ann.dim" -> mins.length.toString),
       statsCols = Seq("cent_id"))
     h
   }
 
   /** Load the index contract from the committed zones — two tiny
-    * collects (k centroids, dim bounds) and one head resolution; the
-    * corpus is never touched. This is all a fresh session needs. */
+    * collects (k centroids, dim bounds) and three head resolutions; the
+    * corpus is never touched. This is all a fresh session needs. The
+    * build-id seal across the three zones must agree (a mismatch means
+    * a rebuild is in flight or died between commits — retry or rebuild;
+    * probing mixed eras would be silently wrong). */
   def load(spark: SparkSession, indexDir: String): Handle = {
     val codesHead = TxLog.latest(spark, codesZone(indexDir)).getOrElse(
       sys.error(s"annindex load: $indexDir has no committed codes zone"))
+    val centsHead = TxLog.latest(spark, centroidsZone(indexDir)).getOrElse(
+      sys.error(s"annindex load: $indexDir has no committed centroids zone"))
+    val quantHead = TxLog.latest(spark, quantZone(indexDir)).getOrElse(
+      sys.error(s"annindex load: $indexDir has no committed quant zone"))
+    val seals = Seq(codesHead, centsHead, quantHead).map(_.meta.get("ann.build"))
+    require(seals.distinct.size == 1,
+      s"annindex load: build-id seal mismatch across the index zones " +
+        s"($seals) — a rebuild is in flight or died between commits; " +
+        "retry after it completes, or re-run AnnIndex.build")
     val cents = Similarity.collectCentroids(
-      TxLog.read(spark, centroidsZone(indexDir)))
+      TxLog.readSnapshot(spark, centroidsZone(indexDir), centsHead))
     import spark.implicits._
-    val qb = TxLog.read(spark, quantZone(indexDir))
+    val qb = TxLog.readSnapshot(spark, quantZone(indexDir), quantHead)
       .select(col("pos"), col("mn"), col("mx"))
       .as[(Long, Double, Double)].collect().sortBy(_._1)
     Handle(cents, qb.map(_._2), qb.map(_._3),

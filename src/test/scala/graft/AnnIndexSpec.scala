@@ -139,6 +139,23 @@ class AnnIndexSpec extends SparkSpec {
       "pruned-probe topK must equal the session knnJoinIvfInt8 result")
   }
 
+  test("a torn rebuild (seal mismatch across zones) refuses to load") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 100))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 1, k = Some(4))
+    // simulate a rebuild that died after re-committing the centroids:
+    // its new seal never reached quant/codes
+    TxLog.commitMeta(spark, AnnIndex.centroidsZone(idxDir), "torn-rebuild",
+      _ => Map("ann.build" -> "half-finished"))
+    val e = intercept[IllegalArgumentException] { AnnIndex.load(spark, idxDir) }
+    assert(e.getMessage.contains("seal mismatch"),
+      s"mixed-era index zones must refuse, got: ${e.getMessage}")
+    // a full rebuild re-seals all three and recovers
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 1, k = Some(4))
+    assert(AnnIndex.load(spark, idxDir).k === 4)
+  }
+
   test("codes zone carries per-file cent_id stats for probe-side pruning") {
     val srcZone = tmp() + "/corpus"
     val idxDir = tmp() + "/idx"
