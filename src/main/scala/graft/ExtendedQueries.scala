@@ -889,7 +889,7 @@ object ExtendedQueries {
 
     Q("q56_dup_clusters",
       Some(s"""WITH RECURSIVE pairs AS (
-              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsExactSql})),
               |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               |          UNION ALL SELECT b_id, a_id FROM pairs),
               |reach(node, r) AS (

@@ -800,7 +800,7 @@ object Round6Queries {
       // winner pick is the same max-struct aggregation as LabelProp
       // (two-phase, map-side partial), not a window sort.
       Some(s"""WITH RECURSIVE pairs AS (
-              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsExactSql})),
               |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               |          UNION ALL SELECT b_id, a_id FROM pairs),
               |reach(node, r) AS (

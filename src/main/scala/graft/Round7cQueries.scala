@@ -232,7 +232,7 @@ object Round7cQueries {
       // wrong docs. Reuses the session-cached cluster relation (shared
       // with q56/q174) + one small join and two aggs; the majority pick
       // is the skew-safe two-level tournament, not a global window.
-      Some(s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+      Some(s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsExactSql})),
               |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               |          UNION ALL SELECT b_id, a_id FROM pairs),
               |reach(node, r) AS (

@@ -738,7 +738,7 @@ object Round7dQueries {
       // capstone of the q36/q37/q56/q174 chain, all off the one
       // session-cached cluster relation. Exact counts, one division.
       Some(s"""WITH RECURSIVE pairs AS (
-              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsExactSql})),
               |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               |          UNION ALL SELECT b_id, a_id FROM pairs),
               |reach(node, r) AS (

@@ -453,7 +453,7 @@ object Round8Queries {
       // signal). Reuses the session-cached q56 cluster relation; the
       // oracle extends q56's recursive closure with the source join.
       Some(s"""WITH RECURSIVE pairs AS (
-              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsSql})),
+              |  SELECT a_id, b_id FROM (${TrainingQueries.jaccardPairsExactSql})),
               |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               |          UNION ALL SELECT b_id, a_id FROM pairs),
               |reach(node, r) AS (

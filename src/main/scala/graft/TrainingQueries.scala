@@ -56,9 +56,31 @@ object TrainingQueries {
        |sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfp USING (shingle)
        |       WHERE dfp.df <= (SELECT cap FROM capv))""".stripMargin
 
+  /** The UNCAPPED exact pair set — the oracle for the LSH-side
+    * consumers (q37, and the cluster relation behind q56/q174/q205/
+    * q233/q246), whose declared Spark path exact-verifies its LSH
+    * candidates with NO df cap. The capped [[jaccardPairsSql]] below
+    * backs the inverted-index (pairStatsAdaptive) consumers. At every
+    * oracle-checked scale the two coincide (the adaptive cap resolves
+    * above the corpus max df), but each oracle must state ITS path's
+    * semantics at any scale. */
+  private[graft] val jaccardPairsExactSql =
+    s"""WITH sh AS ($shingleRowsSql),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |       ROUND(i::DOUBLE / (ca.n_sh + cb.n_sh - i), 4) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = a_id
+       |JOIN cnt cb ON cb.doc_id = b_id
+       |WHERE ROUND(i::DOUBLE / (ca.n_sh + cb.n_sh - i), 4) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Exact pairwise 3-gram Jaccard >= 0.8 over the adaptive-capped
-    * shingle relation — the oracle for q36 AND q37 (and the edge
-    * relation of q56's cluster oracle). */
+    * shingle relation — the oracle for q36 and the other
+    * cachedPairStats consumers. */
   private[graft] val jaccardPairsSql =
     s"""WITH $cappedShingleCtes,
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -198,7 +220,7 @@ object TrainingQueries {
         .orderBy("a_id", "b_id")),
 
     Q("q37_dedup_minhash_lsh",
-      Some(jaccardPairsSql),
+      Some(jaccardPairsExactSql),
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, threshold = 0.8)
         .orderBy("a_id", "b_id")),
