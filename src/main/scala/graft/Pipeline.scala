@@ -378,18 +378,24 @@ object Pipeline {
       }
 
       // 3) deterministic md5 splits, one zone per split (the lake layout
-      //    consumers prune on); materialize once so the per-split writes
-      //    share one upstream read
-      val assigned = Splits.assignSplit(
-        TxLog.read(spark, dedupedZone), spec.idCol, spec.splits)
-        .localCheckpoint(true)
+      //    consumers prune on); materialize LAZILY and once — the first
+      //    split stage that actually recomputes pays the checkpoint, the
+      //    rest share it, and an idle re-run (every stage skipping on its
+      //    watermark) never touches the data at all
+      var assignedComputed = false
+      lazy val assigned = {
+        assignedComputed = true
+        Splits.assignSplit(
+          TxLog.read(spark, dedupedZone), spec.idCol, spec.splits)
+          .localCheckpoint(true)
+      }
       val splitGens = spec.splits.map { case (name, _) =>
         name -> stage(splitZone(name), dedupedGen,
             spec.splits.map { case (n, w) => s"$n=$w" }.mkString(",")) {
           assigned.filter(col("split") === name).drop("split")
         }
       }
-      graft.operators.Lineage.free(assigned)
+      if (assignedComputed) graft.operators.Lineage.free(assigned)
 
       // 4) sequence packing per split: bin = exclusive running token sum
       //    over doc_id order, divided by capacity. The prefix sum is the
