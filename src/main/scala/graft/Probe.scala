@@ -153,6 +153,39 @@ object Probe {
         f"quietSecs=$secs%.2f")
       spark.stop()
 
+    // The E2E training lake at bench scale: seed a TxLog source zone
+    // from the sf dir's documents, run the staged LakePlan (gate ->
+    // 3-tier dedup -> splits -> packing) end to end, then re-run idle —
+    // the pair of numbers that shows what a full refresh costs vs what
+    // the watermark resume costs (metadata-only). Survivor/packing
+    // counts print beside the times so the run is auditable.
+    case "lakeplan" :: sfDir :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      val base = java.nio.file.Files.createTempDirectory("graft_lakeplan").toString
+      val srcZone = s"$base/src"
+      graft.operators.TxLog.replace(spark, srcZone,
+        sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")))
+      val spec = Pipeline.LakeSpec(srcZone = srcZone, lakeDir = s"$base/lake",
+        minQuality = 0.05, containment = 0.95, nearDupJaccard = 0.8)
+      val plan = Pipeline.plan(spark, spec)
+      val t0 = System.nanoTime()
+      plan.run()
+      val full = (System.nanoTime() - t0) / 1e9
+      val survivors = graft.operators.TxLog.read(spark, plan.dedupedZone).count()
+      val packed = plan.packed()
+        .agg(count(lit(1)).as("rows"), countDistinct(col("split"), col("bin")))
+        .collect().head
+      val t1 = System.nanoTime()
+      plan.run()
+      val idle = (System.nanoTime() - t1) / 1e9
+      println(f"lakeplan dir=$sfDir survivors=$survivors " +
+        f"packedRows=${packed.getLong(0)} bins=${packed.getLong(1)} " +
+        f"fullSecs=$full%.1f idleSecs=$idle%.2f")
+      spark.stop()
+
     // q187's scale contract (round-8 directive #6): the df-capped
     // candidate relation's cardinality at a given sf, beside the corpus
     // size — run at sf0.1 and sf1 to measure candidate growth vs data
@@ -181,6 +214,7 @@ object Probe {
            |       graft.Probe spanstats <sfDir>
            |       graft.Probe pairstats <sfDir>
            |       graft.Probe bandstats <sfDir> [exact]
+           |       graft.Probe lakeplan <sfDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }
