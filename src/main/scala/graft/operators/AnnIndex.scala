@@ -157,13 +157,65 @@ object AnnIndex {
     * fetch. `corpus` defaults to the source zone's current snapshot
     * (extra unindexed rows are inert — the re-rank touches winner ids
     * only, which all come from the codes). */
+  /** The code files a probed-cell SET can touch: a file is kept iff
+    * some probed cell falls inside its committed cent_id [min, max] (or
+    * it has no stat — never skip blind). Cells sort once; each file is
+    * one binary search — O(files · log cells), no per-cell×per-file
+    * product even at k ~ 10⁶ cells / 10⁵ files. */
+  private[graft] def filesForCells(head: TxLog.Snapshot,
+                                   cells: Array[Long]): Seq[String] = {
+    val sorted = cells.sorted
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= hi
+    }
+    head.files.filter { f =>
+      head.colStats.get(f).flatMap(_.get("cent_id")) match {
+        case Some(st) => (st.min, st.max) match {
+          case (Some(mn), Some(mx)) =>
+            anyIn(math.floor(mn.toDouble).toLong, math.floor(mx.toDouble).toLong)
+          case _ => false // entirely-null cent_id: no probe can match
+        }
+        case None => true
+      }
+    }
+  }
+
   def knnJoin(spark: SparkSession, indexDir: String, queries: DataFrame,
               k: Int, nProbe: Int, refine: Int,
               corpus: Option[DataFrame] = None,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
     val h = load(spark, indexDir)
-    val codes = TxLog.read(spark, codesZone(indexDir))
+    val cz = codesZone(indexDir)
+    val head = TxLog.latest(spark, cz).getOrElse(
+      sys.error(s"annindex knnJoin: $indexDir has no committed codes zone"))
+    // prune the codes read to the BATCH's probed-cell union, computed by
+    // the IDENTICAL rounded-cosine ranking the scoring join uses below
+    // (a driver-side unrounded ranking could disagree on a near-tie and
+    // exclude a cell the probe then selects — silently missing
+    // candidates). Distinct cell ids are bounded by k — a driver-safe
+    // collect even at k ~ 10⁶; an eval-set batch probing a handful of
+    // cells then opens a handful of files instead of the zone.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val centsDf = h.centroids.toDF("cent_id", "ce")
+    val wq = Window.partitionBy(col(qIdCol))
+      .orderBy(col("_cs").desc, col("cent_id"))
+    val cells = queries.crossJoin(broadcast(centsDf))
+      .select(col(qIdCol), col("cent_id"),
+        round(graft.functions.VectorFunctions.cosine(col(qVecCol), col("ce")), 4)
+          .as("_cs"))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nProbe)
+      .select(col("cent_id")).distinct()
+      .as[Long].collect()
+    val keep = filesForCells(head, cells)
+    val codes = (if (keep.isEmpty)
+        TxLog.readSnapshot(spark, cz, head).filter(lit(false))
+      else TxLog.loadFiles(spark, head,
+        keep.map(f => cz.stripSuffix("/") + "/" + f)))
       .select(col(idCol), col("cent_id"), col("code").as("_code"))
     val corp = corpus.getOrElse(TxLog.read(spark, h.srcZone))
     Similarity.knnJoinIvfInt8Codes(codes, corp, queries, h.centroids,

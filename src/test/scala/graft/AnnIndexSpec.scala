@@ -139,6 +139,32 @@ class AnnIndexSpec extends SparkSpec {
       "pruned-probe topK must equal the session knnJoinIvfInt8 result")
   }
 
+  test("batch knnJoin prunes the codes read by the probed-cell union") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    val head = TxLog.latest(spark, AnnIndex.codesZone(idxDir)).get
+    // the cell-set file filter: a single out-of-range cell keeps nothing
+    assert(AnnIndex.filesForCells(head, Array(999L)).isEmpty,
+      "a cell no file's stats cover must prune everything")
+    // each real cell keeps a strict subset; their union covers the zone
+    val perCell = (0L until 4L).map(c =>
+      AnnIndex.filesForCells(head, Array(c)).toSet)
+    assert(perCell.exists(_.size < head.files.size),
+      "per-cell keep lists must prune (cell-clustered layout)")
+    assert(perCell.reduce(_ ++ _) === head.files.toSet,
+      "the union over all cells must cover every code file")
+    // and the pruned batch path stays CORRECT: results equal the
+    // unpruned corpus-side computation (superset-safe pruning)
+    val h = AnnIndex.load(spark, idxDir)
+    val q = queries(Seq(3000))
+    val pruned = AnnIndex.knnJoin(spark, idxDir, q, k = 5, nProbe = 1, refine = 8)
+    val session = Similarity.knnJoinIvfInt8(TxLog.read(spark, srcZone), q,
+      h.centroids, h.mins, h.maxs, k = 5, nProbe = 1, refine = 8)
+    assert(norm(pruned) === norm(session))
+  }
+
   test("a torn rebuild (seal mismatch across zones) refuses to load") {
     val srcZone = tmp() + "/corpus"
     val idxDir = tmp() + "/idx"
