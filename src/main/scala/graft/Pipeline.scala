@@ -286,7 +286,8 @@ object Pipeline {
       containment: Double = 0.8,
       nearDupJaccard: Double = 0.8,
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
-      packCapacity: Long = 512L) {
+      packCapacity: Long = 512L,
+      semantic: Option[SemanticSpec] = None) {
     def validate(): Unit = {
       require(srcZone.nonEmpty && lakeDir.nonEmpty, "paths must be non-empty")
       require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
@@ -296,6 +297,26 @@ object Pipeline {
       require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
         "split weights must sum to 1")
       require(packCapacity >= 1L, s"packCapacity must be >= 1, got $packCapacity")
+      semantic.foreach(_.validate())
+    }
+  }
+
+  /** The optional SEMANTIC dedup tier of [[LakeSpec]] (SemDeDup, Abbas
+    * et al. 2023 — the q184 pattern): drop a textual-dedup survivor iff
+    * a LOWER-id survivor's embedding reaches `threshold` cosine inside
+    * the same IVF cell. The cells come from the lake's OWN persistent
+    * ANN index artifact (`<lakeDir>/annindex`, [[graft.operators.AnnIndex]])
+    * — built once, refreshed incrementally as the embedding zone grows —
+    * never a per-run k-means retrain. `embZone` is a TxLog zone keyed by
+    * the SAME id column as the documents. */
+  final case class SemanticSpec(
+      embZone: String,
+      threshold: Double = 0.95,
+      vecCol: String = "embedding") {
+    def validate(): Unit = {
+      require(embZone.nonEmpty, "semantic.embZone must be non-empty")
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"semantic threshold in (0,1], got $threshold")
     }
   }
 
@@ -307,26 +328,33 @@ object Pipeline {
       spec.lakeDir.stripSuffix("/") + "/" + name
     def gatedZone: String = zone("gated")
     def dedupedZone: String = zone("deduped")
+    def semDedupedZone: String = zone("semdeduped")
+    def annIndexDir: String = zone("annindex")
     def splitZone(name: String): String = zone(s"split=$name")
     def packedZone: String = zone("packed")
 
     /** Replace-commit `zoneDir` from `compute` UNLESS its recorded
-      * watermark already matches BOTH the upstream generation AND the
+      * watermark already matches BOTH the upstream watermark AND the
       * stage's config fingerprint — the stage-level resume that makes
       * the whole plan restartable. The `conf` guard matters: a re-run
       * with a changed knob (a new containment threshold, different
       * split weights) must RECOMPUTE, never skip-serve results computed
-      * under the old config. Returns the stage's (possibly
-      * pre-existing) head generation, the next stage's watermark. */
-    private def stage(zoneDir: String, upstreamGen: Long, conf: String)
+      * under the old config. The watermark is a STRING naming every
+      * upstream component (`zone:gen` pairs), not a bare sum: summed
+      * generations collide — e.g. dropping a split while its sibling
+      * zones advance can re-produce the same sum and skip-serve a
+      * stale plan (round-12 ADVICE). Returns the stage's (possibly
+      * pre-existing) head generation, a component of the next stage's
+      * watermark. */
+    private def stage(zoneDir: String, upstream: String, conf: String)
                      (compute: => DataFrame): Long = {
       val current = TxLog.latest(spark, zoneDir)
-        .filter(h => h.meta.get("stage.srcgen").contains(upstreamGen.toString)
+        .filter(h => h.meta.get("stage.srcgen").contains(upstream)
           && h.meta.get("stage.conf").contains(conf))
       current.map(_.gen).getOrElse {
         val out = compute
         TxLog.replace(spark, zoneDir, out,
-          meta = Map("stage.srcgen" -> upstreamGen.toString,
+          meta = Map("stage.srcgen" -> upstream,
             "stage.conf" -> conf,
             "schema.ddl" -> out.schema.toDDL)).gen
       }
@@ -340,7 +368,7 @@ object Pipeline {
         sys.error(s"training lake: ${spec.srcZone} has no transaction log"))
 
       // 1) quality gate: map-side, shrinks everything downstream
-      val gatedGen = stage(gatedZone, srcHead.gen,
+      val gatedGen = stage(gatedZone, s"src:${srcHead.gen}",
           s"minQuality=${spec.minQuality}") {
         val docs = TxLog.readSnapshot(spark, spec.srcZone, srcHead)
         if (spec.minQuality <= 0.0) docs
@@ -352,7 +380,7 @@ object Pipeline {
       //    adaptive pair-stats containment (self-tuning df cap — the
       //    directive-#1 knob), then LSH near-dup clusters; each tier only
       //    sees the previous tier's survivors
-      val dedupedGen = stage(dedupedZone, gatedGen,
+      val dedupedGen = stage(dedupedZone, s"gated:$gatedGen",
           s"containment=${spec.containment};jaccard=${spec.nearDupJaccard}") {
         var docs = TxLog.read(spark, gatedZone)
         val canon = Dedup.exactGroups(docs, spec.idCol, spec.textCol)
@@ -377,6 +405,43 @@ object Pipeline {
         docs.join(losers, spec.idCol :: Nil, "left_anti")
       }
 
+      // 2b) optional SEMANTIC tier: SemDeDup over the textual survivors,
+      //    served from the lake's persistent ANN index artifact
+      //    (<lakeDir>/annindex) — index maintenance (first build /
+      //    incremental refresh) runs OUTSIDE the stage skip so the index
+      //    tracks the embedding zone, while the stage itself watermarks
+      //    on BOTH upstreams (deduped gen + index codes gen): new
+      //    embeddings or a rebuilt index recompute the tier, an idle
+      //    re-run skips it
+      val (preSplitZone, preSplitMark) = spec.semantic match {
+        case None => (dedupedZone, s"deduped:$dedupedGen")
+        case Some(sem) =>
+          import graft.operators.{AnnIndex, Similarity}
+          val codesZone = AnnIndex.codesZone(annIndexDir)
+          if (TxLog.latest(spark, codesZone).isEmpty)
+            AnnIndex.build(spark, annIndexDir, sem.embZone,
+              idCol = spec.idCol, vecCol = sem.vecCol)
+          else
+            AnnIndex.refresh(spark, annIndexDir,
+              idCol = spec.idCol, vecCol = sem.vecCol)
+          val idxGen = TxLog.latest(spark, codesZone).get.gen
+          val g = stage(semDedupedZone, s"deduped:$dedupedGen;codes:$idxGen",
+              s"semthreshold=${sem.threshold};embzone=${sem.embZone}") {
+            val docs = TxLog.read(spark, dedupedZone)
+            val h = AnnIndex.load(spark, annIndexDir)
+            // decide among textual SURVIVORS only (a doc must not lose to
+            // a twin the textual tiers already removed), over the
+            // INDEXED embedding era (the generation the codes cover)
+            val emb = AnnIndex.indexedCorpus(spark, annIndexDir)
+              .join(docs.select(id), spec.idCol :: Nil, "left_semi")
+            val losers = Similarity.semDedupKeep(emb, sem.threshold,
+                h.centroids, spec.idCol, sem.vecCol)
+              .filter(col("kept") === 0).select(id)
+            docs.join(losers, spec.idCol :: Nil, "left_anti")
+          }
+          (semDedupedZone, s"semdeduped:$g")
+      }
+
       // 3) deterministic md5 splits, one zone per split (the lake layout
       //    consumers prune on); materialize LAZILY and once — the first
       //    split stage that actually recomputes pays the checkpoint, the
@@ -386,12 +451,12 @@ object Pipeline {
       lazy val assigned = {
         assignedComputed = true
         Splits.assignSplit(
-          TxLog.read(spark, dedupedZone), spec.idCol, spec.splits)
+          TxLog.read(spark, preSplitZone), spec.idCol, spec.splits)
           .localCheckpoint(true)
       }
+      val splitsConf = spec.splits.map { case (n, w) => s"$n=$w" }.mkString(",")
       val splitGens = spec.splits.map { case (name, _) =>
-        name -> stage(splitZone(name), dedupedGen,
-            spec.splits.map { case (n, w) => s"$n=$w" }.mkString(",")) {
+        name -> stage(splitZone(name), preSplitMark, splitsConf) {
           assigned.filter(col("split") === name).drop("split")
         }
       }
@@ -401,10 +466,15 @@ object Pipeline {
       //    over doc_id order, divided by capacity. The prefix sum is the
       //    range-partitioned GlobalOrder scan (split-major order), made
       //    per-split by subtracting each split's own base offset — no
-      //    single-partition window at any width
-      val packWatermark = splitGens.map(_._2).sum
+      //    single-partition window at any width. The watermark names
+      //    every split zone with its generation, and the conf carries
+      //    the splits list, so a re-planned splits set can never
+      //    collide into a skip (round-12 ADVICE: the generation SUM of
+      //    (train,valid,test)@(2,2,2) equals (train,valid)@(3,3))
+      val packWatermark = splitGens
+        .map { case (n, g) => s"$n:$g" }.mkString(",")
       stage(packedZone, packWatermark,
-          s"capacity=${spec.packCapacity}") {
+          s"capacity=${spec.packCapacity};splits=$splitsConf") {
         val toks = spec.splits.map { case (name, _) =>
           TxLog.read(spark, splitZone(name))
             .select(lit(name).as("split"), id.as("doc_id"),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * lake stores raw prefixes with no index at all,
   * `lib/dynamodb-streaming-datalake-stack.ts:199-222`).
   *
-  * Layout under `indexDir` (three TxLog zones, each time-travelable):
+  * Layout under `indexDir` (four TxLog zones, each time-travelable):
   *  - `centroids`:  (cent_id BIGINT, ce ARRAY<FLOAT>) — the trained
   *    Lloyd's centroids (deterministic: lowest-id seeds, exact-decimal
   *    means), k rows.
@@ -19,10 +19,28 @@ import org.apache.spark.sql.functions._
   *    every corpus vector's cell assignment + int8 code, clustered by
   *    cent_id at write (`repartitionByRange`) with per-file `cent_id`
   *    stats, so a catalog/pruned read of a probe's cells opens only that
-  *    cell's files at 100 TB. Zone meta carries the index contract:
-  *    `ann.src` (the source corpus zone), `ann.srcgen` (the source
-  *    generation the codes cover — the incremental-refresh watermark),
-  *    `ann.k`, `ann.dim`.
+  *    cell's files at 100 TB.
+  *  - `manifest`:   (zone STRING, gen BIGINT) — ONE commit naming the
+  *    generation of each data zone that together form a consistent
+  *    index era, plus the index contract in its meta: `ann.build` (the
+  *    era's seal id), `ann.src` (the source corpus zone), `ann.srcgen`
+  *    (the source generation the codes cover — the incremental-refresh
+  *    watermark), `ann.k`, `ann.dim`, `ann.built.n` / `ann.built.cos`
+  *    (the build-time corpus size and cell-cosine baseline the
+  *    [[health]] drift signal compares against).
+  *
+  * CROSS-ZONE ATOMICITY (round-12 directive #6): TxLog is per-zone
+  * atomic, so the three data zones cannot commit as one transaction —
+  * instead the manifest is the LAST commit of every build/refresh, and
+  * readers resolve the index THROUGH it: each data zone is read at the
+  * manifest-recorded generation (time travel), never at its raw head.
+  * A build that dies between commits therefore leaves the manifest —
+  * and every reader — on the previous COMPLETE era; the half-written
+  * generations are inert history until the next successful build
+  * replaces the manifest. The per-zone `ann.build` seal stays as an
+  * integrity cross-check (a manifest must never stitch zones from
+  * different eras), and as the loud-refusal path for pre-manifest
+  * indexes.
   *
   * Everything stored round-trips parquet EXACTLY (longs, ints, floats,
   * doubles — no re-derivation), so a probe served from the stored index
@@ -37,9 +55,15 @@ import org.apache.spark.sql.functions._
   *
   * Freezing the quantizer on refresh is the standard index contract
   * (FAISS `IndexIVF.add` after `train`): assignments stay comparable
-  * across generations; drift is handled by a periodic rebuild, which
-  * this operator makes a one-call `build` (replace-commits all three
-  * zones; readers on older generations keep their era via time travel).
+  * across generations; drift is handled by a periodic rebuild. WHEN to
+  * rebuild is no longer only a caller decision (round-12 residual #1):
+  * [[health]] measures the size-weighted cosine between each stored
+  * centroid and its cell's CURRENT dequantized mean (one scan of the
+  * quarter-byte codes — the corpus floats are never touched),
+  * [[shouldRebuild]] trips when that signal has dropped more than
+  * `driftTol` below the build-time baseline or the corpus has outgrown
+  * the build by `maxGrowth`, and [[maintain]] is the one-call policy:
+  * refresh, then rebuild iff the predicate says so.
   */
 object AnnIndex {
 
@@ -50,11 +74,24 @@ object AnnIndex {
     def k: Int = centroids.size
   }
 
+  /** The index's freshness report — [[shouldRebuild]]'s evidence.
+    * `cellCosine` is the size-weighted mean cosine between each stored
+    * centroid and its cell's current dequantized mean; `builtCellCosine`
+    * is the same number measured at build time (the baseline that
+    * absorbs quantization bias), so `drift` is a pure
+    * has-the-data-moved signal. */
+  final case class Health(n: Long, builtN: Long, cells: Long,
+                          cellCosine: Double, builtCellCosine: Double) {
+    def drift: Double = builtCellCosine - cellCosine
+    def growth: Double = if (builtN <= 0L) 0.0 else (n - builtN).toDouble / builtN
+  }
+
   private def z(indexDir: String, name: String): String =
     indexDir.stripSuffix("/") + "/" + name
   private[graft] def centroidsZone(indexDir: String): String = z(indexDir, "centroids")
   private[graft] def quantZone(indexDir: String): String = z(indexDir, "quant")
   private[graft] def codesZone(indexDir: String): String = z(indexDir, "codes")
+  private[graft] def manifestZone(indexDir: String): String = z(indexDir, "manifest")
 
   /** Encode a vector frame under a handle's frozen parameters:
     * (idCol, cent_id, code) — the zero-shuffle literal-argmax assignment
@@ -70,16 +107,19 @@ object AnnIndex {
     * stats are tight (each file covers a narrow cell range — the layout
     * that makes probe-side file pruning real). Partition count scales
     * with the corpus, floored at the session parallelism. */
-  private def clustered(codes: DataFrame): DataFrame = {
+  private def clustered(codes: DataFrame, idCol: String): DataFrame = {
     val p = codes.sparkSession.sparkContext.defaultParallelism
-    codes.repartitionByRange(p, col("cent_id"), col("vec_id"))
+    codes.repartitionByRange(p, col("cent_id"), col(idCol))
   }
 
-  /** Train on the source zone's CURRENT snapshot and replace-commit all
-    * three index zones. k defaults to the corpus-derived
-    * [[graft.ExtendedQueries.adaptiveK]] (cells target ~1024 members —
-    * the same knob the declared q170/q184 path derives). Returns the
-    * handle a same-session caller can probe with immediately. */
+  /** Train on the source zone's CURRENT snapshot and commit a new index
+    * era: the three data zones, then the manifest LAST — the commit
+    * that makes the era visible; a crash anywhere earlier leaves
+    * readers on the previous complete era. k defaults to the
+    * corpus-derived [[graft.ExtendedQueries.adaptiveK]] (cells target
+    * ~1024 members — the same knob the declared q170/q184 path
+    * derives). Returns the handle a same-session caller can probe with
+    * immediately. */
   def build(spark: SparkSession, indexDir: String, srcZone: String,
             iterations: Int = 2, k: Option[Int] = None,
             idCol: String = "vec_id", vecCol: String = "embedding"): Handle = {
@@ -87,76 +127,148 @@ object AnnIndex {
       sys.error(s"annindex build: $srcZone has no transaction log — " +
         "the index sources a TxLog zone (its generations drive refresh)"))
     val corpus = TxLog.readSnapshot(spark, srcZone, srcHead)
-    val kk = k.getOrElse(graft.ExtendedQueries.adaptiveK(corpus.count()))
+    val nRows = corpus.count()
+    val kk = k.getOrElse(graft.ExtendedQueries.adaptiveK(nRows))
     val cents = Similarity.collectCentroids(
       Similarity.kmeans(corpus, kk, iterations, idCol, vecCol))
     val (mins, maxs) = Similarity.dimMinMax(corpus, idCol, vecCol)
     val h = Handle(cents, mins, maxs, srcZone, srcHead.gen)
     import spark.implicits._
-    // The three zones commit SEPARATELY (TxLog is per-zone atomic), so a
-    // rebuild seals them with one build id, written codes-LAST: a reader
-    // racing the rebuild sees matching ids (all-old or all-new) or a
-    // mismatch — load() refuses loudly rather than probing new centroids
-    // against old codes (silently wrong cells).
+    // Per-zone seal: every data commit of one era carries the same
+    // build id, cross-checked by resolve() against the manifest's — a
+    // stitched-era manifest (operator error, partial restore) refuses
+    // loudly rather than probing new centroids against old codes.
     val buildId = java.util.UUID.randomUUID().toString
     val seal = Map("ann.build" -> buildId)
-    TxLog.replace(spark, centroidsZone(indexDir),
+    val centsGen = TxLog.replace(spark, centroidsZone(indexDir),
       cents.toDF("cent_id", "ce")
         .select(col("cent_id"), col("ce").cast("array<float>").as("ce")),
-      meta = seal)
-    TxLog.replace(spark, quantZone(indexDir),
+      meta = seal).gen
+    val quantGen = TxLog.replace(spark, quantZone(indexDir),
       mins.zip(maxs).zipWithIndex
         .map { case ((mn, mx), i) => (i.toLong, mn, mx) }.toSeq
         .toDF("pos", "mn", "mx"),
-      meta = seal)
-    TxLog.replace(spark, codesZone(indexDir),
-      clustered(encode(corpus.select(col(idCol), col(vecCol)), h, idCol, vecCol)),
+      meta = seal).gen
+    val codesSnap = TxLog.replace(spark, codesZone(indexDir),
+      clustered(encode(corpus.select(col(idCol), col(vecCol)), h, idCol, vecCol), idCol),
       meta = seal ++ Map("ann.src" -> srcZone,
         "ann.srcgen" -> srcHead.gen.toString,
         "ann.k" -> kk.toString, "ann.dim" -> mins.length.toString),
       statsCols = Seq("cent_id"))
+    // the drift baseline: the freshly committed codes' cell-cosine —
+    // measured POST-commit so it prices in exactly the quantization the
+    // health scan will see later
+    val (_, builtCos, _) = cellCosineStats(
+      TxLog.readSnapshot(spark, codesZone(indexDir), codesSnap), h)
+    commitManifest(spark, indexDir,
+      Map("centroids" -> centsGen, "quant" -> quantGen, "codes" -> codesSnap.gen),
+      Map("ann.build" -> buildId, "ann.src" -> srcZone,
+        "ann.srcgen" -> srcHead.gen.toString,
+        "ann.k" -> kk.toString, "ann.dim" -> mins.length.toString,
+        "ann.built.n" -> nRows.toString,
+        "ann.built.cos" -> builtCos.toString))
     h
   }
 
-  /** Load the index contract from the committed zones — two tiny
-    * collects (k centroids, dim bounds) and three head resolutions; the
-    * corpus is never touched. This is all a fresh session needs. The
-    * build-id seal across the three zones must agree (a mismatch means
-    * a rebuild is in flight or died between commits — retry or rebuild;
-    * probing mixed eras would be silently wrong). */
-  def load(spark: SparkSession, indexDir: String): Handle = {
-    val codesHead = TxLog.latest(spark, codesZone(indexDir)).getOrElse(
-      sys.error(s"annindex load: $indexDir has no committed codes zone"))
-    val centsHead = TxLog.latest(spark, centroidsZone(indexDir)).getOrElse(
-      sys.error(s"annindex load: $indexDir has no committed centroids zone"))
-    val quantHead = TxLog.latest(spark, quantZone(indexDir)).getOrElse(
-      sys.error(s"annindex load: $indexDir has no committed quant zone"))
-    val seals = Seq(codesHead, centsHead, quantHead).map(_.meta.get("ann.build"))
-    require(seals.distinct.size == 1,
-      s"annindex load: build-id seal mismatch across the index zones " +
-        s"($seals) — a rebuild is in flight or died between commits; " +
-        "retry after it completes, or re-run AnnIndex.build")
-    val cents = Similarity.collectCentroids(
-      TxLog.readSnapshot(spark, centroidsZone(indexDir), centsHead))
+  private def commitManifest(spark: SparkSession, indexDir: String,
+                             gens: Map[String, Long],
+                             meta: Map[String, String]): Unit = {
     import spark.implicits._
-    val qb = TxLog.readSnapshot(spark, quantZone(indexDir), quantHead)
+    TxLog.replace(spark, manifestZone(indexDir),
+      gens.toSeq.sortBy(_._1).toDF("zone", "gen"), meta = meta)
+    ()
+  }
+
+  /** Resolve the index era: through the manifest when one exists (each
+    * data zone read at its manifest-recorded generation — a half-done
+    * rebuild is invisible), else the legacy head+seal path (pre-manifest
+    * indexes; a torn rebuild refuses loudly there). Returns the handle,
+    * the CODES snapshot probes must read (never the raw codes head),
+    * and the index meta (contract + drift baseline). */
+  private[graft] def resolve(spark: SparkSession, indexDir: String)
+      : (Handle, TxLog.Snapshot, Map[String, String]) = {
+    import spark.implicits._
+    TxLog.latest(spark, manifestZone(indexDir)) match {
+      case Some(mh) =>
+        val gens = TxLog.readSnapshot(spark, manifestZone(indexDir), mh)
+          .select(col("zone"), col("gen")).as[(String, Long)].collect().toMap
+        def snapAt(name: String): TxLog.Snapshot = {
+          val g = gens.getOrElse(name,
+            sys.error(s"annindex: manifest of $indexDir lacks zone '$name'"))
+          TxLog.snapshotAt(spark, z(indexDir, name), g).getOrElse(
+            sys.error(s"annindex: manifest points $name at generation $g " +
+              "but the zone's history no longer resolves it (vacuumed past " +
+              "the manifest?) — re-run AnnIndex.build"))
+        }
+        val centsSnap = snapAt("centroids")
+        val quantSnap = snapAt("quant")
+        val codesSnap = snapAt("codes")
+        val seal = mh.meta.get("ann.build")
+        val seals = Seq(centsSnap, quantSnap, codesSnap).map(_.meta.get("ann.build"))
+        require(seals.forall(_ == seal),
+          s"annindex: manifest seal $seal does not match the recorded zone " +
+            s"generations' seals ($seals) — the manifest stitches mixed eras; " +
+            "re-run AnnIndex.build")
+        (handleFrom(spark, indexDir, centsSnap, quantSnap, mh.meta), codesSnap, mh.meta)
+      case None =>
+        val codesHead = TxLog.latest(spark, codesZone(indexDir)).getOrElse(
+          sys.error(s"annindex: $indexDir has no committed index (no manifest, " +
+            "no codes zone) — run AnnIndex.build"))
+        val centsHead = TxLog.latest(spark, centroidsZone(indexDir)).getOrElse(
+          sys.error(s"annindex: $indexDir has no committed centroids zone"))
+        val quantHead = TxLog.latest(spark, quantZone(indexDir)).getOrElse(
+          sys.error(s"annindex: $indexDir has no committed quant zone"))
+        val seals = Seq(codesHead, centsHead, quantHead).map(_.meta.get("ann.build"))
+        require(seals.distinct.size == 1,
+          s"annindex load: build-id seal mismatch across the index zones " +
+            s"($seals) — a rebuild died between commits on this pre-manifest " +
+            "index; re-run AnnIndex.build (new builds commit a manifest, " +
+            "which makes a torn rebuild invisible instead of fatal)")
+        (handleFrom(spark, indexDir, centsHead, quantHead, codesHead.meta),
+          codesHead, codesHead.meta)
+    }
+  }
+
+  private def handleFrom(spark: SparkSession, indexDir: String,
+                         centsSnap: TxLog.Snapshot, quantSnap: TxLog.Snapshot,
+                         meta: Map[String, String]): Handle = {
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(
+      TxLog.readSnapshot(spark, centroidsZone(indexDir), centsSnap))
+    val qb = TxLog.readSnapshot(spark, quantZone(indexDir), quantSnap)
       .select(col("pos"), col("mn"), col("mx"))
       .as[(Long, Double, Double)].collect().sortBy(_._1)
     Handle(cents, qb.map(_._2), qb.map(_._3),
-      codesHead.meta.getOrElse("ann.src",
-        sys.error(s"annindex load: codes zone lacks ann.src meta")),
-      codesHead.meta.getOrElse("ann.srcgen",
-        sys.error(s"annindex load: codes zone lacks ann.srcgen meta")).toLong)
+      meta.getOrElse("ann.src",
+        sys.error(s"annindex load: index meta lacks ann.src")),
+      meta.getOrElse("ann.srcgen",
+        sys.error(s"annindex load: index meta lacks ann.srcgen")).toLong)
   }
 
-  /** Batch k-NN join served FROM the stored index: stored codes carry
-    * the cell equi-join, stored centroids/bounds drive probing and query
-    * encoding, and the exact re-rank joins the |q|·refine winner ids
-    * back to the source zone's floats. No training, no corpus-wide
-    * encode — the probe cost is the candidate cells plus the winner
-    * fetch. `corpus` defaults to the source zone's current snapshot
-    * (extra unindexed rows are inert — the re-rank touches winner ids
-    * only, which all come from the codes). */
+  /** Load the index contract from the committed zones — two tiny
+    * collects (k centroids, dim bounds) plus the 3-row manifest; the
+    * corpus is never touched. This is all a fresh session needs. */
+  def load(spark: SparkSession, indexDir: String): Handle =
+    resolve(spark, indexDir)._1
+
+  /** The source corpus AT THE INDEXED GENERATION (`ann.srcgen`) — the
+    * era the stored codes cover. This is what probe re-ranks read by
+    * default: joining winner ids against the source's RAW head would
+    * silently serve a rewritten source (deleted winners vanish,
+    * rewritten vectors score against stale codes — round-12 ADVICE);
+    * the time-traveled read pins results to the indexed era, and a
+    * vacuumed-away era fails loudly naming the fix. */
+  def indexedCorpus(spark: SparkSession, indexDir: String): DataFrame =
+    readSourceAt(spark, load(spark, indexDir))
+
+  private def readSourceAt(spark: SparkSession, h: Handle): DataFrame =
+    TxLog.snapshotAt(spark, h.srcZone, h.srcGen) match {
+      case Some(s) => TxLog.readSnapshot(spark, h.srcZone, s)
+      case None => sys.error(s"annindex: source zone ${h.srcZone} no longer " +
+        s"resolves the indexed generation ${h.srcGen} (rewritten and vacuumed?) " +
+        "— the stored codes describe an era that is gone; re-run AnnIndex.build")
+    }
+
   /** The code files a probed-cell SET can touch: a file is kept iff
     * some probed cell falls inside its committed cent_id [min, max] (or
     * it has no stat — never skip blind). Cells sort once; each file is
@@ -182,15 +294,22 @@ object AnnIndex {
     }
   }
 
+  /** Batch k-NN join served FROM the stored index: stored codes carry
+    * the cell equi-join, stored centroids/bounds drive probing and query
+    * encoding, and the exact re-rank joins the |q|·refine winner ids
+    * back to the source zone's floats AT THE INDEXED GENERATION. No
+    * training, no corpus-wide encode — the probe cost is the candidate
+    * cells plus the winner fetch. Pass `corpus` to re-rank against a
+    * caller-chosen relation instead (extra unindexed rows are inert —
+    * the re-rank touches winner ids only, which all come from the
+    * codes). */
   def knnJoin(spark: SparkSession, indexDir: String, queries: DataFrame,
               k: Int, nProbe: Int, refine: Int,
               corpus: Option[DataFrame] = None,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
-    val h = load(spark, indexDir)
+    val (h, head, _) = resolve(spark, indexDir)
     val cz = codesZone(indexDir)
-    val head = TxLog.latest(spark, cz).getOrElse(
-      sys.error(s"annindex knnJoin: $indexDir has no committed codes zone"))
     // prune the codes read to the BATCH's probed-cell union, computed by
     // the IDENTICAL rounded-cosine ranking the scoring join uses below
     // (a driver-side unrounded ranking could disagree on a near-tie and
@@ -217,35 +336,35 @@ object AnnIndex {
       else TxLog.loadFiles(spark, head,
         keep.map(f => cz.stripSuffix("/") + "/" + f)))
       .select(col(idCol), col("cent_id"), col("code").as("_code"))
-    val corp = corpus.getOrElse(TxLog.read(spark, h.srcZone))
+    val corp = corpus.getOrElse(readSourceAt(spark, h))
     Similarity.knnJoinIvfInt8Codes(codes, corp, queries, h.centroids,
       h.mins, h.maxs, k, nProbe, refine, idCol, vecCol, qIdCol, qVecCol)
   }
 
   /** Single-vector top-k probe served by a PRUNED read of the codes
     * zone — the 100 TB probe shape: the query's `nProbe` nearest cells
-    * are ranked DRIVER-SIDE against the loaded centroids
-    * ([[Similarity.rankCells]], the same arithmetic as the oracle
-    * cosine), and only the code files whose committed `cent_id` stats
+    * are ranked driver-side by the SAME rounded cosine the batch
+    * [[knnJoin]]'s scoring join uses ([[Similarity.rankCellsRounded]] —
+    * the two public probe paths select identical cells, near-ties
+    * included), and only the code files whose committed `cent_id` stats
     * overlap those cells are opened (the cell-clustered write makes the
     * per-file ranges tight, so a probe touches ~nProbe cells' files out
     * of the corpus's thousands). Candidates are scored by the exact
-    * int8 dot, the top `refine` join back to the source floats for the
-    * exact rounded-cosine re-rank — the [[Similarity.knnJoinIvfInt8]]
-    * discipline at single-probe granularity. Returns (vec_id, sim)
-    * top-k plus the files-opened/files-total pruning evidence. */
+    * int8 dot, the top `refine` join back to the source floats — at the
+    * indexed generation — for the exact rounded-cosine re-rank: the
+    * [[Similarity.knnJoinIvfInt8]] discipline at single-probe
+    * granularity. Returns (vec_id, sim) top-k plus the
+    * files-opened/files-total pruning evidence. */
   def topK(spark: SparkSession, indexDir: String, qe: Array[Float],
            k: Int, nProbe: Int, refine: Int,
            idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, (Int, Int)) = {
     require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
-    val h = load(spark, indexDir)
+    val (h, head, _) = resolve(spark, indexDir)
     require(nProbe >= 1 && nProbe <= h.k,
       s"nProbe must be in [1, ${h.k}], got $nProbe")
     val cz = codesZone(indexDir)
-    val head = TxLog.latest(spark, cz).getOrElse(
-      sys.error(s"annindex topK: $indexDir has no committed codes zone"))
-    val cells = Similarity.rankCells(h.centroids, qe).take(nProbe)
+    val cells = Similarity.rankCellsRounded(h.centroids, qe).take(nProbe)
     // union of per-cell keep lists: each probe is a point range on the
     // committed cent_id stats (file kept iff its [min,max] covers the cell)
     val keep = cells.flatMap(c => TxLog.prunedFilesFor(head, "cent_id", c, c))
@@ -264,7 +383,7 @@ object AnnIndex {
       .orderBy(col("_is").desc, col(idCol))
       .limit(refine)
       .select(col(idCol))
-    val corp = TxLog.read(spark, h.srcZone).select(col(idCol), col(vecCol))
+    val corp = readSourceAt(spark, h).select(col(idCol), col(vecCol))
     val out = corp.join(broadcast(winners), idCol)
       .select(col(idCol), round(graft.functions.VectorFunctions.cosine(
         col(vecCol), typedLit(qe.toSeq).cast("array<float>")), 4).as("sim"))
@@ -276,28 +395,129 @@ object AnnIndex {
   /** Incremental refresh: encode the source rows appended since the
     * watermark under the FROZEN centroids/bounds and append them to the
     * codes zone (one commit; existing files untouched — only the new
-    * vectors' cells gain files), advancing `ann.srcgen`. Returns the
-    * number of newly indexed vectors (0 = already current). A source
-    * compact/replace inside the window fails loudly via
+    * vectors' cells gain files), then commit a manifest advancing
+    * `ann.srcgen` and the codes generation under the SAME build seal.
+    * Returns the number of newly indexed vectors (0 = already current).
+    * A source compact/replace inside the window fails loudly via
     * [[TxLog.appendedBetween]]'s append-only contract — rebuild then. */
   def refresh(spark: SparkSession, indexDir: String,
               idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
-    val h = load(spark, indexDir)
+    val (h, _, meta) = resolve(spark, indexDir)
     val srcHead = TxLog.latest(spark, h.srcZone).getOrElse(
       sys.error(s"annindex refresh: source zone ${h.srcZone} has no log"))
     if (srcHead.gen == h.srcGen) return 0L
     val fresh = TxLog.appendedBetween(spark, h.srcZone, h.srcGen, srcHead.gen)
       .select(col(idCol), col(vecCol))
-    val newCodes = clustered(encode(fresh, h, idCol, vecCol))
+    val newCodes = clustered(encode(fresh, h, idCol, vecCol), idCol)
       .localCheckpoint(true)
     val n = newCodes.count()
-    if (n > 0L)
-      TxLog.append(spark, codesZone(indexDir), newCodes,
-        meta = Map("ann.srcgen" -> srcHead.gen.toString))
-    else
-      TxLog.commitMeta(spark, codesZone(indexDir), "ann-refresh",
-        _ => Map("ann.srcgen" -> srcHead.gen.toString))
+    val seal = meta.get("ann.build").map("ann.build" -> _).toMap
+    val newCodesGen =
+      if (n > 0L)
+        TxLog.append(spark, codesZone(indexDir), newCodes,
+          meta = seal ++ Map("ann.srcgen" -> srcHead.gen.toString)).gen
+      else
+        TxLog.commitMeta(spark, codesZone(indexDir), "ann-refresh",
+          _ => seal ++ Map("ann.srcgen" -> srcHead.gen.toString)).gen
     Lineage.free(newCodes)
+    // advance the era: same build seal, new codes generation + watermark
+    // (legacy pre-manifest indexes gain a manifest here — their
+    // centroids/quant heads ARE their era)
+    val centsGen = TxLog.latest(spark, centroidsZone(indexDir)).get.gen
+    val quantGen = TxLog.latest(spark, quantZone(indexDir)).get.gen
+    commitManifest(spark, indexDir,
+      Map("centroids" -> centsGen, "quant" -> quantGen, "codes" -> newCodesGen),
+      meta ++ Map("ann.srcgen" -> srcHead.gen.toString))
     n
+  }
+
+  /** Dequantized per-cell means vs stored centroids, from the codes
+    * alone: one scan of the quarter-byte codes exploded to (k·dim)
+    * groups (map-side partial avg), then k (cell, mean-vector, count)
+    * rows collect to the driver for the cosine against the handle's
+    * centroids — bounded state, the kmeans-centroid discipline.
+    * Returns (total rows, size-weighted mean cell cosine, cells). */
+  private def cellCosineStats(codes: DataFrame, h: Handle): (Long, Double, Long) = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val mnLit = array(h.mins.toIndexedSeq.map(lit): _*)
+    val mxLit = array(h.maxs.toIndexedSeq.map(lit): _*)
+    val dq = codes
+      .select(col("cent_id"), posexplode(col("code")).as(Seq("pos", "c")))
+      .select(col("cent_id"), col("pos"),
+        (element_at(mnLit, col("pos") + 1) +
+          (col("c").cast("double") + 128.0) / 255.0 *
+            (element_at(mxLit, col("pos") + 1) - element_at(mnLit, col("pos") + 1)))
+          .as("v"))
+    val means = dq.groupBy(col("cent_id"), col("pos"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("cnt"))
+    val rows = means.groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+        .as("mv"), max(col("cnt")).as("cnt"))
+      .select(col("cent_id"), col("mv"), col("cnt"))
+      .as[(Long, Seq[Double], Long)].collect()
+    val cmap = h.centroids.toMap
+    var wsum = 0.0
+    var n = 0L
+    rows.foreach { case (cid, mv, cnt) =>
+      val ce = cmap.getOrElse(cid, Array.empty[Float])
+      var da = 0.0; var db = 0.0; var dot = 0.0
+      val m = math.min(mv.length, ce.length)
+      var i = 0
+      while (i < m) {
+        val a = mv(i); val b = ce(i).toDouble
+        da += a * a; db += b * b; dot += a * b; i += 1
+      }
+      val denom = math.sqrt(da) * math.sqrt(db)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      wsum += cos * cnt
+      n += cnt
+    }
+    (n, if (n == 0L) 0.0 else wsum / n, rows.length)
+  }
+
+  /** Measure the index's freshness: the cell-cosine drift signal plus
+    * corpus growth since build. Cost = one scan of the codes zone (the
+    * int8 column, 1/4 the float bytes) — the source corpus is never
+    * read, so the check is cheap enough to run on a schedule. */
+  def health(spark: SparkSession, indexDir: String): Health = {
+    val (h, codesSnap, meta) = resolve(spark, indexDir)
+    val codes = TxLog.readSnapshot(spark, codesZone(indexDir), codesSnap)
+    val (n, cos, cells) = cellCosineStats(codes, h)
+    Health(n,
+      meta.get("ann.built.n").map(_.toLong).getOrElse(n),
+      cells, cos,
+      meta.get("ann.built.cos").map(_.toDouble).getOrElse(cos))
+  }
+
+  /** The rebuild decision (round-12 residual #1): true when the
+    * dequantized cell means have drifted more than `driftTol` cosine
+    * points below the build-time baseline (appends landed somewhere the
+    * frozen centroids no longer describe), or the corpus has grown past
+    * `maxGrowth` × the built size (cells are over-full even without
+    * drift — adaptiveK would pick a larger k). A long-lived index on a
+    * growing lake runs this on its maintenance schedule instead of
+    * silently probing a stale quantizer. */
+  def shouldRebuild(spark: SparkSession, indexDir: String,
+                    driftTol: Double = 0.02, maxGrowth: Double = 1.0): Boolean = {
+    val hl = health(spark, indexDir)
+    hl.drift > driftTol || hl.growth > maxGrowth
+  }
+
+  /** The one-call maintenance policy: index the source's appends
+    * (incremental, frozen quantizer), then rebuild iff [[shouldRebuild]]
+    * says the frozen parameters no longer fit — the FAISS
+    * train-then-add contract with the retrain trigger automated.
+    * Returns "current" | "refreshed" | "rebuilt". */
+  def maintain(spark: SparkSession, indexDir: String,
+               driftTol: Double = 0.02, maxGrowth: Double = 1.0,
+               iterations: Int = 2, k: Option[Int] = None,
+               idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val appended = refresh(spark, indexDir, idCol, vecCol)
+    if (shouldRebuild(spark, indexDir, driftTol, maxGrowth)) {
+      val src = load(spark, indexDir).srcZone
+      build(spark, indexDir, src, iterations, k, idCol, vecCol)
+      "rebuilt"
+    } else if (appended > 0L) "refreshed" else "current"
   }
 }

@@ -610,6 +610,16 @@ object Dedup {
     require(subsets.size <= 256,
       s"simhashNearDups: C($bands, $s) = ${subsets.size} subset keys per doc " +
         "is past the fan-out budget — lower bands or raise maxHamming")
+    // joint bit budget for the packed (index, pieces) key — the multiply-
+    // then-add below must never cross the sign bit (32-bit pieces keep
+    // s·width ≤ 32, so this holds at every legal geometry; enforced
+    // rather than assumed, per the round-12 phashNearDups finding)
+    val idxBits =
+      if (subsets.size <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((subsets.size - 1).toLong)
+    require(idxBits + s * width <= 63,
+      s"simhashNearDups: packed subset key needs $idxBits index bits + " +
+        s"${s * width} piece bits > 63 — raise maxHamming or lower bands")
     // Exchange barrier: same Generate-inlining hazard as lshCandidates —
     // without it the subset explode recomputes the signature per key and
     // the self-join duplicates the whole subtree. Tiny rows (id + longs).

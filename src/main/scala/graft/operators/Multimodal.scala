@@ -246,12 +246,18 @@ object Multimodal {
     require(subsets.size <= 256,
       s"phashNearDups: C($bands, $s) = ${subsets.size} subset keys per image " +
         "is past the fan-out budget — lower bands or raise maxHamming")
-    // subset-index prefix (7 bits) + s·width key bits must fit a long;
-    // s·width = (bands − maxHamming)·64/bands can reach 56 at s·width
-    // geometries like (8,1); 7 + 56 = 63 is the exact budget
-    require(s * width <= 56,
-      s"phashNearDups: subset key needs ${s * width} bits + index — " +
-        "raise maxHamming or bands so s*width <= 56")
+    // the packed key is (subset index << s·width) | piece bits, built by
+    // shiftleft-then-add below — enforce the JOINT bit budget directly:
+    // index bits + s·width must fit the 63 non-sign bits (a fan-out
+    // guard of 256 subsets alone would let i >= 128 at s·width = 56
+    // overflow the sign bit — round-12 ADVICE: the two separate requires
+    // did not jointly guarantee the invariant, only today's geometries did)
+    val idxBits =
+      if (subsets.size <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((subsets.size - 1).toLong)
+    require(idxBits + s * width <= 63,
+      s"phashNearDups: packed subset key needs $idxBits index bits + " +
+        s"${s * width} piece bits > 63 — raise maxHamming or lower bands")
     val mask = (1L << width) - 1L
     val keyArr = array(subsets.zipWithIndex.map { case (ss, i) =>
       ss.foldLeft(lit(i.toLong): org.apache.spark.sql.Column) { (acc, piece) =>

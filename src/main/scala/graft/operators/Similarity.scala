@@ -83,20 +83,39 @@ object Similarity {
     * order. Same arithmetic as the engine/oracle cosine (left-to-right
     * double dot, norm(q)·norm(ce) multiply order, zero-denom -> 0.0), so
     * the probed cell set matches the SQL oracle's bit-for-bit. */
-  def rankCells(centroids: Seq[(Long, Array[Float])], qe: Array[Float]): Seq[Long] = {
+  def rankCells(centroids: Seq[(Long, Array[Float])], qe: Array[Float]): Seq[Long] =
+    centroids.map { case (cid, ce) => (cid, cosineTo(qe, ce)) }
+      .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+
+  /** [[rankCells]] under the same 4-decimal HALF_UP rounding Spark's
+    * `round(_, 4)` applies in the batch probe's scoring join
+    * ([[knnJoinIvfInt8Codes]]): a near-tie whose cosines agree at 4 dp
+    * ranks by LOWEST cid on both paths, so a single-vector probe and a
+    * batch probe of the same query select the SAME cells (round-12
+    * residual #2 — the two public probe APIs must not diverge on a
+    * near-tie). The rounding is the literal arithmetic Spark's `Round`
+    * executes on doubles (`BigDecimal(d).setScale(4, HALF_UP)`). */
+  def rankCellsRounded(centroids: Seq[(Long, Array[Float])], qe: Array[Float]): Seq[Long] =
+    centroids.map { case (cid, ce) =>
+      (cid, BigDecimal(cosineTo(qe, ce))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+
+  /** The shared driver-side cosine: left-to-right double dot,
+    * norm(q)·norm(ce) multiply order, zero-denom → 0.0 — the same
+    * arithmetic as the engine/oracle cosine kernel. */
+  private def cosineTo(qe: Array[Float], ce: Array[Float]): Double = {
     var qs = 0.0
     qe.foreach(x => qs += x.toDouble * x.toDouble)
     val qn = math.sqrt(qs)
-    centroids.map { case (cid, ce) =>
-      var sq = 0.0
-      ce.foreach(x => sq += x.toDouble * x.toDouble)
-      val denom = qn * math.sqrt(sq)
-      var dot = 0.0
-      var i = 0
-      val m = math.min(qe.length, ce.length)
-      while (i < m) { dot += qe(i).toDouble * ce(i).toDouble; i += 1 }
-      (cid, if (denom == 0.0) 0.0 else dot / denom)
-    }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+    var sq = 0.0
+    ce.foreach(x => sq += x.toDouble * x.toDouble)
+    val denom = qn * math.sqrt(sq)
+    var dot = 0.0
+    var i = 0
+    val m = math.min(qe.length, ce.length)
+    while (i < m) { dot += qe(i).toDouble * ce(i).toDouble; i += 1 }
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Collect a small centroid relation to the driver for the

@@ -165,21 +165,151 @@ class AnnIndexSpec extends SparkSpec {
     assert(norm(pruned) === norm(session))
   }
 
-  test("a torn rebuild (seal mismatch across zones) refuses to load") {
+  test("a rebuild killed between commits is INVISIBLE: readers stay on the last complete era") {
     val srcZone = tmp() + "/corpus"
     val idxDir = tmp() + "/idx"
-    TxLog.append(spark, srcZone, vecs(0 until 100))
-    AnnIndex.build(spark, idxDir, srcZone, iterations = 1, k = Some(4))
-    // simulate a rebuild that died after re-committing the centroids:
-    // its new seal never reached quant/codes
-    TxLog.commitMeta(spark, AnnIndex.centroidsZone(idxDir), "torn-rebuild",
-      _ => Map("ann.build" -> "half-finished"))
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    val qe = Array.tabulate(8)(d => (if (d == 2) 0.9f else 0.12f) + d * 0.002f)
+    val (before, _) = AnnIndex.topK(spark, idxDir, qe, k = 5, nProbe = 2, refine = 10)
+    val beforeRows = before.as[(Long, Double)].collect().toSeq
+    val manifestGen = TxLog.latest(spark, AnnIndex.manifestZone(idxDir)).get.gen
+
+    // simulate a rebuild that died after re-committing centroids AND
+    // quant with its new seal — codes and the manifest never landed
+    // (the worst half-build: two of three data zones on the new era)
+    val torn = Map("ann.build" -> "died-mid-rebuild")
+    TxLog.replace(spark, AnnIndex.centroidsZone(idxDir),
+      vecs(0 until 4).toDF("cent_id", "ce"), meta = torn)
+    TxLog.commitMeta(spark, AnnIndex.quantZone(idxDir), "torn-rebuild", _ => torn)
+
+    // the manifest still names the complete era: load serves it, and a
+    // probe answers EXACTLY what it answered before the kill
+    assert(TxLog.latest(spark, AnnIndex.manifestZone(idxDir)).get.gen === manifestGen,
+      "a half-build must not have advanced the manifest")
+    assert(AnnIndex.load(spark, idxDir).k === 4)
+    val (after, _) = AnnIndex.topK(spark, idxDir, qe, k = 5, nProbe = 2, refine = 10)
+    assert(after.as[(Long, Double)].collect().toSeq === beforeRows,
+      "probes through a torn rebuild must serve the last complete era unchanged")
+
+    // the next successful build commits a new manifest and takes over
+    val h2 = AnnIndex.build(spark, idxDir, srcZone, iterations = 1, k = Some(4))
+    assert(TxLog.latest(spark, AnnIndex.manifestZone(idxDir)).get.gen > manifestGen)
+    assert(AnnIndex.load(spark, idxDir).centroids.map(_._1) ===
+      h2.centroids.map(_._1))
+
+    // integrity cross-check: a manifest STITCHING mixed eras (operator
+    // error) refuses loudly instead of probing wrong cells
+    val gens = TxLog.read(spark, AnnIndex.manifestZone(idxDir))
+      .as[(String, Long)].collect().toMap
+    TxLog.replace(spark, AnnIndex.manifestZone(idxDir),
+      gens.updated("centroids", 1L).toSeq.toDF("zone", "gen"),
+      meta = TxLog.latest(spark, AnnIndex.manifestZone(idxDir)).get.meta)
     val e = intercept[IllegalArgumentException] { AnnIndex.load(spark, idxDir) }
-    assert(e.getMessage.contains("seal mismatch"),
-      s"mixed-era index zones must refuse, got: ${e.getMessage}")
-    // a full rebuild re-seals all three and recovers
+    assert(e.getMessage.contains("stitches mixed eras"),
+      s"expected the stitched-manifest refusal, got: ${e.getMessage}")
     AnnIndex.build(spark, idxDir, srcZone, iterations = 1, k = Some(4))
     assert(AnnIndex.load(spark, idxDir).k === 4)
+  }
+
+  test("topK and knnJoin probe the SAME cells on a rounded near-tie") {
+    // two centroid directions whose cosines to the query agree at 4 dp
+    // but differ beyond it: the unrounded ranking prefers the exact-match
+    // HIGH cid, the rounded ranking ties and breaks to the LOW cid — the
+    // round-12 divergence between the two public probe paths. Build a
+    // corpus whose k-means (k=2, ids 0/1 as seeds) lands one centroid on
+    // each direction exactly.
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    val a = Array(1.0f, 0.0f, 0f, 0f, 0f, 0f, 0f, 0f)           // cluster A
+    val b = Array(1.0f, 0.001f, 0f, 0f, 0f, 0f, 0f, 0f)         // cluster B: cos(q,b)≈0.9999995
+    val rows = Seq(0L -> b, 1L -> a, 2L -> b, 3L -> a)          // seed 0 = b, seed 1 = a
+    TxLog.append(spark, srcZone,
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 1, k = Some(2))
+    val h = AnnIndex.load(spark, idxDir)
+    val qe = a // cos to centroid(a-dir) = 1.0 exact; to b-dir ≈ 0.9999995
+    // precondition: a genuine near-tie — unrounded cosines differ,
+    // rounded cosines agree
+    val unrounded = Similarity.rankCells(h.centroids, qe)
+    val rounded = Similarity.rankCellsRounded(h.centroids, qe)
+    assert(rounded.head === math.min(rounded.head, rounded.last),
+      "rounded ranking must break the 4-dp tie to the LOWEST cid")
+    assert(unrounded.head !== rounded.head,
+      "precondition: the tie must be real (unrounded ranking disagrees)")
+    // both probe paths, nProbe=1: same cell, same answer
+    val (top, _) = AnnIndex.topK(spark, idxDir, qe, k = 2, nProbe = 1, refine = 4)
+    val q = Seq((7L, qe)).toDF("q_id", "qe")
+      .select(col("q_id"), col("qe").cast("array<float>").as("qe"))
+    val batch = AnnIndex.knnJoin(spark, idxDir, q, k = 2, nProbe = 1, refine = 4)
+    assert(top.as[(Long, Double)].collect().toSeq ===
+      batch.orderBy(col("rank")).select(col("vec_id"), col("sim"))
+        .as[(Long, Double)].collect().toSeq,
+      "the single-vector and batch probe paths must agree on a near-tie")
+  }
+
+  test("shouldRebuild: drifted appends trip the predicate, rebuild clears it, undrifted appends don't") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    val h0 = AnnIndex.health(spark, idxDir)
+    assert(math.abs(h0.drift) < 1e-9 && h0.growth === 0.0,
+      s"a fresh build is its own baseline, got $h0")
+    assert(!AnnIndex.shouldRebuild(spark, idxDir))
+
+    // UNDRIFTED appends: more rows from the same generator/distribution
+    TxLog.append(spark, srcZone, vecs(200 until 280))
+    assert(AnnIndex.refresh(spark, idxDir) === 80L)
+    assert(!AnnIndex.shouldRebuild(spark, idxDir),
+      s"same-distribution appends must not trip: ${AnnIndex.health(spark, idxDir)}")
+
+    // DRIFTED appends: a new dominant direction the frozen centroids
+    // never saw drags its cell's dequantized mean off the centroid
+    val drifted = (1000 until 1400).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d >= 6) -1.0f else -0.05f))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    TxLog.append(spark, srcZone, drifted)
+    assert(AnnIndex.refresh(spark, idxDir) === 400L)
+    val hd = AnnIndex.health(spark, idxDir)
+    assert(hd.drift > 0.02, s"drifted appends must move the signal, got $hd")
+    assert(AnnIndex.shouldRebuild(spark, idxDir))
+
+    // maintain = refresh + conditional rebuild; the rebuild resets the
+    // baseline so the predicate clears
+    assert(AnnIndex.maintain(spark, idxDir, k = Some(8)) === "rebuilt")
+    assert(!AnnIndex.shouldRebuild(spark, idxDir),
+      s"a rebuild must clear the predicate: ${AnnIndex.health(spark, idxDir)}")
+    assert(AnnIndex.maintain(spark, idxDir, k = Some(8)) === "current",
+      "an idle maintain must do nothing")
+
+    // growth alone (no drift) also trips past maxGrowth
+    val h1 = AnnIndex.health(spark, idxDir)
+    assert(h1.growth === 0.0)
+    TxLog.append(spark, srcZone, vecs(2000 until 2680))
+    AnnIndex.refresh(spark, idxDir)
+    assert(AnnIndex.shouldRebuild(spark, idxDir, driftTol = 1.0, maxGrowth = 0.5),
+      "doubling the corpus must trip the growth guard")
+  }
+
+  test("default re-rank reads the source AT THE INDEXED GENERATION (a later rewrite can't skew results)") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    val q = queries(Seq(4000, 4001))
+    val before = norm(AnnIndex.knnJoin(spark, idxDir, q, k = 5, nProbe = 2, refine = 10))
+
+    // REWRITE the source (replace with a skewed half) — pre-fix, winner
+    // ids vanished from the re-rank join (fewer than k rows, silently)
+    TxLog.replace(spark, srcZone, vecs(0 until 50))
+    val after = norm(AnnIndex.knnJoin(spark, idxDir, q, k = 5, nProbe = 2, refine = 10))
+    assert(after === before,
+      "the default probe must serve the indexed era, not the rewritten head")
+    assert(AnnIndex.indexedCorpus(spark, idxDir).count() === 200L,
+      "indexedCorpus must time-travel to ann.srcgen")
   }
 
   test("codes zone carries per-file cent_id stats for probe-side pruning") {

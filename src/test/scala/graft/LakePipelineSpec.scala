@@ -165,4 +165,110 @@ class LakePipelineSpec extends SparkSpec {
     assert(TxLog.latest(spark, plan.dedupedZone).get.gen > dedupedGen1,
       "a containment-threshold change must recompute the dedup stage")
   }
+
+  test("a re-planned splits list cannot skip-serve the stale packing plan (watermark collision)") {
+    // round-12 ADVICE: with generation-SUM watermarks, running
+    // (train,valid,test) to gens (2,2,2) then re-planning (train,valid)
+    // recomputes both splits to (3,3) — sum 6 == 6 — and the packed
+    // stage skip-served a plan still containing 'test' rows
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_wm").toString
+    val srcZone = s"$base/src"
+    TxLog.replace(spark, srcZone,
+      (0L until 60L).map(i => (i, unique(i))).toDF("doc_id", "text"))
+    val spec3 = Pipeline.LakeSpec(srcZone = srcZone, lakeDir = s"$base/lake",
+      splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      packCapacity = 64L)
+    val plan3 = Pipeline.plan(spark, spec3)
+    plan3.run(); // split gens 1,1,1
+    // advance the source so a second run recomputes every split: gens 2,2,2
+    TxLog.append(spark, srcZone,
+      (100L until 110L).map(i => (i, unique(i))).toDF("doc_id", "text"))
+    plan3.run()
+    assert(spec3.splits.forall { case (n, _) =>
+      TxLog.latest(spark, plan3.splitZone(n)).get.gen === 2L })
+    assert(plan3.packed().filter($"split" === "test").count() > 0)
+
+    // re-plan WITHOUT the test split: the two kept splits recompute to
+    // gens 3,3 (splits-conf change) — under a sum watermark 3+3 == 2+2+2
+    // would skip; the named-pairs watermark + splits-bearing conf recompute
+    val spec2 = spec3.copy(splits = Seq("train" -> 0.9, "valid" -> 0.1))
+    val plan2 = Pipeline.plan(spark, spec2)
+    plan2.run()
+    assert(Seq("train", "valid").forall(n =>
+      TxLog.latest(spark, plan2.splitZone(n)).get.gen === 3L),
+      "precondition: the collision shape (kept splits at gen 3) must hold")
+    assert(plan2.packed().filter($"split" === "test").count() === 0,
+      "the packed stage must recompute for the new splits list, " +
+        "never skip-serve the 3-split plan")
+  }
+
+  test("semantic tier: SemDeDup stage served from the lake's ANN index artifact, watermark-resumable") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_sem").toString
+    val srcZone = s"$base/src"
+    val embZone = s"$base/emb"
+    val lakeDir = s"$base/lake"
+
+    // 40 docs, all texts UNIQUE (the textual tiers keep everything);
+    // embeddings are ±1 hypercube corners (pairwise cosine ≤ 0.75)
+    // except the PLANTED semantic twin: doc 30 carries doc 3's exact
+    // embedding under a completely different text — only the semantic
+    // tier can catch it
+    def emb(i: Long): Array[Float] = {
+      val src = if (i == 30L) 3L else i
+      Array.tabulate(8)(d =>
+        if (d >= 6) 1.0f
+        else if (((src >> d) & 1L) == 1L) 1.0f else -1.0f)
+    }
+    TxLog.replace(spark, srcZone,
+      (0L until 40L).map(i => (i, unique(i))).toDF("doc_id", "text"))
+    TxLog.replace(spark, embZone,
+      (0L until 40L).map(i => (i, emb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+
+    val spec = Pipeline.LakeSpec(srcZone = srcZone, lakeDir = lakeDir,
+      nearDupJaccard = 0.8, containment = 0.95,
+      splits = Seq("train" -> 0.8, "valid" -> 0.2), packCapacity = 64L,
+      semantic = Some(Pipeline.SemanticSpec(embZone, threshold = 0.95)))
+    val plan = Pipeline.plan(spark, spec)
+    plan.run()
+
+    // textual tiers keep all 40; the semantic tier drops exactly the twin
+    assert(TxLog.read(spark, plan.dedupedZone).count() === 40L)
+    val semIds = TxLog.read(spark, plan.semDedupedZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(semIds.size === 39 && !semIds(30L) && semIds(3L),
+      "the planted semantic duplicate (higher id) must drop, its twin survive")
+    // downstream consumes the semantic tier: no split carries doc 30
+    val splitIds = spec.splits.flatMap { case (n, _) =>
+      TxLog.read(spark, plan.splitZone(n)).select($"doc_id").as[Long].collect() }
+    assert(splitIds.toSet === semIds)
+    // the index is a LAKE ARTIFACT: committed zones under <lakeDir>/annindex
+    assert(TxLog.latest(spark,
+      graft.operators.AnnIndex.codesZone(plan.annIndexDir)).isDefined)
+
+    // idle re-run: every stage AND the index skip (no generation moves)
+    val zones = Seq(plan.gatedZone, plan.dedupedZone, plan.semDedupedZone,
+      plan.packedZone, graft.operators.AnnIndex.codesZone(plan.annIndexDir)) ++
+      spec.splits.map(s => plan.splitZone(s._1))
+    val before = zones.map(z => z -> TxLog.latest(spark, z).get.gen).toMap
+    plan.run()
+    zones.foreach(z => assert(TxLog.latest(spark, z).get.gen === before(z),
+      s"idle re-run must not advance $z"))
+
+    // fresh docs + embeddings flow through: the index refreshes
+    // incrementally (codes gen advances) and the semantic stage
+    // recomputes over the new era
+    TxLog.append(spark, srcZone,
+      Seq((60L, unique(60L))).toDF("doc_id", "text"))
+    TxLog.append(spark, embZone,
+      Seq((60L, emb(60L))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+    plan.run()
+    assert(TxLog.latest(spark,
+      graft.operators.AnnIndex.codesZone(plan.annIndexDir)).get.gen >
+      before(graft.operators.AnnIndex.codesZone(plan.annIndexDir)),
+      "new embeddings must refresh the index artifact")
+    assert(TxLog.read(spark, plan.semDedupedZone)
+      .select($"doc_id").as[Long].collect().toSet === (semIds + 60L))
+  }
 }
