@@ -153,6 +153,77 @@ object Probe {
         f"quietSecs=$secs%.2f")
       spark.stop()
 
+    // The banded tier's recall on a STRUCTURED corpus (round-13
+    // directive #4): plant perturbed copies of 200 corpus vectors at
+    // controlled target cosines (v' = cosθ·v̂ + sinθ·û for a
+    // deterministic orthogonal û — exact planted-pair cosine ≈ θ), then
+    // measure, at the q143 operating point (threshold 0.45, adaptive
+    // width, 4 bands), what fraction of planted pairs the base banded
+    // tier and the multi-probe variant each recover, with their output
+    // cardinalities and quiet seconds. recall-vs-target-cosine is the
+    // curve SURVEY §9 records; sub-~0.9 recall at the operating point is
+    // what the multi-probe variant exists to fix.
+    case "plantstats" :: sfDir :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val emb = sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val w = graft.operators.Similarity.adaptiveBandBits(n)
+      val seeds = emb.filter(col("vec_id") < 200)
+        .as[(Long, Array[Float])].collect()
+      val offset = 10000000L
+      Seq(0.95, 0.9, 0.8, 0.7, 0.6, 0.5).foreach { t =>
+        val theta = math.acos(t)
+        val planted = seeds.flatMap { case (id, v) =>
+          val vd = v.map(_.toDouble)
+          val nv = math.sqrt(vd.map(x => x * x).sum)
+          if (nv == 0.0) None
+          else {
+            val vh = vd.map(_ / nv)
+            // deterministic companion direction: rotate-by-one with
+            // alternating sign, Gram-Schmidt'd against v̂
+            val u0 = Array.tabulate(vd.length)(i =>
+              vh((i + 1) % vd.length) * (if (i % 2 == 0) 1.0 else -1.0))
+            val proj = u0.zip(vh).map { case (a, b) => a * b }.sum
+            val ur = u0.zip(vh).map { case (a, b) => a - proj * b }
+            val un = math.sqrt(ur.map(x => x * x).sum)
+            if (un < 1e-9) None
+            else Some((id + offset, Array.tabulate(vd.length)(i =>
+              ((math.cos(theta) * vh(i) + math.sin(theta) * ur(i) / un) * nv).toFloat)))
+          }
+        }
+        val corpus = emb.unionByName(
+          planted.toSeq.toDF("vec_id", "embedding")
+            .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+          .localCheckpoint(true)
+        def drive(f: => org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+          val t0 = System.nanoTime()
+          val pairs = f.localCheckpoint(true)
+          val total = pairs.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val rec = pairs.filter(col("b_id") === col("a_id") + offset &&
+            col("b_id") >= offset).count()
+          graft.operators.Lineage.free(pairs)
+          (rec, total, secs)
+        }
+        val (baseRec, baseTot, baseSecs) = drive(
+          graft.operators.Similarity.lshBandedNearDupPairs(
+            corpus, 0.45, dim = 64, nBits = 4 * w, bands = 4))
+        val (mpRec, mpTot, mpSecs) = drive(
+          graft.operators.Similarity.lshBandedNearDupPairsMultiProbe(
+            corpus, 0.45, dim = 64, nBits = 4 * w, bands = 4))
+        graft.operators.Lineage.free(corpus)
+        println(f"plantstats dir=$sfDir n=$n planted=${planted.length} " +
+          f"target=$t%.2f baseRecall=${baseRec.toDouble / planted.length}%.3f " +
+          f"mpRecall=${mpRec.toDouble / planted.length}%.3f " +
+          f"basePairs=$baseTot mpPairs=$mpTot " +
+          f"baseSecs=$baseSecs%.1f mpSecs=$mpSecs%.1f")
+      }
+      spark.stop()
+
     // The E2E training lake at bench scale: seed a TxLog source zone
     // from the sf dir's documents, run the staged LakePlan (gate ->
     // 3-tier dedup -> splits -> packing) end to end, then re-run idle —
@@ -214,6 +285,7 @@ object Probe {
            |       graft.Probe spanstats <sfDir>
            |       graft.Probe pairstats <sfDir>
            |       graft.Probe bandstats <sfDir> [exact]
+           |       graft.Probe plantstats <sfDir>
            |       graft.Probe lakeplan <sfDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)

@@ -441,6 +441,77 @@ object Similarity {
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
   }
 
+  /** Multi-probe variant of [[lshBandedNearDupPairs]] — the recall knob
+    * for STRUCTURED corpora (round-13 directive #4): each vector
+    * publishes, per band, its band key PLUS every single-bit flip of it
+    * (the Hamming-ball-1 probe set — Lv et al. VLDB'07's multi-probe
+    * idea applied to the band self-join, the q141 pattern at pair
+    * granularity). Two vectors then collide in a band iff their band
+    * bits are within Hamming 2 — a true pair that straddles one or two
+    * hyperplanes of every band (exactly how planted near-dups at
+    * moderate cosine get lost: P[band agrees] = (1-θ/π)^bandBits decays
+    * fast in the adaptive width) is recovered instead of dropped.
+    * Per-vector keys grow from `bands` to `bands·(bandBits+1)`; output
+    * ⊆ exact pairs (same rounded-cosine verify) and ⊇ the base tier's.
+    *
+    * Exactly-once WITHOUT a candidate-sized distinct (the base tier's
+    * discipline): a pair is emitted only from its FIRST band at
+    * Hamming ≤ 2, and only at that band's canonical WITNESS key — the
+    * deterministic element of the two probe balls' intersection
+    * (d = 0: the common key; d = 1: the smaller of the two endpoints;
+    * d = 2: flip a's lowest differing bit), computed from the two full
+    * bucket words inside the join condition. Every surviving pair pays
+    * ONE codegen'd cosine, join-side. */
+  def lshBandedNearDupPairsMultiProbe(vectors: DataFrame, threshold: Double,
+                                      dim: Int, nBits: Int = 8, bands: Int = 2,
+                                      idCol: String = "vec_id",
+                                      vecCol: String = "embedding"): DataFrame = {
+    require(nBits % bands == 0, s"nBits=$nBits not divisible by bands=$bands")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val withBkt = vectors
+      .select(col(idCol), col(vecCol),
+        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"))
+      .repartition(col(idCol))
+    // probe keys: per band, the band's bits plus each single-bit flip,
+    // packed as (band << bandBits) | bits — one scalar long per key
+    val keys = array((0 until bands).flatMap { b =>
+      val base = shiftright(col("_bkt"), b * bandBits).bitwiseAND(lit(mask))
+      (base +: (0 until bandBits).map(j => base.bitwiseXOR(lit(1L << j))))
+        .map(bits => bits + lit(b.toLong << bandBits))
+    }: _*)
+    val banded = withBkt.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      col("_bkt"), explode(keys).as("_bk"))
+    def bandOf(side: String, bp: Int) =
+      shiftright(col(s"$side._bkt"), bp * bandBits).bitwiseAND(lit(mask))
+    def diffAt(bp: Int) = bandOf("a", bp).bitwiseXOR(bandOf("b", bp))
+    val bi = shiftright(col("a._bk"), bandBits) // joined band index (both sides)
+    def witnessAt(bp: Int) = {
+      val aB = bandOf("a", bp)
+      val bB = bandOf("b", bp)
+      val d = diffAt(bp)
+      when(bit_count(d) === 0, aB)
+        .when(bit_count(d) === 1, least(aB, bB))
+        .when(bit_count(d) === 2, aB.bitwiseXOR(d.bitwiseAND(negate(d))))
+        .otherwise(lit(-1L)) // Hamming > 2: the balls cannot intersect
+    }
+    val witness = (0 until bands).foldLeft(lit(-1L): Column) { (acc, bp) =>
+      when(bi === bp, witnessAt(bp)).otherwise(acc)
+    }
+    // first ≤2-Hamming band: every band BELOW the joined one must differ
+    // in at least 3 bits (same static unroll as the base tier's
+    // first-agreeing-band test)
+    val firstBand = (0 until bands - 1).map { bp =>
+      (bi <= lit(bp)) || (bit_count(diffAt(bp)) > 2)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    banded.as("a").join(banded.as("b"),
+        col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
+          col("a._bk").bitwiseAND(lit(mask)) === witness && firstBand)
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+        round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** IVF-cell-blocked exact near-dup pairs — the DATA-ADAPTIVE block-
     * first scale path beside [[lshBandedNearDupPairs]]'s data-oblivious
     * hyperplane bands: assign every vector to its max-cosine centroid

@@ -1161,6 +1161,49 @@ class LshBandedSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((0L, 1L)))
   }
+
+  test("multi-probe output = EXACTLY the pairs with some band within Hamming 2, each once") {
+    // the multi-probe contract, checked against a brute-force all-pairs
+    // reference computed with the SAME bucket/cosine expressions: a pair
+    // is emitted iff cosine passes AND some band of the two bucket words
+    // is within Hamming 2 (the ball-1 probe sets intersect), and the
+    // witness-key discipline emits it exactly once — no distinct anywhere
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nBits = 8; val bands = 2; val bandBits = nBits / bands
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 0.37 + d * 1.3) + 0.2 * ((i + d) % 5)).toFloat))
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val withB = vecs.select($"vec_id", $"embedding",
+      Similarity.hyperplaneBucket($"embedding", dim = 8, nBits = nBits).as("bkt"))
+    def ham(bp: Int) = bit_count(
+      shiftright(col("a.bkt"), bp * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+        .bitwiseXOR(shiftright(col("b.bkt"), bp * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))))
+    val expected = withB.as("a").join(withB.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          ((ham(0) <= 2) || (ham(1) <= 2)))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(graft.functions.VectorFunctions.cosine(
+          col("a.embedding"), col("b.embedding")), 4).as("sim"))
+      .filter($"sim" >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val gotRows = Similarity.lshBandedNearDupPairsMultiProbe(vecs, 0.3,
+        dim = 8, nBits = nBits, bands = bands)
+      .as[(Long, Long, Double)].collect()
+    assert(gotRows.length === gotRows.toSet.size,
+      "the witness-key discipline must emit each pair exactly once")
+    assert(gotRows.toSet === expected,
+      "multi-probe must recover exactly the Hamming<=2-band pairs")
+    // and it strictly dominates the base tier on this corpus
+    val base = Similarity.lshBandedNearDupPairs(vecs, 0.3,
+      dim = 8, nBits = nBits, bands = bands)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(base.subsetOf(gotRows.toSet),
+      "multi-probe output must be a superset of the base banded tier")
+  }
 }
 
 class SessionizeCompositeKeySpec extends SparkSpec {
