@@ -114,15 +114,47 @@ object Bench {
     // A throwing query gets time = -1 (visibly broken, never a plausible
     // tiny wall-time) and an entry in the errors map — a regression must
     // not be reportable as a speedup.
-    val runs = queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable =>
-                  Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)) }
-      val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
-      // OUTSIDE the timed window: reclaim dead checkpoint blocks
-      if (i % 25 == 24) System.gc()
-      (name, secs, err)
+    def timedPass(): Seq[(String, Double, Option[String])] =
+      queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)) }
+        val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timed window: reclaim dead checkpoint blocks
+        if (i % 25 == 24) System.gc()
+        (name, secs, err)
+      }
+    // MIN-OF-N PASSES (round-13 directive #1): one in-inventory pass
+    // carries up to ~2x per-query interference (GC pressure, JIT churn,
+    // ambient box state — round 12's driver artifact smeared +13% across
+    // 40 untouched queries while a clean same-box run measured -10%), so
+    // ONE noisy window must not be able to smear the graded number. The
+    // inventory runs SPARK_GRAFT_TIMED_PASSES times (default 2) and each
+    // query records its MINIMUM — the steady-state estimator the quiet
+    // re-time already applies to the top-20, extended to the whole
+    // inventory. Per-pass sums are reported alongside ("passes") so the
+    // protocol total stays auditable against single-pass history.
+    val nPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_TIMED_PASSES", "2").toInt)
+    val passes = (1 to nPasses).map { p =>
+      val r = timedPass()
+      System.err.println(f"[bench] pass $p/$nPasses sum=${
+        r.collect { case (_, s, _) if s >= 0 => s }.sum}%.1f s " +
+        s"errors=${r.count(_._3.isDefined)}")
+      r
+    }
+    val passTotals = passes.map(r =>
+      if (r.exists(_._3.isDefined)) -1.0
+      else r.map(_._2).filter(_ >= 0).sum)
+    // per query: min over passes that succeeded; an error only survives
+    // if EVERY pass threw (a one-pass hiccup costs nothing; a real
+    // regression still fails every pass, and the bench with it)
+    val runs = passes.head.map(_._1).map { name =>
+      val attempts = passes.map(_.find(_._1 == name).get)
+      val ok = attempts.filter(_._3.isEmpty)
+      if (ok.isEmpty) (name, -1.0, attempts.head._3)
+      else (name, ok.map(_._2).min, None)
     }
     // Maintenance-path entry: small-file compaction of an A13-layout CDC
     // zone (4 closed hours x 16 tiny gzip-JSON files from the events
@@ -234,11 +266,12 @@ object Bench {
       .mkString("{", ",", "}")
     val quietJson = quiet.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passesJson = passTotals.mkString("[", ",", "]")
     val fullPath = new java.io.File("target/bench_full.json")
     fullPath.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
     finally w.close()
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
@@ -332,7 +365,8 @@ object Bench {
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":${
+        passTotals.map(f3).mkString("[", ",", "]")},"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
     }
     var keep = headline
     while (line(keep).length > 1700 && keep.nonEmpty) keep = keep.init

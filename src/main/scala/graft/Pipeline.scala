@@ -422,7 +422,12 @@ object Pipeline {
             AnnIndex.build(spark, annIndexDir, sem.embZone,
               idCol = spec.idCol, vecCol = sem.vecCol)
           else
-            AnnIndex.refresh(spark, annIndexDir,
+            // maintain = incremental refresh + the automated rebuild
+            // trigger: embedding appends the frozen quantizer no longer
+            // describes (centroid drift) or corpus growth past 2× retrain
+            // the index as part of the plan run — a long-lived lake can't
+            // silently probe a stale quantizer
+            AnnIndex.maintain(spark, annIndexDir,
               idCol = spec.idCol, vecCol = sem.vecCol)
           val idxGen = TxLog.latest(spark, codesZone).get.gen
           val g = stage(semDedupedZone, s"deduped:$dedupedGen;codes:$idxGen",
