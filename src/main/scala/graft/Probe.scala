@@ -174,7 +174,11 @@ object Probe {
       val w = graft.operators.Similarity.adaptiveBandBits(n)
       val seeds = emb.filter(col("vec_id") < 200)
         .as[(Long, Array[Float])].collect()
-      val offset = 10000000L
+      // planted ids must collide with NOTHING: a fixed offset aliased
+      // ScaleUp's replica key shifts at sf1 (replica r = id + r·10⁷), so
+      // planted copies duplicated real ids and "recall" counted replica
+      // pairs — derive the offset from the corpus itself
+      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1000000L
       Seq(0.95, 0.9, 0.8, 0.7, 0.6, 0.5).foreach { t =>
         val theta = math.acos(t)
         val planted = seeds.flatMap { case (id, v) =>

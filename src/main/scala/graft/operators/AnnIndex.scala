@@ -422,12 +422,16 @@ object AnnIndex {
     Lineage.free(newCodes)
     // advance the era: same build seal, new codes generation + watermark
     // (legacy pre-manifest indexes gain a manifest here — their
-    // centroids/quant heads ARE their era)
+    // centroids/quant heads ARE their era). Only the ann.* contract
+    // keys ride into the manifest meta: a legacy codes head's commit
+    // meta carries zone-internal keys (stats.cols etc.) that must not
+    // re-target the manifest zone's own machinery.
     val centsGen = TxLog.latest(spark, centroidsZone(indexDir)).get.gen
     val quantGen = TxLog.latest(spark, quantZone(indexDir)).get.gen
     commitManifest(spark, indexDir,
       Map("centroids" -> centsGen, "quant" -> quantGen, "codes" -> newCodesGen),
-      meta ++ Map("ann.srcgen" -> srcHead.gen.toString))
+      meta.filter(_._1.startsWith("ann.")) ++
+        Map("ann.srcgen" -> srcHead.gen.toString))
     n
   }
 
