@@ -380,8 +380,8 @@ object Similarity {
                             nBits: Int = 8, bands: Int = 2,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame =
-    lshBandedScoredPairs(vectors, dim, nBits, bands, idCol, vecCol)
-      .filter(col("sim") >= threshold)
+    lshBandedScoredPairs(vectors, dim, nBits, bands, idCol, vecCol,
+      threshold = Some(threshold))
 
   /** Corpus-derived band WIDTH for the banded near-dup tier — the
     * adaptive-knob pattern (adaptiveK, adaptiveShingleDfCap) applied to
@@ -410,7 +410,8 @@ object Similarity {
   private[graft] def lshBandedScoredPairs(vectors: DataFrame, dim: Int,
                                           nBits: Int = 8, bands: Int = 2,
                                           idCol: String = "vec_id",
-                                          vecCol: String = "embedding"): DataFrame = {
+                                          vecCol: String = "embedding",
+                                          threshold: Option[Double] = None): DataFrame = {
     require(nBits % bands == 0, s"nBits=$nBits not divisible by bands=$bands")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
@@ -434,9 +435,22 @@ object Similarity {
     val firstAgreeingBand = (0 until bands - 1).map { bp =>
       (col("a._bi") <= lit(bp)) || (bandOf("a", bp) =!= bandOf("b", bp))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    banded.as("a").join(banded.as("b"),
-        col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
-          firstAgreeingBand)
+    // The threshold check belongs as the LAST conjunct of the join
+    // condition, placed HERE rather than as a post-join filter: Catalyst
+    // pushes a post-join filter into the join as the FIRST conjunct, and
+    // conjunct order is evaluation order in the generated code — the
+    // dim-wide cosine would run for every key collision BEFORE the
+    // cheap bit tests that discard most of them (measured 2× on the
+    // dense-corpus scratch; the multi-probe variant pays 37× collisions,
+    // where the wrong order cost 10×+).
+    val cond0 = col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
+      firstAgreeingBand
+    val cond = threshold match {
+      case Some(t) =>
+        cond0 && round(cosine(col("a._v"), col("b._v")), 4) >= t
+      case None => cond0
+    }
+    banded.as("a").join(banded.as("b"), cond)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
   }
@@ -504,12 +518,16 @@ object Similarity {
     val firstBand = (0 until bands - 1).map { bp =>
       (bi <= lit(bp)) || (bit_count(diffAt(bp)) > 2)
     }.reduceOption(_ && _).getOrElse(lit(true))
+    // threshold as the LAST conjunct (same reasoning as
+    // [[lshBandedScoredPairs]]): the cheap witness/first-band bit tests
+    // must discard the bulk of the 37×-denser ball-1 collisions before
+    // any dim-wide cosine runs — a post-join filter gets pushed in FIRST
     banded.as("a").join(banded.as("b"),
         col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
-          col("a._bk").bitwiseAND(lit(mask)) === witness && firstBand)
+          col("a._bk").bitwiseAND(lit(mask)) === witness && firstBand &&
+          round(cosine(col("a._v"), col("b._v")), 4) >= threshold)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 
   /** IVF-cell-blocked exact near-dup pairs — the DATA-ADAPTIVE block-
