@@ -597,12 +597,16 @@ object Similarity {
                           vecCol: String = "embedding",
                           maxCell: Int = 1024): DataFrame = {
     val blocked = ivfCellBlocks(vectors, centroids, idCol, vecCol, maxCell)
+    // threshold as the LAST conjunct (the lshBandedScoredPairs lesson):
+    // a post-join filter is pushed in as the FIRST conjunct, running the
+    // dim-wide cosine before the `a < b` test that discards half the
+    // cell's equi-matched pairs plus the diagonal
     blocked.as("a").join(blocked.as("b"),
         col("a._cell") === col("b._cell") && col("a._blk") === col("b._blk") &&
-          col("a._id") < col("b._id"))
+          col("a._id") < col("b._id") &&
+          round(cosine(col("a._v"), col("b._v")), 4) >= threshold)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
