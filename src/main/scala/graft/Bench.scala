@@ -93,6 +93,29 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] WARNING: $warmFailures/${queries.size} " +
         s"warmup runs failed on $warmDir — timed numbers may include compilation")
+    // BOX-SPEED CALIBRATION (round-13): a fixed, data-independent,
+    // CPU-bound reference job (same shape every round: a codegen'd
+    // arithmetic fold over spark.range on all threads), min-of-3,
+    // recorded as "calib" beside the totals. The min-of-N protocol
+    // absorbs pass-level noise, but a UNIFORMLY slow box (thermal /
+    // noisy neighbor — measured this round: the same build benched
+    // 171.6-181.1 s in the morning and 209.8 s six hours later, 200 of
+    // 301 queries up by +0.3-0.8 s each with no code change) shifts
+    // every pass together; calib gives cross-round reads a denominator
+    // that moves with the box, not the engine.
+    // two components so both throttle modes register: a pure-CPU fold
+    // (frequency/steal) and a real shuffle (memory/IO bandwidth); each
+    // sized to land well past task-scheduling noise (~1-2 s)
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(2000000000L)
+        .selectExpr("sum(id * 3 + (id % 7)) AS s").collect()
+      spark.range(50000000L)
+        .selectExpr("(id * 2654435761) % 1000003 AS k")
+        .groupBy("k").count().selectExpr("sum(count) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    System.err.println(f"[bench] calib=$calib%.3f s (fixed reference jobs, min-of-3)")
     // The round-6 TxLog zones are per-(JVM, sf dir) lazy singletons, so
     // the warmup pass above only built the WARM dir's zones. Build the
     // timed dir's zones here so q156-q158 time what they claim to time —
@@ -271,7 +294,7 @@ object Bench {
     fullPath.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
     finally w.close()
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
@@ -365,7 +388,7 @@ object Bench {
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":${
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"passes":${
         passTotals.map(f3).mkString("[", ",", "]")},"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
     }
     var keep = headline
