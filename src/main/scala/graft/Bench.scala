@@ -275,8 +275,31 @@ object Bench {
     // any error the total is the -1 sentinel (impossible as a real time),
     // so a total-only consumer can never read a regression as a speedup.
     // Per-query entries keep their own -1 markers alongside.
-    val total =
+    //
+    // HEADLINE = MIN OF PER-PASS TOTALS (round-13 ADVICE, medium): the
+    // round-13 headline summed per-query minima ACROSS passes — a total
+    // no single pass produced, systematically below the best real pass
+    // (sf1: 385.0 vs pass sums 551.5/423.6), which read as a ~5-10%
+    // speedup with no engine change. The graded value is now a number an
+    // actual end-to-end pass produced; the per-query minima stay in the
+    // artifact as "qmin_total" + the "queries" map (the steady-state
+    // per-query estimator cross-round PER-QUERY reads should use), and
+    // "protocol" names the scheme so cross-round totals are compared
+    // like for like (r13 and earlier = qmin/single-pass).
+    val qminTotal =
       if (errors.nonEmpty) -1.0 else results.map(_._2).filter(_ >= 0).sum
+    val cleanPassTotals = passTotals.filter(_ >= 0)
+    val (total, protocol) =
+      if (errors.nonEmpty) (-1.0, "minpass-v1")
+      else if (cleanPassTotals.nonEmpty) (cleanPassTotals.min, "minpass-v1")
+      else {
+        // every pass had an isolated hiccup that some other pass absorbed
+        // (errors map empty): no clean end-to-end total exists — fall
+        // back to the per-query-min sum, loudly and visibly versioned
+        System.err.println("[bench] WARNING: no pass completed without a " +
+          "hiccup; headline falls back to the per-query-min sum")
+        (qminTotal, "qmin-fallback")
+      }
 
     // Full-precision per-query map goes to a FILE: the consumer of the
     // stdout line keeps only the last ~2000 chars of output, and 130
@@ -294,7 +317,7 @@ object Bench {
     fullPath.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","calib":$calib,"qmin_total":$qminTotal,"passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
     finally w.close()
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
@@ -388,7 +411,7 @@ object Bench {
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"passes":${
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","calib":${f3(calib)},"qmin_total":${f3(qminTotal)},"passes":${
         passTotals.map(f3).mkString("[", ",", "]")},"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
     }
     var keep = headline

@@ -63,7 +63,10 @@ import org.apache.spark.sql.functions._
   * [[shouldRebuild]] trips when that signal has dropped more than
   * `driftTol` below the build-time baseline or the corpus has outgrown
   * the build by `maxGrowth`, and [[maintain]] is the one-call policy:
-  * refresh, then rebuild iff the predicate says so.
+  * refresh, then rebuild iff the predicate says so. The health verdict
+  * is MEMOIZED in the manifest meta per codes generation (round-13
+  * directive #3), so a maintenance pass over an unchanged index — the
+  * lake pipeline's idle resume — is metadata-only: zero code files read.
   */
 object AnnIndex {
 
@@ -157,8 +160,10 @@ object AnnIndex {
       statsCols = Seq("cent_id"))
     // the drift baseline: the freshly committed codes' cell-cosine —
     // measured POST-commit so it prices in exactly the quantization the
-    // health scan will see later
-    val (_, builtCos, _) = cellCosineStats(
+    // health scan will see later. The same numbers seed the health MEMO
+    // (keyed by the codes generation they describe), so a maintenance
+    // call on the untouched index never re-scans the codes.
+    val (mN, builtCos, mCells) = cellCosineStats(
       TxLog.readSnapshot(spark, codesZone(indexDir), codesSnap), h)
     commitManifest(spark, indexDir,
       Map("centroids" -> centsGen, "quant" -> quantGen, "codes" -> codesSnap.gen),
@@ -166,9 +171,17 @@ object AnnIndex {
         "ann.srcgen" -> srcHead.gen.toString,
         "ann.k" -> kk.toString, "ann.dim" -> mins.length.toString,
         "ann.built.n" -> nRows.toString,
-        "ann.built.cos" -> builtCos.toString))
+        "ann.built.cos" -> builtCos.toString) ++
+        healthMemo(codesSnap.gen, mN, builtCos, mCells))
     h
   }
+
+  private def healthMemo(codesGen: Long, n: Long, cos: Double,
+                         cells: Long): Map[String, String] =
+    Map("ann.health.codesgen" -> codesGen.toString,
+      "ann.health.n" -> n.toString,
+      "ann.health.cos" -> cos.toString,
+      "ann.health.cells" -> cells.toString)
 
   private def commitManifest(spark: SparkSession, indexDir: String,
                              gens: Map[String, Long],
@@ -179,14 +192,22 @@ object AnnIndex {
     ()
   }
 
+  /** One resolved index era: the handle, the three data-zone snapshots
+    * probes/refreshes must read (never the raw heads), the era meta
+    * (contract + drift baseline + health memo), and whether a manifest
+    * governs it (false = legacy pre-manifest index). */
+  private[graft] final case class Resolved(handle: Handle,
+                                           centsSnap: TxLog.Snapshot,
+                                           quantSnap: TxLog.Snapshot,
+                                           codesSnap: TxLog.Snapshot,
+                                           meta: Map[String, String],
+                                           hasManifest: Boolean)
+
   /** Resolve the index era: through the manifest when one exists (each
     * data zone read at its manifest-recorded generation — a half-done
     * rebuild is invisible), else the legacy head+seal path (pre-manifest
-    * indexes; a torn rebuild refuses loudly there). Returns the handle,
-    * the CODES snapshot probes must read (never the raw codes head),
-    * and the index meta (contract + drift baseline). */
-  private[graft] def resolve(spark: SparkSession, indexDir: String)
-      : (Handle, TxLog.Snapshot, Map[String, String]) = {
+    * indexes; a torn rebuild refuses loudly there). */
+  private[graft] def resolve(spark: SparkSession, indexDir: String): Resolved = {
     import spark.implicits._
     TxLog.latest(spark, manifestZone(indexDir)) match {
       case Some(mh) =>
@@ -209,7 +230,8 @@ object AnnIndex {
           s"annindex: manifest seal $seal does not match the recorded zone " +
             s"generations' seals ($seals) — the manifest stitches mixed eras; " +
             "re-run AnnIndex.build")
-        (handleFrom(spark, indexDir, centsSnap, quantSnap, mh.meta), codesSnap, mh.meta)
+        Resolved(handleFrom(spark, indexDir, centsSnap, quantSnap, mh.meta),
+          centsSnap, quantSnap, codesSnap, mh.meta, hasManifest = true)
       case None =>
         val codesHead = TxLog.latest(spark, codesZone(indexDir)).getOrElse(
           sys.error(s"annindex: $indexDir has no committed index (no manifest, " +
@@ -224,8 +246,8 @@ object AnnIndex {
             s"($seals) — a rebuild died between commits on this pre-manifest " +
             "index; re-run AnnIndex.build (new builds commit a manifest, " +
             "which makes a torn rebuild invisible instead of fatal)")
-        (handleFrom(spark, indexDir, centsHead, quantHead, codesHead.meta),
-          codesHead, codesHead.meta)
+        Resolved(handleFrom(spark, indexDir, centsHead, quantHead, codesHead.meta),
+          centsHead, quantHead, codesHead, codesHead.meta, hasManifest = false)
     }
   }
 
@@ -249,7 +271,7 @@ object AnnIndex {
     * collects (k centroids, dim bounds) plus the 3-row manifest; the
     * corpus is never touched. This is all a fresh session needs. */
   def load(spark: SparkSession, indexDir: String): Handle =
-    resolve(spark, indexDir)._1
+    resolve(spark, indexDir).handle
 
   /** The source corpus AT THE INDEXED GENERATION (`ann.srcgen`) — the
     * era the stored codes cover. This is what probe re-ranks read by
@@ -308,7 +330,8 @@ object AnnIndex {
               corpus: Option[DataFrame] = None,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "qe"): DataFrame = {
-    val (h, head, _) = resolve(spark, indexDir)
+    val r = resolve(spark, indexDir)
+    val (h, head) = (r.handle, r.codesSnap)
     val cz = codesZone(indexDir)
     // prune the codes read to the BATCH's probed-cell union, computed by
     // the IDENTICAL rounded-cosine ranking the scoring join uses below
@@ -360,7 +383,8 @@ object AnnIndex {
            idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, (Int, Int)) = {
     require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
-    val (h, head, _) = resolve(spark, indexDir)
+    val r = resolve(spark, indexDir)
+    val (h, head) = (r.handle, r.codesSnap)
     require(nProbe >= 1 && nProbe <= h.k,
       s"nProbe must be in [1, ${h.k}], got $nProbe")
     val cz = codesZone(indexDir)
@@ -400,38 +424,104 @@ object AnnIndex {
     * Returns the number of newly indexed vectors (0 = already current).
     * A source compact/replace inside the window fails loudly via
     * [[TxLog.appendedBetween]]'s append-only contract — rebuild then. */
+  /** True when the codes zone's RAW head has moved past the
+    * manifest-recorded generation — the footprint of a rebuild that died
+    * after replacing codes but before committing its manifest. Readers
+    * are safe (they resolve through the manifest), but an APPEND would
+    * physically build on the torn head and mix eras — [[refresh]]
+    * refuses and [[maintain]] rebuilds instead. Metadata-only check. */
+  private[graft] def tornCodesHead(spark: SparkSession, indexDir: String): Boolean = {
+    val r = resolve(spark, indexDir)
+    r.hasManifest &&
+      TxLog.latest(spark, codesZone(indexDir)).exists(_.gen != r.codesSnap.gen)
+  }
+
   def refresh(spark: SparkSession, indexDir: String,
               idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
-    val (h, _, meta) = resolve(spark, indexDir)
+    val r = resolve(spark, indexDir)
+    val (h, meta) = (r.handle, r.meta)
     val srcHead = TxLog.latest(spark, h.srcZone).getOrElse(
       sys.error(s"annindex refresh: source zone ${h.srcZone} has no log"))
-    if (srcHead.gen == h.srcGen) return 0L
-    val fresh = TxLog.appendedBetween(spark, h.srcZone, h.srcGen, srcHead.gen)
-      .select(col(idCol), col(vecCol))
-    val newCodes = clustered(encode(fresh, h, idCol, vecCol), idCol)
-      .localCheckpoint(true)
-    val n = newCodes.count()
+    // Legacy pre-manifest index: even an IDLE refresh commits the first
+    // manifest, measuring the drift BASELINE the legacy index never
+    // recorded (round-13 ADVICE: defaulting builtN/builtCos to the
+    // current values made drift permanently 0, so the automated rebuild
+    // guard silently no-oped on exactly the long-lived indexes it was
+    // added for). The baseline is the PRE-append state — the closest
+    // observable stand-in for the lost build-time numbers.
+    val legacyBaseline: Map[String, String] =
+      if (r.hasManifest) Map.empty
+      else {
+        val (n0, cos0, cells0) = cellCosineStats(
+          TxLog.readSnapshot(spark, codesZone(indexDir), r.codesSnap), h)
+        Map("ann.built.n" -> n0.toString, "ann.built.cos" -> cos0.toString) ++
+          healthMemo(r.codesSnap.gen, n0, cos0, cells0)
+      }
+    if (srcHead.gen == h.srcGen && r.hasManifest) return 0L
+    // An append builds PHYSICALLY on the codes zone's raw head. After a
+    // rebuild that died between its codes commit and its manifest commit
+    // the head carries the torn era — appending there, or sealing a
+    // manifest from raw heads, would stitch mixed eras (round-13 ADVICE).
+    // The recorded generations come from the MANIFEST (r.*Snap), and a
+    // moved codes head refuses loudly; [[maintain]] rebuilds on it.
+    if (r.hasManifest) {
+      val rawCodesHead = TxLog.latest(spark, codesZone(indexDir)).get.gen
+      if (rawCodesHead != r.codesSnap.gen)
+        sys.error(s"annindex refresh: the codes zone's head (gen $rawCodesHead) " +
+          s"is past the manifest's era (gen ${r.codesSnap.gen}) — a rebuild " +
+          "died between its codes commit and its manifest commit; appending " +
+          "here would mix eras. Run AnnIndex.build (or AnnIndex.maintain, " +
+          "which rebuilds on this state) to seal a fresh era")
+    }
     val seal = meta.get("ann.build").map("ann.build" -> _).toMap
-    val newCodesGen =
-      if (n > 0L)
-        TxLog.append(spark, codesZone(indexDir), newCodes,
-          meta = seal ++ Map("ann.srcgen" -> srcHead.gen.toString)).gen
-      else
-        TxLog.commitMeta(spark, codesZone(indexDir), "ann-refresh",
-          _ => seal ++ Map("ann.srcgen" -> srcHead.gen.toString)).gen
-    Lineage.free(newCodes)
-    // advance the era: same build seal, new codes generation + watermark
-    // (legacy pre-manifest indexes gain a manifest here — their
-    // centroids/quant heads ARE their era). Only the ann.* contract
-    // keys ride into the manifest meta: a legacy codes head's commit
-    // meta carries zone-internal keys (stats.cols etc.) that must not
-    // re-target the manifest zone's own machinery.
-    val centsGen = TxLog.latest(spark, centroidsZone(indexDir)).get.gen
-    val quantGen = TxLog.latest(spark, quantZone(indexDir)).get.gen
+    val (n, newCodesGen) =
+      if (srcHead.gen == h.srcGen)
+        (0L, r.codesSnap.gen) // legacy idle: manifest-only commit below
+      else {
+        val fresh = TxLog.appendedBetween(spark, h.srcZone, h.srcGen, srcHead.gen)
+          .select(col(idCol), col(vecCol))
+        val newCodes = clustered(encode(fresh, h, idCol, vecCol), idCol)
+          .localCheckpoint(true)
+        val cnt = newCodes.count()
+        val g =
+          if (cnt > 0L)
+            TxLog.append(spark, codesZone(indexDir), newCodes,
+              meta = seal ++ Map("ann.srcgen" -> srcHead.gen.toString)).gen
+          else
+            TxLog.commitMeta(spark, codesZone(indexDir), "ann-refresh",
+              _ => seal ++ Map("ann.srcgen" -> srcHead.gen.toString)).gen
+        Lineage.free(newCodes)
+        (cnt, g)
+      }
+    // advance the era: same build seal, the MANIFEST-RECORDED
+    // centroids/quant generations (never the raw heads — a torn rebuild
+    // may have replaced those zones under a seal that never sealed), the
+    // new codes generation + watermark. Legacy pre-manifest indexes gain
+    // a manifest here — their heads ARE their era. Only the ann.*
+    // contract keys ride into the manifest meta: a legacy codes head's
+    // commit meta carries zone-internal keys (stats.cols etc.) that must
+    // not re-target the manifest zone's own machinery. A stale health
+    // memo (keyed by an older codes gen) is dropped rather than carried.
+    val carried = meta.filter { case (k, _) =>
+      k.startsWith("ann.") && !k.startsWith("ann.health.") }
+    // the legacy baseline's memo keys only stay when the codes gen they
+    // were measured at is still the era's codes gen (idle legacy upgrade)
+    val baseline =
+      if (newCodesGen == r.codesSnap.gen) legacyBaseline
+      else legacyBaseline.filterNot(_._1.startsWith("ann.health."))
+    // a ZERO-row refresh (watermark-only codes meta-commit) changes no
+    // file, so an existing memo stays true — re-key it to the new gen
+    val rekeyedMemo =
+      if (n == 0L && newCodesGen != r.codesSnap.gen &&
+          meta.get("ann.health.codesgen").contains(r.codesSnap.gen.toString))
+        meta.filter(_._1.startsWith("ann.health."))
+          .updated("ann.health.codesgen", newCodesGen.toString)
+      else Map.empty[String, String]
     commitManifest(spark, indexDir,
-      Map("centroids" -> centsGen, "quant" -> quantGen, "codes" -> newCodesGen),
-      meta.filter(_._1.startsWith("ann.")) ++
-        Map("ann.srcgen" -> srcHead.gen.toString))
+      Map("centroids" -> r.centsSnap.gen, "quant" -> r.quantSnap.gen,
+        "codes" -> newCodesGen),
+      carried ++ Map("ann.srcgen" -> srcHead.gen.toString) ++
+        baseline ++ rekeyedMemo)
     n
   }
 
@@ -481,17 +571,43 @@ object AnnIndex {
   }
 
   /** Measure the index's freshness: the cell-cosine drift signal plus
-    * corpus growth since build. Cost = one scan of the codes zone (the
-    * int8 column, 1/4 the float bytes) — the source corpus is never
-    * read, so the check is cheap enough to run on a schedule. */
-  def health(spark: SparkSession, indexDir: String): Health = {
-    val (h, codesSnap, meta) = resolve(spark, indexDir)
-    val codes = TxLog.readSnapshot(spark, codesZone(indexDir), codesSnap)
-    val (n, cos, cells) = cellCosineStats(codes, h)
+    * corpus growth since build. MEMOIZED per codes generation (round-13
+    * directive #3): the verdict is a pure function of the committed
+    * codes, so after one scan the numbers live in the manifest meta
+    * keyed by the codes gen they describe, and every later call at the
+    * same gen is metadata-only — an idle [[maintain]] (and the lake
+    * pipeline's idle resume) never re-reads a code file. A memo miss
+    * costs one scan of the codes zone (the int8 column, 1/4 the float
+    * bytes; the source corpus is never read) and writes the memo back
+    * as a meta-only manifest commit (`memoize = false` skips the
+    * write-back for strictly read-only callers). */
+  def health(spark: SparkSession, indexDir: String,
+             memoize: Boolean = true): Health = {
+    val r = resolve(spark, indexDir)
+    if (r.meta.get("ann.health.codesgen").contains(r.codesSnap.gen.toString)) {
+      val n = r.meta("ann.health.n").toLong
+      val cos = r.meta("ann.health.cos").toDouble
+      return Health(n, r.meta.get("ann.built.n").map(_.toLong).getOrElse(n),
+        r.meta("ann.health.cells").toLong, cos,
+        r.meta.get("ann.built.cos").map(_.toDouble).getOrElse(cos))
+    }
+    if (r.meta.get("ann.built.n").isEmpty || r.meta.get("ann.built.cos").isEmpty)
+      // loud, per round-13 ADVICE: baselining to the CURRENT values makes
+      // drift/growth permanently 0 — run refresh/maintain once to record
+      // a measured baseline (the legacy-upgrade path does it)
+      System.err.println(s"[annindex] WARNING: $indexDir has no recorded " +
+        "drift baseline (pre-manifest index never refreshed) — health " +
+        "reports drift=0/growth=0 against itself; run AnnIndex.refresh or " +
+        "AnnIndex.maintain once to measure and record the baseline")
+    val codes = TxLog.readSnapshot(spark, codesZone(indexDir), r.codesSnap)
+    val (n, cos, cells) = cellCosineStats(codes, r.handle)
+    if (memoize && r.hasManifest)
+      TxLog.commitMeta(spark, manifestZone(indexDir), "ann-health-memo",
+        _ => healthMemo(r.codesSnap.gen, n, cos, cells))
     Health(n,
-      meta.get("ann.built.n").map(_.toLong).getOrElse(n),
+      r.meta.get("ann.built.n").map(_.toLong).getOrElse(n),
       cells, cos,
-      meta.get("ann.built.cos").map(_.toDouble).getOrElse(cos))
+      r.meta.get("ann.built.cos").map(_.toDouble).getOrElse(cos))
   }
 
   /** The rebuild decision (round-12 residual #1): true when the
@@ -517,6 +633,14 @@ object AnnIndex {
                driftTol: Double = 0.02, maxGrowth: Double = 1.0,
                iterations: Int = 2, k: Option[Int] = None,
                idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    // a torn rebuild's codes head (died between its codes commit and its
+    // manifest commit) cannot be appended onto — reseal a fresh era
+    // instead of letting refresh refuse
+    if (tornCodesHead(spark, indexDir)) {
+      val src = load(spark, indexDir).srcZone
+      build(spark, indexDir, src, iterations, k, idCol, vecCol)
+      return "rebuilt"
+    }
     val appended = refresh(spark, indexDir, idCol, vecCol)
     if (shouldRebuild(spark, indexDir, driftTol, maxGrowth)) {
       val src = load(spark, indexDir).srcZone

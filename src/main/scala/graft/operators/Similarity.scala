@@ -530,6 +530,98 @@ object Similarity {
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
   }
 
+  /** EMPIRICAL recall estimate for the base banded tier at an operating
+    * point — the corpus-structure signal behind [[lshBandedNearDupPairsAuto]]
+    * (round-13 directive #2: base-vs-multi-probe was a manual knob; a
+    * user running the base default on a structured corpus silently lost
+    * moderate-cosine near-dups — plantstats measured recall 0.125 at
+    * cosine 0.7, sf1).
+    *
+    * Method: take a deterministic hash sample of ~`sampleCap` vectors,
+    * find the sample's OWN true near-pairs (rounded cosine ≥ threshold —
+    * one broadcast nested-loop join over ≤ sampleCap² pairs, a bounded
+    * driver-free job), and measure the fraction that agree on at least
+    * one band under the REAL hyperplane buckets at the REAL operating
+    * width. This prices in everything the analytic
+    * `1-(1-(1-θ/π)^w)^b` curve idealizes away (the deterministic
+    * splitmix planes, the corpus's own pair-cosine distribution): on a
+    * structured corpus the near-pair mass sits at moderate cosine where
+    * band agreement collapses → low estimate; on a near-orthogonal
+    * corpus the only pairs ≥ threshold are near-exact duplicates whose
+    * bands almost always agree → estimate ≈ 1.
+    *
+    * Returns 1.0 when the sample contains no qualifying pair (nothing
+    * to lose — the base tier is the right default). Deterministic:
+    * xxhash64 sampling, integer collision counts. Cost: one map-side
+    * scan to sample + one ≤ sampleCap-row broadcast self-join —
+    * O(corpus) scan, O(sampleCap²·dim) compare, independent of corpus
+    * pair structure; the same cost class as the other corpus-derived
+    * knobs (adaptiveBandBits' count, adaptiveShingleDfCap). Pair
+    * sampling is quadratic in the row-sampling rate, so the estimate
+    * conditions on the pair-cosine DISTRIBUTION, not the pair count —
+    * exactly the quantity recall depends on. */
+  def estimateBandedRecall(vectors: DataFrame, threshold: Double, dim: Int,
+                           nBits: Int = 8, bands: Int = 2,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           sampleCap: Int = 2048): (Double, Long) = {
+    require(nBits % bands == 0, s"nBits=$nBits not divisible by bands=$bands")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    val n = vectors.count()
+    val rate = math.max(1L, (n + sampleCap - 1) / sampleCap)
+    val sample = vectors
+      .filter(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"))
+    val agree = (0 until bands).map { b =>
+      shiftright(col("a._bkt"), b * bandBits).bitwiseAND(lit(mask)) ===
+        shiftright(col("b._bkt"), b * bandBits).bitwiseAND(lit(mask))
+    }.reduce(_ || _)
+    val row = sample.as("a").join(broadcast(sample.as("b")),
+        col("a._id") < col("b._id") &&
+          round(cosine(col("a._v"), col("b._v")), 4) >= threshold)
+      .agg(count(lit(1)).as("t"),
+        coalesce(sum(when(agree, 1L).otherwise(0L)), lit(0L)).as("c"))
+      .collect().head
+    val truePairs = row.getLong(0)
+    (if (truePairs == 0L) 1.0 else row.getLong(1).toDouble / truePairs,
+      truePairs)
+  }
+
+  /** The banded near-dup tier with the base-vs-multi-probe choice made
+    * FROM THE CORPUS (round-13 directive #2 — the adaptiveBandBits
+    * pattern applied to the last manual knob): when the measured sample
+    * recall at the operating point ([[estimateBandedRecall]]) falls
+    * below `recallTarget`, the corpus's near-dup mass lives where base
+    * bands lose it, and the Hamming-ball-1 multi-probe variant (~7× the
+    * base cost, output-bound) is the correct default; otherwise the
+    * base tier's cost profile wins and its recall is not the binding
+    * constraint. Same output contract either way (exact rounded-cosine
+    * verify join-side; output ⊆ true pairs). */
+  def lshBandedNearDupPairsAuto(vectors: DataFrame, threshold: Double,
+                                dim: Int, nBits: Int = 8, bands: Int = 2,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                recallTarget: Double = 0.8,
+                                sampleCap: Int = 2048): DataFrame = {
+    val (est, truePairs) = estimateBandedRecall(vectors, threshold, dim,
+      nBits, bands, idCol, vecCol, sampleCap)
+    if (est < recallTarget) {
+      System.err.println(f"[similarity] banded tier AUTO -> multi-probe: " +
+        f"sampled recall $est%.3f < target $recallTarget%.2f " +
+        f"($truePairs sample pairs >= $threshold)")
+      lshBandedNearDupPairsMultiProbe(vectors, threshold, dim, nBits, bands,
+        idCol, vecCol)
+    } else {
+      System.err.println(f"[similarity] banded tier AUTO -> base: " +
+        f"sampled recall $est%.3f >= target $recallTarget%.2f " +
+        f"($truePairs sample pairs >= $threshold)")
+      lshBandedNearDupPairs(vectors, threshold, dim, nBits, bands,
+        idCol, vecCol)
+    }
+  }
+
   /** IVF-cell-blocked exact near-dup pairs — the DATA-ADAPTIVE block-
     * first scale path beside [[lshBandedNearDupPairs]]'s data-oblivious
     * hyperplane bands: assign every vector to its max-cosine centroid

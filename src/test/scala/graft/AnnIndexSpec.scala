@@ -312,6 +312,143 @@ class AnnIndexSpec extends SparkSpec {
       "indexedCorpus must time-travel to ann.srcgen")
   }
 
+  test("refresh after a torn rebuild seals from the manifest's generations, not raw heads") {
+    // round-13 ADVICE (medium): refresh used to commit its manifest from
+    // the RAW centroids/quant heads — after a rebuild died between
+    // commits, those heads carry the torn era, so the refreshed manifest
+    // stitched mixed eras and resolve() bricked the index until a full
+    // rebuild. Now the recorded generations come from the manifest.
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    // a rebuild died after replacing centroids AND quant under its new
+    // seal — codes and the manifest never landed
+    val torn = Map("ann.build" -> "died-mid-rebuild")
+    TxLog.replace(spark, AnnIndex.centroidsZone(idxDir),
+      vecs(0 until 4).toDF("cent_id", "ce"), meta = torn)
+    TxLog.commitMeta(spark, AnnIndex.quantZone(idxDir), "torn-rebuild", _ => torn)
+
+    // refresh across a source append must succeed AND leave a loadable
+    // index: its manifest names the COMPLETE era's generations
+    TxLog.append(spark, srcZone, vecs(200 until 240))
+    assert(AnnIndex.refresh(spark, idxDir) === 40L)
+    val h = AnnIndex.load(spark, idxDir) // pre-fix: "stitches mixed eras"
+    assert(h.k === 4)
+    val q = queries(Seq(5000))
+    assert(AnnIndex.knnJoin(spark, idxDir, q, k = 5, nProbe = 2, refine = 10)
+      .count() === 5L)
+  }
+
+  test("refresh onto a torn CODES head refuses loudly; maintain rebuilds instead") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    // a rebuild died right after its CODES replace — the codes head is
+    // on the unborn era; an append there would physically mix eras
+    val h0 = AnnIndex.load(spark, idxDir)
+    val tornCodes = graft.operators.Similarity
+      .assignToCentroidsLocal(vecs(0 until 10), h0.centroids)
+      .select(col("vec_id"), col("cent_id"),
+        graft.operators.Similarity.quantizeInt8(col("embedding"), h0.mins, h0.maxs)
+          .as("code"))
+    TxLog.replace(spark, AnnIndex.codesZone(idxDir), tornCodes,
+      meta = Map("ann.build" -> "died-mid-rebuild"))
+
+    TxLog.append(spark, srcZone, vecs(200 until 240))
+    val e = intercept[RuntimeException] { AnnIndex.refresh(spark, idxDir) }
+    assert(e.getMessage.contains("mix eras"),
+      s"expected the torn-codes-head refusal, got: ${e.getMessage}")
+    // maintain reseals a fresh era and the index answers again
+    assert(AnnIndex.maintain(spark, idxDir, k = Some(4)) === "rebuilt")
+    assert(AnnIndex.load(spark, idxDir).srcGen ===
+      TxLog.latest(spark, srcZone).get.gen)
+    val q = queries(Seq(6000))
+    assert(AnnIndex.knnJoin(spark, idxDir, q, k = 5, nProbe = 2, refine = 10)
+      .count() === 5L)
+  }
+
+  test("a legacy pre-manifest index gains a MEASURED drift baseline on first refresh") {
+    // round-13 ADVICE (low): health() on a pre-manifest index baselined
+    // builtN/builtCos to the CURRENT values, so drift/growth were
+    // permanently 0 and the automated rebuild guard could never trip.
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    // simulate a pre-manifest index: drop the manifest zone entirely
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(AnnIndex.manifestZone(idxDir)))
+    assert(AnnIndex.load(spark, idxDir).k === 4, "legacy head+seal path must serve")
+
+    // drifted appends, then the first refresh: it must measure the
+    // PRE-append state as the baseline and record it in the new manifest
+    val drifted = (1000 until 1400).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d >= 6) -1.0f else -0.05f))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    TxLog.append(spark, srcZone, drifted)
+    assert(AnnIndex.refresh(spark, idxDir) === 400L)
+    val mh = TxLog.latest(spark, AnnIndex.manifestZone(idxDir)).get
+    assert(mh.meta.get("ann.built.n").map(_.toLong) === Some(200L),
+      "the measured baseline must cover the PRE-append corpus")
+    val hl = AnnIndex.health(spark, idxDir)
+    assert(hl.builtN === 200L && hl.n === 600L && hl.growth > 1.0)
+    assert(hl.drift > 0.02,
+      s"drift must be measured against the recorded baseline, got $hl")
+    assert(AnnIndex.shouldRebuild(spark, idxDir),
+      "the rebuild guard must trip on a drifted legacy index after its first refresh")
+  }
+
+  test("idle maintain is metadata-only: zero code files read (health memo)") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    TxLog.append(spark, srcZone, vecs(0 until 200))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    val before = AnnIndex.health(spark, idxDir)
+    assert(AnnIndex.maintain(spark, idxDir) === "current")
+
+    // move every committed code file away: any read would now fail, so
+    // a passing maintain PROVES the idle path never opens one
+    val codesDir = new java.io.File(AnnIndex.codesZone(idxDir))
+    val head = TxLog.latest(spark, AnnIndex.codesZone(idxDir)).get
+    val moved = head.files.map { f =>
+      val src = new java.io.File(codesDir, f)
+      val dst = new java.io.File(codesDir, f + ".hidden")
+      assert(src.isFile && src.renameTo(dst), s"could not hide $src")
+      (dst, src)
+    }
+    try {
+      assert(AnnIndex.maintain(spark, idxDir) === "current",
+        "an idle maintain must resolve entirely from metadata")
+      val memoized = AnnIndex.health(spark, idxDir)
+      assert(memoized === before,
+        "the memoized health must equal the originally measured scan")
+    } finally moved.foreach { case (dst, src) => dst.renameTo(src) }
+
+    // and the memo INVALIDATES when codes actually change: new appends
+    // at a new generation force a fresh scan whose growth registers
+    TxLog.append(spark, srcZone, vecs(200 until 300))
+    assert(AnnIndex.refresh(spark, idxDir) === 100L)
+    val after = AnnIndex.health(spark, idxDir)
+    assert(after.n === 300L && after.builtN === 200L,
+      s"a moved codes gen must re-measure, got $after")
+    // the fresh scan memoizes too: hide the files again and re-read
+    val head2 = TxLog.latest(spark, AnnIndex.codesZone(idxDir)).get
+    val moved2 = head2.files.map { f =>
+      val src = new java.io.File(codesDir, f)
+      val dst = new java.io.File(codesDir, f + ".hidden")
+      assert(src.isFile && src.renameTo(dst), s"could not hide $src")
+      (dst, src)
+    }
+    try assert(AnnIndex.health(spark, idxDir) === after,
+      "a re-read at the same codes gen must serve the memo, not the files")
+    finally moved2.foreach { case (dst, src) => dst.renameTo(src) }
+  }
+
   test("codes zone carries per-file cent_id stats for probe-side pruning") {
     val srcZone = tmp() + "/corpus"
     val idxDir = tmp() + "/idx"

@@ -1204,6 +1204,84 @@ class LshBandedSpec extends SparkSpec {
     assert(base.subsetOf(gotRows.toSet),
       "multi-probe output must be a superset of the base banded tier")
   }
+
+  // round-13 directive #2: the base-vs-multi-probe choice derives from
+  // the corpus. STRUCTURED fixture = near-dup mass at moderate cosine
+  // (planted companions at ~0.6 — where plantstats measured base recall
+  // collapse); NEAR-ORTHOGONAL fixture = the only true pairs are exact
+  // duplicates (cosine 1.0, bands always agree). The auto default must
+  // pick multi-probe on the first and base on the second, and its output
+  // must be bit-identical to the tier it picked.
+  test("auto tier picks multi-probe on a structured corpus, base on a near-orthogonal one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val threshold = 0.45
+    def toDf(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+
+    // structured: 200 deterministic seeds + a companion at cosine ~0.6
+    // each (the plantstats construction: v' = cosθ·v̂ + sinθ·û, û a
+    // deterministic Gram-Schmidt'd companion direction)
+    val theta = math.acos(0.6)
+    val seeds = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (math.sin(i * 0.37 + d * 1.3) + 0.2 * ((i + d) % 5)).toFloat))
+    }
+    val planted = seeds.flatMap { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val nv = math.sqrt(vd.map(x => x * x).sum)
+      val vh = vd.map(_ / nv)
+      val u0 = Array.tabulate(vd.length)(i =>
+        vh((i + 1) % vd.length) * (if (i % 2 == 0) 1.0 else -1.0))
+      val proj = u0.zip(vh).map { case (a, b) => a * b }.sum
+      val ur = u0.zip(vh).map { case (a, b) => a - proj * b }
+      val un = math.sqrt(ur.map(x => x * x).sum)
+      if (un < 1e-9) None
+      else Some((id + 100000L, Array.tabulate(vd.length)(i =>
+        ((math.cos(theta) * vh(i) + math.sin(theta) * ur(i) / un) * nv).toFloat)))
+    }
+    val structured = toDf(seeds ++ planted)
+    val nBits = 32; val bands = 4 // adaptiveBandBits(400) = 8 per band
+    val (estS, pairsS) = Similarity.estimateBandedRecall(structured, threshold,
+      dim = 64, nBits = nBits, bands = bands)
+    assert(pairsS > 0, "structured fixture must contain sample pairs")
+    assert(estS < 0.8,
+      f"structured corpus must estimate low base recall, got $estS%.3f")
+    val autoS = pairSet(Similarity.lshBandedNearDupPairsAuto(structured,
+      threshold, dim = 64, nBits = nBits, bands = bands))
+    val mp = pairSet(Similarity.lshBandedNearDupPairsMultiProbe(structured,
+      threshold, dim = 64, nBits = nBits, bands = bands))
+    val baseS = pairSet(Similarity.lshBandedNearDupPairs(structured,
+      threshold, dim = 64, nBits = nBits, bands = bands))
+    assert(autoS === mp, "auto must dispatch to the multi-probe tier here")
+    // and the choice matters: multi-probe really recovers planted pairs
+    // the base tier loses on this corpus
+    def plantedRecovered(s: Set[(Long, Long, Double)]) =
+      s.count { case (a, b, _) => b === a + 100000L }
+    assert(plantedRecovered(mp) > plantedRecovered(baseS),
+      s"fixture must separate the tiers: mp=${plantedRecovered(mp)} " +
+        s"base=${plantedRecovered(baseS)}")
+
+    // near-orthogonal: 64 exact one-hot axes + an exact duplicate each —
+    // every true pair is at cosine 1.0, cross pairs exactly 0
+    val ortho = toDf((0 until 64).flatMap { i =>
+      val v = Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+      Seq((i.toLong, v), (i.toLong + 100000L, v))
+    })
+    val (estO, pairsO) = Similarity.estimateBandedRecall(ortho, threshold,
+      dim = 64, nBits = nBits, bands = bands)
+    assert(pairsO > 0, "orthogonal fixture must contain its duplicate pairs")
+    assert(estO >= 0.8,
+      f"exact-dup-only corpus must estimate high base recall, got $estO%.3f")
+    val autoO = pairSet(Similarity.lshBandedNearDupPairsAuto(ortho,
+      threshold, dim = 64, nBits = nBits, bands = bands))
+    val baseO = pairSet(Similarity.lshBandedNearDupPairs(ortho,
+      threshold, dim = 64, nBits = nBits, bands = bands))
+    assert(autoO === baseO, "auto must dispatch to the base tier here")
+  }
 }
 
 class SessionizeCompositeKeySpec extends SparkSpec {
