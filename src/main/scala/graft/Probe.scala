@@ -151,6 +151,26 @@ object Probe {
         f"out=$out outRows=$outRows truePairs=$truePairs " +
         f"precision=${if (cands == 0) 0.0 else out.toDouble / cands}%.4f " +
         f"quietSecs=$secs%.2f")
+      // the MULTI-PROBE tier's same contract (round-13 directive #4: the
+      // sf3 point that proves witness-key cost ≈ output cardinality at
+      // 3× data): Hamming-ball-1 candidates vs output, plus quiet secs
+      if (rest.contains("mp")) {
+        val mpCounts = graft.operators.Similarity
+          .lshBandedMultiProbeScoredPairs(emb, dim = 64, nBits = 4 * w, bands = 4)
+          .agg(count(lit(1)).as("cands"),
+            sum(when(col("sim") >= 0.45, 1L).otherwise(0L)).as("out"))
+          .collect().head
+        val (mpCands, mpOut) = (mpCounts.getLong(0), mpCounts.getLong(1))
+        val t1 = System.nanoTime()
+        val mpRows = graft.operators.Similarity
+          .lshBandedNearDupPairsMultiProbe(emb, threshold = 0.45, dim = 64,
+            nBits = 4 * w, bands = 4).count()
+        val mpSecs = (System.nanoTime() - t1) / 1e9
+        println(f"bandstats-mp dir=$sfDir n=$n bandBits=$w candidates=$mpCands " +
+          f"out=$mpOut outRows=$mpRows " +
+          f"precision=${if (mpCands == 0) 0.0 else mpOut.toDouble / mpCands}%.4f " +
+          f"quietSecs=$mpSecs%.2f")
+      }
       spark.stop()
 
     // The banded tier's recall on a STRUCTURED corpus (round-13
@@ -178,7 +198,7 @@ object Probe {
       // ScaleUp's replica key shifts at sf1 (replica r = id + r·10⁷), so
       // planted copies duplicated real ids and "recall" counted replica
       // pairs — derive the offset from the corpus itself
-      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1000000L
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1000000L
       Seq(0.95, 0.9, 0.8, 0.7, 0.6, 0.5).foreach { t =>
         val theta = math.acos(t)
         val planted = seeds.flatMap { case (id, v) =>
@@ -234,7 +254,7 @@ object Probe {
     // the pair of numbers that shows what a full refresh costs vs what
     // the watermark resume costs (metadata-only). Survivor/packing
     // counts print beside the times so the run is auditable.
-    case "lakeplan" :: sfDir :: Nil =>
+    case "lakeplan" :: sfDir :: rest =>
       import org.apache.spark.sql.functions._
       val spark = GraftSession.get()
       spark.sparkContext.setLogLevel("WARN")
@@ -243,8 +263,26 @@ object Probe {
       graft.operators.TxLog.replace(spark, srcZone,
         sources.Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text")))
+      // "sem" enables the SEMANTIC tier at bench scale (round-13
+      // directive #3's done-criterion: idle resume must stay
+      // metadata-only with the ANN-index stage in the plan): a
+      // deterministic doc_id-derived embedding zone feeds the index
+      val sem = rest.contains("sem")
+      val semSpec =
+        if (!sem) None
+        else {
+          val embZone = s"$base/emb"
+          graft.operators.TxLog.replace(spark, embZone,
+            sources.Tables.documents(spark, sfDir).select(col("doc_id"))
+              .withColumn("embedding",
+                transform(sequence(lit(0), lit(63)), d =>
+                  (pmod(xxhash64(col("doc_id") * 64 + d), lit(1000)).cast("double")
+                    / 1000.0 - 0.5).cast("float"))))
+          Some(Pipeline.SemanticSpec(embZone, threshold = 0.95))
+        }
       val spec = Pipeline.LakeSpec(srcZone = srcZone, lakeDir = s"$base/lake",
-        minQuality = 0.05, containment = 0.95, nearDupJaccard = 0.8)
+        minQuality = 0.05, containment = 0.95, nearDupJaccard = 0.8,
+        semantic = semSpec)
       val plan = Pipeline.plan(spark, spec)
       val t0 = System.nanoTime()
       plan.run()
@@ -256,7 +294,7 @@ object Probe {
       val t1 = System.nanoTime()
       plan.run()
       val idle = (System.nanoTime() - t1) / 1e9
-      println(f"lakeplan dir=$sfDir survivors=$survivors " +
+      println(f"lakeplan dir=$sfDir sem=$sem survivors=$survivors " +
         f"packedRows=${packed.getLong(0)} bins=${packed.getLong(1)} " +
         f"fullSecs=$full%.1f idleSecs=$idle%.2f")
       spark.stop()

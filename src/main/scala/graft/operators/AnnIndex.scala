@@ -192,16 +192,27 @@ object AnnIndex {
     ()
   }
 
-  /** One resolved index era: the handle, the three data-zone snapshots
+  /** One resolved index era: the three data-zone snapshots
     * probes/refreshes must read (never the raw heads), the era meta
     * (contract + drift baseline + health memo), and whether a manifest
-    * governs it (false = legacy pre-manifest index). */
-  private[graft] final case class Resolved(handle: Handle,
-                                           centsSnap: TxLog.Snapshot,
-                                           quantSnap: TxLog.Snapshot,
-                                           codesSnap: TxLog.Snapshot,
-                                           meta: Map[String, String],
-                                           hasManifest: Boolean)
+    * governs it (false = legacy pre-manifest index). The handle is LAZY:
+    * materializing it collects the centroids/quant parquet, which the
+    * metadata-only paths (memo-hit health, torn-head check, idle
+    * refresh) never need — an idle [[maintain]] stays log-read cheap. */
+  private[graft] final class Resolved(mkHandle: () => Handle,
+                                      val centsSnap: TxLog.Snapshot,
+                                      val quantSnap: TxLog.Snapshot,
+                                      val codesSnap: TxLog.Snapshot,
+                                      val meta: Map[String, String],
+                                      val hasManifest: Boolean) {
+    lazy val handle: Handle = mkHandle()
+    /** The indexed source zone/generation straight from the era meta —
+      * what the idle paths read instead of forcing the handle. */
+    def srcZone: String = meta.getOrElse("ann.src",
+      sys.error("annindex load: index meta lacks ann.src"))
+    def srcGen: Long = meta.getOrElse("ann.srcgen",
+      sys.error("annindex load: index meta lacks ann.srcgen")).toLong
+  }
 
   /** Resolve the index era: through the manifest when one exists (each
     * data zone read at its manifest-recorded generation — a half-done
@@ -230,7 +241,7 @@ object AnnIndex {
           s"annindex: manifest seal $seal does not match the recorded zone " +
             s"generations' seals ($seals) — the manifest stitches mixed eras; " +
             "re-run AnnIndex.build")
-        Resolved(handleFrom(spark, indexDir, centsSnap, quantSnap, mh.meta),
+        new Resolved(() => handleFrom(spark, indexDir, centsSnap, quantSnap, mh.meta),
           centsSnap, quantSnap, codesSnap, mh.meta, hasManifest = true)
       case None =>
         val codesHead = TxLog.latest(spark, codesZone(indexDir)).getOrElse(
@@ -246,7 +257,7 @@ object AnnIndex {
             s"($seals) — a rebuild died between commits on this pre-manifest " +
             "index; re-run AnnIndex.build (new builds commit a manifest, " +
             "which makes a torn rebuild invisible instead of fatal)")
-        Resolved(handleFrom(spark, indexDir, centsHead, quantHead, codesHead.meta),
+        new Resolved(() => handleFrom(spark, indexDir, centsHead, quantHead, codesHead.meta),
           centsHead, quantHead, codesHead, codesHead.meta, hasManifest = false)
     }
   }
@@ -439,9 +450,9 @@ object AnnIndex {
   def refresh(spark: SparkSession, indexDir: String,
               idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     val r = resolve(spark, indexDir)
-    val (h, meta) = (r.handle, r.meta)
-    val srcHead = TxLog.latest(spark, h.srcZone).getOrElse(
-      sys.error(s"annindex refresh: source zone ${h.srcZone} has no log"))
+    val meta = r.meta
+    val srcHead = TxLog.latest(spark, r.srcZone).getOrElse(
+      sys.error(s"annindex refresh: source zone ${r.srcZone} has no log"))
     // Legacy pre-manifest index: even an IDLE refresh commits the first
     // manifest, measuring the drift BASELINE the legacy index never
     // recorded (round-13 ADVICE: defaulting builtN/builtCos to the
@@ -453,11 +464,11 @@ object AnnIndex {
       if (r.hasManifest) Map.empty
       else {
         val (n0, cos0, cells0) = cellCosineStats(
-          TxLog.readSnapshot(spark, codesZone(indexDir), r.codesSnap), h)
+          TxLog.readSnapshot(spark, codesZone(indexDir), r.codesSnap), r.handle)
         Map("ann.built.n" -> n0.toString, "ann.built.cos" -> cos0.toString) ++
           healthMemo(r.codesSnap.gen, n0, cos0, cells0)
       }
-    if (srcHead.gen == h.srcGen && r.hasManifest) return 0L
+    if (srcHead.gen == r.srcGen && r.hasManifest) return 0L
     // An append builds PHYSICALLY on the codes zone's raw head. After a
     // rebuild that died between its codes commit and its manifest commit
     // the head carries the torn era — appending there, or sealing a
@@ -475,12 +486,12 @@ object AnnIndex {
     }
     val seal = meta.get("ann.build").map("ann.build" -> _).toMap
     val (n, newCodesGen) =
-      if (srcHead.gen == h.srcGen)
+      if (srcHead.gen == r.srcGen)
         (0L, r.codesSnap.gen) // legacy idle: manifest-only commit below
       else {
-        val fresh = TxLog.appendedBetween(spark, h.srcZone, h.srcGen, srcHead.gen)
+        val fresh = TxLog.appendedBetween(spark, r.srcZone, r.srcGen, srcHead.gen)
           .select(col(idCol), col(vecCol))
-        val newCodes = clustered(encode(fresh, h, idCol, vecCol), idCol)
+        val newCodes = clustered(encode(fresh, r.handle, idCol, vecCol), idCol)
           .localCheckpoint(true)
         val cnt = newCodes.count()
         val g =

@@ -69,13 +69,20 @@ object Similarity {
     * class is cached. Same arithmetic bit-for-bit (ArgmaxCosineSpec pins
     * kernel == literal-form equality, including interpreted == codegen). */
   def assignToCentroidsLocal(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
-                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol),
+      centroidAssignment(col(vecCol), centroids).as("cent_id"), col(vecCol))
+
+  /** The map-side argmax-cosine assignment as a bare COLUMN — the same
+    * codegen'd kernel [[assignToCentroidsLocal]] projects, exposed so
+    * other shapes (streaming gates that must carry extra columns through
+    * the projection) assign cells with bit-identical semantics. */
+  def centroidAssignment(vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     import org.apache.spark.sql.graft.ColumnBridge
-    val assign = ColumnBridge.column(graft.functions.ArgmaxCosine(
-      ColumnBridge.expression(col(vecCol)),
+    ColumnBridge.column(graft.functions.ArgmaxCosine(
+      ColumnBridge.expression(vec),
       centroids.map { case (cid, ce) => (cid, ce) }.toArray))
-    vectors.select(col(idCol), assign.as("cent_id"), col(vecCol))
   }
 
   /** Driver-side cell ranking for multi-probe IVF: cell ids by cosine to
@@ -103,8 +110,10 @@ object Similarity {
 
   /** The shared driver-side cosine: left-to-right double dot,
     * norm(q)·norm(ce) multiply order, zero-denom → 0.0 — the same
-    * arithmetic as the engine/oracle cosine kernel. */
-  private def cosineTo(qe: Array[Float], ce: Array[Float]): Double = {
+    * arithmetic as the engine/oracle cosine kernel (package-visible so
+    * the streaming semantic gate's in-state compare is bit-identical to
+    * the batch tier's codegen'd cosine). */
+  private[graft] def cosineTo(qe: Array[Float], ce: Array[Float]): Double = {
     var qs = 0.0
     qe.foreach(x => qs += x.toDouble * x.toDouble)
     val qn = math.sqrt(qs)
@@ -479,7 +488,20 @@ object Similarity {
   def lshBandedNearDupPairsMultiProbe(vectors: DataFrame, threshold: Double,
                                       dim: Int, nBits: Int = 8, bands: Int = 2,
                                       idCol: String = "vec_id",
-                                      vecCol: String = "embedding"): DataFrame = {
+                                      vecCol: String = "embedding"): DataFrame =
+    lshBandedMultiProbeScoredPairs(vectors, dim, nBits, bands, idCol, vecCol,
+      threshold = Some(threshold))
+
+  /** The multi-probe candidate relation UNDER the cosine, pre-threshold
+    * (the [[lshBandedScoredPairs]] counterpart for the multi-probe tier)
+    * — split out so the scale probe (`Probe bandstats mp`) can measure
+    * candidates vs output at sf3 (round-13 directive #4: prove the
+    * witness-key discipline's cost ≈ output cardinality at 3× data). */
+  private[graft] def lshBandedMultiProbeScoredPairs(vectors: DataFrame, dim: Int,
+                                                    nBits: Int = 8, bands: Int = 2,
+                                                    idCol: String = "vec_id",
+                                                    vecCol: String = "embedding",
+                                                    threshold: Option[Double] = None): DataFrame = {
     require(nBits % bands == 0, s"nBits=$nBits not divisible by bands=$bands")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
@@ -522,10 +544,14 @@ object Similarity {
     // [[lshBandedScoredPairs]]): the cheap witness/first-band bit tests
     // must discard the bulk of the 37×-denser ball-1 collisions before
     // any dim-wide cosine runs — a post-join filter gets pushed in FIRST
-    banded.as("a").join(banded.as("b"),
-        col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
-          col("a._bk").bitwiseAND(lit(mask)) === witness && firstBand &&
-          round(cosine(col("a._v"), col("b._v")), 4) >= threshold)
+    val cond0 = col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
+      col("a._bk").bitwiseAND(lit(mask)) === witness && firstBand
+    val cond = threshold match {
+      case Some(t) =>
+        cond0 && round(cosine(col("a._v"), col("b._v")), 4) >= t
+      case None => cond0
+    }
+    banded.as("a").join(banded.as("b"), cond)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
   }
