@@ -648,6 +648,81 @@ object Similarity {
     }
   }
 
+  /** [[estimateBandedRecall]] MEMOIZED per [[TxLog]] zone generation —
+    * the `ann.health.*` pattern (round-14 directive #5) applied to the
+    * auto tier's corpus probe: the estimate is a pure function of the
+    * committed rows and the operating point, so after one measurement it
+    * lives in the zone's manifest meta keyed by (generation, params),
+    * and every later call over the unchanged zone is METADATA-ONLY — a
+    * lake plan re-running the auto dispatcher on an idle embedding zone
+    * pays three manifest reads, not a corpus `count()` + sample scan.
+    * A miss measures once and writes the memo back as a meta-only OCC
+    * commit (`memoize = false` for strictly read-only callers). The
+    * memo invalidates itself: a new generation (append/replace) or a
+    * different operating point misses and re-measures. */
+  def estimateBandedRecallZone(spark: org.apache.spark.sql.SparkSession,
+                               zone: String, threshold: Double, dim: Int,
+                               nBits: Int = 8, bands: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               sampleCap: Int = 2048,
+                               memoize: Boolean = true): (Double, Long) = {
+    val head = TxLog.latest(spark, zone).getOrElse(sys.error(
+      s"estimateBandedRecallZone: $zone has no transaction log"))
+    val conf = s"t=$threshold;dim=$dim;nBits=$nBits;bands=$bands;" +
+      s"id=$idCol;vec=$vecCol;cap=$sampleCap"
+    // the memo keys on the committed FILE SET, not the generation: the
+    // memo's own meta-only commit advances the gen without touching data
+    // (and so must any other DDL), while an append/replace/compact
+    // changes the file set and correctly misses
+    val filesFp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      head.files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    if (head.meta.get("bandedrecall.files").contains(filesFp)
+        && head.meta.get("bandedrecall.conf").contains(conf))
+      return (head.meta("bandedrecall.est").toDouble,
+        head.meta("bandedrecall.pairs").toLong)
+    val (est, pairs) = estimateBandedRecall(
+      TxLog.readSnapshot(spark, zone, head), threshold, dim, nBits, bands,
+      idCol, vecCol, sampleCap)
+    if (memoize)
+      TxLog.commitMeta(spark, zone, "banded-recall-memo", _ => Map(
+        "bandedrecall.files" -> filesFp,
+        "bandedrecall.conf" -> conf,
+        "bandedrecall.est" -> est.toString,
+        "bandedrecall.pairs" -> pairs.toString))
+    (est, pairs)
+  }
+
+  /** [[lshBandedNearDupPairsAuto]] over a [[TxLog]] zone, with the
+    * recall probe memoized per zone generation ([[estimateBandedRecallZone]])
+    * — the operator front door for lake-resident embedding corpora: an
+    * idle re-run dispatches from the manifest memo and only the pair
+    * join itself touches data. */
+  def lshBandedNearDupPairsAutoZone(spark: org.apache.spark.sql.SparkSession,
+                                    zone: String, threshold: Double, dim: Int,
+                                    nBits: Int = 8, bands: Int = 2,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding",
+                                    recallTarget: Double = 0.8,
+                                    sampleCap: Int = 2048): DataFrame = {
+    val (est, truePairs) = estimateBandedRecallZone(spark, zone, threshold,
+      dim, nBits, bands, idCol, vecCol, sampleCap)
+    val vectors = TxLog.read(spark, zone)
+    val tier = if (est < recallTarget) "multi-probe" else "base"
+    System.err.println(f"[similarity] banded tier AUTO (zone memo) -> $tier: " +
+      f"sampled recall $est%.3f vs target $recallTarget%.2f " +
+      f"($truePairs sample pairs >= $threshold)")
+    if (est < recallTarget)
+      lshBandedNearDupPairsMultiProbe(vectors, threshold, dim, nBits, bands,
+        idCol, vecCol)
+    else
+      lshBandedNearDupPairs(vectors, threshold, dim, nBits, bands,
+        idCol, vecCol)
+  }
+
   /** IVF-cell-blocked exact near-dup pairs — the DATA-ADAPTIVE block-
     * first scale path beside [[lshBandedNearDupPairs]]'s data-oblivious
     * hyperplane bands: assign every vector to its max-cosine centroid
@@ -709,6 +784,40 @@ object Similarity {
       .select(col("_id"), col("_cell"), col("_blk"), col("_v"))
   }
 
+  /** [[ivfCellBlocks]]' integer mask ladder as a driver-side function —
+    * the SAME arithmetic as the column fold (the last i in 1..8 with
+    * `cellSize > maxCell·2^(i-1)` wins), exposed so a consumer that must
+    * key state by the batch tier's blocks (the streaming semantic gate,
+    * round-14 directive #4) derives bit-identical masks. */
+  def subBucketMask(cellSize: Long, maxCell: Int): Long = {
+    var mask = 0L
+    var i = 1
+    while (i <= 8) {
+      if (cellSize > (maxCell.toLong << (i - 1))) mask = (1L << i) - 1L
+      i += 1
+    }
+    mask
+  }
+
+  /** Per-cell hyperplane sub-bucket masks for `vectors` under the batch
+    * ladder — the exact masks [[ivfCellBlocks]] would apply, collected to
+    * the driver (k longs, the centroid-collect discipline). Cells at or
+    * under `maxCell` are omitted (mask 0 — no sub-split); the map is what
+    * [[graft.streaming.StreamSemDedup.cellVerdicts]] takes so a streaming
+    * gate blocks a skewed corpus exactly like the batch tier. */
+  def cellMasks(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxCell: Int = 1024): Map[Long, Long] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    assignToCentroidsLocal(vectors, centroids, idCol, vecCol)
+      .filter(col("cent_id").isNotNull)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+      .map { case (c, n) => c -> subBucketMask(n, maxCell) }
+      .filter(_._2 != 0L).toMap
+  }
+
   def ivfCellNearDupPairs(vectors: DataFrame, threshold: Double,
                           centroids: Seq[(Long, Array[Float])],
                           idCol: String = "vec_id",
@@ -744,9 +853,11 @@ object Similarity {
     * join is linear either way. */
   def semDedupKeep(vectors: DataFrame, threshold: Double,
                    centroids: Seq[(Long, Array[Float])],
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxCell: Int = 1024): DataFrame = {
     val assigned = assignToCentroidsLocal(vectors, centroids, idCol, vecCol)
-    val dropped = ivfCellNearDupPairs(vectors, threshold, centroids, idCol, vecCol)
+    val dropped = ivfCellNearDupPairs(vectors, threshold, centroids, idCol, vecCol,
+        maxCell)
       .select(col("b_id").as(idCol)).distinct()
       .withColumn("__drop", lit(1))
     assigned.select(col(idCol), col("cent_id"))

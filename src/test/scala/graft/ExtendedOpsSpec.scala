@@ -1282,6 +1282,61 @@ class LshBandedSpec extends SparkSpec {
       threshold, dim = 64, nBits = nBits, bands = bands))
     assert(autoO === baseO, "auto must dispatch to the base tier here")
   }
+
+  test("zone-memoized recall estimate: a repeated call over an unchanged zone reads zero data files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.TxLog
+    val zone = java.nio.file.Files
+      .createTempDirectory("graft_brmemo").toString + "/emb"
+    def rows(ids: Range) = ids.flatMap { i =>
+      val v = Array.tabulate(64)(d => if (d == i % 64) 1.0f else 0.0f)
+      Seq((i.toLong, v), (i.toLong + 100000L, v))
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    TxLog.replace(spark, zone, rows(0 until 16))
+    val first = Similarity.estimateBandedRecallZone(spark, zone, 0.45,
+      dim = 64, nBits = 32, bands = 4)
+    assert(first._2 > 0, "fixture must contain sample pairs")
+
+    // hide every committed data file: any read would crash, so a passing
+    // repeat PROVES the memo path is metadata-only (the ann.health
+    // discipline applied to the auto tier's probe)
+    val head = TxLog.latest(spark, zone).get
+    val dir = new java.io.File(zone)
+    val moved = head.files.map { f =>
+      val src = new java.io.File(dir, f)
+      val dst = new java.io.File(dir, f + ".hidden")
+      assert(src.isFile && src.renameTo(dst), s"could not hide $src")
+      (dst, src)
+    }
+    try {
+      val memo = Similarity.estimateBandedRecallZone(spark, zone, 0.45,
+        dim = 64, nBits = 32, bands = 4)
+      assert(memo === first, "the memoized estimate must equal the measured one")
+    } finally moved.foreach { case (dst, src) => dst.renameTo(src) }
+
+    // a DIFFERENT operating point misses (per-params memo) ...
+    val otherT = Similarity.estimateBandedRecallZone(spark, zone, 0.99,
+      dim = 64, nBits = 32, bands = 4)
+    assert(otherT._2 <= first._2)
+    // ... and new data invalidates: an append changes the file set
+    TxLog.append(spark, zone, rows(16 until 32))
+    val after = Similarity.estimateBandedRecallZone(spark, zone, 0.45,
+      dim = 64, nBits = 32, bands = 4)
+    assert(after._2 >= first._2,
+      s"a grown zone must re-measure (more sample pairs), got $after vs $first")
+
+    // the zone front door dispatches from the memo and matches the
+    // in-memory auto tier bit-for-bit on the same corpus
+    val viaZone = Similarity.lshBandedNearDupPairsAutoZone(spark, zone, 0.45,
+      dim = 64, nBits = 32, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaDf = Similarity.lshBandedNearDupPairsAuto(TxLog.read(spark, zone),
+      0.45, dim = 64, nBits = 32, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaZone === viaDf)
+  }
 }
 
 class SessionizeCompositeKeySpec extends SparkSpec {

@@ -149,6 +149,79 @@ class StreamSemDedupSpec extends SparkSpec {
     }
   }
 
+  test("mega-cell parity: over-maxCell cells sub-split exactly like the batch ladder") {
+    implicit val sq = spark.sqlContext
+    // ONE cell holding 10 vectors with maxCell = 4: the batch ladder
+    // (10 > 4 -> mask 1; 10 > 8 -> mask 3) splits it into 4 hyperplane
+    // sub-blocks. Geometry: u is EXACTLY orthogonal to plane 0's first-8
+    // slice (u = (q0(1), -q0(0), 0...) — the two double products cancel
+    // bit-for-bit), so u ± δ·q0 is a near-pair (cosine ≈ 1) STRADDLING
+    // sub-bucket bit 0: batch keeps both; a whole-cell stream would drop
+    // the later one. u + 2δ·q0 shares id 0's block and must drop.
+    val q0 = Similarity.hyperplanes(64, 8, 7).head.take(8).map(_.toFloat).toArray
+    val u = Array(q0(1), -q0(0), 0f, 0f, 0f, 0f, 0f, 0f)
+    def plus(s: Float): Array[Float] =
+      Array.tabulate(8)(i => u(i) + s * q0(i))
+    val vecs: Seq[Array[Float]] =
+      Seq(plus(0.01f), plus(0.02f), plus(-0.01f)) ++
+        (2 until 8).map(d => Array.tabulate(8)(i => if (i == d) 1.0f else 0.0f)) ++
+        Seq(Array.tabulate(8)(i => if (i == 2 || i == 3) 1.0f else 0.0f))
+    val cents = Seq(0L -> u)
+    val maxCell = 4
+    val batchDf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val masks = Similarity.cellMasks(batchDf, cents, maxCell = maxCell)
+    assert(masks === Map(0L -> 3L), s"fixture must trip the ladder: $masks")
+    val batch = Similarity.semDedupKeep(batchDf, 0.9, cents, maxCell = maxCell)
+      .filter($"kept" === 1).select($"vec_id").as[Long].collect().toSet
+    assert(batch(0L) && batch(2L) && !batch(1L),
+      s"fixture: the straddling pair must survive batch, the block-mate drop: $batch")
+    def run(masksArg: Map[Long, Long], name: String): Set[Long] = withRocksDb {
+      val mem = MemoryStream[EmbDoc]
+      val q = StreamSemDedup.cellVerdicts(mem.toDF(), cents, 0.9,
+          lateness = "10 seconds", horizonMs = 3600L * 1000L,
+          cellMasks = masksArg)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      mem.addData(vecs.zipWithIndex.map { case (v, i) =>
+        EmbDoc(i.toLong, t(1000L * (i + 1)), v) })
+      q.processAllAvailable(); q.stop()
+      spark.table(name).filter($"kept").select($"doc_id").as[Long].collect().toSet
+    }
+    assert(run(masks, "ssdmega") === batch,
+      "stream with the batch masks must equal the batch tier on a skewed cell")
+    assert(run(Map.empty, "ssdwhole") !== batch,
+      "fixture must BITE: the whole-cell stream diverges where the ladder splits")
+  }
+
+  test("null-embedding docs pass the gate KEPT with a verdict row (cent_id = -1)") {
+    implicit val sq = spark.sqlContext
+    val e0 = Array.tabulate(8)(d => if (d == 0) 1.0f else 0.0f)
+    val rows = Seq(EmbDoc(0L, t(1000L), e0),
+      EmbDoc(1L, t(2000L), null),
+      EmbDoc(2L, t(3000L), e0))
+    val cents = Seq(0L -> e0)
+    val got = withRocksDb {
+      val mem = MemoryStream[EmbDoc]
+      val q = StreamSemDedup.cellVerdicts(mem.toDF(), cents, 0.95,
+          lateness = "10 seconds", horizonMs = 3600L * 1000L)
+        .writeStream.format("memory").queryName("ssdnull").outputMode("append").start()
+      mem.addData(rows); q.processAllAvailable()
+      q.stop()
+      spark.table("ssdnull").select($"doc_id", $"cent_id", $"kept")
+        .as[(Long, Long, Boolean)].collect().toSet
+    }
+    assert(got === Set((0L, 0L, true), (1L, -1L, true), (2L, 0L, false)),
+      s"null-embedding doc must carry a kept verdict: $got")
+    // the batch twin keeps the same set (null cell never joins)
+    val batchDf = rows.map(r => (r.vec_id, Option(r.embedding)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val batch = Similarity.semDedupKeep(batchDf, 0.95, cents)
+      .filter($"kept" === 1).select($"vec_id").as[Long].collect().toSet
+    assert(batch === Set(0L, 1L))
+  }
+
   test("state is bounded by the horizon: expired entries release the cell") {
     implicit val sq = spark.sqlContext
     withRocksDb {
