@@ -135,66 +135,17 @@ object Bench {
           System.err.println(s"[bench] WARNING: zone prebuild for $q failed: $e")
         }
     }
-    // A throwing query gets time = -1 (visibly broken, never a plausible
-    // tiny wall-time) and an entry in the errors map — a regression must
-    // not be reportable as a speedup.
-    def timedPass(): Seq[(String, Double, Option[String])] =
-      queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-                  catch { case e: Throwable =>
-                    Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)) }
-        val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
-        // OUTSIDE the timed window: reclaim dead checkpoint blocks
-        if (i % 25 == 24) System.gc()
-        (name, secs, err)
-      }
-    // MIN-OF-N PASSES (round-13 directive #1): one in-inventory pass
-    // carries up to ~2x per-query interference (GC pressure, JIT churn,
-    // ambient box state — round 12's driver artifact smeared +13% across
-    // 40 untouched queries while a clean same-box run measured -10%), so
-    // ONE noisy window must not be able to smear the graded number. The
-    // inventory runs SPARK_GRAFT_TIMED_PASSES times (default 2) and each
-    // query records its MINIMUM — the steady-state estimator the quiet
-    // re-time already applies to the top-20, extended to the whole
-    // inventory. Per-pass sums are reported alongside ("passes") so the
-    // protocol total stays auditable against single-pass history.
-    val nPasses = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_TIMED_PASSES", "2").toInt)
-    val passes = (1 to nPasses).map { p =>
-      val r = timedPass()
-      System.err.println(f"[bench] pass $p/$nPasses sum=${
-        r.collect { case (_, s, _) if s >= 0 => s }.sum}%.1f s " +
-        s"errors=${r.count(_._3.isDefined)}")
-      r
-    }
-    // calib AGAIN after the timed passes: the round-14 variance study
-    // found calib-normalized totals tight (±3 %) when box state held but
-    // one run where the box moved DURING the ~9-minute inventory — a
-    // single pre-pass sample can't see that. calib_post bounds the
-    // within-run drift in the artifact itself (read totals against
-    // [calib, calib_post], not a point).
-    val calibPost = calibJob()
-    System.err.println(f"[bench] calib_post=$calibPost%.3f s")
-    val passTotals = passes.map(r =>
-      if (r.exists(_._3.isDefined)) -1.0
-      else r.map(_._2).filter(_ >= 0).sum)
-    // per query: min over passes that succeeded; an error only survives
-    // if EVERY pass threw (a one-pass hiccup costs nothing; a real
-    // regression still fails every pass, and the bench with it)
-    val runs = passes.head.map(_._1).map { name =>
-      val attempts = passes.map(_.find(_._1 == name).get)
-      val ok = attempts.filter(_._3.isEmpty)
-      if (ok.isEmpty) (name, -1.0, attempts.head._3)
-      else (name, ok.map(_._2).min, None)
-    }
-    // Maintenance-path entry: small-file compaction of an A13-layout CDC
-    // zone (4 closed hours x 16 tiny gzip-JSON files from the events
-    // fixture). Zone setup is excluded from the timed section; the timed
-    // cost is listing + rewrite + swap across the closed hours — the
-    // operation a real lake runs continuously, so its cost belongs in the
-    // bench beside the queries.
-    val compactionRun = if (!only.forall(_.contains("compaction_cdc_zone"))) Nil else List {
+    // Maintenance-path entry, run INSIDE every timed pass (round-14
+    // ADVICE: the headline = min of pass totals, so an entry excluded
+    // from the passes was excluded from the graded number while
+    // qmin_total included it — coverage now matches): small-file
+    // compaction of an A13-layout CDC zone (4 closed hours x 16 tiny
+    // gzip-JSON files from the events fixture). Zone setup builds a
+    // FRESH zone per pass and is excluded from the timed section; the
+    // timed cost is listing + rewrite + swap across the closed hours —
+    // the operation a real lake runs continuously, so its cost belongs
+    // in the bench beside the queries.
+    def compactionEntry(): (String, Double, Option[String]) = {
       val t = try {
         val zone = java.nio.file.Files
           .createTempDirectory("graft_bench_cdc").toString + "/zone"
@@ -218,7 +169,55 @@ object Bench {
         (-1.0, Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160))) }
       ("compaction_cdc_zone", t._1, t._2)
     }
-    val allRuns = runs ++ compactionRun
+    val runCompaction = only.forall(_.contains("compaction_cdc_zone"))
+    // A throwing query gets time = -1 (visibly broken, never a plausible
+    // tiny wall-time) and an entry in the errors map — a regression must
+    // not be reportable as a speedup.
+    def timedPass(): Seq[(String, Double, Option[String])] = {
+      val qs = queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)) }
+        val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timed window: reclaim dead checkpoint blocks
+        if (i % 25 == 24) System.gc()
+        (name, secs, err)
+      }
+      if (runCompaction) qs :+ compactionEntry() else qs
+    }
+    // MIN-OF-N PASSES (round-13 directive #1): one in-inventory pass
+    // carries up to ~2x per-query interference (GC pressure, JIT churn,
+    // ambient box state — round 12's driver artifact smeared +13% across
+    // 40 untouched queries while a clean same-box run measured -10%), so
+    // ONE noisy window must not be able to smear the graded number. The
+    // inventory runs SPARK_GRAFT_TIMED_PASSES times (default 2) and each
+    // query records its MINIMUM — the steady-state estimator the quiet
+    // re-time already applies to the top-20, extended to the whole
+    // inventory. Per-pass sums are reported alongside ("passes") so the
+    // protocol total stays auditable against single-pass history.
+    val nPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_TIMED_PASSES", "2").toInt)
+    val passes = (1 to nPasses).map { p =>
+      val r = timedPass()
+      System.err.println(f"[bench] pass $p/$nPasses sum=${
+        r.collect { case (_, s, _) if s >= 0 => s }.sum}%.1f s " +
+        s"errors=${r.count(_._3.isDefined)}")
+      r
+    }
+    val passTotals = passes.map(r =>
+      if (r.exists(_._3.isDefined)) -1.0
+      else r.map(_._2).filter(_ >= 0).sum)
+    // per query: min over passes that succeeded; an error only survives
+    // if EVERY pass threw (a one-pass hiccup costs nothing; a real
+    // regression still fails every pass, and the bench with it)
+    val runs = passes.head.map(_._1).map { name =>
+      val attempts = passes.map(_.find(_._1 == name).get)
+      val ok = attempts.filter(_._3.isEmpty)
+      if (ok.isEmpty) (name, -1.0, attempts.head._3)
+      else (name, ok.map(_._2).min, None)
+    }
+    val allRuns = runs
     // QUIET RE-TIME: in-inventory per-query numbers carry up to ~2x
     // interference for heavy queries (GC pressure and JIT churn from the
     // 200+ preceding queries — q73/q172/q192 across rounds 6-7 all
@@ -237,8 +236,9 @@ object Bench {
     val quietPinned = Set("q263_gap_quantiles", "q264_edit_distance_join",
       "q265_expectations", "q266_prefix_topk", "q267_wow_rate_shift")
     val quietNames = {
-      val top = runs.filter(_._3.isEmpty).sortBy(-_._2).take(quietK).map(_._1)
-      (top ++ runs.filter(r => r._3.isEmpty && quietPinned(r._1)).map(_._1)).distinct
+      val retimable = runs.filter(r => r._3.isEmpty && queries.contains(r._1))
+      val top = retimable.sortBy(-_._2).take(quietK).map(_._1)
+      (top ++ retimable.filter(r => quietPinned(r._1)).map(_._1)).distinct
     }
     // Guarded: a quiet RE-time failure (e.g. late-run execution-memory
     // exhaustion after 45 min of accumulated GC pressure — measured at
@@ -275,6 +275,16 @@ object Bench {
           }
         }
     }
+    // calib AGAIN, sampled after EVERY timed section (passes, quiet
+    // re-time — round-14 ADVICE moved it past the quiet loop): the
+    // round-14 variance study found calib-normalized totals tight (±3 %)
+    // when box state held but one run where the box moved DURING the
+    // ~9-minute inventory — a single pre-pass sample can't see that.
+    // calib_post bounds the within-run drift in the artifact itself:
+    // every recorded number now lies inside the [calib, calib_post]
+    // bracket.
+    val calibPost = calibJob()
+    System.err.println(f"[bench] calib_post=$calibPost%.3f s")
     val errors = allRuns.collect { case (n, _, Some(e)) => n -> e }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ERROR: ${errors.size} queries threw: " +
@@ -298,9 +308,20 @@ object Bench {
     val qminTotal =
       if (errors.nonEmpty) -1.0 else results.map(_._2).filter(_ >= 0).sum
     val cleanPassTotals = passTotals.filter(_ >= 0)
+    // PROTOCOL minpass-v2 (round-14 verdict directive #3): v1's headline
+    // (min of per-pass totals, a number a real end-to-end pass produced)
+    // plus (a) the compaction entry timed INSIDE every pass, so the
+    // headline and qmin_total cover the same entry set, and (b) a
+    // NORMALIZED headline `value_norm = value / pairMean(calib,
+    // calib_post)` — the box-speed-denominated number the round-14
+    // five-run study validated (state-stable runs normalize within 3 %
+    // while raw totals smeared ±10 % on one build; the pair mean is the
+    // denominator that also bounds mid-run throttle shifts). Cross-round
+    // grading reads value_norm; the raw value remains the seconds number
+    // for the within-round 2x-of-baseline budget.
     val (total, protocol) =
-      if (errors.nonEmpty) (-1.0, "minpass-v1")
-      else if (cleanPassTotals.nonEmpty) (cleanPassTotals.min, "minpass-v1")
+      if (errors.nonEmpty) (-1.0, "minpass-v2")
+      else if (cleanPassTotals.nonEmpty) (cleanPassTotals.min, "minpass-v2")
       else {
         // every pass had an isolated hiccup that some other pass absorbed
         // (errors map empty): no clean end-to-end total exists — fall
@@ -309,6 +330,10 @@ object Bench {
           "hiccup; headline falls back to the per-query-min sum")
         (qminTotal, "qmin-fallback")
       }
+    val calibPairMean = (calib + calibPost) / 2.0
+    val valueNorm = if (total < 0) -1.0 else total / calibPairMean
+    System.err.println(f"[bench] value=$total%.1f s value_norm=$valueNorm%.1f " +
+      f"(calib pair mean $calibPairMean%.3f)")
 
     // Full-precision per-query map goes to a FILE: the consumer of the
     // stdout line keeps only the last ~2000 chars of output, and 130
@@ -326,7 +351,7 @@ object Bench {
     fullPath.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","calib":$calib,"calib_post":$calibPost,"qmin_total":$qminTotal,"passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","value_norm":$valueNorm,"calib":$calib,"calib_post":$calibPost,"qmin_total":$qminTotal,"passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
     finally w.close()
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
@@ -420,7 +445,7 @@ object Bench {
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","calib":${f3(calib)},"calib_post":${f3(calibPost)},"qmin_total":${f3(qminTotal)},"passes":${
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","value_norm":${f3(valueNorm)},"calib":${f3(calib)},"calib_post":${f3(calibPost)},"qmin_total":${f3(qminTotal)},"passes":${
         passTotals.map(f3).mkString("[", ",", "]")},"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
     }
     var keep = headline
