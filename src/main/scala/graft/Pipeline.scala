@@ -502,6 +502,242 @@ object Pipeline {
     def packed(): DataFrame = TxLog.read(spark, packedZone)
   }
 
+  /** The CONTINUOUS form of [[LakeSpec]] (round-14 directive #1 — every
+    * lake tier had a streaming twin but the composed pipeline existed
+    * only in batch): doc stream in → expectations gate → textual dedup
+    * (exact md5 claim + MinHash/LSH band claims, one claim processor) →
+    * semantic dedup (frozen ANN-index quantizer) → TxLog exactly-once
+    * sinks, as TWO chained streaming hops under ONE checkpoint lineage
+    * (`checkpointDir/textual`, `checkpointDir/semantic`) mirroring the
+    * batch plan's staged zones:
+    *
+    *   <lakeDir>/stream/deduped   textual first-seen survivors
+    *   <lakeDir>/stream/corpus    semantic survivors (the corpus zone)
+    *
+    * Hop 1 gates + claims; its sink reduces band verdicts per doc
+    * (batch-side, the [[graft.streaming.StreamDedup.firstSeen]]
+    * contract) and lands survivors exactly-once. Hop 2 STREAMS the
+    * deduped zone (the TxLog DSv2 source — offsets in the checkpoint),
+    * joins embeddings stream-static, gates through
+    * [[graft.streaming.StreamSemDedup]] against the lake's frozen index
+    * artifact with the batch sub-split masks, and lands the corpus
+    * exactly-once. A restart anywhere resumes from the checkpoints: the
+    * claim/cell state is in RocksDB, the zone hand-off is idempotent
+    * per batch id, so no doc is lost or doubled.
+    *
+    * COMPOSED STATE BOUND: hop 1 holds one claim row per distinct
+    * in-horizon band/md5 key ((bands+1) · docs-in-horizon worst case);
+    * hop 2 holds the in-horizon occupancy of each active (cell, block).
+    * Both expire by event-time timers — on a 100 TB/day stream state
+    * tracks the horizon, never the corpus.
+    *
+    * DOCUMENTED deviations from the batch [[LakePlan]] (the online-dedup
+    * contract, measured in the equivalence spec): survivor choice is
+    * FIRST-ARRIVAL (== lowest id when arrival is id-ordered, the batch
+    * policy); band claims drop on collision without the batch tier's
+    * exact-jaccard verify; the batch containment tier's
+    * drop-the-contained-side policy is subsumed only when the contained
+    * doc arrives after its superset; component closure through
+    * later-arriving docs cannot retract an already-granted verdict. */
+  final case class StreamingLakeSpec(
+      lakeDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      tsCol: String = "ts",
+      textCol: String = "text",
+      minQuality: Double = 0.0,
+      lateness: String = "10 seconds",
+      horizonMs: Long = 24L * 3600L * 1000L,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      semantic: Option[StreamingSemanticSpec] = None,
+      triggerSeconds: Long = 60L) {
+    def validate(): Unit = {
+      require(lakeDir.nonEmpty && checkpointDir.nonEmpty, "paths must be non-empty")
+      require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
+      require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+      require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+      require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+        "split weights must sum to 1")
+      require(triggerSeconds > 0, s"trigger must be positive, got $triggerSeconds")
+      semantic.foreach(_.validate())
+    }
+  }
+
+  /** The streaming twin of [[SemanticSpec]]: gate against the FROZEN
+    * quantizer of the lake's ANN index artifact (`indexDir`, default
+    * `<lakeDir>/annindex` — build it once with the batch plan or
+    * [[graft.operators.AnnIndex.build]]; the stream NEVER trains).
+    * `embZone` joins embeddings stream-static by the doc id (None =
+    * `vecCol` already rides the doc stream); docs without an embedding
+    * pass the gate kept, the batch null-cell semantics. */
+  final case class StreamingSemanticSpec(
+      embZone: Option[String],
+      threshold: Double = 0.95,
+      vecCol: String = "embedding",
+      indexDir: Option[String] = None,
+      maxCell: Int = 1024) {
+    def validate(): Unit = {
+      require(threshold > 0.0 && threshold <= 1.0,
+        s"semantic threshold in (0,1], got $threshold")
+      embZone.foreach(z => require(z.nonEmpty, "embZone must be non-empty"))
+      indexDir.foreach(d => require(d.nonEmpty, "indexDir must be non-empty"))
+      require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
+    }
+  }
+
+  final class StreamingLakePlan private[Pipeline] (spark: SparkSession,
+                                                   spec: StreamingLakeSpec) {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import graft.operators.{AnnIndex, Splits, TextAnalysis, TxLog}
+    import graft.streaming.{StreamDedup, StreamExpectations, StreamSemDedup}
+
+    private def zone(name: String): String =
+      spec.lakeDir.stripSuffix("/") + "/stream/" + name
+    def dedupedZone: String = zone("deduped")
+    /** The final corpus zone (== the deduped zone when no semantic tier). */
+    def corpusZone: String =
+      if (spec.semantic.isDefined) zone("corpus") else dedupedZone
+    def annIndexDir: String = spec.semantic.flatMap(_.indexDir)
+      .getOrElse(spec.lakeDir.stripSuffix("/") + "/annindex")
+
+    /** transformWithState requires the RocksDB state store; set it for
+      * the session unless the user already pinned a non-default provider. */
+    private def ensureStateStore(): Unit = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"
+      val cur = spark.conf.getOption(key)
+      if (!cur.contains(rocks)) {
+        require(cur.isEmpty || cur.exists(_.endsWith("HDFSBackedStateStoreProvider")),
+          s"streaming lake needs the RocksDB state store; session pins $cur")
+        spark.conf.set(key, rocks)
+      }
+    }
+
+    /** Hop 1: gate + textual claims. The payload rides a SECOND
+      * stateless branch of the same source, unioned with the verdicts
+      * (a doc's claim rows and its payload share a trigger), so the
+      * sink re-assembles survivors without any stateful join and the
+      * document bytes never pass through the claim shuffle. */
+    private def textualStream(docs: DataFrame): DataFrame = {
+      val gated0 = docs
+      val gated =
+        if (spec.minQuality <= 0.0) gated0
+        else StreamExpectations.gate(gated0, Seq("min_quality" ->
+            (coalesce(TextAnalysis.qualityScore(
+              TextAnalysis.tokens(col(spec.textCol))), lit(0.0)) < spec.minQuality)))
+          .filter(col("passed")).drop("violations", "passed")
+      val verdicts = StreamDedup.exactAndBandVerdicts(gated, spec.idCol,
+          spec.tsCol, spec.textCol, spec.lateness, spec.horizonMs,
+          spec.shingleN, spec.numHashes, spec.bands)
+        .toDF()
+        .withColumn("_doc", lit(null).cast(gated.schema))
+      val payload = gated.select(
+        col(spec.idCol).cast("long").as("doc_id"),
+        unix_micros(col(spec.tsCol)).as("ts_us"),
+        lit(null).cast("boolean").as("ok"),
+        struct(gated.columns.map(col).toIndexedSeq: _*).as("_doc"))
+      verdicts.unionByName(payload)
+    }
+
+    private def textualSink: (DataFrame, Long) => Unit = (df, batchId) => {
+      val v = df.filter(col("_doc").isNull).select("doc_id", "ts_us", "ok")
+      val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
+      val keep = StreamDedup.firstSeen(v).select(col("doc_id").as(spec.idCol))
+      val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
+      TxLog.exactlyOnceAppend(df.sparkSession, dedupedZone, survivors, batchId): Unit
+    }
+
+    /** Hop 2: the deduped zone streamed through the semantic gate. Same
+      * payload-union shape as hop 1. */
+    private def semanticStream(sem: StreamingSemanticSpec): DataFrame = {
+      val h = AnnIndex.load(spark, annIndexDir)
+      val masks = AnnIndex.cellMasks(spark, annIndexDir, sem.maxCell)
+      val src = spark.readStream.format("txlog")
+        .option("zone", dedupedZone).load()
+      val enriched = sem.embZone match {
+        case Some(z) => src.join(
+          TxLog.read(spark, z).select(col(spec.idCol), col(sem.vecCol)),
+          Seq(spec.idCol), "left")
+        case None => src
+      }
+      val verdicts = StreamSemDedup.cellVerdicts(enriched, h.centroids,
+          sem.threshold, spec.lateness, spec.horizonMs,
+          spec.idCol, spec.tsCol, sem.vecCol, masks)
+        .toDF()
+        .withColumn("_doc", lit(null).cast(src.schema))
+      val payload = src.select(
+        col(spec.idCol).cast("long").as("doc_id"),
+        unix_micros(col(spec.tsCol)).as("ts_us"),
+        lit(null).cast("long").as("cent_id"),
+        lit(null).cast("boolean").as("kept"),
+        struct(src.columns.map(col).toIndexedSeq: _*).as("_doc"))
+      verdicts.unionByName(payload)
+    }
+
+    private def semanticSink: (DataFrame, Long) => Unit = (df, batchId) => {
+      val keep = df.filter(col("_doc").isNull && col("kept"))
+        .select(col("doc_id").as(spec.idCol))
+      val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
+      val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
+      TxLog.exactlyOnceAppend(df.sparkSession, corpusZone, survivors, batchId): Unit
+    }
+
+    private def ckpt(name: String): String =
+      spec.checkpointDir.stripSuffix("/") + "/" + name
+
+    /** Drain all currently-available input through BOTH hops (the
+      * AvailableNow form — also the restart path: state resumes from
+      * the checkpoints, the zone hand-off dedups by batch id). */
+    def runOnce(docs: DataFrame): Unit = {
+      ensureStateStore()
+      val q1 = textualStream(docs).writeStream
+        .option("checkpointLocation", ckpt("textual"))
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch(textualSink).start()
+      q1.awaitTermination()
+      spec.semantic.foreach { sem =>
+        val q2 = semanticStream(sem).writeStream
+          .option("checkpointLocation", ckpt("semantic"))
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch(semanticSink).start()
+        q2.awaitTermination()
+      }
+    }
+
+    /** Run continuously on the configured micro-batch interval; hop 2
+      * tails hop 1's zone through the TxLog streaming source. */
+    def start(docs: DataFrame): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+      ensureStateStore()
+      val t = Trigger.ProcessingTime(s"${spec.triggerSeconds} seconds")
+      val q1 = textualStream(docs).writeStream
+        .option("checkpointLocation", ckpt("textual"))
+        .outputMode("append").trigger(t)
+        .foreachBatch(textualSink).start()
+      val q2 = spec.semantic.map { sem =>
+        semanticStream(sem).writeStream
+          .option("checkpointLocation", ckpt("semantic"))
+          .outputMode("append").trigger(t)
+          .foreachBatch(semanticSink).start()
+      }
+      Seq(q1) ++ q2
+    }
+
+    /** The corpus read model: the final zone with the deterministic
+      * md5 split assignment (stateless, so it needs no persisted split
+      * zones — identical values on every read, the batch assignment). */
+    def corpus(): DataFrame =
+      Splits.assignSplit(TxLog.read(spark, corpusZone), spec.idCol, spec.splits)
+  }
+
+  def plan(spark: SparkSession, spec: StreamingLakeSpec): StreamingLakePlan = {
+    spec.validate(); new StreamingLakePlan(spark, spec)
+  }
+
   /** synth: validate config and return the lazy plan (plan-time failure for
     * bad config, like CDK synth). */
   def plan(spark: SparkSession, spec: CdcSpec): CdcPlan = {

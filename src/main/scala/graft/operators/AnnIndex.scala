@@ -96,6 +96,23 @@ object AnnIndex {
   private[graft] def codesZone(indexDir: String): String = z(indexDir, "codes")
   private[graft] def manifestZone(indexDir: String): String = z(indexDir, "manifest")
 
+  /** Per-cell hyperplane sub-bucket masks from the index's COMMITTED
+    * cell occupancy — [[Similarity.subBucketMask]]'s ladder applied to
+    * the indexed corpus, for streaming gates
+    * ([[graft.streaming.StreamSemDedup]]) that must key state by the
+    * batch tier's blocks without scanning the source corpus: one
+    * column-pruned scan of the codes zone's `cent_id` column, k longs to
+    * the driver. Cells at or under `maxCell` are omitted (no split). */
+  def cellMasks(spark: SparkSession, indexDir: String,
+                maxCell: Int = 1024): Map[Long, Long] = {
+    import spark.implicits._
+    TxLog.read(spark, codesZone(indexDir))
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+      .map { case (c, n) => c -> Similarity.subBucketMask(n, maxCell) }
+      .filter(_._2 != 0L).toMap
+  }
+
   /** Encode a vector frame under a handle's frozen parameters:
     * (idCol, cent_id, code) — the zero-shuffle literal-argmax assignment
     * plus the map-side int8 quantization, exactly the session path's

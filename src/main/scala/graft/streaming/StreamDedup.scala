@@ -46,7 +46,7 @@ object StreamDedup {
   /** Per-(doc, band) claim verdict; `ok` = this doc owns the band. */
   case class BandVerdict(doc_id: Long, ts_us: Long, ok: Boolean)
 
-  private case class Claim(docId: Long, tsUs: Long)
+  private[streaming] case class Claim(docId: Long, tsUs: Long)
 
   /** Shared projection: docs → exploded (doc, ts, band key) rows. Docs
     * too short to shingle are excluded (they cannot be n-gram near-dups
@@ -109,12 +109,41 @@ object StreamDedup {
                    textCol: String, lateness: String, horizonMs: Long,
                    n: Int = 3, numHashes: Int = 32,
                    bands: Int = 16): Dataset[BandVerdict] = {
-    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    claimVerdicts(bandRows(docs, idCol, tsCol, textCol, n, numHashes, bands),
+      lateness, horizonMs)
+  }
+
+  /** [[bandVerdicts]] PLUS a whole-document exact claim per doc: every
+    * doc additionally publishes `"X|" + md5(text)` (a key space disjoint
+    * from the numeric-prefixed band keys), so exact duplicates drop even
+    * when the doc is too short to shingle — the streaming twin of the
+    * batch lake plan's exact tier riding the SAME claim processor and
+    * the same state bound (one claim per distinct in-horizon key).
+    * Reduce with [[firstSeen]]: a doc survives iff it owns its md5 claim
+    * AND every band claim. */
+  def exactAndBandVerdicts(docs: DataFrame, idCol: String, tsCol: String,
+                           textCol: String, lateness: String, horizonMs: Long,
+                           n: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16): Dataset[BandVerdict] = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val exact = docs.select(
+      concat(lit("X|"), coalesce(md5(col(textCol).cast("binary")), lit(""))).as("bk"),
+      col(idCol).as("docId"), col(tsCol).as("ts"))
+    val rows = bandRows(docs, idCol, tsCol, textCol, n, numHashes, bands)
+      .unionByName(exact)
+    claimVerdicts(rows, lateness, horizonMs)
+  }
+
+  /** The shared claim tail: watermark the exploded claim rows and run
+    * the per-key first-claim processor. */
+  private def claimVerdicts(rows: DataFrame, lateness: String,
+                            horizonMs: Long): Dataset[BandVerdict] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
     implicit val rowEnc = Encoders.product[BandRow]
     implicit val outEnc = Encoders.product[BandVerdict]
     implicit val keyEnc = Encoders.STRING
-    bandRows(docs, idCol, tsCol, textCol, n, numHashes, bands)
+    rows
       .withWatermark("ts", lateness)
       .select(col("bk"), col("docId"), unix_micros(col("ts")).as("tsUs"), col("ts"))
       .as[BandRow]

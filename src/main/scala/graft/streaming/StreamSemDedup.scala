@@ -69,7 +69,7 @@ object StreamSemDedup {
     * `cent_id = -1` marks a null-embedding document gated through. */
   case class SemVerdict(doc_id: Long, ts_us: Long, cent_id: Long, kept: Boolean)
 
-  private case class Seen(docId: Long, tsUs: Long, vec: Array[Float])
+  private[streaming] case class Seen(docId: Long, tsUs: Long, vec: Array[Float])
 
   /** Spark's `round(_, 4)` on a double, exactly (HALF_UP through
     * BigDecimal) — the batch join's threshold arithmetic. */

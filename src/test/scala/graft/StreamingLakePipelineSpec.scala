@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+
+object StreamingLakePipelineSpec {
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+}
+
+/** The composed STREAMING lake plan (round-14 directive #1) == the batch
+  * [[Pipeline.LakePlan]] on a fixture exercising every tier: quality
+  * gate, exact dups, an LSH near-dup trio, a containment pair (contained
+  * doc arriving after its superset — the regime where the online policy
+  * and the batch policy agree), and a planted semantic twin caught only
+  * by the frozen-index gate. The stream runs in two slices over ONE
+  * checkpoint lineage with a full restart between them (each planted
+  * victim's suppressor arrives BEFORE the restart), and the TxLog
+  * hand-off is exactly-once (an idle re-run adds nothing). */
+class StreamingLakePipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingLakePipelineSpec.Doc
+
+  private def t(ms: Long) = new Timestamp(ms)
+
+  // unique docs share NO tokens (zero shingle overlap -> zero band
+  // collisions between unrelated docs, so the claim tier's
+  // no-verify contract cannot diverge from the batch jaccard verify)
+  private def unique(i: Long): String =
+    (0 until 20).map(j => s"u${i}w$j").mkString(" ")
+  private def trio(i: Long): String =
+    (0 until 24).map(j => s"sv$j").mkString(" ") + s" tail$i"
+  private def text(i: Long): String = i match {
+    case 12L | 13L => unique(2L)          // exact dups of doc 2
+    case 5L => unique(25L) + " xa xb xc"  // superset of doc 25 (ca=1.0 on 25's side)
+    case x if x >= 20L && x <= 22L => trio(x) // jaccard 21/25=0.84 >= 0.8
+    case 29L => "x"                       // single token: fails the 0.05 gate
+    case x => unique(x)
+  }
+  // the LakePipelineSpec embedding fixture: hypercube corners (pairwise
+  // cosine <= 0.75) with doc 28 carrying doc 8's exact embedding under a
+  // completely different text — only the semantic tier catches it
+  private def emb(i: Long): Array[Float] = {
+    val src = if (i == 28L) 8L else i
+    Array.tabulate(8)(d =>
+      if (d >= 6) 1.0f
+      else if (((src >> d) & 1L) == 1L) 1.0f else -1.0f)
+  }
+
+  test("streaming lake plan == batch LakePlan survivors, restart mid-pipeline, exactly-once sink") {
+    val base = java.nio.file.Files.createTempDirectory("graft_slake").toString
+    val srcZone = s"$base/src"
+    val embZone = s"$base/emb"
+    val ids = 0L until 30L
+
+    TxLog.replace(spark, srcZone,
+      ids.map(i => (i, text(i))).toDF("doc_id", "text"))
+    TxLog.replace(spark, embZone,
+      ids.map(i => (i, emb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+
+    // 1) the BATCH plan: staged zones + the ANN index artifact the
+    //    stream will gate against (the stream never trains)
+    val batchSpec = Pipeline.LakeSpec(srcZone = srcZone, lakeDir = s"$base/lake",
+      minQuality = 0.05, containment = 0.95, nearDupJaccard = 0.8,
+      splits = Seq("train" -> 0.8, "valid" -> 0.2), packCapacity = 64L,
+      semantic = Some(Pipeline.SemanticSpec(embZone, threshold = 0.95)))
+    val batchPlan = Pipeline.plan(spark, batchSpec)
+    batchPlan.run()
+    val batchIds = TxLog.read(spark, batchPlan.semDedupedZone)
+      .select($"doc_id").as[Long].collect().toSet
+    // fixture sanity: every tier fired exactly as planted
+    assert(batchIds.size === 23, s"batch survivors: $batchIds")
+    assert(Set(29L, 12L, 13L, 25L, 21L, 22L, 28L).forall(!batchIds(_)),
+      s"gate/exact/containment/LSH/semantic drops expected: $batchIds")
+    assert(batchIds(2L) && batchIds(5L) && batchIds(20L) && batchIds(8L))
+
+    // 2) the STREAMING plan over the same docs, two slices through one
+    //    checkpoint lineage with a full restart between them — the
+    //    suppressors (2, 5, 8) land in slice 1, their victims (12/13 in
+    //    slice 1; 20's trio-mates, 25, 28) in slice 2, so cross-restart
+    //    claim state and cell state both carry the verdicts
+    val srcDir = s"$base/docs"
+    val streamSpec = Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/streamlake", checkpointDir = s"$base/ckpt",
+      minQuality = 0.05, lateness = "10 seconds",
+      horizonMs = 3600L * 1000L,
+      splits = Seq("train" -> 0.8, "valid" -> 0.2),
+      semantic = Some(Pipeline.StreamingSemanticSpec(
+        embZone = Some(embZone), threshold = 0.95,
+        indexDir = Some(batchPlan.annIndexDir))))
+    val streamPlan = Pipeline.plan(spark, streamSpec)
+
+    def writeSlice(slice: Seq[Long]): Unit =
+      slice.map(i => Doc(i, t(1000L * (i + 1)), text(i)))
+        .toDS().coalesce(1).write.mode("append").json(srcDir)
+    def docsStream() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .json(srcDir)
+
+    writeSlice(0L until 15L)
+    streamPlan.runOnce(docsStream())
+    writeSlice(15L until 30L)
+    streamPlan.runOnce(docsStream()) // restart from the checkpoints
+
+    val streamIds = TxLog.read(spark, streamPlan.corpusZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamIds === batchIds,
+      s"stream $streamIds vs batch $batchIds")
+
+    // textual hop zone too: the batch textual survivors (pre-semantic)
+    val batchTextual = TxLog.read(spark, batchPlan.dedupedZone)
+      .select($"doc_id").as[Long].collect().toSet
+    val streamTextual = TxLog.read(spark, streamPlan.dedupedZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamTextual === batchTextual,
+      s"textual hop: stream $streamTextual vs batch $batchTextual")
+
+    // 3) exactly-once: an idle re-run (no new input) adds nothing —
+    //    replayed batch ids are skipped by the manifest high-water mark
+    val rowsBefore = TxLog.read(spark, streamPlan.corpusZone).count()
+    streamPlan.runOnce(docsStream())
+    assert(TxLog.read(spark, streamPlan.corpusZone).count() === rowsBefore,
+      "an idle re-run must not duplicate corpus rows")
+    assert(TxLog.read(spark, streamPlan.corpusZone)
+      .groupBy($"doc_id").count().filter($"count" > 1).count() === 0L,
+      "no doc may land twice across restarts")
+
+    // 4) the corpus read model: deterministic split assignment equals
+    //    the batch assignment on the shared survivor set
+    val streamSplits = streamPlan.corpus()
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val batchSplits = graft.operators.Splits.assignSplit(
+        TxLog.read(spark, batchPlan.semDedupedZone), "doc_id", streamSpec.splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(streamSplits === batchSplits)
+  }
+}
