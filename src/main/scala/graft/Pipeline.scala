@@ -505,7 +505,8 @@ object Pipeline {
   /** The CONTINUOUS form of [[LakeSpec]] (round-14 directive #1 — every
     * lake tier had a streaming twin but the composed pipeline existed
     * only in batch): doc stream in → expectations gate → textual dedup
-    * (exact md5 claim + MinHash/LSH band claims, one claim processor) →
+    * (exact md5 claim + signature-VERIFIED MinHash/LSH band claims, one
+    * claim processor) →
     * semantic dedup (frozen ANN-index quantizer) → TxLog exactly-once
     * sinks, as TWO chained streaming hops under ONE checkpoint lineage
     * (`checkpointDir/textual`, `checkpointDir/semantic`) mirroring the
@@ -532,13 +533,16 @@ object Pipeline {
     * tracks the horizon, never the corpus.
     *
     * DOCUMENTED deviations from the batch [[LakePlan]] (the online-dedup
-    * contract, measured in the equivalence spec): survivor choice is
-    * FIRST-ARRIVAL (== lowest id when arrival is id-ordered, the batch
-    * policy); band claims drop on collision without the batch tier's
-    * exact-jaccard verify; the batch containment tier's
-    * drop-the-contained-side policy is subsumed only when the contained
-    * doc arrives after its superset; component closure through
-    * later-arriving docs cannot retract an already-granted verdict. */
+    * contract, measured in the equivalence spec and at bench scale in
+    * `Probe streamlake`): survivor choice is FIRST-ARRIVAL (== lowest id
+    * when arrival is id-ordered, the batch policy); band candidates are
+    * verified by the MinHash jaccard ESTIMATE (signature agreement ≥
+    * `nearDupJaccard`) where batch verifies exact jaccard — pairs whose
+    * estimate and exact value straddle the threshold diverge; the batch
+    * containment tier's drop-the-contained-side policy is subsumed only
+    * when the contained doc arrives after its superset; component
+    * closure through later-arriving docs cannot retract an
+    * already-granted verdict. */
   final case class StreamingLakeSpec(
       lakeDir: String,
       checkpointDir: String,
@@ -546,6 +550,7 @@ object Pipeline {
       tsCol: String = "ts",
       textCol: String = "text",
       minQuality: Double = 0.0,
+      nearDupJaccard: Double = 0.8,
       lateness: String = "10 seconds",
       horizonMs: Long = 24L * 3600L * 1000L,
       shingleN: Int = 3,
@@ -557,6 +562,8 @@ object Pipeline {
     def validate(): Unit = {
       require(lakeDir.nonEmpty && checkpointDir.nonEmpty, "paths must be non-empty")
       require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
+      require(nearDupJaccard > 0.0 && nearDupJaccard <= 1.0,
+        s"near-dup threshold in (0,1], got $nearDupJaccard")
       require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
       require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
       require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
@@ -631,9 +638,9 @@ object Pipeline {
             (coalesce(TextAnalysis.qualityScore(
               TextAnalysis.tokens(col(spec.textCol))), lit(0.0)) < spec.minQuality)))
           .filter(col("passed")).drop("violations", "passed")
-      val verdicts = StreamDedup.exactAndBandVerdicts(gated, spec.idCol,
+      val verdicts = StreamDedup.exactAndVerifiedBandVerdicts(gated, spec.idCol,
           spec.tsCol, spec.textCol, spec.lateness, spec.horizonMs,
-          spec.shingleN, spec.numHashes, spec.bands)
+          spec.nearDupJaccard, spec.shingleN, spec.numHashes, spec.bands)
         .toDF()
         .withColumn("_doc", lit(null).cast(gated.schema))
       val payload = gated.select(

@@ -299,6 +299,64 @@ object Probe {
         f"fullSecs=$full%.1f idleSecs=$idle%.2f")
       spark.stop()
 
+    // The composed STREAMING lake plan at bench scale (round-14
+    // directive #1's scale evidence): run the batch LakePlan (semantic
+    // tier) and the StreamingLakePlan over the SAME bench corpus and
+    // report both survivor sets plus their symmetric difference — the
+    // measured size of the documented online-dedup deviations
+    // (first-arrival representative choice, claim-without-verify,
+    // containment order) on real text, beside the wall times.
+    case "streamlake" :: sfDir :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_streamlake").toString
+      val srcZone = s"$base/src"
+      val embZone = s"$base/emb"
+      val docs = sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      graft.operators.TxLog.replace(spark, srcZone, docs)
+      graft.operators.TxLog.replace(spark, embZone,
+        sources.Tables.documents(spark, sfDir).select(col("doc_id"))
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(63)), d =>
+              (pmod(xxhash64(col("doc_id") * 64 + d), lit(1000)).cast("double")
+                / 1000.0 - 0.5).cast("float"))))
+      val bSpec = Pipeline.LakeSpec(srcZone = srcZone, lakeDir = s"$base/lake",
+        minQuality = 0.05, containment = 0.95, nearDupJaccard = 0.8,
+        semantic = Some(Pipeline.SemanticSpec(embZone, threshold = 0.95)))
+      val bPlan = Pipeline.plan(spark, bSpec)
+      val tb0 = System.nanoTime()
+      bPlan.run()
+      val batchSecs = (System.nanoTime() - tb0) / 1e9
+      val batchIds = graft.operators.TxLog.read(spark, bPlan.semDedupedZone)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val docsDir = s"$base/docs"
+      docs.withColumn("ts", timestamp_seconds(col("doc_id")))
+        .write.parquet(docsDir)
+      val sSpec = Pipeline.StreamingLakeSpec(lakeDir = s"$base/streamlake",
+        checkpointDir = s"$base/ckpt", minQuality = 0.05,
+        semantic = Some(Pipeline.StreamingSemanticSpec(
+          embZone = Some(embZone), threshold = 0.95,
+          indexDir = Some(bPlan.annIndexDir))))
+      val sPlan = Pipeline.plan(spark, sSpec)
+      def stream() = spark.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(docsDir)
+      val ts0 = System.nanoTime()
+      sPlan.runOnce(stream())
+      val streamSecs = (System.nanoTime() - ts0) / 1e9
+      val streamIds = graft.operators.TxLog.read(spark, sPlan.corpusZone)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val ti0 = System.nanoTime()
+      sPlan.runOnce(stream())
+      val idleSecs = (System.nanoTime() - ti0) / 1e9
+      println(f"streamlake dir=$sfDir batch=${batchIds.size}%d " +
+        f"stream=${streamIds.size}%d onlyBatch=${(batchIds -- streamIds).size}%d " +
+        f"onlyStream=${(streamIds -- batchIds).size}%d " +
+        f"batchSecs=$batchSecs%.1f streamSecs=$streamSecs%.1f idleSecs=$idleSecs%.2f")
+      spark.stop()
+
     // q187's scale contract (round-8 directive #6): the df-capped
     // candidate relation's cardinality at a given sf, beside the corpus
     // size — run at sf0.1 and sf1 to measure candidate growth vs data

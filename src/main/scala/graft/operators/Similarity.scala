@@ -384,7 +384,16 @@ object Similarity {
     * (two more O(candidates) shuffles). Each surviving pair pays ONE
     * codegen'd cosine, evaluated join-side so only passing rows
     * materialize. Deterministic splitmix planes make the candidate set —
-    * and therefore the result — oracle-checkable (q143). */
+    * and therefore the result — oracle-checkable (q143).
+    *
+    * OPERATOR FRONT DOOR: new callers should reach this tier through
+    * [[lshBandedNearDupPairsAuto]] (or [[lshBandedNearDupPairsAutoZone]]
+    * for lake-resident corpora — recall probe memoized per generation),
+    * which measures the corpus's sampled recall at the operating point
+    * and dispatches base-vs-multi-probe; calling the base tier directly
+    * silently loses moderate-cosine near-dups on structured corpora
+    * (plantstats: recall 0.125 at cosine 0.7). The q143 hash contract
+    * stays pinned to this base tier. */
   def lshBandedNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
                             nBits: Int = 8, bands: Int = 2,
                             idCol: String = "vec_id",

@@ -32,7 +32,7 @@ class StreamingLakePipelineSpec extends SparkSpec {
     (0 until 24).map(j => s"sv$j").mkString(" ") + s" tail$i"
   private def text(i: Long): String = i match {
     case 12L | 13L => unique(2L)          // exact dups of doc 2
-    case 5L => unique(25L) + " xa xb xc"  // superset of doc 25 (ca=1.0 on 25's side)
+    case 5L => unique(25L) + " xa"        // superset of doc 25 (ca=1.0 on 25's side, j=18/19)
     case x if x >= 20L && x <= 22L => trio(x) // jaccard 21/25=0.84 >= 0.8
     case 29L => "x"                       // single token: fails the 0.05 gate
     case x => unique(x)
