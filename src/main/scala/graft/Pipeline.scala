@@ -717,9 +717,18 @@ object Pipeline {
     }
 
     /** Run continuously on the configured micro-batch interval; hop 2
-      * tails hop 1's zone through the TxLog streaming source. */
+      * tails hop 1's zone through the TxLog streaming source. The
+      * deduped zone is primed with an empty TYPED snapshot when absent
+      * (first-ever start): the stream source pins its schema at query
+      * start from the zone's recorded `schema.ddl`, so hop 2 must not
+      * race hop 1's first commit for it. */
     def start(docs: DataFrame): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
       ensureStateStore()
+      if (spec.semantic.isDefined && TxLog.latest(spark, dedupedZone).isEmpty)
+        TxLog.replace(spark, dedupedZone,
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docs.schema),
+          meta = Map("schema.ddl" -> docs.schema.toDDL))
       val t = Trigger.ProcessingTime(s"${spec.triggerSeconds} seconds")
       val q1 = textualStream(docs).writeStream
         .option("checkpointLocation", ckpt("textual"))

@@ -135,4 +135,51 @@ class StreamingLakePipelineSpec extends SparkSpec {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(streamSplits === batchSplits)
   }
+
+  test("continuous mode: start() runs both hops live, hop 2 tails hop 1's zone mid-stream") {
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_cont").toString
+    val embZone = s"$base/emb"
+    val ids = 0L until 12L
+    def contEmb(i: Long): Array[Float] = {
+      val src = if (i == 11L) 1L else i // planted twin: 11 carries 1's embedding
+      Array.tabulate(8)(d =>
+        if (d >= 6) 1.0f
+        else if (((src >> d) & 1L) == 1L) 1.0f else -1.0f)
+    }
+    TxLog.replace(spark, embZone,
+      ids.map(i => (i, contEmb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+    val idxDir = s"$base/idx"
+    graft.operators.AnnIndex.build(spark, idxDir, embZone, idCol = "doc_id")
+
+    val srcDir = s"$base/docs"
+    def writeSlice(slice: Seq[Long]): Unit =
+      slice.map(i => Doc(i, t(1000L * (i + 1)), unique(i)))
+        .toDS().coalesce(1).write.mode("append").json(srcDir)
+    writeSlice(0L until 6L)
+
+    val spec = Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+      triggerSeconds = 1L,
+      semantic = Some(Pipeline.StreamingSemanticSpec(
+        embZone = Some(embZone), threshold = 0.95, indexDir = Some(idxDir))))
+    val plan = Pipeline.plan(spark, spec)
+    val qs = plan.start(spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .json(srcDir))
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(TxLog.read(spark, plan.corpusZone)
+        .select($"doc_id").as[Long].collect().toSet === (0L until 6L).toSet)
+      // new docs flow through BOTH live hops; the twin (11, carrying
+      // doc 1's embedding from the first slice) drops at the live
+      // semantic gate — cross-slice cell state on a running query
+      writeSlice(6L until 12L)
+      qs.foreach(_.processAllAvailable())
+      val got = TxLog.read(spark, plan.corpusZone)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got === (0L until 11L).toSet,
+        s"the live twin must drop, everything else land: $got")
+    } finally qs.foreach(_.stop())
+  }
 }
