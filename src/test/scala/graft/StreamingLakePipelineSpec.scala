@@ -182,4 +182,70 @@ class StreamingLakePipelineSpec extends SparkSpec {
         s"the live twin must drop, everything else land: $got")
     } finally qs.foreach(_.stop())
   }
+
+  test("the reference stack, continuously: shard CDC envelopes stream through the composed lake plan") {
+    // The north star's literal sentence as ONE streaming artifact: the
+    // Kinesis-shaped shard transport's CDC envelopes (the reference's
+    // firehose input) parse, flatten, and flow through gate -> textual
+    // dedup -> semantic dedup -> the TxLog corpus zone, continuously,
+    // with a restart between two envelope waves. Insert-shaped feed:
+    // keyed UPSERTS belong to TxLog.cdcMergeSink + the batch plan's
+    // watermark resume (LakePipelineSpec); the streaming plan gates an
+    // append-shaped doc feed.
+    import graft.sources.{ShardCdcSource, ShardStore}
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_cdc").toString
+    val shardDir = s"$base/shards"
+    val embZone = s"$base/emb"
+    def envelope(id: Long, payload: String): String =
+      s"""{"eventName":"INSERT","dynamodb":{"ApproximateCreationDateTime":${1687310000 + id}.0,""" +
+        s""""Keys":{"id":{"N":"$id"}},""" +
+        s""""NewImage":{"id":{"N":"$id"},"payload":{"S":"$payload"},"seq":{"N":"$id"}}}}"""
+    def cdcText(i: Long): String = i match {
+      case 15L | 16L => unique(3L) // exact dups of doc 3
+      case x => unique(x)
+    }
+    def cdcEmb(i: Long): Array[Float] = {
+      val src = if (i == 18L) 4L else i // planted semantic twin of doc 4
+      Array.tabulate(8)(d =>
+        if (d >= 6) 1.0f
+        else if (((src >> d) & 1L) == 1L) 1.0f else -1.0f)
+    }
+    TxLog.replace(spark, embZone,
+      (0L until 20L).map(i => (i, cdcEmb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+    val idxDir = s"$base/idx"
+    graft.operators.AnnIndex.build(spark, idxDir, embZone, idCol = "doc_id")
+
+    val st = new ShardStore(shardDir)
+    st.createStream(4)
+    val spec = Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+      semantic = Some(Pipeline.StreamingSemanticSpec(
+        embZone = Some(embZone), threshold = 0.95, indexDir = Some(idxDir))))
+    val plan = Pipeline.plan(spark, spec)
+
+    def docStream(): org.apache.spark.sql.DataFrame = {
+      val parsed = ShardCdcSource(shardDir).stream(spark)
+      val img = col("dynamodb.NewImage")
+      parsed
+        .filter(col("_corrupt_record").isNull &&
+          col("eventName").isin("INSERT", "MODIFY"))
+        .select(
+          element_at(element_at(img, "id"), "N").cast("long").as("doc_id"),
+          timestamp_seconds(col("dynamodb.ApproximateCreationDateTime")).as("ts"),
+          element_at(element_at(img, "payload"), "S").as("text"))
+    }
+
+    for (i <- 0L until 12L) st.put(i.toString, envelope(i, cdcText(i)))
+    plan.runOnce(docStream())
+    // second envelope wave AFTER a full plan restart: the exact dups'
+    // canonical (3) and the twin's original (4) landed pre-restart
+    for (i <- 12L until 20L) st.put(i.toString, envelope(i, cdcText(i)))
+    plan.runOnce(docStream())
+
+    val got = TxLog.read(spark, plan.corpusZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === (0L until 20L).toSet -- Set(15L, 16L, 18L),
+      s"exact dups and the semantic twin must drop across the restart: $got")
+  }
 }
