@@ -248,4 +248,24 @@ class StreamingLakePipelineSpec extends SparkSpec {
     assert(got === (0L until 20L).toSet -- Set(15L, 16L, 18L),
       s"exact dups and the semantic twin must drop across the restart: $got")
   }
+
+  test("textual-only plan (no semantic tier): the deduped zone IS the corpus zone") {
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_txt").toString
+    val srcDir = s"$base/docs"
+    (0L until 8L).map(i => Doc(i, t(1000L * (i + 1)),
+        if (i == 6L) unique(1L) else unique(i)))
+      .toDS().coalesce(1).write.mode("append").json(srcDir)
+    val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+      splits = Seq("train" -> 0.9, "valid" -> 0.1)))
+    assert(plan.corpusZone === plan.dedupedZone)
+    plan.runOnce(spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .json(srcDir))
+    val corpus = plan.corpus()
+    assert(corpus.select($"doc_id").as[Long].collect().toSet ===
+      (0L until 8L).toSet - 6L, "the exact dup drops, no semantic hop runs")
+    assert(corpus.columns.contains("split") &&
+      corpus.filter($"split".isNull).count() === 0L)
+  }
 }
