@@ -579,7 +579,12 @@ object Pipeline {
     * [[graft.operators.AnnIndex.build]]; the stream NEVER trains).
     * `embZone` joins embeddings stream-static by the doc id (None =
     * `vecCol` already rides the doc stream); docs without an embedding
-    * pass the gate kept, the batch null-cell semantics. */
+    * pass the gate kept, the batch null-cell semantics. Scale note: a
+    * stream-static join re-reads the static side per trigger — at lake
+    * scale carry the embedding ON the doc stream (embZone = None, the
+    * enrichment done upstream) so the hop stays scan-free; the zone
+    * join is the convenience form for corpora whose embedding table
+    * fits a per-trigger scan. */
   final case class StreamingSemanticSpec(
       embZone: Option[String],
       threshold: Double = 0.95,
