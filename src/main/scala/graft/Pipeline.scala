@@ -542,7 +542,12 @@ object Pipeline {
     * containment tier's drop-the-contained-side policy is subsumed only
     * when the contained doc arrives after its superset; component
     * closure through later-arriving docs cannot retract an
-    * already-granted verdict. */
+    * already-granted verdict; and the semantic sub-split masks derive
+    * from the INDEX's committed occupancy where batch derives them from
+    * the survivor corpus it dedups — identical whenever every cell is
+    * at or under `maxCell` (every checked scale), divergent only on a
+    * mega-cell whose textual-survivor count crosses a ladder rung the
+    * indexed count doesn't. */
   final case class StreamingLakeSpec(
       lakeDir: String,
       checkpointDir: String,
