@@ -312,11 +312,13 @@ object Pipeline {
   final case class SemanticSpec(
       embZone: String,
       threshold: Double = 0.95,
-      vecCol: String = "embedding") {
+      vecCol: String = "embedding",
+      maxCell: Int = 1024) {
     def validate(): Unit = {
       require(embZone.nonEmpty, "semantic.embZone must be non-empty")
       require(threshold > 0.0 && threshold <= 1.0,
         s"semantic threshold in (0,1], got $threshold")
+      require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     }
   }
 
@@ -431,7 +433,8 @@ object Pipeline {
               idCol = spec.idCol, vecCol = sem.vecCol)
           val idxGen = TxLog.latest(spark, codesZone).get.gen
           val g = stage(semDedupedZone, s"deduped:$dedupedGen;codes:$idxGen",
-              s"semthreshold=${sem.threshold};embzone=${sem.embZone}") {
+              s"semthreshold=${sem.threshold};embzone=${sem.embZone};" +
+                s"maxcell=${sem.maxCell}") {
             val docs = TxLog.read(spark, dedupedZone)
             val h = AnnIndex.load(spark, annIndexDir)
             // decide among textual SURVIVORS only (a doc must not lose to
@@ -440,7 +443,7 @@ object Pipeline {
             val emb = AnnIndex.indexedCorpus(spark, annIndexDir)
               .join(docs.select(id), spec.idCol :: Nil, "left_semi")
             val losers = Similarity.semDedupKeep(emb, sem.threshold,
-                h.centroids, spec.idCol, sem.vecCol)
+                h.centroids, spec.idCol, sem.vecCol, sem.maxCell)
               .filter(col("kept") === 0).select(id)
             docs.join(losers, spec.idCol :: Nil, "left_anti")
           }
@@ -543,11 +546,14 @@ object Pipeline {
     * when the contained doc arrives after its superset; component
     * closure through later-arriving docs cannot retract an
     * already-granted verdict; and the semantic sub-split masks derive
-    * from the INDEX's committed occupancy where batch derives them from
-    * the survivor corpus it dedups — identical whenever every cell is
-    * at or under `maxCell` (every checked scale), divergent only on a
-    * mega-cell whose textual-survivor count crosses a ladder rung the
-    * indexed count doesn't. */
+    * from the deduped zone's committed SURVIVORS (codes ∩ survivors —
+    * the same occupancy batch's ladder sees; round-15 directive #5
+    * closed the index-occupancy deviation), exact in the drain form
+    * where hop 2 plans after hop 1 commits, frozen at query start in
+    * continuous mode (a restart re-derives them; formerly the masks came
+    * from the whole indexed corpus, divergent on a mega-cell whose
+    * textual-survivor count crosses a ladder rung the indexed count
+    * doesn't). */
   final case class StreamingLakeSpec(
       lakeDir: String,
       checkpointDir: String,
@@ -563,7 +569,22 @@ object Pipeline {
       bands: Int = 16,
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       semantic: Option[StreamingSemanticSpec] = None,
-      triggerSeconds: Long = 60L) {
+      triggerSeconds: Long = 60L,
+      // KEYED-CDC mode (round-15 directive #4): when set, the doc stream
+      // carries this op column with the reference's eventName vocabulary
+      // (INSERT/MODIFY upsert the key's document, REMOVE retracts it; a
+      // null op drops the row) and corpus membership tracks the keyed
+      // last-writer-wins state: a MODIFY whose new text fails the gate
+      // or duplicates another key's in-horizon document RETRACTS the key,
+      // a REMOVE tombstones it, and a doc's own earlier versions never
+      // suppress its new one (self-exempt claims). The corpus zone
+      // becomes a keyed current-state table (TxLog.cdcChangesSink).
+      // Online contract beyond the insert-shaped deviations: claims and
+      // cell vectors of superseded/removed versions persist until the
+      // horizon passes (a text that existed transiently may suppress an
+      // in-horizon twin), and a retraction cannot re-judge a doc that
+      // earlier lost to the retracted key.
+      opCol: Option[String] = None) {
     def validate(): Unit = {
       require(lakeDir.nonEmpty && checkpointDir.nonEmpty, "paths must be non-empty")
       require(minQuality >= 0.0 && minQuality <= 1.0, s"minQuality in [0,1], got $minQuality")
@@ -574,6 +595,7 @@ object Pipeline {
       require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
         "split weights must sum to 1")
       require(triggerSeconds > 0, s"trigger must be positive, got $triggerSeconds")
+      opCol.foreach(c => require(c.nonEmpty, "opCol must be non-empty when set"))
       semantic.foreach(_.validate())
     }
   }
@@ -670,10 +692,26 @@ object Pipeline {
     }
 
     /** Hop 2: the deduped zone streamed through the semantic gate. Same
-      * payload-union shape as hop 1. */
+      * payload-union shape as hop 1. Sub-split masks derive from the
+      * DEDUPED ZONE's committed survivors (codes ∩ survivors — the same
+      * occupancy the batch tier's ladder sees when it dedups those
+      * survivors), not the whole indexed corpus: the two ladders diverge
+      * when a mega-cell's survivor count crosses a rung its indexed
+      * count doesn't (round-15 directive #5). In the drain form
+      * ([[runOnce]]) hop 2 plans AFTER hop 1 commits, so the masks are
+      * exactly batch's; in continuous mode ([[start]]) they freeze at
+      * query start over whatever the zone holds (the frozen-quantizer
+      * discipline — a restart re-derives them). */
     private def semanticStream(sem: StreamingSemanticSpec): DataFrame = {
       val h = AnnIndex.load(spark, annIndexDir)
-      val masks = AnnIndex.cellMasks(spark, annIndexDir, sem.maxCell)
+      val masks = TxLog.latest(spark, dedupedZone) match {
+        case Some(_) =>
+          val survivors = TxLog.read(spark, dedupedZone)
+          if (survivors.schema.isEmpty) Map.empty[Long, Long]
+          else AnnIndex.cellMasksFor(spark, annIndexDir,
+            survivors.select(col(spec.idCol)), spec.idCol, sem.maxCell)
+        case None => Map.empty[Long, Long]
+      }
       val src = spark.readStream.format("txlog")
         .option("zone", dedupedZone).load()
       val enriched = sem.embZone match {
@@ -707,11 +745,25 @@ object Pipeline {
     private def ckpt(name: String): String =
       spec.checkpointDir.stripSuffix("/") + "/" + name
 
+    /** Prime an absent deduped zone with an empty TYPED snapshot so
+      * hop 2's stream source can pin its schema before hop 1's first
+      * commit — needed by [[start]] (the hops race) and equally by a
+      * first-ever [[runOnce]] whose source drains zero batches (hop 1
+      * commits nothing, and hop 2's load would fail on a zone with no
+      * transaction log — round-15 ADVICE). */
+    private def primeDedupedZone(docSchema: org.apache.spark.sql.types.StructType): Unit =
+      if (spec.semantic.isDefined && TxLog.latest(spark, dedupedZone).isEmpty)
+        TxLog.replace(spark, dedupedZone,
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema),
+          meta = Map("schema.ddl" -> docSchema.toDDL)): Unit
+
     /** Drain all currently-available input through BOTH hops (the
       * AvailableNow form — also the restart path: state resumes from
       * the checkpoints, the zone hand-off dedups by batch id). */
     def runOnce(docs: DataFrame): Unit = {
       ensureStateStore()
+      primeDedupedZone(docs.schema)
       val q1 = textualStream(docs).writeStream
         .option("checkpointLocation", ckpt("textual"))
         .outputMode("append").trigger(Trigger.AvailableNow())
@@ -734,11 +786,7 @@ object Pipeline {
       * race hop 1's first commit for it. */
     def start(docs: DataFrame): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
       ensureStateStore()
-      if (spec.semantic.isDefined && TxLog.latest(spark, dedupedZone).isEmpty)
-        TxLog.replace(spark, dedupedZone,
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docs.schema),
-          meta = Map("schema.ddl" -> docs.schema.toDDL))
+      primeDedupedZone(docs.schema)
       val t = Trigger.ProcessingTime(s"${spec.triggerSeconds} seconds")
       val q1 = textualStream(docs).writeStream
         .option("checkpointLocation", ckpt("textual"))

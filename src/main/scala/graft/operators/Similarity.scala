@@ -680,28 +680,33 @@ object Similarity {
       s"estimateBandedRecallZone: $zone has no transaction log"))
     val conf = s"t=$threshold;dim=$dim;nBits=$nBits;bands=$bands;" +
       s"id=$idCol;vec=$vecCol;cap=$sampleCap"
-    // the memo keys on the committed FILE SET, not the generation: the
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // memo slots are NAMESPACED by the operating point (round-15 ADVICE:
+    // one shared slot made two callers alternating operating points over
+    // an unchanged zone miss — and meta-commit — on every call), so
+    // multiple operating points coexist in the manifest meta
+    val confFp = md5hex(conf).take(12)
+    def key(suffix: String) = s"bandedrecall.$confFp.$suffix"
+    // each slot keys on the committed FILE SET, not the generation: the
     // memo's own meta-only commit advances the gen without touching data
     // (and so must any other DDL), while an append/replace/compact
     // changes the file set and correctly misses
-    val filesFp = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      head.files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString
-    }
-    if (head.meta.get("bandedrecall.files").contains(filesFp)
-        && head.meta.get("bandedrecall.conf").contains(conf))
-      return (head.meta("bandedrecall.est").toDouble,
-        head.meta("bandedrecall.pairs").toLong)
+    val filesFp = md5hex(head.files.sorted.mkString("\n"))
+    if (head.meta.get(key("files")).contains(filesFp)
+        && head.meta.get(key("conf")).contains(conf))
+      return (head.meta(key("est")).toDouble, head.meta(key("pairs")).toLong)
     val (est, pairs) = estimateBandedRecall(
       TxLog.readSnapshot(spark, zone, head), threshold, dim, nBits, bands,
       idCol, vecCol, sampleCap)
-    if (memoize)
-      TxLog.commitMeta(spark, zone, "banded-recall-memo", _ => Map(
-        "bandedrecall.files" -> filesFp,
-        "bandedrecall.conf" -> conf,
-        "bandedrecall.est" -> est.toString,
-        "bandedrecall.pairs" -> pairs.toString))
+    val entry = Map(key("files") -> filesFp, key("conf") -> conf,
+      key("est") -> est.toString, key("pairs") -> pairs.toString)
+    // skip the commit when the stored slot already equals the measurement
+    // (a racing twin landed it first): a read-only re-measure must not
+    // publish a no-op generation
+    if (memoize && !entry.forall { case (k, v) => head.meta.get(k).contains(v) })
+      TxLog.commitMeta(spark, zone, "banded-recall-memo", _ => entry)
     (est, pairs)
   }
 

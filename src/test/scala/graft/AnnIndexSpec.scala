@@ -449,6 +449,34 @@ class AnnIndexSpec extends SparkSpec {
     finally moved2.foreach { case (dst, src) => dst.renameTo(src) }
   }
 
+  test("cellMasks tolerate null-embedding codes; cellMasksFor ladders on the survivor subset") {
+    val srcZone = tmp() + "/corpus"
+    val idxDir = tmp() + "/idx"
+    // 40 embeddable vectors in 4 clusters plus 2 null-embedding docs —
+    // the encode path null-propagates their cent_id into the codes zone
+    // (the kept/cent_id=-1 input class the rest of the lake supports),
+    // and the mask decode must not crash on that null group (round-15
+    // ADVICE, medium)
+    val nulls = Seq((1000L, null: Array[Float]), (1001L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    TxLog.append(spark, srcZone, vecs(0 until 40).unionByName(nulls))
+    AnnIndex.build(spark, idxDir, srcZone, iterations = 2, k = Some(4))
+    assert(TxLog.read(spark, AnnIndex.codesZone(idxDir))
+        .filter(col("cent_id").isNull).count() === 2L,
+      "fixture: null embeddings must land as null-cent_id codes rows")
+    // 4 cells of ~10 > maxCell=4 -> every cell gets a non-zero mask
+    val masks = AnnIndex.cellMasks(spark, idxDir, maxCell = 4)
+    assert(masks.nonEmpty && masks.values.forall(_ != 0L),
+      s"over-maxCell cells must ladder: $masks")
+    // the SURVIVOR-restricted ladder (round-15 directive #5): 1 doc per
+    // cell -> at/under maxCell everywhere -> no masks at all
+    val fewMasks = AnnIndex.cellMasksFor(spark, idxDir,
+      Seq(0L, 1L, 2L, 3L).toDF("vec_id"), "vec_id", maxCell = 4)
+    assert(fewMasks.isEmpty,
+      s"survivor occupancy at/under maxCell must not split: $fewMasks")
+  }
+
   test("codes zone carries per-file cent_id stats for probe-side pruning") {
     val srcZone = tmp() + "/corpus"
     val idxDir = tmp() + "/idx"

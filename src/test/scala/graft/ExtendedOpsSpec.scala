@@ -1320,6 +1320,16 @@ class LshBandedSpec extends SparkSpec {
     val otherT = Similarity.estimateBandedRecallZone(spark, zone, 0.99,
       dim = 64, nBits = 32, bands = 4)
     assert(otherT._2 <= first._2)
+    // ... and both points now COEXIST (round-15 ADVICE: the slots are
+    // namespaced by operating point, so alternating callers hit the memo
+    // and never publish another generation — no log growth, no thrash)
+    val genBefore = TxLog.latest(spark, zone).get.gen
+    assert(Similarity.estimateBandedRecallZone(spark, zone, 0.45,
+      dim = 64, nBits = 32, bands = 4) === first)
+    assert(Similarity.estimateBandedRecallZone(spark, zone, 0.99,
+      dim = 64, nBits = 32, bands = 4) === otherT)
+    assert(TxLog.latest(spark, zone).get.gen === genBefore,
+      "alternating memoized operating points must not commit new generations")
     // ... and new data invalidates: an append changes the file set
     TxLog.append(spark, zone, rows(16 until 32))
     val after = Similarity.estimateBandedRecallZone(spark, zone, 0.45,

@@ -249,6 +249,135 @@ class StreamingLakePipelineSpec extends SparkSpec {
       s"exact dups and the semantic twin must drop across the restart: $got")
   }
 
+  test("first-ever runOnce with a semantic tier drains an empty source as a clean no-op") {
+    // round-15 ADVICE (low): runOnce used to skip the deduped-zone
+    // priming start() does, so a first-ever drain over an empty source
+    // left hop 1 committing nothing and hop 2's txlog load() throwing
+    // "has no transaction log yet"
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_noop").toString
+    val embZone = s"$base/emb"
+    val ids = 0L until 4L
+    TxLog.replace(spark, embZone,
+      ids.map(i => (i, emb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+    val idxDir = s"$base/idx"
+    graft.operators.AnnIndex.build(spark, idxDir, embZone, idCol = "doc_id")
+    val srcDir = s"$base/docs"
+    new java.io.File(srcDir).mkdirs()
+    val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+      semantic = Some(Pipeline.StreamingSemanticSpec(
+        embZone = Some(embZone), threshold = 0.95, indexDir = Some(idxDir)))))
+    def docsStream() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .json(srcDir)
+    plan.runOnce(docsStream()) // must not throw
+    // and the primed lineage keeps working: real docs land on the next drain
+    ids.map(i => Doc(i, t(1000L * (i + 1)), unique(i)))
+      .toDS().coalesce(1).write.mode("append").json(srcDir)
+    plan.runOnce(docsStream())
+    assert(TxLog.read(spark, plan.corpusZone)
+      .select($"doc_id").as[Long].collect().toSet === ids.toSet)
+  }
+
+  test("sub-split masks derive from SURVIVOR occupancy: stream == batch on a rung-straddling mega-cell") {
+    // round-15 directive #5: the stream's masks used to come from the
+    // INDEX's committed occupancy; on a mega-cell whose textual-survivor
+    // count sits on a lower ladder rung than its indexed count, those
+    // masks split survivors the batch tier compares whole-cell — the
+    // planted twins below straddle the index ladder's blocks, so the old
+    // source provably diverges and the survivor source must not.
+    import graft.operators.{AnnIndex, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_mask").toString
+    val embZone = s"$base/emb"
+
+    // find a perturbed copy of vBase with rounded cosine >= 0.95 whose
+    // dim-64/8-bit hyperplane bucket DIFFERS in the low 2 bits (the
+    // indexed ladder's mask) — one pass over a candidate frame
+    val vBase = Array.tabulate(8)(d =>
+      if (d < 2) 1.0f else if (d % 2 == 0) 0.6f else -0.6f)
+    val cands = (0 until 320).map { i =>
+      val v = vBase.clone()
+      val d = i % 8
+      v(d) = v(d) + ((i / 8) - 20) * 0.02f
+      (i.toLong, v)
+    }
+    val scored = cands.toDF("cand", "v")
+      .select($"cand", $"v".cast("array<float>").as("v"))
+      .select($"cand",
+        Similarity.hyperplaneBucket($"v", dim = 64, nBits = 8).as("bkt"),
+        round(graft.functions.VectorFunctions.cosine(
+          $"v", typedLit(vBase).cast("array<float>")), 4).as("cos"))
+      .as[(Long, Long, Double)].collect()
+    val baseBkt = {
+      val df = Seq((0L, vBase)).toDF("cand", "v")
+        .select(Similarity.hyperplaneBucket(
+          $"v".cast("array<float>"), dim = 64, nBits = 8))
+      df.as[Long].collect().head
+    }
+    val twinId = scored.find { case (_, b, c) =>
+      c >= 0.95 && (b & 3L) != (baseBkt & 3L) && (b & 1L) == (baseBkt & 1L)
+    }.orElse(scored.find { case (_, b, c) =>
+      c >= 0.95 && (b & 3L) != (baseBkt & 3L)
+    }).map(_._1).getOrElse(sys.error("fixture: no straddling twin found"))
+    val vTwin = cands(twinId.toInt)._2
+
+    // ids 0..11 all land in ONE cell (k=1): 0/1 far corners, 2=vBase,
+    // 3=its straddling twin, 4..11 padding; texts make 4..11 exact dups
+    // of doc 0, so the textual tier keeps exactly {0,1,2,3}
+    def fixEmb(i: Long): Array[Float] = i match {
+      case 0L => Array.tabulate(8)(d => if (d % 2 == 0) 1.0f else -1.0f)
+      case 1L => Array.tabulate(8)(d => if (d % 2 == 0) -1.0f else 1.0f)
+      case 2L => vBase
+      case 3L => vTwin
+      case x => Array.tabulate(8)(d =>
+        (if (d % 2 == 0) 1.0f else -1.0f) * (1.0f + 0.01f * x))
+    }
+    val ids = 0L until 12L
+    TxLog.replace(spark, embZone,
+      ids.map(i => (i, fixEmb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+    val srcZone = s"$base/src"
+    def maskText(i: Long): String = if (i >= 4L) unique(0L) else unique(i)
+    TxLog.replace(spark, srcZone,
+      ids.map(i => (i, maskText(i))).toDF("doc_id", "text"))
+
+    // mega-cell index: every vector in one cell of 12; indexed ladder at
+    // maxCell=4 -> mask 3; survivor ladder over {0,1,2,3} -> no split
+    val batchLakeDir = s"$base/lake"
+    AnnIndex.build(spark, batchLakeDir + "/annindex", embZone,
+      k = Some(1), idCol = "doc_id")
+    assert(AnnIndex.cellMasks(spark, batchLakeDir + "/annindex", maxCell = 4)
+      .values.toSeq === Seq(3L), "fixture: indexed occupancy must ladder to mask 3")
+
+    val batchPlan = Pipeline.plan(spark, Pipeline.LakeSpec(
+      srcZone = srcZone, lakeDir = batchLakeDir,
+      minQuality = 0.0, containment = 0.95, nearDupJaccard = 0.8,
+      semantic = Some(Pipeline.SemanticSpec(embZone, threshold = 0.95, maxCell = 4))))
+    batchPlan.run()
+    val batchIds = TxLog.read(spark, batchPlan.semDedupedZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchIds === Set(0L, 1L, 2L),
+      s"batch must whole-cell-compare the 4 survivors and drop the twin: $batchIds")
+
+    val srcDir = s"$base/docs"
+    ids.map(i => Doc(i, t(1000L * (i + 1)), maskText(i)))
+      .toDS().coalesce(1).write.mode("append").json(srcDir)
+    val streamPlan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/streamlake", checkpointDir = s"$base/ckpt",
+      semantic = Some(Pipeline.StreamingSemanticSpec(
+        embZone = Some(embZone), threshold = 0.95,
+        indexDir = Some(batchPlan.annIndexDir), maxCell = 4))))
+    streamPlan.runOnce(spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .json(srcDir))
+    val streamIds = TxLog.read(spark, streamPlan.corpusZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamIds === batchIds,
+      s"survivor-derived masks must keep stream == batch: $streamIds vs $batchIds " +
+        "(index-derived masks would block 2 and 3 apart and keep the twin)")
+  }
+
   test("textual-only plan (no semantic tier): the deduped zone IS the corpus zone") {
     val base = java.nio.file.Files.createTempDirectory("graft_slake_txt").toString
     val srcDir = s"$base/docs"
