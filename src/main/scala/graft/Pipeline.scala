@@ -636,10 +636,15 @@ object Pipeline {
 
     private def zone(name: String): String =
       spec.lakeDir.stripSuffix("/") + "/stream/" + name
+    /** Hop 1's hand-off zone: append-only textual survivors, or — in
+      * keyed-CDC mode with a semantic tier — the append-only CHANGELOG
+      * (doc columns + `_op`) hop 2 applies. */
     def dedupedZone: String = zone("deduped")
-    /** The final corpus zone (== the deduped zone when no semantic tier). */
+    /** The final corpus zone (== the deduped zone for the append-shaped
+      * textual-only plan; a keyed current-state table in keyed mode). */
     def corpusZone: String =
-      if (spec.semantic.isDefined) zone("corpus") else dedupedZone
+      if (spec.semantic.isDefined || spec.opCol.isDefined) zone("corpus")
+      else dedupedZone
     def annIndexDir: String = spec.semantic.flatMap(_.indexDir)
       .getOrElse(spec.lakeDir.stripSuffix("/") + "/annindex")
 
@@ -657,38 +662,96 @@ object Pipeline {
       }
     }
 
+    /** The quality-gate failure predicate (null quality fails). */
+    private def gateFail: Column =
+      coalesce(TextAnalysis.qualityScore(
+        TextAnalysis.tokens(col(spec.textCol))), lit(0.0)) < spec.minQuality
+
     /** Hop 1: gate + textual claims. The payload rides a SECOND
       * stateless branch of the same source, unioned with the verdicts
       * (a doc's claim rows and its payload share a trigger), so the
       * sink re-assembles survivors without any stateful join and the
-      * document bytes never pass through the claim shuffle. */
-    private def textualStream(docs: DataFrame): DataFrame = {
-      val gated0 = docs
-      val gated =
-        if (spec.minQuality <= 0.0) gated0
-        else StreamExpectations.gate(gated0, Seq("min_quality" ->
-            (coalesce(TextAnalysis.qualityScore(
-              TextAnalysis.tokens(col(spec.textCol))), lit(0.0)) < spec.minQuality)))
-          .filter(col("passed")).drop("violations", "passed")
-      val verdicts = StreamDedup.exactAndVerifiedBandVerdicts(gated, spec.idCol,
-          spec.tsCol, spec.textCol, spec.lateness, spec.horizonMs,
-          spec.nearDupJaccard, spec.shingleN, spec.numHashes, spec.bands)
-        .toDF()
-        .withColumn("_doc", lit(null).cast(gated.schema))
-      val payload = gated.select(
-        col(spec.idCol).cast("long").as("doc_id"),
-        unix_micros(col(spec.tsCol)).as("ts_us"),
-        lit(null).cast("boolean").as("ok"),
-        struct(gated.columns.map(col).toIndexedSeq: _*).as("_doc"))
-      verdicts.unionByName(payload)
+      * document bytes never pass through the claim shuffle.
+      *
+      * In keyed-CDC mode every payload row additionally carries `_op`:
+      * `"U"` for a gate-passing INSERT/MODIFY image (claimed,
+      * self-exempt), `"D"` for a REMOVE or a gate-failed image (a key
+      * whose current text fails the gate leaves the corpus, exactly as
+      * the batch plan gating the LWW snapshot would drop it). */
+    private def textualStream(docs: DataFrame): DataFrame = spec.opCol match {
+      case None =>
+        val gated0 = docs
+        val gated =
+          if (spec.minQuality <= 0.0) gated0
+          else StreamExpectations.gate(gated0,
+              Seq("min_quality" -> gateFail))
+            .filter(col("passed")).drop("violations", "passed")
+        val verdicts = StreamDedup.exactAndVerifiedBandVerdicts(gated, spec.idCol,
+            spec.tsCol, spec.textCol, spec.lateness, spec.horizonMs,
+            spec.nearDupJaccard, spec.shingleN, spec.numHashes, spec.bands)
+          .toDF()
+          .withColumn("_doc", lit(null).cast(gated.schema))
+        val payload = gated.select(
+          col(spec.idCol).cast("long").as("doc_id"),
+          unix_micros(col(spec.tsCol)).as("ts_us"),
+          lit(null).cast("boolean").as("ok"),
+          struct(gated.columns.map(col).toIndexedSeq: _*).as("_doc"))
+        verdicts.unionByName(payload)
+      case Some(op) =>
+        val body = docs.drop(op)
+        val upserts = docs.filter(col(op) =!= "REMOVE").drop(op)
+          .withColumn("_op",
+            if (spec.minQuality <= 0.0) lit("U")
+            else when(gateFail, lit("D")).otherwise(lit("U")))
+        val removes = docs.filter(col(op) === "REMOVE").drop(op)
+          .withColumn("_op", lit("D"))
+        val gated = upserts.filter(col("_op") === "U").drop("_op")
+        val verdicts = StreamDedup.exactAndVerifiedBandVerdicts(gated, spec.idCol,
+            spec.tsCol, spec.textCol, spec.lateness, spec.horizonMs,
+            spec.nearDupJaccard, spec.shingleN, spec.numHashes, spec.bands,
+            excludeSelf = true)
+          .toDF()
+          .withColumn("_op", lit(null).cast("string"))
+          .withColumn("_doc", lit(null).cast(body.schema))
+        def payloadOf(df: DataFrame): DataFrame = df.select(
+          col(spec.idCol).cast("long").as("doc_id"),
+          unix_micros(col(spec.tsCol)).as("ts_us"),
+          lit(null).cast("boolean").as("ok"),
+          col("_op"),
+          struct(body.columns.map(col).toIndexedSeq: _*).as("_doc"))
+        verdicts.unionByName(payloadOf(upserts)).unionByName(payloadOf(removes))
     }
 
-    private def textualSink: (DataFrame, Long) => Unit = (df, batchId) => {
-      val v = df.filter(col("_doc").isNull).select("doc_id", "ts_us", "ok")
-      val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
-      val keep = StreamDedup.firstSeen(v).select(col("doc_id").as(spec.idCol))
-      val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
-      TxLog.exactlyOnceAppend(df.sparkSession, dedupedZone, survivors, batchId): Unit
+    private def textualSink: (DataFrame, Long) => Unit = (df, batchId) => spec.opCol match {
+      case None =>
+        val v = df.filter(col("_doc").isNull).select("doc_id", "ts_us", "ok")
+        val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
+        val keep = StreamDedup.firstSeen(v).select(col("doc_id").as(spec.idCol))
+        val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
+        TxLog.exactlyOnceAppend(df.sparkSession, dedupedZone, survivors, batchId): Unit
+      case Some(_) =>
+        // resolve each event's op: a candidate upsert stays "U" iff its
+        // (doc, ts) passed every claim; everything else retracts
+        val v = df.filter(col("_doc").isNull && col("_op").isNull)
+          .select("doc_id", "ts_us", "ok")
+        val p = df.filter(col("_doc").isNotNull).select(col("_op"), col("_doc.*"))
+        val keep = StreamDedup.firstSeen(v)
+          .select(col("doc_id").as("_k_id"), col("ts_us").as("_k_ts"),
+            lit(true).as("_kept"))
+        val bodyCols = p.columns.filterNot(_ == "_op").toSeq
+        val changes = p
+          .withColumn("_ts_us", unix_micros(col(spec.tsCol)))
+          .join(keep, col(spec.idCol).cast("long") === col("_k_id") &&
+            col("_ts_us") === col("_k_ts"), "left")
+          .withColumn("_op", when(col("_op") === "D", lit("D"))
+            .when(col("_kept"), lit("U")).otherwise(lit("D")))
+          .select((bodyCols.map(col) :+ col("_op")): _*)
+        if (spec.semantic.isDefined)
+          // hand the CHANGELOG to hop 2 (append-only, so the txlog
+          // stream source tails it); hop 2's sink applies it
+          TxLog.exactlyOnceAppend(df.sparkSession, dedupedZone, changes, batchId): Unit
+        else
+          TxLog.cdcChangesSink(corpusZone, spec.idCol, spec.tsCol, "_op")(changes, batchId)
     }
 
     /** Hop 2: the deduped zone streamed through the semantic gate. Same
@@ -714,32 +777,60 @@ object Pipeline {
       }
       val src = spark.readStream.format("txlog")
         .option("zone", dedupedZone).load()
+      // keyed mode: the source is hop 1's changelog — only "U" events
+      // pass the gate (self-exempt: a key's new version must not lose to
+      // its own in-horizon vector); "D" events ride the payload straight
+      // to the sink as retractions
+      val ups = if (spec.opCol.isDefined) src.filter(col("_op") === "U").drop("_op")
+                else src
+      val bodyCols = src.columns.filterNot(_ == "_op").toSeq
       val enriched = sem.embZone match {
-        case Some(z) => src.join(
+        case Some(z) => ups.join(
           TxLog.read(spark, z).select(col(spec.idCol), col(sem.vecCol)),
           Seq(spec.idCol), "left")
-        case None => src
+        case None => ups
       }
       val verdicts = StreamSemDedup.cellVerdicts(enriched, h.centroids,
           sem.threshold, spec.lateness, spec.horizonMs,
-          spec.idCol, spec.tsCol, sem.vecCol, masks)
+          spec.idCol, spec.tsCol, sem.vecCol, masks,
+          excludeSelf = spec.opCol.isDefined)
         .toDF()
-        .withColumn("_doc", lit(null).cast(src.schema))
+        .withColumn("_op", lit(null).cast("string"))
+        .withColumn("_doc", lit(null).cast(
+          org.apache.spark.sql.types.StructType(
+            src.schema.fields.filterNot(_.name == "_op"))))
       val payload = src.select(
         col(spec.idCol).cast("long").as("doc_id"),
         unix_micros(col(spec.tsCol)).as("ts_us"),
         lit(null).cast("long").as("cent_id"),
         lit(null).cast("boolean").as("kept"),
-        struct(src.columns.map(col).toIndexedSeq: _*).as("_doc"))
+        (if (spec.opCol.isDefined) col("_op")
+         else lit(null).cast("string")).as("_op"),
+        struct(bodyCols.map(col).toIndexedSeq: _*).as("_doc"))
       verdicts.unionByName(payload)
     }
 
-    private def semanticSink: (DataFrame, Long) => Unit = (df, batchId) => {
-      val keep = df.filter(col("_doc").isNull && col("kept"))
-        .select(col("doc_id").as(spec.idCol))
-      val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
-      val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
-      TxLog.exactlyOnceAppend(df.sparkSession, corpusZone, survivors, batchId): Unit
+    private def semanticSink: (DataFrame, Long) => Unit = (df, batchId) => spec.opCol match {
+      case None =>
+        val keep = df.filter(col("_doc").isNull && col("kept"))
+          .select(col("doc_id").as(spec.idCol))
+        val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
+        val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
+        TxLog.exactlyOnceAppend(df.sparkSession, corpusZone, survivors, batchId): Unit
+      case Some(_) =>
+        val keep = df.filter(col("_doc").isNull && col("kept"))
+          .select(col("doc_id").as("_k_id"), col("ts_us").as("_k_ts"),
+            lit(true).as("_kept"))
+        val p = df.filter(col("_doc").isNotNull).select(col("_op"), col("_doc.*"))
+        val bodyCols = p.columns.filterNot(_ == "_op").toSeq
+        val changes = p
+          .withColumn("_ts_us", unix_micros(col(spec.tsCol)))
+          .join(keep, col(spec.idCol).cast("long") === col("_k_id") &&
+            col("_ts_us") === col("_k_ts"), "left")
+          .withColumn("_op", when(col("_op") === "D", lit("D"))
+            .when(col("_kept"), lit("U")).otherwise(lit("D")))
+          .select((bodyCols.map(col) :+ col("_op")): _*)
+        TxLog.cdcChangesSink(corpusZone, spec.idCol, spec.tsCol, "_op")(changes, batchId)
     }
 
     private def ckpt(name: String): String =
@@ -752,30 +843,49 @@ object Pipeline {
       * commits nothing, and hop 2's load would fail on a zone with no
       * transaction log — round-15 ADVICE). */
     private def primeDedupedZone(docSchema: org.apache.spark.sql.types.StructType): Unit =
-      if (spec.semantic.isDefined && TxLog.latest(spark, dedupedZone).isEmpty)
+      if (spec.semantic.isDefined && TxLog.latest(spark, dedupedZone).isEmpty) {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        // keyed mode hands hop 2 a changelog: doc columns (sans the
+        // input op column) + the resolved _op marker
+        val handOff = spec.opCol match {
+          case None => docSchema
+          case Some(op) => StructType(
+            docSchema.fields.filterNot(_.name == op) :+ StructField("_op", StringType))
+        }
         TxLog.replace(spark, dedupedZone,
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema),
-          meta = Map("schema.ddl" -> docSchema.toDDL)): Unit
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], handOff),
+          meta = Map("schema.ddl" -> handOff.toDDL)): Unit
+      }
 
     /** Drain all currently-available input through BOTH hops (the
       * AvailableNow form — also the restart path: state resumes from
       * the checkpoints, the zone hand-off dedups by batch id). */
-    def runOnce(docs: DataFrame): Unit = {
+    def runOnce(docs: DataFrame): Unit = { runOnceTimed(docs); () }
+
+    /** [[runOnce]] returning per-hop wall seconds (`textual`, and
+      * `semantic` when that tier is configured) — the bench protocol's
+      * tracked streamlake entries (round-15 directive #6). */
+    def runOnceTimed(docs: DataFrame): Seq[(String, Double)] = {
       ensureStateStore()
       primeDedupedZone(docs.schema)
+      val t0 = System.nanoTime()
       val q1 = textualStream(docs).writeStream
         .option("checkpointLocation", ckpt("textual"))
         .outputMode("append").trigger(Trigger.AvailableNow())
         .foreachBatch(textualSink).start()
       q1.awaitTermination()
-      spec.semantic.foreach { sem =>
+      val hop1 = (System.nanoTime() - t0) / 1e9
+      val hop2 = spec.semantic.map { sem =>
+        val t1 = System.nanoTime()
         val q2 = semanticStream(sem).writeStream
           .option("checkpointLocation", ckpt("semantic"))
           .outputMode("append").trigger(Trigger.AvailableNow())
           .foreachBatch(semanticSink).start()
         q2.awaitTermination()
+        (System.nanoTime() - t1) / 1e9
       }
+      Seq("textual" -> hop1) ++ hop2.map("semantic" -> _)
     }
 
     /** Run continuously on the configured micro-batch interval; hop 2

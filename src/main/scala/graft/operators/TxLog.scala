@@ -1886,10 +1886,16 @@ object TxLog {
       batchId = None)
       .getOrElse(sys.error("unreachable: merge without a batchId never skips"))
 
+  /** [[mergeImpl]] with `opCol`: change rows marked `"D"` in that column
+    * are TOMBSTONES — their keys' target rows are removed and nothing is
+    * re-inserted; every other row upserts as in [[merge]]. The op column
+    * never lands in the zone. Same pruned-rewrite bound (files whose
+    * `key` stats overlap the batch's key range), same OCC loop. */
   private def mergeImpl(spark: SparkSession, zone: String, updates: DataFrame,
                         key: String, maxAttempts: Int,
                         prePublishHook: () => Unit,
-                        batchId: Option[Long]): Option[MergeStats] = {
+                        batchId: Option[Long],
+                        opCol: Option[String] = None): Option[MergeStats] = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val f = fs(spark, zone)
@@ -1908,6 +1914,12 @@ object TxLog {
           s"${kr.getLong(3)} distinct keys (resolve duplicates first — e.g. " +
           "Cdc.snapshot's last-writer-wins)")
       val (lo, hi) = (kr.get(0), kr.get(1))
+      // the re-insert side: tombstone rows remove their key and nothing
+      // else; the op marker itself never lands in the zone
+      val dataRows = opCol.map(c =>
+        updRows.filter(col(c) =!= "D").drop(c)).getOrElse(updRows)
+      val upsertCount =
+        if (opCol.isEmpty) kr.getLong(2) else dataRows.count()
       var attempt = 0
       while (attempt < maxAttempts) {
         val head = latest(spark, zone).getOrElse(init(spark, zone))
@@ -1925,12 +1937,12 @@ object TxLog {
           val base = zoneSchema(head).orElse(
             if (head.files.nonEmpty) Some(readSnapshot(spark, zone, head).schema)
             else None)
-          base.fold(updates.schema)(mergeSchemas(_, updates.schema))
+          base.fold(dataRows.schema)(mergeSchemas(_, dataRows.schema))
         }
         val updKeys = updRows.select(col(key)).distinct()
         val touchedDf =
           if (touched.isEmpty)
-            conform(updRows, schema).filter(lit(false))
+            conform(dataRows, schema).filter(lit(false))
           else loadFiles(spark, head, touched.map(p => zone.stripSuffix("/") + "/" + p))
         val survivors = touchedDf.join(updKeys, Seq(key), "left_anti")
         // count distinct MATCHED KEYS, not matched target rows: a zone
@@ -1941,14 +1953,14 @@ object TxLog {
         // updatedRows <= total update rows and insertedRows >= 0.)
         val updatedRows =
           updKeys.join(touchedDf.select(col(key)), Seq(key), "left_semi").count()
-        val insertedRows = kr.getLong(2) - updatedRows
+        val insertedRows = math.max(0L, upsertCount - updatedRows)
         val dataDir = new Path(root, "d-" + UUID.randomUUID().toString.take(8))
         // insert-only fast path: no touched files -> no survivors side, so
         // don't union an empty frame in (its empty write partitions would
         // become zero-row data files)
         val newData =
-          if (touched.isEmpty) conform(updRows, schema)
-          else conform(survivors, schema).unionByName(conform(updRows, schema))
+          if (touched.isEmpty) conform(dataRows, schema)
+          else conform(survivors, schema).unionByName(conform(dataRows, schema))
         toPhysical(newData, colMap(head.meta)).write
           .mode(SaveMode.ErrorIfExists).format(head.format)
           .save(dataDir.toString)
@@ -2043,6 +2055,45 @@ object TxLog {
         .select(col(key) +: (ordCol +: others).map(c => col("__w." + c).as(c)): _*)
         .select(df.columns.toSeq.map(col): _*)
       mergeExactlyOnce(df.sparkSession, zone, lww, key, batchId): Unit
+    }
+
+  /** Exactly-once keyed CHANGES: [[mergeExactlyOnce]] extended with
+    * tombstones — rows whose `opCol` value is `"D"` DELETE their key
+    * from the zone (nothing re-inserted), every other row upserts. The
+    * primitive a CDC feed with REMOVE events needs to maintain a
+    * current-state corpus: membership retracts, not just replaces. The
+    * op column never lands in the zone; changes must be unique per key
+    * (reduce to the per-key last-writer first — [[cdcChangesSink]]). */
+  def changesExactlyOnce(spark: SparkSession, zone: String, changes: DataFrame,
+                         key: String, opCol: String, batchId: Long): Boolean = {
+    val committed = latest(spark, zone).flatMap(_.meta.get("batchId")).map(_.toLong)
+    if (committed.exists(_ >= batchId)) false
+    else mergeImpl(spark, zone, changes, key, maxAttempts = 5,
+      prePublishHook = () => (), batchId = Some(batchId),
+      opCol = Some(opCol)).isDefined
+  }
+
+  /** The keyed-CDC current-state sink WITH tombstones: each micro-batch
+    * reduces to its per-key last-writer-wins CHANGE (greatest `ordCol`;
+    * the op rides the winner struct, so a key whose final event in the
+    * batch is a delete tombstones even if earlier events upserted), then
+    * applies exactly-once via [[changesExactlyOnce]]. This is
+    * [[cdcMergeSink]] for feeds where REMOVE means "leave the table",
+    * not "merge a null image" — the streaming lake's corpus-membership
+    * sink (round-15 directive #4). Same cross-batch ordering contract
+    * as [[cdcMergeSink]] (per-key order across batches — the reference
+    * transport's per-shard guarantee). */
+  def cdcChangesSink(zone: String, key: String, ordCol: String,
+                     opCol: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val others = df.columns.filterNot(c => c == key || c == ordCol).toSeq
+      val packed = df.groupBy(col(key))
+        .agg(max(struct((ordCol +: others).map(col): _*)).as("__w"))
+      val lww = packed
+        .select(col(key) +: (ordCol +: others).map(c => col("__w." + c).as(c)): _*)
+        .select(df.columns.toSeq.map(col): _*)
+      changesExactlyOnce(df.sparkSession, zone, lww, key, opCol, batchId): Unit
     }
 
   /** `deletedRows` is exact; `filesTouched` of `filesTotal` is how many

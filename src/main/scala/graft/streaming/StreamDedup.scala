@@ -155,7 +155,8 @@ object StreamDedup {
     * sf0.1 — common-stopword shingles collide docs at jaccard ~0.1);
     * here a collision is only a candidate. Chain rule as everywhere: a
     * suppressed doc still joins the claimant list. */
-  private class VerifiedClaimProcessor(horizonMs: Long, minAgree: Int)
+  private class VerifiedClaimProcessor(horizonMs: Long, minAgree: Int,
+                                       excludeSelf: Boolean)
       extends StatefulProcessor[String, SigRow, BandVerdict] {
     @transient private var seen: ListState[SigClaim] = _
 
@@ -178,7 +179,10 @@ object StreamDedup {
       val live = scala.collection.mutable.ArrayBuffer.empty[SigClaim]
       if (seen.exists()) seen.get().foreach(live += _)
       val out = sorted.map { r =>
-        val dup = live.exists(c => agrees(c.sig, r.sig))
+        // excludeSelf: a keyed feed's NEW VERSION of a doc must not be
+        // suppressed by the doc's own earlier claims (it REPLACES them)
+        val dup = live.exists(c =>
+          (!excludeSelf || c.docId != r.docId) && agrees(c.sig, r.sig))
         val me = SigClaim(r.docId, r.tsUs, r.sig)
         live += me
         seen.appendValue(me)
@@ -217,7 +221,8 @@ object StreamDedup {
                                    lateness: String, horizonMs: Long,
                                    threshold: Double,
                                    n: Int = 3, numHashes: Int = 32,
-                                   bands: Int = 16): Dataset[BandVerdict] = {
+                                   bands: Int = 16,
+                                   excludeSelf: Boolean = false): Dataset[BandVerdict] = {
     require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
@@ -248,7 +253,8 @@ object StreamDedup {
         col("ts"), col("sig"))
       .as[SigRow]
       .groupByKey(_.bk)
-      .transformWithState(new VerifiedClaimProcessor(horizonMs, minAgree),
+      .transformWithState(new VerifiedClaimProcessor(horizonMs, minAgree,
+          excludeSelf),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -76,7 +76,8 @@ object StreamSemDedup {
   private def rounded4(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private class CellProcessor(threshold: Double, horizonMs: Long)
+  private class CellProcessor(threshold: Double, horizonMs: Long,
+                              excludeSelf: Boolean)
       extends StatefulProcessor[(Long, Long), CellRow, SemVerdict] {
     @transient private var seen: ListState[Seen] = _
 
@@ -92,8 +93,11 @@ object StreamSemDedup {
       val live = scala.collection.mutable.ArrayBuffer.empty[Seen]
       if (seen.exists()) seen.get().foreach(live += _)
       val out = sorted.map { r =>
+        // excludeSelf: a keyed feed's new version of a doc must not be
+        // suppressed by the doc's own earlier in-horizon vector
         val dup = live.exists(s =>
-          rounded4(Similarity.cosineTo(s.vec, r.vec)) >= threshold)
+          (!excludeSelf || s.docId != r.docId) &&
+            rounded4(Similarity.cosineTo(s.vec, r.vec)) >= threshold)
         val me = Seen(r.docId, r.tsUs, r.vec)
         // EVERY arrival joins the block's compare set (batch rule: a
         // dropped doc still suppresses later members of its chain) and
@@ -128,7 +132,8 @@ object StreamSemDedup {
                    threshold: Double, lateness: String, horizonMs: Long,
                    idCol: String = "vec_id", tsCol: String = "ts",
                    vecCol: String = "embedding",
-                   cellMasks: Map[Long, Long] = Map.empty): Dataset[SemVerdict] = {
+                   cellMasks: Map[Long, Long] = Map.empty,
+                   excludeSelf: Boolean = false): Dataset[SemVerdict] = {
     require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
     implicit val rowEnc = Encoders.product[CellRow]
     implicit val outEnc = Encoders.product[SemVerdict]
@@ -160,7 +165,7 @@ object StreamSemDedup {
         col("ts"), col("vec"))
       .as[CellRow]
       .groupByKey(r => (r.cell, r.blk))
-      .transformWithState(new CellProcessor(threshold, horizonMs),
+      .transformWithState(new CellProcessor(threshold, horizonMs, excludeSelf),
         TimeMode.EventTime(), OutputMode.Append())
     gated.union(nulls)
   }

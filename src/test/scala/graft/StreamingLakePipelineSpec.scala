@@ -6,6 +6,7 @@ import graft.operators.TxLog
 
 object StreamingLakePipelineSpec {
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  case class CdcDoc(doc_id: Long, ts: Timestamp, text: String, op: String)
 }
 
 /** The composed STREAMING lake plan (round-14 directive #1) == the batch
@@ -376,6 +377,130 @@ class StreamingLakePipelineSpec extends SparkSpec {
     assert(streamIds === batchIds,
       s"survivor-derived masks must keep stream == batch: $streamIds vs $batchIds " +
         "(index-derived masks would block 2 and 3 apart and keep the twin)")
+  }
+
+  test("keyed-CDC mode: MODIFY replaces, REMOVE retracts, dup/gate-fail updates retract — corpus == batch snapshot->LakePlan across a restart") {
+    // round-15 directive #4: the one composition seam left — keyed
+    // upsert feeds used to route to cdcMergeSink + the batch plan by doc
+    // note. Here the README three-put sequence (one key, three images)
+    // plus a MODIFY/REMOVE wave drive StreamingLakePlan(opCol) through a
+    // full restart, and the final keyed corpus equals the batch plan run
+    // over the feed's LWW snapshot.
+    import StreamingLakePipelineSpec.CdcDoc
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_keyed").toString
+    val embZone = s"$base/emb"
+    val refKey = 864732L
+    // embeddings keyed by doc id; 10 is a planted semantic twin of 2
+    def kEmb(i: Long): Array[Float] = {
+      val src = if (i == 10L) 2L else (i % 32L)
+      Array.tabulate(8)(d =>
+        if (d >= 6) 1.0f
+        else if (((src >> d) & 1L) == 1L) 1.0f else -1.0f)
+    }
+    val embIds = (1L to 11L) :+ refKey
+    TxLog.replace(spark, embZone,
+      embIds.map(i => (i, kEmb(i))).toDF("doc_id", "embedding")
+        .select($"doc_id", $"embedding".cast("array<float>").as("embedding")))
+    // build the frozen quantizer where the batch plan expects it, so
+    // both plans gate against one index (the main equivalence spec's
+    // sharing contract, with the stream running FIRST this time)
+    val batchLakeDir = s"$base/lake"
+    val idxDir = s"$batchLakeDir/annindex"
+    graft.operators.AnnIndex.build(spark, idxDir, embZone, idCol = "doc_id")
+
+    // wave 1: the three-put sequence on the reference key + inserts
+    val wave1 = Seq(
+      CdcDoc(refKey, t(1000L), unique(50L), "INSERT"),
+      CdcDoc(refKey, t(2000L), unique(51L), "MODIFY"),
+      CdcDoc(refKey, t(3000L), unique(52L), "MODIFY")) ++
+      (1L to 9L).map(i => CdcDoc(i, t(10000L + 1000L * i), unique(i), "INSERT"))
+    // wave 2 (post-restart): every retraction class + a replace + a new
+    // insert + the planted semantic twin
+    val wave2 = Seq(
+      CdcDoc(8L, t(30000L), unique(1L), "MODIFY"), // now dups key 1 -> retract
+      CdcDoc(9L, t(31000L), "x", "MODIFY"),        // fails the gate -> retract
+      CdcDoc(7L, t(32000L), unique(7L), "REMOVE"), // tombstone
+      CdcDoc(5L, t(33000L), unique(55L), "MODIFY"),// fresh text -> replace
+      CdcDoc(10L, t(34000L), unique(10L), "INSERT"), // semantic twin of 2 -> never lands
+      CdcDoc(11L, t(35000L), unique(11L), "INSERT"))
+
+    val srcDir = s"$base/envelopes"
+    def write(docs: Seq[CdcDoc]): Unit =
+      docs.toDS().coalesce(1).write.mode("append").json(srcDir)
+    def stream() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CdcDoc]].schema)
+      .json(srcDir)
+
+    val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/streamlake", checkpointDir = s"$base/ckpt",
+      minQuality = 0.05, horizonMs = 3600L * 1000L, opCol = Some("op"),
+      semantic = Some(Pipeline.StreamingSemanticSpec(
+        embZone = Some(embZone), threshold = 0.95, indexDir = Some(idxDir)))))
+    write(wave1)
+    plan.runOnce(stream())
+    write(wave2)
+    plan.runOnce(stream()) // full restart from the checkpoints
+
+    // batch reference: the feed's LWW snapshot (REMOVE retracts) through
+    // the batch LakePlan over the same index
+    val all = wave1 ++ wave2
+    val snapshot = all.groupBy(_.doc_id).toSeq
+      .map { case (_, evs) => evs.maxBy(_.ts.getTime) }
+      .filter(_.op != "REMOVE")
+      .map(d => (d.doc_id, d.text))
+    val srcZone = s"$base/src"
+    TxLog.replace(spark, srcZone, snapshot.toDF("doc_id", "text"))
+    val batchPlan = Pipeline.plan(spark, Pipeline.LakeSpec(
+      srcZone = srcZone, lakeDir = batchLakeDir,
+      minQuality = 0.05, containment = 0.95, nearDupJaccard = 0.8,
+      semantic = Some(Pipeline.SemanticSpec(embZone, threshold = 0.95))))
+    batchPlan.run()
+    val batchRows = TxLog.read(spark, batchPlan.semDedupedZone)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+
+    val streamRows = TxLog.read(spark, plan.corpusZone)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(streamRows === batchRows,
+      s"keyed stream corpus must equal batch snapshot->LakePlan:\n$streamRows\nvs\n$batchRows")
+    // the classes, explicitly: replaced text, retractions, the twin
+    val byId = streamRows.toMap
+    assert(byId(refKey) === unique(52L), "the three-put key must hold put 3's image")
+    assert(byId(5L) === unique(55L), "a MODIFY with fresh text must replace")
+    assert(!byId.contains(7L) && !byId.contains(8L) && !byId.contains(9L) &&
+      !byId.contains(10L), "REMOVE/dup/gate-fail/semantic-twin must all retract")
+    assert(byId.contains(11L) && byId.contains(1L) && byId.contains(2L))
+    // keyed zone: exactly one row per key, and an idle re-run adds nothing
+    assert(TxLog.read(spark, plan.corpusZone).groupBy($"doc_id").count()
+      .filter($"count" > 1).count() === 0L)
+    plan.runOnce(stream())
+    assert(TxLog.read(spark, plan.corpusZone)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet === streamRows,
+      "an idle keyed re-run must not change the corpus")
+  }
+
+  test("keyed-CDC textual-only plan: changes apply straight to the keyed corpus zone") {
+    import StreamingLakePipelineSpec.CdcDoc
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_keyed_txt").toString
+    val srcDir = s"$base/envelopes"
+    val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+      opCol = Some("op")))
+    assert(plan.corpusZone !== plan.dedupedZone,
+      "keyed mode needs a keyed corpus zone distinct from the changelog")
+    Seq(
+      CdcDoc(1L, t(1000L), unique(1L), "INSERT"),
+      CdcDoc(2L, t(2000L), unique(2L), "INSERT"),
+      CdcDoc(3L, t(3000L), unique(2L), "INSERT"), // exact dup of 2 -> never lands
+      CdcDoc(1L, t(4000L), unique(12L), "MODIFY"),
+      CdcDoc(2L, t(5000L), unique(2L), "REMOVE"))
+      .toDS().coalesce(1).write.mode("append").json(srcDir)
+    plan.runOnce(spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CdcDoc]].schema)
+      .json(srcDir))
+    val got = TxLog.read(spark, plan.corpusZone)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, unique(12L))),
+      s"1 replaced, 2 removed, 3 suppressed as dup: $got")
   }
 
   test("textual-only plan (no semantic tier): the deduped zone IS the corpus zone") {

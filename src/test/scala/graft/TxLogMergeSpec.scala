@@ -228,4 +228,34 @@ class TxLogMergeSpec extends SparkSpec {
     assert(TxLog.latest(spark, zone).get.gen === genBefore)
     assert(rows(zone).size === 400)
   }
+
+  test("changesExactlyOnce: D rows tombstone their key, U rows upsert, op column never lands, replay skips") {
+    val zone = bandedZone()
+    val changes = Seq(
+      (10L, "u10", "U"),   // matched: replace
+      (20L, "x", "D"),     // matched: delete
+      (1000L, "n", "U"),   // new key: insert
+      (2000L, "x", "D")    // delete of an absent key: no-op
+    ).toDF("id", "payload", "op")
+    assert(TxLog.changesExactlyOnce(spark, zone, changes, "id", "op", batchId = 1L))
+    val r = rows(zone)
+    assert(r.size === 400, s"400 - 1 delete + 1 insert, got ${r.size}")
+    assert(r(10L) === "u10" && !r.contains(20L) && r(1000L) === "n")
+    assert(!TxLog.read(spark, zone).columns.contains("op"),
+      "the op marker must not land in the zone")
+    // replayed batch: no-op
+    val gen = TxLog.latest(spark, zone).get.gen
+    assert(!TxLog.changesExactlyOnce(spark, zone, changes, "id", "op", batchId = 1L))
+    assert(TxLog.latest(spark, zone).get.gen === gen)
+    // the sink form reduces per key to the LAST event: an upsert then a
+    // delete of the same key in one batch tombstones it
+    TxLog.cdcChangesSink(zone, "id", "seq", "op")(Seq(
+      (30L, 1L, "late", "U"), (30L, 2L, "x", "D"),
+      (40L, 1L, "x", "D"), (40L, 2L, "new40", "U")
+    ).toDF("id", "seq", "payload", "op"), 2L)
+    val r2 = TxLog.read(spark, zone).select($"id", $"payload")
+      .as[(Long, String)].collect().toMap
+    assert(!r2.contains(30L), "final event D must tombstone")
+    assert(r2(40L) === "new40", "final event U must upsert")
+  }
 }
