@@ -106,7 +106,7 @@ object Bench {
     // two components so both throttle modes register: a pure-CPU fold
     // (frequency/steal) and a real shuffle (memory/IO bandwidth); each
     // sized to land well past task-scheduling noise (~1-2 s)
-    def calibJob(): Double = (1 to 3).map { _ =>
+    def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(2000000000L)
         .selectExpr("sum(id * 3 + (id % 7)) AS s").collect()
@@ -114,9 +114,28 @@ object Bench {
         .selectExpr("(id * 2654435761) % 1000003 AS k")
         .groupBy("k").count().selectExpr("sum(count) AS s").collect()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    def calibJob(): Double = (1 to 3).map(_ => calibOnce()).min
+    // SETTLE before the PRE sample (minpass-v3, round-15 directive #3):
+    // every round-15 scale run read calib 9-21 % ABOVE calib_post because
+    // the pre sample landed in the warmup pass's GC/JIT wake — drain the
+    // wake (gc + one discarded calib run) so the pair brackets, not biases
+    System.gc()
+    calibOnce(): Unit
     val calib = calibJob()
-    System.err.println(f"[bench] calib=$calib%.3f s (fixed reference jobs, min-of-3)")
+    System.err.println(f"[bench] calib=$calib%.3f s (fixed reference jobs, min-of-3, settled)")
+    // the within-run drift PROFILE (minpass-v3, round-15 directive #2):
+    // one min-of-2 calib sample every ~50 queries INSIDE each pass
+    // (outside every per-query timed window, right after the periodic
+    // gc), so a run carries the box's speed curve rather than two
+    // endpoints. The profile holds ONLY in-pass samples: they run under
+    // inventory load (GC/JIT pressure), a consistently ~10-25 % slower
+    // regime than the settled endpoints (measured at sf0.001 on first
+    // landing), so endpoint-to-profile steps are load, not drift —
+    // within-regime consecutive steps are the drift signal, and the
+    // settled pair stays value_norm's denominator (regime-consistent
+    // with the r13/r14 graded history).
+    val calibProfile = scala.collection.mutable.ArrayBuffer.empty[Double]
     // The round-6 TxLog zones are per-(JVM, sf dir) lazy singletons, so
     // the warmup pass above only built the WARM dir's zones. Build the
     // timed dir's zones here so q156-q158 time what they claim to time —
@@ -182,6 +201,9 @@ object Bench {
         val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
         // OUTSIDE the timed window: reclaim dead checkpoint blocks
         if (i % 25 == 24) System.gc()
+        // OUTSIDE the timed window: the drift-profile sample (min-of-2
+        // so one GC spike cannot fake a drift step)
+        if (i % 50 == 49) calibProfile += math.min(calibOnce(), calibOnce())
         (name, secs, err)
       }
       if (runCompaction) qs :+ compactionEntry() else qs
@@ -275,8 +297,61 @@ object Bench {
           }
         }
     }
+    // THE COMPOSED STREAMING LAKE as tracked artifact entries (round-15
+    // directive #6: `Probe streamlake` timings were prose — the
+    // continuous path's perf is now graded round-over-round from the
+    // bench artifact like every query). Setup (zone seeding + the one
+    // frozen-quantizer index build) is untimed, like the txlog zone
+    // prebuilds above; timed entries are the two hops of a full drain
+    // over the sf dir's documents, their total, and an idle re-drain
+    // (the checkpoint-resume cost). NOT in value/qmin_total: the
+    // continuous path isn't a query-inventory entry and its wall time is
+    // trigger-shaped — but a failure still fails the bench via the
+    // errors map.
+    def streamlakeEntry(): (Seq[(String, Double)], Option[String]) = try {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bench_slake").toString
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val embZone = s"$base/emb"
+      graft.operators.TxLog.replace(spark, embZone,
+        graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"))
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(63)), d =>
+              (pmod(xxhash64(col("doc_id") * 64 + d), lit(1000)).cast("double")
+                / 1000.0 - 0.5).cast("float"))))
+      val docsDir = s"$base/docs"
+      docs.withColumn("ts", timestamp_seconds(col("doc_id")))
+        .write.parquet(docsDir)
+      val idxDir = s"$base/annindex"
+      graft.operators.AnnIndex.build(spark, idxDir, embZone, idCol = "doc_id")
+      val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+        lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+        minQuality = 0.05,
+        semantic = Some(Pipeline.StreamingSemanticSpec(
+          embZone = Some(embZone), threshold = 0.95, indexDir = Some(idxDir)))))
+      def stream() = spark.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(docsDir)
+      val hops = plan.runOnceTimed(stream())
+      val t0 = System.nanoTime()
+      plan.runOnce(stream())
+      val idle = (System.nanoTime() - t0) / 1e9
+      val survivors = graft.operators.TxLog.read(spark, plan.corpusZone).count()
+      System.err.println(f"[bench] streamlake full=${hops.map(_._2).sum}%.1f s " +
+        f"(${hops.map { case (n, s) => f"$n=$s%.1f" }.mkString(", ")}) " +
+        f"idle=$idle%.2f s survivors=$survivors")
+      (hops.map { case (n, s) => s"streamlake_$n" -> s } ++
+        Seq("streamlake_full" -> hops.map(_._2).sum,
+          "streamlake_idle" -> idle), None)
+    } catch { case e: Throwable =>
+      (Seq.empty, Some(e.toString.replaceAll("[\\s\"\\\\]+", " ").take(160)))
+    }
+    val (streamlake, streamlakeErr) =
+      if (only.isEmpty) streamlakeEntry() else (Seq.empty, None)
+
     // calib AGAIN, sampled after EVERY timed section (passes, quiet
-    // re-time — round-14 ADVICE moved it past the quiet loop): the
+    // re-time, streamlake — round-14 ADVICE moved it past the quiet loop): the
     // round-14 variance study found calib-normalized totals tight (±3 %)
     // when box state held but one run where the box moved DURING the
     // ~9-minute inventory — a single pre-pass sample can't see that.
@@ -285,7 +360,8 @@ object Bench {
     // bracket.
     val calibPost = calibJob()
     System.err.println(f"[bench] calib_post=$calibPost%.3f s")
-    val errors = allRuns.collect { case (n, _, Some(e)) => n -> e }
+    val errors = allRuns.collect { case (n, _, Some(e)) => n -> e } ++
+      streamlakeErr.map("streamlake" -> _)
     if (errors.nonEmpty)
       System.err.println(s"[bench] ERROR: ${errors.size} queries threw: " +
         errors.map(_._1).mkString(", "))
@@ -308,20 +384,23 @@ object Bench {
     val qminTotal =
       if (errors.nonEmpty) -1.0 else results.map(_._2).filter(_ >= 0).sum
     val cleanPassTotals = passTotals.filter(_ >= 0)
-    // PROTOCOL minpass-v2 (round-14 verdict directive #3): v1's headline
-    // (min of per-pass totals, a number a real end-to-end pass produced)
-    // plus (a) the compaction entry timed INSIDE every pass, so the
-    // headline and qmin_total cover the same entry set, and (b) a
-    // NORMALIZED headline `value_norm = value / pairMean(calib,
-    // calib_post)` — the box-speed-denominated number the round-14
-    // five-run study validated (state-stable runs normalize within 3 %
-    // while raw totals smeared ±10 % on one build; the pair mean is the
-    // denominator that also bounds mid-run throttle shifts). Cross-round
-    // grading reads value_norm; the raw value remains the seconds number
-    // for the within-round 2x-of-baseline budget.
+    // PROTOCOL minpass-v3 (round-15 verdict directives #2/#3): v2's
+    // headline (min of per-pass totals; compaction inside every pass;
+    // `value_norm = value / pairMean(calib, calib_post)`, its meaning
+    // unchanged for cross-round reads) plus (a) the pre calib SETTLED
+    // out of the warmup wake (gc + a discarded run — every r15 scale
+    // run's pre sample read 9-21 % high), and (b) the within-run drift
+    // PROFILE: in-pass min-of-2 calib samples every ~50 queries, with
+    // `calib_drift_max_step` = the max relative step between
+    // consecutive profile samples. Grading validity stops depending on
+    // two endpoint draws: grade value_norm when BOTH the profile max
+    // step and the pair move are under ~10 %; otherwise the profile
+    // localizes where the box moved and the min-pass raw value carries
+    // the comparison. Raw value remains the within-round 2x-budget
+    // number.
     val (total, protocol) =
-      if (errors.nonEmpty) (-1.0, "minpass-v2")
-      else if (cleanPassTotals.nonEmpty) (cleanPassTotals.min, "minpass-v2")
+      if (errors.nonEmpty) (-1.0, "minpass-v3")
+      else if (cleanPassTotals.nonEmpty) (cleanPassTotals.min, "minpass-v3")
       else {
         // every pass had an isolated hiccup that some other pass absorbed
         // (errors map empty): no clean end-to-end total exists — fall
@@ -331,9 +410,13 @@ object Bench {
         (qminTotal, "qmin-fallback")
       }
     val calibPairMean = (calib + calibPost) / 2.0
+    val driftMaxStep = calibProfile.toSeq.sliding(2).collect {
+      case scala.collection.Seq(a, b) => math.abs(b - a) / a
+    }.foldLeft(0.0)(math.max)
     val valueNorm = if (total < 0) -1.0 else total / calibPairMean
     System.err.println(f"[bench] value=$total%.1f s value_norm=$valueNorm%.1f " +
-      f"(calib pair mean $calibPairMean%.3f)")
+      f"(pair mean $calibPairMean%.3f; in-pass profile ${calibProfile.size} " +
+      f"samples, max step ${driftMaxStep * 100}%.1f%%)")
 
     // Full-precision per-query map goes to a FILE: the consumer of the
     // stdout line keeps only the last ~2000 chars of output, and 130
@@ -347,11 +430,16 @@ object Bench {
     val quietJson = quiet.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val passesJson = passTotals.mkString("[", ",", "]")
+    val profileJson = calibProfile
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
+    val streamlakeJson = streamlake
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullPath = new java.io.File("target/bench_full.json")
     fullPath.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","value_norm":$valueNorm,"calib":$calib,"calib_post":$calibPost,"qmin_total":$qminTotal,"passes":$passesJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","value_norm":$valueNorm,"calib":$calib,"calib_post":$calibPost,"calib_profile":$profileJson,"calib_drift_max_step":$driftMaxStep,"qmin_total":$qminTotal,"passes":$passesJson,"streamlake":$streamlakeJson,"queries":$fullJson,"quiet":$quietJson,"errors":$errJson,"sf":"$sfDir"}""")
     finally w.close()
     System.err.println(s"[bench] full per-query timings: ${fullPath.getAbsolutePath}")
 
@@ -442,11 +530,13 @@ object Bench {
     // number cross-round grading should read for heavy queries)
     val quietLine = quiet.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val streamlakeLine = streamlake
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","value_norm":${f3(valueNorm)},"calib":${f3(calib)},"calib_post":${f3(calibPost)},"qmin_total":${f3(qminTotal)},"passes":${
-        passTotals.map(f3).mkString("[", ",", "]")},"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","value_norm":${f3(valueNorm)},"calib":${f3(calib)},"calib_post":${f3(calibPost)},"calib_profile":$profileJson,"calib_drift_max_step":${f3(driftMaxStep)},"qmin_total":${f3(qminTotal)},"passes":${
+        passTotals.map(f3).mkString("[", ",", "]")},"streamlake":$streamlakeLine,"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
     }
     var keep = headline
     while (line(keep).length > 1700 && keep.nonEmpty) keep = keep.init

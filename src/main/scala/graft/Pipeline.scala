@@ -562,6 +562,22 @@ object Pipeline {
       textCol: String = "text",
       minQuality: Double = 0.0,
       nearDupJaccard: Double = 0.8,
+      // the streaming CONTAINMENT tier (round-16: the sf3 composed-plan
+      // divergence was measured 100 % containment-class — subset pairs
+      // have low jaccard, so no band tier can see them): a doc whose
+      // shingle intersection with some single prior in-horizon doc
+      // reaches this fraction OF ITS OWN shingles is suppressed, the
+      // batch pairStats gate's drop-the-contained-side rule applied to
+      // later arrivals. None disables the tier (hop 1's stateful input
+      // shrinks from ~|shingles| rows/doc back to bands+1). A pair whose
+      // CONTAINED side arrived first stays out of reach — batch drops it
+      // regardless of order; retraction is the keyed mode's seam — the
+      // spec-pinned irreducible online class.
+      containment: Option[Double] = Some(0.8),
+      // the batch tier's df cap analog, counted over IN-HORIZON claim
+      // instances (batch counts the whole corpus): shingles at or past
+      // the cap stop matching and stop claiming
+      containmentDfCap: Int = 1024,
       lateness: String = "10 seconds",
       horizonMs: Long = 24L * 3600L * 1000L,
       shingleN: Int = 3,
@@ -595,6 +611,9 @@ object Pipeline {
       require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
         "split weights must sum to 1")
       require(triggerSeconds > 0, s"trigger must be positive, got $triggerSeconds")
+      containment.foreach(t =>
+        require(t > 0.0 && t <= 1.0, s"containment in (0,1], got $t"))
+      require(containmentDfCap >= 2, s"containmentDfCap must be >= 2, got $containmentDfCap")
       opCol.foreach(c => require(c.nonEmpty, "opCol must be non-empty when set"))
       semantic.foreach(_.validate())
     }
@@ -667,6 +686,21 @@ object Pipeline {
       coalesce(TextAnalysis.qualityScore(
         TextAnalysis.tokens(col(spec.textCol))), lit(0.0)) < spec.minQuality
 
+    /** The containment tier's match rows for `gated` (empty when the
+      * tier is off), projected onto the hop-1 union's columns. Marker
+      * rows (`prior_id = -1`, the counted-instance denominator) ride
+      * along — [[StreamDedup.containmentSuppressed]] needs them. */
+    private def containMatches(gated: DataFrame): Option[DataFrame] =
+      spec.containment.map { _ =>
+        StreamDedup.containmentMatches(gated, spec.idCol, spec.tsCol,
+            spec.textCol, spec.lateness, spec.horizonMs, spec.shingleN,
+            spec.containmentDfCap)
+          .toDF()
+          .select(col("doc_id"), col("ts_us"),
+            lit(null).cast("boolean").as("ok"),
+            col("prior_id").as("_prior"))
+      }
+
     /** Hop 1: gate + textual claims. The payload rides a SECOND
       * stateless branch of the same source, unioned with the verdicts
       * (a doc's claim rows and its payload share a trigger), so the
@@ -690,13 +724,14 @@ object Pipeline {
             spec.tsCol, spec.textCol, spec.lateness, spec.horizonMs,
             spec.nearDupJaccard, spec.shingleN, spec.numHashes, spec.bands)
           .toDF()
-          .withColumn("_doc", lit(null).cast(gated.schema))
         val payload = gated.select(
           col(spec.idCol).cast("long").as("doc_id"),
           unix_micros(col(spec.tsCol)).as("ts_us"),
           lit(null).cast("boolean").as("ok"),
           struct(gated.columns.map(col).toIndexedSeq: _*).as("_doc"))
-        verdicts.unionByName(payload)
+        (Seq(verdicts) ++ containMatches(gated) ++ Seq(payload))
+          .map(widen(_, gated.schema, withOp = false))
+          .reduce(_.unionByName(_))
       case Some(op) =>
         val body = docs.drop(op)
         val upserts = docs.filter(col(op) =!= "REMOVE").drop(op)
@@ -711,31 +746,59 @@ object Pipeline {
             spec.nearDupJaccard, spec.shingleN, spec.numHashes, spec.bands,
             excludeSelf = true)
           .toDF()
-          .withColumn("_op", lit(null).cast("string"))
-          .withColumn("_doc", lit(null).cast(body.schema))
         def payloadOf(df: DataFrame): DataFrame = df.select(
           col(spec.idCol).cast("long").as("doc_id"),
           unix_micros(col(spec.tsCol)).as("ts_us"),
           lit(null).cast("boolean").as("ok"),
           col("_op"),
           struct(body.columns.map(col).toIndexedSeq: _*).as("_doc"))
-        verdicts.unionByName(payloadOf(upserts)).unionByName(payloadOf(removes))
+        (Seq(verdicts) ++ containMatches(gated) ++
+            Seq(payloadOf(upserts), payloadOf(removes)))
+          .map(widen(_, body.schema, withOp = true))
+          .reduce(_.unionByName(_))
+    }
+
+    /** Conform a hop-1 branch to the union's full column set (doc_id,
+      * ts_us, ok, _prior[, _op], _doc), nulling what the branch
+      * doesn't carry. */
+    private def widen(df: DataFrame,
+                      docSchema: org.apache.spark.sql.types.StructType,
+                      withOp: Boolean): DataFrame = {
+      var out = df
+      if (!out.columns.contains("_prior"))
+        out = out.withColumn("_prior", lit(null).cast("long"))
+      if (withOp && !out.columns.contains("_op"))
+        out = out.withColumn("_op", lit(null).cast("string"))
+      if (!out.columns.contains("_doc"))
+        out = out.withColumn("_doc", lit(null).cast(docSchema))
+      out
+    }
+
+    /** First-seen (doc_id, ts_us) pairs of a hop-1 batch: every band/md5
+      * claim ok AND not containment-suppressed. */
+    private def textualKeep(df: DataFrame): DataFrame = {
+      val v = df.filter(col("_doc").isNull && col("_prior").isNull)
+        .select("doc_id", "ts_us", "ok")
+      val keep0 = StreamDedup.firstSeen(v)
+      spec.containment.fold(keep0) { t =>
+        val cm = df.filter(col("_prior").isNotNull)
+          .select(col("doc_id"), col("ts_us"), col("_prior").as("prior_id"))
+        keep0.join(StreamDedup.containmentSuppressed(cm, t),
+          Seq("doc_id", "ts_us"), "left_anti")
+      }
     }
 
     private def textualSink: (DataFrame, Long) => Unit = (df, batchId) => spec.opCol match {
       case None =>
-        val v = df.filter(col("_doc").isNull).select("doc_id", "ts_us", "ok")
         val p = df.filter(col("_doc").isNotNull).select(col("_doc.*"))
-        val keep = StreamDedup.firstSeen(v).select(col("doc_id").as(spec.idCol))
+        val keep = textualKeep(df).select(col("doc_id").as(spec.idCol))
         val survivors = p.join(keep, Seq(spec.idCol), "left_semi")
         TxLog.exactlyOnceAppend(df.sparkSession, dedupedZone, survivors, batchId): Unit
       case Some(_) =>
         // resolve each event's op: a candidate upsert stays "U" iff its
         // (doc, ts) passed every claim; everything else retracts
-        val v = df.filter(col("_doc").isNull && col("_op").isNull)
-          .select("doc_id", "ts_us", "ok")
         val p = df.filter(col("_doc").isNotNull).select(col("_op"), col("_doc.*"))
-        val keep = StreamDedup.firstSeen(v)
+        val keep = textualKeep(df)
           .select(col("doc_id").as("_k_id"), col("ts_us").as("_k_ts"),
             lit(true).as("_kept"))
         val bodyCols = p.columns.filterNot(_ == "_op").toSeq

@@ -306,7 +306,7 @@ object Probe {
     // measured size of the documented online-dedup deviations
     // (first-arrival representative choice, claim-without-verify,
     // containment order) on real text, beside the wall times.
-    case "streamlake" :: sfDir :: Nil =>
+    case "streamlake" :: sfDir :: rest =>
       import org.apache.spark.sql.functions._
       val spark = GraftSession.get()
       spark.sparkContext.setLogLevel("WARN")
@@ -335,8 +335,17 @@ object Probe {
       val docsDir = s"$base/docs"
       docs.withColumn("ts", timestamp_seconds(col("doc_id")))
         .write.parquet(docsDir)
+      // the stream's containment tier at the batch plan's threshold and
+      // (approximately) its adaptive df cap — batch derives the cap over
+      // exact-tier survivors, the probe over the raw corpus; equal on
+      // the checked dirs' ladder steps
+      val dfCap = graft.operators.Dedup
+        .adaptiveShingleDfCap(docs, "doc_id", "text")
+      System.err.println(s"[probe] streamlake containment dfCap=$dfCap")
       val sSpec = Pipeline.StreamingLakeSpec(lakeDir = s"$base/streamlake",
         checkpointDir = s"$base/ckpt", minQuality = 0.05,
+        containment = Some(bSpec.containment),
+        containmentDfCap = dfCap.toInt,
         semantic = Some(Pipeline.StreamingSemanticSpec(
           embZone = Some(embZone), threshold = 0.95,
           indexDir = Some(bPlan.annIndexDir))))
@@ -355,6 +364,84 @@ object Probe {
         f"stream=${streamIds.size}%d onlyBatch=${(batchIds -- streamIds).size}%d " +
         f"onlyStream=${(streamIds -- batchIds).size}%d " +
         f"batchSecs=$batchSecs%.1f streamSecs=$streamSecs%.1f idleSecs=$idleSecs%.2f")
+      // ATTRIBUTION of the under-drop (stream kept, batch dropped —
+      // round-15 directive #1): re-derive each batch tier from the
+      // staged zones and split the divergent set into
+      //   exact/containment/semantic — tiers the stream's textual claim
+      //     cannot (containment) or does not here (semantic order) mirror
+      //   estimator — d has a DIRECT exact-jaccard >= t pair with an
+      //     earlier doc, but every such pair's MinHash estimate sits
+      //     under the claim tier's agreement cutoff (the
+      //     estimate-vs-exact straddle class; fix = more hashes)
+      //   closure — d's every direct pair is with a LATER doc; batch
+      //     drops it through component closure (irreducible online)
+      //   uncaught — earlier direct pair with estimate >= cutoff (a
+      //     sanity class; should be ~0)
+      if (rest.contains("attrib")) {
+        import graft.operators.{Dedup, TxLog}
+        val t = bSpec.nearDupJaccard
+        val estCut = math.ceil(t * 32).toInt / 32.0 // the stream's 32-hash agreement cutoff
+        val under = (streamIds -- batchIds).toSeq.toDF("doc_id")
+          .localCheckpoint(true)
+        val gated = TxLog.read(spark, bPlan.gatedZone)
+        val canon = Dedup.exactGroups(gated, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val exactSurv = gated.join(canon, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val stx = Dedup.pairStatsAdaptive(exactSurv, "doc_id", "text")
+        val caC = round(col("inter").cast("double") / col("n_a"), 4)
+        val cbC = round(col("inter").cast("double") / col("n_b"), 4)
+        val cT = bSpec.containment
+        val contained = stx.select(
+          when(caC >= cT && (cbC < cT || col("a_id") > col("b_id")), col("a_id"))
+            .when(cbC >= cT, col("b_id")).as("doc_id"))
+          .filter(col("doc_id").isNotNull).distinct()
+          .localCheckpoint(true)
+        val textualSurv = TxLog.read(spark, bPlan.dedupedZone).select("doc_id")
+        val nExact = under.join(exactSurv.select("doc_id"), Seq("doc_id"), "left_anti").count()
+        val nCont = under.join(contained, Seq("doc_id"), "left_semi").count()
+        // split the containment class by ONLINE catchability: a stream
+        // can suppress the contained side only when its container
+        // arrived earlier (id order here) — the other direction needs
+        // retraction, the irreducible online class
+        val dropPair = stx.select(
+          when(caC >= cT && (cbC < cT || col("a_id") > col("b_id")),
+            struct(col("a_id").as("dropped"), col("b_id").as("container")))
+            .when(cbC >= cT,
+              struct(col("b_id").as("dropped"), col("a_id").as("container")))
+            .as("p"))
+          .filter(col("p").isNotNull).select(col("p.*"))
+        val underCont = under.join(contained, Seq("doc_id"), "left_semi")
+        val catchable = dropPair
+          .join(underCont.select(col("doc_id").as("dropped")), Seq("dropped"), "left_semi")
+          .groupBy(col("dropped"))
+          .agg(min(col("container")).as("minC"))
+          .filter(col("minC") < col("dropped")).count()
+        val nSem = under.join(textualSurv, Seq("doc_id"), "left_semi").count()
+        val underMh = under
+          .join(textualSurv, Seq("doc_id"), "left_anti")
+          .join(contained, Seq("doc_id"), "left_anti")
+          .join(exactSurv.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val postCont = exactSurv.join(contained, Seq("doc_id"), "left_anti")
+        // every LSH candidate's estimate beside its exact jaccard, kept
+        // only at exact >= t (the batch pair relation), partner earlier
+        val pairs = Dedup.minhashEstimatePairs(postCont, "doc_id", "text")
+          .filter(col("jaccard") >= t)
+        val estMax = pairs
+          .join(underMh.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+          .groupBy(col("b_id").as("doc_id"))
+          .agg(max(col("est_jaccard")).as("maxEst"))
+          .localCheckpoint(true)
+        val nMh = underMh.count()
+        val nEst = estMax.filter(col("maxEst") < estCut).count()
+        val nUncaught = estMax.filter(col("maxEst") >= estCut).count()
+        val nClosure = nMh - nEst - nUncaught
+        println(f"streamlake-attrib dir=$sfDir underDrop=${(streamIds -- batchIds).size}%d " +
+          f"exact=$nExact cont=$nCont [contCatchable=$catchable " +
+          f"contIrreducible=${nCont - catchable}] sem=$nSem minhash=$nMh " +
+          f"[estimator=$nEst closure=$nClosure uncaught=$nUncaught] estCut=$estCut%.4f")
+      }
       spark.stop()
 
     // q187's scale contract (round-8 directive #6): the df-capped

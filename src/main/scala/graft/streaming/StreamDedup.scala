@@ -258,6 +258,149 @@ object StreamDedup {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One exploded shingle-claim row: shingle hash, document, event
+    * time (multiset semantics — the batch [[Dedup.shingleIndex]]
+    * explodes without dedup, so `n_a`/`inter` count instances there
+    * too). */
+  case class ShingleRow(sk: Long, docId: Long, tsUs: Long, ts: Timestamp)
+
+  /** One containment row. `prior_id >= 0`: the arriving doc matched
+    * that prior in-horizon claim instance of the same shingle.
+    * `prior_id = -1`: a COUNTED-INSTANCE marker — this shingle instance
+    * entered the doc's containment DENOMINATOR (it was under the df
+    * cap at arrival), mirroring the batch tier where `n_a` counts only
+    * CAPPED index rows. Reduce with [[containmentSuppressed]]. */
+  case class ContainMatch(doc_id: Long, ts_us: Long, prior_id: Long)
+
+  private[streaming] case class SClaim(docId: Long, tsUs: Long)
+
+  /** The streaming CONTAINMENT tier's claim processor (round-16: the
+    * sf3 under-drop attribution measured the composed stream's entire
+    * 2.2 % divergence as CONTAINMENT-class — low-jaccard subset pairs
+    * never collide in LSH bands, so no band tier can mirror the batch
+    * `pairStats` containment gate): state per shingle hash is the list
+    * of its in-horizon claim instances, and each arrival emits one
+    * match row per prior instance — the sink counts matches per
+    * (doc, prior) to rebuild `inter` and compares against the doc's own
+    * shingle count, exactly the batch `ca = inter / n_a` arithmetic.
+    *
+    * The batch tier's df cap (a shingle with df > cap contributes NO
+    * pairs) becomes an in-horizon cap: once a shingle's live instance
+    * count reaches `dfCap` it stops emitting AND stops appending (state
+    * stays bounded at dfCap rows per hot shingle). Two documented
+    * approximations vs batch: matches already emitted before a shingle
+    * went hot cannot be retracted, and the cap counts IN-HORIZON
+    * instances where batch counts the whole corpus. */
+  private class ContainProcessor(horizonMs: Long, dfCap: Int)
+      extends StatefulProcessor[Long, ShingleRow, ContainMatch] {
+    @transient private var seen: ListState[SClaim] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[SClaim]("seen",
+        Encoders.product[SClaim], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ShingleRow],
+                                 timers: TimerValues): Iterator[ContainMatch] = {
+      val sorted = rows.toArray.sortBy(r => (r.tsUs, r.docId))
+      val live = scala.collection.mutable.ArrayBuffer.empty[SClaim]
+      if (seen.exists()) seen.get().foreach(live += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[ContainMatch]
+      var appended = false
+      var maxTsUs = Long.MinValue
+      sorted.foreach { r =>
+        if (live.size < dfCap) {
+          // the instance enters the doc's DENOMINATOR (batch: n_a counts
+          // capped index rows only)...
+          out += ContainMatch(r.docId, r.tsUs, -1L)
+          // ...and matches every prior claim instance; same-doc never
+          // matches (batch: a.doc_id < b.doc_id), which in keyed mode
+          // also exempts a doc's own earlier version
+          live.foreach { c =>
+            if (c.docId != r.docId)
+              out += ContainMatch(r.docId, r.tsUs, c.docId)
+          }
+          live += SClaim(r.docId, r.tsUs)
+          seen.appendValue(SClaim(r.docId, r.tsUs))
+          appended = true
+          if (r.tsUs > maxTsUs) maxTsUs = r.tsUs
+        }
+      }
+      // ONE timer per (key, trigger), at the latest appended instance's
+      // horizon (per-instance timers measured as a dominant RocksDB
+      // write cost at sf3) — expiry prunes everything due and re-arms
+      // for the earliest survivor
+      if (appended) getHandle.registerTimer(maxTsUs / 1000L + horizonMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ContainMatch] = {
+      val cutoff = info.getExpiryTimeInMs()
+      val keep = seen.get()
+        .filter(s => s.tsUs / 1000L + horizonMs > cutoff).toArray
+      if (keep.isEmpty) seen.clear()
+      else {
+        seen.put(keep)
+        getHandle.registerTimer(keep.map(_.tsUs).min / 1000L + horizonMs)
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming containment matches (append mode, RocksDB state store):
+    * one row per (arriving doc's shingle instance × prior in-horizon
+    * claim instance of that shingle). The stateful input is
+    * ~|shingles| rows per doc — the same order as the batch tier's
+    * inverted-index shuffle, and an order of magnitude above the band
+    * tier's (bands+1) rows, which is why the composed plan exposes
+    * this tier behind its own knob. Suppression cannot reach a pair
+    * whose CONTAINED side arrived first (batch drops it regardless of
+    * order) — the irreducible online class, measured and spec-pinned. */
+  def containmentMatches(docs: DataFrame, idCol: String, tsCol: String,
+                         textCol: String, lateness: String, horizonMs: Long,
+                         n: Int = 3, dfCap: Int = 1024): Dataset[ContainMatch] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    implicit val rowEnc = Encoders.product[ShingleRow]
+    implicit val outEnc = Encoders.product[ContainMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    docs
+      .select(col(idCol).as("docId"), col(tsCol).as("ts"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("docId"), col("ts"),
+        TextAnalysis.shingles(col("toks"), n).as("sh"))
+      // exchange barrier before the explode (the lshCandidates lesson):
+      // Generate would otherwise re-derive the shingle array per
+      // reference (size + every output row)
+      .repartition(col("docId"))
+      .withWatermark("ts", lateness)
+      .select(col("docId"), col("ts"), explode(col("sh")).as("s"))
+      .select(xxhash64(col("s")).as("sk"), col("docId"),
+        unix_micros(col("ts")).as("tsUs"), col("ts"))
+      .as[ShingleRow]
+      .groupByKey(_.sk)
+      .transformWithState(new ContainProcessor(horizonMs, dfCap),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Reduce [[containmentMatches]] to the suppressed (doc_id, ts_us)
+    * set: a doc is containment-suppressed iff its match count with some
+    * single prior doc reaches `threshold` of its own COUNTED instance
+    * total — `round(inter / n, 4) >= t` with both sides under the df
+    * cap, the batch tier's arithmetic (n_a counts capped index rows).
+    * Batch-side in the sink (a doc's rows share its trigger). */
+  def containmentSuppressed(matches: DataFrame, threshold: Double): DataFrame = {
+    val denom = matches.filter(col("prior_id") === -1L)
+      .groupBy(col("doc_id"), col("ts_us")).agg(count(lit(1)).as("n"))
+    matches.filter(col("prior_id") =!= -1L)
+      .groupBy(col("doc_id"), col("ts_us"), col("prior_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(denom, Seq("doc_id", "ts_us"))
+      .filter(round(col("inter").cast("double") / col("n"), 4) >= threshold)
+      .select("doc_id", "ts_us").distinct()
+  }
+
   /** The shared claim tail: watermark the exploded claim rows and run
     * the per-key first-claim processor. */
   private def claimVerdicts(rows: DataFrame, lateness: String,

@@ -503,6 +503,65 @@ class StreamingLakePipelineSpec extends SparkSpec {
       s"1 replaced, 2 removed, 3 suppressed as dup: $got")
   }
 
+  test("streaming containment tier: subset of an EARLIER doc drops (== batch); contained-arrived-first is the pinned irreducible class") {
+    // round-16 (the round-15 directive-#1 attribution): the composed
+    // stream's entire sf3 under-drop measured CONTAINMENT-class — subset
+    // pairs have low jaccard, so no band tier sees them. The shingle-
+    // claim tier closes the pairs whose container arrived first (886 of
+    // 3,036 at sf3); the other direction needs retraction — batch drops
+    // the contained side regardless of order — and is pinned here as the
+    // irreducible online class.
+    val base = java.nio.file.Files.createTempDirectory("graft_slake_cont").toString
+    def sup(i: Long): String =
+      unique(i) + " " + (0 until 20).map(j => s"x${i}e$j").mkString(" ")
+    // 1 ⊃ 2 with the superset EARLIER (catchable: 2 drops both sides);
+    // 3 ⊂ 4 with the contained doc EARLIER (irreducible: batch drops 3,
+    // the stream cannot). Shingle jaccard of each pair ≈ 0.47 — far
+    // below the 0.8 band threshold, so containment is the only tier
+    // that can fire.
+    def txt(i: Long): String = i match {
+      case 1L => sup(30L)
+      case 2L => unique(30L)
+      case 3L => unique(31L)
+      case 4L => sup(31L)
+      case x => unique(x)
+    }
+    val ids = 0L until 6L
+    val srcZone = s"$base/src"
+    TxLog.replace(spark, srcZone, ids.map(i => (i, txt(i))).toDF("doc_id", "text"))
+    val batchPlan = Pipeline.plan(spark, Pipeline.LakeSpec(
+      srcZone = srcZone, lakeDir = s"$base/lake",
+      minQuality = 0.0, containment = 0.95, nearDupJaccard = 0.8))
+    batchPlan.run()
+    val batchIds = TxLog.read(spark, batchPlan.dedupedZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchIds === ids.toSet -- Set(2L, 3L),
+      s"batch drops the contained side of both pairs: $batchIds")
+
+    val srcDir = s"$base/docs"
+    def writeSlice(slice: Seq[Long]): Unit =
+      slice.map(i => Doc(i, t(1000L * (i + 1)), txt(i)))
+        .toDS().coalesce(1).write.mode("append").json(srcDir)
+    def stream() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .json(srcDir)
+    val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+      lakeDir = s"$base/streamlake", checkpointDir = s"$base/ckpt",
+      containment = Some(0.95), horizonMs = 3600L * 1000L))
+    // superset 1 lands BEFORE the restart; its subset 2 arrives after —
+    // the suppression crosses the checkpoint through shingle-claim state
+    writeSlice(Seq(0L, 1L, 3L))
+    plan.runOnce(stream())
+    writeSlice(Seq(2L, 4L, 5L))
+    plan.runOnce(stream())
+    val streamIds = TxLog.read(spark, plan.corpusZone)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamIds === ids.toSet - 2L,
+      s"the stream drops 2 (container seen first) and keeps 3: $streamIds")
+    assert((streamIds -- batchIds) === Set(3L),
+      "the irreducible class is exactly the contained-arrived-first doc")
+  }
+
   test("textual-only plan (no semantic tier): the deduped zone IS the corpus zone") {
     val base = java.nio.file.Files.createTempDirectory("graft_slake_txt").toString
     val srcDir = s"$base/docs"
