@@ -437,8 +437,39 @@ object Probe {
         val nEst = estMax.filter(col("maxEst") < estCut).count()
         val nUncaught = estMax.filter(col("maxEst") >= estCut).count()
         val nClosure = nMh - nEst - nUncaught
+        // split the CATCHABLE class by cap SCOPE (round-16): the batch
+        // drop came from df-CAPPED stats whose cap is a corpus-global
+        // solve (final df of every shingle, including arrivals the
+        // stream hasn't seen when it must rule). Re-check each catchable
+        // pair UNCAPPED (pair-local, so computing on the pair-doc subset
+        // is exact): `streamMiss` = some earlier container reaches the
+        // threshold on FULL shingle sets — a tier the stream should
+        // catch; `capScope` = only the capped metric reaches it — batch
+        // is using knowledge of arrivals AFTER the doc (online-
+        // irreducible without corpus-global df state).
+        val catchPairs = dropPair
+          .join(underCont.select(col("doc_id").as("dropped")), Seq("dropped"), "left_semi")
+          .filter(col("container") < col("dropped"))
+          .localCheckpoint(true)
+        val pairDocs = catchPairs.select(col("dropped").as("doc_id"))
+          .union(catchPairs.select(col("container").as("doc_id"))).distinct()
+        val stxU = Dedup.pairStats(
+          exactSurv.join(pairDocs, Seq("doc_id"), "left_semi"),
+          "doc_id", "text")
+        val ucaC = round(col("inter").cast("double") / col("n_a"), 4)
+        val ucbC = round(col("inter").cast("double") / col("n_b"), 4)
+        val ucPair = stxU.select(col("a_id").as("dropped"),
+            col("b_id").as("container"), ucaC.as("c"))
+          .unionByName(stxU.select(col("b_id").as("dropped"),
+            col("a_id").as("container"), ucbC.as("c")))
+        val maxU = catchPairs.join(ucPair, Seq("dropped", "container"), "left")
+          .groupBy("dropped")
+          .agg(max(coalesce(col("c"), lit(0.0))).as("maxU"))
+        val nStreamMiss = maxU.filter(col("maxU") >= cT).count()
+        val nCapScope = maxU.filter(col("maxU") < cT).count()
         println(f"streamlake-attrib dir=$sfDir underDrop=${(streamIds -- batchIds).size}%d " +
           f"exact=$nExact cont=$nCont [contCatchable=$catchable " +
+          f"(streamMiss=$nStreamMiss capScope=$nCapScope) " +
           f"contIrreducible=${nCont - catchable}] sem=$nSem minhash=$nMh " +
           f"[estimator=$nEst closure=$nClosure uncaught=$nUncaught] estCut=$estCut%.4f")
       }

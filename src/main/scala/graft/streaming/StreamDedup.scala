@@ -390,16 +390,20 @@ object StreamDedup {
     * total — `round(inter / n, 4) >= t` with both sides under the df
     * cap, the batch tier's arithmetic (n_a counts capped index rows).
     * Batch-side in the sink (a doc's rows share its trigger). */
-  def containmentSuppressed(matches: DataFrame, threshold: Double): DataFrame = {
-    val denom = matches.filter(col("prior_id") === -1L)
-      .groupBy(col("doc_id"), col("ts_us")).agg(count(lit(1)).as("n"))
-    matches.filter(col("prior_id") =!= -1L)
+  def containmentSuppressed(matches: DataFrame, threshold: Double): DataFrame =
+    matches
       .groupBy(col("doc_id"), col("ts_us"), col("prior_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(denom, Seq("doc_id", "ts_us"))
-      .filter(round(col("inter").cast("double") / col("n"), 4) >= threshold)
-      .select("doc_id", "ts_us").distinct()
-  }
+      .agg(count(lit(1)).as("c"))
+      // one more local agg instead of a denominator self-join (a raw
+      // self-join on the same foreachBatch/memory lineage hits
+      // conflicting-reference resolution): n = marker total, the tier
+      // fires on the doc's BEST single prior
+      .groupBy(col("doc_id"), col("ts_us"))
+      .agg(sum(when(col("prior_id") === -1L, col("c")).otherwise(0L)).as("n"),
+        max(when(col("prior_id") =!= -1L, col("c"))).as("max_inter"))
+      .filter(col("max_inter").isNotNull && col("n") > 0L &&
+        round(col("max_inter").cast("double") / col("n"), 4) >= threshold)
+      .select("doc_id", "ts_us")
 
   /** The shared claim tail: watermark the exploded claim rows and run
     * the per-key first-claim processor. */

@@ -132,4 +132,50 @@ class StreamDedupSpec extends SparkSpec {
       assert(stateRows <= 48L, s"state grew past the horizon bound: $stateRows")
     }
   }
+
+  test("containment cap-scope class: batch's corpus-global df cap drops a doc no arrival-prefix scope can") {
+    // The sf3 attribution's second irreducible class (round 16): the
+    // batch tier caps shingles by their FINAL corpus df — a statistic
+    // that includes arrivals AFTER the doc the stream must rule on.
+    // Fixture: B's rare shingles are contained in the earlier A at
+    // 28/30 = 0.933, but B also carries hot shingle (h1 h2 h3) whose
+    // corpus df is 3 (> cap 2) only because E and F arrive LATER. Batch
+    // (cap 2) excludes the hot shingle -> 0.933 >= t drops B; the
+    // stream at B's arrival has seen zero h-instances, counts it ->
+    // 28/31 = 0.903 < t keeps B. The UNCAPPED ratio is also 0.903, so
+    // no arrival-prefix cap scope can mirror the batch verdict — the
+    // divergence needs the future, not a better tier.
+    implicit val sq = spark.sqlContext
+    val ts = 0.92
+    val aToks = (1 to 32).map(i => s"a$i")
+    val docs = Seq(
+      Doc(1L, t(1000), aToks.mkString(" ")),
+      Doc(2L, t(2000), (aToks.take(30) ++ Seq("h1", "h2", "h3")).mkString(" ")),
+      Doc(3L, t(3000), "e1 e2 h1 h2 h3 e3 e4"),
+      Doc(4L, t(4000), "f1 f2 h1 h2 h3 f3 f4"))
+    import graft.operators.Dedup
+    val capped = Dedup.pairStats(docs.toDF(), "docId", "text", n = 3,
+      maxShingleDf = 2L)
+    val cb = round(col("inter").cast("double") / col("n_b"), 4)
+    val batchDrops = capped
+      .filter(col("a_id") === 1L && col("b_id") === 2L && cb >= ts).count()
+    assert(batchDrops === 1L, "the capped batch metric must drop B (0.933 >= t)")
+    val uncapped = Dedup.pairStats(docs.toDF(), "docId", "text", n = 3)
+      .filter(col("a_id") === 1L && col("b_id") === 2L && cb >= ts).count()
+    assert(uncapped === 0L, "the uncapped ratio (0.903) must NOT reach t")
+    val suppressed = withRocksDb {
+      val mem = MemoryStream[Doc]
+      val q = StreamDedup.containmentMatches(mem.toDF(), "docId", "ts",
+          "text", lateness = "10 seconds", horizonMs = 3600L * 1000L,
+          n = 3, dfCap = 2)
+        .toDF()
+        .writeStream.format("memory").queryName("sdcap").outputMode("append").start()
+      mem.addData(docs); q.processAllAvailable()
+      q.stop()
+      StreamDedup.containmentSuppressed(spark.table("sdcap"), ts)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(suppressed === Set.empty[Long],
+      s"the stream (arrival-prefix cap) keeps B — pinned cap-scope class: $suppressed")
+  }
 }
