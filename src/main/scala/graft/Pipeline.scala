@@ -687,9 +687,10 @@ object Pipeline {
         TextAnalysis.tokens(col(spec.textCol))), lit(0.0)) < spec.minQuality
 
     /** The containment tier's match rows for `gated` (empty when the
-      * tier is off), projected onto the hop-1 union's columns. Marker
-      * rows (`prior_id = -1`, the counted-instance denominator) ride
-      * along — [[StreamDedup.containmentSuppressed]] needs them. */
+      * tier is off), projected onto the hop-1 union's columns: one row
+      * per counted shingle instance, its matches in the `_priors` array
+      * (leading -1 self-marker = the denominator count —
+      * [[StreamDedup.containmentSuppressed]] rebuilds both from it). */
     private def containMatches(gated: DataFrame): Option[DataFrame] =
       spec.containment.map { _ =>
         StreamDedup.containmentMatches(gated, spec.idCol, spec.tsCol,
@@ -698,7 +699,7 @@ object Pipeline {
           .toDF()
           .select(col("doc_id"), col("ts_us"),
             lit(null).cast("boolean").as("ok"),
-            col("prior_id").as("_prior"))
+            col("priors").as("_priors"))
       }
 
     /** Hop 1: gate + textual claims. The payload rides a SECOND
@@ -759,14 +760,14 @@ object Pipeline {
     }
 
     /** Conform a hop-1 branch to the union's full column set (doc_id,
-      * ts_us, ok, _prior[, _op], _doc), nulling what the branch
+      * ts_us, ok, _priors[, _op], _doc), nulling what the branch
       * doesn't carry. */
     private def widen(df: DataFrame,
                       docSchema: org.apache.spark.sql.types.StructType,
                       withOp: Boolean): DataFrame = {
       var out = df
-      if (!out.columns.contains("_prior"))
-        out = out.withColumn("_prior", lit(null).cast("long"))
+      if (!out.columns.contains("_priors"))
+        out = out.withColumn("_priors", lit(null).cast("array<long>"))
       if (withOp && !out.columns.contains("_op"))
         out = out.withColumn("_op", lit(null).cast("string"))
       if (!out.columns.contains("_doc"))
@@ -777,12 +778,12 @@ object Pipeline {
     /** First-seen (doc_id, ts_us) pairs of a hop-1 batch: every band/md5
       * claim ok AND not containment-suppressed. */
     private def textualKeep(df: DataFrame): DataFrame = {
-      val v = df.filter(col("_doc").isNull && col("_prior").isNull)
+      val v = df.filter(col("_doc").isNull && col("_priors").isNull)
         .select("doc_id", "ts_us", "ok")
       val keep0 = StreamDedup.firstSeen(v)
       spec.containment.fold(keep0) { t =>
-        val cm = df.filter(col("_prior").isNotNull)
-          .select(col("doc_id"), col("ts_us"), col("_prior").as("prior_id"))
+        val cm = df.filter(col("_priors").isNotNull)
+          .select(col("doc_id"), col("ts_us"), col("_priors").as("priors"))
         keep0.join(StreamDedup.containmentSuppressed(cm, t),
           Seq("doc_id", "ts_us"), "left_anti")
       }

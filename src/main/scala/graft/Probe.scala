@@ -353,8 +353,10 @@ object Probe {
       def stream() = spark.readStream
         .schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(docsDir)
       val ts0 = System.nanoTime()
-      sPlan.runOnce(stream())
+      val hopSecs = sPlan.runOnceTimed(stream())
       val streamSecs = (System.nanoTime() - ts0) / 1e9
+      System.err.println("[probe] streamlake hops: " +
+        hopSecs.map { case (n, s) => f"$n=$s%.1f s" }.mkString(", "))
       val streamIds = graft.operators.TxLog.read(spark, sPlan.corpusZone)
         .select(col("doc_id")).as[Long].collect().toSet
       val ti0 = System.nanoTime()

@@ -264,13 +264,18 @@ object StreamDedup {
     * too). */
   case class ShingleRow(sk: Long, docId: Long, tsUs: Long, ts: Timestamp)
 
-  /** One containment row. `prior_id >= 0`: the arriving doc matched
-    * that prior in-horizon claim instance of the same shingle.
-    * `prior_id = -1`: a COUNTED-INSTANCE marker — this shingle instance
-    * entered the doc's containment DENOMINATOR (it was under the df
-    * cap at arrival), mirroring the batch tier where `n_a` counts only
-    * CAPPED index rows. Reduce with [[containmentSuppressed]]. */
-  case class ContainMatch(doc_id: Long, ts_us: Long, prior_id: Long)
+  /** One COUNTED shingle instance of a doc (it was under the df cap at
+    * arrival, so it enters the containment DENOMINATOR — mirroring the
+    * batch tier where `n_a` counts only CAPPED index rows). `priors`
+    * leads with a `-1` self-marker, then one element per prior
+    * in-horizon claim instance of the same shingle the arrival matched.
+    * One array row per instance instead of one scalar row per (marker +
+    * match) keeps the stateful operator's output-encoder path at
+    * ~|shingles| rows while the candidate volume (the batch capped
+    * join's Σ C(df,2)) explodes downstream in whole-stage codegen —
+    * measured 274→183 s on the sf3 textual hop (stream/batch within-run
+    * ratio 4.3×→2.4×). Reduce with [[containmentSuppressed]]. */
+  case class ContainMatch(doc_id: Long, ts_us: Long, priors: Array[Long])
 
   private[streaming] case class SClaim(docId: Long, tsUs: Long)
 
@@ -305,31 +310,34 @@ object StreamDedup {
       val live = scala.collection.mutable.ArrayBuffer.empty[SClaim]
       if (seen.exists()) seen.get().foreach(live += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[ContainMatch]
-      var appended = false
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[SClaim]
       var maxTsUs = Long.MinValue
       sorted.foreach { r =>
         if (live.size < dfCap) {
           // the instance enters the doc's DENOMINATOR (batch: n_a counts
-          // capped index rows only)...
-          out += ContainMatch(r.docId, r.tsUs, -1L)
-          // ...and matches every prior claim instance; same-doc never
-          // matches (batch: a.doc_id < b.doc_id), which in keyed mode
-          // also exempts a doc's own earlier version
+          // capped index rows only) — the leading -1 self-marker — and
+          // matches every prior claim instance; same-doc never matches
+          // (batch: a.doc_id < b.doc_id), which in keyed mode also
+          // exempts a doc's own earlier version
+          val priors = Array.newBuilder[Long]
+          priors += -1L
           live.foreach { c =>
-            if (c.docId != r.docId)
-              out += ContainMatch(r.docId, r.tsUs, c.docId)
+            if (c.docId != r.docId) priors += c.docId
           }
+          out += ContainMatch(r.docId, r.tsUs, priors.result())
           live += SClaim(r.docId, r.tsUs)
-          seen.appendValue(SClaim(r.docId, r.tsUs))
-          appended = true
+          fresh += SClaim(r.docId, r.tsUs)
           if (r.tsUs > maxTsUs) maxTsUs = r.tsUs
         }
       }
-      // ONE timer per (key, trigger), at the latest appended instance's
-      // horizon (per-instance timers measured as a dominant RocksDB
-      // write cost at sf3) — expiry prunes everything due and re-arms
+      // ONE state write and ONE timer per (key, trigger) — per-instance
+      // appendValue/registerTimer both measured as dominant RocksDB
+      // write costs at sf3; expiry prunes everything due and re-arms
       // for the earliest survivor
-      if (appended) getHandle.registerTimer(maxTsUs / 1000L + horizonMs)
+      if (fresh.nonEmpty) {
+        seen.appendList(fresh.toArray)
+        getHandle.registerTimer(maxTsUs / 1000L + horizonMs)
+      }
       out.iterator
     }
 
@@ -348,14 +356,16 @@ object StreamDedup {
   }
 
   /** Streaming containment matches (append mode, RocksDB state store):
-    * one row per (arriving doc's shingle instance × prior in-horizon
-    * claim instance of that shingle). The stateful input is
-    * ~|shingles| rows per doc — the same order as the batch tier's
-    * inverted-index shuffle, and an order of magnitude above the band
-    * tier's (bands+1) rows, which is why the composed plan exposes
-    * this tier behind its own knob. Suppression cannot reach a pair
-    * whose CONTAINED side arrived first (batch drops it regardless of
-    * order) — the irreducible online class, measured and spec-pinned. */
+    * one row per COUNTED shingle instance of an arriving doc, carrying
+    * the prior in-horizon claim instances it matched as an array. The
+    * stateful input is ~|shingles| rows per doc — the same order as the
+    * batch tier's inverted-index shuffle, and an order of magnitude
+    * above the band tier's (bands+1) rows, which is why the composed
+    * plan exposes this tier behind its own knob. Suppression cannot
+    * reach a pair whose CONTAINED side arrived first (batch drops it
+    * regardless of order) — the irreducible online class, measured and
+    * spec-pinned — nor a pair only the batch cap's CORPUS-GLOBAL df
+    * solve reaches (the cap-scope class, also measured and pinned). */
   def containmentMatches(docs: DataFrame, idCol: String, tsCol: String,
                          textCol: String, lateness: String, horizonMs: Long,
                          n: Int = 3, dfCap: Int = 1024): Dataset[ContainMatch] = {
@@ -389,9 +399,14 @@ object StreamDedup {
     * single prior doc reaches `threshold` of its own COUNTED instance
     * total — `round(inter / n, 4) >= t` with both sides under the df
     * cap, the batch tier's arithmetic (n_a counts capped index rows).
-    * Batch-side in the sink (a doc's rows share its trigger). */
+    * Batch-side in the sink (a doc's rows share its trigger). Expects
+    * the `priors` array column (each instance's leading -1 self-marker
+    * rebuilds `n`; the explode runs in whole-stage codegen here, not in
+    * the stateful operator's encoder path). */
   def containmentSuppressed(matches: DataFrame, threshold: Double): DataFrame =
     matches
+      .select(col("doc_id"), col("ts_us"),
+        explode(col("priors")).as("prior_id"))
       .groupBy(col("doc_id"), col("ts_us"), col("prior_id"))
       .agg(count(lit(1)).as("c"))
       // one more local agg instead of a denominator self-join (a raw
