@@ -11,6 +11,10 @@ package graft
   *    times (default 3) on a fresh session and prints every rep plus the
   *    min — the quiet-subset A/B tool the bench-interference protocol
   *    (SURVEY "bench protocol") prescribes for cross-round comparisons.
+  *  - `runMain graft.Probe explain <sfDir> <q1,q2,...> <outDir>`
+  *    Writes each named query's `explain("formatted")` physical plan to
+  *    `<outDir>/<name>.txt` — the before/after plan evidence the
+  *    optimization rounds commit under `plans/`.
   */
 object Probe {
   def main(args: Array[String]): Unit = args.toList match {
@@ -40,6 +44,23 @@ object Probe {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"$name%-32s min=${times.min}%7.3f s  reps=${times.map(t => f"$t%.3f").mkString(",")}")
+      }
+      spark.stop()
+
+    case "explain" :: sfDir :: names :: outDir :: Nil =>
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("ERROR")
+      new java.io.File(outDir).mkdirs()
+      val qs = SparkEntry.queries
+      names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+        val fn = qs.getOrElse(name,
+          sys.error(s"unknown query '$name'"))
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val w = new java.io.PrintWriter(s"$outDir/$name.txt", "UTF-8")
+        try w.println(txt) finally w.close()
+        println(s"[explain] $name -> $outDir/$name.txt (${txt.length} chars)")
       }
       spark.stop()
 

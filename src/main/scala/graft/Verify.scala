@@ -27,6 +27,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // progress marker to stderr (the driver reads the parquet dumps, not
+      // this): lets a log reader attribute interleaved executor/codegen
+      // warnings to the query that produced them
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

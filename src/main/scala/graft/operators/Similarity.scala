@@ -1043,18 +1043,24 @@ object Similarity {
     val dim = seeds.head.length
     require(seeds.forall(_.length == dim), "ragged seeds")
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val dsub = dim / m
-    array((0 until m).map { s =>
-      val best = array_min(array(seeds.zipWithIndex.map { case (seed, j) =>
-        val dist = (0 until dsub).map { i =>
-          val diff = element_at(vec, s * dsub + i + 1).cast("double") -
-            lit(seed(s * dsub + i).toDouble)
-          diff * diff
-        }.reduce(_ + _) // left-associated, matches the SQL fold
-        struct(dist.as("d"), lit(j).as("j"))
-      }: _*))
-      best.getField("j")
-    }: _*)
+    // Round 16 (optimization): the original literal formulation —
+    // array((0 until m).map(s => array_min(array(seeds.map(j =>
+    // struct(Σ_i (vec[i]-seed[i])², j))*)).getField("j"))) — baked
+    // ~3,200 expression nodes into one projection; fused into the ADC
+    // stage the generated method blew Janino's 64 KB limit and the whole
+    // stage fell back to interpreted execution (guide §4). The codegen'd
+    // kernel [[graft.functions.PqEncode]] computes the identical
+    // arithmetic (left-to-right double fold over exactly-widened floats,
+    // struct-min tie to the lowest index, null slice element -> code 0)
+    // behind references[...]; the coalesce preserves the literal form's
+    // null-VECTOR result, array of zero codes (all distances null ->
+    // struct tie -> j 0 per subspace), which the null-propagating kernel
+    // alone would turn into NULL. PqEncodeSpec pins kernel == literal
+    // equality, including interpreted == codegen.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val kernel = ColumnBridge.column(graft.functions.PqEncode(
+      ColumnBridge.expression(vec.cast("array<float>")), seeds.toArray, m))
+    coalesce(kernel, typedLit(Array.fill(m)(0)))
   }
 
   /** The ADC lookup table: dot(query slice s, codebook entry (s, j)) for

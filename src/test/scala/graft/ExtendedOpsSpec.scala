@@ -1026,6 +1026,67 @@ class KernelPathEquivalenceSpec extends SparkSpec {
     assert(got(0).getLong(1) == 0L)
     assert(got(1).isNullAt(1), "null embedding must yield null cent_id")
   }
+
+  test("PqEncode: generated == interpreted == literal formulation") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val m = 8
+    val seeds = Similarity.pqSeeds(emb.filter($"vec_id" >= 5), 16)
+    val (gen, interp) = bothModes {
+      emb.select($"vec_id", Similarity.pqEncode($"embedding", seeds, m).as("codes"))
+        .orderBy("vec_id").collect()
+    }
+    assert(gen === interp)
+    // and both equal the literal array_min(array(struct(dist, j)))
+    // formulation the kernel replaced (round 16) — same arithmetic
+    // bit-for-bit: left-associated double fold over exactly-widened
+    // floats, struct-min tie to the lowest code index
+    val dim = seeds.head.length
+    val dsub = dim / m
+    val literalCodes = array((0 until m).map { s =>
+      array_min(array(seeds.zipWithIndex.map { case (seed, j) =>
+        val dist = (0 until dsub).map { i =>
+          val diff = element_at($"embedding", s * dsub + i + 1).cast("double") -
+            lit(seed(s * dsub + i).toDouble)
+          diff * diff
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+    }: _*)
+    val literal = emb.select($"vec_id", literalCodes.as("codes"))
+      .orderBy("vec_id").collect().toSeq
+    assert(gen === literal)
+  }
+
+  test("PqEncode: null vector encodes to zero codes, like the literal form") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Some(Seq(0.9f, 0.1f, 0.2f, 0.8f))), (2L, None)
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val seeds = Seq(Array(0.0f, 0.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f, 1.0f))
+    val got = Similarity.pqEncode($"embedding", seeds, 2)
+    val rows = df.select($"vec_id", got.as("codes")).orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Int](1) === Seq(1, 1))
+    // the literal form's null-vector result: all distances null -> struct
+    // tie -> lowest j per subspace, never a null array
+    assert(rows(1).getSeq[Int](1) === Seq(0, 0))
+  }
+
+  test("PqEncode: content-equal instances are equal (canonicalization/reuse)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.PqEncode
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def mk() = PqEncode(child, Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f)), 2)
+    assert(mk() === mk())
+    assert(mk().hashCode() === mk().hashCode())
+    assert(mk().semanticEquals(mk()))
+    val different = PqEncode(child, Array(Array(1.0f, 2.0f), Array(3.0f, 5.0f)), 2)
+    assert(mk() !== different)
+  }
 }
 
 /** SQL null semantics for the custom kernels: null input -> null output,
