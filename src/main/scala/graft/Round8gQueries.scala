@@ -68,14 +68,18 @@ object Round8gQueries {
               |FROM top x JOIN top y ON x.ai = y.bi AND x.bi = y.ai
               |WHERE x.ai < x.bi ORDER BY a_id""".stripMargin),
       (s, d) => {
+        // norm hoisted out of the 1000² nested loop: one vector kernel per
+        // pair instead of three (cosineWithNorms, bit-identical)
         val smp = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(1000)
+          .withColumn("_n", sqrt(VectorFunctions.normSq(col("embedding"))))
         val p = smp.as("a")
           .join(broadcast(smp.as("b")), col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
-            VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+            VectorFunctions.cosineWithNorms(col("a.embedding"), col("b.embedding"),
+              col("a._n"), col("b._n")).as("sim"))
         val top = p.groupBy("ai")
           .agg(max(struct(col("sim"), (-col("bi")).as("nb"))).as("w"))
           .select(col("ai"), (-col("w.nb")).as("bi"), col("w.sim").as("sim"))

@@ -38,6 +38,17 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** [[cosine]] with the per-side norms hoisted out: `normA`/`normB` must
+    * each be `sqrt(normSq(side))` computed ONCE per row before a pairwise
+    * join, so every candidate pair pays one vector kernel (the dot)
+    * instead of three. Bit-identical to [[cosine]]: the same IEEE ops
+    * (sqrt, multiply, divide, zero guard) in the same order — only WHERE
+    * the sqrt(normSq) is evaluated moves. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
   /** Euclidean (L2) distance. */
   def l2Distance(a: Column, b: Column): Column =
     sqrt(arraySum(zip_with(a, b, (x, y) => (x.cast(D) - y.cast(D)) * (x.cast(D) - y.cast(D)))))

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.PrefixScanBridge
+import org.apache.spark.sql.types.LongType
 
 /** Distributed totally-ordered analytics: exclusive running sums, global
   * row numbers, and exact NTILE without a single-partition window.
@@ -28,36 +30,33 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * total order — under ties the running values are as nondeterministic as
   * the window form.
   *
+  * Both passes run over InternalRows via [[PrefixScanBridge]] (round 16:
+  * the previous `df.rdd` + `createDataFrame(RDD[Row])` form paid a boxed
+  * de/re-serialization of EVERY field of EVERY row — pure per-task-work
+  * overhead in the kernel behind 37 call sites).
+  *
   * Construction runs job A eagerly (like `rdd.zipWithIndex`), so callers
   * get a plain DataFrame back, at the cost of an action at build time.
   */
 object GlobalOrder {
 
   /** Range-partition + in-partition sort, materialized once so both
-    * passes share one shuffle. Returns the sorted Row RDD and the
-    * resolved per-row weight extractor's running machinery. */
+    * passes share one shuffle; driver prefix-scans the per-partition
+    * totals into base offsets. */
   private def prefixScan(
-      df: DataFrame, sortExprs: Seq[Column], weightOf: (Row => Long),
-      numPartitions: Int): (org.apache.spark.rdd.RDD[Row], Array[Long], Long) = {
-    val n = if (numPartitions > 0) numPartitions
-            else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-    // ONE lineage object: reusing `rdd` in both jobs lets job B skip the
-    // shuffle-map stage instead of re-running the exchange.
-    val rdd = ranged.rdd
-    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += weightOf(r))
-      Iterator((pid, s))
-    }.collect()
+      df: DataFrame, sortExprs: Seq[Column], weightOf: InternalRow => Long,
+      numPartitions: Int): (org.apache.spark.rdd.RDD[InternalRow],
+                            org.apache.spark.sql.types.StructType,
+                            Array[Long], Long) = {
+    val (rdd, schema) = PrefixScanBridge.ranged(df, sortExprs, numPartitions)
+    val totals = PrefixScanBridge.partitionTotals(rdd, weightOf)
     val offsets = new Array[Long](rdd.getNumPartitions)
     var acc = 0L
     totals.sortBy(_._1).foreach { case (pid, s) => offsets(pid) = acc; acc += s }
-    (rdd, offsets, acc)
+    (rdd, schema, offsets, acc)
   }
 
-  private def longWeight(df: DataFrame, valueCol: String): Row => Long = {
+  private def longWeight(df: DataFrame, valueCol: String): InternalRow => Long = {
     val idx = df.schema.fieldIndex(valueCol)
     require(df.schema(idx).dataType == LongType,
       s"$valueCol must be LongType (cast first), got ${df.schema(idx).dataType}")
@@ -69,22 +68,6 @@ object GlobalOrder {
   private def checkOutCol(df: DataFrame, outCol: String): Unit =
     require(!df.columns.contains(outCol), s"output column $outCol already exists")
 
-  private def appended(df: DataFrame, rdd: org.apache.spark.rdd.RDD[Row],
-                       offsets: Array[Long], weightOf: Row => Long,
-                       outCol: String, rowValue: Long => Long): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = offsets(pid)
-      it.map { r =>
-        val res = Row.fromSeq(r.toSeq :+ rowValue(run))
-        run += weightOf(r)
-        res
-      }
-    }
-    df.sparkSession.createDataFrame(out, outSchema)
-  }
-
   /** Appends `outCol` = sum of `valueCol` over all rows strictly before
     * this one in `sortExprs` order (0 for the first row; nulls add 0) —
     * the scalable form of
@@ -94,8 +77,9 @@ object GlobalOrder {
                           outCol: String, numPartitions: Int = 0): DataFrame = {
     checkOutCol(df, outCol)
     val w = longWeight(df, valueCol)
-    val (rdd, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
-    appended(df, rdd, offsets, w, outCol, identity)
+    val (rdd, schema, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
+    PrefixScanBridge.appended(df.sparkSession, rdd, schema, offsets, w,
+      outCol, identity)
   }
 
   /** Appends `outCol` = 1-based global row number in `sortExprs` order —
@@ -104,9 +88,10 @@ object GlobalOrder {
   def rowNumber(df: DataFrame, sortExprs: Seq[Column], outCol: String,
                 numPartitions: Int = 0): DataFrame = {
     checkOutCol(df, outCol)
-    val w = (_: Row) => 1L
-    val (rdd, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
-    appended(df, rdd, offsets, w, outCol, _ + 1L)
+    val w = (_: InternalRow) => 1L
+    val (rdd, schema, offsets, _) = prefixScan(df, sortExprs, w, numPartitions)
+    PrefixScanBridge.appended(df.sparkSession, rdd, schema, offsets, w,
+      outCol, _ + 1L)
   }
 
   /** Appends `outCol` = NTILE(k) over the global `sortExprs` order.
@@ -118,12 +103,12 @@ object GlobalOrder {
             numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
     checkOutCol(df, outCol)
-    val w = (_: Row) => 1L
-    val (rdd, offsets, total) = prefixScan(df, sortExprs, w, numPartitions)
+    val w = (_: InternalRow) => 1L
+    val (rdd, schema, offsets, total) = prefixScan(df, sortExprs, w, numPartitions)
     val q = if (total > 0) total / k else 0L // tile base size
     val r = if (total > 0) total % k else 0L // tiles holding one extra row
     val cut = r * (q + 1) // zero-based row count covered by the big tiles
-    appended(df, rdd, offsets, w, outCol,
+    PrefixScanBridge.appended(df.sparkSession, rdd, schema, offsets, w, outCol,
       rn0 => if (rn0 < cut) rn0 / (q + 1) + 1 else r + (rn0 - cut) / q + 1)
   }
 }

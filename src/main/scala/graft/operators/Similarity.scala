@@ -204,6 +204,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // NOT norm-hoisted (round-16 A/B): candidates ≈ |q|·nProbe·cell can be
+    // SMALLER than the corpus, so paying a norm per corpus row to save two
+    // per candidate measured as a net loss on q159/q146
     val assigned = assignToCentroidsLocal(corpus, centroids, idCol, vecCol)
     val centsDf = centroids.toDF("cent_id", "ce")
     val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_cs").desc, col("cent_id"))
@@ -435,7 +438,10 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val withBkt = vectors
       .select(col(idCol), col(vecCol),
-        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"))
+        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"),
+        // norm hoisted out of the pair verify: one vector kernel per
+        // CANDIDATE instead of three (cosineWithNorms, bit-identical)
+        sqrt(normSq(col(vecCol))).as("_n"))
       // exchange barrier before the explode: Generate would otherwise
       // re-derive the nBits dot products once per band reference
       .repartition(col(idCol))
@@ -444,7 +450,7 @@ object Similarity {
         shiftright(col("_bkt"), b * bandBits).bitwiseAND(lit(mask)))
     }: _*)
     val banded = withBkt.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      col("_bkt"), posexplode(bandKeys).as(Seq("_bi", "_bk")))
+      col("_n"), col("_bkt"), posexplode(bandKeys).as(Seq("_bi", "_bk")))
     // emit a pair only from the lowest band index where the buckets
     // agree: every band BELOW the joined one must differ. The joined band
     // agrees by the equi-key, so only indices 0..bands-2 need testing.
@@ -465,12 +471,14 @@ object Similarity {
       firstAgreeingBand
     val cond = threshold match {
       case Some(t) =>
-        cond0 && round(cosine(col("a._v"), col("b._v")), 4) >= t
+        cond0 && round(cosineWithNorms(col("a._v"), col("b._v"),
+          col("a._n"), col("b._n")), 4) >= t
       case None => cond0
     }
     banded.as("a").join(banded.as("b"), cond)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
-        round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
+        round(cosineWithNorms(col("a._v"), col("b._v"),
+          col("a._n"), col("b._n")), 4).as("sim"))
   }
 
   /** Multi-probe variant of [[lshBandedNearDupPairs]] — the recall knob
@@ -516,7 +524,9 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val withBkt = vectors
       .select(col(idCol), col(vecCol),
-        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"))
+        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"),
+        // norm hoisted out of the pair verify (same as the base tier)
+        sqrt(normSq(col(vecCol))).as("_n"))
       .repartition(col(idCol))
     // probe keys: per band, the band's bits plus each single-bit flip,
     // packed as (band << bandBits) | bits — one scalar long per key
@@ -526,7 +536,7 @@ object Similarity {
         .map(bits => bits + lit(b.toLong << bandBits))
     }: _*)
     val banded = withBkt.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      col("_bkt"), explode(keys).as("_bk"))
+      col("_n"), col("_bkt"), explode(keys).as("_bk"))
     def bandOf(side: String, bp: Int) =
       shiftright(col(s"$side._bkt"), bp * bandBits).bitwiseAND(lit(mask))
     def diffAt(bp: Int) = bandOf("a", bp).bitwiseXOR(bandOf("b", bp))
@@ -557,12 +567,14 @@ object Similarity {
       col("a._bk").bitwiseAND(lit(mask)) === witness && firstBand
     val cond = threshold match {
       case Some(t) =>
-        cond0 && round(cosine(col("a._v"), col("b._v")), 4) >= t
+        cond0 && round(cosineWithNorms(col("a._v"), col("b._v"),
+          col("a._n"), col("b._n")), 4) >= t
       case None => cond0
     }
     banded.as("a").join(banded.as("b"), cond)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
-        round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
+        round(cosineWithNorms(col("a._v"), col("b._v"),
+          col("a._n"), col("b._n")), 4).as("sim"))
   }
 
   /** EMPIRICAL recall estimate for the base banded tier at an operating
@@ -608,14 +620,17 @@ object Similarity {
     val sample = vectors
       .filter(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"))
+        hyperplaneBucket(col(vecCol), dim, nBits).as("_bkt"),
+        // norm hoisted out of the ≤ sampleCap² nested-loop condition
+        sqrt(normSq(col(vecCol))).as("_n"))
     val agree = (0 until bands).map { b =>
       shiftright(col("a._bkt"), b * bandBits).bitwiseAND(lit(mask)) ===
         shiftright(col("b._bkt"), b * bandBits).bitwiseAND(lit(mask))
     }.reduce(_ || _)
     val row = sample.as("a").join(broadcast(sample.as("b")),
         col("a._id") < col("b._id") &&
-          round(cosine(col("a._v"), col("b._v")), 4) >= threshold)
+          round(cosineWithNorms(col("a._v"), col("b._v"),
+            col("a._n"), col("b._n")), 4) >= threshold)
       .agg(count(lit(1)).as("t"),
         coalesce(sum(when(agree, 1L).otherwise(0L)), lit(0L)).as("c"))
       .collect().head
@@ -838,6 +853,9 @@ object Similarity {
                           vecCol: String = "embedding",
                           maxCell: Int = 1024): DataFrame = {
     val blocked = ivfCellBlocks(vectors, centroids, idCol, vecCol, maxCell)
+      // norm hoisted out of the pair verify, computed once per row on the
+      // map side of the cell join (cosineWithNorms is bit-identical)
+      .withColumn("_n", sqrt(normSq(col("_v"))))
     // threshold as the LAST conjunct (the lshBandedScoredPairs lesson):
     // a post-join filter is pushed in as the FIRST conjunct, running the
     // dim-wide cosine before the `a < b` test that discards half the
@@ -845,9 +863,11 @@ object Similarity {
     blocked.as("a").join(blocked.as("b"),
         col("a._cell") === col("b._cell") && col("a._blk") === col("b._blk") &&
           col("a._id") < col("b._id") &&
-          round(cosine(col("a._v"), col("b._v")), 4) >= threshold)
+          round(cosineWithNorms(col("a._v"), col("b._v"),
+            col("a._n"), col("b._n")), 4) >= threshold)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
-        round(cosine(col("a._v"), col("b._v")), 4).as("sim"))
+        round(cosineWithNorms(col("a._v"), col("b._v"),
+          col("a._n"), col("b._n")), 4).as("sim"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
