@@ -37,6 +37,23 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("w"))
         .localCheckpoint(true))
 
+  /** The DOUBLED (undirected) fulfillment edge relation (a, b, w),
+    * hash-partitioned by `a` and checkpointed once per (session, dir) —
+    * shared by the frontier/relaxation family (q166 BFS, q169
+    * Bellman-Ford, q257 harmonic): every round of theirs joins ON
+    * a = frontier.node, and a checkpoint preserves outputPartitioning,
+    * so each round shuffles only the frontier relation, never the 2|E|
+    * edge rows (round 16, guide §2.4 "share one exchange"). */
+  private val undirCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  private[graft] def fulfillmentUndirected(s: org.apache.spark.sql.SparkSession,
+                                           d: String): org.apache.spark.sql.DataFrame =
+    undirCache.getOrElseUpdate(s, d) {
+      val e0 = fulfillmentEdges(s, d)
+        .select(col("src").as("a"), col("dst").as("b"), col("w"))
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+        .repartition(col("a")).localCheckpoint(true)
+    }
+
   /** The iteration-invariant PageRank relations (distinct edges, nodes,
     * degrees) over [[fulfillmentEdges]], built once and shared by q139
     * and q142 — the two unweighted variants differ only in dangling-mass

@@ -462,8 +462,9 @@ object Round6Queries {
              |  UNION ALL SELECT node, 3 FROM l3)
              |ORDER BY level, node""".stripMargin),
       (s, d) => {
-        val e0 = AnalyticsQueries.fulfillmentEdges(s, d).select(col("src").as("a"), col("dst").as("b"))
-        val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        // shared a-partitioned doubled edges: each expansion shuffles only
+        // the frontier (see AnalyticsQueries.fulfillmentUndirected)
+        val e = AnalyticsQueries.fulfillmentUndirected(s, d)
         var frontier = s.range(1, 2).toDF("node")
         var visited = frontier
         val out = scala.collection.mutable.ArrayBuffer(
@@ -623,9 +624,9 @@ object Round6Queries {
              |       GROUP BY node)
              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
       (s, d) => {
-        val e0 = AnalyticsQueries.fulfillmentEdges(s, d)
-        val e = e0.select(col("src").as("a"), col("dst").as("b"), col("w"))
-          .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
+        // shared a-partitioned doubled edges: each relaxation shuffles only
+        // the distance relation (see AnalyticsQueries.fulfillmentUndirected)
+        val e = AnalyticsQueries.fulfillmentUndirected(s, d)
         var dist = s.range(1, 2).toDF("node").select(col("node"), lit(0L).as("dist"))
         for (_ <- 1 to 3) {
           val relaxed = e.join(dist, e("a") === dist("node"))

@@ -56,9 +56,9 @@ object Round8dQueries {
              |LEFT JOIN (SELECT seed s3, COUNT(*) n FROM l3 GROUP BY 1) c3 ON c3.s3 = sd.seed
              |ORDER BY seed""".stripMargin),
       (s, d) => {
-        val e0 = AnalyticsQueries.fulfillmentEdges(s, d)
-          .select(col("src").as("a"), col("dst").as("b"))
-        val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        // shared a-partitioned doubled edges: each expansion shuffles only
+        // the frontier (see AnalyticsQueries.fulfillmentUndirected)
+        val e = AnalyticsQueries.fulfillmentUndirected(s, d)
         val seeds = Tables.supplier(s, d).filter(col("s_suppkey") <= 8)
           .select(col("s_suppkey").cast("long").as("seed"),
             col("s_suppkey").cast("long").as("node"))

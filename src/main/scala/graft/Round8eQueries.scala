@@ -49,14 +49,15 @@ object Round8eQueries {
           .select(col("event_type"),
             expr("(us - pus) div 1000000").as("gap_s"),
             col("user_id"), col("event_id"), lit(1L).as("one"))
-          .localCheckpoint(true) // count + shared quantile pass reuse it
-        val qs = GroupMedian.weightedLowerQuantiles(
-          g, "event_type", "gap_s", "one",
-          Seq(col("user_id"), col("event_id")),
-          Seq(("med_gap_s", 1, 2), ("p90_gap_s", 9, 10)))
-        g.groupBy("event_type").agg(count(lit(1)).cast("long").as("n_gaps"))
-          .join(broadcast(qs), "event_type")
-          .select("event_type", "n_gaps", "med_gap_s", "p90_gap_s")
+        // n_gaps = the quantile scan's own weight total (weights are
+        // 1/gap): the checkpoint + count job + join-back are gone — the
+        // prefix scan was already weighing every row (round 16)
+        GroupMedian.weightedLowerQuantiles(
+            g, "event_type", "gap_s", "one",
+            Seq(col("user_id"), col("event_id")),
+            Seq(("med_gap_s", 1, 2), ("p90_gap_s", 9, 10)), keepTotal = true)
+          .select(col("event_type"), col("_gm_tot").cast("long").as("n_gaps"),
+            col("med_gap_s"), col("p90_gap_s"))
           .orderBy("event_type")
       }),
 

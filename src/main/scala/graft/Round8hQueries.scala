@@ -116,14 +116,15 @@ object Round8hQueries {
           .select(col("o_orderpriority").as("pri"),
             datediff(col("d"), col("o_orderdate").cast("date")).cast("long").as("age_d"),
             col("o_orderkey"))
-          .localCheckpoint(true) // count + two quantile passes share it
-        val qs = GroupMedian.weightedLowerQuantiles(
-          a.withColumn("one", lit(1L)), "pri", "age_d", "one",
-          Seq(col("o_orderkey")),
-          Seq(("med_age_days", 1, 2), ("p90_age_days", 9, 10)))
-        a.groupBy("pri").agg(count(lit(1)).cast("long").as("n_pending"))
-          .join(broadcast(qs), "pri")
-          .select(col("pri").as("o_orderpriority"), col("n_pending"),
+        // n_pending = the quantile scan's own weight total (weights are
+        // 1/order): the checkpoint + count job + join-back are gone — the
+        // prefix scan was already weighing every row (round 16)
+        GroupMedian.weightedLowerQuantiles(
+            a.withColumn("one", lit(1L)), "pri", "age_d", "one",
+            Seq(col("o_orderkey")),
+            Seq(("med_age_days", 1, 2), ("p90_age_days", 9, 10)), keepTotal = true)
+          .select(col("pri").as("o_orderpriority"),
+            col("_gm_tot").cast("long").as("n_pending"),
             col("med_age_days"), col("p90_age_days"))
           .orderBy("o_orderpriority")
       })

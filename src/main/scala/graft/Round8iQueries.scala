@@ -48,11 +48,11 @@ object Round8iQueries {
           .select(col("a.event_id").as("ia"), col("b.event_id").as("ib"),
             expr("(b.c - a.c) * 1000000 div (b.t - a.t)").as("slope_e6"),
             lit("all").as("g"), lit(1L).as("one"))
-        val med = GroupMedian.weightedLowerQuantile(p, "g", "slope_e6", "one",
-          Seq(col("ia"), col("ib")), "median_slope_e6", 1, 2)
-        p.groupBy("g").agg(count(lit(1)).cast("long").as("n_pairs"))
-          .join(broadcast(med), "g")
-          .select(col("n_pairs"), col("median_slope_e6"))
+        // n_pairs = the median scan's own weight total (weights are 1/pair)
+        // — the second pass over the pairwise join it used to pay is gone
+        GroupMedian.weightedLowerQuantile(p, "g", "slope_e6", "one",
+            Seq(col("ia"), col("ib")), "median_slope_e6", 1, 2, keepTotal = true)
+          .select(col("_gm_tot").cast("long").as("n_pairs"), col("median_slope_e6"))
       }),
 
     Q("q282_max_drawdown",

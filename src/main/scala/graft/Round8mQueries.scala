@@ -44,11 +44,11 @@ object Round8mQueries {
           .select(col("a.event_id").as("ia"), col("b.event_id").as("ib"),
             abs(col("a.c") - col("b.c")).as("dd"),
             lit("all").as("g"), lit(1L).as("one"))
-        val med = GroupMedian.weightedLowerQuantile(p, "g", "dd", "one",
-          Seq(col("ia"), col("ib")), "qn_cents", 1, 2)
-        p.groupBy("g").agg(count(lit(1)).cast("long").as("n_pairs"))
-          .join(broadcast(med), "g")
-          .select(col("n_pairs"), col("qn_cents"))
+        // n_pairs = the median scan's own weight total (weights are 1/pair)
+        // — the second pass over the pairwise join it used to pay is gone
+        GroupMedian.weightedLowerQuantile(p, "g", "dd", "one",
+            Seq(col("ia"), col("ib")), "qn_cents", 1, 2, keepTotal = true)
+          .select(col("_gm_tot").cast("long").as("n_pairs"), col("qn_cents"))
       }),
 
     Q("q293_mann_whitney_u",

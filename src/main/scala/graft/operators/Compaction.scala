@@ -233,9 +233,29 @@ object Compaction {
       if Ordering[(Int, Int, Int, Int)].lt((y, m, d, h), beforeHour)
     } yield ((y, m, d, h), s"year=$y/month=$m/day=$d/hour=$h")
     // chronological (numeric) order — lexicographic would put hour=10
-    // before hour=9
-    closed.sortBy(_._1).map { case (_, sub) =>
-      sub -> compactPartition(spark, zonePath, sub, format, targetBytes, writeOptions)
+    // before hour=9. The per-hour compactions touch DISJOINT leaf dirs, so
+    // they run overlapped from a small thread pool (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially;
+    // FIFO scheduling back-fills one hour's write tail with the next
+    // hour's read) — results keep hour order, stats unchanged.
+    val ordered = closed.sortBy(_._1).map(_._2)
+    if (ordered.sizeIs <= 1)
+      ordered.map(sub => sub ->
+        compactPartition(spark, zonePath, sub, format, targetBytes, writeOptions))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, ordered.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = ordered.map { sub =>
+          scala.concurrent.Future(sub ->
+            compactPartition(spark, zonePath, sub, format, targetBytes, writeOptions))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
   }
 }

@@ -38,12 +38,17 @@ object GroupMedian {
   /** Per-group weighted lower p-quantile for p = pNum/pDen: the
     * smallest value whose in-group cumulative weight w satisfies
     * w * pDen >= total * pNum — all-integer (nearest-rank, no
-    * interpolation); median is p = 1/2, p90 is 9/10. */
+    * interpolation); median is p = 1/2, p90 is 9/10. With `keepTotal`
+    * the group's weight total rides along as `_gm_tot` — callers that
+    * also need the group count/weight then skip a whole second pass
+    * over `df` (round 16: q281/q292 re-ran their pairwise joins just to
+    * COUNT the pairs the scan had already weighed). */
   def weightedLowerQuantile(df: DataFrame, groupCol: String, valueCol: String,
                             weightCol: String, tieCols: Seq[Column],
-                            outCol: String, pNum: Int, pDen: Int): DataFrame =
+                            outCol: String, pNum: Int, pDen: Int,
+                            keepTotal: Boolean = false): DataFrame =
     weightedLowerQuantiles(df, groupCol, valueCol, weightCol, tieCols,
-      Seq((outCol, pNum, pDen)))
+      Seq((outCol, pNum, pDen)), keepTotal)
 
   /** Several nearest-rank quantiles of ONE value column off a SINGLE
     * prefix scan: the cumulative-weight relation is computed once and
@@ -52,7 +57,8 @@ object GroupMedian {
     * GlobalOrder jobs as asking for either alone. */
   def weightedLowerQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                              weightCol: String, tieCols: Seq[Column],
-                             quantiles: Seq[(String, Int, Int)]): DataFrame = {
+                             quantiles: Seq[(String, Int, Int)],
+                             keepTotal: Boolean = false): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     quantiles.foreach { case (name, n, dd) =>
       require(n > 0 && n <= dd, s"quantile $name = $n/$dd outside (0, 1]")
@@ -62,7 +68,7 @@ object GroupMedian {
     val aggs = quantiles.map { case (name, pNum, pDen) =>
       min(when((col("_gm_cum") + col(weightCol)) * pDen >= col("_gp_tot") * pNum,
         col(valueCol))).as(name)
-    }
+    } ++ (if (keepTotal) Seq(max(col("_gp_tot")).as("_gm_tot")) else Nil)
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -54,9 +54,30 @@ object GroupPrefix {
   private def runImpl(df: DataFrame, groupCol: String, sortExprs: Seq[Column],
                       valueCol: String, outCol: String,
                       keepTotals: Boolean): DataFrame = {
-    val totals = df.groupBy(groupCol).agg(sum(valueCol).as("_gp_tot"))
-    val offsets = GlobalOrder.exclusiveRunningSum(
-      totals, Seq(col(groupCol)), "_gp_tot", "_gp_off")
+    // The offsets relation is GROUP-DOMAIN-bounded by this operator's
+    // contract (low-cardinality keys — that is WHY the caller is here and
+    // not on a partitioned window), so the driver-side prefix sum over an
+    // engine-ORDERED collect replaces a whole GlobalOrder pass (a range
+    // shuffle + two jobs) with one tiny job (round 16). The orderBy runs
+    // in Spark, so group ordering — and with it every offset — is
+    // bit-identical to the exclusiveRunningSum it replaces.
+    val spark = df.sparkSession
+    val totalRows = df.groupBy(groupCol).agg(sum(valueCol).as("_gp_tot"))
+      .orderBy(col(groupCol)).collect()
+    var acc = 0L
+    val offRows = totalRows.map { r =>
+      val off = acc
+      acc += (if (r.isNullAt(1)) 0L else r.getLong(1)) // null weighs 0, as before
+      org.apache.spark.sql.Row(r.get(0), r.get(1), off) // _gp_tot keeps its null
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      df.schema(df.schema.fieldIndex(groupCol)).copy(name = groupCol) ::
+        org.apache.spark.sql.types.StructField("_gp_tot",
+          org.apache.spark.sql.types.LongType) ::
+        org.apache.spark.sql.types.StructField("_gp_off",
+          org.apache.spark.sql.types.LongType) :: Nil)
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
     val cum = GlobalOrder.exclusiveRunningSum(
       df, col(groupCol) +: sortExprs, valueCol, "_gp_gcum")
     val joined = cum.join(broadcast(offsets), groupCol)

@@ -43,9 +43,14 @@ object KCore {
            k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // hash-partitioned by `b` before the one-time checkpoint (round 16,
+    // guide §2.4): every round joins e ⋈ removed ON b = rm, and the
+    // checkpoint preserves outputPartitioning — so each peel shuffles
+    // only the shrinking removed-set, never the 2|E| edge rows.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
+      .repartition(col("b"))
       .localCheckpoint(true)
     // (node, degree) — the only relation that loops; |V| rows.
     var aliveDeg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))

@@ -42,17 +42,20 @@ object LabelProp {
       s"LabelProp needs integral node ids (got ${idTypes.mkString(", ")}); " +
         "map other id types to longs first")
     // CONTRACT: pass a MATERIALIZED edge relation (checkpointed/cached),
-    // like q172's session-cached fulfillment edges. The doubled list is
-    // iteration-invariant and is re-derived from `edges` each round —
-    // two scans of a materialized parent, which an sf1 A/B measured as
-    // cheaper than eagerly checkpointing the 2|E|-row union here (the
-    // doubling is a zero-copy projection; materializing it again only
-    // doubles executor storage). An UN-materialized caller re-executes
-    // its upstream lineage rounds+1 times — that caller should
-    // checkpoint before calling, not this operator unconditionally.
+    // like q172's session-cached fulfillment edges — an UN-materialized
+    // caller would otherwise re-execute its upstream lineage per round.
+    // The doubled list is checkpointed HASH-PARTITIONED BY `b` (round 16;
+    // guide §2.4): every round joins e ⋈ lbl ON b = node, and a
+    // checkpoint preserves outputPartitioning, so the per-round join
+    // re-shuffles only the |nodes|-row label relation, never the 2|E|
+    // edge rows. This revisits the round-14 A/B that found a bare
+    // (unpartitioned) eager checkpoint a loss: materializing WITHOUT
+    // aligning the partitioning saved nothing per round — partitioned, the
+    // one build-time exchange replaces `rounds` edge-sized ones.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"), col(wCol).as("w"))
       .unionByName(
         edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))
+      .repartition(col("b")).localCheckpoint(true)
     var lbl = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     // handle on the checkpoint backing `lbl` (after a round `lbl` is a
