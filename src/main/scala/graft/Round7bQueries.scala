@@ -227,8 +227,10 @@ object Round7bQueries {
       // df on testdata, so the hash is unchanged
       (s, d) => {
         val toks = TrainingQueries.cachedDocToks(s, d)
-        Winnow.sharedFingerprintPairs(toks, n = 3, w = 4,
-            maxFpDf = Winnow.adaptiveFpDfCap(toks), minShared = 2L)
+        // fused form: index computed once, cap solved on its own df
+        // relation (same ladder arithmetic, same cap, same output)
+        Winnow.sharedFingerprintPairsAdaptive(toks, n = 3, w = 4,
+            minShared = 2L)
           .orderBy("a_id", "b_id")
       }),
 

@@ -164,12 +164,33 @@ object Dedup {
   }
 
   /** [[pairStats]] under the corpus-derived [[adaptiveShingleDfCap]] —
-    * the self-tuning form every shared-relation consumer should use. */
+    * the self-tuning form every shared-relation consumer should use.
+    * FUSED (round 16): the two-call form evaluated the
+    * tokenize+shingle+explode kernel twice — once for the cap solve's df
+    * relation, once inside [[pairStats]] (whose capped [[shingleIndex]]
+    * recomputed df a third time). Here the uncapped index is
+    * shingle-partitioned and checkpointed ONCE; the df relation feeds
+    * both the ladder solve and the cap filter, and the pair join's
+    * sides reuse the stored partitioning. Same cap (identical df
+    * relation and [[capFromDfRel]] arithmetic), same output. */
   def pairStatsAdaptive(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3,
-                        budgetPerDoc: Long = capBudgetPerDoc): DataFrame =
-    pairStats(docs, idCol, textCol, n,
-      adaptiveShingleDfCap(docs, idCol, textCol, n, budgetPerDoc))
+                        budgetPerDoc: Long = capBudgetPerDoc): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, 0L)
+      .repartition(col("shingle")).localCheckpoint(true)
+    val dfRel = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val cap = capFromDfRel(dfRel, docs.count(), budgetPerDoc)
+    val capped = idx.join(dfRel.filter(col("df") <= cap).select("shingle"), "shingle")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("na.n_sh").as("n_a"), col("nb.n_sh").as("n_b"))
+  }
 
   def pairStats(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {

@@ -87,11 +87,36 @@ object Winnow {
       fingerprintIndex(toks, n, w).groupBy("fp").agg(count(lit(1)).as("df")),
       toks.count(), budgetPerDoc)
 
+  /** [[sharedFingerprintPairs]] under the corpus-derived cap, computing
+    * the fingerprint index ONCE (round 16): the previous two-call form
+    * ([[adaptiveFpDfCap]] then [[sharedFingerprintPairs]]) evaluated the
+    * winnowing kernel three times per run — once for the cap solve's df
+    * relation, once for the pair join's df filter, once for the join's
+    * index. Here the index is fp-partitioned and checkpointed once; the
+    * df relation, the identical [[Dedup.capFromDfRel]] ladder solve, and
+    * both join sides all read it — same cap, same output, one kernel
+    * evaluation and one exchange. */
+  def sharedFingerprintPairsAdaptive(toks: DataFrame, n: Int = 3, w: Int = 4,
+                                     budgetPerDoc: Long = Dedup.capBudgetPerDoc,
+                                     minShared: Long = 2L): DataFrame = {
+    val idx = fingerprintIndex(toks, n, w)
+      .repartition(col("fp")).localCheckpoint(true)
+    val dfRel = idx.groupBy("fp").agg(count(lit(1)).as("df"))
+    val cap = Dedup.capFromDfRel(dfRel, toks.count(), budgetPerDoc)
+    val capped = idx.join(dfRel.filter(col("df") <= cap).select("fp"), "fp")
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
   /** Candidate pairs sharing ≥ `minShared` winnowing fingerprints:
     * (a_id, b_id, shared_fp). `maxFpDf` caps the document frequency of
     * an indexed fingerprint (0 = no cap) — the same skew guard, with
     * the same internal-consistency contract, as [[Dedup.pairStats]];
-    * [[adaptiveFpDfCap]] derives the scale-safe value. */
+    * [[adaptiveFpDfCap]] derives the scale-safe value (or use
+    * [[sharedFingerprintPairsAdaptive]], which fuses the two calls). */
   def sharedFingerprintPairs(toks: DataFrame, n: Int = 3, w: Int = 4,
                              maxFpDf: Long = 256L,
                              minShared: Long = 2L): DataFrame = {
