@@ -51,7 +51,7 @@ object AnalyticsQueries {
       val e0 = fulfillmentEdges(s, d)
         .select(col("src").as("a"), col("dst").as("b"), col("w"))
       e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
-        .repartition(col("a")).localCheckpoint(true)
+        .repartition(col("a")).sortWithinPartitions("a").localCheckpoint(true)
     }
 
   /** The iteration-invariant PageRank relations (distinct edges, nodes,

@@ -52,6 +52,10 @@ object Round5Queries {
         // (same-machine A/B q144 0.76 -> 1.63 s behind the cache)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          // exchange barrier (round 16, the pairStats idiom): the vocab
+          // agg and the scoring join both need hash(tok); without it each
+          // computes its own exchange and the tokenize+explode runs twice
+          .repartition(col("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
         toks.join(vocab, "tok")
@@ -90,9 +94,14 @@ object Round5Queries {
         // direct scan — the row-explode consumer rule (see q144)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        // tf materialized once (round 16): its three consumers (df, D,
+        // the scoring join) each re-ran tokenize+explode+agg; D =
+        // COUNT(DISTINCT doc_id) over tf is the same set of docs (every
+        // doc with >= 1 token has a tf row)
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
         val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val dd = toks.agg(countDistinct(col("doc_id")).as("d"))
+        val dd = tf.agg(countDistinct(col("doc_id")).as("d"))
         val scored = tf.join(dfRel, "tok").crossJoin(broadcast(dd))
           .select(col("doc_id"), col("tok").as("term"),
             round((col("tf") * col("d")).cast("double") / col("df").cast("double"), 4)

@@ -216,8 +216,12 @@ object Round6Queries {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        // tf materialized once (round 16): doc length, df, and the scoring
+        // join all derive from it — dl = SUM(tf) per doc IS the doc's
+        // token count, so the separate tokenize pass for dl is gone too
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .localCheckpoint(true)
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
         val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val nn = dl.agg(count(lit(1)).as("n"))
         val ll = dl.agg(sum(col("dl")).cast("long").as("l"))
@@ -517,6 +521,10 @@ object Round6Queries {
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             explode(TextAnalysis.ngramStream(col("toks"), 2)).as("g"))
+          // exchange barrier (round 16, the q144 fix): the vocab agg and
+          // the scoring join both need hash(g); without it each computes
+          // its own exchange and the tokenize+bigram chain runs twice
+          .repartition(col("g"))
         val vocab = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum("cnt").as("nb"), count(lit(1)).as("vb"))
         bg.join(vocab, "g")

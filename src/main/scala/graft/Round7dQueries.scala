@@ -70,15 +70,20 @@ object Round7dQueries {
               |         ROW_NUMBER() OVER (ORDER BY cnt DESC, ta, tb) AS rn FROM c) r
               |WHERE rn <= 30 ORDER BY cnt DESC, ta, tb""".stripMargin),
       (s, d) => {
-        val g = TrainingQueries.cachedDocToks(s, d)
-          .select(col("doc_id"),
-            posexplode(col("toks")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-        def offset(delta: Int) = g.as("a").join(g.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.p") === col("a.p") + delta)
-          .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
-        offset(1).unionByName(offset(2))
+        // Both window offsets pair a token with a LATER SLOT OF THE SAME
+        // ARRAY, so the pair relation is a pure map-side HOF (round 16):
+        // the previous self-join on (doc, p+δ) shuffled the exploded
+        // token-position rows four times to reconstruct adjacency the
+        // array already held. Identical pair multiset; first shuffle is
+        // now the count agg itself.
+        val t = TrainingQueries.cachedDocToks(s, d).select(col("toks"))
+        def pairs(delta: Int) = t.filter(size(col("toks")) > delta)
+          .select(explode(expr(
+            s"transform(sequence(1, size(toks) - $delta), " +
+              s"i -> struct(element_at(toks, i) AS ta, " +
+              s"element_at(toks, i + $delta) AS tb))")).as("pr"))
+          .select(col("pr.ta").as("ta"), col("pr.tb").as("tb"))
+        pairs(1).unionByName(pairs(2))
           .groupBy("ta", "tb").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("ta"), col("tb")).limit(30)
       }),

@@ -311,6 +311,10 @@ object Round8Queries {
           .filter(size(col("t")) >= 3)
           .select(col("ord"), explode(array_distinct(
             graft.operators.TextAnalysis.shingles(col("t"), 3))).as("sh"))
+          // exchange barrier (round 16, the pairStats idiom): first-seen
+          // agg and the join both need hash(sh); without it each computes
+          // its own exchange and the tokenize+shingle chain runs twice
+          .repartition(col("sh"))
         val f = g.groupBy("sh").agg(min(col("ord")).as("first_ord"))
         val n = docs.agg(count(lit(1)).as("nd"))
         g.join(f, Seq("sh"))

@@ -130,10 +130,14 @@ object Round8nQueries {
              |  ROUND((n*sab - sa*sb)/(SQRT(n*saa - sa*sa)*SQRT(n*sbb - sb*sb)), 6) spearman_rho
              |FROM agg""".stripMargin),
       (s, d) => {
+        // materialized once (round 16): three consumers (both rank
+        // relations + the final join) would otherwise each re-scan and
+        // re-tokenize the corpus; the relation is three longs per doc
         val v = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars").cast("long").as("x"),
             size(graft.operators.TextAnalysis.tokens(col("text")))
               .cast("long").as("y"))
+          .localCheckpoint(true)
         def rank2(valueCol: String): org.apache.spark.sql.DataFrame = {
           val cnts = v.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
           GroupPrefix.exclusiveRunningSum(

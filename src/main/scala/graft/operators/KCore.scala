@@ -50,7 +50,7 @@ object KCore {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .repartition(col("b"))
+      .repartition(col("b")).sortWithinPartitions("b")
       .localCheckpoint(true)
     // (node, degree) — the only relation that loops; |V| rows.
     var aliveDeg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))

@@ -55,7 +55,7 @@ object LabelProp {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"), col(wCol).as("w"))
       .unionByName(
         edges.select(col(dstCol).as("a"), col(srcCol).as("b"), col(wCol).as("w")))
-      .repartition(col("b")).localCheckpoint(true)
+      .repartition(col("b")).sortWithinPartitions("b").localCheckpoint(true)
     var lbl = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     // handle on the checkpoint backing `lbl` (after a round `lbl` is a

@@ -55,18 +55,21 @@ object PageRank {
   final case class Graph(e: DataFrame, nodes: DataFrame, deg: DataFrame)
 
   def buildGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
-    // The edge relation is hash-partitioned by SRC before its one-time
-    // checkpoint (round 16, guide §2.4 "share one exchange"): every
-    // iteration joins e ⋈ ranks ON src = node, and a checkpoint preserves
-    // outputPartitioning — so the per-round join re-shuffles only the
-    // |nodes|-row rank relation, never the edge list. deg inherits the
-    // same partitioning (groupBy(src) over a src-partitioned parent needs
-    // no exchange), and the distinct() it replaces shuffled by (src, dst)
-    // anyway, so the repartition adds one build-time exchange in place of
-    // `iterations` edge-sized ones per consumer of the shared graph.
+    // The edge relation is hash-partitioned by SRC — and sorted within
+    // partitions on it — before its one-time checkpoint (round 16, guide
+    // §2.4 "share one exchange"): every iteration joins e ⋈ ranks ON
+    // src = node, and a checkpoint preserves outputPartitioning AND
+    // outputOrdering, so the per-round join re-shuffles (and, under
+    // sort-merge, re-sorts) only the |nodes|-row rank relation, never
+    // the edge list. deg inherits the same partitioning (groupBy(src)
+    // over a src-partitioned parent needs no exchange), and the
+    // distinct() it replaces shuffled by (src, dst) anyway, so the
+    // repartition adds one build-time exchange in place of `iterations`
+    // edge-sized ones per consumer of the shared graph.
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
@@ -149,7 +152,8 @@ object PageRank {
     // src-partitioned before the one-time checkpoint (same reasoning as
     // buildGraph): each round's e ⋈ ranks join then shuffles only ranks.
     val wdeg = e0.groupBy("src").agg(sum(col("w")).as("tw"))
-    val e = e0.join(wdeg, "src").repartition(col("src")).localCheckpoint(true)
+    val e = e0.join(wdeg, "src").repartition(col("src"))
+      .sortWithinPartitions("src").localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(Scale))
