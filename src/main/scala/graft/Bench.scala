@@ -532,14 +532,23 @@ object Bench {
       .mkString("{", ",", "}")
     val streamlakeLine = streamlake
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // calib_profile lives ONLY in target/bench_full.json (round-16 verdict
+    // #2: the 12-float profile on the stdout line ate 8 per-query headline
+    // slots — q274-q281 lost their round-over-round record while a
+    // file-only diagnostic rode the line). calib_drift_max_step — the
+    // grading signal derived from the profile — stays on the line.
     def line(names: Vector[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","value_norm":${f3(valueNorm)},"calib":${f3(calib)},"calib_post":${f3(calibPost)},"calib_profile":$profileJson,"calib_drift_max_step":${f3(driftMaxStep)},"qmin_total":${f3(qminTotal)},"passes":${
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","value_norm":${f3(valueNorm)},"calib":${f3(calib)},"calib_post":${f3(calibPost)},"calib_drift_max_step":${f3(driftMaxStep)},"qmin_total":${f3(qminTotal)},"passes":${
         passTotals.map(f3).mkString("[", ",", "]")},"streamlake":$streamlakeLine,"queries":$qs,"quiet":$quietLine,"errors":${errors.size},"sf":"$sfDir"}"""
     }
+    // 1850: the consumer keeps the last ~2000 chars of stdout and sbt's
+    // "[success] Total time ..." footer is ~75 — 1850 + 75 < 2000 with
+    // slack, and it fits the full 27-query headline window (q274-q300 +
+    // quiet + streamlake measured 1833 chars on the r16 artifact shape).
     var keep = headline
-    while (line(keep).length > 1700 && keep.nonEmpty) keep = keep.init
+    while (line(keep).length > 1850 && keep.nonEmpty) keep = keep.init
     val out = line(keep)
 
     // Stop Spark BEFORE printing so no executor/shutdown log line can land

@@ -519,6 +519,79 @@ object Probe {
       println(s"spanstats dir=$sfDir docs=$docs candidates=$cands spans=$spans")
       spark.stop()
 
+    // Isolated A/B for the composed streaming-lake DRAIN (round-17: the
+    // bench's largest tracked entry is per-batch RocksDB spin-up, not
+    // query shape): replicates Bench.streamlakeEntry's setup with a
+    // configurable state-partition count and optional RocksDB changelog
+    // checkpointing, reporting per-hop seconds, micro-batch and
+    // state-partition counts, and the idle re-drain.
+    //   runMain graft.Probe streambench <sfDir> [statePartitions|0] [changelog]
+    case "streambench" :: sfDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val parts = rest.headOption.map(_.toInt).filter(_ > 0)
+      val changelog = rest.contains("changelog")
+      val spark = GraftSession.get()
+      spark.sparkContext.setLogLevel("WARN")
+      if (changelog)
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+      // per-batch visibility: one line per micro-batch with the phase
+      // breakdown Spark reports (planning vs addBatch vs state commit)
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          def ms(k: String) = Option(d.get(k)).map(_.longValue).getOrElse(-1L)
+          val st = p.stateOperators.map(s =>
+            s"${s.operatorName}:rows=${s.numRowsTotal},upd=${s.numRowsUpdated}," +
+              s"commit=${s.commitTimeMs}ms").mkString(" | ")
+          System.err.println(s"[sb] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"trigger=${ms("triggerExecution")}ms addBatch=${ms("addBatch")}ms " +
+            s"plan=${ms("queryPlanning")}ms getBatch=${ms("getBatch")}ms " +
+            s"latestOffset=${ms("latestOffset")}ms walCommit=${ms("walCommit")}ms " +
+            s"commitOffsets=${ms("commitOffsets")}ms state[$st]")
+        }
+      })
+      val base = java.nio.file.Files.createTempDirectory("graft_streambench").toString
+      val docs = sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val embZone = s"$base/emb"
+      graft.operators.TxLog.replace(spark, embZone,
+        sources.Tables.documents(spark, sfDir).select(col("doc_id"))
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(63)), d =>
+              (pmod(xxhash64(col("doc_id") * 64 + d), lit(1000)).cast("double")
+                / 1000.0 - 0.5).cast("float"))))
+      val docsDir = s"$base/docs"
+      docs.withColumn("ts", timestamp_seconds(col("doc_id"))).write.parquet(docsDir)
+      val idxDir = s"$base/annindex"
+      graft.operators.AnnIndex.build(spark, idxDir, embZone, idCol = "doc_id")
+      val plan = Pipeline.plan(spark, Pipeline.StreamingLakeSpec(
+        lakeDir = s"$base/lake", checkpointDir = s"$base/ckpt",
+        minQuality = 0.05,
+        statePartitions = parts,
+        semantic = Some(Pipeline.StreamingSemanticSpec(
+          embZone = Some(embZone), threshold = 0.95, indexDir = Some(idxDir)))))
+      def stream() = spark.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(docsDir)
+      val hops = plan.runOnceTimed(stream())
+      val ti0 = System.nanoTime()
+      plan.runOnce(stream())
+      val idle = (System.nanoTime() - ti0) / 1e9
+      val survivors = graft.operators.TxLog.read(spark, plan.corpusZone).count()
+      def countDir(p: String, dirsOnly: Boolean): Int =
+        Option(new java.io.File(p).listFiles())
+          .map(_.count(f => !dirsOnly || f.isDirectory)).getOrElse(-1)
+      println(f"streambench parts=${parts.getOrElse(-1)}%d changelog=$changelog " +
+        hops.map { case (n, s) => f"$n=$s%.2f" }.mkString(" ") +
+        f" full=${hops.map(_._2).sum}%.2f idle=$idle%.2f survivors=$survivors%d " +
+        s"batches_textual=${countDir(s"$base/ckpt/textual/commits", dirsOnly = false)} " +
+        s"batches_semantic=${countDir(s"$base/ckpt/semantic/commits", dirsOnly = false)} " +
+        s"stateparts_textual=${countDir(s"$base/ckpt/textual/state/0", dirsOnly = true)}")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""usage: graft.Probe entry

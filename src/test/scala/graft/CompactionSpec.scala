@@ -77,6 +77,35 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.json(dir).count() === 600L)
   }
 
+  test("one failing hour surfaces loud AFTER every sibling finishes (no work left racing a retry)") {
+    val dir = freshDir()
+    for (h <- Seq(0, 1, 2)) {
+      spark.range(200L).select($"id", lit(2024).as("year"), lit(1).as("month"),
+          lit(1).as("day"), lit(h).as("hour"))
+        .repartition(8)
+        .write.mode("append").partitionBy("year", "month", "day", "hour").json(dir)
+    }
+    // hour=1 is poisoned: a garbage .gz makes its read throw, so its
+    // compactPartition fails while the siblings succeed
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/year=2024/month=1/day=1/hour=1/junk.json.gz").toPath,
+      Array.fill[Byte](64)(7))
+    val e = intercept[RuntimeException] {
+      Compaction.compactClosedHours(spark, dir, beforeHour = (2025, 1, 1, 0),
+        targetBytes = 1L << 30, writeOptions = Map.empty)
+    }
+    // the failure names the hour AND only returns once nothing is running
+    assert(e.getMessage.contains("hour=1"), e.getMessage)
+    assert(e.getMessage.contains("no compaction is still running"), e.getMessage)
+    // the healthy siblings were awaited to completion, not abandoned
+    // mid-flight: their rewrites landed
+    def files(h: Int) = dataFileNames(s"$dir/year=2024/month=1/day=1/hour=$h")
+    assert(files(0).size === 1 && files(2).size === 1,
+      s"sibling hours not compacted: ${files(0)} / ${files(2)}")
+    // poisoned hour untouched (its swap never ran)
+    assert(files(1).count(_.endsWith(".json")) === 8)
+  }
+
   test("a concurrent append between planning and swap aborts the rewrite") {
     val dir = freshDir()
     spark.range(1000L).select($"id").repartition(16).write.parquet(dir)

@@ -48,6 +48,28 @@ class GroupPrefixSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("a high-cardinality group key fails LOUD, not a driver OOM") {
+    // the driver-side offsets collect is bounded: violating the
+    // low-cardinality contract must surface the contract, not pull an
+    // unbounded relation onto the driver (round-16 verdict #7)
+    val df = spark.range(100001L)
+      .select(concat(lit("g"), $"id").as("g"), lit(1L).as("w"), $"id".as("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GroupPrefix
+        .exclusiveRunningSum(df, "g", Seq(col("v")), "w", "cum").count()
+    }
+    assert(e.getMessage.contains("distinct values"))
+  }
+
+  test("a non-Long valueCol fails with the contract, not a ClassCastException") {
+    val df = Seq(("a", 1.5, 1L), ("b", 2.5, 2L)).toDF("g", "w", "id")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GroupPrefix
+        .exclusiveRunningSum(df, "g", Seq(col("id")), "w", "cum").count()
+    }
+    assert(e.getMessage.contains("must be LongType"))
+  }
+
   test("Expectations.rowChecks plans ONE scan for many checks") {
     import graft.operators.Expectations
     val df = graft.sources.Tables.lineitem(spark, sf0001)
